@@ -1,0 +1,92 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall times.
+
+The query set is chosen to cover every engine layer (scan/agg, join
+chain, window, streaming-shaped ops, ingestion parity, dedup/LSH,
+similarity, text) so the number tracks the whole engine, not one hot
+path. Each query runs once, cold-ish (fresh DataFrame plan, shared
+SparkSession — same shape the driver uses).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+#: headline queries (name → weight in the suite); all must exist in
+#: __spark_entry__.queries().
+HEADLINE = [
+    # batch relational
+    "q01_pricing_summary",
+    "q05_regional_revenue",
+    "q_agg_distinct",
+    "q_join_left_outer",
+    # windows / top-k
+    "q_window_rank",
+    "q_topk_per_group",
+    # events / streaming-shaped
+    "q_json_extract",
+    "q_window_tumbling",
+    "q_session_window",
+    "q_stream_static_join",
+    # ingestion parity
+    "q_msg_metadata_projection",
+    "q_decode_json_payload",
+    "q_dlq_split",
+    # LLM-pipeline: dedup / similarity / text
+    "q_dedup_exact",
+    "q_minhash_lsh_neardup",
+    "q_simhash_signatures",
+    "q_embedding_neardup",
+    "q_cosine_topk",
+    "q_text_quality",
+    "q_doc_fingerprint",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as e
+    from mi_inbound_pulsar_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    # Warm the JVM/Python-worker pools so per-query numbers measure the
+    # plan, not process spin-up (the reference's consumer equally
+    # excludes client bootstrap from its steady-state throughput).
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,244 @@
+"""Event-table operators (SURVEY.md §2B streaming row): JSON extraction,
+tumbling/sliding/session time windows, pivot, stream-static join shape.
+
+These run the *same logical operators* the streaming layer uses
+(``streaming/windows.py``) in batch mode, which is what makes them
+oracle-checkable: Spark's ``window()`` / ``session_window()`` work
+identically over a static DataFrame, and the DuckDB oracle recomputes
+the window assignment arithmetically (epoch-aligned buckets,
+gaps-and-islands sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')            AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER)  AS k_int
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props string column.
+
+    ``get_json_object`` (string out) + ``from_json`` (typed out) — the
+    two schema-on-read paths; same dispatch the ingestion layer's T1
+    decode uses for content-type ``application/json``
+    (reference: PulsarMessageConsumer.java:518-526).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.from_json("props", "k INT").getField("k").alias("k_int"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS w_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation (batch form of the streaming op).
+
+    Spark's ``window()`` aligns buckets to the Unix epoch; the oracle
+    reproduces that with epoch arithmetic. Scale: tumbling windows are
+    a plain groupBy on (bucket, type) — partial aggregation applies,
+    state is bounded by watermark in the streaming form.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+        .orderBy("w_start", "event_type")
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    WITH shifted AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 - k.off AS BIGINT)) AS w_start,
+             value
+      FROM events CROSS JOIN (VALUES (0), (1800)) AS k(off)
+    )
+    SELECT w_start, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM shifted
+    GROUP BY 1
+    ORDER BY w_start
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes.
+
+    Each event lands in length/slide = 2 windows; the oracle assigns
+    both via a cross join with the two slide offsets. Scale: the 2×
+    row amplification happens map-side (Expand node), before partial
+    aggregation — no extra shuffle versus tumbling.
+
+    The aggregate is round(sum, 2): values carry 2 decimals, so the
+    true sum is a 2-decimal number and the rounded double sum is
+    engine-order-independent (an avg rounded at 4 decimals is not —
+    it can straddle a rounding boundary between Spark's partial-agg
+    order and DuckDB's sequential order).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "total_value")
+        .orderBy("w_start")
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           count(*)                       AS n_events,
+           round(sum(value), 2)           AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap.
+
+    Spark side uses the native ``session_window`` operator (the same
+    one the streaming layer uses with a watermark); the oracle derives
+    identical sessions with the gaps-and-islands idiom. Spark defines
+    session_end = last_event + gap, mirrored in the oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-type count columns.
+
+    The pivot value list is explicit — with an inferred list Spark
+    would run an extra distinct job and the output schema would depend
+    on the data (not allowed for a stable schema at scale).
+    """
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+    return out
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    ORDER BY c_mktsegment, event_type
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch form).
+
+    Scale: the static dimension is broadcast, so in streaming each
+    micro-batch joins map-side with zero shuffle — the canonical
+    enrichment pattern for an ingest pipeline.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+@query("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type.
+
+    No oracle: HLL estimates are implementation-specific (Spark's
+    HLL++ ≠ DuckDB's), so the driver records a rows-only check; the
+    pytest suite asserts the estimate is within 5% of exact.
+    Scale: HLL sketch is O(1) memory per group vs O(n) for exact
+    distinct — this is the 100 TB cardinality operator.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,177 @@
+"""Ingestion-layer parity queries (SURVEY.md §2A) in oracle-checkable
+batch form.
+
+The simulated message frame (sources/pulsar_source.py) is pure column
+arithmetic over ``events``, so each DuckDB oracle reconstructs it
+inline via this CTE and checks the operator's semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.config import DeadLetterPolicy, PulsarSourceConfig
+from mi_inbound_pulsar_spark.functions.payload import decode_payload, encode_properties_json
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.pulsar_source import simulated_message_frame, subscribe
+from mi_inbound_pulsar_spark.streaming.delivery import dlq_split
+
+#: DuckDB reconstruction of simulated_message_frame (keep in sync).
+MSG_CTE = """
+    WITH msgs AS (
+      SELECT props AS value,
+             'persistent://public/default/t' || CAST(event_id % 3 AS VARCHAR) AS topic,
+             CAST(event_id AS VARCHAR) AS message_id,
+             CASE WHEN user_id % 10 = 0 THEN NULL
+                  ELSE 'user-' || CAST(user_id AS VARCHAR) END AS key,
+             CASE WHEN event_id % 17 = 0
+                  THEN CAST(CAST(floor(event_id / 17) AS BIGINT) % 8 AS INTEGER)
+                  ELSE 0 END AS redelivery_count,
+             event_type, user_id,
+             ts AS event_time,
+             ts + INTERVAL 1 SECOND AS publish_time,
+             event_id
+      FROM events
+    )
+"""
+
+
+@query(
+    "q_msg_metadata_projection",
+    oracle=MSG_CTE
+    + """
+    SELECT topic AS topicNames, message_id AS msgId, key,
+           redelivery_count AS redeliveryCount,
+           '[{"event_type":"' || event_type || '"},{"uid":"' || CAST(user_id AS VARCHAR) || '"}]'
+             AS properties_json,
+           value
+    FROM msgs
+    ORDER BY CAST(msgId AS BIGINT)
+    """,
+)
+def q_msg_metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 + T3 — metadata projection with the exact-shape properties JSON
+    (array of single-key objects, PulsarUtils.java:121-130,144-157)."""
+    m = simulated_message_frame(spark, sf_dir)
+    return (
+        m.select(
+            F.col("topic").alias("topicNames"),
+            F.col("message_id").alias("msgId"),
+            "key",
+            F.col("redelivery_count").alias("redeliveryCount"),
+            encode_properties_json("properties").alias("properties_json"),
+            "value",
+        )
+        .orderBy(F.col("msgId").cast("long"))
+    )
+
+
+@query(
+    "q_decode_json_payload",
+    oracle=MSG_CTE
+    + """
+    SELECT message_id, CAST(json_extract(value, '$.k') AS INTEGER) AS k
+    FROM msgs
+    ORDER BY CAST(message_id AS BIGINT)
+    """,
+)
+def q_decode_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — content-type decode dispatch for application/json
+    (PulsarMessageConsumer.java:505-529): payload string → typed struct."""
+    m = simulated_message_frame(spark, sf_dir)
+    decoded = decode_payload(m, "application/json; charset=utf-8", schema="k INT")
+    return decoded.select("message_id", F.col("body.k").alias("k")).orderBy(
+        F.col("message_id").cast("long")
+    )
+
+
+@query(
+    "q_topic_subscribe_filter",
+    oracle=MSG_CTE
+    + """
+    SELECT topic, count(*) AS n
+    FROM msgs
+    WHERE topic IN ('persistent://public/default/t0', 'persistent://public/default/t2')
+    GROUP BY topic ORDER BY topic
+    """,
+)
+def q_topic_subscribe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — multi-topic subscription as a topic-list filter
+    (PulsarMessageConsumer.java:249-251)."""
+    cfg = PulsarSourceConfig(
+        service_url="pulsar://sim:6650",
+        topics=["persistent://public/default/t0", "persistent://public/default/t2"],
+    )
+    m = subscribe(simulated_message_frame(spark, sf_dir), cfg)
+    return m.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).orderBy("topic")
+
+
+@query(
+    "q_topic_pattern_subscribe",
+    oracle=MSG_CTE
+    + """
+    SELECT topic, count(*) AS n
+    FROM msgs
+    WHERE regexp_matches(topic, '.*/t[01]$')
+    GROUP BY topic ORDER BY topic
+    """,
+)
+def q_topic_pattern_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — regex-pattern subscription (PulsarMessageConsumer.java:252-258)."""
+    cfg = PulsarSourceConfig(service_url="pulsar://sim:6650", topics_pattern=".*/t[01]$")
+    m = subscribe(simulated_message_frame(spark, sf_dir), cfg)
+    return m.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).orderBy("topic")
+
+
+@query(
+    "q_read_compacted",
+    oracle=MSG_CTE
+    + """
+    SELECT key, arg_max(value, event_id) AS value,
+           CAST(arg_max(message_id, event_id) AS VARCHAR) AS message_id
+    FROM msgs
+    WHERE key IS NOT NULL
+    GROUP BY key
+    ORDER BY key
+    """,
+)
+def q_read_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 — readCompacted: latest-value-per-key view
+    (PulsarMessageConsumer.java:350-352), via ``max_by`` (one shuffle,
+    partial aggregation — no window sort needed)."""
+    cfg = PulsarSourceConfig(
+        service_url="pulsar://sim:6650", topics_pattern=".*", read_compacted=True
+    )
+    m = subscribe(simulated_message_frame(spark, sf_dir), cfg)
+    return (
+        m.filter(F.col("key").isNotNull())
+        .select("key", "value", "message_id")
+        .orderBy("key")
+    )
+
+
+@query(
+    "q_dlq_split",
+    oracle=MSG_CTE
+    + """
+    SELECT message_id, redelivery_count,
+           CASE WHEN redelivery_count >= 5 THEN 'dlq' ELSE 'main' END AS route
+    FROM msgs
+    WHERE redelivery_count > 0
+    ORDER BY CAST(message_id AS BIGINT)
+    """,
+)
+def q_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 — dead-letter routing after max redeliveries (default 5,
+    PulsarMessageConsumer.java:295-304)."""
+    m = simulated_message_frame(spark, sf_dir)
+    main, dlq = dlq_split(m, DeadLetterPolicy(max_redeliveries=5))
+    routed = main.withColumn("route", F.lit("main")).unionByName(
+        dlq.withColumn("route", F.lit("dlq"))
+    )
+    return (
+        routed.filter(F.col("redelivery_count") > 0)
+        .select("message_id", "redelivery_count", "route")
+        .orderBy(F.col("message_id").cast("long"))
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing (north star): image/audio/video as opaque
+``binary`` columns with typed metadata, decode/feature-extract as
+Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio libraries, so the *codec* step is a
+deterministic fake behind ``FAKE_DECODERS`` (clearly marked); the
+Spark-side plumbing — binary schema, mapInPandas batch shape, UDF
+signature, partition behavior — is real and tested. Swapping a real
+decoder in (PIL/librosa/ffmpeg) changes one dict entry, nothing else.
+
+Scale: mapInPandas streams Arrow batches; media blobs never pass
+through Python row-at-a-time, and decode parallelism is partition
+parallelism. Large blobs should set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` down so a batch of
+decoded frames fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, payload binary, "
+    "width int, height int, n_frames int, checksum string"
+)
+
+
+def _fake_image_decode(payload: bytes) -> dict:
+    """FAKE decoder (no PIL in container): deterministic dims from the
+    payload bytes. A real build replaces this with PIL.Image.open."""
+    n = len(payload)
+    return {"width": 64 + n % 512, "height": 64 + (n * 7) % 512, "n_frames": 1}
+
+
+def _fake_audio_decode(payload: bytes) -> dict:
+    """FAKE decoder (no librosa in container): frame count from length."""
+    n = len(payload)
+    return {"width": 0, "height": 0, "n_frames": 1 + n // 16}
+
+
+FAKE_DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "image": _fake_image_decode,
+    "audio": _fake_audio_decode,
+}
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode a (media_id, media_type, payload) frame into metadata via
+    ``mapInPandas`` — the real multimodal plumbing (Arrow batches in/out)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            metas = []
+            for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
+                decoder = FAKE_DECODERS.get(mtype)
+                if decoder is None:
+                    raise NotImplementedError(f"no decoder for media type {mtype!r}")
+                meta = decoder(bytes(payload))
+                meta["checksum"] = hashlib.md5(bytes(payload)).hexdigest()
+                metas.append(meta)
+            meta_df = pd.DataFrame(metas)
+            yield pd.concat([pdf.reset_index(drop=True), meta_df], axis=1)
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media frame from documents: the utf-8 text bytes act
+    as the opaque payload (deterministic, oracle-reproducible)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN 64 + octet_length(encode(text)) % 512 ELSE 0 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 64 + (octet_length(encode(text)) * 7) % 512 ELSE 0 END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + octet_length(encode(text)) // 16 END AS n_frames,
+           md5(text) AS checksum
+    FROM documents ORDER BY media_id
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: documents→payload→mapInPandas
+    decode→metadata. The fake decoder is arithmetic on byte length, so
+    the oracle replays it in SQL — what is being verified is the
+    Arrow/mapInPandas plumbing, schema, and checksum path."""
+    decoded = decode_media(media_frame(spark, sf_dir))
+    return (
+        decoded.select(
+            "media_id",
+            "media_type",
+            F.octet_length("payload").alias("n_bytes"),
+            "width",
+            "height",
+            "n_frames",
+            "checksum",
+        )
+        .orderBy("media_id")
+    )

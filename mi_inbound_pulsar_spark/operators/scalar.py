@@ -1,0 +1,191 @@
+"""Scalar function surface (SURVEY.md §2B): string, date/time, math,
+conditional, array/higher-order. All JVM-side built-ins — every
+expression here stays inside whole-stage codegen (no Python in the
+row path), which is the 100 TB requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+@query(
+    "q_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                         AS lname,
+           upper(p_brand)                        AS ubrand,
+           substr(p_type, 1, 5)                  AS type5,
+           length(p_name)                        AS name_len,
+           concat(p_brand, ':', p_type)          AS brand_type,
+           replace(p_name, ' ', '_')             AS snake,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+           split_part(p_type, ' ', 1)            AS head_token,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: case, substring, length, concat, replace, regexp,
+    split, LIKE-in-CASE."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.lower("p_name").alias("lname"),
+            F.upper("p_brand").alias("ubrand"),
+            F.substring("p_type", 1, 5).alias("type5"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace("p_name", " ", "_").alias("snake"),
+            F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+            F.split(F.col("p_type"), " ").getItem(0).alias("head_token"),
+            F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           year(o_orderdate)                                   AS yr,
+           month(o_orderdate)                                  AS mo,
+           dayofweek(o_orderdate)                              AS dow,
+           date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002,
+           o_orderdate + INTERVAL 90 DAY                       AS due_date,
+           strftime(o_orderdate, '%Y-%m-%d')                   AS iso_day
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: trunc, extract, diff, interval add, format.
+
+    DuckDB ``dayofweek`` is 0=Sunday; Spark ``dayofweek`` is 1=Sunday,
+    so the Spark side subtracts 1 to align the calendars.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+                "days_to_2002"
+            ),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_math_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)            AS disc_dev,
+           round(sqrt(l_extendedprice), 6)             AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6)           AS price_ln,
+           round(power(l_quantity, 2), 2)              AS qty_sq,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+           CAST(ceil(l_quantity) AS BIGINT)            AS qty_ceil,
+           l_linenumber % 3                            AS ln_mod,
+           CASE WHEN l_quantity > 40 THEN 'high'
+                WHEN l_quantity > 20 THEN 'mid'
+                ELSE 'low' END                         AS qty_band,
+           greatest(l_tax, l_discount)                 AS max_rate,
+           least(l_tax, l_discount)                    AS min_rate
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + CASE WHEN + greatest/least surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+            F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+            F.floor(F.col("l_extendedprice") / 1000).alias("price_bucket"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            (F.col("l_linenumber") % 3).alias("ln_mod"),
+            F.when(F.col("l_quantity") > 40, "high")
+            .when(F.col("l_quantity") > 20, "mid")
+            .otherwise("low")
+            .alias("qty_band"),
+            F.greatest("l_tax", "l_discount").alias("max_rate"),
+            F.least("l_tax", "l_discount").alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_array_higher_order",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           len(words)                                          AS n_words,
+           len(list_distinct(words))                           AS n_distinct,
+           len(list_filter(words, w -> length(w) > 4))         AS n_long,
+           list_sort(list_distinct(list_transform(words, w -> upper(w))))[1] AS first_upper
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions: split, size, distinct, filter,
+    transform, sort, index. All codegen'd — no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_distinct"),
+            F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+            F.array_sort(F.array_distinct(F.transform(words, lambda w: F.upper(w))))
+            .getItem(0)
+            .alias("first_upper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_explode_posexplode",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 20)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, words[i] AS word
+    FROM t, unnest(generate_series(1, len(words))) AS u(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — flatten arrays to rows with position.
+
+    Scale: explode is a narrow transformation (no shuffle); row-count
+    amplification is per-partition, which is why shingling (dedup.py)
+    can run at 100 TB without repartitioning first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+    )

@@ -1,0 +1,273 @@
+"""Similarity search over embedding columns (north star).
+
+Execution design (the 100 TB shape):
+
+- The corpus is the big side: it **never shuffles**. All scoring runs
+  as ``mapInPandas`` over the corpus partitions — Arrow batches in,
+  numpy float64 GEMM per batch (``batch_units @ ref_units.T``), so the
+  per-element work is vectorized C, not per-row Python and not
+  interpreted per-element lambdas.
+- The small side (query set / centroid table) is inherently small —
+  that is what makes it the query side — and rides to executors as a
+  Spark broadcast variable (same role as ``F.broadcast`` for a dim
+  table in a join).
+- Top-k folds **inside each partition** first (per-partition top-k in
+  numpy), so the only shuffle in the whole plan carries
+  ≤ n_partitions × n_queries × k candidate rows into the final
+  row_number merge — the TakeOrdered-per-group pattern.
+- ``q_ann_ivf_topk`` is the sub-linear path: coarse-quantize the
+  corpus to centroid cells, probe only the ``nprobe`` nearest cells
+  per query. At 100 TB the assignment output is written bucketed by
+  cell id so a probe is partition pruning, not a filter.
+
+Reference parity: the reference (a Pulsar ingestion connector) has no
+similarity operators — this module is the north-star extension named
+in /root/repo/BASELINE.json; semantics are fixed by the DuckDB oracles
+(``list_cosine_similarity``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+CENTROID_STRIDE = 50  # vec_id % 50 == 0 → deterministic "centroids"
+N_PROBE = 4
+
+SCORE_SCHEMA = "query_id long, neighbor_id long, sim double"
+
+
+def _unit_rows(ids: np.ndarray, mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """L2-normalize rows (float64); zero rows stay zero."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collect a *small* (id, vector) frame to numpy, sorted by id.
+
+    Only ever called on the query/centroid side — the corpus side never
+    leaves the executors.
+    """
+    rows = df.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def topk_partial_scorer(q_ids: np.ndarray, q_units: np.ndarray, k: int):
+    """Build a mapInPandas fn emitting per-batch top-k candidates per query."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            _, c_units = _unit_rows(c_ids, c_mat)
+            sims = q_units @ c_units.T  # (n_queries, batch)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                mask = c_ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(k, len(cand_idx))
+                # partial top-k inside the partition; ties resolved later
+                # by the global row_number (sim desc, neighbor_id asc)
+                part = cand_idx[np.argsort(-row[cand_idx], kind="stable")[: take + 8]]
+                out_q.extend([q_ids[qi]] * len(part))
+                out_c.extend(c_ids[part])
+                out_s.extend(row[part])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_c, "sim": out_s}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+
+    return run
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    corpus: (vec_id, embedding) — arbitrarily large, never shuffled.
+    queries: (vec_id, embedding) — small, collected + broadcast.
+    """
+    q_ids, q_mat = _collect_matrix(queries, "vec_id", "embedding")
+    q_ids, q_units = _unit_rows(q_ids, q_mat)
+    partial = corpus.select("vec_id", "embedding").mapInPandas(
+        topk_partial_scorer(q_ids, q_units, k), schema=SCORE_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q_emb, c.emb) AS sim
+      FROM q JOIN e c ON c.vec_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(e, queries, TOP_K).orderBy("query_id", "rank")
+
+
+def ivf_assign_cells(corpus: DataFrame, cent_ids: np.ndarray, cent_units: np.ndarray) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid cell (argmax
+    cosine, ties → lowest cell id). Narrow mapInPandas pass — at scale
+    the result is written bucketed by ``cell``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            _, c_units = _unit_rows(c_ids, c_mat)
+            sims = c_units @ cent_units.T  # (batch, n_cells)
+            best = np.argmax(sims, axis=1)  # first max → lowest cell id
+            yield pd.DataFrame(
+                {
+                    "vec_id": c_ids,
+                    "cell": cent_ids[best],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, cell long, embedding array<float>"
+    )
+
+
+@query(
+    "q_ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id / {CENTROID_STRIDE} AS BIGINT) AS cell, emb AS cent_emb
+      FROM e WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT v.vec_id, v.emb, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_cosine_similarity(v.emb, c.cent_emb) DESC, c.cell) AS rn
+        FROM e v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(q.q_emb, c.cent_emb) DESC, c.cell) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(q.q_emb, a.emb) AS sim
+      FROM q JOIN probes p ON q.query_id = p.query_id
+             JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5: probe the 3 nearest of the cells.
+
+    Deterministic centroids (every CENTROID_STRIDE-th vector) so the
+    oracle replays the exact same index; recall vs brute force is
+    asserted in pytest. A production build swaps k-means centroids in;
+    the operator shape (assign → probe → rerank) is unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    centroids = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        (F.col("vec_id") / CENTROID_STRIDE).cast("long").alias("cell"),
+        F.col("embedding"),
+    )
+    cent_ids, cent_mat = _collect_matrix(centroids, "cell", "embedding")
+    cent_ids, cent_units = _unit_rows(cent_ids, cent_mat)
+
+    assigned = ivf_assign_cells(e, cent_ids, cent_units)
+
+    # probe cells per query (query side is tiny → plain numpy on driver)
+    q_ids, q_mat = _collect_matrix(
+        e.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding"
+    )
+    q_ids, q_units = _unit_rows(q_ids, q_mat)
+    probe_sims = q_units @ cent_units.T
+    probe_rows = [
+        (int(q_ids[qi]), int(cent_ids[ci]))
+        for qi in range(len(q_ids))
+        # stable sort on (-sim, cell) == ORDER BY sim DESC, cell
+        for ci in np.lexsort((cent_ids, -probe_sims[qi]))[:N_PROBE]
+    ]
+    probes = F.broadcast(spark.createDataFrame(probe_rows, "query_id long, cell long"))
+
+    # scan only the probed cells; score candidates with the GEMM scorer
+    candidates = assigned.join(probes, "cell").select("query_id", "vec_id", "embedding")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qidx = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            _, c_units = _unit_rows(c_ids, c_mat)
+            qs = pdf["query_id"].to_numpy(dtype=np.int64)
+            qrows = q_units[[qidx[int(q)] for q in qs]]
+            sims = np.einsum("ij,ij->i", qrows, c_units)
+            keep = c_ids != qs
+            yield pd.DataFrame(
+                {"query_id": qs[keep], "neighbor_id": c_ids[keep], "sim": sims[keep]}
+            )
+
+    scored = candidates.mapInPandas(score, schema=SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )

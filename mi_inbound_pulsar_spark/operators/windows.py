@@ -1,0 +1,188 @@
+"""Window functions (SURVEY.md §2B): ranking, analytic, frames, top-k.
+
+Scale note common to all: a window spec with ``partitionBy`` shuffles
+once on the partition key and sorts within partitions — no global sort.
+Skewed partition keys (one giant customer) are the risk at 100 TB; the
+top-k pattern below bounds per-group output, and AQE skew handling
+splits oversized shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions over a per-customer window.
+
+    The ORDER BY includes o_orderkey as a tiebreaker so row_number is
+    deterministic (required for oracle hashing).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q_window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                        AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first / last over an ordered per-customer window.
+
+    last_value uses an explicit unbounded frame — the default frame
+    (RANGE UNBOUNDED PRECEDING..CURRENT ROW) would return the current
+    row in both engines, which is a trap, not a test.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w_full).alias("last_order"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "q_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg_3,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neighbors
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS BETWEEN frames: running total, moving average, sliding count."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+                "running_total"
+            ),
+            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
+            F.count(F.lit(1)).over(w.rowsBetween(-1, 1)).alias("neighbors"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY value
+                                  RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW), 2)
+               AS sum_within_5
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, value, event_id
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN (value-based) frame: sum of values within 5.0 below.
+
+    PySpark's ``Window.rangeBetween`` only takes integer offsets, so the
+    fractional frame is expressed as a SQL window expression (same
+    Catalyst plan as the Scala ``rangeBetween(lit(-5.0), ...)``).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "value",
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY value "
+            "RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW), 2) AS sum_within_5",
+        )
+        .orderBy("user_id", "value", "event_id")
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_nationkey, rn
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation.
+
+    Scale: row_number + filter is the canonical distributed top-k —
+    one shuffle on the group key, per-partition sort, early filter.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    )

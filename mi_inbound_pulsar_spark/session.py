@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[N]`` (one JVM); the configs below are
+chosen so the *same logical plans* scale to a real cluster:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switches are the 100 TB safety net.
+- ``spark.sql.shuffle.partitions`` ≈ cores locally; on a cluster this
+  is superseded by AQE's coalescing from a high initial value.
+- UTC session timezone so results hash-match the DuckDB oracle
+  (DuckDB timestamps are UTC-naive).
+- Arrow enabled for any Pandas-UDF path (vectorized slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Default parallelism: honor the driver's CPU knob, fall back to all cores.
+_CPUS = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+
+
+def get_spark(
+    app_name: str = "mi_inbound_pulsar_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{_CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,94 @@
+"""Quality gates for the probabilistic operators that have no (or weak)
+DuckDB oracles: MinHash-LSH recall, SimHash determinism + Hamming
+bounds, IVF recall vs brute force, HLL accuracy."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_neardup,
+    shingles,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+def test_minhash_lsh_full_recall_at_high_jaccard(spark, sf_dir):
+    # LSH (8 bands x 4 rows) must recall virtually all J>=0.8 pairs;
+    # precision is exactly 1.0 because candidates are verified.
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r["doc_a"], r["doc_b"]) for r in minhash_neardup(docs, threshold=0.8).collect()}
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(shingles(docs), threshold=0.8).collect()
+    }
+    assert got.issubset(truth)  # precision 1.0 (verified candidates)
+    if truth:
+        assert len(got) / len(truth) >= 0.9  # recall gate
+
+
+def test_simhash_deterministic_and_64bit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    a = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert a == b  # xxhash64 is deterministic across runs
+    assert all(isinstance(v, int) for v in a.values())
+
+
+def test_simhash_banding_finds_identical_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # dup
+        (3, "a completely different document about spark query engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(simhash_signatures(docs), max_hamming=3).collect()
+    }
+    assert (1, 2, 0) in pairs
+    assert all(p[:2] == (1, 2) for p in pairs)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.similarity import q_ann_ivf_topk, q_cosine_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_ivf_topk(spark, sf_dir).collect()
+    }
+    # IVF with nprobe=4 of 10 cells and arbitrary (non-k-means) seed
+    # centroids: observed 64% top-5 recall; gate with margin. A k-means
+    # centroid build raises this — the operator shape is what's tested.
+    assert len(approx & exact) / len(exact) >= 0.55
+
+
+def test_embedding_neardup_matches_numpy_truth(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.dedup import q_embedding_neardup
+
+    got = {(r["id_a"], r["id_b"]) for r in q_embedding_neardup(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    units = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = units @ units.T
+    ai, bi = np.nonzero((sims >= 0.4) & (ids[:, None] < ids[None, :]))
+    truth = {(int(ids[a]), int(ids[b])) for a, b in zip(ai, bi)}
+    assert got == truth
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    approx = e.agg(F.approx_count_distinct("user_id", 0.01).alias("a")).first()["a"]
+    exact = e.agg(F.countDistinct("user_id").alias("e")).first()["e"]
+    assert abs(approx - exact) / exact <= 0.05
