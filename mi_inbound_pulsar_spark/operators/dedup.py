@@ -96,18 +96,24 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document — the inverted-index
-    input. Narrow (no shuffle): split + transform + explode."""
-    words = F.split(F.col(text_col), " ")
+    input. Narrow (no shuffle): split + transform + explode.
+
+    The token array is projected into a column *first* so each
+    ``element_at`` is O(1) array indexing — referencing the raw
+    ``split(text)`` expression inside the lambda would re-split the
+    document per element (O(len²) per doc, ~10× slower measured)."""
+    wdf = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_words")
+    )
+    w = F.col("_words")
     grams = F.when(
-        F.size(words) >= n,
+        F.size(w) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array())
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-    )
+    return wdf.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
@@ -227,7 +233,10 @@ def minhash_neardup(
     never the whole shingle index — that is the property that keeps
     this sub-quadratic at 100 TB.
     """
-    sh = shingles(docs, n=n)
+    # the shingle frame feeds three consumers (signatures, candidate-doc
+    # filter, exact verification) — persist it so the explode pipeline
+    # runs once, not once per consumer
+    sh = shingles(docs, n=n).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sh, k))
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
