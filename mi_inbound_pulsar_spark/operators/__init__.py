@@ -21,6 +21,8 @@ _ORACLES: dict[str, str] = {}
 
 _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.relational",
+    "mi_inbound_pulsar_spark.operators.tpch",
+    "mi_inbound_pulsar_spark.operators.aggstats",
     "mi_inbound_pulsar_spark.operators.windows",
     "mi_inbound_pulsar_spark.operators.setops",
     "mi_inbound_pulsar_spark.operators.scalar",

@@ -1,0 +1,243 @@
+"""Statistical & advanced aggregates (SURVEY.md §2B aggregation row):
+stddev/variance, correlation/covariance, exact percentiles/median,
+ordered string aggregation, count_if/bool aggregates, min_by/max_by,
+GROUPING SETS, and struct/map construction.
+
+All built-in JVM aggregates — partial aggregation applies everywhere,
+so each is one shuffle of (group, sketch/accumulator), never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           round(stddev_samp(c_acctbal), 6) AS bal_stddev,
+           round(var_samp(c_acctbal), 6)    AS bal_var,
+           round(min(c_acctbal), 2)         AS bal_min,
+           round(max(c_acctbal), 2)         AS bal_max
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev / variance per segment (Welford-style partials)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.stddev_samp("c_acctbal"), 6).alias("bal_stddev"),
+            F.round(F.var_samp("c_acctbal"), 6).alias("bal_var"),
+            F.round(F.min("c_acctbal"), 2).alias("bal_min"),
+            F.round(F.max("c_acctbal"), 2).alias("bal_max"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4)              AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≙ DuckDB
+    ``quantile_cont``). Scale: exact percentile shuffles the values per
+    group; for 100 TB use approx_percentile (t-digest sketch, O(1)
+    memory) — same call shape, bounded error.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_agg_string_collect",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def q_agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list → array_sort →
+    array_join (deterministic regardless of partition arrival order —
+    an unsorted listagg would be nondeterministic under parallelism)."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT event_type,
+           count_if(value > 50)                      AS n_big,
+           bool_and(value >= 0)                      AS all_nonneg,
+           bool_or(value > 99)                       AS any_huge,
+           round(avg(CASE WHEN value > 50 THEN value END), 4) AS avg_big
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / FILTER-style conditional avg."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 50).alias("n_big"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 99).alias("any_huge"),
+            F.round(F.avg(F.when(F.col("value") > 50, F.col("value"))), 4).alias("avg_big"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_min_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           min_by(c_name, c_acctbal) AS poorest,
+           max_by(c_name, c_acctbal) AS richest
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by — argmin/argmax without a window sort.
+
+    Scale: one shuffle carrying (key, extremum-so-far) — the partial
+    aggregate keeps a single candidate per group per partition, unlike
+    the row_number() formulation which sorts whole groups.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.min_by("c_name", "c_acctbal").alias("poorest"),
+            F.max_by("c_name", "c_acctbal").alias("richest"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status,
+    per-priority, and grand total in one pass (Expand node — one
+    shuffle for all three groupings)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q_struct_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER)     AS k_val,
+           event_type || ':' || CAST(user_id AS VARCHAR)   AS type_user,
+           CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k_doubled
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+)
+def q_struct_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map construction + field access: build a struct and a map
+    in-flight, read fields back out (nested-type surface, §1.4 —
+    the relational improvement over the reference's OM document tree)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    enriched = e.select(
+        "event_id",
+        F.struct(
+            F.from_json("props", "k INT").getField("k").alias("k"),
+            F.col("event_type").alias("et"),
+        ).alias("s"),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")).alias("m"),
+        "event_type",
+        "user_id",
+    )
+    return (
+        enriched.select(
+            "event_id",
+            F.col("s.k").alias("k_val"),
+            F.concat_ws(":", "event_type", F.col("m")["uid"]).alias("type_user"),
+            (F.col("s.k") * 2).alias("k_doubled"),
+        )
+        .orderBy("event_id")
+    )
