@@ -15,7 +15,28 @@ from mi_inbound_pulsar_spark.config import DeadLetterPolicy, PulsarSourceConfig
 from mi_inbound_pulsar_spark.functions.payload import decode_payload, encode_properties_json
 from mi_inbound_pulsar_spark.operators import query
 from mi_inbound_pulsar_spark.sources.pulsar_source import simulated_message_frame, subscribe
+from mi_inbound_pulsar_spark.sources.tables import load_table
+from mi_inbound_pulsar_spark.streaming.chunking import reassemble_batch
 from mi_inbound_pulsar_spark.streaming.delivery import dlq_split
+
+CHUNK_SIZE = 200
+
+
+def chunked_document_frame(spark: SparkSession, sf_dir: str, chunk_size: int = CHUNK_SIZE) -> DataFrame:
+    """Deterministic chunked-message frame: each document's text split
+    into fixed-size fragments — the producer side of S15."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / chunk_size).cast("int")
+    return d.select(
+        F.col("doc_id").cast("string").alias("chunk_uuid"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.substring(F.col("text"), i * chunk_size + 1, F.lit(chunk_size)),
+            )
+        ).alias("chunk_index", "fragment"),
+        n_chunks.alias("total_chunks"),
+    ).select("chunk_uuid", "chunk_index", "total_chunks", "fragment")
 
 #: DuckDB reconstruction of simulated_message_frame (keep in sync).
 MSG_CTE = """
@@ -149,6 +170,26 @@ def q_read_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "value", "message_id")
         .orderBy("key")
     )
+
+
+@query(
+    "q_chunk_reassembly",
+    oracle=f"""
+    SELECT CAST(doc_id AS VARCHAR) AS chunk_uuid,
+           CAST(ceil(length(text) / {CHUNK_SIZE}.0) AS INTEGER) AS n_chunks,
+           text AS payload
+    FROM documents
+    ORDER BY CAST(chunk_uuid AS BIGINT)
+    """,
+)
+def q_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — chunked-message reassembly, batch form: documents are split
+    into {CHUNK_SIZE}-char fragments and reassembled; the oracle asserts
+    the output is byte-identical to the originals
+    (PulsarMessageConsumer.java:326-336; streaming form with state +
+    expiry in streaming/chunking.py, driven by pytest)."""
+    chunks = chunked_document_frame(spark, sf_dir)
+    return reassemble_batch(chunks).orderBy(F.col("chunk_uuid").cast("long"))
 
 
 @query(

@@ -103,6 +103,20 @@ def subscribe(frame: DataFrame, cfg: PulsarSourceConfig) -> DataFrame:
     return out
 
 
+def key_shared_repartition(frame: DataFrame, num_partitions: int) -> DataFrame:
+    """S4 — Key_Shared subscription semantics
+    (PulsarMessageConsumer.java:378-386): every message of a key is
+    processed by one consumer, in order. Spark restatement: hash
+    repartition on the key (all rows of a key → one partition ≙ one
+    task ≙ one "consumer") + per-partition sort by message id. Per-key
+    order is guaranteed; global order is not — exactly Pulsar's
+    Key_Shared contract.
+    """
+    return frame.repartition(num_partitions, F.col("key")).sortWithinPartitions(
+        F.col("key"), F.col("message_id").cast("long")
+    )
+
+
 def simulated_stream(
     spark: SparkSession,
     sf_dir: str,

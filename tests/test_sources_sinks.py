@@ -1,0 +1,96 @@
+"""Source/sink tests: Key_Shared partition-ordering contract (S4),
+parquet sinks (batch, partitioned, streaming), DLQ routing to a sink."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.config import DeadLetterPolicy
+from mi_inbound_pulsar_spark.sources.pulsar_source import (
+    key_shared_repartition,
+    simulated_message_frame,
+    simulated_stream,
+)
+from mi_inbound_pulsar_spark.sources.sinks import (
+    route_to_dlq,
+    write_parquet,
+    write_stream_parquet,
+)
+
+
+def test_key_shared_one_partition_per_key(spark, sf_dir):
+    # S4 — every key's messages land in exactly one partition
+    m = simulated_message_frame(spark, sf_dir).filter(F.col("key").isNotNull())
+    parted = key_shared_repartition(m, 8)
+    spread = (
+        parted.withColumn("pid", F.spark_partition_id())
+        .groupBy("key")
+        .agg(F.countDistinct("pid").alias("n_partitions"))
+    )
+    assert spread.filter(F.col("n_partitions") > 1).count() == 0
+
+
+def test_key_shared_preserves_per_key_order(spark, sf_dir):
+    # within a partition, a key's messages are in message-id order
+    m = simulated_message_frame(spark, sf_dir).filter(F.col("key").isNotNull())
+    parted = key_shared_repartition(m, 8)
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            bad = 0
+            last: dict = {}
+            for k, mid in zip(pdf["key"], pdf["message_id"]):
+                mid = int(mid)
+                if k in last and mid < last[k]:
+                    bad += 1
+                last[k] = mid
+            yield pd.DataFrame({"bad": [bad]})
+
+    bad_total = (
+        parted.select("key", "message_id")
+        .mapInPandas(check, schema="bad long")
+        .agg(F.sum("bad"))
+        .first()[0]
+    )
+    assert bad_total == 0
+
+
+def test_parquet_sink_roundtrip_partitioned(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    m = simulated_message_frame(spark, sf_dir).limit(1000)
+    write_parquet(m, out, mode="overwrite", partition_by=["topic"])
+    # partitioned layout on disk → one dir per topic (pruning layout)
+    dirs = {d for d in os.listdir(out) if d.startswith("topic=")}
+    assert len(dirs) == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert set(back.columns) == set(m.columns)
+
+
+def test_streaming_parquet_sink_checkpointed(spark, sf_dir):
+    src = tempfile.mkdtemp(prefix="sink_src_")
+    out = tempfile.mkdtemp(prefix="sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    stream = simulated_stream(spark, sf_dir, staging_dir=src, files=3)
+    q = write_stream_parquet(stream, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    expected = simulated_message_frame(spark, sf_dir).count()
+    assert spark.read.parquet(out).count() == expected
+
+
+def test_route_to_dlq_counts(spark, sf_dir):
+    main_path = tempfile.mkdtemp(prefix="dlq_main_") + "/t"
+    dlq_path = tempfile.mkdtemp(prefix="dlq_dead_") + "/t"
+    m = simulated_message_frame(spark, sf_dir)
+    n_main, n_dlq = route_to_dlq(
+        m, DeadLetterPolicy(max_redeliveries=5, dlq_topic="dead-letters"), main_path, dlq_path
+    )
+    assert n_main + n_dlq == m.count()
+    assert n_dlq == m.filter(F.col("redelivery_count") >= 5).count()
+    assert n_dlq > 0  # fixture guarantees some poison rows
