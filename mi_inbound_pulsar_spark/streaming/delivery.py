@@ -101,6 +101,83 @@ def run_pipeline(
     return writer.start()
 
 
+class RetryingPipeline:
+    """K5/K6/K7 integrated — per-*record* nack/redelivery/DLQ semantics
+    on top of micro-batch processing (SURVEY.md §7 hard part 1).
+
+    ``process`` receives each batch (original rows ∪ due redeliveries,
+    with ``redelivery_count`` reflecting the retry state) and returns
+    the message_ids that FAILED. Successes are acked (state cleared);
+    failures are nacked (count bumped, row parked for redelivery after
+    ``nack_delay_ms``); records exceeding ``policy.max_redeliveries``
+    are routed to the DLQ sink instead of being retried — the
+    reference's broker-side contract (PulsarMessageConsumer.java:203-227,
+    295-304) rebuilt engine-side.
+
+    State here is in-memory (driver) keyed by message_id; at cluster
+    scale the identical interface runs over a keyed table (hash-
+    partitioned, last-write-wins upsert — see RetryTable docstring).
+    """
+
+    def __init__(
+        self,
+        process: Callable[[list], list[str]],
+        policy: DeadLetterPolicy,
+        nack_delay_ms: int = 0,
+        on_dead_letter: Callable[[list], None] | None = None,
+    ):
+        self.process = process
+        self.table = RetryTable(policy, nack_delay_ms=nack_delay_ms)
+        self.on_dead_letter = on_dead_letter or (lambda rows: None)
+        self._parked: dict[str, object] = {}  # message_id -> Row awaiting redelivery
+        self._dead: list = []
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int, now: float | None = None) -> None:
+        now = time.time() if now is None else now
+        due = self.table.due_for_redelivery(now=now)
+        redelivered = []
+        for mid in due:
+            row = self._parked.get(mid)
+            if row is not None:
+                d = row.asDict()
+                d["redelivery_count"] = self.table.redelivery_count(mid)
+                redelivered.append(d)
+        fresh = batch_df.collect() if hasattr(batch_df, "collect") else list(batch_df)
+        rows = fresh + [_DictRow(d) for d in redelivered]
+        if not rows:
+            return
+        failed = set(self.process(rows))
+        ok_ids = [r["message_id"] for r in rows if r["message_id"] not in failed]
+        self.table.ack(ok_ids)
+        for mid in ok_ids:
+            self._parked.pop(mid, None)
+        self.table.nack(sorted(failed), now=now)
+        for r in rows:
+            mid = r["message_id"]
+            if mid in failed:
+                self._parked[mid] = r
+        # K7: exhausted records leave the retry loop for the DLQ
+        dead_now = [m for m in self.table.dead_letters() if m in self._parked]
+        if dead_now:
+            dead_rows = [self._parked.pop(m) for m in dead_now]
+            self._dead.extend(dead_rows)
+            self.on_dead_letter(dead_rows)
+
+    @property
+    def dead_letters(self) -> list:
+        return list(self._dead)
+
+    def pending_ids(self) -> list[str]:
+        return sorted(self._parked)
+
+
+class _DictRow(dict):
+    """Row-alike over a dict (supports r['col'] and .asDict())."""
+
+    def asDict(self):  # noqa: N802 - Row API parity
+        return dict(self)
+
+
 class RetryTable:
     """K5/K6/K7 — per-record nack/redelivery state on top of micro-batch
     replay.
