@@ -1,0 +1,96 @@
+"""Plan-quality regression tests — the 100 TB contract, asserted.
+
+These check the *physical plan*, not the answer: broadcast joins where
+a dimension is small, predicate pushdown reaching the parquet scan,
+column pruning, and no accidental cartesian products. A refactor that
+silently turns a broadcast join into a shuffle join or loses pushdown
+passes the value tests but fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan_of(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q05_broadcasts_all_dimensions(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.relational import q05_regional_revenue
+
+    plan = plan_of(q05_regional_revenue(spark, sf_dir))
+    # customer, nation, region (and the filtered orders side) broadcast —
+    # the lineitem probe side must never shuffle for a dimension join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # at test SF everything broadcasts
+
+
+def test_q06_pushes_all_predicates_to_scan(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.tpch import q06_forecast_revenue
+
+    plan = formatted_plan_of(q06_forecast_revenue(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q01_prunes_unused_columns(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.relational import q01_pricing_summary
+
+    plan = formatted_plan_of(q01_pricing_summary(spark, sf_dir))
+    # lineitem has 11 columns; the scan must read only the 7 referenced
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_filter_predicates_reach_parquet(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.relational import q_filter_predicates
+
+    plan = formatted_plan_of(q_filter_predicates(spark, sf_dir))
+    assert "In(c_mktsegment" in plan
+    assert "GreaterThanOrEqual(c_acctbal,100.0)" in plan
+    assert "StringStartsWith(c_name,Customer)" in plan
+
+
+def test_semi_join_is_not_inner(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.tpch import q04_order_priority
+
+    plan = plan_of(q04_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.relational import q_sort_limit
+
+    plan = plan_of(q_sort_limit(spark, sf_dir))
+    # global ORDER BY + LIMIT must plan as TakeOrderedAndProject —
+    # never a full global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.tpch import q06_forecast_revenue
+
+    df = q06_forecast_revenue(spark, sf_dir)
+    df.collect()  # AQE only finalizes the plan on execution
+    plan = plan_of(df)
+    assert "WholeStageCodegen" in plan
+
+
+def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.eventsops import q_stream_static_join
+
+    plan = plan_of(q_stream_static_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
