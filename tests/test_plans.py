@@ -86,7 +86,9 @@ def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
     df = q06_forecast_revenue(spark, sf_dir)
     df.collect()  # AQE only finalizes the plan on execution
     plan = plan_of(df)
-    assert "WholeStageCodegen" in plan
+    # '*(n)' marks a whole-stage-codegen span in the plan string; the
+    # scan→filter→partial-agg pipeline must be inside one
+    assert "*(1) HashAggregate" in plan or "*(1) Filter" in plan or "*(1) Project" in plan
 
 
 def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
