@@ -157,6 +157,38 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_distribution",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_richest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_nationkey, pct_rank, s_suppkey
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist, nth_value
+    (explicit full frame so both engines see the whole partition)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("s_suppkey", 2).over(w_full).alias("second_richest"),
+        )
+        .orderBy("s_nationkey", "pct_rank", "s_suppkey")
+    )
+
+
+@query(
     "q_topk_per_group",
     oracle="""
     SELECT * FROM (

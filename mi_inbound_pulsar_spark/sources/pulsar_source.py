@@ -130,17 +130,41 @@ def simulated_stream(
     ``maxFilesPerTrigger=1`` so a query sees multiple micro-batches —
     enough to exercise watermarks, stateful ops, and delivery
     semantics. ``processAllAvailable()`` drains it deterministically.
+
+    S5 — initial position (PulsarMessageConsumer.java:271-273): with
+    ``Earliest`` the backlog (the staged frame) is consumed; with
+    ``Latest`` the subscription starts at the head — the staging dir
+    starts empty and only messages *published after subscribe* (via
+    :func:`publish_frame`) are delivered. Mirrors a durable
+    subscription created at the topic head.
     """
+    from mi_inbound_pulsar_spark.config import SubscriptionInitialPosition
+
     staging = staging_dir or os.path.join(tempfile.gettempdir(), f"pulsar_sim_{os.path.basename(sf_dir)}")
-    frame = simulated_message_frame(spark, sf_dir)
-    if cfg is not None:
-        frame = subscribe(frame, cfg)
-    # Order by event_time so file-by-file replay approximates arrival order.
-    frame.orderBy("event_time").repartitionByRange(files, "event_time").write.mode(
-        "overwrite"
-    ).parquet(staging)
+    from_latest = cfg is not None and cfg.initial_position is SubscriptionInitialPosition.LATEST
+    if from_latest:
+        os.makedirs(staging, exist_ok=True)  # empty topic head
+    else:
+        frame = simulated_message_frame(spark, sf_dir)
+        if cfg is not None:
+            frame = subscribe(frame, cfg)
+        publish_frame(frame, staging, files=files, mode="overwrite")
     return (
         spark.readStream.schema(MESSAGE_SCHEMA).option("maxFilesPerTrigger", 1).parquet(staging)
+    )
+
+
+def publish_frame(
+    frame: DataFrame, staging_dir: str, files: int = 1, mode: str = "append"
+) -> None:
+    """Publish messages to a simulated topic (append parquet files the
+    running stream will pick up — S17 partition/file discovery)."""
+    # Order by event_time so file-by-file replay approximates arrival order.
+    (
+        frame.orderBy("event_time")
+        .repartitionByRange(files, "event_time")
+        .write.mode(mode)
+        .parquet(staging_dir)
     )
 
 
