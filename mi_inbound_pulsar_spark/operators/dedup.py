@@ -423,3 +423,153 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(pairs, schema="id_a long, id_b long")
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup, LSH-bucketed (the 100 TB path)
+# --------------------------------------------------------------------------
+RHP_BITS = 32  # random-hyperplane bits per vector
+RHP_BANDS = 8  # 8 bands x 4 bits; band-key collision => candidate pair
+RHP_ROWS = RHP_BITS // RHP_BANDS
+
+
+def _rhp_hyperplanes(dim: int, bits: int = RHP_BITS):
+    """Deterministic pseudo-random hyperplanes H[j, d] = sin(n²) with
+    n = 1 + j*dim + d.
+
+    sin of an integer lattice is deterministic and replayable in ANSI
+    SQL, which is what lets the DuckDB oracle rebuild the *identical*
+    index — a production build would use a seeded Gaussian matrix.
+    The argument must be *quadratic* in n: sin(linear-in-d) would make
+    every hyperplane a combination of sin(d)/cos(d) — a 2-D subspace —
+    and recall collapses; sin(n²) equidistributes (Weyl), giving
+    near-independent directions. n² < 2^53 so it is exact in float64
+    in both engines."""
+    import numpy as np
+
+    n = 1.0 + np.arange(bits, dtype=np.float64)[:, None] * dim + np.arange(
+        dim, dtype=np.float64
+    )[None, :]
+    return np.sin(n * n)
+
+
+def rhp_band_keys(e: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, band, key): sign-bit LSH signature, banded.
+
+    Narrow mapInPandas pass — one numpy GEMM per Arrow batch against the
+    broadcast (bits x dim) hyperplane matrix; emits RHP_BANDS small rows
+    per vector. The corpus itself never shuffles here."""
+    import numpy as np
+    import pandas as pd
+
+    hyp = _rhp_hyperplanes(dim)
+    pow2 = 2 ** np.arange(RHP_ROWS, dtype=np.int64)
+
+    def keys(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (mat @ hyp.T) >= 0.0  # (batch, RHP_BITS)
+            out_id, out_band, out_key = [], [], []
+            for b in range(RHP_BANDS):
+                band_bits = bits[:, b * RHP_ROWS : (b + 1) * RHP_ROWS]
+                key = band_bits.astype(np.int64) @ pow2
+                out_id.append(ids)
+                out_band.append(np.full(len(ids), b, dtype=np.int64))
+                out_key.append(key)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_id),
+                    "band": np.concatenate(out_band),
+                    "key": np.concatenate(out_key),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        keys, schema="vec_id long, band long, key long"
+    )
+
+
+@query(
+    "q_embedding_neardup_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    bits AS (
+      SELECT vec_id, j,
+             CASE WHEN list_dot_product(
+                    emb,
+                    list_transform(range(0, 64),
+                                   d -> sin((1.0 + j*64 + d) * (1.0 + j*64 + d)))
+                  ) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM e, unnest(range(0, {RHP_BITS})) AS t(j)
+    ),
+    keys AS (
+      SELECT vec_id, j // {RHP_ROWS} AS band,
+             CAST(sum(bit * CAST(power(2, j % {RHP_ROWS}) AS BIGINT)) AS BIGINT) AS key
+      FROM bits GROUP BY vec_id, j // {RHP_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b
+    FROM cand
+      JOIN e ea ON ea.vec_id = id_a
+      JOIN e eb ON eb.vec_id = id_b
+    WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH banding — the scale
+    path ``q_embedding_neardup``'s docstring promises.
+
+    Plan shape at 100 TB: signature pass is narrow (no shuffle);
+    candidate generation shuffles only (vec_id, band, key) rows — 24
+    bytes/row — grouped per bucket so the join is per-bucket, never
+    all-pairs; verification joins the (small) candidate set back to the
+    corpus on vec_id and computes exact cosine row-wise in Arrow
+    batches. Precision is exact (every pair verified); LSH only bounds
+    recall, gated vs the brute-force truth in pytest.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    keys = rhp_band_keys(e)
+
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), ["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+
+    emb = e.select("vec_id", "embedding")
+    paired = (
+        cand.join(emb.withColumnsRenamed({"vec_id": "id_a", "embedding": "emb_a"}), "id_a")
+        .join(emb.withColumnsRenamed({"vec_id": "id_b", "embedding": "emb_b"}), "id_b")
+        .select("id_a", "id_b", "emb_a", "emb_b")
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf["emb_a"]), dtype=np.float64)
+            b = np.array(list(pdf["emb_b"]), dtype=np.float64)
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            na[na == 0.0] = 1.0
+            nb[nb == 0.0] = 1.0
+            sim = np.einsum("ij,ij->i", a, b) / (na * nb)
+            keep = sim >= 0.4
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"].to_numpy()[keep], "id_b": pdf["id_b"].to_numpy()[keep]}
+            )
+
+    return paired.mapInPandas(verify, schema="id_a long, id_b long").orderBy("id_a", "id_b")

@@ -200,6 +200,37 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pivot_inferred",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_pivot_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an *inferred* value list (`.pivot(col)` without
+    values): Spark runs an extra distinct job first, then sorts the
+    values to fix column order. Correct but two jobs and a
+    data-dependent schema — `q_pivot` (explicit list) is the
+    at-scale form; this registers the inferred surface too.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type")
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_stream_static_join",
     oracle="""
     SELECT c_mktsegment, event_type, count(*) AS n,

@@ -84,6 +84,57 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_frames(decoded: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one output row per every_n-th frame of each media
+    item — the 1→k row expansion a video/audio pipeline needs. Runs as
+    ``mapInPandas`` so a real decoder could attach the frame payload;
+    the expansion happens inside the Arrow batch (no shuffle, no
+    Python-row overhead).
+
+    STUB NOTE: with no media libs in the container the frame payload is
+    the item checksum + index (deterministic); the batch-shape change,
+    schema, and partition behavior are the real deliverable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_ref = [], [], []
+            for mid, n_frames, checksum in zip(pdf["media_id"], pdf["n_frames"], pdf["checksum"]):
+                for idx in range(0, int(n_frames), every_n):
+                    out_id.append(mid)
+                    out_idx.append(idx)
+                    out_ref.append(f"{checksum}:{idx}")
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_index": out_idx, "frame_ref": out_ref}
+            ).astype({"media_id": "int64", "frame_index": "int32"})
+
+    return decoded.mapInPandas(run, schema="media_id long, frame_index int, frame_ref string")
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 1
+                  ELSE 1 + octet_length(encode(text)) // 16 END AS n_frames,
+             md5(text) AS checksum
+      FROM documents
+    )
+    SELECT media_id, CAST((i - 1) * 4 AS INTEGER) AS frame_index,
+           checksum || ':' || CAST((i - 1) * 4 AS VARCHAR) AS frame_ref
+    FROM meta, unnest(generate_series(1, CAST(ceil(n_frames / 4.0) AS BIGINT))) AS u(i)
+    ORDER BY media_id, frame_index
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → sample every 4th frame: the full multimodal pipeline
+    (binary payload → metadata → per-frame rows), oracle-replayed via
+    the deterministic fake codec arithmetic."""
+    decoded = decode_media(media_frame(spark, sf_dir))
+    return sample_frames(decoded, every_n=4).orderBy("media_id", "frame_index")
+
+
 @query(
     "q_multimodal_decode",
     oracle="""

@@ -189,3 +189,41 @@ def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "q_udf_surface",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100, 0) * round(l_discount * 100, 0) AS BIGINT)
+             AS disc_micros,
+           len(string_split(p_name, ' ')) AS n_tokens
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_orderkey < 64
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface demo: a vectorized ``@pandas_udf`` (Arrow batches,
+    exact integer arithmetic) and a row-at-a-time ``F.udf`` (the
+    documented slow path) invoked through ``spark.sql`` after
+    ``register_udfs`` — proving SQL users see the same surface.
+
+    The filter keeps the row-UDF demo off the full table: the
+    per-row interpreter cost is the point being documented, not paid.
+    """
+    from mi_inbound_pulsar_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_demo")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_udf_demo")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               discount_micros(l_extendedprice, l_discount) AS disc_micros,
+               CAST(size(tokenize_slow(p_name)) AS BIGINT) AS n_tokens
+        FROM lineitem_udf_demo JOIN part_udf_demo ON l_partkey = p_partkey
+        WHERE l_orderkey < 64
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )

@@ -1,0 +1,36 @@
+"""k-means IVF: distributed Lloyd's training invariants + recall gate
+vs the exact brute-force top-k (q_ann_kmeans_topk has no SQL oracle)."""
+
+import numpy as np
+
+from mi_inbound_pulsar_spark.operators.ann_kmeans import (
+    K_CELLS,
+    q_ann_kmeans_topk,
+    train_spherical_kmeans,
+)
+from mi_inbound_pulsar_spark.operators.similarity import q_cosine_topk
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_centroids_unit_norm_and_deterministic(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    c1 = train_spherical_kmeans(e, k=K_CELLS, n_iter=3)
+    c2 = train_spherical_kmeans(e, k=K_CELLS, n_iter=3)
+    assert c1.shape == (K_CELLS, 64)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-12)
+    # Lloyd's with deterministic init + order-independent reduce → same index
+    np.testing.assert_allclose(c1, c2, atol=1e-12)
+
+
+def test_kmeans_recall_beats_stride_centroids(spark):
+    exact = {
+        (r.query_id, r.neighbor_id) for r in q_cosine_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in q_ann_kmeans_topk(spark, SF_DIR).collect()
+    }
+    # observed 0.86 at sf0.001 / 0.90 at sf0.01 (stride centroids: 0.64);
+    # gate with margin — the training path is what's under test.
+    assert len(approx & exact) / len(exact) >= 0.75

@@ -1,0 +1,105 @@
+"""Live Structured Streaming window tests: session_window that merges
+across micro-batches and closes when the watermark passes the gap
+(append mode), and a sliding-window update-mode reconcile vs batch.
+
+Files are staged in phases (write → processAllAvailable → write)
+because file sources don't replay in event-time order."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.sources.pulsar_source import (
+    simulated_message_frame,
+    simulated_stream,
+)
+
+RAW = "event_time string, k string"
+
+
+def _write(spark, staging, rows):
+    (
+        spark.createDataFrame(rows, RAW)
+        .selectExpr("CAST(event_time AS TIMESTAMP) AS event_time", "k")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(staging)
+    )
+
+
+def test_session_window_merges_across_batches_and_closes(spark):
+    staging = tempfile.mkdtemp(prefix="pulsar_sess_test_")
+    _write(spark, staging, [("2024-01-01 12:00:00", "a"), ("2024-01-01 12:02:00", "a")])
+
+    stream = (
+        spark.readStream.schema("event_time timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    agg = (
+        stream.withWatermark("event_time", "10 minutes")
+        .groupBy(F.session_window("event_time", "5 minutes").alias("s"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    closed: list = []
+
+    def sink(df, epoch):
+        closed.extend(df.collect())
+
+    # append mode: a session row is emitted only once, when the
+    # watermark passes session_end + gap — exactly-once session output
+    q = agg.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    assert closed == []  # session still open
+
+    # second batch extends the same session (cross-batch state merge)
+    _write(spark, staging, [("2024-01-01 12:03:00", "a")])
+    q.processAllAvailable()
+    assert closed == []
+
+    # sentinel advances the watermark to 12:50 → session [12:00,12:08) closes
+    _write(spark, staging, [("2024-01-01 13:00:00", "a")])
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(closed) == 1
+    row = closed[0]
+    assert row["k"] == "a"
+    assert row["n"] == 3  # 12:00 + 12:02 + 12:03 merged into one session
+    assert row["s"]["start"] == datetime.datetime(2024, 1, 1, 12, 0)
+    assert row["s"]["end"] == datetime.datetime(2024, 1, 1, 12, 8)  # last + gap
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir):
+    # 1h window sliding every 30min over the simulated message stream;
+    # update-mode final counts must reconcile with the batch plan
+    staging = tempfile.mkdtemp(prefix="pulsar_slide_test_")
+    stream = simulated_stream(spark, sf_dir, staging_dir=staging, files=4)
+    agg = (
+        stream.withWatermark("event_time", "365 days")
+        .groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    final: dict = {}
+
+    def sink(df, epoch):
+        for r in df.collect():
+            final[r["w"]["start"]] = r["n"]
+
+    q = agg.writeStream.outputMode("update").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    batch = (
+        simulated_message_frame(spark, sf_dir)
+        .groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = {r["w"]["start"]: r["n"] for r in batch}
+    assert final == expected
+    # every event lands in exactly 2 sliding windows
+    assert sum(final.values()) == 2 * simulated_message_frame(spark, sf_dir).count()
