@@ -1,0 +1,108 @@
+"""Scale-pattern tests: bucketed co-located joins (no Exchange) and
+salted skew joins (correct + spread). These assert the physical plan
+and the answer — the 100 TB contract for fact-to-fact joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.plans.bucketing import bucketed_join, write_bucketed
+from mi_inbound_pulsar_spark.plans.skew import salted_join
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("bucketdemo")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{wh}'")
+    write_bucketed(
+        load_table(spark, SF_DIR, "orders"), "bucketdemo.orders_b", "o_orderkey", 8
+    )
+    write_bucketed(
+        load_table(spark, SF_DIR, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bucketdemo.lineitem_b",
+        "o_orderkey",
+        8,
+    )
+    yield "bucketdemo.orders_b", "bucketdemo.lineitem_b"
+    spark.sql("DROP DATABASE bucketdemo CASCADE")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # force the SMJ path a fact-to-fact join takes at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, left, right, "o_orderkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucket spec replaces the shuffle
+        assert "Bucketed: true" in plan
+        # and the answer matches the plain (shuffling) join
+        expected = (
+            load_table(spark, SF_DIR, "orders")
+            .join(
+                load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+                    "l_orderkey", "o_orderkey"
+                ),
+                "o_orderkey",
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    # make l_suppkey skewed: fold most keys onto one hot supplier
+    skewed = li.withColumn(
+        "l_suppkey", F.when(F.col("l_orderkey") % 4 != 0, F.lit(1)).otherwise(F.col("l_suppkey"))
+    )
+    supp = load_table(spark, SF_DIR, "supplier")
+    plain = skewed.join(supp, skewed.l_suppkey == supp.s_suppkey).groupBy("s_suppkey").count()
+    salted = (
+        salted_join(
+            skewed.withColumnRenamed("l_suppkey", "s_suppkey"),
+            supp,
+            "s_suppkey",
+            n_salts=8,
+            salt_src="l_orderkey",
+        )
+        .groupBy("s_suppkey")
+        .count()
+    )
+    assert {(r.s_suppkey, r["count"]) for r in salted.collect()} == {
+        (r.s_suppkey, r["count"]) for r in plain.collect()
+    }
+
+
+def test_salt_spreads_hot_key_across_partitions(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    hot = li.withColumn("k", F.lit(1))  # everything is one hot key
+    from mi_inbound_pulsar_spark.plans.skew import SALT
+
+    salted = hot.withColumn(
+        SALT, F.pmod(F.xxhash64("l_orderkey"), F.lit(8)).cast("int")
+    )
+    n_salts_seen = salted.select(SALT).distinct().count()
+    assert n_salts_seen == 8  # one hot key now occupies 8 shuffle keys
+    # distribution is roughly even (no salt holds >40% of the rows)
+    total = hot.count()
+    per = salted.groupBy(SALT).count().collect()
+    assert max(r["count"] for r in per) < 0.4 * total
+
+
+def test_salted_join_requires_salt_src(spark):
+    li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    supp = load_table(spark, SF_DIR, "supplier")
+    with pytest.raises(ValueError):
+        salted_join(li, supp, "s_suppkey", salt_src=None)
