@@ -44,9 +44,14 @@ HEADLINE = [
     "q_minhash_lsh_neardup",
     "q_simhash_signatures",
     "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
     "q_cosine_topk",
+    "q_ann_ivf_topk",
     "q_text_quality",
+    "q_corpus_filter_pipeline",
     "q_doc_fingerprint",
+    # multimodal plumbing
+    "q_multimodal_frame_sample",
 ]
 
 

@@ -175,3 +175,70 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_corpus_filter_pipeline",
+    oracle="""
+    WITH dedup AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+      FROM dedup WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             round(0.4 * least(len(w) / 100.0, 1.0)
+                 + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+                 + 0.3 * (1.0 - len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is')))
+                           * 1.0 / len(w)), 6) AS quality_score
+      FROM feat
+    )
+    SELECT doc_id, n_tokens, quality_score
+    FROM scored
+    WHERE quality_score >= 0.5 AND n_tokens >= 10
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training corpus filter: exact-dedup (keep the
+    lowest doc_id per content hash) → quality score → keep docs with
+    score ≥ 0.5 and ≥ 10 tokens. One declarative plan: Catalyst fuses
+    the feature projection into the post-dedup stage, and the only
+    shuffle is the dedup's hash-partition on the 16-byte md5 — exactly
+    what a 100 TB cleaning pass needs (score+filter are narrow).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)) / n_words
+    stop_ratio = _count_in(words, STOPWORDS) / n_words
+    scored = keep.select(
+        "doc_id",
+        n_words.alias("n_tokens"),
+        F.round(
+            0.4 * F.least(n_words / 100.0, F.lit(1.0))
+            + 0.3 * distinct_ratio
+            + 0.3 * (1.0 - stop_ratio),
+            6,
+        ).alias("quality_score"),
+    )
+    return (
+        scored.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
+        .orderBy("doc_id")
+    )
