@@ -77,6 +77,10 @@ def main() -> int:
         n = fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        # queries that persist intermediates (minhash shingles, LSH
+        # signatures) must not bleed executor memory into the next
+        # measurement — each query is measured with a clean cache
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -27,6 +27,7 @@ _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.setops",
     "mi_inbound_pulsar_spark.operators.scalar",
     "mi_inbound_pulsar_spark.operators.eventsops",
+    "mi_inbound_pulsar_spark.operators.asof",
     "mi_inbound_pulsar_spark.operators.ingestion",
     "mi_inbound_pulsar_spark.operators.dedup",
     "mi_inbound_pulsar_spark.operators.similarity",

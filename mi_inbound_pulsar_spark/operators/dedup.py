@@ -539,7 +539,9 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    keys = rhp_band_keys(e)
+    # the signature frame feeds both sides of the bucket self-join —
+    # persist it or the GEMM signature pass runs twice
+    keys = rhp_band_keys(e).persist()
 
     cand = (
         keys.alias("a")
