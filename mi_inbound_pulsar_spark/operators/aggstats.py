@@ -241,3 +241,26 @@ def q_struct_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query("q_agg_approx_percentile")  # sketch output is engine-specific → rows-only
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the 100 TB percentile path.
+
+    ``approx_percentile`` aggregates a bounded-memory quantile sketch
+    (merge-able across partitions: map-side partial, no value shuffle),
+    unlike exact ``percentile`` which shuffles every value per group.
+    Sketch results are engine-specific, so there is no SQL oracle;
+    tests/test_approx.py gates the relative error against the exact
+    percentiles from the oracle-checked ``q_agg_percentiles``.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

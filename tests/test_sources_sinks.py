@@ -94,3 +94,53 @@ def test_route_to_dlq_counts(spark, sf_dir):
     assert n_main + n_dlq == m.count()
     assert n_dlq == m.filter(F.col("redelivery_count") >= 5).count()
     assert n_dlq > 0  # fixture guarantees some poison rows
+
+
+def test_memory_sink_queryable_while_streaming(spark, sf_dir):
+    # §2B sinks: the memory sink exposes a streaming result as a
+    # queryable in-memory table — the debug/verification sink
+    staging = tempfile.mkdtemp(prefix="pulsar_mem_test_")
+    stream = simulated_stream(spark, sf_dir, staging_dir=staging, files=2)
+    q = (
+        stream.groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mem_sink_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        r["topic"]: r["n"]
+        for r in spark.sql("SELECT * FROM mem_sink_counts").collect()
+    }
+    q.stop()
+    expected = {
+        r["topic"]: r["n"]
+        for r in simulated_message_frame(spark, sf_dir)
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_csv_and_json_source_roundtrip(spark, sf_dir):
+    # §2B scans/sources: the same frame through csv and json file
+    # formats with explicit schemas (header/timestamp options exercised)
+    src = (
+        simulated_message_frame(spark, sf_dir)
+        .select("message_id", "topic", "key", "value")
+        .limit(200)
+    )
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    csv_dir, json_dir = os.path.join(base, "csv"), os.path.join(base, "json")
+    src.write.option("header", True).csv(csv_dir)
+    src.write.json(json_dir)
+    schema = "message_id string, topic string, key string, value string"
+    back_csv = spark.read.option("header", True).schema(schema).csv(csv_dir)
+    back_json = spark.read.schema(schema).json(json_dir)
+    canon = lambda rows: sorted(tuple(r) for r in rows)
+    want = canon(src.collect())
+    assert canon(back_csv.collect()) == want
+    assert canon(back_json.collect()) == want
