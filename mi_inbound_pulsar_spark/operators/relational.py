@@ -458,3 +458,25 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "q_join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_totalprice > 400000
+    WHERE c_custkey < 100
+    ORDER BY c_name, o_orderkey
+    """,
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (preserves the customer side; the price
+    predicate stays in the join condition so unmatched customers
+    survive with nulls — in the WHERE it would turn the join inner)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000), "right")
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy("c_name", "o_orderkey")
+    )
