@@ -96,3 +96,21 @@ def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
 
     plan = plan_of(q_stream_static_join(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q08_broadcasts_every_dimension(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.tpch import q08_market_share
+
+    plan = plan_of(q08_market_share(spark, sf_dir))
+    # part, supplier, nation x2, region broadcast; only lineitem⋈orders
+    # may shuffle — never a cartesian
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_uses_semi_and_anti_joins(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.tpch import q21_waiting_supplier
+
+    plan = plan_of(q21_waiting_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
