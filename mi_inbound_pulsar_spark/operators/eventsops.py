@@ -273,3 +273,42 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_zscore_per_group",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    ORDER BY event_id
+    """,
+)
+def q_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization via ``applyInPandas`` (grouped
+    map) — the feature-standardization pattern of a training pipeline.
+
+    Expressible with window functions too (that is the oracle); the
+    grouped-map form is registered deliberately: it is the surface a
+    user reaches for when the per-group logic outgrows SQL (sklearn
+    transforms, per-entity model scoring), and it shows the engine's
+    one-shuffle group→Arrow-batch→pandas path. Skew note: one group
+    must fit in memory — for 100 TB keys, pre-aggregate or salt.
+    """
+    import pandas as pd
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["value"].std(ddof=1)
+        m = pdf["value"].mean()
+        z = (pdf["value"] - m) / s
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
+        )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(standardize, schema="event_id long, user_id long, z double")
+        .orderBy("event_id")
+    )
