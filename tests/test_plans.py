@@ -114,3 +114,22 @@ def test_q21_uses_semi_and_anti_joins(spark, sf_dir):
     plan = plan_of(q21_waiting_supplier(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_corpus_filter_single_hash_shuffle(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.text import q_corpus_filter_pipeline
+
+    plan = plan_of(q_corpus_filter_pipeline(spark, sf_dir))
+    # the whole clean→score→filter pipeline hash-shuffles exactly once
+    # (dedup window on md5); the final orderBy adds one range exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+
+
+def test_asof_join_cogroups_once_per_side(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.asof import q_asof_join
+
+    plan = plan_of(q_asof_join(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan
+    # one hash exchange per side into the cogroup, one range for orderBy
+    assert plan.count("Exchange hashpartitioning") == 2, plan
