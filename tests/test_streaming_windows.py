@@ -103,3 +103,64 @@ def test_sliding_window_stream_matches_batch(spark, sf_dir):
     assert final == expected
     # every event lands in exactly 2 sliding windows
     assert sum(final.values()) == 2 * simulated_message_frame(spark, sf_dir).count()
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark):
+    # Left-outer stream-stream join: the unmatched left row may only be
+    # emitted once the global watermark (min of both streams) has passed
+    # its whole join window — then it appears exactly once, with nulls.
+    l_dir = tempfile.mkdtemp(prefix="ss_left_")
+    r_dir = tempfile.mkdtemp(prefix="ss_right_")
+
+    _write_l = lambda rows: (
+        spark.createDataFrame(rows, "ad_time string, ad_key string, ad_id string")
+        .selectExpr("CAST(ad_time AS TIMESTAMP) AS ad_time", "ad_key", "ad_id")
+        .coalesce(1).write.mode("append").parquet(l_dir)
+    )
+    _write_r = lambda rows: (
+        spark.createDataFrame(rows, "click_time string, click_key string, click_id string")
+        .selectExpr("CAST(click_time AS TIMESTAMP) AS click_time", "click_key", "click_id")
+        .coalesce(1).write.mode("append").parquet(r_dir)
+    )
+
+    # ad1 will be clicked; ad2 never
+    _write_l([("2024-01-01 12:00:00", "k1", "ad1"), ("2024-01-01 12:05:00", "k2", "ad2")])
+    _write_r([("2024-01-01 12:10:00", "k1", "click1")])
+
+    ads = (
+        spark.readStream.schema("ad_time timestamp, ad_key string, ad_id string")
+        .option("maxFilesPerTrigger", 1).parquet(l_dir)
+        .withWatermark("ad_time", "10 minutes")
+    )
+    clicks = (
+        spark.readStream.schema("click_time timestamp, click_key string, click_id string")
+        .option("maxFilesPerTrigger", 1).parquet(r_dir)
+        .withWatermark("click_time", "10 minutes")
+    )
+    joined = ads.join(
+        clicks,
+        (F.col("ad_key") == F.col("click_key"))
+        & F.col("click_time").between(
+            F.col("ad_time"), F.col("ad_time") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    )
+    rows: list = []
+    q = joined.writeStream.foreachBatch(lambda df, e: rows.extend(df.collect())).start()
+    q.processAllAvailable()
+    got = {(r["ad_id"], r["click_id"]) for r in rows}
+    assert ("ad1", "click1") in got  # inner match emits immediately
+    assert ("ad2", None) not in got  # outer result must wait for the watermark
+
+    # sentinels on BOTH streams: global watermark = min(13:30) - 10min
+    # = 13:20, past ad2's window end (12:35) → ad2 emits with nulls
+    _write_l([("2024-01-01 13:30:00", "k9", "ad_sentinel")])
+    _write_r([("2024-01-01 13:30:00", "k9", "click_sentinel")])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["ad_id"], r["click_id"]) for r in rows}
+    assert ("ad1", "click1") in got
+    assert ("ad2", None) in got
+    # exactly one outer row for ad2 (no duplicates across batches)
+    assert sum(1 for r in rows if r["ad_id"] == "ad2") == 1
