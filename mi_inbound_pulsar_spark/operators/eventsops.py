@@ -312,3 +312,38 @@ def q_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(standardize, schema="event_id long, user_id long, z double")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           CASE WHEN json_extract(props, '$.missing') IS NULL THEN NULL
+                ELSE CAST(json_extract(props, '$.missing') AS INTEGER) END AS absent
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): ``parse_json`` once,
+    then typed ``try_variant_get`` path extraction.
+
+    Versus ``get_json_object`` (re-parses the JSON string per
+    extraction), VARIANT parses once into a binary-encoded tree —
+    the schema-on-read path a 100 TB event pipeline should use when
+    the props shape varies; missing paths yield NULL, not errors.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    return (
+        v.select(
+            "event_id",
+            k.alias("k"),
+            (k % 10).alias("k_mod"),
+            F.try_variant_get("v", "$.missing", "int").alias("absent"),
+        )
+        .orderBy("event_id")
+    )
