@@ -144,3 +144,52 @@ def test_csv_and_json_source_roundtrip(spark, sf_dir):
     want = canon(src.collect())
     assert canon(back_csv.collect()) == want
     assert canon(back_json.collect()) == want
+
+
+def test_dynamic_partition_overwrite_preserves_others(spark, sf_dir):
+    # production sink contract: overwriting one partition must not
+    # clobber its siblings (static overwrite mode would)
+    base = tempfile.mkdtemp(prefix="dyn_overwrite_") + "/t"
+    m = simulated_message_frame(spark, sf_dir).select("message_id", "topic").limit(300)
+    m.write.partitionBy("topic").parquet(base)
+    before = spark.read.parquet(base)
+    topics = [r["topic"] for r in before.select("topic").distinct().collect()]
+    assert len(topics) == 3
+    target = topics[0]
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # rewrite ONE topic's partition with a single marker row
+        repl = spark.createDataFrame([("replacement", target)], "message_id string, topic string")
+        repl.write.mode("overwrite").partitionBy("topic").parquet(base)
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    after = spark.read.parquet(base)
+    assert after.filter(F.col("topic") == target).count() == 1
+    # sibling partitions untouched
+    for t in topics[1:]:
+        assert (
+            after.filter(F.col("topic") == t).count()
+            == before.filter(F.col("topic") == t).count()
+        )
+
+
+def test_observation_metrics_piggyback_on_action(spark, sf_dir):
+    # df.observe: operational metrics (row counts, sums, null rates)
+    # collected DURING the job — no second scan; the streaming form
+    # surfaces the same metrics per micro-batch in QueryProgress
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    m = simulated_message_frame(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("redelivery_count")).alias("total_redeliveries"),
+        F.count(F.when(F.col("key").isNull(), 1)).alias("null_keys"),
+    )
+    total = m.count()  # one action drives both the count and the metrics
+    got = obs.get
+    assert got["rows"] == total
+    assert got["null_keys"] > 0
+    assert got["total_redeliveries"] > 0
