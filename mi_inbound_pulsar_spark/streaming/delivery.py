@@ -188,11 +188,29 @@ class RetryTable:
     exactly what a keyed state store gives).
     """
 
-    def __init__(self, policy: DeadLetterPolicy, nack_delay_ms: int = 0, ack_timeout_ms: int | None = None):
+    def __init__(
+        self,
+        policy: DeadLetterPolicy,
+        nack_delay_ms: int = 0,
+        ack_timeout_ms: int | None = None,
+        backoff_multiplier: float = 1.0,
+        max_delay_ms: int | None = None,
+    ):
         self.policy = policy
         self.nack_delay_ms = nack_delay_ms
         self.ack_timeout_ms = ack_timeout_ms
+        # Pulsar's NegativeAckRedeliveryExponentialBackoff: attempt n
+        # waits nack_delay * multiplier^(n-1), capped at max_delay.
+        # multiplier=1.0 (default) keeps the reference's fixed delay.
+        self.backoff_multiplier = backoff_multiplier
+        self.max_delay_ms = max_delay_ms
         self._state: dict[str, tuple[int, float]] = {}  # id -> (redeliveries, last_attempt)
+
+    def _delay_s(self, redeliveries: int) -> float:
+        delay_ms = self.nack_delay_ms * (self.backoff_multiplier ** max(redeliveries - 1, 0))
+        if self.max_delay_ms is not None:
+            delay_ms = min(delay_ms, self.max_delay_ms)
+        return delay_ms / 1000.0
 
     def nack(self, message_ids: list[str], now: float | None = None) -> None:
         """K5 — negative-acknowledge: bump redelivery count, stamp time."""
@@ -210,12 +228,11 @@ class RetryTable:
         """K5/K6 — ids whose nack delay (or ack timeout) has elapsed and
         that are still under the DLQ threshold."""
         now = time.time() if now is None else now
-        delay = self.nack_delay_ms / 1000.0
         due = []
         for mid, (count, last) in self._state.items():
             if count >= self.policy.max_redeliveries:
                 continue
-            if now - last >= delay:
+            if now - last >= self._delay_s(count):
                 due.append(mid)
         return due
 

@@ -55,3 +55,26 @@ def test_retry_table_ack_clears_state():
     rt.ack(["m1"])
     assert rt.redelivery_count("m1") == 0
     assert rt.redelivery_count("m2") == 1
+
+
+def test_exponential_backoff_delays_grow_and_cap():
+    # Pulsar NegativeAckRedeliveryExponentialBackoff semantics: attempt
+    # n redelivers after delay*mult^(n-1), capped at max_delay
+    from mi_inbound_pulsar_spark.config import DeadLetterPolicy
+    from mi_inbound_pulsar_spark.streaming.delivery import RetryTable
+
+    t = RetryTable(
+        DeadLetterPolicy(max_redeliveries=10, dlq_topic="dlq"),
+        nack_delay_ms=1000,
+        backoff_multiplier=2.0,
+        max_delay_ms=3000,
+    )
+    t.nack(["m"], now=100.0)  # 1st nack → delay 1s
+    assert t.due_for_redelivery(now=100.5) == []
+    assert t.due_for_redelivery(now=101.0) == ["m"]
+    t.nack(["m"], now=101.0)  # 2nd nack → delay 2s
+    assert t.due_for_redelivery(now=102.5) == []
+    assert t.due_for_redelivery(now=103.0) == ["m"]
+    t.nack(["m"], now=103.0)  # 3rd nack → 4s, capped to 3s
+    assert t.due_for_redelivery(now=105.5) == []
+    assert t.due_for_redelivery(now=106.0) == ["m"]
