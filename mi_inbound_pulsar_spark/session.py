@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        # Long-lived sessions run thousands of jobs (bench, sweeps); the
+        # status store's retained execution/job/stage metadata otherwise
+        # grows and taxes the listener bus — multi-job driver-side
+        # queries (IVF collect→assign→probe) degrade measurably.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
