@@ -166,3 +166,61 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "q_multimodal_retrieval",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id + 1000000 AS query_id,
+             list_transform(range(0, 64),
+                            d -> sin((1.0 + doc_id*64 + d) * (1.0 + doc_id*64 + d))) AS q_emb
+      FROM documents WHERE doc_id < 5
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    ranked AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             list_cosine_similarity(q_emb, emb) AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(q_emb, emb) DESC, vec_id) AS rank
+      FROM q CROSS JOIN e
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval composition: media item → embedding →
+    cosine top-5 against the embeddings corpus.
+
+    The embed step is the STUB (no vision model in the container): a
+    deterministic sin(n²) vector seeded by the media id, which is what
+    lets DuckDB rebuild the identical query vectors. The composition —
+    decode metadata, derive a query embedding per item, run the
+    broadcast-GEMM top-k against a corpus that never shuffles — is the
+    real retrieval pipeline; swapping a CLIP-style encoder in changes
+    only the embed function. Query ids are offset by 1e6 so the
+    scorer's self-match exclusion can't collide with corpus vec_ids.
+    """
+    import numpy as np
+
+    from mi_inbound_pulsar_spark.operators.similarity import brute_force_topk
+
+    media = decode_media(media_frame(spark, sf_dir)).filter(F.col("media_id") < 5)
+    ids = [int(r.media_id) for r in media.select("media_id").collect()]
+    n = np.array(
+        [[1.0 + m * 64 + d for d in range(64)] for m in sorted(ids)], dtype=np.float64
+    )
+    q_emb = np.sin(n * n)
+    queries = media.sparkSession.createDataFrame(
+        [
+            (m + 1_000_000, [float(x) for x in q_emb[i]])
+            for i, m in enumerate(sorted(ids))
+        ],
+        # double, not float: the oracle computes sin() in float64, and a
+        # float32 round-trip moves cosines at the 6th decimal
+        "vec_id long, embedding array<double>",
+    )
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(corpus, queries, k=5).orderBy("query_id", "rank")
