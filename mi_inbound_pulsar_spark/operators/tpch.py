@@ -636,3 +636,183 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q09_product_profit",
+    oracle="""
+    SELECT nation, o_year, sum(amount_micro) AS profit_micro
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) * 100
+             - 6000 * CAST(round(p_retailprice * 100, 0) AS BIGINT)
+               * CAST(round(l_quantity, 0) AS BIGINT) AS amount_micro
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%a%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, so supply cost is a
+    deterministic 0.6 × retail price): profit by supplier nation and
+    order year for parts matching a name pattern.
+
+    Scale: part/supplier/nation broadcast; lineitem⋈orders is the one
+    shuffle; the LIKE filter prunes part before its broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    j = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(load_table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    # exact integer micro-dollar arithmetic: all inputs carry ≤2
+    # decimals, so cents are exact BIGINTs after rint, and an integer
+    # sum is immune to both summation order AND the engines\' different
+    # double-rounding tie conventions (Spark rounds the shortest
+    # decimal repr, DuckDB the binary value — a raw double sum here
+    # flipped cents at sf0.01)
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")
+    amount = (
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount")) * 100
+        - 6000 * cents("p_retailprice") * F.round(F.col("l_quantity"), 0).cast("long")
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount_micro"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_micro").alias("profit_micro"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_volumes",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(val, 2) AS value
+    FROM v
+    WHERE val > (SELECT sum(val) * 0.001 FROM v)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem volume stands in for partsupp stock):
+    parts whose traded value within one nation exceeds a fraction of
+    that nation's total — HAVING against a scalar subquery over the
+    same aggregate.
+
+    Scale: the per-part aggregate is computed once and reused for both
+    the threshold scalar and the filter (persist at scale); the
+    threshold rides in as a broadcast one-row frame, not a collect."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    v = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    threshold = v.agg((F.sum("val") * 0.001).alias("cut"))
+    return (
+        v.join(F.broadcast(threshold))
+        .filter(F.col("val") > F.col("cut"))
+        .select(F.col("l_partkey").alias("partkey"), F.round("val", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem links parts↔suppliers; complaint
+    suppliers ≙ negative account balance): distinct-supplier counts per
+    part group, excluding a NOT IN supplier set.
+
+    Scale: the exclusion set is tiny → broadcast anti join; the
+    count(DISTINCT) aggregates after dedup on the full grouping key."""
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%e%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 500
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (shipped quantity stands in for partsupp
+    availability): suppliers who moved > 500 units of pattern-matched
+    parts in a year — IN over a grouped HAVING subquery → semi join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%e%"))
+    movers = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 500)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
