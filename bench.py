@@ -52,6 +52,11 @@ HEADLINE = [
     "q_doc_fingerprint",
     # multimodal plumbing
     "q_multimodal_frame_sample",
+    # pandas-API / join / semi-structured layers
+    "q_asof_join",
+    "q_zscore_per_group",
+    "q_variant_extract",
+    "q09_product_profit",
 ]
 
 

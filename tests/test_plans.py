@@ -126,10 +126,31 @@ def test_corpus_filter_single_hash_shuffle(spark, sf_dir):
     assert plan.count("Exchange rangepartitioning") == 1, plan
 
 
-def test_asof_join_cogroups_once_per_side(spark, sf_dir):
+def test_asof_join_is_single_shuffle_jvm_window(spark, sf_dir):
     from mi_inbound_pulsar_spark.operators.asof import q_asof_join
 
     plan = plan_of(q_asof_join(spark, sf_dir))
-    assert "FlatMapCoGroupsInPandas" in plan
-    # one hash exchange per side into the cogroup, one range for orderBy
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # union-window form: pure JVM (no Python operator in the plan),
+    # ONE hash shuffle for the per-key window, one range for orderBy
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_window_and_pandas_forms_agree(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.asof import asof_join, asof_join_pandas
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    args = dict(key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+                right_cols=["purchase_id", "purchase_ts"])
+    a = {tuple(r) for r in asof_join(clicks, purchases, **args).collect()}
+    b = {tuple(r) for r in asof_join_pandas(clicks, purchases, **args).collect()}
+    assert a == b and len(a) > 0
