@@ -816,3 +816,61 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    ),
+    costed AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+      FROM part
+        JOIN ps ON partkey = p_partkey
+        JOIN supplier ON s_suppkey = suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'ASIA'
+    )
+    SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+    FROM costed c
+    WHERE s_acctbal = (SELECT min(s_acctbal) FROM costed c2 WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem's distinct part↔supplier pairs stand in
+    for partsupp; account balance for supply cost): the cheapest
+    supplier(s) per qualifying part in one region — correlated MIN
+    subquery de-correlated into a per-part aggregate joined back.
+
+    Scale: part/supplier/nation/region broadcast; the distinct
+    part↔supplier projection is the only wide intermediate and carries
+    two longs; ties (equal min) are all kept, as in the spec."""
+    ps = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    costed = (
+        ps.join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    min_bal = costed.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        costed.join(
+            F.broadcast(min_bal),
+            (F.col("p_partkey") == F.col("mk")) & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+        .orderBy("p_partkey", "s_name")
+    )
