@@ -154,3 +154,87 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="purchase_ts",
         right_cols=["purchase_id", "purchase_ts"],
     ).orderBy("click_id")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Forward as-of: EARLIEST right row with right_ts >= left_ts per
+    key (merge_asof direction='forward'). Same union+window plan as
+    :func:`asof_join`, with the frame reversed: first_value over the
+    following rows. Ties match (right at the same instant wins)."""
+    from pyspark.sql import Window
+
+    left_names = [f.name for f in left.schema.fields]
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    l_types = {f.name: f.dataType for f in left.schema.fields}
+    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(r_types[c]))
+    r_tagged = right.withColumn("__t", F.col(right_ts)).withColumn("__is_left", F.lit(0))
+    for c in left_names:
+        if c != key and c not in right.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_types[c]))
+    cols = [key, "__t", "__is_left"] + [c for c in left_names if c != key] + right_cols
+    u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+    # rights sort AFTER lefts at equal __t (desc on __is_left reversed):
+    # order by (__t, -__is_left) then look FORWARD — a right at the
+    # same timestamp is in the following frame, so ties match
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t"), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        *[F.col(c) for c in [key, "__is_left"] + [c for c in left_names if c != key]],
+        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left").select(
+        *left_names, *right_cols
+    )
+
+
+@query(
+    "q_asof_join_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS next_purchase_id, user_id AS p_user, ts AS next_purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT click_id, user_id, click_ts, next_purchase_id, next_purchase_ts
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.p_user AND c.click_ts <= p.next_purchase_ts
+    ORDER BY click_id
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag as-of: each click gets the user's NEXT purchase
+    at-or-after it (forward direction) — the click→conversion
+    attribution query. Oracle: DuckDB ASOF with the inequality
+    reversed."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("next_purchase_ts"),
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="next_purchase_ts",
+        right_cols=["next_purchase_id", "next_purchase_ts"],
+    ).orderBy("click_id")

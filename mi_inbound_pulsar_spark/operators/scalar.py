@@ -227,3 +227,36 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "q_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 7 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_custkey % 7), 4) END AS price_per,
+           TRY_CAST(o_orderpriority AS INTEGER)                   AS bad_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)    AS prio_num
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe surface: this engine runs with ANSI mode on (Spark 4
+    default), where division by zero and bad casts are runtime ERRORS —
+    the ``try_*`` forms return NULL instead, which is what a pipeline
+    that must not die on one malformed record uses.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(
+                F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7), 4
+            ).alias("price_per"),
+            F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+            F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        )
+        .orderBy("o_orderkey")
+    )

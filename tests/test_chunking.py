@@ -126,3 +126,37 @@ def test_out_of_order_fragments_sort_correctly():
     state = FakeState()
     out = list(fn(("m",), _pdf([("m", 2, 3, "C"), ("m", 0, 3, "A"), ("m", 1, 3, "B")]), state))
     assert out[0]["payload"][0] == "ABC"
+
+
+def test_streaming_reassembly_on_rocksdb_state_store(spark):
+    # same cross-batch contract on the RocksDB state store provider —
+    # the production backend (bounded heap, state spills to disk,
+    # changelog checkpointing at scale). applyInPandasWithState must
+    # behave identically to the default HDFS-backed store.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        staging = tempfile.mkdtemp(prefix="chunk_rocks_")
+        b1 = [("m1", 0, 3, "AA"), ("m1", 2, 3, "CC")]
+        b2 = [("m1", 1, 3, "BB")]
+        spark.createDataFrame(b1, CHUNK_SCHEMA).coalesce(1).write.mode("append").parquet(staging)
+        stream = spark.readStream.schema(CHUNK_SCHEMA).option("maxFilesPerTrigger", 1).parquet(staging)
+        results: list = []
+        q = (
+            reassemble_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, e: results.extend(
+                (r["chunk_uuid"], r["payload"]) for r in df.collect()
+            ))
+            .start()
+        )
+        q.processAllAvailable()
+        assert results == []
+        spark.createDataFrame(b2, CHUNK_SCHEMA).coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+        q.stop()
+        assert results == [("m1", "AABBCC")]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
