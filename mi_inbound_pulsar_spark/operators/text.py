@@ -242,3 +242,50 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_ngram_frequency",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+      FROM words, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)
+    )
+    SELECT bigram, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 50
+    """,
+)
+def q_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (term + document frequency, top-50) —
+    the vocabulary/statistics pass of a tokenizer-training pipeline.
+
+    Scale: the bigram explode is narrow; one shuffle aggregates
+    (bigram) with map-side partials, and the top-50 is a TakeOrdered,
+    not a global sort. The same plan at 100 TB is how BPE merge
+    candidates get counted.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # project the token array into a COLUMN first: a raw split() inside
+    # the transform lambda is re-evaluated per element (O(len²)/doc)
+    wdf = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    w = F.col("_w")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array())
+    return (
+        wdf.select("doc_id", F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"), F.count_distinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(50)
+    )
