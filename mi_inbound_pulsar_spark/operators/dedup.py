@@ -580,3 +580,71 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return paired.mapInPandas(verify, schema="id_a long, id_b long").orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components + keeper selection
+# --------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation connected components over an undirected
+    edge list (id_a, id_b) → (doc_id, component) where component is the
+    smallest doc_id in the group.
+
+    Iterative DataFrame algorithm: each round joins every node's label
+    with its neighbors' labels and takes the min; converges in
+    O(diameter) rounds (near-dup clusters are near-cliques → 2-3).
+    Each round is one shuffle; the loop materializes (cache + count)
+    per round and stops at fixpoint — the standard Spark shape for
+    iterative graph algorithms when diameters are small.
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.selectExpr("src AS doc_id")
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@query("q_neardup_clusters")  # iterative fixpoint → no single SQL oracle
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the
+    oracle-checked cosine≥0.4 pair list, labeled by the smallest
+    member (the canonical 'keeper' a dedup pipeline retains).
+    Rows-only (iterative); exact union-find equivalence is gated in
+    tests/test_dedup_similarity.py."""
+    pairs = q_embedding_neardup(spark, sf_dir)
+    return connected_components(pairs).orderBy("doc_id")

@@ -289,3 +289,52 @@ def q_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "bigram")
         .limit(50)
     )
+
+
+TFIDF_TERMS = ("data", "query", "stream")
+
+
+@query(
+    "q_tfidf_search",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    terms AS (SELECT doc_id, unnest(w) AS term FROM words),
+    hits AS (SELECT doc_id, term FROM terms WHERE term IN ('data','query','stream')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+    idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, round(sum(tf * ln(n_docs * 1.0 / df)), 6) AS score
+    FROM tf JOIN idf USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance: top-20 documents for a fixed term set — the
+    lexical-retrieval scorer of a data-curation pipeline.
+
+    Scale: the term filter collapses the exploded frame to hits only
+    before any shuffle; document frequency and N ride in as broadcast
+    scalars; the top-20 is a TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*TFIDF_TERMS))
+        .persist()
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

@@ -108,3 +108,32 @@ def test_embedding_lsh_neardup_recall_and_precision(spark, sf_dir):
     # higher above it); observed ~0.8 on the test corpus — gate w/ margin
     if truth:
         assert len(got) / len(truth) >= 0.55
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.dedup import (
+        connected_components,
+        q_embedding_neardup,
+    )
+
+    pairs = [(r["id_a"], r["id_b"]) for r in q_embedding_neardup(spark, sf_dir).collect()]
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(q_embedding_neardup(spark, sf_dir)).collect()
+    }
+    # reference union-find on the same edges
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want and len(want) > 0
