@@ -480,3 +480,36 @@ def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "c_name")
         .orderBy("c_name", "o_orderkey")
     )
+
+
+@query(
+    "q_sql_surface",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string entry path: register temp views, run ANSI SQL via
+    ``spark.sql`` — proving SQL users get the identical engine surface
+    (same Catalyst plan as the DataFrame form; both hit the same
+    pushed-down parquet scan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sql")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem_sql
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
