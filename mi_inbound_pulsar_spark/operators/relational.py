@@ -513,3 +513,37 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "q_salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events JOIN orders ON user_id % 100 = o_orderkey % 100 AND o_orderkey < 500
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deliberately skewed join (100 coarse buckets as the key)
+    executed through :func:`plans.skew.salted_join` — the result is
+    identical to the plain join (the oracle), but each hot key is
+    split across 8 salts so no single task owns a bucket's whole
+    payload. This registers the skew path as an oracle-checked query
+    rather than only a unit test."""
+    from mi_inbound_pulsar_spark.plans.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 100)
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .withColumn("bucket", (F.col("o_orderkey") % 100))
+    )
+    joined = salted_join(e, o, key="bucket", n_salts=8, salt_src="event_id")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("o_orderpriority")
+    )

@@ -154,3 +154,12 @@ def test_asof_window_and_pandas_forms_agree(spark, sf_dir):
     a = {tuple(r) for r in asof_join(clicks, purchases, **args).collect()}
     b = {tuple(r) for r in asof_join_pandas(clicks, purchases, **args).collect()}
     assert a == b and len(a) > 0
+
+
+def test_tfidf_and_ngram_topk_are_take_ordered(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.text import q_ngram_frequency, q_tfidf_search
+
+    for q in (q_ngram_frequency, q_tfidf_search):
+        plan = plan_of(q(spark, sf_dir))
+        # top-N must be TakeOrdered (per-partition fold), never a global sort
+        assert "TakeOrderedAndProject" in plan, plan
