@@ -193,3 +193,40 @@ def test_observation_metrics_piggyback_on_action(spark, sf_dir):
     assert got["rows"] == total
     assert got["null_keys"] > 0
     assert got["total_redeliveries"] > 0
+
+
+def test_parquet_schema_evolution_merge(spark):
+    # schema evolution: a v2 writer adds a column; readers must see the
+    # union schema with nulls for old files (mergeSchema)
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(base + "/p=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(base + "/p=2")
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_corrupt_json_records_are_captured_not_fatal(spark):
+    # T1 production contract: malformed payloads must route to an error
+    # column (PERMISSIVE + columnNameOfCorruptRecord), never kill the job
+    lines = [
+        '{"k": 1, "v": "ok"}',
+        '{"k": broken',          # malformed
+        '{"k": 3, "v": "fine"}',
+    ]
+    d = tempfile.mkdtemp(prefix="corrupt_json_")
+    with open(d + "/data.json", "w") as f:
+        f.write("\n".join(lines))
+    df = (
+        spark.read.schema("k int, v string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    ).cache()  # required: corrupt-record queries must materialize whole rows
+    assert df.count() == 3
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+    assert df.filter(F.col("k").isNotNull()).count() == 2
