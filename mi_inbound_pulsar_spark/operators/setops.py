@@ -72,17 +72,23 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_orderkey AS orderkey FROM orders WHERE o_orderkey < 500
     EXCEPT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
+    SELECT l_orderkey FROM lineitem WHERE l_linenumber > 3
+    ORDER BY orderkey
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — nations with customers but no suppliers."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s).orderBy("nationkey")
+    """EXCEPT (distinct) — small orders: no 4th line item. (The earlier
+    nations-without-suppliers form was vacuous at sf0.01 — suppliers
+    cover all 25 nations — and a 0-row match verifies nothing.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500).select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") > 3).select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return o.subtract(big).orderBy("orderkey")
 
 
 @query(

@@ -17,7 +17,8 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(val) -> str:
