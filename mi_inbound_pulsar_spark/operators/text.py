@@ -338,3 +338,43 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND a.p_partkey < 80 AND b.p_partkey < 80
+     AND substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    ORDER BY id_a, id_b
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by edit distance: candidate pairs blocked on a
+    4-char name prefix, then Levenshtein-verified — the
+    block-then-verify shape every fuzzy-matcher at scale uses
+    (blocking bounds the quadratic; the oracle replays both stages).
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 80)
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 8)
+        .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
