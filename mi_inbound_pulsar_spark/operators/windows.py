@@ -218,3 +218,44 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
     )
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_trailing_1h,
+           round(sum(value) OVER w, 2) AS val_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling metrics per user — the event-time RANGE
+    frame (every row sees its own look-back window, unlike tumbling
+    buckets). Ordered on microsecond epoch so the frame bound is an
+    exact integer in both engines; frame aggregation order is fixed by
+    the frame itself, so the rounded sum is engine-stable.
+
+    Scale: one shuffle on user_id; the frame scan is a sliding pointer
+    over the sorted partition (O(n) per key), not a per-row rescan.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.round(F.sum("value").over(w), 2).alias("val_trailing_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
