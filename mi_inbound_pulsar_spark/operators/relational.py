@@ -547,3 +547,40 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM orders, LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_orderkey = o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber
+      LIMIT 2
+    ) t
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: the two priciest line items of each
+    order, written as the per-row subquery a SQL user reaches for.
+    Catalyst de-correlates it into the same window/top-k plan as the
+    row_number() form — the surface differs, the physical plan doesn't.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_lat")
+    return spark.sql(
+        """
+        SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM orders_lat, LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem_lat
+          WHERE l_orderkey = o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2
+        ) t
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber
+        """
+    )
