@@ -125,3 +125,45 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s).orderBy("nationkey")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2)      AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc'  AS metric, sum_disc  AS value FROM agg
+    )
+    ORDER BY l_returnflag, metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): per-flag aggregates melted into
+    (key, metric, value) rows — the inverse of pivot, used to feed
+    metric stores. Spark's native ``unpivot`` expands map-side
+    (an Expand node, like sliding windows) — no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return (
+        agg.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "sum_disc"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
