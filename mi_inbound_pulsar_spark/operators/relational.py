@@ -584,3 +584,42 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber
         """
     )
+
+
+@query(
+    "q_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+    )
+    SELECT m AS month, count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    ORDER BY m
+    """,
+)
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate the monthly calendar spine and
+    left-join order counts onto it — months with zero orders survive,
+    which a plain GROUP BY over orders cannot produce. The recursion
+    is driver-bounded series generation; the join is the usual
+    broadcast of the (tiny) spine.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+        )
+        SELECT m AS month, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders_rec ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+        ORDER BY m
+        """
+    )
