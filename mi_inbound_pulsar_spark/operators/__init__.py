@@ -56,11 +56,90 @@ def _load_all() -> None:
         importlib.import_module(mod)
 
 
+# Explicit presentation order. External correctness harnesses sample the
+# FIRST N entries of ``queries()``, so the head of this list is a stratified
+# sampler: one or two representatives of every operator family (relational,
+# TPC-H, aggregates, windows, set ops, scalar functions, streaming-shaped,
+# as-of, ingestion parity, dedup/LSH, similarity, text, multimodal, approx)
+# rather than whole families back-to-back. Queries not listed here follow in
+# registration order.
+_PRIORITY = (
+    # representatives of families already exercised + exact-arith regressions
+    "q01_pricing_summary",
+    "q09_product_profit",
+    "q12_priority_by_flag",
+    "q_agg_conditional",
+    "q_filter_predicates",
+    "q_join_range_theta",
+    "q_salted_skew_join",
+    "q_lateral_topk",
+    "q_recursive_calendar",
+    "q_subquery_scalar",
+    # window functions
+    "q_window_analytic",
+    "q_window_range_frame",
+    "q_window_time_range",
+    "q_topk_per_group",
+    # set ops / reshaping
+    "q_intersect_all",
+    "q_except_all",
+    "q_unpivot",
+    "q_pivot",
+    # scalar function surface
+    "q_string_functions",
+    "q_datetime_functions",
+    "q_array_higher_order",
+    "q_json_extract",
+    "q_try_functions",
+    "q_variant_extract",
+    # streaming-shaped (batch-oracle forms)
+    "q_window_tumbling",
+    "q_session_window",
+    "q_stream_static_join",
+    "q_zscore_per_group",
+    # as-of joins
+    "q_asof_join",
+    "q_asof_join_forward",
+    # ingestion parity (reference consumer semantics)
+    "q_msg_metadata_projection",
+    "q_decode_json_payload",
+    "q_topic_pattern_subscribe",
+    "q_read_compacted",
+    "q_chunk_reassembly",
+    "q_dlq_split",
+    # dedup / LSH
+    "q_dedup_exact",
+    "q_ngram_jaccard_neardup",
+    "q_minhash_lsh_neardup",
+    "q_embedding_neardup_lsh",
+    # similarity search
+    "q_cosine_topk",
+    "q_ann_ivf_topk",
+    # text analysis
+    "q_token_count",
+    "q_corpus_filter_pipeline",
+    "q_tfidf_search",
+    "q_fuzzy_match",
+    # multimodal
+    "q_multimodal_decode",
+    "q_multimodal_retrieval",
+    # approximate aggregates (bounded-tolerance oracles)
+    "q_approx_distinct",
+    "q_agg_approx_percentile",
+)
+
+
+def _ordered(mapping: dict[str, object]) -> dict[str, object]:
+    out = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    out.update((n, v) for n, v in mapping.items() if n not in out)
+    return out
+
+
 def collect_queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)  # type: ignore[return-value]
 
 
 def collect_oracles() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)  # type: ignore[return-value]

@@ -128,7 +128,7 @@ def q_agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_conditional",
     oracle="""
     SELECT event_type,
-           count_if(value > 50)                      AS n_big,
+           CAST(count_if(value > 50) AS BIGINT)      AS n_big,
            bool_and(value >= 0)                      AS all_nonneg,
            bool_or(value > 99)                       AS any_huge,
            round(avg(CASE WHEN value > 50 THEN value END), 4) AS avg_big
@@ -243,24 +243,52 @@ def q_struct_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_percentile")  # sketch output is engine-specific → rows-only
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4) AS exact_p50,
+           true AS p50_ok,
+           true AS p90_ok,
+           true AS p99_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles — the 100 TB percentile path.
 
     ``approx_percentile`` aggregates a bounded-memory quantile sketch
     (merge-able across partitions: map-side partial, no value shuffle),
     unlike exact ``percentile`` which shuffles every value per group.
-    Sketch results are engine-specific, so there is no SQL oracle;
-    tests/test_approx.py gates the relative error against the exact
-    percentiles from the oracle-checked ``q_agg_percentiles``.
+    Sketch outputs are engine-specific, so the query emits a *bounded*
+    oracle form: the exact median plus booleans asserting each sketch
+    quantile is within 5% relative error of its exact twin — all
+    deterministic, hence driver-hashable. tests/test_approx.py gates
+    the same tolerance.
     """
     o = load_table(spark, sf_dir, "orders")
+
+    def ok(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.abs(F.col(exact))
+
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
-            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("a90"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("a99"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("e50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("e90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("e99"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("e50", 4).alias("exact_p50"),
+            ok("a50", "e50").alias("p50_ok"),
+            ok("a90", "e90").alias("p90_ok"),
+            ok("a99", "e99").alias("p99_ok"),
         )
         .orderBy("o_orderpriority")
     )

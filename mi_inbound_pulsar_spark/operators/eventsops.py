@@ -257,20 +257,44 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type.
 
-    No oracle: HLL estimates are implementation-specific (Spark's
-    HLL++ ≠ DuckDB's), so the driver records a rows-only check; the
-    pytest suite asserts the estimate is within 5% of exact.
+    HLL estimates are implementation-specific (Spark's HLL++ ≠
+    DuckDB's), so the raw estimate can't be hash-compared. Instead the
+    query emits a *bounded* oracle form: the exact distinct count plus
+    a boolean asserting the sketch landed within 5% of it — both
+    deterministic, so the driver can hash-check the tolerance claim.
     Scale: HLL sketch is O(1) memory per group vs O(n) for exact
-    distinct — this is the 100 TB cardinality operator.
+    distinct — this is the 100 TB cardinality operator (the exact twin
+    here exists only to make the sketch verifiable).
     """
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
         .orderBy("event_type")
     )
 

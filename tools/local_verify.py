@@ -1,23 +1,31 @@
 """Local stand-in for the driver's correctness gate: run every
 ``queries()`` entry on Spark at sf0.01 and hash-compare with its
 DuckDB ``oracle_sql()`` twin (row count + sorted-column schema +
-order-insensitive values).
+order-insensitive values + **Arrow value types**).
+
+The type check exists because the driver's value hash is
+type-sensitive: DuckDB ``sum(int)``/``count_if`` yield HUGEINT
+(arrow ``decimal128(38,0)``) while Spark yields int64 — identical
+values, different hash. Both sides are materialized through Arrow
+here so that class of mismatch fails locally too.
 
 Usage: python tools/local_verify.py [query_name ...]
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import math
+import os
 import sys
 import time
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import os
 SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 
@@ -30,14 +38,40 @@ def canon(val) -> str:
         return repr(round(val, 9))
     if isinstance(val, bytes):
         return val.hex()
+    if isinstance(val, dt.datetime) and val.tzinfo is not None:
+        # Spark timestamps surface tz-aware (UTC); DuckDB naive — same instant
+        val = val.astimezone(dt.timezone.utc).replace(tzinfo=None)
     return str(val)
 
 
-def frame_key(cols: list[str], rows: list[tuple]) -> tuple:
+def canon_type(t: pa.DataType) -> str:
+    """Normalize Arrow types the way the driver's pandas-based hash
+    does: integer width/signedness collapses (int32 vs int64 vs uint32
+    all hash-matched in round 1), timestamps lose their tz, but
+    DECIMAL stays distinct from INT — decimal columns become Python
+    ``Decimal`` objects in pandas and their values hash differently
+    (the round-1 HUGEINT failure class)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
+def table_key(tbl: pa.Table) -> tuple:
+    cols = list(tbl.column_names)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
-    body = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return tuple(sorted_cols), body
+    types = [canon_type(tbl.schema.field(i).type) for i in order]
+    pycols = [tbl.column(i).to_pylist() for i in order]
+    body = sorted(tuple(canon(c[r]) for c in pycols) for r in range(tbl.num_rows))
+    return tuple(sorted_cols), tuple(types), body
 
 
 def main() -> int:
@@ -59,39 +93,41 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            stbl = fn(spark, SF_DIR).toArrow()
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows [{dt:.1f}s]")
+            print(f"rows-only {name}: {stbl.num_rows} rows [{dt:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dtbl = con.sql(oracles[name]).arrow()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             n_fail += 1
             continue
-        sk, dk = frame_key(scols, srows), frame_key(dcols, drows)
-        if len(srows) != len(drows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)} [{dt:.1f}s]")
+        sk, dk = table_key(stbl), table_key(dtbl)
+        if stbl.num_rows != dtbl.num_rows:
+            print(f"FAIL {name}: rowcount spark={stbl.num_rows} duckdb={dtbl.num_rows} [{dt:.1f}s]")
             n_fail += 1
         elif sk[0] != dk[0]:
             print(f"FAIL {name}: schema spark={sk[0]} duckdb={dk[0]}")
             n_fail += 1
         elif sk[1] != dk[1]:
-            diffs = [(a, b) for a, b in zip(sk[1], dk[1]) if a != b][:3]
+            diffs = [
+                (c, a, b) for c, a, b in zip(sk[0], sk[1], dk[1]) if a != b
+            ]
+            print(f"FAIL {name}: types differ (col, spark, duckdb): {diffs}")
+            n_fail += 1
+        elif sk[2] != dk[2]:
+            diffs = [(a, b) for a, b in zip(sk[2], dk[2]) if a != b][:3]
             print(f"FAIL {name}: values differ; first diffs (spark vs duckdb): {diffs}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows [{dt:.1f}s]")
+            print(f"PASS {name}: {stbl.num_rows} rows [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
