@@ -28,11 +28,13 @@ do not double-count redeliveries.
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.config import DeadLetterPolicy
@@ -114,9 +116,10 @@ class RetryingPipeline:
     reference's broker-side contract (PulsarMessageConsumer.java:203-227,
     295-304) rebuilt engine-side.
 
-    State here is in-memory (driver) keyed by message_id; at cluster
-    scale the identical interface runs over a keyed table (hash-
-    partitioned, last-write-wins upsert — see RetryTable docstring).
+    State here is in-memory (driver) keyed by message_id — the
+    unit-test tier. The cluster-scale form is :class:`KeyedRetryPipeline`
+    below: the same semantics over a hash-partitioned, last-write-wins
+    parquet state table, with no driver collect of the data batch.
     """
 
     def __init__(
@@ -156,12 +159,15 @@ class RetryingPipeline:
             mid = r["message_id"]
             if mid in failed:
                 self._parked[mid] = r
-        # K7: exhausted records leave the retry loop for the DLQ
+        # K7: exhausted records leave the retry loop for the DLQ; acking
+        # them afterwards drops them from the retry state so dead-letter
+        # bookkeeping stays bounded over the query lifetime
         dead_now = [m for m in self.table.dead_letters() if m in self._parked]
         if dead_now:
             dead_rows = [self._parked.pop(m) for m in dead_now]
             self._dead.extend(dead_rows)
             self.on_dead_letter(dead_rows)
+            self.table.ack(dead_now)
 
     @property
     def dead_letters(self) -> list:
@@ -182,10 +188,10 @@ class RetryTable:
     """K5/K6/K7 — per-record nack/redelivery state on top of micro-batch
     replay.
 
-    In-memory dict keyed by message_id for local use; the same
-    interface over a keyed parquet/Delta upsert at cluster scale (the
-    state is per-message-id, hash-partitionable, last-write-wins —
-    exactly what a keyed state store gives).
+    In-memory dict keyed by message_id for local use; the keyed
+    parquet-table equivalent at cluster scale is
+    :class:`KeyedRetryPipeline` (per-message-id state,
+    hash-partitioned, last-write-wins).
     """
 
     def __init__(
@@ -205,6 +211,7 @@ class RetryTable:
         self.backoff_multiplier = backoff_multiplier
         self.max_delay_ms = max_delay_ms
         self._state: dict[str, tuple[int, float]] = {}  # id -> (redeliveries, last_attempt)
+        self._delivered: dict[str, float] = {}  # id -> delivery time, awaiting ack/nack (K6)
 
     def _delay_s(self, redeliveries: int) -> float:
         delay_ms = self.nack_delay_ms * (self.backoff_multiplier ** max(redeliveries - 1, 0))
@@ -212,10 +219,33 @@ class RetryTable:
             delay_ms = min(delay_ms, self.max_delay_ms)
         return delay_ms / 1000.0
 
+    def deliver(self, message_ids: list[str], now: float | None = None) -> None:
+        """K6 — stamp delivery time. A delivered id that is neither
+        acked nor nacked is forced back out once ``ack_timeout_ms``
+        elapses (no-op when no ack timeout is configured)."""
+        if self.ack_timeout_ms is None:
+            return
+        now = time.time() if now is None else now
+        for mid in message_ids:
+            self._delivered[mid] = now
+
+    def _expire_unacked(self, now: float) -> None:
+        """K6 — an expired delivery counts as a redelivery trigger, due
+        immediately (Pulsar ackTimeout redelivery is not delayed)."""
+        if self.ack_timeout_ms is None:
+            return
+        timeout_s = self.ack_timeout_ms / 1000.0
+        for mid, t0 in list(self._delivered.items()):
+            if now - t0 >= timeout_s:
+                del self._delivered[mid]
+                count, _ = self._state.get(mid, (0, 0.0))
+                self._state[mid] = (count + 1, now - self._delay_s(count + 1))
+
     def nack(self, message_ids: list[str], now: float | None = None) -> None:
         """K5 — negative-acknowledge: bump redelivery count, stamp time."""
         now = time.time() if now is None else now
         for mid in message_ids:
+            self._delivered.pop(mid, None)
             count, _ = self._state.get(mid, (0, 0.0))
             self._state[mid] = (count + 1, now)
 
@@ -223,11 +253,13 @@ class RetryTable:
         """K4 — acknowledged records leave the retry state."""
         for mid in message_ids:
             self._state.pop(mid, None)
+            self._delivered.pop(mid, None)
 
     def due_for_redelivery(self, now: float | None = None) -> list[str]:
-        """K5/K6 — ids whose nack delay (or ack timeout) has elapsed and
+        """K5/K6 — ids whose nack delay or ack timeout has elapsed and
         that are still under the DLQ threshold."""
         now = time.time() if now is None else now
+        self._expire_unacked(now)
         due = []
         for mid, (count, last) in self._state.items():
             if count >= self.policy.max_redeliveries:
@@ -246,3 +278,174 @@ class RetryTable:
 
     def redelivery_count(self, message_id: str) -> int:
         return self._state.get(message_id, (0, 0.0))[0]
+
+
+class KeyedRetryPipeline:
+    """K5/K6/K7 at cluster scale — per-record nack/redelivery/DLQ state
+    in a hash-partitioned, epoch-versioned parquet table. The data batch
+    is NEVER collected to the driver; every step is a DataFrame plan.
+
+    This is the keyed-table form the ``RetryTable`` docstring promises
+    (the in-memory twin remains for unit-level semantics). Reference
+    contract: PulsarMessageConsumer.java:203-227 (ack after process),
+    :295-304 (DLQ after max redeliveries).
+
+    State layout: ``state_dir/v<epoch>/`` parquet, repartitioned by
+    ``hash(message_id)`` into ``num_partitions`` files; a commit marker
+    under ``state_dir/_commits/<epoch>`` lands only after the write
+    succeeds. An invocation at epoch N reads the newest *committed*
+    version with epoch < N, so a replayed micro-batch (crash between
+    state write and offset commit) deterministically rewrites the same
+    version instead of double-bumping redelivery counts — last-write-
+    wins upsert, idempotent under K3 replay.
+
+    ``process(deliver_df, epoch) -> DataFrame[(message_id, ok bool)]``
+    decides per-record outcomes. Rows delivered but MISSING from the
+    outcome frame are the K6 case: with ``ack_timeout_ms`` set they are
+    parked and redelivered once the timeout elapses; without one they
+    are treated as nacked immediately (conservative at-least-once).
+    Rows whose bumped count reaches ``policy.max_redeliveries`` are
+    routed to ``dlq_dir/v<epoch>/`` (same idempotent versioning) and
+    dropped from state, keeping state bounded.
+
+    Scale: state shuffles only parked rows (failures — a sliver of the
+    stream) on a 1-column key; the due-row scan is a filter over a
+    hash-partitioned parquet read; the union into the next batch adds
+    no extra shuffle beyond the per-batch plan.
+    """
+
+    _META = ("_retry_count", "_retry_last", "_retry_pending_ack")
+
+    def __init__(
+        self,
+        process: Callable[[DataFrame, int], DataFrame],
+        policy: DeadLetterPolicy,
+        state_dir: str,
+        dlq_dir: str | None = None,
+        nack_delay_ms: int = 0,
+        ack_timeout_ms: int | None = None,
+        backoff_multiplier: float = 1.0,
+        max_delay_ms: int | None = None,
+        num_partitions: int = 8,
+        clock: Callable[[], float] = time.time,
+    ):
+        self.process = process
+        self.policy = policy
+        self.state_dir = state_dir
+        self.dlq_dir = dlq_dir or os.path.join(state_dir, "_dlq")
+        self.nack_delay_ms = nack_delay_ms
+        self.ack_timeout_ms = ack_timeout_ms
+        self.backoff_multiplier = backoff_multiplier
+        self.max_delay_ms = max_delay_ms
+        self.num_partitions = num_partitions
+        self.clock = clock
+        os.makedirs(os.path.join(state_dir, "_commits"), exist_ok=True)
+
+    # -- state-table plumbing ------------------------------------------------
+    def _committed_epochs(self) -> list[int]:
+        d = os.path.join(self.state_dir, "_commits")
+        return sorted(int(f) for f in os.listdir(d)) if os.path.isdir(d) else []
+
+    def _read_state(self, spark: SparkSession, epoch_id: int) -> DataFrame | None:
+        prior = [e for e in self._committed_epochs() if e < epoch_id]
+        if not prior:
+            return None
+        return spark.read.parquet(os.path.join(self.state_dir, f"v{prior[-1]}"))
+
+    def _commit(self, df: DataFrame, root: str, epoch_id: int) -> None:
+        path = os.path.join(root, f"v{epoch_id}")
+        shutil.rmtree(path, ignore_errors=True)  # replayed epoch: rewrite
+        df.repartition(self.num_partitions, "message_id").write.mode("overwrite").parquet(path)
+
+    def _finalize(self, epoch_id: int) -> None:
+        marker = os.path.join(self.state_dir, "_commits", str(epoch_id))
+        with open(marker, "w"):
+            pass
+        # GC: keep the two newest committed versions
+        for old in self._committed_epochs()[:-2]:
+            shutil.rmtree(os.path.join(self.state_dir, f"v{old}"), ignore_errors=True)
+            os.unlink(os.path.join(self.state_dir, "_commits", str(old)))
+
+    def _delay_col(self):
+        count = F.col("_retry_count")
+        delay_ms = F.lit(float(self.nack_delay_ms)) * F.pow(
+            F.lit(float(self.backoff_multiplier)), F.greatest(count - 1, F.lit(0)).cast("double")
+        )
+        if self.max_delay_ms is not None:
+            delay_ms = F.least(delay_ms, F.lit(float(self.max_delay_ms)))
+        if self.ack_timeout_ms is not None:
+            delay_ms = F.when(
+                F.col("_retry_pending_ack"), F.lit(float(self.ack_timeout_ms))
+            ).otherwise(delay_ms)
+        return delay_ms / 1000.0
+
+    # -- the foreachBatch body ----------------------------------------------
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        now = self.clock()
+        spark = batch_df.sparkSession
+        state = self._read_state(spark, epoch_id)
+
+        fresh = batch_df.withColumn("redelivery_count", F.lit(0))
+        if state is not None:
+            due_pred = F.lit(now) - F.col("_retry_last") >= self._delay_col()
+            due = (
+                state.filter(due_pred)
+                # K5 anti-join: a replayed source batch may already carry
+                # the same message_id — the fresh copy wins
+                .join(fresh.select("message_id"), "message_id", "left_anti")
+            )
+            held = state.filter(~due_pred)
+            deliver = fresh.unionByName(
+                due.withColumn("redelivery_count", F.col("_retry_count")).drop(*self._META)
+            )
+        else:
+            held = None
+            deliver = fresh
+
+        outcome = self.process(deliver, epoch_id).select(
+            "message_id", F.col("ok").cast("boolean").alias("ok")
+        )
+        # nacked = explicit failures; missing-from-outcome = K6 unacked
+        responded = deliver.join(outcome, "message_id", "inner")
+        nacked = responded.filter(~F.col("ok")).drop("ok").withColumn(
+            "_retry_pending_ack", F.lit(False)
+        )
+        unacked = deliver.join(outcome, "message_id", "left_anti").withColumn(
+            "_retry_pending_ack", F.lit(self.ack_timeout_ms is not None)
+        )
+        parked = (
+            nacked.unionByName(unacked)
+            .withColumn("_retry_count", F.col("redelivery_count") + 1)
+            .withColumn("_retry_last", F.lit(now))
+        )
+        # K7: exhausted → DLQ (dropped from state: bounded)
+        dead = parked.filter(F.col("_retry_count") >= F.lit(self.policy.max_redeliveries))
+        live = parked.filter(F.col("_retry_count") < F.lit(self.policy.max_redeliveries))
+        if held is not None:
+            live = live.unionByName(held)
+
+        self._commit(
+            dead.withColumn("redelivery_count", F.col("_retry_count")).drop(*self._META),
+            self.dlq_dir,
+            epoch_id,
+        )
+        self._commit(live, self.state_dir, epoch_id)
+        self._finalize(epoch_id)
+
+    # -- inspection helpers (tests / ops) -----------------------------------
+    def state_df(self, spark: SparkSession) -> DataFrame | None:
+        epochs = self._committed_epochs()
+        if not epochs:
+            return None
+        return spark.read.parquet(os.path.join(self.state_dir, f"v{epochs[-1]}"))
+
+    def dead_letters_df(self, spark: SparkSession) -> DataFrame | None:
+        versions = (
+            [os.path.join(self.dlq_dir, d) for d in sorted(os.listdir(self.dlq_dir))]
+            if os.path.isdir(self.dlq_dir)
+            else []
+        )
+        versions = [v for v in versions if os.path.isdir(v)]
+        if not versions:
+            return None
+        return spark.read.parquet(*versions)

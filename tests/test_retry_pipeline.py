@@ -9,7 +9,11 @@ import tempfile
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.config import DeadLetterPolicy
-from mi_inbound_pulsar_spark.sources.pulsar_source import simulated_message_frame, simulated_stream
+from mi_inbound_pulsar_spark.sources.pulsar_source import (
+    publish_frame,
+    simulated_message_frame,
+    simulated_stream,
+)
 from mi_inbound_pulsar_spark.streaming.delivery import RetryingPipeline
 
 
@@ -84,3 +88,152 @@ def test_nack_delay_defers_redelivery():
     pipe([], 2, now=1061.0)  # delay elapsed → redelivered
     assert seen == ["1"]
     assert pipe.pending_ids() == []
+
+
+def test_retrytable_ack_timeout_forces_redelivery():
+    """K6 — delivered-but-never-acked records come back after ack_timeout."""
+    from mi_inbound_pulsar_spark.streaming.delivery import RetryTable
+
+    t = RetryTable(DeadLetterPolicy(max_redeliveries=5), nack_delay_ms=0, ack_timeout_ms=60_000)
+    t.deliver(["a", "b"], now=0.0)
+    assert t.due_for_redelivery(now=59.0) == []
+    t.ack(["b"])  # acked in time — never redelivered
+    assert t.due_for_redelivery(now=61.0) == ["a"]
+    assert t.redelivery_count("a") == 1  # timeout counted as a redelivery
+    assert t.redelivery_count("b") == 0
+    t.ack(["a"])
+    assert t.due_for_redelivery(now=500.0) == []
+
+
+def test_keyed_retry_flaky_poison_dlq_across_restart(spark, sf_dir, tmp_path):
+    """K5/K7 at table scale: flaky records succeed on the 3rd attempt,
+    poison records land in the DLQ after exactly max_redeliveries — with
+    retry state in a keyed parquet table that survives a query
+    kill/restart, and no collect() of any data batch."""
+    import inspect
+
+    from mi_inbound_pulsar_spark.streaming.delivery import KeyedRetryPipeline
+
+    # the whole point of the keyed-table form: the data path stays distributed
+    assert ".collect()" not in inspect.getsource(KeyedRetryPipeline)
+
+    staging, state = str(tmp_path / "staging"), str(tmp_path / "state")
+    ckpt, audit = str(tmp_path / "ckpt"), str(tmp_path / "audit")
+    frame = simulated_message_frame(spark, sf_dir)
+    total = frame.count()
+
+    def process(deliver, epoch_id):
+        deliver.select("message_id", "redelivery_count").write.mode("append").parquet(audit)
+        mid = F.col("message_id").cast("long")
+        ok = ~(((mid % 100 == 7) & (F.col("redelivery_count") < 2)) | (mid % 100 == 13))
+        return deliver.select("message_id", ok.alias("ok"))
+
+    def make_pipe():
+        return KeyedRetryPipeline(
+            process,
+            DeadLetterPolicy(max_redeliveries=3),
+            state_dir=state,
+            nack_delay_ms=0,
+            num_partitions=4,
+        )
+
+    def run_query(pipe):
+        # availableNow: one batch per staged file, then terminate — no
+        # trailing empty batches, so parked retries stay parked
+        q = (
+            spark.readStream.schema(frame.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .writeStream.foreachBatch(pipe)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # phase 1: half the topic, then the query terminates with retries parked
+    publish_frame(frame.filter(F.col("message_id").cast("long") < 500), staging, files=2)
+    run_query(make_pipe())
+    assert make_pipe().state_df(spark).count() > 0  # parked retries survived the stop
+
+    # phase 2: rest of the topic, NEW pipeline object + NEW query, same
+    # state table + checkpoint — durable state drives the redeliveries
+    publish_frame(frame.filter(F.col("message_id").cast("long") >= 500), staging, files=2)
+    pipe2 = make_pipe()
+    run_query(pipe2)
+    # drain remaining parked redeliveries with empty batches
+    empty = spark.createDataFrame([], frame.schema)
+    for i in range(6):
+        pipe2(empty, epoch_id=10_000 + i)
+
+    poison = {
+        r["message_id"]
+        for r in frame.filter(F.col("message_id").cast("long") % 100 == 13).collect()
+    }
+    flaky = {
+        r["message_id"]
+        for r in frame.filter(F.col("message_id").cast("long") % 100 == 7).collect()
+    }
+
+    # K7: exactly the poison set in the DLQ, each after exactly 3 deliveries
+    dlq = pipe2.dead_letters_df(spark)
+    dead = {(r["message_id"], r["redelivery_count"]) for r in dlq.collect()}
+    assert {m for m, _ in dead} == poison
+    assert all(c == 3 for _, c in dead)
+    # retry state drained to empty (flaky acked, poison dead-lettered)
+    assert pipe2.state_df(spark).count() == 0
+
+    # delivery audit (dedup — a replayed epoch appends twice): flaky and
+    # poison delivered exactly 3x (counts 0,1,2), everything else once
+    import duckdb
+
+    con = duckdb.connect()
+    att = {
+        m: n
+        for m, n in con.sql(
+            f"SELECT message_id, count(DISTINCT redelivery_count) FROM '{audit}/*.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    assert all(att[m] == 3 for m in poison)
+    assert all(att[m] == 3 for m in flaky)
+    assert sum(att.values()) == total + 2 * len(poison) + 2 * len(flaky)
+
+
+def test_keyed_retry_ack_timeout_k6(spark, tmp_path):
+    """K6 at table scale: rows missing from the outcome frame are parked
+    and redelivered only after ack_timeout elapses."""
+    from mi_inbound_pulsar_spark.streaming.delivery import KeyedRetryPipeline
+
+    fake = [1000.0]
+    seen: list[tuple[str, int]] = []
+
+    def process(deliver, epoch_id):
+        seen.extend((r["message_id"], r["redelivery_count"]) for r in deliver.collect())
+        # respond only to even ids; odd ids get no ack and no nack
+        return deliver.select(
+            "message_id", (F.col("message_id").cast("long") % 2 == 0).alias("ok")
+        ).filter(F.col("ok"))
+
+    pipe = KeyedRetryPipeline(
+        process,
+        DeadLetterPolicy(max_redeliveries=5),
+        state_dir=str(tmp_path / "state"),
+        nack_delay_ms=0,
+        ack_timeout_ms=60_000,
+        num_partitions=2,
+        clock=lambda: fake[0],
+    )
+    batch = spark.createDataFrame(
+        [("1", 0), ("2", 0)], "message_id string, redelivery_count int"
+    )
+    empty = spark.createDataFrame([], "message_id string, redelivery_count int")
+
+    pipe(batch, 0)
+    assert sorted(seen) == [("1", 0), ("2", 0)]
+    seen.clear()
+    fake[0] = 1030.0  # timeout not yet elapsed → nothing redelivered
+    pipe(empty, 1)
+    assert seen == []
+    fake[0] = 1061.0  # elapsed → the unacked odd id comes back, count bumped
+    pipe(empty, 2)
+    assert seen == [("1", 1)]
