@@ -44,21 +44,34 @@ def asof_join(
 
     Ties (right_ts == left_ts) match, mirroring merge_asof backward
     inclusive: right rows sort before left rows at equal timestamps.
+
+    The right columns ride in ONE struct and are carried with a single
+    ``last(ignorenulls)`` — carrying each column independently would
+    let a NULL field in the most recent right row be back-filled from
+    an older right row, mixing values across rows (diverges from
+    merge_asof/DuckDB ASOF on nullable right columns).
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import StructField, StructType
 
     left_names = [f.name for f in left.schema.fields]
-    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn("__is_left", F.lit(1))
-    for c in right_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(
-            (f.name, f.dataType) for f in right.schema.fields)[c]))
-    r_tagged = right.withColumnRenamed(key, key) \
-        .withColumn("__t", F.col(right_ts)).withColumn("__is_left", F.lit(0))
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    l_types = {f.name: f.dataType for f in left.schema.fields}
+    payload_t = StructType([StructField(c, r_types[c]) for c in right_cols])
+    l_tagged = (
+        left.withColumn("__t", F.col(left_ts))
+        .withColumn("__is_left", F.lit(1))
+        .withColumn("__r", F.lit(None).cast(payload_t))
+    )
+    r_tagged = (
+        right.withColumn("__t", F.col(right_ts))
+        .withColumn("__is_left", F.lit(0))
+        .withColumn("__r", F.struct(*[F.col(c) for c in right_cols]))
+    )
     for c in left_names:
         if c != key and c not in right.columns:
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(
-                (f.name, f.dataType) for f in left.schema.fields)[c]))
-    cols = [key, "__t", "__is_left"] + [c for c in left_names if c != key] + right_cols
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_types[c]))
+    cols = [key, "__t", "__is_left"] + [c for c in left_names if c != key] + ["__r"]
     u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
     w = (
         Window.partitionBy(key)
@@ -67,10 +80,10 @@ def asof_join(
     )
     carried = u.select(
         *[F.col(c) for c in [key, "__is_left"] + [c for c in left_names if c != key]],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left").select(
-        *left_names, *right_cols
+    return carried.filter(F.col("__is_left") == 1).select(
+        *left_names, *[F.col(f"__r.{c}").alias(c) for c in right_cols]
     )
 
 
@@ -170,21 +183,32 @@ def asof_join_forward(
     following rows. Ties match (right at the same instant wins)."""
     from pyspark.sql import Window
 
+    from pyspark.sql.types import StructField, StructType
+
     left_names = [f.name for f in left.schema.fields]
     r_types = {f.name: f.dataType for f in right.schema.fields}
     l_types = {f.name: f.dataType for f in left.schema.fields}
-    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn("__is_left", F.lit(1))
-    for c in right_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(r_types[c]))
-    r_tagged = right.withColumn("__t", F.col(right_ts)).withColumn("__is_left", F.lit(0))
+    payload_t = StructType([StructField(c, r_types[c]) for c in right_cols])
+    l_tagged = (
+        left.withColumn("__t", F.col(left_ts))
+        .withColumn("__is_left", F.lit(1))
+        .withColumn("__r", F.lit(None).cast(payload_t))
+    )
+    r_tagged = (
+        right.withColumn("__t", F.col(right_ts))
+        .withColumn("__is_left", F.lit(0))
+        .withColumn("__r", F.struct(*[F.col(c) for c in right_cols]))
+    )
     for c in left_names:
         if c != key and c not in right.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_types[c]))
-    cols = [key, "__t", "__is_left"] + [c for c in left_names if c != key] + right_cols
+    cols = [key, "__t", "__is_left"] + [c for c in left_names if c != key] + ["__r"]
     u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
     # rights sort AFTER lefts at equal __t (desc on __is_left reversed):
     # order by (__t, -__is_left) then look FORWARD — a right at the
-    # same timestamp is in the following frame, so ties match
+    # same timestamp is in the following frame, so ties match. The
+    # right payload rides in one struct (same-row guarantee, see
+    # asof_join).
     w = (
         Window.partitionBy(key)
         .orderBy(F.col("__t"), F.col("__is_left").desc())
@@ -192,10 +216,10 @@ def asof_join_forward(
     )
     carried = u.select(
         *[F.col(c) for c in [key, "__is_left"] + [c for c in left_names if c != key]],
-        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.first("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left").select(
-        *left_names, *right_cols
+    return carried.filter(F.col("__is_left") == 1).select(
+        *left_names, *[F.col(f"__r.{c}").alias(c) for c in right_cols]
     )
 
 

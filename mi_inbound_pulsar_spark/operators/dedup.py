@@ -116,16 +116,34 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = 
     return wdf.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, max_doc_freq: int | None = 1000
+) -> DataFrame:
     """Exact Jaccard over a (doc_id, shingle) frame via inverted-index
     self-join: |A∩B| from the shingle join, sizes joined in, J computed.
 
     Scale: the join key is the shingle, so only documents sharing a
-    shingle ever meet; hot shingles (stop-gram skew) are the risk —
-    at production scale drop shingles with document frequency above a
-    cap (they carry no signal and quadratic cost).
+    shingle ever meet. Hot shingles (stop-gram skew) are the hazard — a
+    shingle shared by d documents contributes d² join rows, so a single
+    stop-gram bucket goes quadratic on a real corpus. ``max_doc_freq``
+    is the skew guard: shingles with document frequency above the cap
+    are dropped from the *index* before the self-join (the hot set is
+    tiny — one groupBy + a broadcast anti-join). Document sizes keep
+    counting every shingle, so J is exact whenever no dropped shingle
+    is shared by a surviving pair and a slight *under*-estimate
+    otherwise — stop-grams carry no near-dup signal, which is why every
+    production MinHash/Jaccard pipeline applies this cap. Pass ``None``
+    to disable (exact verifier semantics at any cost).
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -381,51 +399,68 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.4.
+    """Embedding near-duplicate pairs: cosine ≥ 0.4, exact (brute force).
 
-    Execution: the corpus never shuffles — each partition scores its
-    Arrow batch against the unit-normalized reference matrix with one
-    numpy float64 GEMM (``mapInPandas``), emitting only qualifying
-    (id_a < id_b) pairs. The reference matrix rides as a Spark
-    broadcast variable. At 100 TB a single broadcast matrix no longer
-    fits, so candidate generation goes through LSH banding (see
-    ``simhash_neardup_pairs`` / ``lsh_candidate_pairs``) or the IVF
-    cells in similarity.py — this brute pass is the verifier baseline
-    and the oracle-checkable truth.
+    Execution: distributed block-nested-loop. The corpus is split into
+    ``B`` hash blocks on ``vec_id``; every block *pair* (i ≤ j) is
+    cogrouped and scored with one numpy float64 GEMM per pair. Nothing
+    is ever collected to the driver: replication is B rows-out per row
+    (n·B rows shuffled on a 2-int key), per-task memory is two blocks —
+    not the corpus — and the quadratic compute, inherent to exact
+    all-pairs, is spread evenly over B(B+1)/2 independent tasks.
+    Blocks are disjoint residue classes, so a cross-block pair appears
+    in exactly one group (no post-dedup); the diagonal group filters
+    id_a < id_b.
 
-    Only the id pair is returned (ints hash robustly; the similarity
-    itself is float-rounding-sensitive).
+    This is the oracle-checkable truth the sub-quadratic paths are
+    gated against (``q_embedding_neardup_lsh`` — the 100 TB candidate
+    path — and the IVF cells in similarity.py). Only the id pair is
+    returned (ints hash robustly; the similarity itself is
+    float-rounding-sensitive).
     """
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").collect()
-    rows.sort(key=lambda r: r[0])
-    ref_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    ref = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(ref, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    ref_units_bc = spark.sparkContext.broadcast(ref / norms)
-    ref_ids_bc = spark.sparkContext.broadcast(ref_ids)
+    B = 8  # ≈ sqrt(2·parallelism) wanted; B(B+1)/2 = 36 GEMM tasks
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+    # two physically-distinct tiny frames: the same block_pairs object on
+    # both sides would trip Spark's ambiguous-self-join analyzer
+    pairs_rows = [(i, j) for i in range(B) for j in range(i, B)]
+    bp_l = spark.createDataFrame(pairs_rows, "bi int, bj int")
+    bp_r = spark.createDataFrame(pairs_rows, "bi int, bj int")
+    left = blk.join(F.broadcast(bp_l), blk.blk == bp_l.bi).select(
+        "bi", "bj", F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l")
+    )
+    right = blk.join(F.broadcast(bp_r), blk.blk == bp_r.bj).select(
+        "bi", "bj", F.col("vec_id").alias("id_r"), F.col("embedding").alias("emb_r")
+    )
 
-    def pairs(batches):
-        ref_units = ref_units_bc.value
-        rids = ref_ids_bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            n = np.linalg.norm(mat, axis=1, keepdims=True)
+    def score(key, lpdf, rpdf):
+        bi, bj = key
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
+            )
+        ids_l = lpdf["id_l"].to_numpy(dtype=np.int64)
+        ids_r = rpdf["id_r"].to_numpy(dtype=np.int64)
+        ml = np.array(list(lpdf["emb_l"]), dtype=np.float64)
+        mr = np.array(list(rpdf["emb_r"]), dtype=np.float64)
+        for m in (ml, mr):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
             n[n == 0.0] = 1.0
-            sims = (mat / n) @ ref_units.T  # (batch, corpus)
-            ai, bi = np.nonzero((sims >= 0.4) & (ids[:, None] < rids[None, :]))
-            yield pd.DataFrame({"id_a": ids[ai], "id_b": rids[bi]})
+            m /= n
+        mask = (ml @ mr.T) >= 0.4
+        if bi == bj:
+            mask &= ids_l[:, None] < ids_r[None, :]
+        li, ri = np.nonzero(mask)
+        a, b = ids_l[li], ids_r[ri]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
 
     return (
-        e.select("vec_id", "embedding")
-        .mapInPandas(pairs, schema="id_a long, id_b long")
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, schema="id_a long, id_b long")
         .orderBy("id_a", "id_b")
     )
 
@@ -644,7 +679,11 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the
     oracle-checked cosine≥0.4 pair list, labeled by the smallest
     member (the canonical 'keeper' a dedup pipeline retains).
-    Rows-only (iterative); exact union-find equivalence is gated in
-    tests/test_dedup_similarity.py."""
-    pairs = q_embedding_neardup(spark, sf_dir)
+
+    The edge list comes from the LSH-bucketed pair path (the 100 TB
+    candidate generator — every step bucketed, nothing quadratic),
+    not the brute-force verifier. Rows-only (iterative); exact
+    union-find equivalence is gated in tests/test_dedup_similarity.py.
+    """
+    pairs = q_embedding_neardup_lsh(spark, sf_dir)
     return connected_components(pairs).orderBy("doc_id")

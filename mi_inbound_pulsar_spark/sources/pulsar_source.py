@@ -85,11 +85,19 @@ def simulated_message_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def subscribe(frame: DataFrame, cfg: PulsarSourceConfig) -> DataFrame:
     """Apply subscription semantics (S1/S2/S16) to a message frame."""
+    from mi_inbound_pulsar_spark.config import RegexSubscriptionMode
+
     out = frame
     if cfg.topics:
         out = out.filter(F.col("topic").isin(cfg.topics))  # S1
     elif cfg.topics_pattern:
-        out = out.filter(F.col("topic").rlike(cfg.topics_pattern))  # S2
+        # S2 — a regex subscription is scoped by topic domain BEFORE the
+        # pattern applies (PulsarMessageConsumer.java:368-376)
+        if cfg.regex_subscription_mode is RegexSubscriptionMode.PERSISTENT_ONLY:
+            out = out.filter(F.col("topic").startswith("persistent://"))
+        elif cfg.regex_subscription_mode is RegexSubscriptionMode.NON_PERSISTENT_ONLY:
+            out = out.filter(F.col("topic").startswith("non-persistent://"))
+        out = out.filter(F.col("topic").rlike(cfg.topics_pattern))
     if cfg.read_compacted:
         # S16 — latest value per key (null-keyed messages are not compacted
         # away; Pulsar retains them, so we keep them all).
@@ -140,8 +148,15 @@ def simulated_stream(
     """
     from mi_inbound_pulsar_spark.config import SubscriptionInitialPosition
 
-    staging = staging_dir or os.path.join(tempfile.gettempdir(), f"pulsar_sim_{os.path.basename(sf_dir)}")
     from_latest = cfg is not None and cfg.initial_position is SubscriptionInitialPosition.LATEST
+    if staging_dir is None and from_latest:
+        # 'start at head' must not replay stale files a prior Earliest
+        # run left in the shared default staging dir — use a fresh one
+        staging = tempfile.mkdtemp(prefix=f"pulsar_sim_latest_{os.path.basename(sf_dir)}_")
+    else:
+        staging = staging_dir or os.path.join(
+            tempfile.gettempdir(), f"pulsar_sim_{os.path.basename(sf_dir)}"
+        )
     if from_latest:
         os.makedirs(staging, exist_ok=True)  # empty topic head
     else:

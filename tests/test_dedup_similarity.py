@@ -111,15 +111,17 @@ def test_embedding_lsh_neardup_recall_and_precision(spark, sf_dir):
 
 
 def test_connected_components_match_union_find(spark, sf_dir):
+    # edges come from the LSH path — same pair source as the registered
+    # q_neardup_clusters (the scale path, not the brute verifier)
     from mi_inbound_pulsar_spark.operators.dedup import (
         connected_components,
-        q_embedding_neardup,
+        q_embedding_neardup_lsh,
     )
 
-    pairs = [(r["id_a"], r["id_b"]) for r in q_embedding_neardup(spark, sf_dir).collect()]
+    pairs = [(r["id_a"], r["id_b"]) for r in q_embedding_neardup_lsh(spark, sf_dir).collect()]
     got = {
         r["doc_id"]: r["component"]
-        for r in connected_components(q_embedding_neardup(spark, sf_dir)).collect()
+        for r in connected_components(q_embedding_neardup_lsh(spark, sf_dir)).collect()
     }
     # reference union-find on the same edges
     parent: dict = {}
@@ -137,3 +139,19 @@ def test_connected_components_match_union_find(spark, sf_dir):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want and len(want) > 0
+
+
+def test_jaccard_hot_shingle_cap_bounds_join(spark):
+    """Skew guard: a stop-gram shared by d docs would contribute d(d-1)/2
+    join rows; the document-frequency cap drops it from the index."""
+    from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs
+
+    rows = []
+    for d in range(40):
+        rows.append((str(d), "the of and"))  # stop-gram: DF = 40
+        rows.append((str(d), f"unique shingle {d}"))  # DF = 1 each
+    sh = spark.createDataFrame(rows, "doc_id string, shingle string")
+    # uncapped: the hot bucket alone creates C(40,2) = 780 pairs
+    assert jaccard_pairs(sh, threshold=0.0, max_doc_freq=None).count() == 780
+    # capped: the stop-gram leaves the index; no surviving shared shingle
+    assert jaccard_pairs(sh, threshold=0.0, max_doc_freq=10).count() == 0

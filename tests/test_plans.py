@@ -163,3 +163,36 @@ def test_tfidf_and_ngram_topk_are_take_ordered(spark, sf_dir):
         plan = plan_of(q(spark, sf_dir))
         # top-N must be TakeOrdered (per-partition fold), never a global sort
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_asof_join_nullable_right_cols_come_from_same_row(spark):
+    """A NULL field in the matched right row must surface as NULL — not
+    be back-filled from an older right row (same-row struct carry)."""
+    from pyspark.sql import functions as F
+
+    from mi_inbound_pulsar_spark.operators.asof import asof_join, asof_join_forward
+
+    left = spark.createDataFrame([("k", 100)], "key string, lts long")
+    right = spark.createDataFrame(
+        [("k", 10, "old-label", 1), ("k", 50, None, 2)],
+        "key string, rts long, label string, rid int",
+    )
+    got = asof_join(
+        left, right, key="key", left_ts="lts", right_ts="rts",
+        right_cols=["rid", "label"],
+    ).collect()
+    assert len(got) == 1 and got[0]["rid"] == 2 and got[0]["label"] is None
+
+    fwd_left = spark.createDataFrame([("k", 5)], "key string, lts long")
+    got_f = asof_join_forward(
+        fwd_left, right, key="key", left_ts="lts", right_ts="rts",
+        right_cols=["rid", "label"],
+    ).collect()
+    # forward match is rts=10 whose label is non-null; now probe a null
+    assert len(got_f) == 1 and got_f[0]["rid"] == 1 and got_f[0]["label"] == "old-label"
+    fwd_left2 = spark.createDataFrame([("k", 20)], "key string, lts long")
+    got_f2 = asof_join_forward(
+        fwd_left2, right, key="key", left_ts="lts", right_ts="rts",
+        right_cols=["rid", "label"],
+    ).collect()
+    assert len(got_f2) == 1 and got_f2[0]["rid"] == 2 and got_f2[0]["label"] is None

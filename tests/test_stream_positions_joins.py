@@ -116,3 +116,59 @@ def test_stream_stream_join_within_interval(spark, sf_dir):
     }
     assert pairs == truth
     assert len(truth) > 0
+
+
+def test_latest_default_staging_ignores_stale_backlog(spark, sf_dir):
+    """S5 — a Latest subscription on the DEFAULT staging dir must not
+    replay parquet a prior Earliest run staged there ('start at head')."""
+    # a prior Earliest-style run stages the backlog into the shared default dir
+    simulated_stream(spark, sf_dir, files=1)
+    cfg = PulsarSourceConfig(
+        service_url="pulsar://sim:6650",
+        topics_pattern=".*",
+        initial_position=SubscriptionInitialPosition.LATEST,
+    )
+    stream = simulated_stream(spark, sf_dir, cfg=cfg)  # no explicit staging_dir
+    seen: list[int] = []
+    q = _drain(stream, lambda df, e: seen.append(df.count()))
+    q.stop()
+    assert sum(seen) == 0
+
+
+def test_regex_subscription_mode_scopes_topic_domain(spark, sf_dir):
+    """S2 — PersistentOnly/NonPersistentOnly scope the topic set before
+    the pattern applies (PulsarMessageConsumer.java:368-376)."""
+    from mi_inbound_pulsar_spark.config import RegexSubscriptionMode
+    from mi_inbound_pulsar_spark.sources.pulsar_source import subscribe
+
+    frame = simulated_message_frame(spark, sf_dir)
+    # rewrite one topic to the non-persistent domain
+    mixed = frame.withColumn(
+        "topic",
+        F.when(
+            F.col("topic").endswith("t0"),
+            F.regexp_replace("topic", "^persistent://", "non-persistent://"),
+        ).otherwise(F.col("topic")),
+    )
+    base = dict(service_url="pulsar://sim:6650", topics_pattern=".*")
+    pers = subscribe(
+        mixed,
+        PulsarSourceConfig(
+            **base, regex_subscription_mode=RegexSubscriptionMode.PERSISTENT_ONLY
+        ),
+    )
+    nonp = subscribe(
+        mixed,
+        PulsarSourceConfig(
+            **base, regex_subscription_mode=RegexSubscriptionMode.NON_PERSISTENT_ONLY
+        ),
+    )
+    allt = subscribe(
+        mixed,
+        PulsarSourceConfig(**base, regex_subscription_mode=RegexSubscriptionMode.ALL_TOPICS),
+    )
+    n_t0 = mixed.filter(F.col("topic").startswith("non-persistent://")).count()
+    assert n_t0 > 0
+    assert nonp.count() == n_t0
+    assert pers.count() == mixed.count() - n_t0
+    assert allt.count() == mixed.count()
