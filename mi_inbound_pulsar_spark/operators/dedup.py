@@ -532,10 +532,10 @@ def rhp_band_keys(e: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
-@query(
-    "q_embedding_neardup_lsh",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+# DuckDB replay of the full RHP-LSH pair pipeline (shared by the pair
+# query's oracle and the clustering oracle's edge list)
+_RHP_PAIRS_CTE = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     bits AS (
       SELECT vec_id, j,
              CASE WHEN list_dot_product(
@@ -554,13 +554,22 @@ def rhp_band_keys(e: DataFrame, dim: int = 64) -> DataFrame:
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM keys a JOIN keys b
         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    lsh_pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+      WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4
     )
-    SELECT id_a, id_b
-    FROM cand
-      JOIN e ea ON ea.vec_id = id_a
-      JOIN e eb ON eb.vec_id = id_b
-    WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4
-    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "q_embedding_neardup_lsh",
+    oracle=f"""
+    WITH {_RHP_PAIRS_CTE}
+    SELECT id_a, id_b FROM lsh_pairs ORDER BY id_a, id_b
     """,
 )
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,7 +683,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@query("q_neardup_clusters")  # iterative fixpoint → no single SQL oracle
+@query(
+    "q_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_RHP_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION
+      SELECT id_b, id_a FROM lsh_pairs
+    ),
+    reach(doc_id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.doc_id
+    )
+    SELECT doc_id, CAST(min(comp) AS BIGINT) AS component
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the
     oracle-checked cosine≥0.4 pair list, labeled by the smallest
@@ -682,8 +708,12 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The edge list comes from the LSH-bucketed pair path (the 100 TB
     candidate generator — every step bucketed, nothing quadratic),
-    not the brute-force verifier. Rows-only (iterative); exact
-    union-find equivalence is gated in tests/test_dedup_similarity.py.
+    not the brute-force verifier. The Spark side iterates min-label
+    propagation to a fixpoint (O(diameter) shuffles); the oracle
+    replays the same LSH pairs in DuckDB and takes min over a
+    recursive transitive closure — tractable because near-dup
+    components are tiny. Union-find equivalence is additionally gated
+    in tests/test_dedup_similarity.py.
     """
     pairs = q_embedding_neardup_lsh(spark, sf_dir)
     return connected_components(pairs).orderBy("doc_id")
