@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.ann_kmeans",
     "mi_inbound_pulsar_spark.operators.text",
     "mi_inbound_pulsar_spark.operators.multimodal",
+    "mi_inbound_pulsar_spark.operators.sampling",
 )
 
 
@@ -74,7 +75,6 @@ _PRIORITY = (
     "q_salted_skew_join",
     "q_lateral_topk",
     "q_recursive_calendar",
-    "q_subquery_scalar",
     # window functions
     "q_window_analytic",
     "q_window_range_frame",
@@ -86,7 +86,6 @@ _PRIORITY = (
     "q_unpivot",
     "q_pivot",
     # scalar function surface
-    "q_string_functions",
     "q_datetime_functions",
     "q_array_higher_order",
     "q_json_extract",
@@ -126,6 +125,9 @@ _PRIORITY = (
     # approximate aggregates (bounded-tolerance oracles)
     "q_approx_distinct",
     "q_agg_approx_percentile",
+    # deterministic sampling / splitting
+    "q_hash_split",
+    "q_doc_chunking",
 )
 
 

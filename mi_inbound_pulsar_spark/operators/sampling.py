@@ -1,0 +1,209 @@
+"""Deterministic sampling / splitting / chunking for training-data
+pipelines.
+
+Every operator here keys its randomness off ``md5`` of a stable record
+id instead of an RNG, which buys three properties a 100 TB corpus
+pipeline needs and ``rand()``/``sample()`` cannot give:
+
+- **Reproducible**: the same document lands in the same split/sample on
+  every run, any cluster size, any partitioning — no seed plumbing.
+- **Stable under growth**: adding documents never reshuffles existing
+  assignments (critical for train/test contamination control).
+- **Distributed-free**: assignment is a narrow per-row projection — no
+  shuffle, no global coordination, trivially pushed down next to the
+  scan.
+
+The md5 hex string is identical across engines, so every operator has
+an exact DuckDB oracle. Thresholds compare the first hex byte
+(256 buckets) as a *string* — portable with zero integer-parsing
+differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+def hash_bucket(col, salt: str):
+    """First hex byte of md5(salt || value) — 256 deterministic buckets."""
+    return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 2)
+
+
+@query(
+    "q_hash_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE WHEN substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by hashed doc_id.
+
+    Buckets '00'..'cc' (205/256 ≈ 80.1%) → train, 'cd'..'e5'
+    (25/256 ≈ 9.8%) → val, rest → test. A document's split never
+    changes as the corpus grows, and membership is decided row-local —
+    the split is a free projection on top of the scan, no shuffle
+    until the (tiny) per-split aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), "split-")
+    return (
+        d.select(
+            "n_chars",
+            F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias("split"),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_doc_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             w[i*50 + 1 : least(len(w), (i+1)*50)] AS cw
+      FROM toks, unnest(range(0, (len(w) - 1) // 50 + 1)) AS t(i)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(cw) AS BIGINT) AS n_chunk_tokens,
+           cw[1] AS first_token
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into fixed
+    50-token chunks (the last one ragged) — the standard pre-packing
+    step before sequence assembly for training.
+
+    Narrow op: tokenize once into an array column, explode a chunk
+    index, slice per chunk. No shuffle at all (the ORDER BY is
+    presentation); at 100 TB this runs entirely map-side and the
+    output is written partition-parallel.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") > 0)
+    chunked = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("w") - 1) / F.lit(50)).cast("int"))
+        ).alias("chunk_id"),
+        "w",
+    )
+    return (
+        chunked.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice("w", F.col("chunk_id") * 50 + 1, 50).alias("cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("cw").cast("long").alias("n_chunk_tokens"),
+            F.element_at("cw", 1).alias("first_token"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "q_quota_sample",
+    oracle="""
+    SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('quota-' || CAST(doc_id AS VARCHAR))
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 10
+    ORDER BY lang, rn
+    """,
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling: a deterministic 'random' 10 docs per
+    language, ordered by hashed id (md5 is unique per id, so the order
+    — and therefore the sample — is total and reproducible).
+
+    Scale: one hash-shuffle on the group key; with heavy groups use the
+    per-partition partial top-k pattern (TakeOrdered-per-group, see
+    similarity.py) so no group ever materializes fully.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.concat(F.lit("quota-"), F.col("doc_id").cast("string"))))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", F.col("rn").cast("long").alias("rn"), "doc_id")
+        .orderBy("lang", "rn")
+    )
+
+
+@query(
+    "q_corpus_mixture",
+    oracle="""
+    WITH rated AS (
+      SELECT source,
+             CASE CAST(substring(source, 4) AS INTEGER) % 4
+               WHEN 0 THEN 'ff' WHEN 1 THEN '80' WHEN 2 THEN '40' ELSE '1a' END AS thr,
+             substring(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE b <= thr) AS BIGINT) AS n_kept
+    FROM rated GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: downsample each source at its own rate
+    (100% / 50% / 25% / 10% by source index mod 4) via hash
+    thresholding — how a training mix is rebalanced across crawls
+    without ever materializing an intermediate corpus.
+
+    Row-local decision (no shuffle before the per-source aggregate),
+    reproducible, and monotone: lowering a source's rate only removes
+    documents, it never swaps them — so mixtures can be retuned
+    without invalidating downstream dedup/packing work.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, "ff")
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, "80")
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, "40")
+        .otherwise("1a")
+    )
+    b = hash_bucket(F.col("doc_id"), "mix-")
+    return (
+        d.select("source", (b <= thr).alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
