@@ -207,3 +207,76 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_split_contamination",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             CASE WHEN substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    sh AS (
+      SELECT split, doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT split, doc_id, string_split(text, ' ') AS w FROM tagged),
+           unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+      GROUP BY ALL
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    test_sh AS (SELECT doc_id, shingle FROM sh WHERE split = 'test')
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(tr.shingle) AS BIGINT) AS n_contaminated,
+           round(count(tr.shingle) * 1.0 / count(*), 6) AS contamination
+    FROM test_sh t LEFT JOIN train_sh tr ON t.shingle = tr.shingle
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: for every TEST document, the
+    fraction of its distinct word-3-gram shingles that also occur in
+    some TRAIN document — the decontamination check run before any
+    evaluation on held-out data. Composes the hash split with the
+    dedup shingle machinery.
+
+    Scale: the probe is a broadcast-free inverted-index LEFT JOIN on
+    the shingle key (train shingles deduped first, so the join input
+    is the distinct-shingle set, not the corpus); contamination of the
+    test sliver against a 100 TB train set shuffles only shingle keys.
+    """
+    from mi_inbound_pulsar_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), "split-")
+    tagged = d.select(
+        "doc_id",
+        "text",
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias("split"),
+    )
+    sh = shingles(tagged, n=3)
+    sh = sh.join(tagged.select("doc_id", "split"), "doc_id")
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
+    return (
+        test_sh.join(
+            train_sh.withColumn("hit", F.lit(1)), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )

@@ -378,3 +378,59 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "edit_dist")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_repetition_filter",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM docs, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    freq AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS BIGINT) AS max_bigram_count,
+           round(max(c) * 1.0 / sum(c), 6) AS rep_ratio,
+           max(c) * 1.0 / sum(c) > 0.05 AS flagged
+    FROM freq GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal (the Gopher/C4-style filter):
+    fraction of a document's bigrams taken by its single most frequent
+    bigram. High ratio ⇒ boilerplate/looping text — a standard drop
+    rule in training-corpus curation.
+
+    Plan: tokenize → posexplode bigrams → two-level aggregate, all
+    built-ins; the only shuffle is the per-doc groupBy. ``flagged``
+    makes the drop decision hash-checkable.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        freq.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram_count"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "max_bigram_count",
+            F.round(F.col("max_bigram_count") / F.col("n_bigrams"), 6).alias("rep_ratio"),
+            (F.col("max_bigram_count") / F.col("n_bigrams") > 0.05).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
