@@ -280,3 +280,59 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS stream_offset
+      FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(stream_offset AS BIGINT) AS stream_offset,
+           CAST(stream_offset // 512 AS BIGINT) AS pack_start,
+           CAST((stream_offset + n_tokens - 1) // 512 AS BIGINT) AS pack_end
+    FROM packed ORDER BY source, doc_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by concatenation: documents of each source are
+    laid out as one token stream (ordered by doc_id) and cut into
+    fixed 512-token context windows — each doc gets its stream offset
+    and the first/last pack it lands in. This is the concat-and-chunk
+    packing GPT-style training uses (no padding, docs may straddle
+    window boundaries).
+
+    Plan: one window cumsum per source partition (integer-exact, so the
+    oracle matches bit-for-bit), everything else row-local. At 100 TB
+    packing runs per source shard in parallel; the running offset is
+    the only cross-row dependency and it is a single window over the
+    pack ordering — no iterative state.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("stream_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "stream_offset",
+        F.floor(F.col("stream_offset") / 512).alias("pack_start"),
+        F.floor((F.col("stream_offset") + F.col("n_tokens") - 1) / 512).alias("pack_end"),
+    ).orderBy("source", "doc_id")

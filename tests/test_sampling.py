@@ -88,3 +88,24 @@ def test_sampling_ops_are_shuffle_free_before_aggregate(spark, sf_dir):
     plan = q_doc_chunking(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     # chunking has no aggregate at all: the only exchange is the orderBy sort
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_sequence_packing_offsets_are_contiguous(spark, sf_dir):
+    """Per source stream: offsets tile exactly (no gaps/overlaps) and
+    pack ids match the 512-token window arithmetic."""
+    from mi_inbound_pulsar_spark.operators.sampling import q_sequence_packing
+
+    rows = q_sequence_packing(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in docs:
+            assert r["stream_offset"] == expect
+            assert r["pack_start"] == r["stream_offset"] // 512
+            assert r["pack_end"] == (r["stream_offset"] + r["n_tokens"] - 1) // 512
+            assert r["pack_end"] >= r["pack_start"]
+            expect += r["n_tokens"]
