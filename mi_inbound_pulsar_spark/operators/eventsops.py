@@ -310,16 +310,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user z-score normalization via ``applyInPandas`` (grouped
-    map) — the feature-standardization pattern of a training pipeline.
+    """Per-user z-score normalization — the feature-standardization
+    pattern of a training pipeline.
 
-    Expressible with window functions too (that is the oracle); the
-    grouped-map form is registered deliberately: it is the surface a
-    user reaches for when the per-group logic outgrows SQL (sklearn
-    transforms, per-entity model scoring), and it shows the engine's
-    one-shuffle group→Arrow-batch→pandas path. Skew note: one group
-    must fit in memory — for 100 TB keys, pre-aggregate or salt.
+    Registered form: pure window functions (one hash shuffle, JVM
+    whole-stage codegen, streams through groups of any size) — the
+    plan a user should copy for a plain z-score. The grouped-map
+    ``applyInPandas`` twin (:func:`zscore_per_group_pandas`) is the
+    surface you swap in when the per-group logic outgrows SQL (sklearn
+    transforms, per-entity model scoring); it is equivalence-tested
+    against this form but NOT the canonical plan — one group must fit
+    in memory there, and each group pays an Arrow round-trip.
     """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return e.select("event_id", "user_id", F.round(z, 6).alias("z")).orderBy("event_id")
+
+
+def zscore_per_group_pandas(e: DataFrame) -> DataFrame:
+    """Grouped-map twin of :func:`q_zscore_per_group` — the
+    group→Arrow-batch→pandas extension surface (see its docstring for
+    when to prefer which). Skew note: a whole group materializes in one
+    worker's memory — for 100 TB hot keys, pre-aggregate or salt."""
     import pandas as pd
 
     def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -330,11 +345,8 @@ def q_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
         )
 
-    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return (
-        e.groupBy("user_id")
-        .applyInPandas(standardize, schema="event_id long, user_id long, z double")
-        .orderBy("event_id")
+    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        standardize, schema="event_id long, user_id long, z double"
     )
 
 

@@ -164,3 +164,18 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark):
     assert ("ad2", None) in got
     # exactly one outer row for ad2 (no duplicates across batches)
     assert sum(1 for r in rows if r["ad_id"] == "ad2") == 1
+
+
+def test_zscore_window_and_pandas_forms_agree(spark, sf_dir):
+    """The canonical window z-score and the grouped-map extension
+    surface must produce identical rows."""
+    from mi_inbound_pulsar_spark.operators.eventsops import (
+        q_zscore_per_group,
+        zscore_per_group_pandas,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    a = {tuple(r) for r in q_zscore_per_group(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    b = {tuple(r) for r in zscore_per_group_pandas(e).collect()}
+    assert a == b and len(a) > 0
