@@ -321,3 +321,38 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY event_type, least(floor(value / 50), 9)
+    ORDER BY event_type, bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group: 10 buckets of width 50 with a
+    top catch-all — the distribution profile an engine computes before
+    choosing skew mitigations or clipping thresholds.
+
+    Bucket assignment is row-local arithmetic (exact: bucket
+    boundaries are binary-representable), so the plan is a plain
+    two-key partial aggregate — no sort, no window, one shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
