@@ -254,15 +254,13 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id"), "split-")
-    tagged = d.select(
-        "doc_id",
-        "text",
-        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias("split"),
-    )
-    sh = shingles(tagged, n=3)
-    sh = sh.join(tagged.select("doc_id", "split"), "doc_id")
-    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
-    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    # filter each side BEFORE shingling: the split predicate is row-local
+    # arithmetic on doc_id, so it pushes into the scan and each side
+    # explodes only its own sliver (no corpus-wide shingle pass, no
+    # re-attach join)
+    train_sh = shingles(d.filter(split == "train"), n=3).select("shingle").distinct()
+    test_sh = shingles(d.filter(split == "test"), n=3)
     return (
         test_sh.join(
             train_sh.withColumn("hit", F.lit(1)), "shingle", "left"
