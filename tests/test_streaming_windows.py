@@ -179,3 +179,63 @@ def test_zscore_window_and_pandas_forms_agree(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     b = {tuple(r) for r in zscore_per_group_pandas(e).collect()}
     assert a == b and len(a) > 0
+
+
+def test_stream_stream_full_outer_emits_both_sides_unmatched(spark):
+    # Full-outer stream-stream join: unmatched rows from BOTH sides emit
+    # (with nulls) once the global watermark clears their join windows —
+    # each exactly once.
+    l_dir = tempfile.mkdtemp(prefix="ss_fo_l_")
+    r_dir = tempfile.mkdtemp(prefix="ss_fo_r_")
+
+    def wl(rows):
+        (
+            spark.createDataFrame(rows, "ad_time string, ad_key string, ad_id string")
+            .selectExpr("CAST(ad_time AS TIMESTAMP) AS ad_time", "ad_key", "ad_id")
+            .coalesce(1).write.mode("append").parquet(l_dir)
+        )
+
+    def wr(rows):
+        (
+            spark.createDataFrame(rows, "click_time string, click_key string, click_id string")
+            .selectExpr("CAST(click_time AS TIMESTAMP) AS click_time", "click_key", "click_id")
+            .coalesce(1).write.mode("append").parquet(r_dir)
+        )
+
+    # ad1/click1 match; ad2 unmatched left; click_orphan unmatched right
+    wl([("2024-01-01 12:00:00", "k1", "ad1"), ("2024-01-01 12:05:00", "k2", "ad2")])
+    wr([("2024-01-01 12:10:00", "k1", "click1"), ("2024-01-01 12:12:00", "k7", "click_orphan")])
+
+    ads = (
+        spark.readStream.schema("ad_time timestamp, ad_key string, ad_id string")
+        .option("maxFilesPerTrigger", 1).parquet(l_dir)
+        .withWatermark("ad_time", "10 minutes")
+    )
+    clicks = (
+        spark.readStream.schema("click_time timestamp, click_key string, click_id string")
+        .option("maxFilesPerTrigger", 1).parquet(r_dir)
+        .withWatermark("click_time", "10 minutes")
+    )
+    joined = ads.join(
+        clicks,
+        (F.col("ad_key") == F.col("click_key"))
+        & F.col("click_time").between(
+            F.col("ad_time"), F.col("ad_time") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "fullOuter",
+    )
+    rows: list = []
+    q = joined.writeStream.foreachBatch(lambda df, e: rows.extend(df.collect())).start()
+    q.processAllAvailable()
+    # advance the global watermark on both sides past every join window
+    wl([("2024-01-01 13:30:00", "k9", "ad_sentinel")])
+    wr([("2024-01-01 13:30:00", "k9", "click_sentinel")])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["ad_id"], r["click_id"]) for r in rows}
+    assert ("ad1", "click1") in got
+    assert ("ad2", None) in got  # unmatched left
+    assert (None, "click_orphan") in got  # unmatched right
+    assert sum(1 for r in rows if r["ad_id"] == "ad2") == 1
+    assert sum(1 for r in rows if r["click_id"] == "click_orphan" and r["ad_id"] is None) == 1
