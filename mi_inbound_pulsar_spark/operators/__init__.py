@@ -86,7 +86,6 @@ _PRIORITY = (
     "q_unpivot",
     "q_pivot",
     # scalar function surface
-    "q_datetime_functions",
     "q_array_higher_order",
     "q_json_extract",
     "q_try_functions",
@@ -128,6 +127,8 @@ _PRIORITY = (
     # deterministic sampling / splitting
     "q_hash_split",
     "q_doc_chunking",
+    # flagship end-to-end training-data prep (quality→dedup→split→pack)
+    "q_training_data_pipeline",
 )
 
 

@@ -334,3 +334,80 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("stream_offset") / 512).alias("pack_start"),
         F.floor((F.col("stream_offset") + F.col("n_tokens") - 1) / 512).alias("pack_end"),
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "q_training_data_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, any_value(source) AS source,
+             any_value(n_tokens) AS n_tokens
+      FROM quality GROUP BY md5(text)
+    ),
+    train AS (
+      SELECT doc_id, source, n_tokens FROM deduped
+      WHERE substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS stream_offset
+      FROM train
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(stream_offset AS BIGINT) AS stream_offset,
+           CAST(stream_offset // 512 AS BIGINT) AS pack_start
+    FROM packed ORDER BY source, doc_id
+    """,
+)
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep as ONE declarative plan:
+    quality-filter → exact dedup → train-split selection → sequence
+    packing. A user of the reference connector runs this instead of
+    four jobs with three intermediate materializations.
+
+    Stage shapes (all deterministic, end-to-end oracle-checked):
+    1. quality gate — narrow filter (token count ≥ 20), pushed to scan;
+    2. exact dedup — groupBy on md5(text): the shuffle carries a
+       16-byte hash + tiny payload, min-doc_id keeper;
+    3. split — row-local md5 bucket, train side kept;
+    4. packing — per-source window cumsum, integer-exact offsets.
+    Catalyst fuses 1+3 into the scan stage; total cost is one dedup
+    shuffle + one window shuffle regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.select(
+        "doc_id", "source", "text", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 20)
+    deduped = (
+        quality.groupBy(F.md5("text"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("source").alias("source"),
+            F.any_value("n_tokens").alias("n_tokens"),
+        )
+        .drop("md5(text)")
+    )
+    train = deduped.filter(hash_bucket(F.col("doc_id"), "split-") < "cd")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = train.withColumn("stream_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "stream_offset",
+        F.floor(F.col("stream_offset") / 512).alias("pack_start"),
+    ).orderBy("source", "doc_id")
