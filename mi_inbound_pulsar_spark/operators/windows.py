@@ -259,3 +259,117 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q_time_rollup_pyramid",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN hour_ts IS NULL THEN 'day' ELSE 'hour' END AS level,
+           coalesce(hour_ts, day_ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM (
+      SELECT event_type, value,
+             date_trunc('day', ts)  AS day_ts,
+             date_trunc('hour', ts) AS hour_ts
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, day_ts), (event_type, hour_ts))
+    ORDER BY event_type, level, bucket_ts
+    """,
+)
+def q_time_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pyramid: hourly AND daily rollups of the
+    event stream in ONE pass via GROUPING SETS (an Expand node feeds
+    both granularities into a single shuffle) — the hypertable
+    downsampling pattern without materializing each level separately.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_pyr")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN hour_ts IS NULL THEN 'day' ELSE 'hour' END AS level,
+               coalesce(hour_ts, day_ts) AS bucket_ts,
+               count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM (
+          SELECT event_type, value,
+                 date_trunc('day', ts)  AS day_ts,
+                 date_trunc('hour', ts) AS hour_ts
+          FROM events_pyr
+        )
+        GROUP BY GROUPING SETS ((event_type, day_ts), (event_type, hour_ts))
+        ORDER BY event_type, level, bucket_ts
+        """
+    )
+
+
+@query(
+    "q_gap_fill_locf",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_type, date_trunc('day', ts) AS day, round(sum(value), 2) AS day_total
+      FROM events WHERE value > 480
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    bounds AS (
+      SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds) d
+    )
+    SELECT s.event_type, s.day,
+           sp.day_total IS NOT NULL AS observed,
+           last_value(sp.day_total IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_total
+    FROM spine s LEFT JOIN sparse sp ON s.event_type = sp.event_type AND s.day = sp.day
+    ORDER BY s.event_type, s.day
+    """,
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward: a complete
+    daily spine per event type (generated with ``sequence``, no
+    recursion), sparse observations left-joined in, gaps filled by
+    ``last(ignoreNulls)`` over the time order — the time-series
+    interpolation operator (TimescaleDB ``locf``/``time_bucket_gapfill``
+    shape) on plain window functions.
+
+    Scale: the spine is |types| × |days| — tiny relative to the events
+    it summarizes; the only heavy step is the pre-aggregated sparse
+    daily rollup (partial agg), and the fill is one window per type.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    sparse = (
+        e.filter(F.col("value") > 480)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("day_total"))
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts")).alias("lo"), F.max(F.date_trunc("day", "ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(sparse, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("day_total").isNotNull().alias("observed"),
+            F.last("day_total", ignorenulls=True).over(w).alias("filled_total"),
+        )
+        .orderBy("event_type", "day")
+    )
