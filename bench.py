@@ -57,6 +57,9 @@ HEADLINE = [
     "q_zscore_per_group",
     "q_variant_extract",
     "q09_product_profit",
+    # sampling / training-data prep (round 2)
+    "q_split_contamination",
+    "q_training_data_pipeline",
 ]
 
 

@@ -383,3 +383,72 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM tagged
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts wherever
+    the per-user inter-event gap exceeds 30 minutes; session ids are
+    the running count of such boundaries — lag + cumulative sum, the
+    classic two-window formulation. Complements the *streaming*
+    ``session_window`` operator (same semantics, stateful merge) with
+    the batch/backfill form an analyst runs over history.
+
+    Scale: both windows share one (user_id) partitioning — Catalyst
+    plans a single Exchange; the ordering key (ts, event_id) is total,
+    so results are deterministic under any parallelism.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_new = (
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long") > 1800),
+            1,
+        ).otherwise(0)
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(gap_new).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias(
+            "session_id"
+        ),
+    )
+    return (
+        tagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
