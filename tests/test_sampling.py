@@ -109,3 +109,18 @@ def test_sequence_packing_offsets_are_contiguous(spark, sf_dir):
             assert r["pack_end"] == (r["stream_offset"] + r["n_tokens"] - 1) // 512
             assert r["pack_end"] >= r["pack_start"]
             expect += r["n_tokens"]
+
+
+def test_training_pipeline_is_two_shuffles(spark, sf_dir):
+    """Flagship E2E plan shape: quality gate and split fuse into the
+    scan stage; the only hash shuffles are the dedup groupBy and the
+    packing window (plus the presentation sort)."""
+    from mi_inbound_pulsar_spark.operators.sampling import q_training_data_pipeline
+
+    plan = (
+        q_training_data_pipeline(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
