@@ -434,3 +434,58 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_rare_token_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             count(*) FILTER (WHERE tf.cf < 20) AS n_rare
+      FROM tok t JOIN tf ON t.token = tf.token
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           round(n_rare * 1.0 / n_tokens, 6) AS rare_ratio,
+           n_rare * 1.0 / n_tokens > 0.15 AS flagged
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token quality signal (the integer-exact core of CCNet-style
+    LM filtering): fraction of a document's tokens whose corpus
+    frequency is below a threshold. High ratio ⇒ noise/garble/OCR
+    damage — a standard drop rule in corpus curation. Counting rare
+    tokens instead of averaging log-probabilities keeps every
+    intermediate an integer, so the oracle matches exactly (a float
+    logprob sum would be summation-order sensitive).
+
+    Plan: one token-frequency aggregate (map-side partial), one join
+    back on the token key, one per-doc aggregate. The frequency table
+    is |vocab|-sized — broadcastable in practice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        tok.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("cf") < 20).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_ratio"),
+            (F.col("n_rare") / F.col("n_tokens") > 0.15).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

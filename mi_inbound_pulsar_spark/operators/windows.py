@@ -373,3 +373,54 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q_anomaly_trailing",
+    oracle="""
+    WITH scored AS (
+      SELECT event_id, user_id, value,
+             avg(value)         OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*)           OVER w AS n_prior
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, round(value, 2) AS value,
+           n_prior >= 30 AND value > mu + 3 * sigma AS is_anomaly
+    FROM scored ORDER BY event_id
+    """,
+)
+def q_anomaly_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flag: an event is anomalous when its
+    value exceeds mean + 3σ of the previous 100 events of its type
+    (warm-up guarded at 30 priors) — the rolling-baseline monitor an
+    ingest pipeline runs on every metric stream.
+
+    Window-frame aggregates are computed in frame order (not partial
+    aggregation), so the float mean/σ are deterministic and the
+    boolean flag is oracle-exact. One shuffle on event_type; in
+    streaming the same logic runs per micro-batch against a rolling
+    state table.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            (
+                (F.count(F.lit(1)).over(w) >= 30)
+                & (F.col("value") > F.avg("value").over(w) + 3 * F.stddev_samp("value").over(w))
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )
