@@ -165,3 +165,38 @@ def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "q_ann_kmeans_recall",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def q_ann_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-oracle form of the trained-index path: top-5 recall of
+    the k-means IVF against the exact brute-force top-5, emitted as a
+    driver-hashable boolean (observed 0.86-0.90; gated at ≥ 0.8).
+    Training is seeded and Lloyd's is deterministic on this data, so
+    the flag is stable — the same technique that made the HLL and
+    t-digest sketches hash-checkable (exact twin + tolerance claim).
+    """
+    approx = q_ann_kmeans_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    from mi_inbound_pulsar_spark.operators.similarity import brute_force_topk
+
+    exact = brute_force_topk(e, e.filter(F.col("vec_id") < N_QUERIES)).select(
+        "query_id", "neighbor_id"
+    )
+    n_hit = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("query_id").alias("n_queries"),
+    )
+    return totals.crossJoin(n_hit).select(
+        "n_queries", (F.col("hits") / F.col("n_exact") >= 0.8).alias("recall_ok")
+    )
