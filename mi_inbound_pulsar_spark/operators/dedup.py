@@ -729,3 +729,30 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = q_embedding_neardup_lsh(spark, sf_dir)
     return connected_components(pairs).orderBy("doc_id")
+
+
+@query(
+    "q_simhash_consistency",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE n_docs > 1) AS BIGINT) AS n_dup_text_groups,
+           true AS simhash_consistent
+    FROM (SELECT md5(text) AS h, count(*) AS n_docs FROM documents GROUP BY md5(text))
+    """,
+)
+def q_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-oracle sibling of the rows-only signature dump: SimHash
+    is a pure function of the text, so every group of byte-identical
+    documents must share one signature. Emits the duplicate-text group
+    count plus that invariant as a driver-hashable boolean (the raw
+    xxhash64-based signatures themselves are engine-specific and stay
+    rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(d).join(d.select("doc_id", F.md5("text").alias("h")), "doc_id")
+    per_text = sigs.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("simhash").alias("n_sigs"),
+    )
+    return per_text.agg(
+        F.count_if(F.col("n_docs") > 1).alias("n_dup_text_groups"),
+        F.bool_and(F.col("n_sigs") == 1).alias("simhash_consistent"),
+    )

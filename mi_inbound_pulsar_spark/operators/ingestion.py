@@ -216,3 +216,41 @@ def q_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("message_id", "redelivery_count", "route")
         .orderBy(F.col("message_id").cast("long"))
     )
+
+
+@query(
+    "q_key_distribution",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+                  ELSE 'user-' || CAST(user_id AS VARCHAR) END AS key
+      FROM events
+    ),
+    per_key AS (
+      SELECT key, count(*) AS n FROM m WHERE key IS NOT NULL GROUP BY key
+    )
+    SELECT CAST(count(*) AS BIGINT)          AS n_keys,
+           CAST(max(n) AS BIGINT)            AS hottest,
+           CAST(min(n) AS BIGINT)            AS coldest,
+           round(max(n) * 1.0 / avg(n), 4)   AS skew_ratio
+    FROM per_key
+    """,
+)
+def q_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of the message stream: distinct key count,
+    hottest/coldest key volume, and hottest/mean skew ratio — the
+    diagnostic that decides whether a Key_Shared consumer (S4) or a
+    keyed-state operator needs salting (plans/skew.py). One partial
+    aggregate on the key, then a scalar fold."""
+    frame = simulated_message_frame(spark, sf_dir)
+    per_key = (
+        frame.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("hottest"),
+        F.min("n").alias("coldest"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )

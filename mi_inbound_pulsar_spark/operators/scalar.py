@@ -260,3 +260,45 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS maybe_user,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END   AS maybe_value
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           coalesce(maybe_user, -1)                   AS user_or_default,
+           nullif(maybe_user, 10)                     AS user_not_10,
+           maybe_user IS NOT DISTINCT FROM maybe_user AS self_ndsafe,
+           maybe_user IS DISTINCT FROM 10             AS not_user_10,
+           maybe_value IS NULL AND maybe_user IS NULL AS both_null,
+           round(coalesce(maybe_value, 0.0), 2)       AS value_or_zero
+    FROM m ORDER BY event_id
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: COALESCE, NULLIF, null-safe equality
+    (`<=>` ≙ IS NOT DISTINCT FROM), IS DISTINCT FROM, and NULL
+    conjunctions — the semantics every outer join and filter sits on.
+    All row-local; Catalyst constant-folds the null-safe self-compare
+    to true."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    maybe_user = F.when(F.col("user_id") % 10 == 0, None).otherwise(F.col("user_id"))
+    maybe_value = F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    m = e.select(
+        "event_id", maybe_user.alias("maybe_user"), maybe_value.alias("maybe_value")
+    )
+    return m.select(
+        "event_id",
+        F.coalesce("maybe_user", F.lit(-1)).alias("user_or_default"),
+        F.nullif("maybe_user", F.lit(10)).alias("user_not_10"),
+        F.col("maybe_user").eqNullSafe(F.col("maybe_user")).alias("self_ndsafe"),
+        (~F.col("maybe_user").eqNullSafe(F.lit(10))).alias("not_user_10"),
+        (F.col("maybe_value").isNull() & F.col("maybe_user").isNull()).alias("both_null"),
+        F.round(F.coalesce("maybe_value", F.lit(0.0)), 2).alias("value_or_zero"),
+    ).orderBy("event_id")
