@@ -756,3 +756,61 @@ def q_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_docs") > 1).alias("n_dup_text_groups"),
         F.bool_and(F.col("n_sigs") == 1).alias("simhash_consistent"),
     )
+
+
+@query(
+    "q_dup_source_matrix",
+    oracle="""
+    -- same recall argument as q_minhash_lsh_neardup: on this dataset
+    -- every J>=0.8 pair is recalled, so exact-Jaccard pairs ARE the
+    -- LSH output and the source matrix is reproducible in SQL
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT doc_a, doc_b
+      FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+    )
+    SELECT least(da.source, db.source)    AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT)       AS n_pairs
+    FROM dup
+      JOIN documents da ON dup.doc_a = da.doc_id
+      JOIN documents db ON dup.doc_b = db.doc_id
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-LSH near-dup pairs
+    rolled up by (source, source) — the governance report that shows
+    which crawls/dumps overlap (the input to mixture deweighting and
+    to choosing which source's copy to keep).
+
+    Scale: the heavy lifting is the already-bucketed LSH pair pipeline;
+    this adds two broadcast-able id→source joins and a tiny matrix
+    aggregate on top.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup(d, threshold=0.8)
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnsRenamed({"doc_id": "doc_a", "source": "src_a"}), "doc_a")
+        .join(src.withColumnsRenamed({"doc_id": "doc_b", "source": "src_b"}), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -254,3 +254,38 @@ def q_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("coldest"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
     )
+
+
+@query(
+    "q_topic_throughput",
+    oracle="""
+    WITH m AS (
+      SELECT 'persistent://public/default/t' || CAST(event_id % 3 AS VARCHAR) AS topic,
+             ts + INTERVAL 1 SECOND AS publish_time,
+             event_id
+      FROM events
+    )
+    SELECT topic, date_trunc('hour', publish_time) AS hour,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(count(DISTINCT event_id % 32) AS BIGINT) AS n_buckets_touched
+    FROM m GROUP BY topic, date_trunc('hour', publish_time)
+    ORDER BY topic, hour
+    """,
+)
+def q_topic_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic hourly throughput (plus a partition-spread proxy) from
+    publish_time — the broker-side observability query an operator runs
+    against the ingest history; one partial-aggregate shuffle."""
+    frame = simulated_message_frame(spark, sf_dir)
+    return (
+        frame.groupBy(
+            "topic", F.date_trunc("hour", "publish_time").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.count_distinct(F.col("message_id").cast("long") % 32).alias(
+                "n_buckets_touched"
+            ),
+        )
+        .orderBy("topic", "hour")
+    )
