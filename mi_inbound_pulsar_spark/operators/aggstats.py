@@ -356,3 +356,31 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(event_id) AS BIGINT) AS ids_and,
+           CAST(bit_or(event_id)  AS BIGINT) AS ids_or,
+           CAST(bit_xor(event_id) AS BIGINT) AS ids_xor
+    FROM events WHERE event_id < 4096
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — commutative/associative, so they
+    partial-aggregate map-side and are order-independent across any
+    partitioning (XOR-folding ids is also the cheap set-digest trick
+    for reconciliation checks between pipelines)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 4096)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bit_and("event_id").alias("ids_and"),
+            F.bit_or("event_id").alias("ids_or"),
+            F.bit_xor("event_id").alias("ids_xor"),
+        )
+        .orderBy("event_type")
+    )

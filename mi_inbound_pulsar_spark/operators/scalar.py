@@ -302,3 +302,43 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("maybe_value").isNull() & F.col("maybe_user").isNull()).alias("both_null"),
         F.round(F.coalesce("maybe_value", F.lit(0.0)), 2).alias("value_or_zero"),
     ).orderBy("event_id")
+
+
+@query(
+    "q_array_setops",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      FROM events WHERE user_id < 200 GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(types, ',') AS all_types,
+           array_to_string(list_sort(list_intersect(types, ['click', 'view'])), ',')
+             AS browse_types,
+           array_to_string(list_sort(list_filter(types, t -> NOT list_contains(['click', 'view'], t))), ',')
+             AS other_types,
+           list_contains(types, 'purchase') AS is_buyer
+    FROM per_user ORDER BY user_id
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over collected groups: intersect / except /
+    membership on each user's distinct event-type set. Arrays are
+    sorted before comparison (set ops don't define an order in either
+    engine); all ops run post-aggregation on tiny per-user arrays."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    browse = F.array(F.lit("click"), F.lit("view"))
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    return per_user.select(
+        "user_id",
+        F.array_join("types", ",").alias("all_types"),
+        F.array_join(F.array_sort(F.array_intersect("types", browse)), ",").alias(
+            "browse_types"
+        ),
+        F.array_join(F.array_sort(F.array_except("types", browse)), ",").alias(
+            "other_types"
+        ),
+        F.array_contains("types", "purchase").alias("is_buyer"),
+    ).orderBy("user_id")
