@@ -411,3 +411,79 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_offset",
         F.floor(F.col("stream_offset") / 512).alias("pack_start"),
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "q_stratified_split_check",
+    oracle="""
+    SELECT lang,
+           CASE WHEN substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train'
+                WHEN substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+)
+def q_stratified_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit of the hash split: per-(language, split)
+    document counts. Because the hash is independent of every document
+    attribute, the 80/10/10 proportions hold inside each stratum
+    without any per-stratum logic — this query is the evidence an ML
+    team checks before trusting a split (and the input to a chi-square
+    test if they want one). Row-local tag + one small aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), "split-")
+    return (
+        d.select(
+            "lang",
+            F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "q_mixture_upsample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CASE CAST(substring(source, 4) AS INTEGER) % 3
+               WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS n_epochs
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM weighted, unnest(generate_series(1, n_epochs)) AS t(epoch)
+    ORDER BY doc_id, epoch
+    """,
+)
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsampling half of mixture weighting: replicate each
+    document n_epochs times (per-source integer weights) by exploding
+    a sequence — how high-quality sources see multiple epochs in a
+    training mix. Deterministic, map-side (the replication happens in
+    the Expand/Generate node, no shuffle), and the epoch index rides
+    along so downstream packing can interleave copies.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    n_epochs = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 1)
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, 2)
+        .otherwise(3)
+    )
+    return (
+        d.select("doc_id", "source", n_epochs.alias("n_epochs"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
+        )
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+        .orderBy("doc_id", "epoch")
+    )
