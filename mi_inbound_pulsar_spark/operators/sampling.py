@@ -487,3 +487,56 @@ def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
         .orderBy("doc_id", "epoch")
     )
+
+
+@query(
+    "q_length_bucketing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             ntile(10) OVER (ORDER BY n_tokens, doc_id) AS bucket
+      FROM toks
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS padding_waste
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing for padded batching: documents ntile'd into 10
+    equal-size buckets by token count (ties broken by doc_id for a
+    total order), with the per-bucket padding waste a max-length-padded
+    batch would incur — the op that decides bucket boundaries when
+    sequences are batched padded instead of packed (the
+    ``q_sequence_packing`` alternative).
+
+    ntile needs a global order, so this is the one sampling op with a
+    range repartition; everything after is a small aggregate. At
+    100 TB, bucket per source shard instead of globally — boundaries
+    converge with size.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    b = toks.withColumn(
+        "bucket", F.ntile(10).over(Window.orderBy("n_tokens", "doc_id"))
+    )
+    return (
+        b.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket")
+    )
