@@ -237,3 +237,50 @@ def test_keyed_retry_ack_timeout_k6(spark, tmp_path):
     fake[0] = 1061.0  # elapsed → the unacked odd id comes back, count bumped
     pipe(empty, 2)
     assert seen == [("1", 1)]
+
+
+def test_keyed_retry_exponential_backoff(spark, tmp_path):
+    """K5 backoff at table scale: with multiplier 2 and base 60s, the
+    n-th redelivery waits 60s * 2^(n-1), capped at max_delay."""
+    from mi_inbound_pulsar_spark.streaming.delivery import KeyedRetryPipeline
+
+    fake = [0.0]
+    seen: list[tuple[str, int]] = []
+
+    def process(deliver, epoch_id):
+        seen.extend((r["message_id"], r["redelivery_count"]) for r in deliver.collect())
+        return deliver.select("message_id", F.lit(False).alias("ok"))  # always nack
+
+    pipe = KeyedRetryPipeline(
+        process,
+        DeadLetterPolicy(max_redeliveries=10),
+        state_dir=str(tmp_path / "state"),
+        nack_delay_ms=60_000,
+        backoff_multiplier=2.0,
+        max_delay_ms=180_000,
+        num_partitions=2,
+        clock=lambda: fake[0],
+    )
+    batch = spark.createDataFrame([("a", 0)], "message_id string, redelivery_count int")
+    empty = spark.createDataFrame([], "message_id string, redelivery_count int")
+
+    pipe(batch, 0)  # delivered at t=0, nacked -> count 1, delay 60s
+    assert seen == [("a", 0)]
+    fake[0] = 59.0
+    pipe(empty, 1)
+    assert len(seen) == 1  # not due yet
+    fake[0] = 61.0
+    pipe(empty, 2)  # 2nd delivery -> count 2, next delay 120s
+    assert seen[-1] == ("a", 1)
+    fake[0] = 61.0 + 119.0
+    pipe(empty, 3)
+    assert len(seen) == 2  # 120s not yet elapsed
+    fake[0] = 61.0 + 121.0
+    pipe(empty, 4)  # 3rd delivery -> count 3, raw delay 240s but capped at 180s
+    assert seen[-1] == ("a", 2)
+    fake[0] = 61.0 + 121.0 + 179.0
+    pipe(empty, 5)
+    assert len(seen) == 3  # cap not yet reached
+    fake[0] = 61.0 + 121.0 + 181.0
+    pipe(empty, 6)  # cap honored: due at 180s, not 240s
+    assert seen[-1] == ("a", 3)
