@@ -100,11 +100,11 @@ _PRIORITY = (
     "q_asof_join_forward",
     # ingestion parity (reference consumer semantics)
     "q_msg_metadata_projection",
-    "q_decode_json_payload",
     "q_topic_pattern_subscribe",
     "q_read_compacted",
     "q_chunk_reassembly",
     "q_dlq_split",
+    "q_retry_pipeline_audit",
     # dedup / LSH
     "q_dedup_exact",
     "q_ngram_jaccard_neardup",

@@ -289,3 +289,62 @@ def q_topic_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic", "hour")
     )
+
+
+@query(
+    "q_retry_pipeline_audit",
+    oracle="""
+    -- closed form of the K5/K7 contract: with max_redeliveries=3 and
+    -- zero nack delay, every always-failing (poison) message is dead-
+    -- lettered after exactly 3 deliveries; flaky messages (succeed on
+    -- the 3rd attempt) and normal messages never reach the DLQ
+    SELECT CAST(event_id AS VARCHAR) AS message_id,
+           CAST(3 AS INTEGER)        AS redelivery_count
+    FROM events WHERE event_id % 100 = 13
+    ORDER BY CAST(message_id AS BIGINT)
+    """,
+)
+def q_retry_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/K7 as a driver-hashable query: replay the message stream
+    through the cluster-tier :class:`KeyedRetryPipeline` (keyed parquet
+    state, no data-batch collect) for a deterministic schedule — two
+    source batches plus drain epochs under a fixed clock — and return
+    the resulting dead-letter table.
+
+    Flaky messages (id % 100 == 7) fail until their 3rd delivery;
+    poison messages (id % 100 == 13) always fail. The reference's
+    broker contract (PulsarMessageConsumer.java:295-304) demands the
+    DLQ hold exactly the poison set, each after exactly
+    ``max_redeliveries`` deliveries — which is the closed-form oracle.
+    """
+    import tempfile
+
+    from mi_inbound_pulsar_spark.streaming.delivery import KeyedRetryPipeline
+
+    frame = simulated_message_frame(spark, sf_dir)
+    mid = F.col("message_id").cast("long")
+
+    def process(deliver: DataFrame, epoch_id: int) -> DataFrame:
+        m = F.col("message_id").cast("long")
+        ok = ~(((m % 100 == 7) & (F.col("redelivery_count") < 2)) | (m % 100 == 13))
+        return deliver.select("message_id", ok.alias("ok"))
+
+    pipe = KeyedRetryPipeline(
+        process,
+        DeadLetterPolicy(max_redeliveries=3),
+        state_dir=tempfile.mkdtemp(prefix="retry_audit_"),
+        nack_delay_ms=0,
+        num_partitions=8,
+        clock=lambda: 0.0,
+    )
+    half = frame.agg(F.max(mid)).first()[0] // 2
+    pipe(frame.filter(mid <= half), 0)
+    pipe(frame.filter(mid > half), 1)
+    empty = frame.filter(F.lit(False))
+    for epoch in range(2, 6):  # drain parked redeliveries
+        pipe(empty, epoch)
+
+    dlq = pipe.dead_letters_df(spark)
+    return dlq.select("message_id", "redelivery_count").orderBy(
+        F.col("message_id").cast("long")
+    )
