@@ -35,6 +35,8 @@ _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.text",
     "mi_inbound_pulsar_spark.operators.multimodal",
     "mi_inbound_pulsar_spark.operators.sampling",
+    "mi_inbound_pulsar_spark.operators.cdc",
+    "mi_inbound_pulsar_spark.operators.graph",
 )
 
 

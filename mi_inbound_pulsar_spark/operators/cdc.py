@@ -1,0 +1,202 @@
+"""Change-data-capture maintenance operators: SCD Type-2 dimension
+builds, keyed upsert/tombstone compaction, and incremental rollup
+merge.
+
+The reference delivers keyed change streams — a compacted topic is
+per-key last-write-wins (``PulsarMessageConsumer.java:350-351``
+``consumerBuilder.readCompacted``), and every record carries a key and
+an event time (``PulsarUtils.java:121-130``). These operators are the
+warehouse-side consumers of exactly that stream: history tracking
+(SCD2), state materialization (upsert + delete tombstones), and
+incremental aggregate maintenance, each expressed as a declarative
+DataFrame plan so Catalyst keeps them to one Exchange apiece.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+#: snapshot/delta boundary for the incremental rollup demo.
+ROLLUP_CUTOFF = "2024-01-20"
+
+
+@query(
+    "q_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type AS status, ts AS valid_from
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           lead(valid_from) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, valid_from
+    """,
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: collapse
+    consecutive no-change records, then derive ``[valid_from,
+    valid_to)`` validity intervals with ``lead`` — the standard
+    history-tracking load for a keyed CDC feed (the reference's
+    compacted-topic consumers see the *latest* value per key;
+    SCD2 is what a warehouse keeps when it wants *all* of them).
+
+    Scale: both windows partition by ``user_id`` — one Exchange total,
+    and the change-filter drops no-change rows *before* the second
+    window, so the interval pass runs on the (much smaller) change
+    set. Ordering key ``(ts, event_id)`` is total → deterministic
+    under any parallelism.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(wo).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("status"), F.col("ts").alias("valid_from"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        changes.select(
+            "user_id",
+            "status",
+            "valid_from",
+            F.lead("valid_from").over(wv).alias("valid_to"),
+            F.lead("valid_from").over(wv).isNull().alias("is_current"),
+            F.row_number().over(wv).cast("long").alias("version"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@query(
+    "q_cdc_upsert_tombstones",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT * FROM tagged WHERE rn = 1),
+    counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes FROM events GROUP BY user_id)
+    SELECT l.user_id, l.event_type AS last_event_type, l.value AS last_value,
+           l.ts AS last_ts, c.n_changes
+    FROM latest l JOIN counts c USING (user_id)
+    WHERE l.op = 'U'
+    ORDER BY l.user_id
+    """,
+)
+def q_cdc_upsert_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert compaction with delete tombstones: materialize the
+    live state of a CDC stream — last write per key wins, and a
+    trailing tombstone (here: ``event_type='error'`` as the delete op)
+    removes the key entirely. This is broker-side topic compaction
+    (``PulsarMessageConsumer.java:350-351``) re-done engine-side, plus
+    the delete semantics compaction applies to null-value records.
+
+    Scale: ``max_by(struct, struct)`` is a hash aggregate with
+    map-side partial combine — no sort, no window, one shuffle on the
+    key; out-of-order arrivals need no pre-sort because the ordering
+    struct ``(ts, event_id)`` picks the winner associatively.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    latest = tagged.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("op", "event_type", "value", "ts"), F.struct("ts", "event_id")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return (
+        latest.filter(F.col("s.op") == "U")
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").alias("last_value"),
+            F.col("s.ts").alias("last_ts"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS total_micro,
+           CAST(count(*) AS BIGINT)                                       AS n_events,
+           CAST(min(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS min_micro,
+           CAST(max(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS max_micro,
+           round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) * 1.0 / count(*), 6)
+                                                                          AS avg_micro
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a pre-aggregated snapshot
+    (rows before ``ROLLUP_CUTOFF``) is merged with a freshly aggregated
+    delta by **re-aggregating partials** — sum-of-sums, sum-of-counts,
+    min-of-mins, max-of-maxes; avg is derived at the end from the
+    merged sum/count. The oracle is the direct full aggregation, which
+    is exactly the algebraic claim: partial merge ≡ recompute.
+
+    This is how a 100 TB rollup stays cheap: the snapshot partials are
+    a few rows per group kept from the last run, and each refresh
+    shuffles only the delta. Exact integer micro-units avoid the
+    engine-dependent float summation order (see q09's cents pattern).
+    """
+    e = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    base = e.select("ts", "event_type", micro.alias("vmicro"))
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.sum("vmicro").alias("p_sum"),
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.min("vmicro").alias("p_min"),
+            F.max("vmicro").alias("p_max"),
+        )
+
+    snapshot = partials(base.filter(F.col("ts") < F.lit(ROLLUP_CUTOFF).cast("timestamp")))
+    delta = partials(base.filter(F.col("ts") >= F.lit(ROLLUP_CUTOFF).cast("timestamp")))
+    merged = snapshot.unionByName(delta).groupBy("event_type").agg(
+        F.sum("p_sum").alias("total_micro"),
+        F.sum("p_cnt").alias("n_events"),
+        F.min("p_min").alias("min_micro"),
+        F.max("p_max").alias("max_micro"),
+    )
+    return merged.select(
+        "event_type",
+        "total_micro",
+        "n_events",
+        "min_micro",
+        "max_micro",
+        F.round(F.col("total_micro") / F.col("n_events"), 6).alias("avg_micro"),
+    ).orderBy("event_type")

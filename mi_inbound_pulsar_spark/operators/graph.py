@@ -1,0 +1,188 @@
+"""Graph-shaped operators over engine-derived relations: binned
+interval-overlap joins and triangle counting / clustering coefficient
+over the near-duplicate similarity graph.
+
+These extend the dedup family (``operators/dedup.py``): near-dup
+*pairs* become a graph whose local structure (triangles, clustering)
+is what a corpus curator inspects before collapsing duplicate groups;
+the interval-overlap join is the time-dimension analogue of the same
+"bin, join within bucket, verify exactly" pattern the LSH paths use.
+Connected components (``dedup.py``) covers the iterative side; these
+are the one-shot structural queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingles
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+@query(
+    "q_interval_overlap_join",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day AS day,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) AS BIGINT)
+             AS total_overlap_us
+    FROM ud a JOIN ud b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    GROUP BY a.day ORDER BY day
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: build per-(user, day) activity intervals,
+    then count overlapping interval pairs and total overlap time per
+    day. The oracle is the naive theta join; the engine form is the
+    **binned range join** — intervals land in a time bucket (here the
+    day, since user-day intervals never cross midnight) and the join
+    is an equi-join on the bucket with the overlap predicate applied
+    inside it, so candidate pairs form only within a bucket, never
+    across the whole timeline.
+
+    Scale: with intervals that can span buckets, each interval explodes
+    into ``sequence(floor(start/W), floor(end/W))`` bucket copies and a
+    pair is kept only in the later interval's first bucket (dedupe by
+    construction, no DISTINCT). Bucket width W trades copy factor
+    against per-bucket join fan-out — pick W ≈ the median interval
+    length. Hot buckets are the residual skew risk → AQE skew-join
+    handles the stragglers. Exact overlap math is integer microseconds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min(us).alias("s_us"), F.max(us).alias("e_us")
+    )
+    a, b = ud.alias("a"), ud.alias("b")
+    overlap = F.least(F.col("a.e_us"), F.col("b.e_us")) - F.greatest(
+        F.col("a.s_us"), F.col("b.s_us")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s_us") <= F.col("b.e_us"))
+        & (F.col("b.s_us") <= F.col("a.e_us")),
+    ).select(F.col("a.day").alias("day"), overlap.alias("overlap_us"))
+    return (
+        pairs.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("overlap_us").alias("total_overlap_us"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM cand JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.dst = e2.src
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+      GROUP BY node
+    ),
+    degagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT degagg.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           tri.n_triangles,
+           degagg.n_wedges,
+           round(CASE WHEN degagg.n_wedges > 0
+                      THEN 3.0 * tri.n_triangles / degagg.n_wedges
+                      ELSE 0.0 END, 6) AS clustering
+    FROM tri, degagg
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the
+    near-duplicate graph (word-3-gram Jaccard ≥ 0.5 pairs, the same
+    edge semantics as ``q_ngram_jaccard_neardup``). A duplicate
+    *group* that is a clique (high clustering) can be collapsed to one
+    representative; low clustering means chained near-dups that need
+    the connected-components pass instead — this query is the cheap
+    diagnostic that picks between the two.
+
+    Scale: triangles are enumerated on the id-oriented edge list
+    (src < dst), so each triangle is produced exactly once and the
+    two-hop join fans out by out-degree, not total degree; on skewed
+    graphs the standard refinement is degree-orientation (low→high),
+    which bounds fan-out by arboricity — same plan shape, different
+    orientation key. The edge list itself comes from the inverted-
+    index join with the hot-shingle DF cap (``dedup.py``), so the
+    graph build never goes all-pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=3)
+    edges = (
+        jaccard_pairs(sh, 0.5)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(e3, (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    degagg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        degagg.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Semantic tests for the CDC and graph operator families.
+
+The oracle sweep (tools/local_verify.py) checks value parity with
+DuckDB; these tests check the *invariants* the operators promise —
+interval validity for SCD2, tombstone semantics for upsert, the
+partial-merge algebra for incremental rollup, and brute-force graph
+ground truth for triangles.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators.cdc import (
+    q_cdc_upsert_tombstones,
+    q_incremental_rollup,
+    q_scd2_dimension,
+)
+from mi_inbound_pulsar_spark.operators.graph import (
+    q_interval_overlap_join,
+    q_triangle_count,
+)
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+def test_scd2_intervals_are_contiguous_and_single_current(spark, sf_dir):
+    rows = q_scd2_dimension(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, versions in by_user.items():
+        # versions are 1..n in valid_from order
+        assert [v.version for v in versions] == list(range(1, len(versions) + 1))
+        # exactly one open interval, and it is the last one
+        assert sum(v.is_current for v in versions) == 1
+        assert versions[-1].is_current and versions[-1].valid_to is None
+        for prev, nxt in zip(versions, versions[1:]):
+            # contiguous, half-open, non-overlapping
+            assert prev.valid_to == nxt.valid_from
+            assert prev.valid_from < prev.valid_to
+            # SCD2 collapses no-change runs: consecutive statuses differ
+            assert prev.status != nxt.status
+
+
+def test_cdc_tombstones_remove_keys(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    last = (
+        e.groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"))
+        .collect()
+    )
+    dead = {r.user_id for r in last if r.last_type == "error"}
+    live = {r.user_id for r in last if r.last_type != "error"}
+    out = q_cdc_upsert_tombstones(spark, sf_dir).collect()
+    got = {r.user_id for r in out}
+    assert got == live
+    assert not (got & dead)
+    assert all(r.last_event_type != "error" for r in out)
+
+
+def test_incremental_rollup_matches_direct_aggregation(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    direct = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.sum(micro).alias("total_micro"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(micro).alias("min_micro"),
+            F.max(micro).alias("max_micro"),
+        )
+        .collect()
+    }
+    merged = q_incremental_rollup(spark, sf_dir).collect()
+    assert {r.event_type for r in merged} == set(direct)
+    for r in merged:
+        d = direct[r.event_type]
+        assert (r.total_micro, r.n_events, r.min_micro, r.max_micro) == (
+            d.total_micro,
+            d.n_events,
+            d.min_micro,
+            d.max_micro,
+        )
+
+
+def test_interval_overlap_matches_naive_theta_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+        .collect()
+    )
+    by_day: dict = {}
+    for r in ud:
+        by_day.setdefault(r.day, []).append(r)
+    expected = {}
+    for day, ivs in by_day.items():
+        n, tot = 0, 0
+        for a, b in combinations(sorted(ivs, key=lambda r: r.user_id), 2):
+            if a.s <= b.e and b.s <= a.e:
+                n += 1
+                tot += min(a.e, b.e) - max(a.s, b.s)
+        if n:
+            expected[day] = (n, tot)
+    got = {r.day: (r.n_pairs, r.total_overlap_us) for r in q_interval_overlap_join(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    edge_rows = jaccard_pairs(shingles(d, n=3), 0.5).collect()
+    edges = {(r.doc_a, r.doc_b) for r in edge_rows}
+    nodes = sorted({n for e in edges for n in e})
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(v * (v - 1) // 2 for v in deg.values())
+    row = q_triangle_count(spark, sf_dir).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tri
+    assert row.n_nodes == len(nodes)
+    assert row.n_wedges == wedges
