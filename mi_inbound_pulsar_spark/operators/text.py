@@ -489,3 +489,182 @@ def q_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_bm25_search",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = 'data'))   AS tf1,
+             len(list_filter(string_split(text, ' '), x -> x = 'query'))  AS tf2,
+             len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf3
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             count_if(tf1 > 0) AS df1, count_if(tf2 > 0) AS df2,
+             count_if(tf3 > 0) AS df3
+      FROM t
+    )
+    SELECT doc_id, dl, tf1, tf2, tf3,
+           round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0)
+                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+             AS bm25
+    FROM t, s
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY doc_id
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring (k1=1.2, b=0.75) for a fixed query term set —
+    TF-IDF's production successor: term-frequency saturation plus
+    document-length normalization. Complements ``q_tfidf_search``,
+    which ranks by raw tf·idf.
+
+    Scale: per-document term frequencies are array expressions (no
+    explode, no shuffle); the corpus statistics (N, avgdl, per-term
+    df) are ONE 1-row aggregate broadcast back — so the whole scorer
+    is a narrow pass over documents plus a scalar cross join, the
+    same shape at 500 docs and 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def tf_col(term: str):
+        # NB: a two-parameter lambda here would bind (element, index)
+        return F.size(F.filter(words, lambda w: w == term))
+
+    t = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[tf_col(term).alias(f"tf{i+1}") for i, term in enumerate(TFIDF_TERMS)],
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count_if(F.col(f"tf{i+1}") > 0).alias(f"df{i+1}") for i in range(3)],
+    )
+
+    def contrib(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+
+    return (
+        t.join(F.broadcast(s))
+        .filter((F.col("tf1") + F.col("tf2") + F.col("tf3")) > 0)
+        .select(
+            "doc_id",
+            "dl",
+            "tf1",
+            "tf2",
+            "tf3",
+            F.round(contrib(1) + contrib(2) + contrib(3), 6).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             sum(c * ln(c))           AS s
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(ln(n_tokens) - s / n_tokens, 6) AS entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN (ln(n_tokens) - s / n_tokens) / ln(n_distinct)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution plus the
+    normalized (0..1) form — the quality signal that separates natural
+    text from boilerplate/template spam (low entropy) in pre-training
+    filters, alongside ``q_text_quality``'s ratio features.
+
+    Uses H = ln(N) − Σ c·ln(c)/N over per-token counts c, so the
+    shuffled aggregate works on integer counts and the float work is
+    one expression per group. Scale: explode → two hash aggregates
+    that share the doc_id partitioning; map-side combine collapses the
+    token explosion before the wire.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("s"),
+    )
+    h = F.log("n_tokens") - F.col("s") / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(F.col("n_distinct") > 1, h / F.log("n_distinct")).otherwise(F.lit(0.0)), 6
+        ).alias("norm_entropy"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt)
+    SELECT token, cnt, round(cnt * 1.0 / total, 6) AS freq
+    FROM cnt, tot
+    WHERE cnt >= 0.01 * total
+    ORDER BY cnt DESC, token
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: every token whose relative frequency
+    clears a 1% support threshold — the vocabulary-pruning / stopword-
+    discovery primitive of a corpus pipeline.
+
+    Scale: exact counting with a *relative* threshold is two hash
+    aggregates — Spark's map-side partial combine is precisely the
+    per-partition "sketch" phase of Misra–Gries, and because the final
+    merge keeps exact counts there are no false positives to re-verify
+    (the sketch-then-recount refinement only matters when the token
+    universe itself can't be shuffled; at that point swap the first
+    aggregate for a bounded-size MG summary per partition — same
+    plan shape, bounded state). The 1-row total broadcasts back.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cnt.agg(F.sum("cnt").alias("total"))
+    return (
+        cnt.join(F.broadcast(tot))
+        .filter(F.col("cnt") >= 0.01 * F.col("total"))
+        .select("token", "cnt", F.round(F.col("cnt") / F.col("total"), 6).alias("freq"))
+        .orderBy(F.desc("cnt"), "token")
+    )

@@ -1,0 +1,71 @@
+"""Semantic tests for BM25, token entropy, and heavy hitters (the
+oracle sweep checks DuckDB parity; these check the math itself against
+independent Python recomputation on the small fixture)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from mi_inbound_pulsar_spark.operators.text import (
+    TFIDF_TERMS,
+    q_bm25_search,
+    q_heavy_hitters,
+    q_token_entropy,
+)
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+
+def test_bm25_matches_python_recomputation(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    df = {t: sum(1 for w in docs.values() if t in w) for t in TFIDF_TERMS}
+    k1, b = 1.2, 0.75
+    rows = q_bm25_search(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        w = docs[r.doc_id]
+        tfs = [w.count(t) for t in TFIDF_TERMS]
+        assert [r.tf1, r.tf2, r.tf3] == tfs and r.dl == len(w)
+        expected = sum(
+            math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * len(w) / avgdl))
+            for t, tf in zip(TFIDF_TERMS, tfs)
+        )
+        assert abs(r.bm25 - expected) < 1e-4
+    # docs with no query term are filtered out
+    scored = {r.doc_id for r in rows}
+    for doc_id, w in docs.items():
+        assert (doc_id in scored) == any(t in w for t in TFIDF_TERMS)
+
+
+def test_token_entropy_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rows = q_token_entropy(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        c = Counter(docs[r.doc_id])
+        ntok = sum(c.values())
+        h = -sum(v / ntok * math.log(v / ntok) for v in c.values())
+        assert r.n_tokens == ntok and r.n_distinct == len(c)
+        assert abs(r.entropy - h) < 1e-4
+        assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9
+
+
+def test_heavy_hitters_threshold_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    c = Counter(t for w in docs.values() for t in w)
+    total = sum(c.values())
+    expected = {t: n for t, n in c.items() if n >= 0.01 * total}
+    got = {r.token: r.cnt for r in q_heavy_hitters(spark, sf_dir).collect()}
+    assert got == expected
+    assert sum(r for r in got.values()) <= total
