@@ -384,3 +384,108 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_salted_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS total_micro
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_salted_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact COUNT(DISTINCT) via two-phase expansion: first
+    dedupe on the *compound* key ``(event_type, user_id)`` — whose
+    cardinality spreads a hot group across the whole cluster — then
+    count per group. A direct ``count_distinct`` over a skewed group
+    key funnels every row of the hot group through one reducer with an
+    in-memory distinct set; the expanded form is two hash aggregates,
+    both map-side combinable, with no per-group state larger than a
+    counter. The companion metric rides the same shape: the exact
+    integer sum is re-aggregated from the dedupe stage's partial sums.
+
+    This is Catalyst's own ``Expand``-based distinct rewrite made
+    explicit — stated here as the pattern to reach for when a group
+    key is hot enough that even the rewrite's first shuffle skews
+    (then: salt the first groupBy with ``pmod(hash(user_id), P)``,
+    which composes with this plan without changing results).
+    """
+    e = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    # phase 1: shuffle on the high-cardinality compound key
+    per_user = e.groupBy("event_type", "user_id").agg(F.sum(micro).alias("p_sum"))
+    # phase 2: tiny per-group rollup
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("p_sum").alias("total_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type,
+             CAST(round(least(greatest(e.value, b.p01), b.p99) * 1000000, 0) AS BIGINT)
+               AS wmicro,
+             CASE WHEN e.value < b.p01 OR e.value > b.p99 THEN 1 ELSE 0 END AS clipped
+      FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           CAST(sum(wmicro) AS BIGINT)  AS total_micro,
+           round(sum(wmicro) * 1.0 / count(*), 6) AS avg_micro,
+           CAST(min(wmicro) AS BIGINT)  AS min_micro,
+           CAST(max(wmicro) AS BIGINT)  AS max_micro
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) robust statistics per group — the
+    outlier-tolerant aggregation a metrics pipeline runs when raw
+    means are hostage to a few extreme values.
+
+    Two passes sharing one grouping: pass 1 computes the exact clip
+    bounds (Spark ``percentile`` ≙ DuckDB ``quantile_cont``), pass 2
+    re-joins them (broadcast — one row per group) and aggregates the
+    clipped values. Clipped values go through the exact integer
+    micro-unit form so the sums are engine-order-independent. At
+    100 TB, swap pass 1 to ``approx_percentile`` (t-digest) and the
+    plan shape is unchanged — bounds stay a broadcast dimension.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    wmicro = F.round(w * 1000000, 0).cast("long")
+    clipped = F.when((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")), 1).otherwise(0)
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select("event_type", wmicro.alias("wmicro"), clipped.alias("clipped"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("clipped").alias("n_clipped"),
+            F.sum("wmicro").alias("total_micro"),
+            F.round(F.sum("wmicro") / F.count(F.lit(1)), 6).alias("avg_micro"),
+            F.min("wmicro").alias("min_micro"),
+            F.max("wmicro").alias("max_micro"),
+        )
+        .orderBy("event_type")
+    )
