@@ -79,27 +79,28 @@ _PRIORITY = (
     "q_recursive_calendar",
     # window functions
     "q_window_analytic",
-    "q_window_range_frame",
     "q_window_time_range",
     "q_topk_per_group",
     # set ops / reshaping
     "q_intersect_all",
-    "q_except_all",
     "q_unpivot",
     "q_pivot",
     # scalar function surface
     "q_array_higher_order",
     "q_json_extract",
     "q_try_functions",
-    "q_variant_extract",
+    # CDC / warehouse maintenance
+    "q_scd2_dimension",
+    # robust / skew-safe aggregation
+    "q_salted_exact_distinct",
     # streaming-shaped (batch-oracle forms)
     "q_window_tumbling",
     "q_session_window",
     "q_stream_static_join",
     "q_zscore_per_group",
-    # as-of joins
+    # as-of / interval joins
     "q_asof_join",
-    "q_asof_join_forward",
+    "q_interval_overlap_join",
     # ingestion parity (reference consumer semantics)
     "q_msg_metadata_projection",
     "q_topic_pattern_subscribe",
@@ -115,14 +116,15 @@ _PRIORITY = (
     # similarity search
     "q_cosine_topk",
     "q_ann_ivf_topk",
-    # text analysis
+    # text analysis / retrieval
     "q_token_count",
     "q_corpus_filter_pipeline",
-    "q_tfidf_search",
+    "q_bm25_search",
     "q_fuzzy_match",
+    # graph over the near-dup relation
+    "q_triangle_count",
     # multimodal
     "q_multimodal_decode",
-    "q_multimodal_retrieval",
     # approximate aggregates (bounded-tolerance oracles)
     "q_approx_distinct",
     "q_agg_approx_percentile",

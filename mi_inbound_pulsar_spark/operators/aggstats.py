@@ -489,3 +489,59 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_hll_sketch_union",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+    SELECT e.event_type,
+           d.n_days,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users,
+           true AS within_5pct
+    FROM events e JOIN days d USING (event_type)
+    GROUP BY e.event_type, d.n_days
+    ORDER BY e.event_type
+    """,
+)
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches: build one Datasketches HLL sketch per
+    (event_type, day) partial, then ``hll_union_agg`` the partials and
+    estimate — the re-aggregatable form of distinct counting that
+    ``q_approx_distinct``'s one-shot ``approx_count_distinct`` can't
+    give you. This is how a 100 TB pipeline serves "distinct users,
+    any date range": daily sketch partials are stored (bytes per
+    group-day), and any rollup is a cheap union — no re-scan of raw
+    data, the same snapshot+delta algebra as ``q_incremental_rollup``
+    but for a non-additive measure.
+
+    Estimates are implementation-specific, so the emitted form is the
+    bounded oracle: exact distinct count + a boolean asserting the
+    sketch-union landed within 5% (lgConfigK=12 → ~1.6% expected
+    error), both deterministic and driver-hashable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
