@@ -60,6 +60,11 @@ HEADLINE = [
     # sampling / training-data prep (round 2)
     "q_split_contamination",
     "q_training_data_pipeline",
+    # CDC / interval-graph / retrieval (round 2, second half)
+    "q_scd2_dimension",
+    "q_interval_overlap_join",
+    "q_triangle_count",
+    "q_bm25_search",
 ]
 
 

@@ -814,3 +814,115 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new delta vs the existing corpus
+# --------------------------------------------------------------------------
+def jaccard_matches_against(
+    sh_delta: DataFrame,
+    sh_base: DataFrame,
+    threshold: float,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric exact-Jaccard: match each *delta* document against
+    the *base* corpus through the shingle inverted index — the join
+    never forms base×base or delta×delta pairs, so ingesting a small
+    delta against a huge corpus costs |delta-index| probes, not a
+    corpus self-join. Same hot-shingle DF cap as ``jaccard_pairs``
+    (applied to the base index, where the skew lives).
+
+    Returns (delta_id, base_id, jaccard) with jaccard ≥ threshold.
+    """
+    size_d = sh_delta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
+    size_b = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    if max_doc_freq is not None:
+        hot = (
+            sh_base.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh_base = sh_base.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_delta = sh_delta.join(F.broadcast(hot), "shingle", "left_anti")
+    d, b = sh_delta.alias("d"), sh_base.alias("b")
+    common = (
+        d.join(b, F.col("d.shingle") == F.col("b.shingle"))
+        .groupBy(F.col("d.doc_id").alias("delta_id"), F.col("b.doc_id").alias("base_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(size_d.select(F.col("doc_id").alias("delta_id"), "nd"), "delta_id")
+        .join(size_b.select(F.col("doc_id").alias("base_id"), "nb"), "base_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("nd") + F.col("nb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("delta_id", "base_id", "jaccard")
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    m AS (
+      SELECT d.doc_id AS delta_id, b.doc_id AS base_id, count(*) AS c
+      FROM sh d JOIN sh b ON d.shingle = b.shingle
+      WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT delta_id, round(c * 1.0 / (x.n + y.n - c), 6) AS jac
+      FROM m JOIN sz x ON delta_id = x.doc_id JOIN sz y ON base_id = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+    ),
+    agg AS (
+      SELECT delta_id, CAST(count(*) AS BIGINT) AS n_matches, max(jac) AS best_jaccard
+      FROM j GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches, a.best_jaccard,
+           a.n_matches IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.delta_id
+    WHERE d.doc_id % 10 = 0
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: flag each document of an incoming
+    *delta* batch (doc_id % 10 = 0 stands in for "today's crawl") that
+    is a near-duplicate (3-gram Jaccard ≥ 0.5) of the *existing* base
+    corpus. This is the steady-state shape of production dedup — the
+    corpus was deduped once; every new batch only needs delta-vs-base
+    matching plus (optionally) delta-vs-delta, never a full re-join.
+
+    Scale: the base shingle index is computed once and reusable across
+    batches (persist/bucket it by shingle); each ingest probes it with
+    the delta's shingles only. Candidates are exact — any pair with
+    J ≥ 0.5 shares at least one shingle — so unlike the LSH path there
+    is no recall loss to account for.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    matches = jaccard_matches_against(shingles(delta), shingles(base), 0.5)
+    agg = matches.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("n_matches"), F.max("jaccard").alias("best_jaccard")
+    )
+    return (
+        delta.select("doc_id")
+        .join(agg, delta.doc_id == agg.delta_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            "best_jaccard",
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -69,3 +69,33 @@ def test_heavy_hitters_threshold_exact(spark, sf_dir):
     got = {r.token: r.cnt for r in q_heavy_hitters(spark, sf_dir).collect()}
     assert got == expected
     assert sum(r for r in got.values()) <= total
+
+
+def test_incremental_dedup_matches_bruteforce(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.dedup import q_dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+
+    def sh3(words):
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    base = {i: sh3(w) for i, w in docs.items() if i % 10 != 0}
+    delta = {i: sh3(w) for i, w in docs.items() if i % 10 == 0}
+    expected = {}
+    for di, ds in delta.items():
+        n, best = 0, None
+        for bi, bs in base.items():
+            inter = len(ds & bs)
+            union = len(ds | bs)
+            if union and round(inter / union, 6) >= 0.5:
+                n += 1
+                j = round(inter / union, 6)
+                best = j if best is None else max(best, j)
+        expected[di] = (n, best)
+    rows = q_dedup_incremental(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(delta)
+    for r in rows:
+        n, best = expected[r.doc_id]
+        assert r.n_matches == n and r.is_dup == (n > 0)
+        if best is not None:
+            assert abs(r.best_jaccard - best) < 1e-9
