@@ -911,7 +911,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") % 10 != 0)
     delta = d.filter(F.col("doc_id") % 10 == 0)
-    matches = jaccard_matches_against(shingles(delta), shingles(base), 0.5)
+    # each index has 2-3 consumers (sizes, hot set, join side) — persist
+    matches = jaccard_matches_against(
+        shingles(delta).persist(), shingles(base).persist(), 0.5
+    )
     agg = matches.groupBy("delta_id").agg(
         F.count(F.lit(1)).alias("n_matches"), F.max("jaccard").alias("best_jaccard")
     )

@@ -452,3 +452,64 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "q_ewma_smoothing",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           round(vals[-1], 6) AS last_value,
+           round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma_value
+    FROM s ORDER BY user_id
+    """,
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponentially-weighted moving average (α=0.2), batch
+    form: collect the per-key series in (ts, event_id) order and fold
+    it with the ``aggregate`` higher-order function — seed = first
+    value, then ewma = α·x + (1−α)·ewma. The identical left fold runs
+    in DuckDB as ``list_reduce``, so the float math is
+    order-deterministic and engine-portable (same IEEE op sequence).
+
+    This is the backfill twin of ``streaming/ewma.py``'s
+    applyInPandasWithState operator (state = one double per key).
+    Scale note: the batch fold materializes each key's series in one
+    task — inherent to the sequential recurrence; for unbounded
+    history run the streaming form, which carries the accumulator
+    instead of the series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_user.withColumn("vals", F.expr("transform(seq, s -> s.v)"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.element_at("vals", -1), 6).alias("last_value"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),"
+                    " (acc, x) -> 0.2 * x + 0.8 * acc)"
+                ),
+                6,
+            ).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )

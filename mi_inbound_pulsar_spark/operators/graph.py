@@ -147,7 +147,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph build never goes all-pairs.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3)
+    # four consumers inside jaccard_pairs (sizes, hot set, both join
+    # sides) — persist the explode or the scan+split re-runs per branch
+    sh = shingles(d, n=3).persist()
     edges = (
         jaccard_pairs(sh, 0.5)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
