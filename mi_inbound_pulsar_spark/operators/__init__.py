@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.dedup",
     "mi_inbound_pulsar_spark.operators.similarity",
     "mi_inbound_pulsar_spark.operators.ann_kmeans",
+    "mi_inbound_pulsar_spark.operators.ann_pq",
     "mi_inbound_pulsar_spark.operators.text",
     "mi_inbound_pulsar_spark.operators.multimodal",
     "mi_inbound_pulsar_spark.operators.sampling",
