@@ -239,3 +239,129 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(n_hit).select(
         "n_queries", (F.col("hits") / F.col("n_exact") >= 0.8).alias("recall_ok")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: compose the pruning index with the compressed scorer
+# --------------------------------------------------------------------------
+IVFPQ_PROBE = 6  # probe more cells than plain IVF: PQ scoring is ~free
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str, n_probe: int = IVFPQ_PROBE) -> DataFrame:
+    """Full FAISS-style serving shape: k-means IVF prunes to the probed
+    cells, PQ codes score the survivors via the LUT (no float vectors
+    touched), exact rerank on the short list only.
+
+    At 100 TB this is the only layout that works: the (cell, vec_id,
+    8-byte code) index fits in cluster memory bucketed by cell, the
+    probe is partition pruning, ADC scoring reads 8 bytes per
+    candidate, and the full float vectors are fetched just for the
+    ``RERANK`` finalists per query.
+    """
+    from mi_inbound_pulsar_spark.operators.ann_kmeans import train_spherical_kmeans
+    from mi_inbound_pulsar_spark.operators.similarity import ivf_assign_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = train_spherical_kmeans(e)
+    cent_ids = np.arange(len(centroids), dtype=np.int64)
+    assigned = ivf_assign_cells(e, cent_ids, centroids)
+    books = train_pq_codebooks(e)
+    coded = assigned.select("vec_id", "cell").join(pq_encode(e, books), "vec_id")
+
+    q_ids, q_mat = _collect_matrix(e.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding")
+    q_ids, q_units = _unit_rows(q_ids, q_mat)
+    m_, k_, d_ = books.shape
+    lut = np.stack(
+        [[qu[j * d_ : (j + 1) * d_] @ books[j].T for j in range(m_)] for qu in q_units]
+    )
+    probe_sims = q_units @ centroids.T
+    probe_rows = [
+        (int(q_ids[qi]), int(cent_ids[ci]))
+        for qi in range(len(q_ids))
+        for ci in np.lexsort((cent_ids, -probe_sims[qi]))[:n_probe]
+    ]
+    probes = F.broadcast(spark.createDataFrame(probe_rows, "query_id long, cell long"))
+    cand = coded.join(probes, "cell").select("query_id", "vec_id", "codes")
+
+    sc = spark.sparkContext
+    lut_bc = sc.broadcast((q_ids, lut))
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, tables = lut_bc.value
+        qidx = {int(q): i for i, q in enumerate(qids)}
+        cols = np.arange(tables.shape[1])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qs = pdf["query_id"].to_numpy(dtype=np.int64)
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            qrows = np.array([qidx[int(q)] for q in qs])
+            approx = tables[qrows[:, None], cols[None, :], cd].sum(axis=1)
+            keep = ids != qs
+            yield pd.DataFrame(
+                {"query_id": qs[keep], "neighbor_id": ids[keep], "approx_sim": approx[keep]}
+            )
+
+    scored = cand.mapInPandas(adc, schema="query_id long, neighbor_id long, approx_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= RERANK).drop("r")
+    )
+    qidx = {int(q): i for i, q in enumerate(q_ids)}
+    full = shortlist.join(e.select("vec_id", "embedding"), shortlist.neighbor_id == F.col("vec_id"))
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            _, units = _unit_rows(np.arange(len(mat)), mat)
+            qrows = q_units[[qidx[int(q)] for q in pdf["query_id"]]]
+            sims = np.einsum("ij,ij->i", qrows, units)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "sim": sims,
+                }
+            )
+
+    reranked = full.select("query_id", "neighbor_id", "embedding").mapInPandas(
+        exact, schema="query_id long, neighbor_id long, sim double"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "q_ann_ivfpq_recall",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-oracle gate for the composed IVF-PQ path: recall loss
+    compounds (cell pruning × code quantization), so the probe width
+    is raised to 6/16 cells; gated at ≥ 0.7 with observed headroom
+    (exact rerank recovers ordering within the candidate set)."""
+    approx = ivfpq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(e, e.filter(F.col("vec_id") < N_QUERIES)).select(
+        "query_id", "neighbor_id"
+    )
+    n_hit = approx.join(exact, ["query_id", "neighbor_id"]).agg(F.count(F.lit(1)).alias("hits"))
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("query_id").alias("n_queries"),
+    )
+    return totals.crossJoin(n_hit).select(
+        "n_queries", (F.col("hits") / F.col("n_exact") >= 0.7).alias("recall_ok")
+    )

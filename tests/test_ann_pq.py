@@ -61,3 +61,26 @@ def test_pq_recall_gate(spark, sf_dir):
     # and the registered driver-facing gate agrees
     row = q_ann_pq_recall(spark, sf_dir).collect()[0]
     assert row.recall_ok and row.n_queries == N_QUERIES
+
+
+def test_ivfpq_recall_gate(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.ann_pq import ivfpq_topk, q_ann_ivfpq_recall
+
+    approx = ivfpq_topk(spark, sf_dir)
+    rows = approx.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == N_QUERIES
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert hits / exact.count() >= 0.7
+    row = q_ann_ivfpq_recall(spark, sf_dir).collect()[0]
+    assert row.recall_ok and row.n_queries == N_QUERIES
