@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.sampling",
     "mi_inbound_pulsar_spark.operators.cdc",
     "mi_inbound_pulsar_spark.operators.graph",
+    "mi_inbound_pulsar_spark.operators.funnel",
 )
 
 

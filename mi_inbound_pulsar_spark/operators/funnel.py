@@ -1,0 +1,250 @@
+"""Product-analytics operators over the event stream: ordered funnel
+conversion, weekly cohort retention, and PSI distribution-drift
+monitoring.
+
+These are the OLAP queries the reference's downstream consumers run on
+the delivered event stream (every record carries event time + key —
+``PulsarUtils.java:121-130``): sequential-pattern aggregation (funnel),
+time-bucketed self-join (cohorts), and two-window distribution
+comparison (drift). All are declarative single-plan DataFrame forms —
+no iteration, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+#: reference/current boundary for the drift monitor.
+DRIFT_CUTOFF = "2024-01-20"
+
+
+@query(
+    "q_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_after,
+           round((SELECT count(*) FROM s2) * 1.0
+                 / nullif((SELECT count(*) FROM s1), 0), 6) AS signup_to_click,
+           round((SELECT count(*) FROM s3) * 1.0
+                 / nullif((SELECT count(*) FROM s2), 0), 6) AS click_to_purchase
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first click strictly after it → first
+    purchase strictly after that, with stage conversion rates. The
+    ORDER requirement (each stage after the previous stage's first
+    completion) is what separates a funnel from three filters.
+
+    Scale: three per-user min-aggregates chained by semi-join-shaped
+    inner joins — every stage shuffles (user_id, one timestamp) only,
+    and each stage's input shrinks to the survivors of the previous
+    one. No window sort, no event materialization per user.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_users = e.agg(F.count_distinct("user_id").alias("n_users"))
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_click_after"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after"))
+    return (
+        n_users.crossJoin(c1)
+        .crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_users",
+            "n_signup",
+            "n_click_after",
+            "n_purchase_after",
+            F.round(F.col("n_click_after") / F.nullif(F.col("n_signup"), F.lit(0)), 6).alias(
+                "signup_to_click"
+            ),
+            F.round(
+                F.col("n_purchase_after") / F.nullif(F.col("n_click_after"), F.lit(0)), 6
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    aw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events
+    ),
+    j AS (
+      SELECT fw.cohort, date_diff('day', fw.cohort, aw.w) // 7 AS wk, aw.user_id
+      FROM fw JOIN aw USING (user_id)
+    ),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM fw GROUP BY cohort)
+    SELECT j.cohort, CAST(j.wk AS BIGINT) AS wk,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           round(count(DISTINCT j.user_id) * 1.0 / s.cohort_size, 6) AS retention
+    FROM j JOIN sizes s ON j.cohort = s.cohort
+    GROUP BY j.cohort, j.wk, s.cohort_size
+    ORDER BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, then
+    the share of each cohort active k weeks later — the standard
+    retention triangle.
+
+    Scale: both sides reduce to (user_id, week) before the join, so
+    the join input is bounded by users × active-weeks, not raw events;
+    the week-0 diagonal (retention = 1.0) doubles as a built-in sanity
+    invariant (asserted in pytest).
+    """
+    e = load_table(spark, sf_dir, "events")
+    fw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    aw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    j = fw.join(aw, "user_id").select(
+        "cohort",
+        F.floor(F.datediff(F.col("w"), F.col("cohort")) / 7).cast("long").alias("wk"),
+        "user_id",
+    )
+    sizes = fw.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        j.join(sizes, "cohort")
+        .groupBy("cohort", "wk", "cohort_size")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            "cohort",
+            "wk",
+            "cohort_size",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort", "wk")
+    )
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '{DRIFT_CUTOFF}'),
+    cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '{DRIFT_CUTOFF}'),
+    edges AS (
+      SELECT quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+             quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+             quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+             quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+             quantile_cont(value, 0.9) AS e9
+      FROM ref
+    ),
+    rb AS (
+      SELECT CAST(value > e1 AS INT) + CAST(value > e2 AS INT) + CAST(value > e3 AS INT)
+           + CAST(value > e4 AS INT) + CAST(value > e5 AS INT) + CAST(value > e6 AS INT)
+           + CAST(value > e7 AS INT) + CAST(value > e8 AS INT) + CAST(value > e9 AS INT)
+             AS bucket
+      FROM ref, edges
+    ),
+    cb AS (
+      SELECT CAST(value > e1 AS INT) + CAST(value > e2 AS INT) + CAST(value > e3 AS INT)
+           + CAST(value > e4 AS INT) + CAST(value > e5 AS INT) + CAST(value > e6 AS INT)
+           + CAST(value > e7 AS INT) + CAST(value > e8 AS INT) + CAST(value > e9 AS INT)
+             AS bucket
+      FROM cur, edges
+    ),
+    p AS (SELECT bucket, count(*) AS n_ref FROM rb GROUP BY bucket),
+    q AS (SELECT bucket, count(*) AS n_cur FROM cb GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM ref) AS t_ref, (SELECT count(*) FROM cur) AS t_cur)
+    SELECT CAST(p.bucket AS BIGINT) AS bucket,
+           CAST(p.n_ref AS BIGINT) AS n_ref,
+           CAST(coalesce(q.n_cur, 0) AS BIGINT) AS n_cur,
+           round((p.n_ref * 1.0 / t_ref - coalesce(q.n_cur, 0) * 1.0 / t_cur)
+                 * ln((p.n_ref * 1.0 / t_ref) / nullif(coalesce(q.n_cur, 0) * 1.0 / t_cur, 0)),
+                 6) AS psi_term
+    FROM p LEFT JOIN q ON p.bucket = q.bucket CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: decile-bucket the
+    *reference* window's value distribution, then compare the current
+    window's occupancy per bucket via (p−q)·ln(p/q) terms — the data-
+    quality tripwire that tells a training pipeline its feature
+    distribution moved before any model does.
+
+    Scale: bucket edges are ONE 9-quantile aggregate over the
+    reference window broadcast back (swap in approx_percentile at
+    100 TB, same plan); bucket assignment is 9 codegen'd comparisons
+    per row; the rest is two tiny group-counts. The decile design
+    guarantees every reference bucket is non-empty.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(DRIFT_CUTOFF).cast("timestamp")
+    ref = e.filter(F.col("ts") < cutoff).select("value")
+    cur = e.filter(F.col("ts") >= cutoff).select("value")
+    edges = ref.agg(
+        *[F.percentile("value", F.lit(q / 10)).alias(f"e{q}") for q in range(1, 10)]
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        b = None
+        for q in range(1, 10):
+            t = (F.col("value") > F.col(f"e{q}")).cast("int")
+            b = t if b is None else b + t
+        return df.join(F.broadcast(edges)).select(b.alias("bucket"))
+
+    p = bucketed(ref).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_ref"))
+    q_ = bucketed(cur).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_cur"))
+    tot = ref.agg(F.count(F.lit(1)).alias("t_ref")).crossJoin(
+        cur.agg(F.count(F.lit(1)).alias("t_cur"))
+    )
+    pr = F.col("n_ref") / F.col("t_ref")
+    qr = F.coalesce(F.col("n_cur"), F.lit(0)) / F.col("t_cur")
+    return (
+        p.join(q_, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+            F.round((pr - qr) * F.log(pr / F.nullif(qr, F.lit(0))), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

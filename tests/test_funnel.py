@@ -1,0 +1,59 @@
+"""Invariant tests for the product-analytics family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators.funnel import (
+    q_cohort_retention,
+    q_funnel_stages,
+    q_psi_drift,
+)
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+def test_funnel_is_monotone_and_ordered(spark, sf_dir):
+    r = q_funnel_stages(spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_signup >= r.n_click_after >= r.n_purchase_after
+    assert 0 <= r.click_to_purchase <= 1 and 0 <= r.signup_to_click <= 1
+    # ordering matters: a user whose only purchase precedes their first
+    # click must not count — check against an unordered count
+    e = load_table(spark, sf_dir, "events")
+    unordered = (
+        e.groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "signup").alias("s"),
+            F.count_if(F.col("event_type") == "click").alias("c"),
+            F.count_if(F.col("event_type") == "purchase").alias("p"),
+        )
+        .filter((F.col("s") > 0) & (F.col("c") > 0) & (F.col("p") > 0))
+        .count()
+    )
+    assert r.n_purchase_after <= unordered
+
+
+def test_cohort_week_zero_retention_is_one(spark, sf_dir):
+    rows = q_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for cohort, rs in by_cohort.items():
+        wk0 = [r for r in rs if r.wk == 0]
+        assert len(wk0) == 1 and wk0[0].retention == 1.0  # first week = everyone
+        for r in rs:
+            assert 0 < r.retention <= 1.0
+            assert r.n_active <= r.cohort_size
+
+
+def test_psi_buckets_partition_both_windows(spark, sf_dir):
+    rows = q_psi_drift(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(10))  # decile design
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    assert sum(r.n_ref for r in rows) + 0 == e.filter(F.col("ts") < "2024-01-20").count()
+    assert sum(r.n_ref + r.n_cur for r in rows) == n
+    # deciles of the reference window are near-uniform by construction
+    ref_total = sum(r.n_ref for r in rows)
+    for r in rows:
+        assert abs(r.n_ref - ref_total / 10) <= ref_total * 0.02 + 2
