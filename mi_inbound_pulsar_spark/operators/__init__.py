@@ -90,7 +90,8 @@ _PRIORITY = (
     # scalar function surface
     "q_array_higher_order",
     "q_json_extract",
-    "q_try_functions",
+    # product analytics
+    "q_funnel_stages",
     # CDC / warehouse maintenance
     "q_scd2_dimension",
     # robust / skew-safe aggregation
@@ -98,7 +99,7 @@ _PRIORITY = (
     # streaming-shaped (batch-oracle forms)
     "q_window_tumbling",
     "q_session_window",
-    "q_stream_static_join",
+    "q_ewma_smoothing",
     "q_zscore_per_group",
     # as-of / interval joins
     "q_asof_join",
@@ -116,8 +117,8 @@ _PRIORITY = (
     "q_minhash_lsh_neardup",
     "q_embedding_neardup_lsh",
     # similarity search
-    "q_cosine_topk",
     "q_ann_ivf_topk",
+    "q_ann_pq_recall",
     # text analysis / retrieval
     "q_token_count",
     "q_corpus_filter_pipeline",
