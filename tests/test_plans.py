@@ -196,3 +196,41 @@ def test_asof_join_nullable_right_cols_come_from_same_row(spark):
         right_cols=["rid", "label"],
     ).collect()
     assert len(got_f2) == 1 and got_f2[0]["rid"] == 2 and got_f2[0]["label"] is None
+
+
+def test_scd2_uses_single_user_partitioning(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.cdc import q_scd2_dimension
+
+    plan = plan_of(q_scd2_dimension(spark, sf_dir))
+    # both windows + the change filter share ONE hashpartitioning(user_id)
+    # Exchange; the only other Exchange is the presentation orderBy
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_bounds_join_is_broadcast(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.aggstats import q_winsorized_stats
+
+    plan = plan_of(q_winsorized_stats(spark, sf_dir))
+    # per-group clip bounds are a 1-row-per-group dimension — must
+    # broadcast, never shuffle the fact side for it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_join_is_equijoin_on_bucket(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.graph import q_interval_overlap_join
+
+    plan = plan_of(q_interval_overlap_join(spark, sf_dir))
+    # the overlap predicate rides INSIDE a day-bucket equi-join —
+    # never a nested-loop over the whole timeline
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_stage_joins_carry_keys_only(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_funnel_stages
+
+    plan = formatted_plan_of(q_funnel_stages(spark, sf_dir))
+    # stage inputs scan only the columns the funnel needs
+    assert "props" not in plan and "event_id" not in plan
