@@ -248,3 +248,103 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    SELECT 'event_id' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           round(min(event_id) * 1.0, 6) AS min_num,
+           round(max(event_id) * 1.0, 6) AS max_num,
+           NULL AS min_str, NULL AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           round(min(user_id) * 1.0, 6), round(max(user_id) * 1.0, 6),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           round(min(value), 6), round(max(value), 6),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'ts_epoch_us', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(ts) AS BIGINT),
+           CAST(count(DISTINCT ts) AS BIGINT),
+           round(min(epoch_us(ts)) * 1.0, 6), round(max(epoch_us(ts)) * 1.0, 6),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           NULL, NULL, min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(props) AS BIGINT),
+           CAST(count(DISTINCT props) AS BIGINT),
+           NULL, NULL, min(props), max(props)
+    FROM events
+    ORDER BY column_name
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile: row/null/distinct counts plus typed
+    min/max for every column of the events table — the data-quality
+    snapshot a pipeline records per ingest partition (dbt-style
+    completeness/uniqueness checks read straight off it).
+
+    Scale: all six column profiles are independent aggregates of the
+    SAME scan — Catalyst collapses the union of 1-row aggregates into
+    one shuffle-free pass per branch over a shared (cached) scan; the
+    exact n_distinct is the only per-column shuffle, and it swaps to
+    approx_count_distinct at 100 TB without changing the output
+    schema. Timestamps profile as epoch micros (engine-portable
+    rendering), strings as lexicographic min/max.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def prof(name: str, col, numeric: bool):
+        agg = [
+            F.lit(name).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.count_distinct(col).alias("n_distinct"),
+        ]
+        if numeric:
+            agg += [
+                F.round(F.min(col).cast("double"), 6).alias("min_num"),
+                F.round(F.max(col).cast("double"), 6).alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            ]
+        else:
+            agg += [
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.min(col).alias("min_str"),
+                F.max(col).alias("max_str"),
+            ]
+        return e.agg(*agg)
+
+    parts = [
+        prof("event_id", F.col("event_id"), True),
+        prof("user_id", F.col("user_id"), True),
+        prof("value", F.col("value"), True),
+        prof("ts_epoch_us", F.unix_micros("ts"), True),
+        prof("event_type", F.col("event_type"), False),
+        prof("props", F.col("props"), False),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")

@@ -57,3 +57,20 @@ def test_psi_buckets_partition_both_windows(spark, sf_dir):
     ref_total = sum(r.n_ref for r in rows)
     for r in rows:
         assert abs(r.n_ref - ref_total / 10) <= ref_total * 0.02 + 2
+
+
+def test_table_profile_counts_are_consistent(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_table_profile
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    rows = {r.column_name: r for r in q_table_profile(spark, sf_dir).collect()}
+    assert set(rows) == {"event_id", "user_id", "value", "ts_epoch_us", "event_type", "props"}
+    for name, r in rows.items():
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= n
+        assert 1 <= r.n_distinct <= n - r.n_null
+    assert rows["event_id"].n_distinct == n  # primary key
+    assert rows["event_type"].n_distinct == 5
+    assert rows["event_type"].min_str == "click" and rows["event_type"].max_str == "view"
+    assert rows["value"].min_num <= rows["value"].max_num
