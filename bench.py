@@ -65,6 +65,9 @@ HEADLINE = [
     "q_interval_overlap_join",
     "q_triangle_count",
     "q_bm25_search",
+    "q_funnel_stages",
+    "q_psi_drift",
+    "q_ewma_smoothing",
 ]
 
 
