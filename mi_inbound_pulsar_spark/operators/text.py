@@ -668,3 +668,125 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "cnt", F.round(F.col("cnt") / F.col("total"), 6).alias("freq"))
         .orderBy(F.desc("cnt"), "token")
     )
+
+
+@query(
+    "q_bigram_pmi",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (SELECT unnest(w) AS tok FROM docs),
+    bi AS (
+      SELECT w[i] AS t1, w[i + 1] AS t2
+      FROM docs, unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    bc AS (SELECT t1, t2, count(*) AS c FROM bi GROUP BY t1, t2),
+    tot AS (
+      SELECT (SELECT count(*) FROM uni) AS n_uni, (SELECT count(*) FROM bi) AS n_bi
+    )
+    SELECT bc.t1, bc.t2, CAST(bc.c AS BIGINT) AS n_pair,
+           round(ln((bc.c * 1.0 / n_bi)
+                    / ((a.c * 1.0 / n_uni) * (b.c * 1.0 / n_uni))), 6) AS pmi
+    FROM bc JOIN uc a ON bc.t1 = a.tok JOIN uc b ON bc.t2 = b.tok CROSS JOIN tot
+    ORDER BY n_pair DESC, t1, t2
+    LIMIT 20
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation-discovery pass a tokenizer/vocab builder runs to find
+    multi-word units worth merging (high PMI = co-occur far above
+    chance). Top-20 by pair frequency with the PMI score attached.
+
+    Scale: bigram expansion is a narrow array transform (1-based
+    ``element_at``, no per-element re-split); then two hash aggregates
+    and two broadcast joins against the (tiny) unigram count table.
+    The token universe bounds every shuffle, not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wdf = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(F.element_at(w, i).alias("t1"), F.element_at(w, i + 1).alias("t2")),
+    )
+    bi = wdf.select(F.explode(pairs).alias("p")).select("p.t1", "p.t2")
+    uni = wdf.select(F.explode(w).alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    bc = bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_pair"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    a = uc.select(F.col("tok").alias("t1"), F.col("c").alias("c1"))
+    b = uc.select(F.col("tok").alias("t2"), F.col("c").alias("c2"))
+    return (
+        bc.join(F.broadcast(a), "t1")
+        .join(F.broadcast(b), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_bi"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_pair"), "t1", "t2")
+        .limit(20)
+    )
+
+
+@query(
+    "q_keyword_extraction",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln(n_docs * 1.0 / df), 6) AS score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * ln(n_docs * 1.0 / df) DESC, term
+             ) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(tf AS BIGINT) AS tf, score
+    FROM scored WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf — the
+    per-doc twin of corpus-level retrieval (``q_tfidf_search`` ranks
+    docs for a query; this ranks terms for a doc, the tagging/metadata
+    enrichment pass of a curation pipeline).
+
+    Scale: tf is a (doc, term) hash aggregate; df is term-bounded and
+    broadcasts back; the per-doc top-3 is a row_number over the
+    (doc_id) partitioning — each document's term list sorts locally,
+    nothing global. Deterministic tie-break on the term itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", F.round(score, 6).alias("score"))
+        .orderBy("doc_id", "rank")
+    )

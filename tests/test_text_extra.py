@@ -99,3 +99,45 @@ def test_incremental_dedup_matches_bruteforce(spark, sf_dir):
         assert r.n_matches == n and r.is_dup == (n > 0)
         if best is not None:
             assert abs(r.best_jaccard - best) < 1e-9
+
+
+def test_bigram_pmi_matches_python(spark, sf_dir):
+    import math
+    from mi_inbound_pulsar_spark.operators.text import q_bigram_pmi
+
+    docs = _docs(spark, sf_dir)
+    uni = Counter(t for w in docs.values() for t in w)
+    bi = Counter((w[i], w[i + 1]) for w in docs.values() for i in range(len(w) - 1))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    rows = q_bigram_pmi(spark, sf_dir).collect()
+    assert len(rows) == 20
+    counts = [r.n_pair for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert bi[(r.t1, r.t2)] == r.n_pair
+        expected = math.log(
+            (r.n_pair / n_bi) / ((uni[r.t1] / n_uni) * (uni[r.t2] / n_uni))
+        )
+        assert abs(r.pmi - expected) < 1e-4
+
+
+def test_keyword_extraction_top3_per_doc(spark, sf_dir):
+    import math
+    from mi_inbound_pulsar_spark.operators.text import q_keyword_extraction
+
+    docs = _docs(spark, sf_dir)
+    n_docs = len(docs)
+    df = Counter(t for w in docs.values() for t in set(w))
+    rows = q_keyword_extraction(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        assert [r.rank for r in rs] == [1, 2, 3]
+        c = Counter(docs[doc_id])
+        best = sorted(
+            ((tf * math.log(n_docs / df[t]), t) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        assert [r.term for r in rs] == [t for _, t in best]
