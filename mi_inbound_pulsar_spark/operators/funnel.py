@@ -348,3 +348,79 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+@query(
+    "q_funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 72 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_72h,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_72h,
+           round((SELECT count(*) FROM s3) * 1.0
+                 / nullif((SELECT count(*) FROM s1), 0), 6) AS full_funnel_rate
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-constrained funnel: each stage must complete within 72
+    hours of the previous stage's first completion — the form product
+    metrics actually use (an unbounded funnel converges to trivial
+    100% on long-lived users; the deadline is what makes the rate
+    meaningful). Same chained min-aggregate plan as
+    ``q_funnel_stages`` with the window predicate pushed into each
+    stage's filter, so the deadline *reduces* stage input sizes.
+    """
+    e = load_table(spark, sf_dir, "events")
+    window = F.expr("INTERVAL 72 HOURS")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + window)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + window)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_click_72h"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_72h"))
+    return c1.crossJoin(c2).crossJoin(c3).select(
+        "n_signup",
+        "n_click_72h",
+        "n_purchase_72h",
+        F.round(F.col("n_purchase_72h") / F.nullif(F.col("n_signup"), F.lit(0)), 6).alias(
+            "full_funnel_rate"
+        ),
+    )

@@ -74,3 +74,14 @@ def test_table_profile_counts_are_consistent(spark, sf_dir):
     assert rows["event_type"].n_distinct == 5
     assert rows["event_type"].min_str == "click" and rows["event_type"].max_str == "view"
     assert rows["value"].min_num <= rows["value"].max_num
+
+
+def test_windowed_funnel_is_subset_of_unbounded(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_funnel_windowed
+
+    unbounded = q_funnel_stages(spark, sf_dir).collect()[0]
+    windowed = q_funnel_windowed(spark, sf_dir).collect()[0]
+    assert windowed.n_signup == unbounded.n_signup  # stage 1 unaffected
+    assert windowed.n_click_72h <= unbounded.n_click_after
+    assert windowed.n_purchase_72h <= unbounded.n_purchase_after
+    assert 0 <= windowed.full_funnel_rate <= 1
