@@ -84,3 +84,19 @@ def test_ivfpq_recall_gate(spark, sf_dir):
     assert hits / exact.count() >= 0.7
     row = q_ann_ivfpq_recall(spark, sf_dir).collect()[0]
     assert row.recall_ok and row.n_queries == N_QUERIES
+
+
+def test_ivfpq_residual_recall_gate(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.ann_pq import ivfpq_residual_topk
+
+    approx = ivfpq_residual_topk(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .count()
+    )
+    # residual encoding must be at least as usable as the raw form's
+    # floor; on data with real cluster structure it pulls ahead
+    assert hits / exact.count() >= 0.7
