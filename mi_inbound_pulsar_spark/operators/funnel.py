@@ -424,3 +424,121 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_funnel_rate"
         ),
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE),
+                       (SELECT CAST(max(ts) AS DATE) FROM events)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS monetary_micro
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary_micro,
+           CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_micro DESC, user_id) AS BIGINT) AS m_score
+    FROM p ORDER BY user_id
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency / frequency /
+    monetary value of purchases, each quintile-scored with ``ntile`` —
+    the classic marketing segmentation (score 1 = best by convention
+    here: most recent, most frequent, highest spend).
+
+    Scale: one purchase-filtered aggregate, then three ntile windows.
+    The windows are global (unpartitioned) — fine for per-segment
+    reporting cardinalities (users with purchases), and the documented
+    swap for billions of keys is quantile-edge bucketing
+    (``approx_percentile`` thresholds instead of exact ranked ntile,
+    same output schema). Monetary is exact integer micros; every
+    ntile ordering carries the user_id tiebreak so ranks are total.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(micro).alias("monetary_micro"),
+        )
+    )
+    global_max = e.agg(F.max(F.col("ts").cast("date")).alias("gmax"))
+    p = p.crossJoin(F.broadcast(global_max)).select(
+        "user_id",
+        F.datediff(F.col("gmax"), F.col("last_day")).cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_micro",
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary_micro"), F.asc("user_id"))
+    return (
+        p.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_micro",
+            F.ntile(5).over(wr).cast("long").alias("r_score"),
+            F.ntile(5).over(wf).cast("long").alias("f_score"),
+            F.ntile(5).over(wm).cast("long").alias("m_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev, event_type AS next, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, next
+    ),
+    totals AS (SELECT prev, sum(n) AS t FROM pairs GROUP BY prev)
+    SELECT p.prev, p.next, CAST(p.n AS BIGINT) AS n,
+           round(p.n * 1.0 / t.t, 6) AS prob
+    FROM pairs p JOIN totals t USING (prev)
+    ORDER BY prev, next
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type). The temporal
+    twin of ``q_bigram_pmi`` — adjacency here is each user's timeline,
+    not token order — and the input to next-event prediction,
+    anomaly scoring, and funnel-shape discovery.
+
+    Scale: one lag window on the (user_id) partitioning, then a hash
+    aggregate on the (prev, next) pair — the transition matrix is
+    event-type² rows regardless of corpus size, and the per-prev
+    normalizer is a broadcast-sized join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type", F.lag("event_type").over(w).alias("prev"))
+    pairs = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(totals), "prev")
+        .select("prev", "next", "n", F.round(F.col("n") / F.col("t"), 6).alias("prob"))
+        .orderBy("prev", "next")
+    )

@@ -85,3 +85,36 @@ def test_windowed_funnel_is_subset_of_unbounded(spark, sf_dir):
     assert windowed.n_click_72h <= unbounded.n_click_after
     assert windowed.n_purchase_72h <= unbounded.n_purchase_after
     assert 0 <= windowed.full_funnel_rate <= 1
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_rfm_segmentation
+
+    rows = q_rfm_segmentation(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            v = getattr(r, col)
+            assert 1 <= v <= 5
+            counts[v] = counts.get(v, 0) + 1
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1
+        assert sum(counts.values()) == n
+    # best recency score goes to the most recent purchaser
+    most_recent = min(rows, key=lambda r: (r.recency_days, r.user_id))
+    assert most_recent.r_score == 1
+
+
+def test_markov_rows_are_probability_distributions(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_markov_transitions
+
+    rows = q_markov_transitions(spark, sf_dir).collect()
+    by_prev: dict = {}
+    for r in rows:
+        assert 0 < r.prob <= 1
+        by_prev.setdefault(r.prev, []).append(r)
+    assert set(by_prev) == {"click", "error", "purchase", "signup", "view"}
+    for prev, rs in by_prev.items():
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-4
