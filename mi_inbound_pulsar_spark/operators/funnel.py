@@ -542,3 +542,202 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev", "next", "n", F.round(F.col("n") / F.col("t"), 6).alias("prob"))
         .orderBy("prev", "next")
     )
+
+
+@query(
+    "q_event_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type, rn_all - rn_type AS island, count(*) AS streak
+      FROM seq GROUP BY user_id, event_type, rn_all - rn_type
+    ),
+    best AS (
+      SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak
+      FROM islands GROUP BY user_id
+    )
+    SELECT b.user_id, b.longest_streak,
+           min(i.event_type) AS streak_type
+    FROM best b JOIN islands i
+      ON b.user_id = i.user_id AND i.streak = b.longest_streak
+    GROUP BY b.user_id, b.longest_streak
+    ORDER BY b.user_id
+    """,
+)
+def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive
+    same-type events (ties broken to the lexicographically first
+    type). The value-change twin of time-gap sessionization — the
+    ``rn_all − rn_type`` island trick turns consecutive-run detection
+    into a plain GROUP BY, no iteration.
+
+    Scale: both row_numbers share the (user_id) partitioning — one
+    Exchange; islands and the max are hash aggregates on keys bounded
+    by runs, not events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(wa) - F.row_number().over(wt)).alias("island"),
+    )
+    islands = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    best = islands.groupBy("user_id").agg(F.max("streak").alias("longest_streak"))
+    return (
+        best.join(
+            islands,
+            (best.user_id == islands.user_id) & (best.longest_streak == islands.streak),
+        )
+        .groupBy(best.user_id, "longest_streak")
+        .agg(F.min("event_type").alias("streak_type"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_pareto_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(revenue_cents) AS t FROM rev),
+    ranked AS (
+      SELECT l_partkey, revenue_cents,
+             sum(revenue_cents) OVER (
+               ORDER BY revenue_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_cents,
+             row_number() OVER (ORDER BY revenue_cents DESC, l_partkey) AS rnk
+      FROM rev
+    )
+    SELECT l_partkey, revenue_cents, CAST(rnk AS BIGINT) AS rnk,
+           round(cum_cents * 1.0 / t, 6) AS cum_share,
+           cum_cents * 1.0 / t <= 0.8 AS in_head
+    FROM ranked, tot
+    WHERE rnk <= 20
+    ORDER BY rnk
+    """,
+)
+def q_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / contribution analysis: parts ranked by revenue with
+    cumulative revenue share and the 80%-head flag — the concentration
+    diagnostic behind 'which 20% of SKUs drive 80% of revenue'.
+
+    Scale: revenue is an exact integer-cents hash aggregate; the
+    cumulative window is a ROWS frame over a *total* ordering
+    (revenue desc, key) so the running sum is deterministic; only the
+    top-20 presentation rows surface. The global window sorts the
+    per-part aggregate (|parts| rows), never raw lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("revenue_cents"))
+    tot = rev.agg(F.sum("revenue_cents").alias("t"))
+    w = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "l_partkey",
+        "revenue_cents",
+        F.sum("revenue_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "revenue_cents",
+            "rnk",
+            F.round(F.col("cum_cents") / F.col("t"), 6).alias("cum_share"),
+            (F.col("cum_cents") / F.col("t") <= 0.8).alias("in_head"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    freq AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
+           round(n_both * 1.0 / n_orders, 6) AS support,
+           round((n_both * 1.0 / n_orders)
+                 / ((f1.c * 1.0 / n_orders) * (f2.c * 1.0 / n_orders)), 6) AS lift
+    FROM pairs JOIN freq f1 ON p1 = f1.l_partkey
+               JOIN freq f2 ON p2 = f2.l_partkey
+               CROSS JOIN n
+    ORDER BY n_both DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: co-purchased part pairs with support
+    and lift (observed co-occurrence over independence) — the
+    association-rule primitive behind recommendations.
+
+    Scale: the self-join is keyed on the order (a basket), so pair
+    fan-out is Σ items-per-basket² — bounded by basket size, never
+    all-pairs over the catalog; item frequencies broadcast back. A
+    hot mega-basket is the skew hazard → cap basket size upstream
+    (same DF-cap rationale as the shingle index).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    f1 = freq.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    f2 = freq.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    sup = F.col("n_both") / F.col("n_orders")
+    return (
+        pairs.join(F.broadcast(f1), "p1")
+        .join(F.broadcast(f2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.round(sup, 6).alias("support"),
+            F.round(
+                sup / ((F.col("c1") / F.col("n_orders")) * (F.col("c2") / F.col("n_orders"))), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "p1", "p2")
+        .limit(20)
+    )

@@ -118,3 +118,62 @@ def test_markov_rows_are_probability_distributions(spark, sf_dir):
     assert set(by_prev) == {"click", "error", "purchase", "signup", "view"}
     for prev, rs in by_prev.items():
         assert abs(sum(r.prob for r in rs) - 1.0) < 1e-4
+
+
+def test_event_streaks_match_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_event_streaks
+
+    e = load_table(spark, sf_dir, "events")
+    seqs: dict = {}
+    for r in e.select("user_id", "ts", "event_id", "event_type").collect():
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    expected = {}
+    for uid, rows in seqs.items():
+        rows.sort()
+        best, best_types = 0, set()
+        run, prev = 0, None
+        for _, _, t in rows:
+            run = run + 1 if t == prev else 1
+            prev = t
+            if run > best:
+                best, best_types = run, {t}
+            elif run == best:
+                best_types.add(t)
+        expected[uid] = (best, min(best_types))
+    got = {r.user_id: (r.longest_streak, r.streak_type) for r in q_event_streaks(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_pareto_cum_share_is_monotone(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_pareto_contribution
+
+    rows = q_pareto_contribution(spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_share for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    revs = [r.revenue_cents for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert 0 < shares[-1] <= 1
+
+
+def test_basket_lift_matches_python(spark, sf_dir):
+    from itertools import combinations
+    from mi_inbound_pulsar_spark.operators.funnel import q_basket_lift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets: dict = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len(baskets)
+    freq: dict = {}
+    pair_n: dict = {}
+    for items in baskets.values():
+        for p in items:
+            freq[p] = freq.get(p, 0) + 1
+        for p1, p2 in combinations(sorted(items), 2):
+            pair_n[(p1, p2)] = pair_n.get((p1, p2), 0) + 1
+    rows = q_basket_lift(spark, sf_dir).collect()
+    for r in rows:
+        assert pair_n[(r.p1, r.p2)] == r.n_both
+        lift = (r.n_both / n_orders) / ((freq[r.p1] / n_orders) * (freq[r.p2] / n_orders))
+        assert abs(r.lift - lift) < 1e-4
