@@ -540,3 +540,48 @@ def q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS bucket
+      FROM tok
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM hashed GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization: every token maps to one of 64
+    feature buckets via its md5 prefix, and a document becomes the
+    sparse (bucket, count) vector — the fixed-dimension, vocabulary-
+    free featurizer (no dictionary to build, ship, or keep in sync;
+    collisions are the accepted trade). The bucket index is derived
+    from the md5 *hex string* with pure string arithmetic, so the
+    exact same feature space exists in any engine — the portability
+    property that makes train/serve skew checkable across stacks.
+
+    Scale: explode → narrow hash expression → one (doc, bucket) hash
+    aggregate with map-side combine; output is bounded by docs × 64,
+    independent of vocabulary size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lut = "0123456789abcdef"
+    v1 = F.expr(f"instr('{lut}', substring(md5(cast(tok as binary)), 1, 1))") - 1
+    v2 = F.expr(f"instr('{lut}', substring(md5(cast(tok as binary)), 2, 1))") - 1
+    bucket = ((v1 * 16 + v2) % 64).cast("long")
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )

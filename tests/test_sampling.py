@@ -124,3 +124,30 @@ def test_training_pipeline_is_two_shuffles(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_feature_hashing_is_consistent_and_bounded(spark, sf_dir):
+    import hashlib
+
+    from mi_inbound_pulsar_spark.operators.sampling import q_feature_hashing
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = {r.doc_id: r.text.split(" ") for r in d.collect()}
+    rows = q_feature_hashing(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        assert 0 <= r.bucket < 64
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.cnt
+    assert set(by_doc) == set(docs)
+    for doc_id, w in docs.items():
+        # counts partition the token stream
+        assert sum(by_doc[doc_id].values()) == len(w)
+        # same bucket function as hashlib md5 prefix
+        expected: dict = {}
+        for t in w:
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = (int(h[0], 16) * 16 + int(h[1], 16)) % 64
+            expected[b] = expected.get(b, 0) + 1
+        assert by_doc[doc_id] == expected
