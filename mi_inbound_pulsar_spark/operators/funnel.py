@@ -741,3 +741,112 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), "p1", "p2")
         .limit(20)
     )
+
+
+@query(
+    "q_conversion_latency",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT s1.user_id, (epoch_us(t3) - epoch_us(t1)) // 1000000 AS secs
+      FROM s1 JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(secs) AS BIGINT) AS min_secs,
+           round(quantile_cont(secs, 0.5), 4) AS p50_secs,
+           round(quantile_cont(secs, 0.9), 4) AS p90_secs,
+           CAST(max(secs) AS BIGINT) AS max_secs
+    FROM lat
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from first signup to the
+    first purchase after it, summarized as min/median/p90/max — the
+    latency companion to the funnel's conversion *rate* (how many
+    convert vs how long it takes).
+
+    Scale: two chained min-aggregates (funnel plan), one integer-
+    seconds subtraction, one percentile aggregate over converters
+    only. Integer seconds via epoch-µs floor-division keeps the
+    latency column engine-exact; the interpolated percentiles ride
+    the Spark ``percentile`` ≙ DuckDB ``quantile_cont`` parity pair.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s3 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = s1.join(s3, "user_id").select(
+        ((F.unix_micros("t3") - F.unix_micros("t1")) / 1000000).cast("long").alias("secs")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("secs").alias("min_secs"),
+        F.round(F.percentile("secs", F.lit(0.5)), 4).alias("p50_secs"),
+        F.round(F.percentile("secs", F.lit(0.9)), 4).alias("p90_secs"),
+        F.max("secs").alias("max_secs"),
+    )
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS vmicro,
+             (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS dt_secs
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt_secs) AS BIGINT) AS total_secs,
+           round(sum(vmicro * dt_secs) * 1.0 / sum(dt_secs) / 1000000, 6) AS twap
+    FROM seq WHERE dt_secs IS NOT NULL AND dt_secs > 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP): each observation is weighted
+    by how long it was the user's 'current' value (until their next
+    event) — the estimator that is robust to irregular sampling, where
+    a plain mean over-weights bursts. Standard in pricing/metering;
+    here per event type.
+
+    Scale: one lead window on the (user_id) partitioning, then a hash
+    aggregate. The weighted sums are integer (micro-value × whole
+    seconds), so cross-engine summation order cannot move the result;
+    the single final division is the only float op.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vmicro = F.round(F.col("value") * 1000000, 0).cast("long")
+    dt = ((F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1000000).cast("long")
+    seq = e.select("event_type", vmicro.alias("vmicro"), dt.alias("dt_secs"))
+    return (
+        seq.filter(F.col("dt_secs").isNotNull() & (F.col("dt_secs") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_secs").alias("total_secs"),
+            F.round(
+                F.sum(F.col("vmicro") * F.col("dt_secs")) / F.sum("dt_secs") / 1000000, 6
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )

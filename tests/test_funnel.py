@@ -177,3 +177,27 @@ def test_basket_lift_matches_python(spark, sf_dir):
         assert pair_n[(r.p1, r.p2)] == r.n_both
         lift = (r.n_both / n_orders) / ((freq[r.p1] / n_orders) * (freq[r.p2] / n_orders))
         assert abs(r.lift - lift) < 1e-4
+
+
+def test_conversion_latency_bounds(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_conversion_latency
+
+    r = q_conversion_latency(spark, sf_dir).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.min_secs <= r.p50_secs <= r.p90_secs <= r.max_secs
+    unbounded = q_funnel_stages(spark, sf_dir).collect()[0]
+    # conversion here skips the click stage, so it can't be smaller
+    # than the strict 3-stage funnel count
+    assert r.n_converted >= unbounded.n_purchase_after
+
+
+def test_twap_is_within_value_range(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_twap
+
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("value"), F.max("value")).first()
+    rows = q_twap(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == {"click", "error", "purchase", "signup", "view"}
+    for r in rows:
+        assert lo - 1e-6 <= r.twap <= hi + 1e-6
+        assert r.n_intervals > 0 and r.total_secs > 0
