@@ -850,3 +850,49 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_period_over_period",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           lag(n, 1) OVER w AS prev_day,
+           lag(n, 7) OVER w AS prev_week,
+           round((n - lag(n, 1) OVER w) * 1.0 / lag(n, 1) OVER w, 6) AS dod_growth,
+           round((n - lag(n, 7) OVER w) * 1.0 / lag(n, 7) OVER w, 6) AS wow_growth
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+    ORDER BY day
+    """,
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: daily volumes with day-over-day and
+    week-over-week deltas — the BI reporting staple (lag at two
+    horizons over the same daily rollup; NULL growth on the warm-up
+    rows where no prior period exists).
+
+    Scale: the window runs over the *daily rollup* (365 rows/year),
+    not events — the aggregate shrinks first, the analytics read the
+    shrunk series. Growth is a single division of exact integer
+    counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    prev1, prev7 = F.lag("n", 1).over(w), F.lag("n", 7).over(w)
+    return daily.select(
+        "day",
+        "n",
+        prev1.alias("prev_day"),
+        prev7.alias("prev_week"),
+        F.round((F.col("n") - prev1) / prev1, 6).alias("dod_growth"),
+        F.round((F.col("n") - prev7) / prev7, 6).alias("wow_growth"),
+    ).orderBy("day")

@@ -790,3 +790,53 @@ def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "tf", F.round(score, 6).alias("score"))
         .orderBy("doc_id", "rank")
     )
+
+
+@query(
+    "q_phrase_search",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, w[i] AS term, i AS p
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(generate_series(1, len(w))) AS u(i)
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(a.p) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = 'table' AND b.term = 'hash'
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('table hash') via a positional inverted
+    index: posting lists carry (doc, position), and a phrase match is
+    a self-join on adjacent positions — the way a search engine
+    evaluates quoted queries, vs. the O(corpus) LIKE scan.
+
+    Scale: each term's posting list is filtered BEFORE the join (the
+    two single-term filters prune the exploded frame to the query
+    terms only), so the adjacency join touches |postings(t1)| +
+    |postings(t2)| rows, not the corpus; at index time the posting
+    lists would be written bucketed by term. Generalizes to k-word
+    phrases as a chain of position+1 joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "term")
+    ).select("doc_id", (F.col("p") + 1).alias("p"), "term")
+    a = pos.filter(F.col("term") == "table").alias("a")
+    b = pos.filter(F.col("term") == "hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min(F.col("a.p")).cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

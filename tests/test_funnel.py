@@ -201,3 +201,18 @@ def test_twap_is_within_value_range(spark, sf_dir):
     for r in rows:
         assert lo - 1e-6 <= r.twap <= hi + 1e-6
         assert r.n_intervals > 0 and r.total_secs > 0
+
+
+def test_period_over_period_growth_identities(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_period_over_period
+
+    rows = q_period_over_period(spark, sf_dir).collect()
+    assert len(rows) >= 14
+    assert rows[0].prev_day is None and rows[0].dod_growth is None
+    by_day = {r.day: r for r in rows}
+    for i, r in enumerate(rows):
+        if i >= 1:
+            assert r.prev_day == rows[i - 1].n
+            assert abs(r.dod_growth - (r.n - r.prev_day) / r.prev_day) < 1e-6
+        if i >= 7:
+            assert r.prev_week == rows[i - 7].n

@@ -141,3 +141,20 @@ def test_keyword_extraction_top3_per_doc(spark, sf_dir):
             key=lambda x: (-x[0], x[1]),
         )[:3]
         assert [r.term for r in rs] == [t for _, t in best]
+
+
+def test_phrase_search_matches_python_scan(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.text import q_phrase_search
+
+    docs = _docs(spark, sf_dir)
+    expected = {}
+    for doc_id, w in docs.items():
+        hits = [i + 1 for i in range(len(w) - 1) if w[i] == "table" and w[i + 1] == "hash"]
+        if hits:
+            expected[doc_id] = (len(hits), hits[0])
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in q_phrase_search(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got  # non-vacuous: the phrase occurs in the corpus
