@@ -35,8 +35,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _normalize_timestamps(_load_events(spark, sf_dir))
+    return _normalize_timestamps(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Parquet written with tz-naive timestamps (isAdjustedToUTC=false)
+    surfaces as TIMESTAMP_NTZ under Spark 4's default
+    ``inferTimestampNTZ``; functions like ``unix_micros`` reject NTZ.
+    The whole engine (and its DuckDB oracles) treats timestamps as
+    instants, so cast NTZ → TIMESTAMP once at the scan. The session tz
+    is UTC (asserted by the session builder), making the cast
+    instant-preserving; it stays a cheap codegen'd projection that does
+    not block pushdown of comparisons on the same column."""
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
