@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mi_inbound_pulsar_spark.functions.arrays import explode_computed
 from mi_inbound_pulsar_spark.operators import query
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
@@ -282,8 +283,10 @@ def q_ngram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
         ),
     ).otherwise(F.array())
+    bigram, keep = explode_computed(grams, "bigram")
     return (
-        wdf.select("doc_id", F.explode(grams).alias("bigram"))
+        wdf.select("doc_id", bigram)
+        .filter(keep)
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"), F.count_distinct("doc_id").alias("doc_freq"))
         .orderBy(F.desc("freq"), "bigram")
@@ -412,15 +415,14 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
-                lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
-            )
-        ).alias("g"),
+    g, keep_g = explode_computed(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+        "g",
     )
+    grams = toks.select("doc_id", g).filter(keep_g)
     freq = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     return (
         freq.groupBy("doc_id")
@@ -710,7 +712,8 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.struct(F.element_at(w, i).alias("t1"), F.element_at(w, i + 1).alias("t2")),
     )
-    bi = wdf.select(F.explode(pairs).alias("p")).select("p.t1", "p.t2")
+    p_col, keep_p = explode_computed(pairs, "p")
+    bi = wdf.select(p_col).filter(keep_p).select("p.t1", "p.t2")
     uni = wdf.select(F.explode(w).alias("tok"))
     uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     bc = bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_pair"))

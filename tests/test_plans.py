@@ -234,3 +234,40 @@ def test_funnel_stage_joins_carry_keys_only(spark, sf_dir):
     plan = formatted_plan_of(q_funnel_stages(spark, sf_dir))
     # stage inputs scan only the columns the funnel needs
     assert "props" not in plan and "event_id" not in plan
+
+
+def test_shingle_explode_evaluates_gram_expression_once(spark, sf_dir):
+    """Catalyst's InferFiltersFromGenerate synthesizes a filter below a
+    non-outer explode that re-evaluates the generator expression with
+    projection aliases inlined — for the shingle pipeline that meant
+    O(len²) re-splits per document (8.3 s vs 0.5 s at sf0.1).
+    ``shingles`` uses explode_outer + a null filter to sidestep the
+    rule; assert the expensive gram expression appears exactly once in
+    the physical plan (the single Project), never inside a Filter."""
+    from mi_inbound_pulsar_spark.operators.dedup import shingles
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    plan = plan_of(shingles(load_table(spark, sf_dir, "documents")))
+    # the gram builder is the only CASE WHEN in this plan; the inferred
+    # filter would duplicate it (2 copies in Filter + 1 in Project)
+    assert plan.count("CASE WHEN") == 1, plan
+
+
+def test_minhash_array_signatures_match_groupby_signatures(spark, sf_dir):
+    """minhash_signatures_arr (narrow, interpreted-HOF) and
+    minhash_signatures (explode + codegen'd groupBy) must produce the
+    identical xxhash64(seed, shingle) minima — one is a drop-in for
+    the other."""
+    from mi_inbound_pulsar_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_arr,
+        shingle_arrays,
+        shingles,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    via_groupby = minhash_signatures(shingles(d), k=8)
+    via_arrays = minhash_signatures_arr(shingle_arrays(d), k=8)
+    assert via_groupby.exceptAll(via_arrays).count() == 0
+    assert via_arrays.exceptAll(via_groupby).count() == 0
