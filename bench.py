@@ -68,6 +68,9 @@ HEADLINE = [
     "q_funnel_stages",
     "q_psi_drift",
     "q_ewma_smoothing",
+    # embedding classification / corpus statistics (round 3)
+    "q_nearest_centroid",
+    "q_zipf_slope",
 ]
 
 

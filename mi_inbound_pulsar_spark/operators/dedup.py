@@ -550,12 +550,16 @@ def _rhp_hyperplanes(dim: int, bits: int = RHP_BITS):
     return np.sin(n * n)
 
 
-def rhp_band_keys(e: DataFrame, dim: int = 64) -> DataFrame:
-    """(vec_id, band, key): sign-bit LSH signature, banded.
+def rhp_band_keys(e: DataFrame, dim: int = 64, carry_embedding: bool = False) -> DataFrame:
+    """(vec_id, band, key[, embedding]): sign-bit LSH signature, banded.
 
     Narrow mapInPandas pass — one numpy GEMM per Arrow batch against the
     broadcast (bits x dim) hyperplane matrix; emits RHP_BANDS small rows
-    per vector. The corpus itself never shuffles here."""
+    per vector. The corpus itself never shuffles here.
+    ``carry_embedding=True`` replicates the vector into each band row so
+    the downstream bucket shuffle carries it — at scale that is cheaper
+    than joining the corpus back on vec_id to re-fetch vectors (the
+    join would shuffle the whole corpus a second time)."""
     import numpy as np
     import pandas as pd
 
@@ -569,24 +573,24 @@ def rhp_band_keys(e: DataFrame, dim: int = 64) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             bits = (mat @ hyp.T) >= 0.0  # (batch, RHP_BITS)
-            out_id, out_band, out_key = [], [], []
+            out = []
             for b in range(RHP_BANDS):
                 band_bits = bits[:, b * RHP_ROWS : (b + 1) * RHP_ROWS]
                 key = band_bits.astype(np.int64) @ pow2
-                out_id.append(ids)
-                out_band.append(np.full(len(ids), b, dtype=np.int64))
-                out_key.append(key)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_id),
-                    "band": np.concatenate(out_band),
-                    "key": np.concatenate(out_key),
+                part = {
+                    "vec_id": ids,
+                    "band": np.full(len(ids), b, dtype=np.int64),
+                    "key": key,
                 }
-            )
+                if carry_embedding:
+                    part["embedding"] = pdf["embedding"]
+                out.append(pd.DataFrame(part))
+            yield pd.concat(out, ignore_index=True)
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        keys, schema="vec_id long, band long, key long"
-    )
+    schema = "vec_id long, band long, key long"
+    if carry_embedding:
+        schema += ", embedding array<float>"
+    return e.select("vec_id", "embedding").mapInPandas(keys, schema=schema)
 
 
 # DuckDB replay of the full RHP-LSH pair pipeline (shared by the pair
@@ -633,54 +637,60 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH banding — the scale
     path ``q_embedding_neardup``'s docstring promises.
 
-    Plan shape at 100 TB: signature pass is narrow (no shuffle);
-    candidate generation shuffles only (vec_id, band, key) rows — 24
-    bytes/row — grouped per bucket so the join is per-bucket, never
-    all-pairs; verification joins the (small) candidate set back to the
-    corpus on vec_id and computes exact cosine row-wise in Arrow
-    batches. Precision is exact (every pair verified); LSH only bounds
+    Plan shape at 100 TB: signature pass is narrow (no shuffle); ONE
+    wide stage shuffles (vec_id, band, key, embedding) rows into their
+    (band, key) buckets, where an applyInPandas numpy GEMM verifies
+    exact cosine within the bucket — pairs are born verified, so there
+    is never a materialized unverified candidate list nor a per-pair
+    embedding fetch join. A cross-band ``distinct`` dedups pairs that
+    collide in several bands. Hot buckets are chunk-GEMMed (1024-row
+    blocks) so memory stays bounded; at production scale the matching
+    guard is a bucket-size cap or more rows per band. Precision is
+    exact (every emitted pair is cosine-verified); LSH only bounds
     recall, gated vs the brute-force truth in pytest.
     """
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    # the signature frame feeds both sides of the bucket self-join —
-    # persist it or the GEMM signature pass runs twice
-    keys = rhp_band_keys(e).persist()
+    # the embedding rides WITH its band keys into the bucket shuffle, so
+    # verification happens per-bucket as one numpy GEMM — there is no
+    # materialized candidate-pair list and no per-pair embedding join.
+    # (An earlier form produced DISTINCT candidate ids then joined the
+    # corpus twice to fetch both embeddings; with 4-bit band keys a
+    # ~1/16 random-collision rate makes that pair list quadratic-ish —
+    # measured 7.2 s vs ~2 s for this form at sf0.1.)
+    keyed = rhp_band_keys(e, carry_embedding=True)
 
-    cand = (
-        keys.alias("a")
-        .join(keys.alias("b"), ["band", "key"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        units = mat / n
+        out_a, out_b = [], []
+        # chunk the GEMM so a hot bucket stays bounded in memory
+        for lo in range(0, len(ids), 1024):
+            hi = min(lo + 1024, len(ids))
+            sims = units[lo:hi] @ units.T
+            li, ri = np.nonzero(sims >= 0.4)
+            ga = ids[lo + li]
+            gb = ids[ri]
+            keep = ga < gb
+            out_a.append(ga[keep])
+            out_b.append(gb[keep])
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    return (
+        keyed.groupBy("band", "key")
+        .applyInPandas(
+            lambda _, pdf: bucket_verify(pdf), schema="id_a long, id_b long"
+        )
         .distinct()
+        .orderBy("id_a", "id_b")
     )
-
-    emb = e.select("vec_id", "embedding")
-    paired = (
-        cand.join(emb.withColumnsRenamed({"vec_id": "id_a", "embedding": "emb_a"}), "id_a")
-        .join(emb.withColumnsRenamed({"vec_id": "id_b", "embedding": "emb_b"}), "id_b")
-        .select("id_a", "id_b", "emb_a", "emb_b")
-    )
-
-    def verify(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.array(list(pdf["emb_a"]), dtype=np.float64)
-            b = np.array(list(pdf["emb_b"]), dtype=np.float64)
-            na = np.linalg.norm(a, axis=1)
-            nb = np.linalg.norm(b, axis=1)
-            na[na == 0.0] = 1.0
-            nb[nb == 0.0] = 1.0
-            sim = np.einsum("ij,ij->i", a, b) / (na * nb)
-            keep = sim >= 0.4
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"].to_numpy()[keep], "id_b": pdf["id_b"].to_numpy()[keep]}
-            )
-
-    return paired.mapInPandas(verify, schema="id_a long, id_b long").orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

@@ -271,3 +271,129 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid classification + embedding-column profiling
+# --------------------------------------------------------------------------
+@query(
+    "q_nearest_centroid",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    dims AS (
+      SELECT label, i - 1 AS dim, avg(emb[i]) AS m
+      FROM e, unnest(range(1, 65)) AS t(i)
+      GROUP BY label, i
+    ),
+    cents AS (
+      SELECT label AS c_label, list(m ORDER BY dim) AS cent
+      FROM dims GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_cosine_similarity(e.emb, c.cent) AS sim,
+             row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+               c.c_label
+             ) AS rn
+      FROM e CROSS JOIN cents c
+    )
+    SELECT label AS true_label, c_label AS assigned_label,
+           count(*) AS n
+    FROM scored WHERE rn = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of every embedding
+    against its per-label mean vector — the confusion matrix of the
+    10-label corpus. The quality gate a labeled-embedding pipeline
+    runs after re-embedding.
+
+    Plan: per-label centroids via posexplode + avg (shuffle carries
+    (label, dim) partial sums — k x dim rows, map-side combined), the
+    10 x 64 centroid matrix collected driver-side (a legitimate small
+    reduce, same as the k-means partials), then one narrow mapInPandas
+    GEMM assigns each corpus vector to argmax cosine (ties -> lowest
+    label). The corpus itself never shuffles; the only wide stage is
+    the final (true, assigned) count.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    cent_rows = dims.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("m")))
+        ).alias("dm")
+    ).select("label", F.transform("dm", lambda s: s.m).alias("cent")).collect()
+    cent_rows.sort(key=lambda r: r["label"])
+    c_labels = np.array([r["label"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([r["cent"] for r in cent_rows], dtype=np.float64)
+    c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_norm[c_norm == 0.0] = 1.0
+    c_units = c_mat / c_norm
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            _, units = _unit_rows(np.empty(0), mat)
+            sims = units @ c_units.T  # (batch, k)
+            best = np.argmax(sims, axis=1)  # first max -> lowest label
+            yield pd.DataFrame(
+                {
+                    "true_label": pdf["label"].to_numpy(dtype=np.int64),
+                    "assigned_label": c_labels[best],
+                }
+            )
+
+    assigned = e.select("label", "embedding").mapInPandas(
+        assign, schema="true_label long, assigned_label long"
+    )
+    return (
+        assigned.groupBy("true_label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+@query(
+    "q_embedding_dim_variance",
+    oracle="""
+    SELECT i - 1 AS dim,
+           round(avg(emb[i]), 6) AS mean_x,
+           round(var_samp(emb[i]), 6) AS var_x
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         unnest(range(1, 65)) AS t(i)
+    GROUP BY i
+    ORDER BY var_x DESC, dim
+    LIMIT 5
+    """,
+)
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding column,
+    top-5 dims by variance — the drift/collapse monitor an embedding
+    pipeline runs per batch (a dimension whose variance collapses to ~0
+    signals an encoder regression).
+
+    Plan: posexplode -> groupBy(dim) with map-side partial agg; the
+    shuffle carries 64 x n_partitions partial rows, never the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.var_samp("x"), 6).alias("var_x"),
+        )
+        .orderBy(F.desc("var_x"), "dim")
+        .limit(5)
+    )

@@ -9,7 +9,7 @@ shuffle-free pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.functions.arrays import explode_computed
@@ -842,4 +842,44 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("a.p")).cast("long").alias("first_pos"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS f FROM tok GROUP BY term),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM freq
+    )
+    SELECT count(*) AS vocab_size,
+           round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 6) AS zipf_r2
+    FROM ranked
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) against ln(rank). Natural language sits near -1;
+    a corpus whose slope drifts far from its baseline signals template
+    spam (too flat) or vocabulary collapse (too steep) — a standard
+    corpus-health check before tokenizer training.
+
+    Plan: one token groupBy (map-side combined), a row_number over the
+    (small) vocabulary, and a single regr_slope/regr_r2 aggregate —
+    the corpus shuffle is bounded by the vocabulary, not the tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "term")).alias("r")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("zipf_r2"),
     )
