@@ -11,7 +11,7 @@ gaps-and-islands sessions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
@@ -512,4 +512,68 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_value"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "q_watermark_calibration",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) - max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS lead_us
+      FROM events
+    ),
+    lag_us AS (
+      SELECT CASE WHEN lead_us < 0 THEN -lead_us ELSE 0 END AS disorder_us,
+             (lead_us < 0) AS is_late
+      FROM seq WHERE lead_us IS NOT NULL
+    )
+    SELECT count(*) AS n_arrivals,
+           CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+           round(avg(CASE WHEN is_late THEN 1.0 ELSE 0.0 END), 6) AS late_fraction,
+           round(quantile_cont(disorder_us, 0.95), 6) AS p95_disorder_us,
+           round(quantile_cont(disorder_us, 0.99), 6) AS p99_disorder_us,
+           max(disorder_us) AS max_disorder_us
+    FROM lag_us
+    """,
+)
+def q_watermark_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit that *calibrates the watermark*: for each
+    per-key arrival (arrival order ≙ event_id), the lag behind the
+    running max event time seen so far. p99 of that disorder IS the
+    ``withWatermark`` delay that would keep ≤1% of late rows from being
+    dropped — this query turns the streaming knob into a measured
+    quantity instead of a guess.
+
+    Plan: one window over the (user_id, arrival-order) partitioning —
+    the same single-Exchange shape as the sessionizer — then one global
+    aggregate. Exact integer-µs disorder; exact interpolated
+    percentiles (``percentile`` ≙ DuckDB ``quantile_cont``). At 100 TB
+    the per-key window partitions by the stream's key space and the
+    final aggregate is a single small reduce.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros("ts")
+    seq = e.select(
+        (us - F.max(us).over(w)).alias("lead_us"),
+    ).filter(F.col("lead_us").isNotNull())
+    lagged = seq.select(
+        F.when(F.col("lead_us") < 0, -F.col("lead_us")).otherwise(F.lit(0)).alias("disorder_us"),
+        (F.col("lead_us") < 0).alias("is_late"),
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.sum(F.col("is_late").cast("long")).alias("n_out_of_order"),
+        F.round(F.avg(F.col("is_late").cast("double")), 6).alias("late_fraction"),
+        F.round(F.percentile("disorder_us", F.lit(0.95)), 6).alias("p95_disorder_us"),
+        F.round(F.percentile("disorder_us", F.lit(0.99)), 6).alias("p99_disorder_us"),
+        F.max("disorder_us").alias("max_disorder_us"),
     )

@@ -883,3 +883,72 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("zipf_r2"),
     )
+
+
+@query(
+    "q_unigram_kl_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    ref AS (
+      SELECT term, count(*) AS f FROM tok WHERE source <> 'src1' GROUP BY term
+    ),
+    ref_tot AS (SELECT sum(f) AS t FROM ref),
+    new_ AS (
+      SELECT term, count(*) AS f FROM tok WHERE source = 'src1' GROUP BY term
+    ),
+    new_tot AS (SELECT sum(f) AS t FROM new_),
+    joined AS (
+      SELECT n.f AS fn, nt.t AS tn, COALESCE(r.f, 0) AS fr, rt.t AS tr
+      FROM new_ n
+      CROSS JOIN new_tot nt CROSS JOIN ref_tot rt
+      LEFT JOIN ref r USING (term)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(CASE WHEN fr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum((fn * 1.0 / tn) * ln((fn * 1.0 / tn) /
+                 ((fr + 1.0) / (tr + (SELECT count(*) FROM new_))))), 6) AS kl_nats
+    FROM joined
+    """,
+)
+def q_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of one source's unigram distribution against the
+    rest of the corpus (add-one smoothed on the reference side) — the
+    categorical complement of the numeric PSI monitor: flags a source
+    whose token mix drifts (template spam, language shift) before it
+    pollutes a training mixture.
+
+    Plan: two token groupBys (map-side combined, shuffles bounded by
+    the vocabulary), a vocabulary-sized left join, one scalar reduce.
+    The corpus rows never shuffle — only (term, count) pairs do.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    new = (
+        tok.filter(F.col("source") == "src1")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fn"))
+    )
+    ref = (
+        tok.filter(F.col("source") != "src1")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fr"))
+    )
+    tn = new.agg(F.sum("fn").alias("tn"))
+    tr = ref.agg(F.sum("fr").alias("tr"))
+    nv = new.agg(F.count(F.lit(1)).alias("nv"))
+    j = (
+        new.join(ref, "term", "left")
+        .na.fill({"fr": 0})
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(nv))
+    )
+    p = F.col("fn") / F.col("tn")
+    q = (F.col("fr") + F.lit(1.0)) / (F.col("tr") + F.col("nv"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.when(F.col("fr") == 0, 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+    )
