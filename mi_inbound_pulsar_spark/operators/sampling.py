@@ -585,3 +585,90 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+@query(
+    "q_bottomk_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || ':bk') AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, priority,
+             row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+      FROM pri
+    )
+    SELECT lang, doc_id, rn AS sample_rank
+    FROM ranked WHERE rn <= 20
+    ORDER BY lang, sample_rank
+    """,
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sampling via hash priorities: the bottom-k
+    documents per language by md5(doc_id). A hash priority is a uniform
+    [0,1) draw that needs no RNG state, so the sample is (a) identical
+    on any cluster shape, (b) *mergeable* — the bottom-k of a union is
+    the bottom-k of each part's bottom-k, which is how per-partition
+    candidates fold map-side before one tiny per-group merge, and
+    (c) consistent under corpus growth (a new doc only enters the
+    sample by evicting the current max priority).
+
+    Plan: TakeOrdered-per-group — per-partition bottom-k candidates,
+    then a row_number over ≤ k·n_partitions rows per group. The corpus
+    never globally sorts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pri = d.select(
+        "doc_id", "lang", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bk"))).alias("priority")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@query(
+    "q_pseudonymize",
+    oracle="""
+    SELECT sha256('u2026:' || CAST(user_id AS VARCHAR)) AS user_token,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_token
+    """,
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization of the user identifier before the
+    events table leaves the trust boundary — joins and per-user
+    aggregates still work on the token, but the raw id is gone. The
+    standard privacy pass before exporting analytics extracts or
+    training data.
+
+    Plan: the hash is a codegen'd projection; the aggregate groups on
+    the original id (so the hash is computed once per user post-agg
+    would be wrong — per-row hashing keeps the pipeline order-free) and
+    the shuffle key stays the 8-byte id, not the 32-byte token.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .select(
+            F.sha2(F.concat(F.lit("u2026:"), F.col("user_id").cast("string")), 256).alias(
+                "user_token"
+            ),
+            "n_events",
+            "n_types",
+        )
+        .orderBy("user_token")
+    )

@@ -952,3 +952,58 @@ def q_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("fr") == 0, 1).otherwise(0)).cast("long").alias("n_oov"),
         F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
     )
+
+
+@query(
+    "q_perplexity_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    lm AS (SELECT term, count(*) AS f FROM tok GROUP BY term),
+    tot AS (SELECT sum(f) AS t, count(*) AS v FROM lm),
+    scored AS (
+      SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             sum(-ln((lm.f + 1.0) / (tot.t + tot.v))) AS nll
+      FROM tok JOIN lm USING (term) CROSS JOIN tot
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(nll / n_tokens, 6) AS mean_nll,
+           (nll / n_tokens > 4.3) AS flagged
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: per-document mean negative
+    log-likelihood under an add-one-smoothed corpus unigram LM. The
+    cheap stand-in for a neural-LM perplexity gate — documents whose
+    token mix is improbable under the corpus distribution (spam,
+    boilerplate, wrong language) score high and get flagged.
+
+    Plan: one vocabulary groupBy builds the LM, broadcast back onto the
+    token stream (the LM is vocabulary-sized, inherently broadcastable),
+    one per-doc aggregate. At 100 TB the LM would be trained on a
+    sample slice with identical plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    tot = lm.agg(F.sum("f").alias("t"), F.count(F.lit(1)).alias("v"))
+    scored = (
+        tok.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(-F.log((F.col("f") + F.lit(1.0)) / (F.col("t") + F.col("v")))).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("nll") / F.col("n_tokens"), 6).alias("mean_nll"),
+        (F.col("nll") / F.col("n_tokens") > 4.3).alias("flagged"),
+    ).orderBy("doc_id")
