@@ -672,3 +672,99 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_token")
     )
+
+
+@query(
+    "q_bloom_contamination",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, b, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    train_pos AS (
+      SELECT DISTINCT CAST(('0x' || substring(md5('bf:' || shingle), p.s, 8)) AS BIGINT)
+                        % 262144 AS pos
+      FROM sh, (VALUES (1), (9), (17)) AS p(s)
+      WHERE b < 'cd'
+    ),
+    test_probe AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substring(md5('bf:' || shingle), p.s, 8)) AS BIGINT)
+               % 262144 AS pos
+      FROM sh, (VALUES (1), (9), (17)) AS p(s)
+      WHERE b >= 'e6'
+    ),
+    probed AS (
+      SELECT doc_id, shingle,
+             bool_and(tp.pos IS NOT NULL) AS hit
+      FROM test_probe LEFT JOIN train_pos tp USING (pos)
+      GROUP BY doc_id, shingle
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           (sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0) AS flagged
+    FROM probed
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen: test-split documents probed
+    against a 2^18-position, 3-hash Bloom filter built from the
+    train split's 3-gram shingles.
+
+    This is the *bounded-state* twin of the exact shingle-join audit
+    (``q_split_contamination``): the membership structure is the
+    DISTINCT set of md5-derived bit positions, whose size is capped by
+    the filter width M = 262 144 **no matter how large the train corpus
+    grows** — so the probe side always joins against a broadcastable,
+    fixed-size table, where the exact audit's train-shingle index grows
+    with the corpus. No false negatives by construction (every train
+    shingle sets its 3 positions); false positives are the price, which
+    is why ``flagged`` here can only over-report vs the exact audit.
+
+    The oracle replays the filter bit-for-bit (same md5 slices, same
+    modulus, same position semi-join), so this is hash-exact, not a
+    bounded gate. Plan: two narrow shingle passes, one distinct on
+    positions (≤ M rows), one broadcast left join + two aggregates.
+    """
+    from mi_inbound_pulsar_spark.operators.dedup import shingles
+
+    M = 262144
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), "split-")
+    tagged = d.withColumn("_b", b)
+    sh_train = shingles(tagged.filter(F.col("_b") < "cd"))
+    sh_test = shingles(tagged.filter(F.col("_b") >= "e6"))
+
+    def positions(sh_df):
+        h = F.md5(F.concat(F.lit("bf:"), F.col("shingle")))
+        out = None
+        for start in (1, 9, 17):
+            pos = (F.conv(F.substring(h, start, 8), 16, 10).cast("long") % M).alias("pos")
+            part = sh_df.select("doc_id", "shingle", pos)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    train_pos = positions(sh_train).select("pos").distinct()
+    probed = (
+        positions(sh_test)
+        .join(F.broadcast(train_pos.withColumn("_present", F.lit(True))), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(F.bool_and(F.coalesce(F.col("_present"), F.lit(False))).alias("hit"))
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("hit").cast("int")).cast("long").alias("n_bloom_hits"),
+            (F.sum(F.col("hit").cast("int")) > 0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
