@@ -545,3 +545,58 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_robust_zscore_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           round(m.med, 6) AS med,
+           round(m.mad, 6) AS mad,
+           CAST(sum(CASE WHEN abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.med, m.mad
+    ORDER BY e.event_type
+    """,
+)
+def q_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type (the modified
+    z-score, |0.6745·(x−median)/MAD| > 3.5) — unlike the mean/stddev
+    z-score, a contaminated tail cannot drag its own threshold.
+
+    Plan: two exact-median passes (each an exact ``percentile``
+    aggregate — per-group value sort, the documented exact tier; swap
+    approx_percentile at 100 TB without changing shape), the per-group
+    medians broadcast back onto the stream, one counting aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    z = F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(F.sum(F.when(z > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers"))
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -996,3 +996,95 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_cluster_keeper",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ok AS (
+      SELECT doc_a, doc_b FROM pairs JOIN sz x ON doc_a = x.doc_id
+        JOIN sz y ON doc_b = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ok
+      UNION SELECT doc_b, doc_a FROM ok
+    ),
+    reach(doc_id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.doc_id
+    ),
+    comps AS (
+      SELECT doc_id, CAST(min(comp) AS BIGINT) AS component
+      FROM reach GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id
+             ) AS rn
+      FROM comps c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_doc_id,
+           CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_removed
+    FROM ranked
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each near-duplicate cluster (exact word-3-gram Jaccard
+    ≥ 0.5 graph, connected components) to its best representative — the
+    longest member wins, ties to the lowest doc_id — and account for
+    the characters the collapse removes. This is the *decision* step a
+    dedup pipeline actually ships: near-dup detection picks the pairs,
+    this picks the survivors.
+
+    Plan: the component labels come from the iterative min-label
+    propagation (O(diameter) shuffles, localCheckpoint between rounds);
+    keeper election is one row_number window per component — components
+    are tiny by construction, so the window partitions are too.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=3).persist()
+    edges = jaccard_pairs(sh, 0.5).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comps = connected_components(edges)
+    from pyspark.sql import Window
+
+    ranked = (
+        comps.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_doc_id"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).alias("chars_removed"),
+        )
+        .orderBy("component")
+    )

@@ -577,3 +577,88 @@ def q_watermark_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("disorder_us", F.lit(0.99)), 6).alias("p99_disorder_us"),
         F.max("disorder_us").alias("max_disorder_us"),
     )
+
+
+@query(
+    "q_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) FILTER (rn <= 5) AS path
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM sessions
+      )
+      GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize (30-minute gap), take each
+    session's first five event types in order, count the most common
+    paths — the funnel-discovery pass that tells you which funnels to
+    define.
+
+    Plan: the gaps-and-islands sessionizer (one per-user window), then
+    a per-session ordered fold — collect_list of (ts, event_id, type)
+    structs sorted in-array (deterministic, unlike bare collect_list
+    ordering), sliced to 5, joined with '>'. Shuffles: one per-user
+    Exchange shared by both windows + one path groupBy bounded by the
+    distinct-path space.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            lag_ts.isNull() | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform(F.col("evs"), lambda s: s.event_type), 1, 5), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
