@@ -662,3 +662,67 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@query(
+    "q_last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+      FROM events
+    ),
+    attributed AS (
+      SELECT event_id, value,
+             last_value(
+               CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM seq
+      QUALIFY event_type = 'purchase'
+    )
+    SELECT COALESCE(touch, 'direct') AS attribution,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM attributed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent click or view by the same user within a 7-day lookback, else
+    'direct'. The classic attribution rollup, done set-wise — no
+    per-user loop, no self-join explosion.
+
+    Plan: ONE event-time RANGE window per user (epoch-µs ordering,
+    7-day frame, current row excluded) with last(ignoreNulls) — the
+    same single-Exchange shape as the sessionizer — then a three-row
+    aggregate. The RANGE frame is what bounds the lookback *in the
+    plan itself* rather than in a post-filter.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    seq = e.select(
+        "user_id", us.alias("us"), "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604800000000, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = seq.withColumn("touch", touch).filter(F.col("event_type") == "purchase")
+    return (
+        attributed.groupBy(F.coalesce("touch", F.lit("direct")).alias("attribution"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("attribution")
+    )

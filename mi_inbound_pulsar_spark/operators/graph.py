@@ -137,14 +137,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the connected-components pass instead — this query is the cheap
     diagnostic that picks between the two.
 
-    Scale: triangles are enumerated on the id-oriented edge list
-    (src < dst), so each triangle is produced exactly once and the
-    two-hop join fans out by out-degree, not total degree; on skewed
-    graphs the standard refinement is degree-orientation (low→high),
-    which bounds fan-out by arboricity — same plan shape, different
-    orientation key. The edge list itself comes from the inverted-
-    index join with the hot-shingle DF cap (``dedup.py``), so the
-    graph build never goes all-pairs.
+    Scale: triangles are enumerated with **degree orientation**
+    (``oriented_triangle_count``): each edge points from its lower-
+    (degree, id) endpoint to the higher one, so every triangle is
+    produced exactly once and the wedge join fans out by out-degree,
+    which the orientation bounds by O(sqrt(m)) (arboricity) — a
+    celebrity node generates zero wedges instead of C(degree, 2)
+    (skew-bound asserted in tests/test_cdc_graph.py). The edge list
+    itself comes from the inverted-index join with the hot-shingle DF
+    cap (``dedup.py``), so the graph build never goes all-pairs.
     """
     d = load_table(spark, sf_dir, "documents")
     # four consumers inside jaccard_pairs (sizes, hot set, both join
@@ -155,12 +156,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .persist()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(e3, (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    # degree-oriented enumeration (oriented_triangle_count): identical
+    # count, wedge fan-out bounded by arboricity instead of max degree
+    tri = oriented_triangle_count(edges)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -187,4 +185,54 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("clustering"),
         )
+    )
+
+
+def oriented_triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangle count with **degree orientation** — the skew-proof form
+    of the two-hop join.
+
+    Every undirected edge is re-oriented from its lower-(degree, id)
+    endpoint to its higher one. The total order (d, id) makes the
+    orientation acyclic, so each triangle is enumerated exactly once
+    as two out-edges (u→v1, u→v2) closed by (v1→v2); the wedge join
+    fans out by *out*-degree, which degree orientation bounds by
+    O(sqrt(m)) (the arboricity bound) — a celebrity node in an
+    id-oriented enumeration contributes C(degree, 2) wedges, here its
+    edges all point inward and it contributes none.
+
+    Input: undirected edge list (src, dst), src < dst, no duplicates.
+    Output: one row, n_triangles.
+    """
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnsRenamed({"node": "src", "d": "ds"}), "src")
+        .join(deg.withColumnsRenamed({"node": "dst", "d": "dd"}), "dst")
+    )
+    fwd = F.struct(F.col("ds").alias("d"), F.col("src").alias("n")) < F.struct(
+        F.col("dd").alias("d"), F.col("dst").alias("n")
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("du"),
+        F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
+    ).persist()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
+        F.struct(F.col("e1.dv").alias("d"), F.col("e1.v").alias("n"))
+        < F.struct(F.col("e2.dv").alias("d"), F.col("e2.v").alias("n"))
+    )
+    closer = oriented.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    return (
+        wedges.join(
+            closer,
+            (F.col("e1.v") == F.col("cu")) & (F.col("e2.v") == F.col("cv")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

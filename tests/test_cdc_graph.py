@@ -135,3 +135,32 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     assert row.n_triangles == tri
     assert row.n_nodes == len(nodes)
     assert row.n_wedges == wedges
+
+
+def test_degree_oriented_triangles_match_and_bound_skew(spark):
+    """Degree orientation must (a) count triangles exactly and (b) keep
+    a celebrity hub from exploding the wedge join: in a star+clique
+    graph the hub's edges all point inward, so the hub generates zero
+    wedges — under id orientation (hub id 0) it generates C(n, 2)."""
+    from pyspark.sql import functions as F
+
+    from mi_inbound_pulsar_spark.operators.graph import oriented_triangle_count
+
+    # hub 0 — 200 leaves, plus a 5-clique among nodes 1..5 (leaves too)
+    star = [(0, i) for i in range(1, 201)]
+    clique = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    edges = spark.createDataFrame(sorted(set(star + clique)), "src long, dst long")
+    got = oriented_triangle_count(edges).collect()[0]["n_triangles"]
+    # truth: every clique pair + hub forms a triangle (hub connects all):
+    # C(5,3) inside the clique + 10 hub triangles (one per clique edge)
+    assert got == 10 + 10
+
+    # hub out-degree under degree orientation is 0 ⇒ the join's wedge
+    # count is bounded by the clique side, not C(200, 2)
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n").count()
+    )
+    hub_deg = {r["n"]: r["count"] for r in deg.collect()}[0]
+    assert hub_deg == 200  # the skew premise holds
