@@ -236,3 +236,106 @@ def oriented_triangle_count(edges: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@query(
+    "q_pagerank_purchases",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      UNION
+      SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    s1 AS (
+      SELECT e.dst AS node, sum(r0.r // o.d) AS inflow
+      FROM edges e JOIN r0 ON e.src = r0.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node, 150000 + (850000 * COALESCE(s1.inflow, 0)) // 1000000 AS r
+      FROM nodes n LEFT JOIN s1 USING (node)
+    ),
+    s2 AS (
+      SELECT e.dst AS node, sum(r1.r // o.d) AS inflow
+      FROM edges e JOIN r1 ON e.src = r1.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node, 150000 + (850000 * COALESCE(s2.inflow, 0)) // 1000000 AS r
+      FROM nodes n LEFT JOIN s2 USING (node)
+    ),
+    s3 AS (
+      SELECT e.dst AS node, sum(r2.r // o.d) AS inflow
+      FROM edges e JOIN r2 ON e.src = r2.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n.node, 150000 + (850000 * COALESCE(s3.inflow, 0)) // 1000000 AS r
+      FROM nodes n LEFT JOIN s3 USING (node)
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_ppm
+    FROM r3
+    ORDER BY rank_ppm DESC, node
+    LIMIT 25
+    """,
+)
+def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 synchronous iterations, damping 0.85) over the
+    customer↔supplier purchase graph — "important" suppliers are those
+    bought from by customers who themselves buy broadly. The rank is
+    computed in **parts-per-million integer arithmetic** (`r DIV
+    outdeg`, then `(850000·Σ) DIV 1e6`): every engine produces the
+    bit-identical fixpoint, so the oracle is hash-exact where a
+    float PageRank would drift with summation order.
+
+    Plan per iteration: one join of the rank vector onto the edge list
+    (both keyed by node — co-partitioned after the first shuffle), one
+    aggregate on dst, one left join back to the node set. The edge
+    list and out-degrees are computed once and persisted; 3 iterations
+    ⇒ 3 shuffle rounds, the textbook synchronous-PageRank shape (the
+    iterative-algorithm twin of the connected-components operator).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1000000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    contrib_src = edges.join(outdeg, "src")
+    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        inflow = (
+            contrib_src.join(ranks.withColumnsRenamed({"node": "src"}), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r DIV d")).alias("inflow"))
+            .withColumnsRenamed({"dst": "node"})
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(150000)
+                + F.expr("850000 * coalesce(inflow, 0) DIV 1000000")
+            ).cast("long").alias("r"),
+        )
+    return (
+        ranks.select("node", F.col("r").alias("rank_ppm"))
+        .orderBy(F.desc("rank_ppm"), "node")
+        .limit(25)
+    )
