@@ -726,3 +726,68 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attribution")
     )
+
+
+@query(
+    "q_seasonal_baseline",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod, value
+      FROM events
+    ),
+    seasonal AS (
+      SELECT event_type, hod,
+             avg(value) AS mu,
+             stddev_samp(value) AS sd,
+             count(*) AS n
+      FROM base GROUP BY event_type, hod
+    )
+    SELECT b.event_type,
+           CAST(b.hod AS BIGINT) AS hod,
+           round(s.mu, 6) AS baseline,
+           CAST(s.n AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN abs(b.value - s.mu) > 3 * s.sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM base b JOIN seasonal s USING (event_type, hod)
+    GROUP BY b.event_type, b.hod, s.mu, s.sd, s.n
+    ORDER BY event_type, hod
+    """,
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline per event type with 3-sigma
+    residual anomaly counts — the de-seasonalized monitor: a traffic
+    spike at 3 am is an anomaly against the 3 am baseline, not against
+    the daily mean.
+
+    Plan: one (type, hour) aggregate builds the 120-row seasonal
+    profile, broadcast back onto the stream, one counting aggregate.
+    The profile is inherently tiny (types × 24), so the join never
+    shuffles the events side — the same broadcast-profile shape as the
+    winsorized and MAD monitors.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", F.hour("ts").alias("hod"), "value")
+    seasonal = base.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        base.join(F.broadcast(seasonal), ["event_type", "hod"])
+        .groupBy("event_type", "hod", "mu", "sd", "n")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies")
+        )
+        .select(
+            "event_type",
+            F.col("hod").cast("long").alias("hod"),
+            F.round("mu", 6).alias("baseline"),
+            F.col("n").alias("n_obs"),
+            "n_anomalies",
+        )
+        .orderBy("event_type", "hod")
+    )
