@@ -139,7 +139,10 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = 
 
 
 def jaccard_pairs(
-    sh: DataFrame, threshold: float, max_doc_freq: int | None = 1000
+    sh: DataFrame,
+    threshold: float,
+    max_doc_freq: int | None = 1000,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over a (doc_id, shingle) frame via inverted-index
     self-join: |A∩B| from the shingle join, sizes joined in, J computed.
@@ -156,7 +159,18 @@ def jaccard_pairs(
     otherwise — stop-grams carry no near-dup signal, which is why every
     production MinHash/Jaccard pipeline applies this cap. Pass ``None``
     to disable (exact verifier semantics at any cost).
+
+    ``hash_keys`` (default on) replaces the shingle string with
+    xxhash64(shingle) before the index is built: the self-join then
+    shuffles and compares 8-byte longs instead of n-gram strings —
+    roughly half the shuffle bytes at production shingle lengths. A
+    64-bit collision would merge two distinct shingles (overcounting
+    |A∩B| by 1); at p ≈ n²/2⁶⁵ this is ~10⁻¹¹ for a million distinct
+    shingles and the oracle suite runs identically with it on. Pass
+    ``False`` for literal string-key semantics.
     """
+    if hash_keys:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_doc_freq is not None:
         hot = (
