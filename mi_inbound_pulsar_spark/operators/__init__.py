@@ -72,7 +72,6 @@ _PRIORITY = (
     # representatives of families already exercised + exact-arith regressions
     "q01_pricing_summary",
     "q09_product_profit",
-    "q12_priority_by_flag",
     "q_agg_conditional",
     "q_filter_predicates",
     "q_join_range_theta",
@@ -86,12 +85,12 @@ _PRIORITY = (
     # set ops / reshaping
     "q_intersect_all",
     "q_unpivot",
-    "q_pivot",
     # scalar function surface
     "q_array_higher_order",
     "q_json_extract",
     # product analytics
     "q_funnel_stages",
+    "q_last_touch_attribution",
     # CDC / warehouse maintenance
     "q_scd2_dimension",
     # robust / skew-safe aggregation
@@ -100,7 +99,7 @@ _PRIORITY = (
     "q_window_tumbling",
     "q_session_window",
     "q_ewma_smoothing",
-    "q_zscore_per_group",
+    "q_watermark_calibration",
     # as-of / interval joins
     "q_asof_join",
     "q_interval_overlap_join",
@@ -118,22 +117,22 @@ _PRIORITY = (
     "q_embedding_neardup_lsh",
     # similarity search
     "q_ann_ivf_topk",
-    "q_ann_pq_recall",
+    "q_nearest_centroid",
     # text analysis / retrieval
     "q_token_count",
     "q_corpus_filter_pipeline",
     "q_bm25_search",
-    "q_fuzzy_match",
-    # graph over the near-dup relation
+    # graph over the near-dup relation (+ iterative integer PageRank)
     "q_triangle_count",
+    "q_pagerank_purchases",
     # multimodal
     "q_multimodal_decode",
     # approximate aggregates (bounded-tolerance oracles)
     "q_approx_distinct",
     "q_agg_approx_percentile",
-    # deterministic sampling / splitting
+    # deterministic sampling / splitting + bounded-state contamination
     "q_hash_split",
-    "q_doc_chunking",
+    "q_bloom_contamination",
     # flagship end-to-end training-data prep (quality→dedup→split→pack)
     "q_training_data_pipeline",
 )
