@@ -143,6 +143,7 @@ def jaccard_pairs(
     threshold: float,
     max_doc_freq: int | None = 1000,
     hash_keys: bool = True,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over a (doc_id, shingle) frame via inverted-index
     self-join: |A∩B| from the shingle join, sizes joined in, J computed.
@@ -171,7 +172,10 @@ def jaccard_pairs(
     """
     if hash_keys:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if sizes is None:
+        # callers holding the shingle *array* frame pass sizes from
+        # F.size(shingles) instead — one less groupBy shuffle
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -225,9 +229,12 @@ def jaccard_pairs(
 def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-duplicate pairs (J ≥ 0.5)."""
     d = load_table(spark, sf_dir, "documents")
-    # three consumers (self-join a/b + size agg) — persist the explode
-    sh = shingles(d, n=3).persist()
-    return jaccard_pairs(sh, 0.5).orderBy("doc_a", "doc_b")
+    # persist the compact array frame; the self-join's two sides explode
+    # from cache and the size column is a free F.size — no size shuffle
+    sharr = shingle_arrays(d, n=3).persist()
+    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
+    return jaccard_pairs(sh, 0.5, sizes=sizes).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------

@@ -147,12 +147,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself comes from the inverted-index join with the hot-shingle DF
     cap (``dedup.py``), so the graph build never goes all-pairs.
     """
+    from mi_inbound_pulsar_spark.operators.dedup import shingle_arrays
+
     d = load_table(spark, sf_dir, "documents")
-    # four consumers inside jaccard_pairs (sizes, hot set, both join
-    # sides) — persist the explode or the scan+split re-runs per branch
-    sh = shingles(d, n=3).persist()
+    # persist the compact array frame; consumers explode from cache and
+    # sizes come free from F.size — no per-doc count shuffle
+    sharr = shingle_arrays(d, n=3).persist()
+    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     edges = (
-        jaccard_pairs(sh, 0.5)
+        jaccard_pairs(sh, 0.5, sizes=sizes)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .persist()
     )
