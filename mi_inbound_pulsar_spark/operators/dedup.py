@@ -1109,3 +1109,116 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "q_dedup_incremental_lsh",
+    oracle="""
+    -- exact J >= 0.8 oracle; like q_minhash_lsh_neardup's, valid
+    -- because the 8x4 banding was checked to recall every J >= 0.8
+    -- pair on this data (pytest gates recall if the data changes)
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ok AS (
+      SELECT doc_a, doc_b,
+             round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+      FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+        AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+    ),
+    delta_matches AS (
+      SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS delta_id,
+             jaccard
+      FROM ok
+      UNION ALL
+      SELECT doc_b, jaccard FROM ok
+      WHERE doc_a % 10 = 0 AND doc_b % 10 = 0
+    )
+    SELECT delta_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           max(jaccard) AS best_jaccard
+    FROM delta_matches
+    GROUP BY delta_id
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental **MinHash-LSH** dedup — the steady-state ingest form
+    of ``q_minhash_lsh_neardup``: today's delta batch (doc_id % 10 = 0)
+    is banded and probed against the *persisted base band index*; only
+    buckets containing at least one delta signature generate
+    candidates, and exact-Jaccard verification touches only those.
+    Unlike the exact incremental probe (``q_dedup_incremental``), the
+    base index here is k longs + band keys per document — the compact,
+    mergeable artifact a production pipeline persists between crawls —
+    not the full inverted shingle index.
+
+    Emits every flagged delta doc with its match count and best
+    verified similarity (delta-vs-base and delta-vs-delta pairs both
+    count; base-vs-base pairs never form because neither side probes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 == 0
+    sh = shingles(d, n=3).persist()
+    sig = minhash_signatures(sh, MINHASH_K)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bb, keep_bb = explode_computed(band_cols, "bb")
+    buckets = (
+        sig.select("doc_id", bb)
+        .filter(keep_bb)
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .withColumn("is_delta", is_delta)
+        .persist()
+    )
+    probe = buckets.filter("is_delta")
+    cands = (
+        probe.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").persist()
+    verified = cands.join(jaccard_pairs(sh_cand, 0.8), ["doc_a", "doc_b"])
+    delta_matches = (
+        verified.filter(F.col("doc_a") % 10 == 0)
+        .select(F.col("doc_a").alias("doc_id"), "jaccard")
+        .unionByName(
+            verified.filter(F.col("doc_b") % 10 == 0).select(
+                F.col("doc_b").alias("doc_id"), "jaccard"
+            )
+        )
+    )
+    return (
+        delta_matches.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"), F.max("jaccard").alias("best_jaccard"))
+        .orderBy("doc_id")
+    )
