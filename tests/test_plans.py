@@ -271,3 +271,34 @@ def test_minhash_array_signatures_match_groupby_signatures(spark, sf_dir):
     via_arrays = minhash_signatures_arr(shingle_arrays(d), k=8)
     assert via_groupby.exceptAll(via_arrays).count() == 0
     assert via_arrays.exceptAll(via_groupby).count() == 0
+
+
+def test_topk_queries_push_rank_limit_below_the_window(spark, sf_dir):
+    """Spark 4's InferWindowGroupLimit turns `row_number() <= k` into a
+    per-partition WindowGroupLimit — candidates fold BEFORE the
+    exchange, the TakeOrdered-per-group contract both top-k queries
+    rely on at scale."""
+    from mi_inbound_pulsar_spark.operators.sampling import q_bottomk_sample
+    from mi_inbound_pulsar_spark.operators.windows import q_topk_per_group
+
+    assert "WindowGroupLimit" in plan_of(q_topk_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan_of(q_bottomk_sample(spark, sf_dir))
+
+
+def test_attribution_uses_single_user_partitioning(spark, sf_dir):
+    """The RANGE-frame lookback window must be the only per-user
+    exchange — a second hashpartitioning(user_id) would mean the
+    sessionizer idiom regressed into separate window passes."""
+    from mi_inbound_pulsar_spark.operators.eventsops import q_last_touch_attribution
+
+    plan = plan_of(q_last_touch_attribution(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_bloom_contamination_broadcasts_position_set(spark, sf_dir):
+    """The Bloom position table is bounded by the filter width (2^18),
+    so the probe join must be a broadcast — shuffling the probe side
+    against it would defeat the bounded-state design."""
+    from mi_inbound_pulsar_spark.operators.sampling import q_bloom_contamination
+
+    assert "BroadcastHashJoin" in plan_of(q_bloom_contamination(spark, sf_dir))
