@@ -224,3 +224,47 @@ def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(corpus, queries, k=5).orderBy("query_id", "rank")
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS checksum
+      FROM documents
+    )
+    SELECT checksum, media_type,
+           CAST(min(media_id) AS BIGINT) AS keeper_media_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(sum(n_bytes) - min(n_bytes) AS BIGINT) AS bytes_reclaimable
+    FROM meta
+    GROUP BY checksum, media_type
+    ORDER BY keeper_media_id
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup by content checksum: identical payloads collapse to
+    one stored object (keep the lowest id), with reclaimable-bytes
+    accounting — the storage-side dedup every blob/media lake runs, and
+    the multimodal twin of ``q_dedup_exact``.
+
+    Plan: the checksum comes out of the decode pass (mapInPandas), so
+    the groupBy shuffles (checksum, type, id, n_bytes) — never the
+    payload bytes. At 100 TB the payload column is pruned before the
+    exchange; only fixed-width metadata crosses the wire.
+    """
+    decoded = decode_media(media_frame(spark, sf_dir)).withColumn(
+        "n_bytes", F.length("payload").cast("long")
+    )
+    return (
+        decoded.groupBy("checksum", "media_type")
+        .agg(
+            F.min("media_id").alias("keeper_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            (F.sum("n_bytes") - F.min("n_bytes")).alias("bytes_reclaimable"),
+        )
+        .orderBy("keeper_media_id")
+    )
