@@ -239,3 +239,46 @@ def test_stream_stream_full_outer_emits_both_sides_unmatched(spark):
     assert (None, "click_orphan") in got  # unmatched right
     assert sum(1 for r in rows if r["ad_id"] == "ad2") == 1
     assert sum(1 for r in rows if r["click_id"] == "click_orphan" and r["ad_id"] is None) == 1
+
+
+def test_watermark_calibration_quantity_is_the_drop_knob(spark):
+    """q_watermark_calibration reports per-arrival disorder (lag behind
+    the running max event time). This test pins the contract: a
+    withWatermark delay ABOVE the observed max disorder keeps every
+    late row; a delay below it drops the late row. Same stream, same
+    arrival order, only the delay changes."""
+    import pandas as pd  # noqa: F401  (parity with module imports)
+
+    def run_with_delay(delay: str) -> int:
+        staging = tempfile.mkdtemp(prefix="pulsar_wm_cal_")
+        # arrival order: (12:00, 12:10) then a 9-minute-disordered 12:01
+        _write(spark, staging, [("2024-01-01 12:00:00", "a"), ("2024-01-01 12:10:00", "a")])
+        stream = (
+            spark.readStream.schema("event_time timestamp, k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        agg = (
+            stream.withWatermark("event_time", delay)
+            .groupBy(F.window("event_time", "5 minutes").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out: list = []
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, epoch: out.extend(df.collect()))
+            .start()
+        )
+        q.processAllAvailable()
+        _write(spark, staging, [("2024-01-01 12:01:00", "a")])  # disorder = 9 min
+        q.processAllAvailable()
+        _write(spark, staging, [("2024-01-01 13:00:00", "a")])  # sentinel closes windows
+        q.processAllAvailable()
+        q.stop()
+        return sum(r["n"] for r in out)
+
+    # max observed disorder is 9 minutes (the q_watermark_calibration
+    # measurement on this arrival sequence): delay 10min > 9min keeps
+    # all 3 pre-sentinel events; 4min < 9min drops the late one
+    assert run_with_delay("10 minutes") == 3
+    assert run_with_delay("4 minutes") == 2
