@@ -791,3 +791,60 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+@query(
+    "q_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS mu_day
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, avg(mu_day) AS mu0 FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.mu_day - b.mu0 AS dev
+      FROM daily d JOIN base b USING (event_type)
+    )
+    SELECT event_type, day,
+           round(sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING), 6) + 0.0 AS cusum
+    FROM dev
+    ORDER BY event_type, day
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift chart per event type: the running sum of each day's
+    deviation from the series' own mean. A flat random walk hugs zero;
+    a sustained level shift shows as a persistent ramp long before any
+    single day trips a 3-sigma rule — the classic change-point monitor
+    over the daily rollup.
+
+    Plan: two aggregates shrink events → (type, day) → (type), then
+    one window over the tiny daily series. The cumulative sum runs on
+    the rollup (types × days rows), never on raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.avg("value").alias("mu_day"))
+    base = daily.groupBy("event_type").agg(F.avg("mu_day").alias("mu0"))
+    dev = daily.join(F.broadcast(base), "event_type").select(
+        "event_type", "day", (F.col("mu_day") - F.col("mu0")).alias("dev")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dev.select(
+            "event_type",
+            "day",
+            # + 0.0 folds IEEE −0.0 (a fully-cancelled running sum) to
+            # +0.0 in both engines so the rounded value hashes equally
+            (F.round(F.sum("dev").over(w), 6) + F.lit(0.0)).alias("cusum"),
+        )
+        .orderBy("event_type", "day")
+    )
