@@ -600,3 +600,53 @@ def q_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nationkey, sum(cents) AS t FROM rev GROUP BY nationkey)
+    SELECT r.nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((r.cents * 1.0 / t.t) * (r.cents * 1.0 / t.t)), 6) AS hhi
+    FROM rev r JOIN tot t USING (nationkey)
+    GROUP BY r.nationkey
+    ORDER BY r.nationkey
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    within each nation — 1/n for perfectly even markets, →1 as one
+    supplier dominates. The market-concentration diagnostic that pairs
+    with the Pareto-contribution query.
+
+    Plan: revenue summed in exact integer cents (engine-order-free),
+    shares squared only at the final (nation-sized) aggregate; the
+    supplier dimension broadcasts onto lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    tot = rev.groupBy("nationkey").agg(F.sum("cents").alias("t"))
+    share = F.col("cents") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+        .orderBy("nationkey")
+    )

@@ -848,3 +848,60 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    metrics AS (
+      SELECT d.day,
+             (SELECT count(DISTINCT u.user_id) FROM ud u WHERE u.day = d.day) AS dau,
+             (SELECT count(DISTINCT u.user_id) FROM ud u
+              WHERE u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS wau
+      FROM days d
+    )
+    SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           round(dau * 1.0 / wau, 6) AS stickiness
+    FROM metrics ORDER BY day
+    """,
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily actives over trailing-7-day
+    actives — the engagement ratio product teams track. Windowed
+    COUNT(DISTINCT) isn't a frame aggregate in either engine, so the
+    trailing-week distinct count is expressed as a *range join* of the
+    deduped (user, day) rollup onto the day spine.
+
+    Plan: events collapse to the (user, day) rollup first (one
+    distinct, the only pass over raw events); the spine join and both
+    distinct counts run on rollup-sized data — days × active-users
+    rows, not events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().persist()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
