@@ -650,3 +650,65 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "q_ab_lift",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n, avg(value) AS mu, var_samp(value) AS v
+      FROM assigned GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mu, 6) AS mean_a, round(b.mu, 6) AS mean_b,
+           round(b.mu - a.mu, 6) AS lift,
+           round((b.mu - a.mu) / sqrt(a.v / a.n + b.v / b.n), 6) AS welch_t
+    FROM (SELECT * FROM arms WHERE arm = 'A') a,
+         (SELECT * FROM arms WHERE arm = 'B') b
+    """,
+)
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split 50/50 into arms (the
+    same salted-md5 bucketing the train/test splitter uses — stable,
+    RNG-free, growth-consistent), purchase-value lift and Welch's
+    t-statistic between arms. The experimentation primitive on top of
+    the deterministic-assignment machinery.
+
+    Plan: assignment is a row-local projection (no shuffle); one
+    two-group aggregate; the t-stat is computed on the two-row result.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        F.substring(F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1)
+        < "8",
+        "A",
+    ).otherwise("B")
+    arms = (
+        e.select(arm.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").alias("a")
+    b = arms.filter(F.col("arm") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mu"), 6).alias("mean_a"),
+        F.round(F.col("b.mu"), 6).alias("mean_b"),
+        F.round(F.col("b.mu") - F.col("a.mu"), 6).alias("lift"),
+        F.round(
+            (F.col("b.mu") - F.col("a.mu"))
+            / F.sqrt(F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")),
+            6,
+        ).alias("welch_t"),
+    )

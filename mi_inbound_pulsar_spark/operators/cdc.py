@@ -200,3 +200,44 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_micro",
         F.round(F.col("total_micro") / F.col("n_events"), 6).alias("avg_micro"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_snapshot_asof",
+    oracle="""
+    SELECT user_id,
+           max_by(value, ts) AS value_asof,
+           max(ts) AS last_event_ts,
+           CAST(count(*) AS BIGINT) AS n_events_before
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot: each user's latest value AS OF a past
+    cutoff, rebuilt from the append-only event log — the time-travel
+    read a CDC/warehouse layer answers without storing per-day
+    snapshots. (user_id, ts) is unique in this log at every scale
+    factor, so ts ordering is total; with a log that can carry same-µs
+    events per key, switch the order key to F.struct(ts, event_id) —
+    Spark supports struct ordering in max_by, the DuckDB oracle would
+    need a composite scalar key.
+
+    Plan: the cutoff filter pushes to the parquet scan (row groups
+    after the cutoff are skipped on ts min/max stats); one
+    max_by aggregate with map-side partial combine — no window, no
+    sort, no snapshot materialization.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = e.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    return (
+        cut.groupBy("user_id")
+        .agg(
+            F.max_by("value", "ts").alias("value_asof"),
+            F.max("ts").alias("last_event_ts"),
+            F.count(F.lit(1)).alias("n_events_before"),
+        )
+        .orderBy("user_id")
+    )
