@@ -241,3 +241,77 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_scd2_asof_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    changes AS (
+      SELECT user_id, event_type AS status, ts AS valid_from
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.status, 'none') AS status_at_purchase,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(p.value), 2) AS total_value
+    FROM purchases p
+    ASOF LEFT JOIN changes c
+      ON p.user_id = c.user_id AND p.ts >= c.valid_from
+    GROUP BY 1
+    ORDER BY status_at_purchase
+    """,
+)
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: each purchase joined to the SCD2
+    status version valid AT ITS EVENT TIME — the fact-to-versioned-
+    dimension join every warehouse runs ("what plan was the user on
+    when they bought?"), composed from two existing operators: the
+    non-purchase SCD2 change stream ("what was the user last doing
+    when they bought?") and the union+window as-of join; purchases
+    with no prior activity fall to 'none'.
+
+    Plan: the as-of join is the single-shuffle JVM form (change rows
+    and probe rows union, one per-user window carries the latest
+    status forward) — no interval join, no per-version fan-out. The
+    DuckDB oracle uses its native ASOF JOIN on the replayed change
+    set.
+    """
+    from mi_inbound_pulsar_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(wo).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("status"), F.col("ts").alias("valid_from"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    looked_up = asof_join(
+        purchases,
+        changes,
+        key="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["status"],
+    )
+    return (
+        looked_up.groupBy(
+            F.coalesce("status", F.lit("none")).alias("status_at_purchase")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("status_at_purchase")
+    )
