@@ -905,3 +905,57 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_first_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+      FROM events
+    ),
+    attributed AS (
+      SELECT event_id, value,
+             first_value(
+               CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM seq
+      QUALIFY event_type = 'purchase'
+    )
+    SELECT COALESCE(touch, 'direct') AS attribution,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM attributed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the symmetric twin of
+    ``q_last_touch_attribution``: each purchase credits the EARLIEST
+    click or view inside the 7-day lookback (the channel that started
+    the journey, vs the one that closed it). Same single per-user
+    event-time RANGE window; only the fold direction changes
+    (first vs last ignoreNulls).
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    seq = e.select("user_id", us.alias("us"), "event_id", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-604800000000, -1)
+    touch = F.first(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = seq.withColumn("touch", touch).filter(F.col("event_type") == "purchase")
+    return (
+        attributed.groupBy(F.coalesce("touch", F.lit("direct")).alias("attribution"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("attribution")
+    )
