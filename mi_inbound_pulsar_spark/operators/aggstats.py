@@ -563,7 +563,8 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            round(m.med, 6) AS med,
            round(m.mad, 6) AS mad,
-           CAST(sum(CASE WHEN abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
+           CAST(sum(CASE WHEN m.mad > 0
+                          AND abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN mad m USING (event_type)
     GROUP BY e.event_type, m.med, m.mad
@@ -579,6 +580,12 @@ def q_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — per-group value sort, the documented exact tier; swap
     approx_percentile at 100 TB without changing shape), the per-group
     medians broadcast back onto the stream, one counting aggregate.
+
+    MAD = 0 (a group where ≥50% of values are identical) is guarded
+    explicitly in both engines: Spark's non-ANSI x/0 yields NULL while
+    DuckDB's float division yields ±inf, so an unguarded comparison
+    would count such rows differently — with the guard, a degenerate
+    group reports 0 outliers in both.
     """
     e = load_table(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
@@ -588,10 +595,11 @@ def q_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
     )
     z = F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    is_outlier = (F.col("mad") > 0) & (z > 3.5)
     return (
         e.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med", "mad")
-        .agg(F.sum(F.when(z > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers"))
+        .agg(F.sum(F.when(is_outlier, 1).otherwise(0)).cast("long").alias("n_outliers"))
         .select(
             "event_type",
             F.round("med", 6).alias("med"),

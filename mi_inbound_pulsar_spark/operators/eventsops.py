@@ -123,7 +123,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -150,7 +150,10 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side uses the native ``session_window`` operator (the same
     one the streaming layer uses with a watermark); the oracle derives
     identical sessions with the gaps-and-islands idiom. Spark defines
-    session_end = last_event + gap, mirrored in the oracle.
+    session_end = last_event + gap, mirrored in the oracle. The gap
+    test is ``>=``: Spark merges per-event windows [ts, ts+gap) only
+    when they strictly overlap, so a gap of exactly 30:00.000000
+    starts a NEW session — the oracle must not keep it open.
     """
     e = load_table(spark, sf_dir, "events")
     return (
@@ -391,7 +394,7 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -428,10 +431,14 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap test runs on unix_micros, not floor-second casts: event
+    # timestamps carry microsecond precision, and a (1800 s, 1801 s)
+    # gap whose floor-second diff is exactly 1800 must still open a
+    # new session in BOTH engines (oracle compares epoch_us too).
     gap_new = (
         F.when(
             F.lag("ts").over(wo).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long") > 1800),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo)) > 1_800_000_000),
             1,
         ).otherwise(0)
     )
@@ -584,8 +591,9 @@ def q_watermark_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -635,7 +643,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.when(
-            lag_ts.isNull() | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800), 1
+            lag_ts.isNull() | (F.unix_micros("ts") - F.unix_micros(lag_ts) > 1_800_000_000), 1
         )
         .otherwise(0)
         .alias("new_session"),

@@ -293,9 +293,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT e.vec_id, e.label, c.c_label,
-             list_cosine_similarity(e.emb, c.cent) AS sim,
              row_number() OVER (
-               PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, c.cent), 4) DESC,
                c.c_label
              ) AS rn
       FROM e CROSS JOIN cents c
@@ -320,6 +320,13 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     GEMM assigns each corpus vector to argmax cosine (ties -> lowest
     label). The corpus itself never shuffles; the only wide stage is
     the final (true, assigned) count.
+
+    Similarities are rounded to 4 decimals before the argmax in BOTH
+    engines: the centroids come from a floating-point avg whose
+    summation order differs between Spark (partial agg) and DuckDB
+    (sequential), so raw sims carry ~1e-15 ulp noise — rounding turns
+    any two centroids closer than 1e-4 into an explicit tie broken by
+    lowest label, identically on both sides.
     """
     e = load_table(spark, sf_dir, "embeddings")
     dims = (
@@ -345,7 +352,7 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             _, units = _unit_rows(np.empty(0), mat)
-            sims = units @ c_units.T  # (batch, k)
+            sims = np.round(units @ c_units.T, 4)  # (batch, k)
             best = np.argmax(sims, axis=1)  # first max -> lowest label
             yield pd.DataFrame(
                 {
