@@ -450,16 +450,19 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic marketing segmentation (score 1 = best by convention
     here: most recent, most frequent, highest spend).
 
-    Scale: one purchase-filtered aggregate, then three ntile windows.
-    The windows are global (unpartitioned) — fine for per-segment
-    reporting cardinalities (users with purchases), and the documented
-    swap for billions of keys is quantile-edge bucketing
-    (``approx_percentile`` thresholds instead of exact ranked ntile,
-    same output schema). Monetary is exact integer micros; every
-    ntile ordering carries the user_id tiebreak so ranks are total.
+    Scale: one purchase-filtered aggregate, then three EXACT ntile
+    scorings computed WITHOUT a global window — each metric goes
+    through the two-phase distributed rank in ``plans/ranking.py``
+    (range shuffle on (metric, user_id) → broadcast prefix offsets →
+    partition-local row_number) and the tile comes from the closed-
+    form ntile formula. No `WindowExec: No Partition Defined` stage
+    anywhere, so the plan holds at 10⁹ users; results stay hash-
+    identical to the oracle's ranked ntile. Monetary is exact integer
+    micros; every ordering carries the user_id tiebreak so ranks are
+    total.
     """
     e = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
+    from ..plans.ranking import attach_global_order_stats, ntile_from_rn
 
     micro = F.round(F.col("value") * 1000000, 0).cast("long")
     p = (
@@ -472,27 +475,40 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     global_max = e.agg(F.max(F.col("ts").cast("date")).alias("gmax"))
-    p = p.crossJoin(F.broadcast(global_max)).select(
-        "user_id",
-        F.datediff(F.col("gmax"), F.col("last_day")).cast("long").alias("recency_days"),
-        "frequency",
-        "monetary_micro",
-    )
-    wr = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    wm = Window.orderBy(F.desc("monetary_micro"), F.asc("user_id"))
-    return (
-        p.select(
+    p = (
+        p.crossJoin(F.broadcast(global_max))
+        .select(
             "user_id",
-            "recency_days",
+            F.datediff(F.col("gmax"), F.col("last_day")).cast("long").alias("recency_days"),
             "frequency",
             "monetary_micro",
-            F.ntile(5).over(wr).cast("long").alias("r_score"),
-            F.ntile(5).over(wf).cast("long").alias("f_score"),
-            F.ntile(5).over(wm).cast("long").alias("m_score"),
         )
-        .orderBy("user_id")
+        .persist()
     )
+    scores = []
+    for name, order in (
+        ("r_score", [F.asc("recency_days"), F.asc("user_id")]),
+        ("f_score", [F.desc("frequency"), F.asc("user_id")]),
+        ("m_score", [F.desc("monetary_micro"), F.asc("user_id")]),
+    ):
+        ranked, total = attach_global_order_stats(p, order, rn_col="__rn")
+        scores.append(
+            ranked.select(
+                "user_id", ntile_from_rn(F.col("__rn"), total, 5).alias(name)
+            )
+        )
+    out = p
+    for s in scores:
+        out = out.join(s, "user_id")
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micro",
+        "r_score",
+        "f_score",
+        "m_score",
+    ).orderBy("user_id")
 
 
 @query(
@@ -638,25 +654,24 @@ def q_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic behind 'which 20% of SKUs drive 80% of revenue'.
 
     Scale: revenue is an exact integer-cents hash aggregate; the
-    cumulative window is a ROWS frame over a *total* ordering
-    (revenue desc, key) so the running sum is deterministic; only the
-    top-20 presentation rows surface. The global window sorts the
-    per-part aggregate (|parts| rows), never raw lineitem.
+    running sum + rank run as a two-phase distributed cumulative sum
+    (``plans/ranking.py``: range shuffle on (revenue desc, key) →
+    per-partition partial counts/sums → broadcast prefix offsets →
+    partition-local window) — no single-task global sort, exact
+    results, deterministic under the total ordering; only the top-20
+    presentation rows surface.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window
+    from ..plans.ranking import attach_global_order_stats
 
     cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("revenue_cents"))
     tot = rev.agg(F.sum("revenue_cents").alias("t"))
-    w = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey"))
-    ranked = rev.select(
-        "l_partkey",
-        "revenue_cents",
-        F.sum("revenue_cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_cents"),
-        F.row_number().over(w).cast("long").alias("rnk"),
+    ranked, _ = attach_global_order_stats(
+        rev,
+        [F.desc("revenue_cents"), F.asc("l_partkey")],
+        rn_col="rnk",
+        cum_sums={"cum_cents": "revenue_cents"},
     )
     return (
         ranked.filter(F.col("rnk") <= 20)

@@ -516,18 +516,21 @@ def q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences are batched padded instead of packed (the
     ``q_sequence_packing`` alternative).
 
-    ntile needs a global order, so this is the one sampling op with a
-    range repartition; everything after is a small aggregate. At
-    100 TB, bucket per source shard instead of globally — boundaries
-    converge with size.
+    ntile needs a global order, but NOT a global sort: the two-phase
+    distributed rank (``plans/ranking.py`` — range shuffle on
+    (n_tokens, doc_id), broadcast prefix offsets, partition-local
+    row_number) plus the closed-form ntile formula give the exact
+    same buckets with every stage parallel. Everything after is a
+    small aggregate.
     """
-    from pyspark.sql import Window
+    from ..plans.ranking import attach_global_order_stats, ntile_from_rn
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
-    b = toks.withColumn(
-        "bucket", F.ntile(10).over(Window.orderBy("n_tokens", "doc_id"))
+    ranked, total = attach_global_order_stats(
+        toks, [F.asc("n_tokens"), F.asc("doc_id")], rn_col="__rn"
     )
+    b = ranked.withColumn("bucket", ntile_from_rn(F.col("__rn"), total, 10))
     return (
         b.groupBy(F.col("bucket").cast("long").alias("bucket"))
         .agg(

@@ -1,0 +1,130 @@
+"""Distributed global ranking — exact row_number / ntile / running
+sum over a TOTAL order without a single-partition sort.
+
+A bare ``Window.orderBy(...)`` (no partitionBy) makes Spark funnel
+every row through ONE task (`WindowExec: No Partition Defined`
+warning) — fine at 10⁵ rows, fatal at 10⁹. But exact global ranks
+don't need a global sort: they need each partition to know how many
+rows (and how much weight) precede it in the total order. That is a
+two-phase plan, the same shape as ``RDD.zipWithIndex`` but kept in
+the DataFrame API so everything stays in whole-stage codegen:
+
+1. ``repartitionByRange`` on the FULL ordering (including tiebreak
+   columns, so every row's key tuple is unique and the range
+   partitioner's placement agrees with the total order): partition
+   *i* now holds a contiguous slice of the sorted sequence, and
+   partition ids increase with the order.
+2. One tiny aggregate — per-partition row count and per-partition
+   sums of any running-sum columns — collected to the driver
+   (``num_partitions`` rows, never data) and turned into exclusive
+   prefix offsets.
+3. Offsets broadcast-joined back on partition id; a window
+   PARTITIONED by partition id (parallel, no warning) supplies the
+   local rank / local running sum; global = local + offset.
+
+Cost: one range shuffle + one hash shuffle of the (narrow) input
+plus an O(partitions) driver collect — every stage parallel. The
+rank values are EXACT, so DuckDB-oracle hash parity is preserved
+(an approx-percentile bucketing would not be).
+
+Used by ``q_rfm_segmentation`` / ``q_length_bucketing`` (exact
+ntile) and ``q_pareto_contribution`` (running revenue share); see
+tests/test_plans.py for the equivalence and tie-handling tests.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_OFF = "__rank_off"
+
+
+def attach_global_order_stats(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    *,
+    rn_col: str = "rn",
+    cum_sums: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Attach an exact global ``rn_col`` (1-based row_number over the
+    total order given by ``order_exprs``) and, optionally, exact
+    global running sums (``cum_sums`` maps output column -> existing
+    numeric column; frame = rows unbounded preceding .. current).
+
+    ``order_exprs`` MUST be a total order (include a unique tiebreak
+    column) — range partitioning places equal keys arbitrarily, so a
+    non-total order would make ranks nondeterministic at partition
+    boundaries.
+
+    Returns ``(df_with_columns, total_row_count)``. The input slice
+    is persisted (it is scanned once for the offset job and once by
+    the consumer); the offset job runs eagerly at plan-build time.
+    """
+    spark = df.sparkSession
+    cum_sums = cum_sums or {}
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ranged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(src).alias(f"__s_{out}") for out, src in cum_sums.items()
+    ]
+    part_rows = ranged.groupBy(_PID).agg(*aggs).collect()
+    part_rows.sort(key=lambda r: r[_PID])
+
+    offsets = []  # (pid, rn_offset, *cum_offsets) — exclusive prefixes
+    acc_n = 0
+    acc_s = {out: 0 for out in cum_sums}
+    for r in part_rows:
+        offsets.append(
+            (r[_PID], acc_n, *[acc_s[out] for out in cum_sums])
+        )
+        acc_n += r["__n"]
+        for out in cum_sums:
+            acc_s[out] += r[f"__s_{out}"] or 0
+    total = acc_n
+
+    off_schema = ", ".join(
+        [f"{_PID} int", f"{_OFF} long"]
+        + [f"__off_{out} long" for out in cum_sums]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+
+    w = Window.partitionBy(_PID).orderBy(*order_exprs)
+    out = ranged.join(F.broadcast(off_df), _PID)
+    out = out.withColumn(rn_col, (F.row_number().over(w) + F.col(_OFF)).cast("long"))
+    for outname, src in cum_sums.items():
+        out = out.withColumn(
+            outname,
+            F.sum(src).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            + F.col(f"__off_{outname}"),
+        )
+    drop = [_PID, _OFF] + [f"__off_{out}" for out in cum_sums]
+    return out.drop(*drop), total
+
+
+def ntile_from_rn(rn: Column, total: int, n_tiles: int) -> Column:
+    """Closed-form ``ntile(n_tiles)`` from an exact 1-based global row
+    number: the first ``total % n_tiles`` tiles hold
+    ``total // n_tiles + 1`` rows, the rest one fewer — the ANSI
+    semantics Spark and DuckDB share, so results hash-match an
+    oracle-side ``ntile``.
+    """
+    q, r = divmod(total, n_tiles)
+    if q == 0:
+        # fewer rows than tiles: row i lands in tile i
+        return rn.cast("long")
+    if r == 0:
+        return (F.floor((rn - 1) / q) + 1).cast("long")
+    bound = r * (q + 1)
+    big = F.floor((rn - 1) / (q + 1)) + 1
+    small = F.floor((rn - 1 - bound) / q) + r + 1
+    return F.when(rn <= bound, big).otherwise(small).cast("long")
