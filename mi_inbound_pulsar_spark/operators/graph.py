@@ -21,6 +21,47 @@ from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingles
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
 
+def binned_overlap_pairs(
+    iv: DataFrame, width_us: int, id_col: str = "user_id"
+) -> DataFrame:
+    """Binned interval self-overlap join, bucket-spanning form.
+
+    ``iv`` carries one interval per row: ``id_col``, ``s_us``,
+    ``e_us`` (inclusive integer-µs bounds) plus any passenger columns.
+    Each interval explodes to every width-``width_us`` bucket it
+    touches (``sequence(floor(s/W), floor(e/W))``), candidate pairs
+    form ONLY inside a bucket (equi-join on bucket; the overlap test
+    and ``a.id < b.id`` run inside it), and a pair that overlaps is
+    kept exactly once — in the bucket of the later interval's start,
+    ``floor(greatest(s_a, s_b)/W)``, which both copies are guaranteed
+    to contain because the later start lies inside both intervals.
+    Dedupe is by construction: no DISTINCT, no second shuffle.
+
+    Returns the joined pairs with ``a.*`` / ``b.*`` qualified columns.
+    Scale: copy factor = interval length / W (pick W ≈ median interval
+    length); candidate fan-out is per-bucket, never timeline-wide;
+    hot buckets → AQE skew-join.
+    """
+    g = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_us") / width_us), F.floor(F.col("e_us") / width_us)
+            )
+        ),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    later_start = F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a.s_us") <= F.col("b.e_us"))
+        & (F.col("b.s_us") <= F.col("a.e_us"))
+        & (F.col("a.bucket") == F.floor(later_start / width_us)),
+    )
+
+
 @query(
     "q_interval_overlap_join",
     oracle="""
@@ -43,36 +84,35 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: build per-(user, day) activity intervals,
     then count overlapping interval pairs and total overlap time per
     day. The oracle is the naive theta join; the engine form is the
-    **binned range join** — intervals land in a time bucket (here the
-    day, since user-day intervals never cross midnight) and the join
-    is an equi-join on the bucket with the overlap predicate applied
-    inside it, so candidate pairs form only within a bucket, never
-    across the whole timeline.
+    **binned range join** via ``binned_overlap_pairs`` — each interval
+    explodes into ``sequence(floor(s/W), floor(e/W))`` bucket copies,
+    the join is an equi-join on the bucket with the overlap predicate
+    inside it (candidate pairs form only within a bucket, never across
+    the whole timeline), and a pair is kept only in the later
+    interval's first bucket, so bucket-SPANNING intervals are handled
+    without a DISTINCT.
 
-    Scale: with intervals that can span buckets, each interval explodes
-    into ``sequence(floor(start/W), floor(end/W))`` bucket copies and a
-    pair is kept only in the later interval's first bucket (dedupe by
-    construction, no DISTINCT). Bucket width W trades copy factor
-    against per-bucket join fan-out — pick W ≈ the median interval
-    length. Hot buckets are the residual skew risk → AQE skew-join
-    handles the stragglers. Exact overlap math is integer microseconds.
+    W = 6 h here — deliberately smaller than the day-bounded intervals
+    so the multi-bucket explode path is exercised on this dataset, not
+    just in the unit test (tests/test_cdc_graph.py checks boundary-
+    crossing intervals against a brute-force theta join). Pick W ≈
+    median interval length in production: copy factor = len/W vs
+    per-bucket fan-out. Hot buckets → AQE skew-join. Exact overlap
+    math is integer microseconds.
     """
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min(us).alias("s_us"), F.max(us).alias("e_us")
     )
-    a, b = ud.alias("a"), ud.alias("b")
     overlap = F.least(F.col("a.e_us"), F.col("b.e_us")) - F.greatest(
         F.col("a.s_us"), F.col("b.s_us")
     )
-    pairs = a.join(
-        b,
-        (F.col("a.day") == F.col("b.day"))
-        & (F.col("a.user_id") < F.col("b.user_id"))
-        & (F.col("a.s_us") <= F.col("b.e_us"))
-        & (F.col("b.s_us") <= F.col("a.e_us")),
-    ).select(F.col("a.day").alias("day"), overlap.alias("overlap_us"))
+    pairs = (
+        binned_overlap_pairs(ud, width_us=6 * 3600 * 1_000_000, id_col="user_id")
+        .filter(F.col("a.day") == F.col("b.day"))
+        .select(F.col("a.day").alias("day"), overlap.alias("overlap_us"))
+    )
     return (
         pairs.groupBy("day")
         .agg(

@@ -19,6 +19,7 @@ from mi_inbound_pulsar_spark.operators.cdc import (
     q_scd2_dimension,
 )
 from mi_inbound_pulsar_spark.operators.graph import (
+    binned_overlap_pairs,
     q_interval_overlap_join,
     q_triangle_count,
 )
@@ -111,6 +112,39 @@ def test_interval_overlap_matches_naive_theta_join(spark, sf_dir):
             expected[day] = (n, tot)
     got = {r.day: (r.n_pairs, r.total_overlap_us) for r in q_interval_overlap_join(spark, sf_dir).collect()}
     assert got == expected
+
+
+def test_binned_overlap_handles_bucket_spanning_intervals(spark):
+    """Intervals that cross bucket boundaries (even spanning many
+    buckets) must pair exactly once — compared against a brute-force
+    theta join over every pair."""
+    ivs = [
+        # (id, s_us, e_us) with bucket width 10: crossing, nested,
+        # multi-bucket-spanning, exactly-touching, and disjoint cases
+        (1, 0, 5),
+        (2, 3, 25),    # spans buckets 0-2
+        (3, 8, 12),    # crosses the 10 boundary
+        (4, 24, 57),   # spans buckets 2-5
+        (5, 57, 57),   # point interval touching id=4's end
+        (6, 70, 99),   # spans 7-9, disjoint from the rest
+        (7, 1, 99),    # spans everything
+    ]
+    df = spark.createDataFrame(ivs, "user_id long, s_us long, e_us long")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in binned_overlap_pairs(df, width_us=10)
+        .select(F.col("a.user_id").alias("a_id"), F.col("b.user_id").alias("b_id"))
+        .collect()
+    }
+    expected = {
+        (a[0], b[0])
+        for a, b in combinations(ivs, 2)
+        if a[1] <= b[2] and b[1] <= a[2]
+    }
+    assert got == expected
+    # dedupe-by-construction: no pair appears twice
+    n_rows = binned_overlap_pairs(df, width_us=10).count()
+    assert n_rows == len(expected)
 
 
 def test_triangle_count_matches_bruteforce(spark, sf_dir):
