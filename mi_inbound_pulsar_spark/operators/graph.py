@@ -200,15 +200,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .persist()
     )
-    # degree-oriented enumeration (oriented_triangle_count): identical
-    # count, wedge fan-out bounded by arboricity instead of max degree
-    tri = oriented_triangle_count(edges)
+    # one shared degree table: the orientation inside
+    # oriented_triangle_count and the wedge aggregate below both read
+    # it from cache instead of re-shuffling the edge list by node
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
+    tri = oriented_triangle_count(edges, deg=deg)
     degagg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
@@ -232,7 +234,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oriented_triangle_count(edges: DataFrame) -> DataFrame:
+def oriented_triangle_count(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Triangle count with **degree orientation** — the skew-proof form
     of the two-hop join.
 
@@ -246,14 +248,17 @@ def oriented_triangle_count(edges: DataFrame) -> DataFrame:
     edges all point inward and it contributes none.
 
     Input: undirected edge list (src, dst), src < dst, no duplicates.
+    ``deg`` (node, d) may be passed in when the caller already has the
+    degree table (q_triangle_count shares it with its wedge count).
     Output: one row, n_triangles.
     """
-    deg = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    if deg is None:
+        deg = (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     e = (
         edges.join(deg.withColumnsRenamed({"node": "src", "d": "ds"}), "src")
         .join(deg.withColumnsRenamed({"node": "dst", "d": "dd"}), "dst")
