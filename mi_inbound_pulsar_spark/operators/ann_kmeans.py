@@ -114,13 +114,18 @@ def train_spherical_kmeans(
     return centroids
 
 
-@query("q_ann_kmeans_topk")  # no oracle: iterative training isn't SQL-expressible
 def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat top-5 over k-means centroids (the production index).
 
     Same assign → probe → rerank plan as the oracle-checked
     ``q_ann_ivf_topk``; only the centroid matrix is trained instead of
     strided. Recall vs brute force is gated in tests/test_ann_kmeans.py.
+
+    Library API, not a registered query: the raw (query, neighbor, sim)
+    dump depends on trained centroids (not SQL-expressible), so its
+    driver-facing evidence is the bounded ``q_ann_kmeans_recall`` twin
+    below — registering the dump would only add a rows-only entry with
+    no oracle signal.
     """
     e = load_table(spark, sf_dir, "embeddings")
     centroids = train_spherical_kmeans(e)

@@ -127,3 +127,49 @@ def test_reader_options_jwt_and_offsets():
     assert opts["startingOffsets"] == "earliest"  # S5
     assert opts["pulsar.client.authParams"] == "token:tok"
     assert opts["topics"] == "t"
+
+
+def test_reader_options_full_contract():
+    """Interface lock for the live connector path (untestable without a
+    broker): the COMPLETE option dict emitted for a maximal config must
+    be exactly the documented StreamNative pulsar-spark connector
+    surface — a renamed or dropped key here silently breaks the real
+    `format("pulsar")` path, so the mapping is pinned key-for-key."""
+    cfg = PulsarSourceConfig(
+        service_url="pulsar+ssl://broker:6651",
+        topics=["persistent://tn/ns/a", "persistent://tn/ns/b"],
+        subscription_name="mi-sub",
+        initial_position=SubscriptionInitialPosition.EARLIEST,
+        batch_policy=BatchReceivePolicy(max_num_messages=500),
+        auth_type=AuthType.JWT,
+        jwt_token="tok",
+        client_options={"pulsar.client.operationTimeoutMs": "7000"},
+    )
+    assert cfg.to_reader_options() == {
+        "service.url": "pulsar+ssl://broker:6651",
+        "predefinedSubscription": "mi-sub",
+        "startingOffsets": "earliest",
+        "topics": "persistent://tn/ns/a,persistent://tn/ns/b",
+        "maxEntriesPerTrigger": "500",
+        "pulsar.client.authPluginClassName": (
+            "org.apache.pulsar.client.impl.auth.AuthenticationToken"
+        ),
+        "pulsar.client.authParams": "token:tok",
+        "pulsar.client.useTls": "true",
+        "pulsar.client.operationTimeoutMs": "7000",
+    }
+
+
+def test_reader_options_pattern_contract():
+    """Pattern-subscribe variant: topicsPattern replaces topics, plain
+    pulsar:// URL emits no TLS key, Latest maps to 'latest'."""
+    cfg = PulsarSourceConfig(
+        service_url="pulsar://broker:6650",
+        topics_pattern="persistent://tn/ns/topic-.*",
+    )
+    assert cfg.to_reader_options() == {
+        "service.url": "pulsar://broker:6650",
+        "predefinedSubscription": "spark-sub",
+        "startingOffsets": "latest",
+        "topicsPattern": "persistent://tn/ns/topic-.*",
+    }
