@@ -69,72 +69,78 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # representatives of families already exercised + exact-arith regressions
-    "q01_pricing_summary",
-    "q09_product_profit",
-    "q_agg_conditional",
-    "q_filter_predicates",
-    "q_join_range_theta",
-    "q_salted_skew_join",
-    "q_lateral_topk",
-    "q_recursive_calendar",
+    # ROUND-4 ROTATION: the driver samples the FIRST 50 entries, and
+    # rounds 1-3 covered 94 distinct names — this head is a third
+    # disjoint, family-stratified set of 50 never-driver-checked
+    # queries (plus every query whose semantics changed this round:
+    # rfm/pareto/length-bucketing de-globalization, µs session gaps,
+    # MAD guard), so driver-hard evidence accumulates across rounds
+    # instead of re-proving the same rows.
     # window functions
-    "q_window_analytic",
-    "q_window_time_range",
-    "q_topk_per_group",
-    # set ops / reshaping
-    "q_intersect_all",
-    "q_unpivot",
+    "q_window_frames",
+    "q_window_range_frame",
+    "q_window_sliding",
+    # aggregates / robust stats / sketches
+    "q_histogram",
+    "q_winsorized_stats",
+    "q_hll_sketch_union",
+    "q_robust_zscore_mad",
+    "q_supplier_hhi",
+    # set operations
+    "q_union_all",
+    "q_except_all",
+    "q_intersect",
     # scalar function surface
-    "q_array_higher_order",
-    "q_json_extract",
-    # product analytics
-    "q_funnel_stages",
-    "q_last_touch_attribution",
-    # CDC / warehouse maintenance
-    "q_scd2_dimension",
-    # robust / skew-safe aggregation
-    "q_salted_exact_distinct",
+    "q_string_functions",
+    "q_datetime_functions",
+    "q_try_functions",
+    "q_null_semantics",
+    "q_array_setops",
+    # reshaping
+    "q_pivot_inferred",
     # streaming-shaped (batch-oracle forms)
-    "q_window_tumbling",
-    "q_session_window",
-    "q_ewma_smoothing",
-    "q_watermark_calibration",
-    # as-of / interval joins
-    "q_asof_join",
-    "q_interval_overlap_join",
-    # ingestion parity (reference consumer semantics)
-    "q_msg_metadata_projection",
-    "q_topic_pattern_subscribe",
-    "q_read_compacted",
-    "q_chunk_reassembly",
-    "q_dlq_split",
-    "q_retry_pipeline_audit",
-    # dedup / LSH
-    "q_dedup_exact",
-    "q_ngram_jaccard_neardup",
-    "q_minhash_lsh_neardup",
-    "q_embedding_neardup_lsh",
-    # similarity search
-    "q_ann_ivf_topk",
-    "q_nearest_centroid",
+    "q_stream_static_join",
+    "q_sessionize_batch",
+    "q_session_paths",
+    "q_gap_fill_locf",
+    "q_time_rollup_pyramid",
+    # as-of joins
+    "q_asof_join_forward",
+    # ingestion parity
+    "q_decode_json_payload",
+    "q_topic_subscribe_filter",
+    "q_key_distribution",
+    # dedup / LSH / clustering
+    "q_dedup_normalized",
+    "q_embedding_neardup",
+    "q_neardup_clusters",
+    "q_simhash_consistency",
+    "q_dedup_incremental_lsh",
+    "q_dup_source_matrix",
+    # similarity search / ANN recall gates
+    "q_cosine_topk",
+    "q_embedding_dim_variance",
+    "q_ann_kmeans_recall",
+    "q_ann_ivfpq_recall",
     # text analysis / retrieval
-    "q_token_count",
-    "q_corpus_filter_pipeline",
-    "q_bm25_search",
-    # graph over the near-dup relation (+ iterative integer PageRank)
-    "q_triangle_count",
-    "q_pagerank_purchases",
+    "q_text_quality",
+    "q_tfidf_search",
+    "q_heavy_hitters",
+    "q_perplexity_filter",
     # multimodal
-    "q_multimodal_decode",
-    # approximate aggregates (bounded-tolerance oracles)
-    "q_approx_distinct",
-    "q_agg_approx_percentile",
-    # deterministic sampling / splitting + bounded-state contamination
-    "q_hash_split",
-    "q_bloom_contamination",
-    # flagship end-to-end training-data prep (quality→dedup→split→pack)
-    "q_training_data_pipeline",
+    "q_multimodal_dedup",
+    # sampling / training-data prep
+    "q_quota_sample",
+    "q_sequence_packing",
+    "q_length_bucketing",
+    # CDC / warehouse maintenance
+    "q_cdc_upsert_tombstones",
+    "q_incremental_rollup",
+    "q_snapshot_asof",
+    # product analytics
+    "q_cohort_retention",
+    "q_rfm_segmentation",
+    "q_pareto_contribution",
 )
 
 
