@@ -2,11 +2,15 @@
 ``binary`` columns with typed metadata, decode/feature-extract as
 Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio libraries, so the *codec* step is a
-deterministic fake behind ``FAKE_DECODERS`` (clearly marked); the
-Spark-side plumbing — binary schema, mapInPandas batch shape, UDF
-signature, partition behavior — is real and tested. Swapping a real
-decoder in (PIL/librosa/ffmpeg) changes one dict entry, nothing else.
+The codec step is pluggable per media type: ``decode_media`` takes a
+decoder dict. Registered queries use the deterministic
+``FAKE_DECODERS`` (clearly marked — oracle-reproducible arithmetic on
+byte length), while ``real_decoders()`` wires actual codecs behind
+optional imports: PIL for images when installed, stdlib ``wave`` for
+WAV audio (always available, exercised in tests/test_multimodal.py
+with a synthesized WAV). The Spark-side plumbing — binary schema,
+mapInPandas batch shape, UDF signature, partition behavior — is
+identical on both tiers; a production build swaps one dict.
 
 Scale: mapInPandas streams Arrow batches; media blobs never pass
 through Python row-at-a-time, and decode parallelism is partition
@@ -51,9 +55,55 @@ FAKE_DECODERS: dict[str, Callable[[bytes], dict]] = {
 }
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def _real_image_decode(payload: bytes) -> dict:
+    """Real image codec via PIL, import-guarded: decodes actual
+    PNG/JPEG/... payloads when Pillow is installed (it is not in this
+    container — the guard raises a clear error instead of a stub
+    silently lying about dimensions)."""
+    try:
+        from PIL import Image  # optional dependency
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "real image decode requires Pillow (pip install Pillow); "
+            "use FAKE_DECODERS for the deterministic test tier"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return {
+            "width": int(img.width),
+            "height": int(img.height),
+            "n_frames": int(getattr(img, "n_frames", 1)),
+        }
+
+
+def _real_audio_decode(payload: bytes) -> dict:
+    """Real audio codec for WAV via stdlib ``wave`` — no external
+    dependency, so this tier is genuinely exercised in tests (a
+    synthesized in-memory WAV round-trips through the same
+    mapInPandas plumbing as the fakes)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return {"width": 0, "height": 0, "n_frames": int(w.getnframes())}
+
+
+def real_decoders() -> dict[str, Callable[[bytes], dict]]:
+    """The production decoder dict: real codecs where the library
+    exists, import-guarded errors where it doesn't."""
+    return {"image": _real_image_decode, "audio": _real_audio_decode}
+
+
+def decode_media(
+    df: DataFrame, decoders: dict[str, Callable[[bytes], dict]] | None = None
+) -> DataFrame:
     """Decode a (media_id, media_type, payload) frame into metadata via
-    ``mapInPandas`` — the real multimodal plumbing (Arrow batches in/out)."""
+    ``mapInPandas`` — the real multimodal plumbing (Arrow batches
+    in/out). ``decoders`` maps media_type -> codec; defaults to the
+    deterministic ``FAKE_DECODERS`` tier (oracle-reproducible), pass
+    ``real_decoders()`` for actual codecs."""
+    chosen = FAKE_DECODERS if decoders is None else decoders
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -61,7 +111,7 @@ def decode_media(df: DataFrame) -> DataFrame:
         for pdf in batches:
             metas = []
             for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
-                decoder = FAKE_DECODERS.get(mtype)
+                decoder = chosen.get(mtype)
                 if decoder is None:
                     raise NotImplementedError(f"no decoder for media type {mtype!r}")
                 meta = decoder(bytes(payload))
