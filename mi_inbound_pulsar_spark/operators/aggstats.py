@@ -9,7 +9,7 @@ so each is one shuffle of (group, sketch/accumulator), never raw rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
@@ -720,3 +720,63 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_t"),
     )
+
+
+@query(
+    "q_mode_median",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    modal AS (
+      SELECT user_id, event_type AS modal_type, CAST(c AS BIGINT) AS modal_count
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY c DESC, event_type
+        ) AS rn FROM counts
+      ) WHERE rn = 1
+    ),
+    med AS (
+      SELECT user_id, round(median(value), 6) AS median_value,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT m.user_id, modal_type, modal_count, median_value, n_events
+    FROM modal m JOIN med USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type and exact median value — the two
+    order-statistic aggregates a profiling pass always wants next to
+    mean/stddev. Mode is computed EXPLICITLY (count + row_number with
+    a lexicographic tie-break) rather than via the built-in ``mode()``,
+    whose tie choice is engine-arbitrary — the explicit form is
+    deterministic and hash-identical in both engines. Median uses the
+    built-in interpolating ``median``: the midpoint average of two
+    doubles is the same IEEE operation in both.
+
+    Scale: both aggregates share the user_id shuffle key; the mode
+    pre-aggregates to (user × event_type) cardinality before its
+    window, so nothing row-sized crosses the second exchange. Exact
+    median needs the per-group sort — the documented swap at 100 TB is
+    approx_percentile(0.5) with identical plan shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+    modal = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("c").alias("modal_count"),
+        )
+    )
+    med = e.groupBy("user_id").agg(
+        F.round(F.median("value"), 6).alias("median_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return modal.join(med, "user_id").orderBy("user_id")

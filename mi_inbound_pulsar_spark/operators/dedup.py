@@ -237,6 +237,88 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, 0.5, sizes=sizes).orderBy("doc_a", "doc_b")
 
 
+@query(
+    "q_containment_neardup",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN x.n <= y.n THEN doc_a ELSE doc_b END AS doc_small,
+           CASE WHEN x.n <= y.n THEN doc_b ELSE doc_a END AS doc_big,
+           round(c * 1.0 / least(x.n, y.n), 6) AS containment,
+           round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE c * 1.0 / least(x.n, y.n) >= 0.7
+    ORDER BY doc_small, doc_big
+    """,
+)
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric **containment** near-dup (Broder's containment
+    coefficient): |A∩B| / |smaller doc's shingles| ≥ 0.7 — catches a
+    short document embedded inside a long one (quote farms, wrapper
+    pages, concatenated crawls), which symmetric Jaccard structurally
+    misses: a 100-shingle doc fully contained in a 10 000-shingle doc
+    has J ≈ 0.01 but containment 1.0. The standard companion filter to
+    Jaccard dedup in crawl curation.
+
+    Scale: identical inverted-index shape as ``jaccard_pairs`` (shingle
+    equi-join with the hot-shingle DF cap, sizes joined in) — only the
+    final scoring expression differs, so everything said there about
+    skew and shuffle bytes carries over unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sharr = shingle_arrays(d, n=3).persist()
+    sh = sharr.select("doc_id", F.explode("shingles").alias("sh_str")).select(
+        "doc_id", F.xxhash64("sh_str").alias("shingle")
+    )
+    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1000)
+        .select("shingle")
+    )
+    idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    scored = common.join(sa, "doc_a").join(sb, "doc_b")
+    containment = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+    return (
+        scored.filter(containment >= 0.7)
+        .select(
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_small"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_big"),
+            F.round(containment, 6).alias("containment"),
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_small", "doc_big")
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # --------------------------------------------------------------------------

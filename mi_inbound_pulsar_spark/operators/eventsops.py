@@ -967,3 +967,57 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attribution")
     )
+
+
+@query(
+    "q_tumbling_ohlc",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start, value,
+             printf('%020d%010d', epoch_us(ts), event_id) AS ord_key
+      FROM events
+    )
+    SELECT event_type, bar_start,
+           round(arg_min(value, ord_key), 6) AS open,
+           round(max(value), 6)              AS high,
+           round(min(value), 6)              AS low,
+           round(arg_max(value, ord_key), 6) AS close,
+           CAST(count(*) AS BIGINT)          AS n_trades
+    FROM keyed
+    GROUP BY event_type, bar_start
+    ORDER BY event_type, bar_start
+    """,
+)
+def q_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    time-series downsampling shape shared by tick data, sensor
+    telemetry, and metric rollups. Open/close are argmin/argmax over a
+    TOTAL per-row ordering key (zero-padded epoch-µs ++ event_id, so
+    same-microsecond rows break ties identically in both engines) —
+    min_by/max_by keep one candidate per group per partition, never
+    sorting the group (the window formulation would).
+
+    Scale: one hash aggregate keyed by (type, hour) with map-side
+    partial combine; the ordering key is a narrow codegen'd projection.
+    The streaming twin is the same aggregate under a watermark via
+    F.window — identical semantics at bar close.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ord_key = F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar_start"),
+            "value",
+            ord_key.alias("ord_key"),
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.round(F.min_by("value", "ord_key"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ord_key"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .orderBy("event_type", "bar_start")
+    )

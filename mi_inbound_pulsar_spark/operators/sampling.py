@@ -21,7 +21,7 @@ differences between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
@@ -770,4 +770,75 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("hit").cast("int")) > 0).alias("flagged"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH hexed AS (
+      SELECT doc_id, source, n_chars,
+             substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6) AS h
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             list_reduce(
+               [strpos('0123456789abcdef', substr(h, i, 1)) - 1 FOR i IN range(1, 7)],
+               (acc, d) -> acc * 16 + d
+             ) AS u_int
+      FROM hexed
+    ),
+    scored AS (
+      SELECT doc_id, source, n_chars,
+             pow((u_int + 0.5) / 16777216.0, 1.0 / n_chars) AS k
+      FROM keyed
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY k DESC, doc_id
+      ) AS rnk FROM scored
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars, round(k, 6) AS sample_key
+    FROM ranked WHERE rnk <= 10
+    ORDER BY source, rnk
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each document draws key u^(1/w) from a DETERMINISTIC
+    pseudo-random u (md5-derived, the repo's standard engine-portable
+    randomness) with weight w = n_chars, and the top-10 keys per
+    source are the sample — longer documents proportionally likelier,
+    reproducible across engines and runs. This is how a quality- or
+    length-weighted corpus subsample is drawn distributedly: no global
+    state, no rejection loop, one per-group top-k.
+
+    Scale: key assignment is a narrow codegen'd expression; top-10 per
+    source is the bounded window pattern (partial top-k per partition
+    via the rank filter). The u_int is 24 bits of md5 — plenty for
+    sample selection; widen to 52 bits (13 hex digits) if populations
+    per group exceed ~10^6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u_int = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    k = F.pow((u_int + 0.5) / 16777216.0, 1.0 / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", k.alias("k"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "source",
+            "rnk",
+            "doc_id",
+            "n_chars",
+            F.round("k", 6).alias("sample_key"),
+        )
+        .orderBy("source", "rnk")
     )

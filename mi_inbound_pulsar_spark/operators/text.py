@@ -1007,3 +1007,174 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nll") / F.col("n_tokens"), 6).alias("mean_nll"),
         (F.col("nll") / F.col("n_tokens") > 4.3).alias("flagged"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_pii_redaction",
+    oracle="""
+    WITH augmented AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 4 IN (0, 1)
+                     THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 IN (0, 2)
+                     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS pii_text
+      FROM documents
+    ),
+    redacted AS (
+      SELECT doc_id, source, pii_text,
+             len(regexp_extract_all(pii_text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS n_emails,
+             len(regexp_extract_all(pii_text, '\\b555-[0-9][0-9][0-9][0-9]\\b'))
+               AS n_phones,
+             regexp_replace(
+               regexp_replace(pii_text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+               '\\b555-[0-9][0-9][0-9][0-9]\\b', '<PHONE>', 'g') AS clean
+      FROM augmented
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(sum(len(pii_text) - len(clean)) AS BIGINT) AS chars_removed
+    FROM redacted
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: find-and-replace emails and phone numbers
+    with typed placeholder tokens, reporting per-source match counts
+    and removed-character volume — the scrub every web-crawl corpus
+    runs before training. The corpus text is synthetic word soup, so
+    deterministic PII is INJECTED first (doc_id-derived email/phone
+    suffixes, the same expression in both engines) — the redaction
+    machinery then has real, verifiable work to do; on production data
+    the injection step simply disappears.
+
+    Patterns are written in the RE2 ∩ Java-regex common dialect
+    (character classes, \\b anchors — no lookaround, no backrefs) so
+    Spark's codegen'd regexp_replace and the DuckDB oracle agree
+    byte-for-byte. Everything is a narrow projection + one per-source
+    aggregate: at 100 TB this is a map-only pass with map-side partial
+    aggregation — no shuffle carries document text.
+    """
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+    phone_re = r"\b555-[0-9][0-9][0-9][0-9]\b"
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 < 2,
+            F.concat(F.lit(" reach user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 4 == 0) | (did % 4 == 2),
+            F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    aug = d.select("doc_id", "source", pii_text.alias("pii_text"))
+    clean = F.regexp_replace(
+        F.regexp_replace("pii_text", F.lit(email_re), F.lit("<EMAIL>")),
+        F.lit(phone_re),
+        F.lit("<PHONE>"),
+    )
+    red = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("pii_text", F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("pii_text", F.lit(phone_re), 0)).alias("n_phones"),
+        (F.length("pii_text") - F.length(clean)).alias("delta"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(((F.col("n_emails") + F.col("n_phones")) > 0).cast("long")).alias(
+                "docs_with_pii"
+            ),
+            F.sum("n_emails").cast("long").alias("emails_redacted"),
+            F.sum("n_phones").cast("long").alias("phones_redacted"),
+            F.sum("delta").cast("long").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_quality_logit",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop,
+             len(text) AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             round(-2.0
+                   + 3.0 * (n_types * 1.0 / n_tokens)
+                   + 4.0 * (n_stop * 1.0 / n_tokens)
+                   + 0.1 * ((n_chars - (n_tokens - 1)) * 1.0 / n_tokens)
+                   - 0.002 * n_tokens, 6) AS logit
+      FROM feats
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS keep_rate
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (the fastText-style
+    keep/drop gate every pretraining corpus runs): four cheap features
+    — type-token ratio, stopword ratio, mean token length, length
+    penalty — combined with published weights into a logit; keep when
+    logit > 0. The decision is made on the 6-decimal-ROUNDED logit in
+    both engines: every feature is an exact integer ratio and the
+    weighted sum is written in the same operation order, so the
+    rounded value is engine-identical (an unrounded sign test would
+    bet on the last ulp).
+
+    Scale: all features are array expressions inside one codegen'd
+    projection (no explode, no shuffle carries text); the output is
+    one per-source aggregate with map-side combine. Swapping real
+    learned weights in changes only the literals.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "data", "value"))
+    )
+    mean_len = (F.length("text") - (n_tokens - 1)) / n_tokens
+    logit = F.round(
+        F.lit(-2.0)
+        + 3.0 * (n_types / n_tokens)
+        + 4.0 * (n_stop / n_tokens)
+        + 0.1 * mean_len
+        - 0.002 * n_tokens,
+        6,
+    )
+    scored = d.select("source", logit.alias("logit"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("logit") > 0).cast("long")).alias("n_keep"),
+            F.round(
+                F.sum((F.col("logit") > 0).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

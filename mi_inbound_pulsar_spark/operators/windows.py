@@ -424,3 +424,62 @@ def q_anomaly_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_window_ignore_nulls",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id, round(v, 6) AS v,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS prev_nn,
+           round(first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 6) AS next_nn,
+           round(coalesce(v, last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 6) AS filled
+    FROM v
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytic surface: previous / next non-null value
+    and row-level LOCF fill over a per-user ordered stream with
+    deterministic synthetic gaps (error events null their value —
+    the sensor-dropout shape). ``last``/``first`` with
+    ``ignorenulls=True`` over one-sided frames — the exact semantics
+    SQL spells ``lag(v IGNORE NULLS)`` — all sharing a single
+    (user_id) partitioning, so Catalyst plans ONE Exchange for the
+    three window expressions.
+
+    Complements ``q_gap_fill_locf`` (spine-join gap fill at
+    aggregate grain): this is the row-grain function surface.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_nn = F.last(F.col("v"), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_nn = F.first(F.col("v"), ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        e.select("user_id", "event_id", "ts", v.alias("v"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("v", 6).alias("v_out"),
+            F.round(prev_nn, 6).alias("prev_nn"),
+            F.round(next_nn, 6).alias("next_nn"),
+            F.round(F.coalesce(F.col("v"), prev_nn), 6).alias("filled"),
+        )
+        .withColumnRenamed("v_out", "v")
+        .orderBy("user_id", "event_id")
+    )
