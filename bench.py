@@ -71,6 +71,10 @@ HEADLINE = [
     # embedding classification / corpus statistics (round 3)
     "q_nearest_centroid",
     "q_zipf_slope",
+    # containment dedup / PII scrub / OHLC rollup (round 4)
+    "q_containment_neardup",
+    "q_pii_redaction",
+    "q_tumbling_ohlc",
 ]
 
 
