@@ -842,3 +842,70 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rnk")
     )
+
+
+@query(
+    "q_kfold_assignment",
+    oracle="""
+    WITH folds AS (
+      SELECT n_chars,
+             ((strpos('0123456789abcdef',
+                      substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef',
+                      substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 5
+               AS fold
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM folds)
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           abs(count(*) - n / 5.0) / (n / 5.0) < 0.2 AS balanced
+    FROM folds, tot
+    GROUP BY fold, n
+    ORDER BY fold
+    """,
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k = 5): fold
+    = md5-derived byte mod k, so membership is reproducible, stable
+    under corpus growth, and decided row-locally — a document is in
+    exactly one fold by construction (it's a pure function of doc_id),
+    which is the leakage guarantee CV needs. Reports per-fold size /
+    char mass and a balance flag (within 20% of n/k).
+
+    Scale: narrow projection + one k-row aggregate; the total-count
+    side is a broadcast scalar. Same md5 idiom as q_hash_split — the
+    two compose (split first, fold within train) without correlation
+    because the salts differ.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    folds = d.select("n_chars", fold.alias("fold"))
+    tot = folds.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        folds.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_docs",
+            "total_chars",
+            (F.abs(F.col("n_docs") - F.col("n") / 5.0) / (F.col("n") / 5.0) < 0.2).alias(
+                "balanced"
+            ),
+        )
+        .orderBy("fold")
+    )

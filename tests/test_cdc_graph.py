@@ -198,3 +198,33 @@ def test_degree_oriented_triangles_match_and_bound_skew(spark):
     )
     hub_deg = {r["n"]: r["count"] for r in deg.collect()}[0]
     assert hub_deg == 200  # the skew premise holds
+
+
+def test_binned_overlap_random_fuzz_matches_theta_join(spark):
+    """Seeded-random fuzz: 60 intervals with mixed spans (point, short,
+    multi-bucket, all-covering) must produce exactly the brute-force
+    overlap pair set under several bucket widths."""
+    import random
+
+    rng = random.Random(42)
+    ivs = []
+    for i in range(60):
+        s = rng.randrange(0, 1000)
+        span = rng.choice([0, rng.randrange(1, 15), rng.randrange(15, 400)])
+        ivs.append((i, s, s + span))
+    df = spark.createDataFrame(ivs, "user_id long, s_us long, e_us long")
+    expected = {
+        (a[0], b[0])
+        for a, b in combinations(ivs, 2)
+        if a[1] <= b[2] and b[1] <= a[2]
+    }
+    for width in (7, 64, 1000):
+        pairs = binned_overlap_pairs(df, width_us=width)
+        got = [
+            (r["a_id"], r["b_id"])
+            for r in pairs.select(
+                F.col("a.user_id").alias("a_id"), F.col("b.user_id").alias("b_id")
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicate pairs at width {width}"
+        assert set(got) == expected, f"pair set mismatch at width {width}"

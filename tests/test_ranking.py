@@ -58,7 +58,11 @@ def test_global_cumsum_matches_single_partition_window(spark):
     assert joined.filter(F.col("cw") != F.col("cw_ref")).count() == 0
 
 
-@pytest.mark.parametrize("n,k", [(500, 5), (503, 5), (10, 10), (3, 5), (100, 7)])
+@pytest.mark.parametrize(
+    "n,k",
+    [(500, 5), (503, 5), (10, 10), (3, 5), (100, 7),
+     (1, 5), (5, 5), (6, 5), (99, 100), (1000, 7), (13, 4)],
+)
 def test_ntile_formula_matches_builtin(spark, n, k):
     df = spark.range(n).select(F.col("id").alias("x"))
     got = df.select(
