@@ -1304,3 +1304,89 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matches"), F.max("jaccard").alias("best_jaccard"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-document line/segment dedup (CCNet-style boilerplate removal)
+# --------------------------------------------------------------------------
+LINE_SEG_WORDS = 8
+LINE_MAX_DF = 2
+
+
+@query(
+    "q_line_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    seg AS (
+      SELECT doc_id, t.i AS seg_idx,
+             array_to_string(
+               words[t.i*{LINE_SEG_WORDS}+1 :
+                     least(len(words), t.i*{LINE_SEG_WORDS}+{LINE_SEG_WORDS})],
+               ' ') AS segment
+      FROM w, unnest(range(0, (len(words)-1)//{LINE_SEG_WORDS} + 1)) AS t(i)
+      WHERE len(words) > 0
+    ),
+    freq AS (SELECT segment, count(DISTINCT doc_id) AS df FROM seg GROUP BY segment),
+    j AS (SELECT s.doc_id, s.seg_idx, s.segment, f.df
+          FROM seg s JOIN freq f USING (segment))
+    SELECT doc_id,
+           CAST(count(*) FILTER (df <= {LINE_MAX_DF}) AS BIGINT) AS kept_segments,
+           CAST(count(*) FILTER (df > {LINE_MAX_DF}) AS BIGINT) AS dropped_segments,
+           string_agg(segment, ' ' ORDER BY seg_idx)
+             FILTER (df <= {LINE_MAX_DF}) AS clean_text
+    FROM j GROUP BY doc_id
+    HAVING count(*) FILTER (df <= {LINE_MAX_DF}) > 0
+    ORDER BY doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document segment-level dedup, the CCNet/RefinedWeb
+    boilerplate-removal shape: split each document into fixed 8-word
+    segments (the corpus has no newlines, so word windows stand in for
+    lines), count each segment's document frequency across the corpus,
+    drop segments that appear in more than ``LINE_MAX_DF`` distinct
+    documents (shared boilerplate), and reassemble the surviving text
+    in original order.
+
+    Scale: the segment explode is narrow (one codegen'd projection);
+    the only shuffles are the DF count (key = the segment string — at
+    production scale hash it to 8 bytes first, exactly like the
+    shingle index in :func:`q_ngram_jaccard_neardup`) and the
+    frequency join back. Reassembly is a per-doc sort of an in-memory
+    array (collect_list + array_sort), never a global sort. Per-doc
+    decisions are row-local after the join, so the pipeline is
+    growth-stable: adding documents only grows the DF table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    w = LINE_SEG_WORDS
+    segs = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / w).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+    )
+    e = d.select("doc_id", segs.alias("_segs")).select(
+        "doc_id", F.posexplode("_segs").alias("seg_idx", "segment")
+    )
+    freq = e.groupBy("segment").agg(F.count_distinct("doc_id").alias("df"))
+    kept_cond = F.col("df") <= LINE_MAX_DF
+    return (
+        e.join(freq, "segment")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(kept_cond.cast("long")).alias("kept_segments"),
+            F.sum((~kept_cond).cast("long")).alias("dropped_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept_cond, F.struct("seg_idx", "segment"))
+                        )
+                    ),
+                    lambda s: s["segment"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .filter(F.col("kept_segments") > 0)
+        .orderBy("doc_id")
+    )

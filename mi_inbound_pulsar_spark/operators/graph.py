@@ -388,3 +388,91 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_ppm"), "node")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Co-purchase set similarity (collaborative-filtering neighborhood)
+# --------------------------------------------------------------------------
+COPURCHASE_MAX_DF = 40
+COPURCHASE_MIN_COMMON = 6
+
+
+@query(
+    "q_copurchase_jaccard",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pf AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
+    capped AS (SELECT b.cust, b.part FROM basket b JOIN pf USING (part)
+               WHERE pf.df <= {COPURCHASE_MAX_DF}),
+    sizes AS (SELECT cust, count(*) AS n FROM capped GROUP BY cust),
+    pairs AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b, count(*) AS common_parts
+      FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_COMMON}
+    )
+    SELECT p.cust_a, p.cust_b, CAST(p.common_parts AS BIGINT) AS common_parts,
+           CAST(p.common_parts AS DOUBLE) / (sa.n + sb.n - p.common_parts) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.cust = p.cust_a
+    JOIN sizes sb ON sb.cust = p.cust_b
+    ORDER BY cust_a, cust_b
+    """,
+)
+def q_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-to-customer set similarity over purchased part sets —
+    the collaborative-filtering neighborhood query, built exactly like
+    the shingle inverted index in dedup.py: index on the shared item,
+    cap hot items, pair within each item's posting list.
+
+    Scale: the posting-list self-join is the canonical all-pairs
+    bounding pattern. The DF cap (drop parts bought by more than
+    ``COPURCHASE_MAX_DF`` distinct customers) bounds each posting list
+    so the per-part pair fan-out is <= df*(df-1)/2 — without it one
+    celebrity product emits O(customers^2) pairs. Shuffle keys are
+    (part) then (cust_a, cust_b); both aggregate map-side. The size
+    join is per-customer (tiny) and broadcast-able. Jaccard here is
+    over the *capped* universe, stated in the contract: hot products
+    carry no similarity signal anyway (everyone buys them).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    )
+    basket = o.join(li, "ok").select("cust", "part").distinct()
+    pf = basket.groupBy("part").agg(F.count(F.lit(1)).alias("df"))
+    capped = (
+        basket.join(pf.filter(F.col("df") <= COPURCHASE_MAX_DF), "part")
+        .select("cust", "part")
+        .persist()
+    )
+    sizes = capped.groupBy("cust").agg(F.count(F.lit(1)).alias("n"))
+    a = capped.withColumnsRenamed({"cust": "cust_a"})
+    b = capped.withColumnsRenamed({"cust": "cust_b"})
+    pairs = (
+        a.join(b, "part")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("common_parts"))
+        .filter(F.col("common_parts") >= COPURCHASE_MIN_COMMON)
+    )
+    sa = sizes.withColumnsRenamed({"cust": "cust_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"cust": "cust_b", "n": "nb"})
+    return (
+        pairs.join(F.broadcast(sa), "cust_a")
+        .join(F.broadcast(sb), "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "common_parts",
+            (
+                F.col("common_parts").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common_parts"))
+            ).alias("jaccard"),
+        )
+        .orderBy("cust_a", "cust_b")
+    )

@@ -623,3 +623,78 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY m
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto-frontier (multi-objective dominance)
+# --------------------------------------------------------------------------
+def local_skyline_batches(batches):
+    """Per-batch local skyline (minimize price, minimize size).
+
+    A point survives iff no other point in the batch is <= on both
+    coordinates and strictly < on one. Sorted sweep: ascending by
+    price, a price-group's min-size rows survive exactly when that min
+    undercuts the best (lowest) size seen at any strictly lower price.
+    O(n log n) per batch, vectorized in pandas.
+    """
+    import pandas as pd  # noqa: F401 — Arrow batches arrive as pandas
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        grp_min = pdf.groupby("p_retailprice")["p_size"].transform("min")
+        per_price = pdf.groupby("p_retailprice", sort=True)["p_size"].min()
+        prev_best = per_price.cummin().shift(1)
+        survives_price = prev_best.isna() | (per_price < prev_best)
+        ok = pdf["p_retailprice"].map(survives_price) & (pdf["p_size"] == grp_min)
+        yield pdf[ok]
+
+
+@query(
+    "q_skyline_dominance",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    ORDER BY p_partkey
+    """,
+)
+def q_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (retail price, size) —
+    the multi-objective "Pareto frontier" operator (Borzsony et al.,
+    ICDE'01), which no SQL engine exposes directly.
+
+    Two-phase distributed plan, exact by dominance transitivity:
+
+    1. *Local skylines* via Arrow-batched ``mapInPandas`` — each batch
+       prunes to its own frontier (a global survivor survives in every
+       subset containing it, so the union of local skylines is a
+       superset of the answer). This is the phase that scales: 100 TB
+       of points reduce to ~frontier-size per partition with zero
+       shuffle.
+    2. *Global verify* — the small candidate set is broadcast and
+       anti-joined against itself with the dominance predicate. Any
+       dominated point is dominated by some skyline point (follow the
+       dominance chain), and all skyline points are candidates, so the
+       anti-join is exact.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    cand = p.mapInPandas(local_skyline_batches, schema=p.schema)
+    b = cand.select(
+        F.col("p_retailprice").alias("q_price"), F.col("p_size").alias("q_size")
+    )
+    dominated = (
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") <= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") < F.col("p_size"))
+        )
+    )
+    return (
+        cand.join(F.broadcast(b), on=dominated, how="left_anti")
+        .orderBy("p_partkey")
+    )

@@ -404,3 +404,73 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("var_x"), "dim")
         .limit(5)
     )
+
+
+# --------------------------------------------------------------------------
+# Random-projection sketch (dimensionality reduction for embeddings)
+# --------------------------------------------------------------------------
+RP_OUT_DIMS = 8
+
+
+@query(
+    "q_random_projection",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, t.i AS dim,
+             CAST(floor(CAST(embedding[t.i+1] AS DOUBLE)*1000) AS BIGINT) AS q
+      FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+    ),
+    proj AS (
+      SELECT vec_id, u.j AS out_dim, x.q,
+             CASE WHEN substr(md5(concat(CAST(x.dim AS VARCHAR), '_',
+                                         CAST(u.j AS VARCHAR))), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+      FROM x, unnest(range(0, {RP_OUT_DIMS})) AS u(j)
+    )
+    SELECT vec_id, CAST(out_dim AS BIGINT) AS out_dim,
+           CAST(sum(s*q) AS BIGINT) AS sketch
+    FROM proj GROUP BY vec_id, out_dim ORDER BY vec_id, out_dim
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection of the 64-d embeddings down to 8
+    sketch dimensions — the Achlioptas/JL reduction every
+    embedding-heavy pipeline uses before coarse bucketing. The +-1
+    projection matrix is *derived from a hash* (md5 of "in-dim_out-dim",
+    first hex nibble's parity), so both engines build the identical
+    matrix with no materialized side table and no RNG.
+
+    Hash parity: values are quantized to integers (floor(x*1000)) so
+    the sketch sums are exact integer math, immune to the
+    float-summation-order divergence between Spark's partial
+    aggregation and DuckDB's sequential sum (the q_nearest_centroid
+    lesson from round 3's ADVICE).
+
+    Scale: posexplode + a sequence explode is narrow; the only shuffle
+    is the (vec_id, out_dim) partial-aggregating groupBy. Nothing is
+    broadcast or collected; the projection "matrix" costs one md5 per
+    (dim, out_dim) cell inside codegen. At 100 TB the same plan holds
+    — sketch width x corpus rows, linear.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("q"),
+    )
+    proj = x.withColumn(
+        "out_dim", F.explode(F.sequence(F.lit(0), F.lit(RP_OUT_DIMS - 1)))
+    )
+    sign = F.when(
+        F.substring(
+            F.md5(F.concat_ws("_", F.col("dim"), F.col("out_dim")).cast("binary")),
+            1,
+            1,
+        ).isin(*"01234567"),
+        1,
+    ).otherwise(-1)
+    return (
+        proj.groupBy("vec_id", F.col("out_dim").cast("long").alias("out_dim"))
+        .agg(F.sum(sign * F.col("q")).alias("sketch"))
+        .orderBy("vec_id", "out_dim")
+    )

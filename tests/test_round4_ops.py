@@ -1,0 +1,198 @@
+"""Invariant tests for the round-4 operator additions — properties
+that must hold on ANY testdata regeneration, complementing the exact
+DuckDB oracles (which pin current values)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+
+def test_line_dedup_untouched_docs_roundtrip(spark, sf_dir):
+    """A document with zero dropped segments must reassemble to its
+    exact original text, and kept+dropped must equal ceil(words/8)."""
+    from pyspark.sql import functions as F
+
+    from mi_inbound_pulsar_spark.operators.dedup import LINE_SEG_WORDS, q_line_dedup
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in q_line_dedup(spark, sf_dir).collect()}
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert out, "no documents survived line dedup"
+    untouched = 0
+    for doc_id, r in out.items():
+        n_words = len(orig[doc_id].split(" "))
+        n_segs = math.ceil(n_words / LINE_SEG_WORDS)
+        assert r["kept_segments"] + r["dropped_segments"] == n_segs
+        if r["dropped_segments"] == 0:
+            assert r["clean_text"] == orig[doc_id]
+            untouched += 1
+    assert untouched > 0
+
+
+def test_line_dedup_dropped_segments_are_shared(spark, sf_dir):
+    """Every segment the operator drops must genuinely occur in more
+    than LINE_MAX_DF distinct documents (no false drops)."""
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.dedup import (
+        LINE_MAX_DF,
+        LINE_SEG_WORDS,
+        q_line_dedup,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    seg_docs: dict[str, set] = defaultdict(set)
+    for doc_id, text in docs.items():
+        w = text.split(" ")
+        for i in range(0, len(w), LINE_SEG_WORDS):
+            seg_docs[" ".join(w[i : i + LINE_SEG_WORDS])].add(doc_id)
+    out = {r["doc_id"]: r for r in q_line_dedup(spark, sf_dir).collect()}
+    for doc_id, r in out.items():
+        w = docs[doc_id].split(" ")
+        kept = set(r["clean_text"].split(" ")) if r["clean_text"] else set()
+        for i in range(0, len(w), LINE_SEG_WORDS):
+            seg = " ".join(w[i : i + LINE_SEG_WORDS])
+            if len(seg_docs[seg]) <= LINE_MAX_DF:
+                # kept segment: its words must appear in the clean text
+                assert set(seg.split(" ")) <= kept
+
+
+def test_copurchase_jaccard_matches_bruteforce(spark, sf_dir):
+    """Pair counts and Jaccard must equal a driver-side brute force
+    over the capped baskets (which the operator never materializes)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from mi_inbound_pulsar_spark.operators.graph import (
+        COPURCHASE_MAX_DF,
+        COPURCHASE_MIN_COMMON,
+        q_copurchase_jaccard,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    o = {r["o_orderkey"]: r["o_custkey"] for r in load_table(spark, sf_dir, "orders").collect()}
+    baskets: dict[int, set] = defaultdict(set)
+    part_df: dict[int, set] = defaultdict(set)
+    for r in load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect():
+        cust = o[r["l_orderkey"]]
+        baskets[cust].add(r["l_partkey"])
+        part_df[r["l_partkey"]].add(cust)
+    hot = {p for p, cs in part_df.items() if len(cs) > COPURCHASE_MAX_DF}
+    capped = {c: ps - hot for c, ps in baskets.items()}
+    expected = {}
+    for a, b in combinations(sorted(capped), 2):
+        common = len(capped[a] & capped[b])
+        if common >= COPURCHASE_MIN_COMMON:
+            expected[(a, b)] = (
+                common,
+                common / (len(capped[a]) + len(capped[b]) - common),
+            )
+    got = {
+        (r["cust_a"], r["cust_b"]): (r["common_parts"], r["jaccard"])
+        for r in q_copurchase_jaccard(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (common, jacc) in expected.items():
+        assert got[k][0] == common
+        assert got[k][1] == pytest.approx(jacc, abs=1e-12)
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    """The sketch must equal an independent numpy recomputation with
+    the same md5-derived sign matrix and integer quantization."""
+    import numpy as np
+
+    from mi_inbound_pulsar_spark.operators.similarity import (
+        RP_OUT_DIMS,
+        q_random_projection,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32)
+        for r in load_table(spark, sf_dir, "embeddings").limit(50).collect()
+    }
+    dims = len(next(iter(vecs.values())))
+    sign = np.empty((dims, RP_OUT_DIMS), dtype=np.int64)
+    for i in range(dims):
+        for j in range(RP_OUT_DIMS):
+            h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0]
+            sign[i, j] = 1 if h in "01234567" else -1
+    got = {
+        (r["vec_id"], r["out_dim"]): r["sketch"]
+        for r in q_random_projection(spark, sf_dir).collect()
+    }
+    for vec_id, v in vecs.items():
+        q = np.floor(v.astype(np.float64) * 1000).astype(np.int64)
+        expect = q @ sign
+        for j in range(RP_OUT_DIMS):
+            assert got[(vec_id, j)] == expect[j]
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """Two-phase skyline must equal the O(n^2) dominance scan."""
+    from mi_inbound_pulsar_spark.operators.relational import q_skyline_dominance
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    pts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    expected = {
+        k
+        for k, pr, sz in pts
+        if not any(
+            qpr <= pr and qsz <= sz and (qpr < pr or qsz < sz)
+            for _, qpr, qsz in pts
+        )
+    }
+    got = {r["p_partkey"] for r in q_skyline_dominance(spark, sf_dir).collect()}
+    assert got == expected
+    assert got, "empty skyline"
+
+
+def test_local_skyline_fuzz():
+    """The pandas local-skyline sweep equals brute force on random
+    frames, including duplicate points and price/size ties."""
+    import random
+
+    import pandas as pd
+
+    from mi_inbound_pulsar_spark.operators.relational import local_skyline_batches
+
+    rng = random.Random(42)
+    for _ in range(25):
+        n = rng.randint(1, 60)
+        pdf = pd.DataFrame(
+            {
+                "p_partkey": range(n),
+                "p_retailprice": [float(rng.randint(0, 8)) for _ in range(n)],
+                "p_size": [rng.randint(0, 8) for _ in range(n)],
+            }
+        )
+        (out,) = list(local_skyline_batches([pdf])) or [pdf.iloc[0:0]]
+        got = set(out["p_partkey"])
+        pts = list(pdf.itertuples(index=False))
+        expected = {
+            p.p_partkey
+            for p in pts
+            if not any(
+                q.p_retailprice <= p.p_retailprice
+                and q.p_size <= p.p_size
+                and (q.p_retailprice < p.p_retailprice or q.p_size < p.p_size)
+                for q in pts
+            )
+        }
+        assert got == expected
