@@ -397,6 +397,23 @@ COPURCHASE_MAX_DF = 40
 COPURCHASE_MIN_COMMON = 6
 
 
+def capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (customer, part) purchase pairs with hot parts removed
+    (DF cap — the posting-list bound shared by every inverted-index
+    self-join in this repo)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    )
+    basket = o.join(li, "ok").select("cust", "part").distinct()
+    pf = basket.groupBy("part").agg(F.count(F.lit(1)).alias("df"))
+    return basket.join(pf.filter(F.col("df") <= COPURCHASE_MAX_DF), "part").select(
+        "cust", "part"
+    )
+
+
 @query(
     "q_copurchase_jaccard",
     oracle=f"""
@@ -437,17 +454,8 @@ def q_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the *capped* universe, stated in the contract: hot products
     carry no similarity signal anyway (everyone buys them).
     """
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
-    )
-    basket = o.join(li, "ok").select("cust", "part").distinct()
-    pf = basket.groupBy("part").agg(F.count(F.lit(1)).alias("df"))
     capped = (
-        basket.join(pf.filter(F.col("df") <= COPURCHASE_MAX_DF), "part")
-        .select("cust", "part")
+        capped_baskets(spark, sf_dir)
         .persist()
     )
     sizes = capped.groupBy("cust").agg(F.count(F.lit(1)).alias("n"))
@@ -475,4 +483,98 @@ def q_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("cust_a", "cust_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (bounded-round, iterative subgraph mining)
+# --------------------------------------------------------------------------
+KCORE_K = 8
+KCORE_ROUNDS = 4
+KCORE_MIN_COMMON = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled ``KCORE_ROUNDS``-round peel as a DuckDB CTE chain.
+    Bounded-round semantics make the operator SQL-expressible: both
+    engines compute exactly this many peel rounds, so the contract is
+    deterministic on any data (at the shipped scale factors the peel
+    reaches its fixpoint well inside the bound — pytest asserts it)."""
+    sql = f"""
+    WITH basket AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pf AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
+    capped AS (SELECT b.cust, b.part FROM basket b JOIN pf USING (part)
+               WHERE pf.df <= {COPURCHASE_MAX_DF}),
+    e AS (
+      SELECT a.cust AS ca, b.cust AS cb
+      FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_COMMON}
+    ),
+    u0 AS (SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e)"""
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    k{r} AS (SELECT n FROM u{r-1} GROUP BY n HAVING count(*) >= {KCORE_K}),
+    u{r} AS (SELECT u.n, u.m FROM u{r-1} u
+             JOIN k{r} x ON u.n = x.n JOIN k{r} y ON u.m = y.n)"""
+    sql += f"""
+    SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM u{KCORE_ROUNDS} GROUP BY n ORDER BY node
+    """
+    return sql
+
+
+@query("q_kcore_peel", oracle=_kcore_oracle())
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core subgraph of the customer co-purchase graph (edges =
+    customer pairs sharing >= ``KCORE_MIN_COMMON`` capped parts) by
+    iterative peeling: each round drops nodes with degree < k and the
+    edges touching them. Bounded at ``KCORE_ROUNDS`` rounds so the
+    operator has a closed-form SQL twin; at the shipped scale factors
+    the peel converges inside the bound, so the result IS the true
+    k-core (the fixpoint variant is pytest-checked against it).
+
+    Scale: the textbook iterative-Spark shape shared with
+    connected-components in dedup.py — per-round cost is one degree
+    aggregate plus two semi-joins on the (already hot-node-capped)
+    edge list, each round's frame ``localCheckpoint``-ed to truncate
+    lineage. Peeling strictly shrinks the frame, so rounds get
+    cheaper; production k-core runs peel-until-fixpoint with the same
+    per-round plan.
+    """
+    e = (
+        capped_baskets(spark, sf_dir)
+        .withColumnsRenamed({"cust": "cust_a"})
+        .join(
+            capped_baskets(spark, sf_dir).withColumnsRenamed({"cust": "cust_b"}),
+            "part",
+        )
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= KCORE_MIN_COMMON)
+        .select("cust_a", "cust_b")
+    )
+    und = e.selectExpr("cust_a AS n", "cust_b AS m").unionByName(
+        e.selectExpr("cust_b AS n", "cust_a AS m")
+    )
+    und = und.localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            und.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("n")
+        )
+        und = (
+            und.join(keep, "n", "left_semi")
+            .join(keep.withColumnRenamed("n", "m"), "m", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.groupBy(F.col("n").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
     )

@@ -196,3 +196,46 @@ def test_local_skyline_fuzz():
             )
         }
         assert got == expected
+
+
+def test_kcore_matches_bruteforce_fixpoint(spark, sf_dir):
+    """The bounded 4-round peel must (a) match a brute-force 4-round
+    peel exactly and (b) have reached its fixpoint at this SF — no
+    node in the result has degree < k, so the bounded result IS the
+    true k-core here."""
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.graph import (
+        KCORE_K,
+        KCORE_MIN_COMMON,
+        KCORE_ROUNDS,
+        capped_baskets,
+        q_kcore_peel,
+    )
+
+    pairs = defaultdict(int)
+    baskets = defaultdict(set)
+    for r in capped_baskets(spark, sf_dir).collect():
+        baskets[r["cust"]].add(r["part"])
+    custs = sorted(baskets)
+    adj = defaultdict(set)
+    for i, a in enumerate(custs):
+        for b in custs[i + 1 :]:
+            if len(baskets[a] & baskets[b]) >= KCORE_MIN_COMMON:
+                adj[a].add(b)
+                adj[b].add(a)
+    cur = {n: set(v) for n, v in adj.items()}
+    for _ in range(KCORE_ROUNDS):
+        drop = {n for n, v in cur.items() if len(v) < KCORE_K}
+        for n in drop:
+            for m in cur[n]:
+                if m in cur and m not in drop:
+                    cur[m].discard(n)
+            del cur[n]
+    expected = {n: len(v) for n, v in cur.items() if v}
+    got = {
+        r["node"]: r["core_degree"] for r in q_kcore_peel(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # fixpoint reached inside the bound at this SF
+    assert all(d >= KCORE_K for d in got.values())
