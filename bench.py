@@ -75,6 +75,10 @@ HEADLINE = [
     "q_containment_neardup",
     "q_pii_redaction",
     "q_tumbling_ohlc",
+    # line dedup / co-purchase graph / iterative k-core (round 4, 2nd half)
+    "q_line_dedup",
+    "q_copurchase_jaccard",
+    "q_kcore_peel",
 ]
 
 

@@ -780,3 +780,93 @@ def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     return modal.join(med, "user_id").orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency estimation)
+# --------------------------------------------------------------------------
+CMS_DEPTH = 4
+
+
+@query(
+    "q_countmin_sketch",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT r.d AS row,
+             substr(md5(concat(CAST(r.d AS VARCHAR), '_',
+                               CAST(user_id AS VARCHAR))), r.d+1, 1) AS bucket,
+             count(*) AS c
+      FROM events, unnest(range(0, {CMS_DEPTH})) AS r(d)
+      GROUP BY 1, 2
+    ),
+    probe AS (SELECT user_id, count(*) AS exact_count FROM events
+              WHERE user_id < 100 GROUP BY user_id),
+    est AS (
+      SELECT p.user_id, min(c.c) AS est
+      FROM probe p
+      CROSS JOIN unnest(range(0, {CMS_DEPTH})) AS r(d)
+      JOIN cnt c
+        ON c.row = r.d
+       AND c.bucket = substr(md5(concat(CAST(r.d AS VARCHAR), '_',
+                                        CAST(p.user_id AS VARCHAR))), r.d+1, 1)
+      GROUP BY p.user_id
+    )
+    SELECT e.user_id, CAST(e.est AS BIGINT) AS cms_estimate,
+           CAST(p.exact_count AS BIGINT) AS exact_count
+    FROM est e JOIN probe p USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over per-user event counts: 4 hash rows keyed
+    by successive hex nibbles of one md5, counters = groupBy on
+    (row, bucket), point estimate = min over the 4 rows' counters.
+    The sketch is deterministic (hash-derived, no RNG), so the DuckDB
+    twin reproduces it cell-for-cell; ``exact_count`` rides along so
+    the one-sided error (estimate >= truth, never under) is visible in
+    the result itself and pytest-asserted.
+
+    The width is deliberately undersized (16 buckets/row) at test SF
+    so collisions actually occur; width is the accuracy knob
+    (eps = e/width), depth the confidence knob.
+
+    Scale: THE mergeable-state pattern — the counter table is
+    depth x width cells regardless of input size, built by one
+    map-side-combining groupBy over an explode(depth) of the stream.
+    Probes broadcast against the tiny counter table. The same cells
+    merge across partitions, days, or streaming micro-batches by
+    addition, which is why CMS (not exact counts) is what a 100 TB
+    ingest keeps per time-bucket.
+    """
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select("user_id", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"))
+    bucket = F.substring(
+        F.md5(F.concat_ws("_", F.col("d"), F.col("user_id")).cast("binary")),
+        F.col("d") + 1,
+        1,
+    )
+    cnt = rows.groupBy("d", bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("c"))
+    probe = (
+        e.filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probed = probe.select(
+        "user_id",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat_ws("_", F.col("d"), F.col("user_id")).cast("binary")),
+            F.col("d") + 1,
+            1,
+        ),
+    )
+    return (
+        probed.join(F.broadcast(cnt), ["d", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select("user_id", "cms_estimate", "exact_count")
+        .orderBy("user_id")
+    )

@@ -489,9 +489,9 @@ def q_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # k-core peeling (bounded-round, iterative subgraph mining)
 # --------------------------------------------------------------------------
-KCORE_K = 8
+KCORE_K = 30
 KCORE_ROUNDS = 4
-KCORE_MIN_COMMON = 4
+KCORE_MIN_COMMON = 2
 
 
 def _kcore_oracle() -> str:
@@ -539,28 +539,36 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the textbook iterative-Spark shape shared with
     connected-components in dedup.py — per-round cost is one degree
     aggregate plus two semi-joins on the (already hot-node-capped)
-    edge list, each round's frame ``localCheckpoint``-ed to truncate
-    lineage. Peeling strictly shrinks the frame, so rounds get
-    cheaper; production k-core runs peel-until-fixpoint with the same
-    per-round plan.
+    edge list. Each round ends in ``localCheckpoint(eager=True)`` —
+    plain ``persist`` is NOT enough here: the *logical plan* still
+    nests the whole history, growing ~6x per round (288 -> 1 728 ->
+    10 368 embedded scan nodes measured), and Catalyst's per-action
+    analysis of that tree dwarfs the actual work by round 4 (121 s vs
+    3 s). Checkpointing replaces the plan with the materialized RDD,
+    so every round plans against a flat two-column edge list. The
+    pairs frame is persisted through the union's double read and
+    dropped right after; checkpoint blocks of superseded rounds are
+    reclaimed by the ContextCleaner when the loop rebinds.
     """
+    capped = capped_baskets(spark, sf_dir).persist()
+    a = capped.withColumnsRenamed({"cust": "cust_a"})
+    b = capped.withColumnsRenamed({"cust": "cust_b"})
     e = (
-        capped_baskets(spark, sf_dir)
-        .withColumnsRenamed({"cust": "cust_a"})
-        .join(
-            capped_baskets(spark, sf_dir).withColumnsRenamed({"cust": "cust_b"}),
-            "part",
-        )
+        a.join(b, "part")
         .filter(F.col("cust_a") < F.col("cust_b"))
         .groupBy("cust_a", "cust_b")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= KCORE_MIN_COMMON)
         .select("cust_a", "cust_b")
+        .persist()  # consumed by both union branches — derive the pairs once
     )
-    und = e.selectExpr("cust_a AS n", "cust_b AS m").unionByName(
-        e.selectExpr("cust_b AS n", "cust_a AS m")
+    und = (
+        e.selectExpr("cust_a AS n", "cust_b AS m")
+        .unionByName(e.selectExpr("cust_b AS n", "cust_a AS m"))
+        .localCheckpoint(eager=True)
     )
-    und = und.localCheckpoint(eager=True)
+    e.unpersist()
+    capped.unpersist()
     for _ in range(KCORE_ROUNDS):
         keep = (
             und.groupBy("n")

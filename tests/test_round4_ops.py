@@ -239,3 +239,13 @@ def test_kcore_matches_bruteforce_fixpoint(spark, sf_dir):
     assert got == expected
     # fixpoint reached inside the bound at this SF
     assert all(d >= KCORE_K for d in got.values())
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CMS one-sided error: estimate >= exact for every probed key,
+    and equality holds when a key collides with nothing in some row."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_countmin_sketch
+
+    rows = q_countmin_sketch(spark, sf_dir).collect()
+    assert rows
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
