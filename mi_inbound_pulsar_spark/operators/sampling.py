@@ -909,3 +909,48 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
+           CAST(rn - 1 AS DOUBLE) / (n - 1) AS pct,
+           CAST(decile AS BIGINT) AS decile
+    FROM r ORDER BY doc_id
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a corpus feature: map each document's
+    length to its exact empirical quantile (ordinal rank / N-1, total
+    order tiebroken by doc_id) plus its decile — the rank-transform a
+    curriculum sampler or feature-scaling pass applies before mixing.
+
+    Scale: exact global ranks WITHOUT a single-partition sort, via
+    ``plans/ranking.attach_global_order_stats`` (range shuffle →
+    O(partitions) offset collect → broadcast prefix + per-partition
+    windows; every stage parallel) and the closed-form
+    ``ntile_from_rn``. Same machinery as ``q_length_bucketing`` /
+    ``q_rfm_segmentation``; the oracle's global window is the
+    single-node equivalent the distributed plan must hash-match.
+    """
+    from ..plans.ranking import attach_global_order_stats, ntile_from_rn
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked, total = attach_global_order_stats(
+        d, [F.col("n_chars"), F.col("doc_id")], rn_col="rn"
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        "rn",
+        ((F.col("rn") - 1).cast("double") / (total - 1)).alias("pct"),
+        ntile_from_rn(F.col("rn"), total, 10).alias("decile"),
+    ).orderBy("doc_id")

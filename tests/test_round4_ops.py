@@ -249,3 +249,46 @@ def test_countmin_never_underestimates(spark, sf_dir):
     rows = q_countmin_sketch(spark, sf_dir).collect()
     assert rows
     assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
+
+
+def test_quantile_normalize_is_exact_permutation(spark, sf_dir):
+    """Ranks are a permutation of 1..N, pct spans [0, 1], deciles are
+    balanced to within one row — on any regenerated corpus."""
+    from mi_inbound_pulsar_spark.operators.sampling import q_quantile_normalize
+
+    rows = q_quantile_normalize(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["rn"] for r in rows) == list(range(1, n + 1))
+    assert min(r["pct"] for r in rows) == 0.0
+    assert max(r["pct"] for r in rows) == 1.0
+    from collections import Counter
+
+    sizes = Counter(r["decile"] for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # rank order agrees with the (n_chars, doc_id) total order
+    by_rn = sorted(rows, key=lambda r: r["rn"])
+    keys = [(r["n_chars"], r["doc_id"]) for r in by_rn]
+    assert keys == sorted(keys)
+
+
+def test_plan_audit_clean_on_representatives(spark, sf_dir):
+    """The static plan auditor flags nothing on a cross-family sample
+    and still detects a deliberately bad plan (global window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+    from tools.plan_audit import audit_one
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("q01_pricing_summary", "q_dedup_exact", "q_skyline_dominance"):
+        res = audit_one(name, qs[name](spark, sf_dir))
+        assert res["flags"] == [], (name, res)
+    bad = load_table(spark, sf_dir, "nation").withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_nationkey"))
+    )
+    res = audit_one("synthetic_bad", bad)
+    assert "GlobalWindow" in res["flags"]
