@@ -10,6 +10,9 @@ values, different hash. Both sides are materialized through Arrow
 here so that class of mismatch fails locally too.
 
 Usage: python tools/local_verify.py [query_name ...]
+Set ``VERIFY_JSON=/path.json`` to also write a per-query result
+artifact (status + row count + seconds) for committed evidence of a
+full-registry sweep at the chosen scale factor.
 """
 
 from __future__ import annotations
@@ -88,6 +91,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -96,40 +100,65 @@ def main() -> int:
             stbl = fn(spark, SF_DIR).toArrow()
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            results[name] = {"status": "fail", "detail": f"spark error: {exc}"[:200]}
             n_fail += 1
             continue
         dt = time.time() - t0
+        results[name] = {"status": "pass", "rows": stbl.num_rows, "sec": round(dt, 1)}
         if name not in oracles:
             print(f"rows-only {name}: {stbl.num_rows} rows [{dt:.1f}s]")
+            results[name]["status"] = "rows-only"
             n_rows_only += 1
             continue
         try:
             dtbl = con.sql(oracles[name]).arrow()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
+            results[name] = {"status": "fail", "detail": f"duckdb error: {exc}"[:200]}
             n_fail += 1
             continue
         sk, dk = table_key(stbl), table_key(dtbl)
         if stbl.num_rows != dtbl.num_rows:
             print(f"FAIL {name}: rowcount spark={stbl.num_rows} duckdb={dtbl.num_rows} [{dt:.1f}s]")
+            results[name]["status"] = "fail"
             n_fail += 1
         elif sk[0] != dk[0]:
             print(f"FAIL {name}: schema spark={sk[0]} duckdb={dk[0]}")
+            results[name]["status"] = "fail"
             n_fail += 1
         elif sk[1] != dk[1]:
             diffs = [
                 (c, a, b) for c, a, b in zip(sk[0], sk[1], dk[1]) if a != b
             ]
             print(f"FAIL {name}: types differ (col, spark, duckdb): {diffs}")
+            results[name]["status"] = "fail"
             n_fail += 1
         elif sk[2] != dk[2]:
             diffs = [(a, b) for a, b in zip(sk[2], dk[2]) if a != b][:3]
             print(f"FAIL {name}: values differ; first diffs (spark vs duckdb): {diffs}")
+            results[name]["status"] = "fail"
             n_fail += 1
         else:
             print(f"PASS {name}: {stbl.num_rows} rows [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    out = os.environ.get("VERIFY_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if n_fail else 0
 
 
