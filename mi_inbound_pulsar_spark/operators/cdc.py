@@ -315,3 +315,83 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status_at_purchase")
     )
+
+
+@query(
+    "q_deletion_propagation",
+    oracle="""
+    WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    o AS (
+      SELECT o_orderkey,
+             (o_custkey IN (SELECT c_custkey FROM tomb)) AS purged
+      FROM orders
+    ),
+    l AS (
+      SELECT (o.purged) AS purged
+      FROM lineitem li JOIN o ON li.l_orderkey = o.o_orderkey
+    ),
+    per_table AS (
+      SELECT 'customer' AS tbl,
+             count(*) FILTER (c_custkey % 97 = 0) AS purged_rows,
+             count(*) FILTER (c_custkey % 97 <> 0) AS retained_rows
+      FROM customer
+      UNION ALL
+      SELECT 'orders', count(*) FILTER (purged), count(*) FILTER (NOT purged) FROM o
+      UNION ALL
+      SELECT 'lineitem', count(*) FILTER (purged), count(*) FILTER (NOT purged) FROM l
+    )
+    SELECT tbl, CAST(purged_rows AS BIGINT) AS purged_rows,
+           CAST(retained_rows AS BIGINT) AS retained_rows
+    FROM per_table ORDER BY tbl
+    """,
+)
+def q_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a tombstone set of
+    customers (here ``custkey % 97 = 0`` as the deterministic stand-in
+    for a deletion-request table), count the rows each downstream
+    table must purge when the deletion propagates through the foreign
+    keys (customer -> orders -> lineitem) — the governance sweep every
+    lake must run before a compaction cycle.
+
+    Scale: the tombstone set is the small side everywhere — broadcast
+    semi-join against orders, and the order-level purge verdict rides
+    a key-only frame into the lineitem join (never the wide rows).
+    Counting is map-side conditional aggregation; no table is
+    rewritten just to be counted. The same plan with the filters
+    flipped IS the purge job (dynamic-partition overwrite of the
+    retained rows), so the audit and the enforcement share one shape.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    tomb = F.col("c_custkey") % 97 == 0
+    c_counts = cust.agg(
+        F.sum(tomb.cast("long")).alias("purged_rows"),
+        F.sum((~tomb).cast("long")).alias("retained_rows"),
+    ).select(F.lit("customer").alias("tbl"), "purged_rows", "retained_rows")
+
+    tomb_keys = cust.filter(tomb).select(F.col("c_custkey").alias("o_custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(tomb_keys.withColumn("purged", F.lit(True))),
+            "o_custkey",
+            "left",
+        )
+        .select("o_orderkey", F.coalesce("purged", F.lit(False)).alias("purged"))
+    )
+    o_counts = o.agg(
+        F.sum(F.col("purged").cast("long")).alias("purged_rows"),
+        F.sum((~F.col("purged")).cast("long")).alias("retained_rows"),
+    ).select(F.lit("orders").alias("tbl"), "purged_rows", "retained_rows")
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    l_counts = (
+        li.join(o, "o_orderkey")
+        .agg(
+            F.sum(F.col("purged").cast("long")).alias("purged_rows"),
+            F.sum((~F.col("purged")).cast("long")).alias("retained_rows"),
+        )
+        .select(F.lit("lineitem").alias("tbl"), "purged_rows", "retained_rows")
+    )
+    return c_counts.unionByName(o_counts).unionByName(l_counts).orderBy("tbl")

@@ -292,3 +292,32 @@ def test_plan_audit_clean_on_representatives(spark, sf_dir):
     )
     res = audit_one("synthetic_bad", bad)
     assert "GlobalWindow" in res["flags"]
+
+
+def test_deletion_propagation_totals(spark, sf_dir):
+    """Purged + retained must equal each table's row count, and the
+    lineitem purge set must exactly equal lineitems of tombstoned
+    customers' orders (referential cascade, brute-forced)."""
+    from mi_inbound_pulsar_spark.operators.cdc import q_deletion_propagation
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    out = {r["tbl"]: r for r in q_deletion_propagation(spark, sf_dir).collect()}
+    assert set(out) == {"customer", "orders", "lineitem"}
+    counts = {
+        t: load_table(spark, sf_dir, t).count()
+        for t in ("customer", "orders", "lineitem")
+    }
+    for t, n in counts.items():
+        assert out[t]["purged_rows"] + out[t]["retained_rows"] == n
+    tomb = {
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+        if r["c_custkey"] % 97 == 0
+    }
+    orders = load_table(spark, sf_dir, "orders").collect()
+    purged_orders = {r["o_orderkey"] for r in orders if r["o_custkey"] in tomb}
+    assert out["orders"]["purged_rows"] == len(purged_orders)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    assert out["lineitem"]["purged_rows"] == sum(
+        1 for r in li if r["l_orderkey"] in purged_orders
+    )
