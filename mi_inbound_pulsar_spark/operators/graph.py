@@ -394,7 +394,7 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Co-purchase set similarity (collaborative-filtering neighborhood)
 # --------------------------------------------------------------------------
 COPURCHASE_MAX_DF = 40
-COPURCHASE_MIN_COMMON = 6
+COPURCHASE_MIN_COMMON = 4
 
 
 def capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,16 +508,17 @@ def _kcore_oracle() -> str:
     pf AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
     capped AS (SELECT b.cust, b.part FROM basket b JOIN pf USING (part)
                WHERE pf.df <= {COPURCHASE_MAX_DF}),
-    e AS (
+    e AS MATERIALIZED (
       SELECT a.cust AS ca, b.cust AS cb
       FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
       GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_COMMON}
     ),
-    u0 AS (SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e)"""
+    u0 AS MATERIALIZED (SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e)"""
     for r in range(1, KCORE_ROUNDS + 1):
         sql += f""",
-    k{r} AS (SELECT n FROM u{r-1} GROUP BY n HAVING count(*) >= {KCORE_K}),
-    u{r} AS (SELECT u.n, u.m FROM u{r-1} u
+    k{r} AS MATERIALIZED (SELECT n FROM u{r-1} GROUP BY n
+                          HAVING count(*) >= {KCORE_K}),
+    u{r} AS MATERIALIZED (SELECT u.n, u.m FROM u{r-1} u
              JOIN k{r} x ON u.n = x.n JOIN k{r} y ON u.m = y.n)"""
     sql += f"""
     SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree
