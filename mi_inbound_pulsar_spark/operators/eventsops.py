@@ -1021,3 +1021,97 @@ def q_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_start")
     )
+
+
+@query(
+    "q_timeseries_similarity",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT count(DISTINCT day) AS n FROM s),
+    stats AS (
+      SELECT user_id, sum(c) AS sx, sum(c*c) AS sxx FROM s GROUP BY user_id
+    ),
+    probe AS (SELECT min(user_id) AS pu FROM events),
+    xy AS (
+      SELECT b.user_id, sum(a.c * b.c) AS sxy
+      FROM s a JOIN s b ON a.day = b.day
+      WHERE a.user_id = (SELECT pu FROM probe)
+        AND b.user_id <> (SELECT pu FROM probe)
+      GROUP BY b.user_id
+    )
+    SELECT xy.user_id,
+           round((span.n * xy.sxy - pa.sx * pb.sx) /
+                 (sqrt(CAST(span.n * pa.sxx - pa.sx*pa.sx AS DOUBLE)) *
+                  sqrt(CAST(span.n * pb.sxx - pb.sx*pb.sx AS DOUBLE))), 6) AS corr
+    FROM xy
+    JOIN stats pb ON pb.user_id = xy.user_id
+    CROSS JOIN (SELECT sx, sxx FROM stats JOIN probe ON user_id = pu) pa(sx, sxx)
+    CROSS JOIN span
+    WHERE span.n * pa.sxx - pa.sx*pa.sx > 0
+      AND span.n * pb.sxx - pb.sx*pb.sx > 0
+    ORDER BY corr DESC, xy.user_id LIMIT 20
+    """,
+)
+def q_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: top-20 users whose daily activity
+    curve best Pearson-correlates with the probe user's (missing days
+    count as zero, handled implicitly: they contribute nothing to any
+    sum, and the mean-centering happens inside the closed form).
+
+    Exactness: every correlation input (n, Σx, Σy, Σxy, Σx², Σy²) is
+    an *integer* aggregate, so partial-aggregation order cannot
+    perturb them; the one double expression evaluates identical IEEE
+    ops on identical ints in both engines (the q_random_projection
+    principle applied to correlation). Zero-variance series are
+    excluded before the division.
+
+    Scale: the probe's series (≤ days rows) broadcasts into the
+    day-equi-join, so scoring the whole user base is one map-side
+    join + per-user aggregate — linear in users, never user × user.
+    A k-probe batch variant broadcasts k series; full all-pairs would
+    bucket by correlated-day LSH instead (PAPERS.md: streaming
+    time-series similarity, EDBT'19).
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    n_days = s.select(F.count_distinct("day")).first()[0]
+    probe_u = e.select(F.min("user_id")).first()[0]
+    stats = s.groupBy("user_id").agg(
+        F.sum("c").alias("sx"), F.sum(F.col("c") * F.col("c")).alias("sxx")
+    )
+    pa = stats.filter(F.col("user_id") == probe_u).select(
+        F.col("sx").alias("pa_sx"), F.col("sxx").alias("pa_sxx")
+    )
+    xy = (
+        s.filter(F.col("user_id") != probe_u)
+        .withColumnsRenamed({"user_id": "b_user", "c": "bc"})
+        .join(
+            F.broadcast(
+                s.filter(F.col("user_id") == probe_u).select("day", F.col("c").alias("ac"))
+            ),
+            "day",
+        )
+        .groupBy("b_user")
+        .agg(F.sum(F.col("ac") * F.col("bc")).alias("sxy"))
+    )
+    n = F.lit(n_days)
+    var_a = n * F.col("pa_sxx") - F.col("pa_sx") * F.col("pa_sx")
+    var_b = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    corr = F.round(
+        (n * F.col("sxy") - F.col("pa_sx") * F.col("sx"))
+        / (F.sqrt(var_a.cast("double")) * F.sqrt(var_b.cast("double"))),
+        6,
+    )
+    return (
+        xy.join(stats.withColumnsRenamed({"user_id": "b_user"}), "b_user")
+        .join(F.broadcast(pa))
+        .filter((var_a > 0) & (var_b > 0))
+        .select(F.col("b_user").alias("user_id"), corr.alias("corr"))
+        .orderBy(F.desc("corr"), "user_id")
+        .limit(20)
+    )

@@ -321,3 +321,45 @@ def test_deletion_propagation_totals(spark, sf_dir):
     assert out["lineitem"]["purged_rows"] == sum(
         1 for r in li if r["l_orderkey"] in purged_orders
     )
+
+
+def test_timeseries_similarity_matches_numpy(spark, sf_dir):
+    """Correlations must equal numpy's pearson on dense zero-filled
+    daily vectors, and the top-20 must be the true top-20."""
+    import numpy as np
+
+    from mi_inbound_pulsar_spark.operators.eventsops import q_timeseries_similarity
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    rows = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    days = sorted({r["day"] for r in rows})
+    di = {d: i for i, d in enumerate(days)}
+    users = sorted({r["user_id"] for r in rows})
+    vec = {u: np.zeros(len(days)) for u in users}
+    for r in rows:
+        vec[r["user_id"]][di[r["day"]]] = r["c"]
+    pu = min(users)
+    a = vec[pu]
+    exp = {}
+    for u in users:
+        if u == pu:
+            continue
+        b = vec[u]
+        if a.std() == 0 or b.std() == 0:
+            continue
+        exp[u] = round(float(np.corrcoef(a, b)[0, 1]), 6)
+    top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["user_id"], r["corr"])
+        for r in q_timeseries_similarity(spark, sf_dir).collect()
+    ]
+    assert len(got) == min(20, len(exp))
+    for (gu, gc), (eu, ec) in zip(got, top):
+        assert gu == eu
+        assert gc == pytest.approx(ec, abs=2e-6)
