@@ -954,3 +954,82 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("rn") - 1).cast("double") / (total - 1)).alias("pct"),
         ntile_from_rn(F.col("rn"), total, 10).alias("decile"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_temperature_mixture",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT *, CAST(sqrt(n_tokens) AS DECIMAL(28,6)) AS sq FROM src
+    ),
+    tot AS (
+      SELECT sum(sq) AS sum_sq, sum(n_tokens) AS total_tokens FROM wts
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(sq AS DOUBLE) / CAST(sum_sq AS DOUBLE), 6) AS weight,
+           round(least(1.0,
+             ((0.5 * total_tokens) * CAST(sq AS DOUBLE))
+               / (CAST(sum_sq AS DOUBLE) * n_tokens)), 6) AS sample_rate,
+           CAST(round(least(1.0,
+             ((0.5 * total_tokens) * CAST(sq AS DOUBLE))
+               / (CAST(sum_sq AS DOUBLE) * n_tokens)) * n_tokens, 0) AS BIGINT)
+             AS target_tokens
+    FROM wts, tot
+    ORDER BY source
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weighting (alpha = 0.5), the
+    multilingual/multi-source rebalancing rule from the mBERT / XLM-R
+    / Gopher data recipes: a source with T_i tokens gets sampling
+    weight ``w_i = T_i^alpha / sum_j T_j^alpha`` — up-weighting the
+    tail sources relative to their raw share — and the per-source
+    sampling *rate* needed to hit a 50%-of-corpus token budget is
+    ``min(1, budget * w_i / T_i)``. Unlike :func:`q_corpus_mixture`
+    (fixed hand-set rates) the rates here are *derived from corpus
+    statistics*, which is how the mixture is actually tuned: one
+    aggregation pass over the corpus, a driver-side scalar reduce,
+    and the resulting rates feed the same hash-threshold keep rule.
+
+    Float-determinism: sqrt(T_i) is rounded into DECIMAL(28,6) before
+    the denominator sum, so the cross-source accumulation is *exact
+    decimal* arithmetic in both engines (no float-summation-order
+    hazard — the q_nearest_centroid lesson); the final ratios are
+    computed with an identical parenthesization per row.
+
+    Scale: one groupBy over the corpus (map-side partial agg -> ~one
+    row per source), a broadcastable scalar total, row-local rate
+    arithmetic. The expensive part never touches document text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_tokens")
+    )
+    wts = src.withColumn("sq", F.sqrt("n_tokens").cast("decimal(28,6)"))
+    tot = wts.agg(
+        F.sum("sq").alias("sum_sq"), F.sum("n_tokens").alias("total_tokens")
+    )
+    sq_d = F.col("sq").cast("double")
+    sum_sq_d = F.col("sum_sq").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        ((F.lit(0.5) * F.col("total_tokens")) * sq_d) / (sum_sq_d * F.col("n_tokens")),
+    )
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(sq_d / sum_sq_d, 6).alias("weight"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(rate * F.col("n_tokens"), 0).cast("long").alias("target_tokens"),
+        )
+        .orderBy("source")
+    )

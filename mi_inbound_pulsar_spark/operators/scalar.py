@@ -342,3 +342,70 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_contains("types", "purchase").alias("is_buyer"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_udtf_strided_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s / 48 AS INTEGER) AS chunk_id,
+             CAST(least(64, len(w) - s) AS INTEGER) AS n_chunk_tokens,
+             w[s + 1] AS first_token,
+             w[s + least(64, len(w) - s)] AS last_token
+      FROM toks, unnest(range(0, len(w), 48)) AS t(s)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens, first_token, last_token
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def q_udtf_strided_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python **UDTF** surface (Spark 4 ``@udtf`` + SQL ``LATERAL``):
+    overlapping context-window chunking — window 64 tokens, stride 48,
+    so consecutive chunks share a 16-token overlap. This is the
+    pre-training chunking idiom the non-overlapping
+    :func:`~..sampling.q_doc_chunking` can't express with a plain
+    explode-and-slice, and the table-function shape (one row in, k rows
+    out, computed imperatively) is exactly what UDTFs exist for.
+
+    Like ``q_udf_surface`` this registers the slow-tier escape hatch
+    deliberately: the chunker runs row-at-a-time in a Python worker, so
+    the demo is fenced to doc_id < 200. The production-scale form of
+    the same semantics is the codegen'd explode+slice (see
+    ``q_doc_chunking``) — the UDTF exists so SQL users have the
+    general table-function surface when built-ins genuinely can't
+    express the per-row expansion.
+
+    Scale: a UDTF evaluates per input partition with no shuffle; the
+    expansion is row-local, so the plan is as distributed as the scan.
+    The only cost is the Python-worker serialization boundary.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_chunk_tokens int, first_token string, last_token string")
+    class StridedChunker:
+        def eval(self, words, window: int, stride: int):  # noqa: ANN001
+            if not words:
+                return
+            for start in range(0, len(words), stride):
+                chunk = words[start : start + window]
+                yield start // stride, len(chunk), chunk[0], chunk[-1]
+
+    spark.udtf.register("strided_chunks", StridedChunker)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).selectExpr("doc_id", "split(text, ' ') AS w").createOrReplaceTempView(
+        "udtf_chunk_input"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_id, c.n_chunk_tokens, c.first_token, c.last_token
+        FROM udtf_chunk_input, LATERAL strided_chunks(w, 64, 48) AS c
+        ORDER BY doc_id, chunk_id
+        """
+    )

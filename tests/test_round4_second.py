@@ -1,0 +1,108 @@
+"""Round-4 second-half operators: prefix-filtering set-similarity
+join (exactness + skew resistance), the Python-UDTF strided chunker
+(overlap/stride invariants), and temperature mixture weighting
+(budget + monotonicity properties)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators.dedup import (
+    jaccard_pairs,
+    q_prefix_filter_jaccard,
+    shingles,
+)
+from mi_inbound_pulsar_spark.operators.sampling import q_temperature_mixture
+from mi_inbound_pulsar_spark.operators.scalar import q_udtf_strided_chunks
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+
+def test_prefix_filter_equals_full_inverted_index(spark, sf_dir):
+    # Prefix filtering is a candidate-pruning rule, not an
+    # approximation: the verified result must equal the full
+    # inverted-index Jaccard join exactly (pairs AND scores).
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in q_prefix_filter_jaccard(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(shingles(docs), threshold=0.5, max_doc_freq=None)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .collect()
+    }
+    assert got == truth
+
+
+def test_prefix_filter_survives_hot_shingle(spark, tmp_path):
+    # A boilerplate shingle shared by EVERY doc must neither blow up
+    # the candidate join nor create false positives/negatives: with a
+    # rarity-first prefix order, the hot shingle never enters any
+    # document's prefix (all docs also have rarer unique shingles).
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique{i} token{i} filler{i} pad{i}") for i in range(40)]
+    rows += [(100, f"{boiler} shared shared2 shared3 shared4"),
+             (101, f"{boiler} shared shared2 shared3 shared4")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    (tmp_path / "d").mkdir()
+    docs.write.parquet(str(tmp_path / "d" / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_prefix_filter_jaccard(spark, str(tmp_path / "d")).collect()
+    }
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(shingles(docs), threshold=0.5, max_doc_freq=None).collect()
+    }
+    assert got == truth
+    assert (100, 101) in got
+
+
+def test_udtf_chunks_stride_and_overlap(spark, sf_dir):
+    out = q_udtf_strided_chunks(spark, sf_dir).collect()
+    assert out
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        words = docs[doc_id]
+        # chunk count = number of stride starts
+        assert len(chunks) == math.ceil(len(words) / 48)
+        for c in chunks:
+            start = c["chunk_id"] * 48
+            expect = words[start : start + 64]
+            assert c["n_chunk_tokens"] == len(expect)
+            assert c["first_token"] == expect[0]
+            assert c["last_token"] == expect[-1]
+        # consecutive chunks overlap by window - stride = 16 tokens
+        for a, b in zip(chunks, chunks[1:]):
+            if a["n_chunk_tokens"] == 64:
+                assert b["chunk_id"] * 48 < a["chunk_id"] * 48 + 64
+
+
+def test_temperature_mixture_budget_and_monotonicity(spark, sf_dir):
+    rows = q_temperature_mixture(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    # weights form a distribution
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    # every rate is a valid probability
+    assert all(0.0 < r["sample_rate"] <= 1.0 for r in rows)
+    # the realized budget never exceeds, and approaches, 50% of corpus
+    # tokens (capped sources can only push it below the target)
+    kept = sum(r["target_tokens"] for r in rows)
+    assert kept <= total * 0.5 * 1.001
+    # temperature < 1 up-weights the tail: the smallest source must get
+    # a sampling rate >= the largest source's
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    assert smallest["sample_rate"] >= largest["sample_rate"]
