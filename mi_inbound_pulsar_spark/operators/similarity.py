@@ -474,3 +474,160 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(sign * F.col("q")).alias("sketch"))
         .orderBy("vec_id", "out_dim")
     )
+
+
+@query(
+    "q_hybrid_search_rrf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = 'data'))   AS tf1,
+             len(list_filter(string_split(text, ' '), x -> x = 'query'))  AS tf2,
+             len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf3
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             count_if(tf1 > 0) AS df1, count_if(tf2 > 0) AS df2,
+             count_if(tf3 > 0) AS df3
+      FROM t
+    ),
+    lex_all AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(
+               ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0)
+                 * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+               DESC, doc_id) AS rank_lex
+      FROM t, s
+      WHERE tf1 + tf2 + tf3 > 0
+    ),
+    lex AS (SELECT * FROM lex_all WHERE rank_lex <= 100),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    probe AS (SELECT emb AS p_emb FROM e WHERE vec_id = 0),
+    sem_all AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(emb, p_emb), 6) DESC, vec_id
+             ) AS rank_sem
+      FROM e, probe WHERE vec_id != 0
+    ),
+    sem AS (SELECT * FROM sem_all WHERE rank_sem <= 100),
+    fused AS (
+      SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.rank_lex, sem.rank_sem,
+             coalesce(1.0 / (60 + rank_lex), 0.0)
+               + coalesce(1.0 / (60 + rank_sem), 0.0) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with **reciprocal-rank fusion** (RRF, k=60 —
+    Cormack et al. SIGIR'09, the fusion rule ElasticSearch/OpenSearch
+    ship): fuse a lexical BM25 ranking (fixed probe terms, same scorer
+    as ``q_bm25_search``) with a semantic cosine ranking against a
+    probe embedding (vec_id 0), by summing ``1/(60+rank)`` over the
+    rankings each document appears in. Rank-based fusion needs no
+    score calibration between the two retrievers — that's its point.
+
+    Float-determinism: both rankings order by scores *rounded to 6dp*
+    with an explicit doc-id tie-break, so ulp-level engine noise in
+    the raw doubles cannot flip a rank (the q_nearest_centroid
+    lesson); RRF then depends only on integer ranks.
+
+    Scale: the BM25 side is a narrow pass + one scalar broadcast; the
+    cosine side broadcasts ONE probe vector. Each ranking is cut to
+    **fusion depth 100 with ``orderBy().limit()``** — Spark plans
+    TakeOrderedAndProject (per-partition top-100 folded on executors,
+    merged once), NOT a single-partition global sort — and only the
+    100-row survivor set gets ``row_number`` ranks (a window over an
+    already-tiny frame, the documented bounded-window exception).
+    Documents below depth contribute zero to RRF, which is the
+    standard depth-limited form every production fusion runs. The
+    fusion join carries two ≤100-row rank lists — broadcast by
+    construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    terms = ["data", "query", "stream"]
+    def tf_col(term: str):
+        # single-parameter lambda: a two-parameter lambda would be
+        # interpreted by Spark's HOF binder as (element, index)
+        def match(w):
+            return w == term
+
+        return F.size(F.filter(words, match))
+
+    t = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[tf_col(term).alias(f"tf{i+1}") for i, term in enumerate(terms)],
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count_if(F.col(f"tf{i+1}") > 0).alias(f"df{i+1}") for i in range(3)],
+    )
+
+    def contrib(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+
+    depth = 100
+    lex = (
+        t.join(F.broadcast(s))
+        .filter((F.col("tf1") + F.col("tf2") + F.col("tf3")) > 0)
+        .select("doc_id", F.round(contrib(1) + contrib(2) + contrib(3), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(depth)  # TakeOrderedAndProject — no global sort
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")),
+        )
+        .select("doc_id", "rank_lex")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("p_emb"))
+    dot = F.aggregate(
+        F.zip_with("emb", "p_emb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("p_emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (na * nb), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(depth)  # TakeOrderedAndProject — no global sort
+        .withColumn(
+            "rank_sem",
+            F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id")),
+        )
+        .select("doc_id", "rank_sem")
+    )
+
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rank_sem")), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "rank_lex", "rank_sem", rrf.alias("_rrf"))
+        .orderBy(F.desc("_rrf"), "doc_id")
+        .limit(20)
+        .select("doc_id", "rank_lex", "rank_sem", F.round("_rrf", 6).alias("rrf_score"))
+    )

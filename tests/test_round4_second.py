@@ -106,3 +106,43 @@ def test_temperature_mixture_budget_and_monotonicity(spark, sf_dir):
     smallest = min(rows, key=lambda r: r["n_tokens"])
     largest = max(rows, key=lambda r: r["n_tokens"])
     assert smallest["sample_rate"] >= largest["sample_rate"]
+
+
+def test_hybrid_rrf_fusion_properties(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.similarity import q_hybrid_search_rrf
+
+    rows = q_hybrid_search_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        # every fused doc appears in at least one ranking, ranks are
+        # within fusion depth, and the score is exactly the RRF sum
+        assert r["rank_lex"] is not None or r["rank_sem"] is not None
+        expect = 0.0
+        if r["rank_lex"] is not None:
+            assert 1 <= r["rank_lex"] <= 100
+            expect += 1.0 / (60 + r["rank_lex"])
+        if r["rank_sem"] is not None:
+            assert 1 <= r["rank_sem"] <= 100
+            expect += 1.0 / (60 + r["rank_sem"])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+    # output is sorted by fused score desc
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a doc present in BOTH rankings at rank 1 would dominate; at
+    # minimum the top fused doc must beat any single-list tail score
+    assert scores[0] > 1.0 / (60 + 100)
+
+
+def test_hybrid_rrf_ranking_is_takeordered_not_global_sort(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.similarity import q_hybrid_search_rrf
+
+    plan = (
+        q_hybrid_search_rrf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the fusion-depth cut must plan as TakeOrderedAndProject (per-
+    # partition top-k), never a single-partition global Sort feeding
+    # the rank window directly from the corpus
+    assert "TakeOrderedAndProject" in plan

@@ -38,6 +38,12 @@ WAIVERS = {
     # accepted cases — the input is an aggregate, not raw rows):
     "q_zipf_slope": {"GlobalWindow"},  # vocab-bounded (distinct tokens)
     "q_period_over_period": {"GlobalWindow"},  # tiny daily rollup
+    # documented slow-tier UDTF surface demo, fenced to doc_id < 200
+    "q_udtf_strided_chunks": {"BatchEvalPython"},
+    # ranks assigned AFTER orderBy().limit(fusion depth) — the window
+    # input is <= 100 rows by construction (TakeOrderedAndProject
+    # upstream), not a corpus-wide sort
+    "q_hybrid_search_rrf": {"GlobalWindow"},
 }
 
 
