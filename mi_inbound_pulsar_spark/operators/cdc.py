@@ -395,3 +395,188 @@ def q_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem").alias("tbl"), "purged_rows", "retained_rows")
     )
     return c_counts.unionByName(o_counts).unionByName(l_counts).orderBy("tbl")
+
+
+IVM_DATE_CUTOFF = "1999-01-01"  # orders before/after = base / delta stream
+
+
+@query(
+    "q_ivm_join_delta",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a **join view** with deltas on
+    BOTH inputs: V = γ(orders ⋈ customer) maintained under an order
+    delta (rows on/after ``IVM_DATE_CUTOFF``) and a late-arriving
+    customer delta (custkey % 10 == 0). The update rule is the join
+    delta algebra — Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — each term
+    aggregated to partials and merged by re-aggregation (sum-of-sums),
+    exactly :func:`q_incremental_rollup`'s algebraic contract lifted
+    from a single table to a join. The oracle is the direct full
+    join+aggregate: partial maintenance ≡ recompute, hash-exact.
+
+    Scale: each refresh joins only the deltas against the other side
+    (ΔA⋈B₀ broadcasts ΔA when the delta is small — the common case),
+    so a 100 TB view updates at the cost of the day's changes, never a
+    full rebuild. Money is exact integer cents (q09's pattern), so the
+    four-way merge is immune to float summation order.
+    """
+    cutoff = F.lit(IVM_DATE_CUTOFF).cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderdate") >= cutoff).alias("is_delta"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", (F.col("c_custkey") % 10 == 0).alias("is_delta")
+    )
+    a0 = o.filter(~F.col("is_delta")).drop("is_delta")
+    da = o.filter(F.col("is_delta")).drop("is_delta")
+    b0 = c.filter(~F.col("is_delta")).drop("is_delta")
+    db = c.filter(F.col("is_delta")).drop("is_delta")
+
+    def partials(orders: DataFrame, custs: DataFrame) -> DataFrame:
+        return (
+            orders.join(custs, orders.o_custkey == custs.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("p_n"), F.sum("cents").alias("p_rev"))
+        )
+
+    terms = (
+        partials(a0, b0)
+        .unionByName(partials(da, b0))
+        .unionByName(partials(a0, db))
+        .unionByName(partials(da, db))
+    )
+    return (
+        terms.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum("p_n").alias("n_orders"), F.sum("p_rev").alias("revenue_cents"))
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q_constraint_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'customer_pk_unique' AS check_name,
+             (SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS n_violations,
+             (SELECT count(*) FROM customer) AS n_checked
+      UNION ALL
+      SELECT 'documents_nonempty',
+             (SELECT count(*) FROM documents
+              WHERE n_chars <= 0 OR text IS NULL OR length(text) = 0),
+             (SELECT count(*) FROM documents)
+      UNION ALL
+      SELECT 'events_value_not_nan',
+             (SELECT count(*) FROM events WHERE isnan(value)),
+             (SELECT count(*) FROM events)
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)),
+             (SELECT count(*) FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem_qty_positive',
+             (SELECT count(*) FROM lineitem WHERE l_quantity <= 0),
+             (SELECT count(*) FROM lineitem)
+      UNION ALL
+      SELECT 'orders_fk_customer',
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_pk_unique',
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+             (SELECT count(*) FROM orders)
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           n_violations = 0 AS passed
+    FROM checks ORDER BY check_name
+    """,
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Great-Expectations
+    shape): primary-key uniqueness, referential integrity, domain and
+    not-null/non-empty expectations, each evaluated as a full-table
+    aggregate returning (check, violations, checked, passed) — the
+    contract a warehouse gates its loads on.
+
+    Scale: every check is a single aggregate or anti-join-shaped count;
+    FK checks are left-anti joins (count of dangling keys), which AQE
+    broadcasts when the key side is small and shuffle-joins otherwise.
+    Nothing collects; the audit output is one row per check. At 100 TB
+    this runs as one pass per table — and because each check is an
+    independent DataFrame, a scheduler can run them concurrently
+    against the same scan via cache or let column pruning cut each to
+    the checked columns only (asserted for scans in test_plans).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def check(name: str, violations: DataFrame, total: DataFrame) -> DataFrame:
+        v = violations.agg(F.count(F.lit(1)).alias("n_violations"))
+        t = total.agg(F.count(F.lit(1)).alias("n_checked"))
+        return v.crossJoin(t).select(
+            F.lit(name).alias("check_name"), "n_violations", "n_checked"
+        )
+
+    def pk_unique(name: str, df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            (F.count(key) - F.count_distinct(F.col(key))).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        ).select(F.lit(name).alias("check_name"), "n_violations", "n_checked")
+
+    checks = (
+        pk_unique("customer_pk_unique", cust, "c_custkey")
+        .unionByName(
+            check(
+                "documents_nonempty",
+                docs.filter(
+                    (F.col("n_chars") <= 0)
+                    | F.col("text").isNull()
+                    | (F.length("text") == 0)
+                ),
+                docs,
+            )
+        )
+        .unionByName(check("events_value_not_nan", ev.filter(F.isnan("value")), ev))
+        .unionByName(
+            check(
+                "lineitem_fk_orders",
+                li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+                li,
+            )
+        )
+        .unionByName(
+            check("lineitem_qty_positive", li.filter(F.col("l_quantity") <= 0), li)
+        )
+        .unionByName(
+            check(
+                "orders_fk_customer",
+                o.join(cust, o.o_custkey == cust.c_custkey, "left_anti"),
+                o,
+            )
+        )
+        .unionByName(pk_unique("orders_pk_unique", o, "o_orderkey"))
+    )
+    return checks.select(
+        "check_name",
+        "n_violations",
+        "n_checked",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")

@@ -146,3 +146,59 @@ def test_hybrid_rrf_ranking_is_takeordered_not_global_sort(spark, sf_dir):
     # partition top-k), never a single-partition global Sort feeding
     # the rank window directly from the corpus
     assert "TakeOrderedAndProject" in plan
+
+
+def test_constraint_audit_detects_injected_violations(spark, tmp_path):
+    import datetime as dt
+
+    from mi_inbound_pulsar_spark.operators.cdc import q_constraint_audit
+
+    d = tmp_path / "dq"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, 0), (1, 0), (2, 0)], "c_custkey long, c_nationkey long"
+    ).write.parquet(str(d / "customer.parquet"))  # dup PK 1
+    spark.createDataFrame(
+        [(10, 1, 5.0, dt.datetime(2000, 1, 1)), (11, 99, 5.0, dt.datetime(2000, 1, 1))],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    ).write.parquet(str(d / "orders.parquet"))  # custkey 99 dangling
+    spark.createDataFrame(
+        [(10, 1.0), (77, -3.0)], "l_orderkey long, l_quantity double"
+    ).write.parquet(str(d / "lineitem.parquet"))  # orderkey 77 dangling + qty<=0
+    spark.createDataFrame(
+        [(1, float("nan")), (2, 1.0)], "event_id long, value double"
+    ).write.parquet(str(d / "events.parquet"))  # one NaN
+    spark.createDataFrame(
+        [(1, "", 0), (2, "ok text", 7)], "doc_id long, text string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))  # one empty doc
+
+    got = {r["check_name"]: r for r in q_constraint_audit(spark, str(d)).collect()}
+    expect = {
+        "customer_pk_unique": 1,
+        "documents_nonempty": 1,
+        "events_value_not_nan": 1,
+        "lineitem_fk_orders": 1,
+        "lineitem_qty_positive": 1,
+        "orders_fk_customer": 1,
+        "orders_pk_unique": 0,
+    }
+    for name, n in expect.items():
+        assert got[name]["n_violations"] == n, name
+        assert got[name]["passed"] == (n == 0), name
+
+
+def test_ivm_terms_partition_the_join(spark, sf_dir):
+    # The four delta terms must partition the full join: their row
+    # counts sum to the direct join's count (disjointness + coverage —
+    # the algebra the maintenance rule rests on).
+    from mi_inbound_pulsar_spark.operators.cdc import IVM_DATE_CUTOFF, q_ivm_join_delta
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    full = o.join(c, o.o_custkey == c.c_custkey).count()
+    merged = q_ivm_join_delta(spark, sf_dir).agg(F.sum("n_orders")).collect()[0][0]
+    assert merged == full
+    # and the delta split is non-trivial at the shipped cutoff
+    cutoff = F.lit(IVM_DATE_CUTOFF).cast("timestamp")
+    assert o.filter(F.col("o_orderdate") >= cutoff).count() > 0
+    assert o.filter(F.col("o_orderdate") < cutoff).count() > 0
