@@ -302,3 +302,49 @@ def test_bloom_contamination_broadcasts_position_set(spark, sf_dir):
     from mi_inbound_pulsar_spark.operators.sampling import q_bloom_contamination
 
     assert "BroadcastHashJoin" in plan_of(q_bloom_contamination(spark, sf_dir))
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning (the 100 TB pattern:
+    a selective dim filter becomes a bloom filter applied inside the
+    fact scan's stage, cutting shuffle input before the join). The
+    default application-side threshold is 10 GB — it exists FOR the
+    100 TB case and never fires at test scale — so this test lowers it
+    to prove the machinery and the plan shape; production inherits the
+    defaults."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower()  # bloom filter injected
+        # and it returns the same result as the un-filtered plan
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        plain = (
+            li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        )
+        assert j.collect() == plain.collect()
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -202,3 +202,23 @@ def test_ivm_terms_partition_the_join(spark, sf_dir):
     cutoff = F.lit(IVM_DATE_CUTOFF).cast("timestamp")
     assert o.filter(F.col("o_orderdate") >= cutoff).count() > 0
     assert o.filter(F.col("o_orderdate") < cutoff).count() > 0
+
+
+def test_entity_resolution_clusters_are_consistent(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.graph import ER_SCOPE, q_entity_resolution
+
+    out = q_entity_resolution(spark, sf_dir).collect()
+    parts = {
+        r["p_partkey"]: r["p_name"]
+        for r in load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < ER_SCOPE)
+        .collect()
+    }
+    assert out  # the TPC-H-ish generated names do collide within blocks
+    for r in out:
+        # the canonical id is a real member and the cluster label rule
+        # (min member id) makes it the name donor
+        assert r["canonical_id"] in parts
+        assert r["canonical_name"] == parts[r["canonical_id"]]
+        assert r["n_members"] >= 2
+        assert r["price_spread_cents"] >= 0
