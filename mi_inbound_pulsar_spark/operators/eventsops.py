@@ -1115,3 +1115,84 @@ def q_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "q_holt_linear_trend",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    fitted AS (
+      SELECT user_id, n_events,
+             list_reduce(list_transform(vals, x -> [x, 0.0]),
+               (acc, x) -> [0.3*x[1] + 0.7*(acc[1]+acc[2]),
+                            0.2*((0.3*x[1] + 0.7*(acc[1]+acc[2])) - acc[1])
+                              + 0.8*acc[2]]) AS st
+      FROM s
+    )
+    SELECT user_id, n_events,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_1
+    FROM fitted ORDER BY user_id
+    """,
+)
+def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (alpha = 0.3,
+    beta = 0.2) per user — the forecasting step up from
+    :func:`q_ewma_smoothing`: the state is (level, trend) and the
+    1-step-ahead forecast is ``level + trend``. Recurrence:
+    ``l' = a*x + (1-a)*(l+t)``; ``t' = b*(l'-l) + (1-b)*t``, seeded
+    ``l=x1, t=0``.
+
+    The fold runs as the ``aggregate`` higher-order function over the
+    (ts, event_id)-ordered value array with a 2-element array as the
+    accumulator; DuckDB replays the *identical* IEEE op sequence with
+    ``list_reduce`` (its init-free form seeds from the first element —
+    mirrored by folding Spark's aggregate from element 2 with
+    ``[x1, 0]`` as the init), so the oracle is hash-exact on doubles
+    with no rounding games beyond the final display rounding.
+
+    Scale: same shape as the EWMA fold — each key's series
+    materializes in one task (inherent to a sequential recurrence; for
+    unbounded history carry (level, trend) in the streaming state
+    instead, exactly like streaming/ewma.py carries its one double).
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("value").cast("double").alias("v"),
+            )
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
+    )
+    st = F.expr(
+        """
+        aggregate(
+          slice(transform(seq, s -> s.v), 2, size(seq) - 1),
+          array(element_at(transform(seq, s -> s.v), 1), cast(0.0 as double)),
+          (acc, x) -> array(
+            0.3*x + 0.7*(acc[0]+acc[1]),
+            0.2*((0.3*x + 0.7*(acc[0]+acc[1])) - acc[0]) + 0.8*acc[1]))
+        """
+    )
+    return (
+        per_user.withColumn("st", st)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.element_at("st", 1), 6).alias("level"),
+            F.round(F.element_at("st", 2), 6).alias("trend"),
+            F.round(F.element_at("st", 1) + F.element_at("st", 2), 6).alias("forecast_1"),
+        )
+        .orderBy("user_id")
+    )

@@ -222,3 +222,27 @@ def test_entity_resolution_clusters_are_consistent(spark, sf_dir):
         assert r["canonical_name"] == parts[r["canonical_id"]]
         assert r["n_members"] >= 2
         assert r["price_spread_cents"] >= 0
+
+
+def test_holt_linear_trend_matches_python_fold(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.eventsops import q_holt_linear_trend
+
+    got = {r["user_id"]: r for r in q_holt_linear_trend(spark, sf_dir).collect()}
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in events:
+        series.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    for uid, evs in series.items():
+        vals = [v for _, _, v in sorted(evs, key=lambda t: (t[0], t[1]))]
+        lvl, trd = vals[0], 0.0
+        for x in vals[1:]:
+            nl = 0.3 * x + 0.7 * (lvl + trd)
+            trd = 0.2 * (nl - lvl) + 0.8 * trd
+            lvl = nl
+        assert got[uid]["n_events"] == len(vals)
+        assert abs(got[uid]["level"] - round(lvl, 6)) < 1e-9, uid
+        assert abs(got[uid]["trend"] - round(trd, 6)) < 1e-9, uid
