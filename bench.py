@@ -79,6 +79,10 @@ HEADLINE = [
     "q_line_dedup",
     "q_copurchase_jaccard",
     "q_kcore_peel",
+    # prefix-filter join / hybrid retrieval / join-view IVM (round 4, 3rd phase)
+    "q_prefix_filter_jaccard",
+    "q_hybrid_search_rrf",
+    "q_ivm_join_delta",
 ]
 
 
