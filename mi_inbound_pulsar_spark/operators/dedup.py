@@ -1451,7 +1451,12 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = 0.5
     sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0).persist()
-    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+    # 8-byte hashed shingle keys, same trade as jaccard_pairs
+    # (hash_keys): halves the DF-join and index shuffle bytes; a 64-bit
+    # collision merges two shingles with p ~ n^2/2^65.
+    sh = sharr.select("doc_id", F.explode("shingles").alias("_s")).select(
+        "doc_id", F.xxhash64("_s").alias("shingle")
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # per-doc shingle list in (df asc, shingle) order; prefix keeps the
     # rarest p = n - ceil(t*n) + 1 entries
@@ -1465,7 +1470,6 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.size("by_rarity").alias("n"),
             F.transform(
                 F.slice(
                     "by_rarity",
@@ -1493,7 +1497,10 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    full = sharr.select("doc_id", F.array_sort("shingles").alias("sset"))
+    full = sharr.select(
+        "doc_id",
+        F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sset"),
+    )
     verified = (
         cand.join(full.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
         .join(full.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")), "doc_b")

@@ -1196,3 +1196,57 @@ def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d
+    ),
+    spine AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT spine.d AS day,
+           CAST(coalesce(daily.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(daily.new_users, 0)) OVER (
+             ORDER BY spine.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    ORDER BY day
+    """,
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count over time — the growth-curve query
+    every analytics stack runs, and a classic distributed trap: a naive
+    ``count(DISTINCT user) OVER (ORDER BY day)`` re-scans every prefix
+    (quadratic) or drags full user sets through a global window. The
+    exact two-phase form: (1) each user's FIRST day (one groupBy —
+    a user contributes +1 exactly on that day), (2) daily new-user
+    counts, (3) a running sum over the *days* series. The window is
+    global but its input is the per-day rollup — |days| rows, the
+    documented bounded-window class (same as q_period_over_period),
+    not raw events.
+
+    Scale: shuffle keys are user_id then day; the unbounded-distinct
+    state collapses to one row per user. The same shape maintains
+    incrementally: new data can only add first-seen rows for unseen
+    users (see q_incremental_rollup's partial-merge contract).
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    spine = e.select(F.to_date("ts").alias("d")).distinct()
+    joined = (
+        spine.join(daily, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        joined.withColumn("cumulative_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
