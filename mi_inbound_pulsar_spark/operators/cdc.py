@@ -536,8 +536,12 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def pk_unique(name: str, df: DataFrame, key: str) -> DataFrame:
+        # count(*) - count(DISTINCT key), NOT count(key): a NULL primary
+        # key must count as a violation (count(key) would skip it and
+        # silently pass a table with NULL PKs — and diverge from the
+        # count(*)-based oracle)
         return df.agg(
-            (F.count(key) - F.count_distinct(F.col(key))).alias("n_violations"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias("n_violations"),
             F.count(F.lit(1)).alias("n_checked"),
         ).select(F.lit(name).alias("check_name"), "n_violations", "n_checked")
 

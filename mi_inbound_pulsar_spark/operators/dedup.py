@@ -222,7 +222,7 @@ def jaccard_pairs(
     SELECT doc_a, doc_b,
            round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
     FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-    WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+    WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
     ORDER BY doc_a, doc_b
     """,
 )
@@ -1051,7 +1051,7 @@ def jaccard_matches_against(
     j AS (
       SELECT delta_id, round(c * 1.0 / (x.n + y.n - c), 6) AS jac
       FROM m JOIN sz x ON delta_id = x.doc_id JOIN sz y ON base_id = y.doc_id
-      WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
     ),
     agg AS (
       SELECT delta_id, CAST(count(*) AS BIGINT) AS n_matches, max(jac) AS best_jaccard
@@ -1120,7 +1120,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok AS (
       SELECT doc_a, doc_b FROM pairs JOIN sz x ON doc_a = x.doc_id
         JOIN sz y ON doc_b = y.doc_id
-      WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM ok
@@ -1412,7 +1412,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b,
            round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
     FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-    WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+    WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
     ORDER BY doc_a, doc_b
     """,
 )
@@ -1434,9 +1434,15 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true pairs (no false negatives; result is exact after
     verification). At t = 0.5 the index holds ~half of each document's
     shingles, and because the order is rarity-first the indexed half is
-    the *rare* half: hot boilerplate shingles (the d^2 blow-up hazard
-    of a plain inverted index) never enter the join at all — skew
-    resistance falls out of the algorithm instead of needing a DF cap.
+    the *rare* half: as long as documents carry enough distinctive
+    shingles, hot boilerplate shingles (the d^2 blow-up hazard of a
+    plain inverted index) stay out of every prefix — skew resistance
+    falls out of the algorithm for ordinary corpora. The guarantee is
+    per-document, not absolute: a corpus of boilerplate-only or
+    exactly-duplicated documents has nothing rare to index and the hot
+    shingles re-enter the prefixes — run exact dedup first (its
+    16-byte-hash groupBy removes identical texts) and keep the DF-cap
+    variant for pathological inputs.
 
     Plan shape: one groupBy for document frequency, one shuffle to
     join DF onto the exploded shingles, a per-doc array_sort +
@@ -1512,9 +1518,12 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sb").alias("nb"),
         )
     )
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # round-then-threshold, the same convention as jaccard_pairs, so
+    # the three exact-Jaccard strategies agree even for pairs sitting
+    # within an ulp of the threshold
+    jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6)
     return (
         verified.filter(jac >= t)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

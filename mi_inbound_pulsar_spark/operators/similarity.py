@@ -555,38 +555,13 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion join carries two ≤100-row rank lists — broadcast by
     construction.
     """
+    from mi_inbound_pulsar_spark.operators.text import bm25_scored
+
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    terms = ["data", "query", "stream"]
-    def tf_col(term: str):
-        # single-parameter lambda: a two-parameter lambda would be
-        # interpreted by Spark's HOF binder as (element, index)
-        def match(w):
-            return w == term
-
-        return F.size(F.filter(words, match))
-
-    t = d.select(
-        "doc_id",
-        F.size(words).alias("dl"),
-        *[tf_col(term).alias(f"tf{i+1}") for i, term in enumerate(terms)],
-    )
-    s = t.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("dl").alias("avgdl"),
-        *[F.count_if(F.col(f"tf{i+1}") > 0).alias(f"df{i+1}") for i in range(3)],
-    )
-
-    def contrib(i: int):
-        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
-        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
-        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-
     depth = 100
     lex = (
-        t.join(F.broadcast(s))
-        .filter((F.col("tf1") + F.col("tf2") + F.col("tf3")) > 0)
-        .select("doc_id", F.round(contrib(1) + contrib(2) + contrib(3), 6).alias("bm25"))
+        bm25_scored(d)  # the canonical scorer — shared with q_bm25_search
+        .select("doc_id", "bm25")
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(depth)  # TakeOrderedAndProject — no global sort
         .withColumn(

@@ -535,21 +535,33 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape at 500 docs and 100 TB.
     """
     d = load_table(spark, sf_dir, "documents")
+    return bm25_scored(d).select(
+        "doc_id", "dl", "tf1", "tf2", "tf3", "bm25"
+    ).orderBy("doc_id")
+
+
+def bm25_scored(docs: DataFrame, terms: tuple[str, ...] = TFIDF_TERMS) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) over ``docs(doc_id, text)`` for a
+    fixed term set — the ONE canonical lexical scorer; both
+    ``q_bm25_search`` and the hybrid-RRF fusion consume this, so the
+    constants and term list cannot desynchronize. Returns documents
+    matching ≥1 term with columns doc_id, dl, tf1..tfk, bm25 (6dp)."""
     words = F.split(F.col("text"), " ")
 
     def tf_col(term: str):
         # NB: a two-parameter lambda here would bind (element, index)
         return F.size(F.filter(words, lambda w: w == term))
 
-    t = d.select(
+    k = len(terms)
+    t = docs.select(
         "doc_id",
         F.size(words).alias("dl"),
-        *[tf_col(term).alias(f"tf{i+1}") for i, term in enumerate(TFIDF_TERMS)],
+        *[tf_col(term).alias(f"tf{i+1}") for i, term in enumerate(terms)],
     )
     s = t.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("dl").alias("avgdl"),
-        *[F.count_if(F.col(f"tf{i+1}") > 0).alias(f"df{i+1}") for i in range(3)],
+        *[F.count_if(F.col(f"tf{i+1}") > 0).alias(f"df{i+1}") for i in range(k)],
     )
 
     def contrib(i: int):
@@ -557,18 +569,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
         return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
 
+    any_tf = sum((F.col(f"tf{i+1}") for i in range(k)), F.lit(0))
+    score = sum((contrib(i + 1) for i in range(k)), F.lit(0.0))
     return (
         t.join(F.broadcast(s))
-        .filter((F.col("tf1") + F.col("tf2") + F.col("tf3")) > 0)
+        .filter(any_tf > 0)
         .select(
             "doc_id",
             "dl",
-            "tf1",
-            "tf2",
-            "tf3",
-            F.round(contrib(1) + contrib(2) + contrib(3), 6).alias("bm25"),
+            *[f"tf{i+1}" for i in range(k)],
+            F.round(score, 6).alias("bm25"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -317,6 +317,8 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     confs = {
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # toggled mid-test for the result-identity check — save it too
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
     saved = {}
     for k, v in confs.items():
@@ -342,7 +344,6 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         )
         assert j.collect() == plain.collect()
     finally:
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
