@@ -12,7 +12,7 @@ no iteration, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
@@ -911,3 +911,133 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - prev1) / prev1, 6).alias("dod_growth"),
         F.round((F.col("n") - prev7) / prev7, 6).alias("wow_growth"),
     ).orderBy("day")
+
+
+SURVIVAL_WINDOW_DAYS = 14
+
+
+@query(
+    "q_survival_curve",
+    oracle=f"""
+    WITH horizon AS (SELECT max(epoch_us(ts)) AS h FROM events),
+    signup AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.s_us, min(epoch_us(e.ts)) AS p_us
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) > s.s_us
+      GROUP BY s.user_id, s.s_us
+    ),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN p_us IS NOT NULL
+                  THEN CAST((p_us - s_us) // 86400000000 AS BIGINT)
+                  ELSE CAST((h - s_us) // 86400000000 AS BIGINT) END AS e_day,
+             p_us IS NOT NULL AS is_event
+      FROM conv, horizon
+    ),
+    spine AS (SELECT unnest(range(0, {SURVIVAL_WINDOW_DAYS})) AS day),
+    km AS (
+      SELECT spine.day,
+             CAST(count(*) FILTER (o.e_day >= spine.day) AS BIGINT) AS n_at_risk,
+             CAST(count(*) FILTER (o.is_event AND o.e_day = spine.day) AS BIGINT)
+               AS n_events
+      FROM spine CROSS JOIN obs o
+      GROUP BY spine.day
+    )
+    SELECT day, n_at_risk, n_events,
+           -- guarded KM product: a total-death day (term = 0) zeroes the
+           -- curve from there on; ln only ever sees positive terms
+           round(CASE WHEN min(1.0 - n_events * 1.0 / n_at_risk) OVER w = 0
+                      THEN 0.0
+                      ELSE exp(sum(CASE WHEN n_events < n_at_risk
+                                        THEN ln(1.0 - n_events * 1.0 / n_at_risk)
+                                        END) OVER w) END, 6) AS survival
+    FROM km
+    WHERE n_at_risk > 0
+    WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ORDER BY day
+    """,
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup -> first purchase with
+    right-censoring: users who never purchase are censored at the
+    corpus horizon instead of being dropped (dropping them — the naive
+    conversion-rate query — biases time-to-convert DOWN; q_conversion_
+    latency reports the uncensored view, this is the estimator that
+    handles incomplete observation windows correctly). ``S(d)`` is the
+    product over days ``t <= d`` of ``(1 - events_t / at_risk_t)``.
+
+    Engine plan: per-user first-signup/first-purchase rollup (one
+    groupBy), a scalar horizon, a {SURVIVAL_WINDOW_DAYS}-day spine
+    crossed with the per-user observation rollup for the at-risk
+    counts, then the KM product as exp(running sum of log terms) over
+    the day series — the bounded-window class (|spine| rows). The
+    cumulative-log form runs the identical IEEE sequence in DuckDB's
+    window, so the oracle is hash-exact.
+
+    Scale: everything after the first groupBy operates on |users|
+    rows, and the spine expansion is x{SURVIVAL_WINDOW_DAYS} of THAT
+    (never raw events). For very large user bases replace the
+    spine-cross with a reverse cumulative sum over the per-day
+    observation counts — same result, |days| + |users| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    horizon = e.agg(F.max(us).alias("h"))
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (signup.user_id == purchases.user_id) & (F.col("p_us") > F.col("s_us")),
+            "left",
+        )
+        .groupBy(signup.user_id, "s_us")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    obs = conv.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("p_us").isNotNull(),
+            F.floor((F.col("p_us") - F.col("s_us")) / 86_400_000_000),
+        )
+        .otherwise(F.floor((F.col("h") - F.col("s_us")) / 86_400_000_000))
+        .cast("long")
+        .alias("e_day"),
+        F.col("p_us").isNotNull().alias("is_event"),
+    )
+    spine = spark.range(0, SURVIVAL_WINDOW_DAYS).select(F.col("id").alias("day"))
+    km = (
+        F.broadcast(spine)
+        .crossJoin(obs)
+        .groupBy("day")
+        .agg(
+            F.count_if(F.col("e_day") >= F.col("day")).alias("n_at_risk"),
+            F.count_if(F.col("is_event") & (F.col("e_day") == F.col("day"))).alias(
+                "n_events"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")
+    # guarded KM product (matches the oracle): a total-death day zeroes
+    # the curve from there on; ln only ever sees positive terms (Spark
+    # ln(0) is NULL while DuckDB's is -inf, so the naive exp-sum-log
+    # form would diverge exactly on that edge)
+    survival = F.when(F.min(term).over(w) == 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.when(F.col("n_events") < F.col("n_at_risk"), F.log(term))).over(w))
+    )
+    return (
+        km.filter(F.col("n_at_risk") > 0)
+        .withColumn("survival", F.round(survival, 6))
+        .orderBy("day")
+    )

@@ -246,3 +246,28 @@ def test_holt_linear_trend_matches_python_fold(spark, sf_dir):
         assert got[uid]["n_events"] == len(vals)
         assert abs(got[uid]["level"] - round(lvl, 6)) < 1e-9, uid
         assert abs(got[uid]["trend"] - round(trd, 6)) < 1e-9, uid
+
+
+def test_survival_curve_km_properties(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import q_survival_curve
+
+    rows = q_survival_curve(spark, sf_dir).collect()
+    assert rows
+    # survival is monotone non-increasing from 1 and within [0, 1]
+    prev = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-9, r
+        prev = r["survival"]
+        assert r["n_events"] <= r["n_at_risk"]
+    # at-risk counts are monotone non-increasing over days
+    risks = [r["n_at_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    # day 0 at-risk equals the signup population
+    signups = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["n_at_risk"] == signups

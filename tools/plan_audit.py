@@ -39,6 +39,7 @@ WAIVERS = {
     "q_zipf_slope": {"GlobalWindow"},  # vocab-bounded (distinct tokens)
     "q_period_over_period": {"GlobalWindow"},  # tiny daily rollup
     "q_cumulative_distinct": {"GlobalWindow"},  # runs on the per-day rollup
+    "q_survival_curve": {"GlobalWindow"},  # KM product over the 14-day spine
     # documented slow-tier UDTF surface demo, fenced to doc_id < 200
     "q_udtf_strided_chunks": {"BatchEvalPython"},
     # ranks assigned AFTER orderBy().limit(fusion depth) — the window
