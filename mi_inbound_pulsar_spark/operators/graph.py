@@ -747,3 +747,70 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("canonical_id")
     )
+
+
+SNM_WINDOW = 5  # sorted-neighborhood comparison window
+SNM_MAX_DIST = 8
+
+
+@query(
+    "q_sorted_neighborhood",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM ranked a JOIN ranked b
+      ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW}
+    WHERE levenshtein(a.p_name, b.p_name) <= {SNM_MAX_DIST}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo's
+    merge/purge): sort the WHOLE corpus by a blocking key (name, with
+    the id as tiebreak), then compare each record only with its next
+    {SNM_WINDOW} neighbors in sort order — linear candidate count
+    (W x n) instead of per-block quadratic, and robust to block-size
+    skew, which makes it the complement of prefix blocking
+    (``q_fuzzy_match``) and the candidate rule of choice when blocks
+    would be lopsided.
+
+    The global sort is the classic scaling objection, and this
+    implementation does NOT do one: ranks come from
+    ``plans/ranking.attach_global_order_stats`` (range shuffle +
+    broadcast prefix offsets + partition-local windows — every stage
+    parallel), and neighbor pairing is an equi-join of ``rn + k`` for
+    k in 1..{SNM_WINDOW} (an explode + hash join, not a window over a
+    single partition). Unlike the fenced edit-distance demos this runs
+    over the FULL part table at every scale factor.
+    """
+    from mi_inbound_pulsar_spark.plans.ranking import attach_global_order_stats
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ranked, _total = attach_global_order_stats(
+        p, [F.col("p_name"), F.col("p_partkey")], rn_col="rn"
+    )
+    a = ranked.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "rn"
+    ).withColumn("rn_b", F.explode(F.array(*[F.col("rn") + k for k in range(1, SNM_WINDOW + 1)])))
+    b = ranked.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(b, "rn_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("rn_b") - F.col("rn")).alias("rank_gap"),
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= SNM_MAX_DIST)
+        .orderBy("id_a", "id_b")
+    )

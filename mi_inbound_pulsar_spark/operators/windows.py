@@ -483,3 +483,57 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("v_out", "v")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS total_micro
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total_micro,
+           CAST(quantile_cont(total_micro, 0.5) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_median_7d,
+           CAST(quantile_cont(total_micro, 0.9) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_p90_7d
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trailing-7-row median and p90 per series — the robust
+    moving-average replacement every monitoring stack wants (one
+    outlier day cannot drag a median the way it drags a mean, cf. the
+    3-sigma charts in ``q_anomaly_trailing``). Exact interpolated
+    percentiles (Spark ``percentile`` ≙ DuckDB ``quantile_cont``)
+    evaluated as **window aggregates over a ROWS frame**.
+
+    Scale: the window runs on the per-(type, day) rollup — types×days
+    rows, shrunk from raw events by the first aggregate — partitioned
+    by series, so no global sort anywhere. The frame holds ≤7 values
+    per evaluation; inputs are exact integer micro-units so the only
+    float is the interpolation itself, identical in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(micro).alias("total_micro")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "total_micro",
+            F.percentile("total_micro", F.lit(0.5)).over(w).alias("rolling_median_7d"),
+            F.percentile("total_micro", F.lit(0.9)).over(w).alias("rolling_p90_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
