@@ -814,3 +814,112 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= SNM_MAX_DIST)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_bfs_distances",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pf AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
+    capped AS (SELECT b.cust, b.part FROM basket b JOIN pf USING (part)
+               WHERE pf.df <= {COPURCHASE_MAX_DF}),
+    e AS (
+      SELECT a.cust AS ca, b.cust AS cb
+      FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_COMMON}
+    ),
+    und AS (SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e),
+    seed AS (SELECT min(n) AS s FROM und),
+    d0 AS (SELECT s AS node FROM seed),
+    d1 AS (
+      SELECT DISTINCT u.m AS node FROM und u JOIN d0 ON u.n = d0.node
+      WHERE u.m NOT IN (SELECT node FROM d0)
+    ),
+    d2 AS (
+      SELECT DISTINCT u.m AS node FROM und u JOIN d1 ON u.n = d1.node
+      WHERE u.m NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)
+    ),
+    d3 AS (
+      SELECT DISTINCT u.m AS node FROM und u JOIN d2 ON u.n = d2.node
+      WHERE u.m NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1
+                        UNION ALL SELECT node FROM d2)
+    ),
+    verts AS (SELECT DISTINCT n AS node FROM und),
+    reach AS (
+      SELECT 0 AS dist, node FROM d0
+      UNION ALL SELECT 1, node FROM d1
+      UNION ALL SELECT 2, node FROM d2
+      UNION ALL SELECT 3, node FROM d3
+    )
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node
+    FROM (
+      SELECT dist, node FROM reach
+      UNION ALL
+      SELECT -1, node FROM verts
+      WHERE node NOT IN (SELECT node FROM reach)
+    )
+    GROUP BY dist ORDER BY dist
+    """,
+)
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS from a deterministic seed (the smallest node
+    id) over the co-purchase graph: how many customers sit at hop
+    distance 1, 2, 3 from the seed, and how many graph nodes are not
+    reachable within 3 hops (dist = -1) — the min-plus / traversal
+    algebra the other graph queries (PageRank, components, k-core,
+    triangles) don't exercise.
+
+    Three hops unroll to three frontier joins — each one
+    ``frontier ⋈ edges`` minus everything already labeled, the exact
+    level-synchronous BFS step — so there is no iteration machinery
+    and the oracle is the same unrolled CTE chain. At 100 TB the
+    frontier join is a hash join keyed on the node id and the
+    visited-set subtraction is a broadcast or shuffle anti-join,
+    depending on frontier size (AQE's call); unbounded-depth BFS
+    would use the connected-components loop's localCheckpoint
+    discipline instead.
+    """
+    pl = part_posting_lists(spark, sf_dir)
+    e = copurchase_pairs(pl, COPURCHASE_MIN_COMMON).select("cust_a", "cust_b")
+    # localCheckpoint, not persist: every BFS level's plan references
+    # the edge list AND all previous levels — checkpointing keeps each
+    # level planning against flat inputs (the k-core lineage lesson)
+    und = (
+        e.selectExpr("cust_a AS n", "cust_b AS m")
+        .unionByName(e.selectExpr("cust_b AS n", "cust_a AS m"))
+        .localCheckpoint(eager=True)
+    )
+    seed = und.agg(F.min("n").alias("node"))
+    levels = [seed.localCheckpoint(eager=True)]
+    for _ in range(3):
+        visited = levels[0]
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv)
+        frontier = levels[-1]
+        nxt = (
+            und.join(frontier.withColumnRenamed("node", "n"), "n")
+            .select(F.col("m").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+    verts = und.select(F.col("n").alias("node")).distinct()
+    reach = None
+    for dist, lv in enumerate(levels):
+        tagged = lv.select(F.lit(dist).alias("dist"), "node")
+        reach = tagged if reach is None else reach.unionByName(tagged)
+    unreached = (
+        verts.join(reach.select("node"), "node", "left_anti")
+        .select(F.lit(-1).alias("dist"), "node")
+    )
+    return (
+        reach.unionByName(unreached)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy("dist")
+    )
