@@ -1041,3 +1041,76 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("survival", F.round(survival, 6))
         .orderBy("day")
     )
+
+
+@query(
+    "q_join_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT 'events.user_id' AS tbl_key, CAST(user_id AS VARCHAR) AS k, count(*) AS c
+      FROM events GROUP BY user_id
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR), count(*)
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR), count(*)
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT tbl_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS hottest_rows,
+           round(max(c) * 1.0 * count(*) / sum(c), 6) AS skew_ratio,
+           round(sum(CASE WHEN c * 20 >= (SELECT max(c2.c) FROM per_key c2
+                                          WHERE c2.tbl_key = per_key.tbl_key)
+                          THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS hot_mass_share
+    FROM per_key
+    GROUP BY tbl_key
+    ORDER BY tbl_key
+    """,
+)
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-key skew diagnostic across the three hottest
+    join keys in the warehouse: per key-column, the key count, row
+    count, hottest key's row count, the skew ratio (hottest / mean
+    rows-per-key), and the share of rows held by keys within 20x of
+    the hottest ("hot mass"). This is the report that decides BEFORE a
+    big join whether to salt (plans/skew.py), rely on AQE skew-join
+    splitting, or broadcast — q_key_distribution profiles the message
+    key stream; this profiles the relational join keys.
+
+    Scale: one groupBy per key column (map-side partial agg) then a
+    3-row rollup; the per-table max rides along as a max-of-max
+    aggregate, nothing collects.
+    """
+    e = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def per_key(df: DataFrame, col: str, label: str) -> DataFrame:
+        return df.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).select(F.lit(label).alias("tbl_key"), "k", "c")
+
+    pk = (
+        per_key(e, "user_id", "events.user_id")
+        .unionByName(per_key(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionByName(per_key(o, "o_custkey", "orders.o_custkey"))
+    )
+    mx = pk.groupBy("tbl_key").agg(F.max("c").alias("mx"))
+    return (
+        pk.join(mx, "tbl_key")
+        .groupBy("tbl_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("hottest_rows"),
+            F.round(F.max("c") * F.count(F.lit(1)) / F.sum("c"), 6).alias("skew_ratio"),
+            F.round(
+                F.sum(F.when(F.col("c") * 20 >= F.col("mx"), F.col("c")).otherwise(0))
+                / F.sum("c"),
+                6,
+            ).alias("hot_mass_share"),
+        )
+        .orderBy("tbl_key")
+    )
