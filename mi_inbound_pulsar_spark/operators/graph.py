@@ -819,36 +819,36 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_bfs_distances",
     oracle=f"""
-    WITH basket AS (
+    WITH basket AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
-    pf AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
-    capped AS (SELECT b.cust, b.part FROM basket b JOIN pf USING (part)
+    pf AS MATERIALIZED (SELECT part, count(*) AS df FROM basket GROUP BY part),
+    capped AS MATERIALIZED (SELECT b.cust, b.part FROM basket b JOIN pf USING (part)
                WHERE pf.df <= {COPURCHASE_MAX_DF}),
-    e AS (
+    e AS MATERIALIZED (
       SELECT a.cust AS ca, b.cust AS cb
       FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
       GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_COMMON}
     ),
-    und AS (SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e),
+    und AS MATERIALIZED (SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e),
     seed AS (SELECT min(n) AS s FROM und),
-    d0 AS (SELECT s AS node FROM seed),
-    d1 AS (
+    d0 AS MATERIALIZED (SELECT s AS node FROM seed),
+    d1 AS MATERIALIZED (
       SELECT DISTINCT u.m AS node FROM und u JOIN d0 ON u.n = d0.node
       WHERE u.m NOT IN (SELECT node FROM d0)
     ),
-    d2 AS (
+    d2 AS MATERIALIZED (
       SELECT DISTINCT u.m AS node FROM und u JOIN d1 ON u.n = d1.node
       WHERE u.m NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)
     ),
-    d3 AS (
+    d3 AS MATERIALIZED (
       SELECT DISTINCT u.m AS node FROM und u JOIN d2 ON u.n = d2.node
       WHERE u.m NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1
                         UNION ALL SELECT node FROM d2)
     ),
-    verts AS (SELECT DISTINCT n AS node FROM und),
-    reach AS (
+    verts AS MATERIALIZED (SELECT DISTINCT n AS node FROM und),
+    reach AS MATERIALIZED (
       SELECT 0 AS dist, node FROM d0
       UNION ALL SELECT 1, node FROM d1
       UNION ALL SELECT 2, node FROM d2
