@@ -271,3 +271,37 @@ def test_survival_curve_km_properties(spark, sf_dir):
         .count()
     )
     assert rows[0]["n_at_risk"] == signups
+
+
+def test_bfs_levels_partition_and_connect(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.graph import (
+        COPURCHASE_MIN_COMMON,
+        copurchase_pairs,
+        part_posting_lists,
+        q_bfs_distances,
+    )
+
+    hist = {r["dist"]: r for r in q_bfs_distances(spark, sf_dir).collect()}
+    assert hist[0]["n_nodes"] == 1  # exactly the seed
+    e = copurchase_pairs(
+        part_posting_lists(spark, sf_dir), COPURCHASE_MIN_COMMON
+    ).collect()
+    adj: dict[int, set] = {}
+    for r in e:
+        adj.setdefault(r["cust_a"], set()).add(r["cust_b"])
+        adj.setdefault(r["cust_b"], set()).add(r["cust_a"])
+    seed = min(adj)
+    assert hist[0]["min_node"] == seed
+    # python BFS ground truth
+    level, seen = {seed}, {seed}
+    for d in (1, 2, 3):
+        nxt = {m for n in level for m in adj[n]} - seen
+        if d in hist or nxt:
+            assert hist.get(d) is not None and hist[d]["n_nodes"] == len(nxt), d
+        seen |= nxt
+        level = nxt
+    unreached = len(adj) - len(seen)
+    if unreached:
+        assert hist[-1]["n_nodes"] == unreached
+    else:
+        assert -1 not in hist
