@@ -449,7 +449,7 @@ def minhash_neardup(
     )
     SELECT doc_a, doc_b, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
     FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-    WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+    WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
     ORDER BY doc_a, doc_b
     """,
 )
@@ -948,7 +948,7 @@ def q_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup AS (
       SELECT doc_a, doc_b
       FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-      WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
     )
     SELECT least(da.source, db.source)    AS source_a,
            greatest(da.source, db.source) AS source_b,
@@ -1214,7 +1214,7 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a, doc_b,
              round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
       FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-      WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
         AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
     ),
     delta_matches AS (
@@ -1426,7 +1426,9 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rule: order every document's shingles by a single global total
     order (ascending document frequency, rarest first; ties broken by
     the shingle value so the order is total), and index only each
-    document's first ``p = |A| - ceil(t*|A|) + 1`` shingles. Any pair
+    document's first ``p = |A| - ceil(t*|A|) + 2`` shingles (the classic
+    rule's +1 covers true J >= t; one extra entry covers the pairs the
+    round-then-threshold convention admits). Any pair
     with J(A,B) >= t shares at least ``ceil(t*|A|)`` shingles (since
     ``|A^B| >= t*|AuB| >= t*|A|``), and two sets whose overlap is >= a
     must collide inside their ``(size - a + 1)``-prefixes under ANY
@@ -1465,7 +1467,7 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # per-doc shingle list in (df asc, shingle) order; prefix keeps the
-    # rarest p = n - ceil(t*n) + 1 entries
+    # rarest p = n - ceil(t*n) + 2 entries
     ordered = (
         sh.join(dfreq, "shingle")
         .groupBy("doc_id")
@@ -1476,6 +1478,11 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            # prefix length n - ceil(t*n) + 2: the +1 of the classic
+            # rule covers true J >= t; the extra +1 covers the pairs
+            # the round-then-threshold convention admits (true J in
+            # [t - 5e-7, t) -> overlap >= ceil(t*n) - 1 for n <= 2e5),
+            # so candidate completeness matches the filter exactly
             F.transform(
                 F.slice(
                     "by_rarity",
@@ -1483,7 +1490,7 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         F.size("by_rarity")
                         - F.ceil(F.size("by_rarity") * F.lit(t)).cast("int")
-                        + 1
+                        + 2
                     ),
                 ),
                 lambda s: s["shingle"],

@@ -972,7 +972,7 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     product over days ``t <= d`` of ``(1 - events_t / at_risk_t)``.
 
     Engine plan: per-user first-signup/first-purchase rollup (one
-    groupBy), a scalar horizon, a {SURVIVAL_WINDOW_DAYS}-day spine
+    groupBy), a scalar horizon, a ``SURVIVAL_WINDOW_DAYS``-day (14) spine
     crossed with the per-user observation rollup for the at-risk
     counts, then the KM product as exp(running sum of log terms) over
     the day series — the bounded-window class (|spine| rows). The
@@ -980,7 +980,7 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, so the oracle is hash-exact.
 
     Scale: everything after the first groupBy operates on |users|
-    rows, and the spine expansion is x{SURVIVAL_WINDOW_DAYS} of THAT
+    rows, and the spine expansion is x``SURVIVAL_WINDOW_DAYS`` of THAT
     (never raw events). For very large user bases replace the
     spine-cross with a reverse cumulative sum over the per-day
     observation counts — same result, |days| + |users| rows.

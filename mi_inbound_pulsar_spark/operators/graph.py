@@ -140,7 +140,7 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges AS (
       SELECT doc_a AS src, doc_b AS dst
       FROM cand JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-      WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
     ),
     tri AS (
       SELECT CAST(count(*) AS BIGINT) AS n_triangles
@@ -689,7 +689,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. **Block** on a cheap key (4-char name prefix) so the candidate
        space is per-block quadratic, never global.
-    2. **Verify** candidates with Levenshtein <= {ER_MAX_DIST}.
+    2. **Verify** candidates with Levenshtein <= ``ER_MAX_DIST`` (8).
     3. **Cluster** matches with distributed connected components
        (min-label + pointer jumping, lineage-truncated per round —
        :func:`~..dedup.connected_components`).
@@ -704,7 +704,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: blocking bounds candidate pairs; CC rounds are
     O(log diameter); survivorship is one aggregate. The demo tier is
-    fenced to p_partkey < {ER_SCOPE} because per-pair edit distance is
+    fenced to p_partkey < ``ER_SCOPE`` (200) because per-pair edit distance is
     the slow path (at production scale, pre-prune with the q_ngram
     or prefix-filter joins and verify only the sliver).
     """
@@ -774,7 +774,7 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood record linkage (Hernandez & Stolfo's
     merge/purge): sort the WHOLE corpus by a blocking key (name, with
     the id as tiebreak), then compare each record only with its next
-    {SNM_WINDOW} neighbors in sort order — linear candidate count
+    5 (``SNM_WINDOW``) neighbors in sort order — linear candidate count
     (W x n) instead of per-block quadratic, and robust to block-size
     skew, which makes it the complement of prefix blocking
     (``q_fuzzy_match``) and the candidate rule of choice when blocks
@@ -785,7 +785,7 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``plans/ranking.attach_global_order_stats`` (range shuffle +
     broadcast prefix offsets + partition-local windows — every stage
     parallel), and neighbor pairing is an equi-join of ``rn + k`` for
-    k in 1..{SNM_WINDOW} (an explode + hash join, not a window over a
+    k in 1..SNM_WINDOW (an explode + hash join, not a window over a
     single partition). Unlike the fenced edit-distance demos this runs
     over the FULL part table at every scale factor.
     """
@@ -833,7 +833,7 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     und AS MATERIALIZED (SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e),
     seed AS (SELECT min(n) AS s FROM und),
-    d0 AS MATERIALIZED (SELECT s AS node FROM seed),
+    d0 AS MATERIALIZED (SELECT s AS node FROM seed WHERE s IS NOT NULL),
     d1 AS MATERIALIZED (
       SELECT DISTINCT u.m AS node FROM und u JOIN d0 ON u.n = d0.node
       WHERE u.m NOT IN (SELECT node FROM d0)
@@ -893,7 +893,9 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.selectExpr("cust_b AS n", "cust_a AS m"))
         .localCheckpoint(eager=True)
     )
-    seed = und.agg(F.min("n").alias("node"))
+    # empty graph -> agg still yields one NULL row; drop it so the
+    # result is empty instead of a phantom dist=0 node
+    seed = und.agg(F.min("n").alias("node")).filter(F.col("node").isNotNull())
     levels = [seed.localCheckpoint(eager=True)]
     for _ in range(3):
         visited = levels[0]

