@@ -83,7 +83,30 @@ HEADLINE = [
     "q_prefix_filter_jaccard",
     "q_hybrid_search_rrf",
     "q_ivm_join_delta",
+    # substring-span dedup (round 5)
+    "q_substring_dedup",
 ]
+
+#: the round-3 headline set, frozen: summing these from the current run
+#: gives a like-for-like round-over-round number (new operators keep
+#: joining HEADLINE, so the headline total alone always grows).
+SHARED_SUBSET = frozenset(
+    {
+        "q01_pricing_summary", "q05_regional_revenue", "q09_product_profit",
+        "q_agg_distinct", "q_ann_ivf_topk", "q_asof_join", "q_bm25_search",
+        "q_corpus_filter_pipeline", "q_cosine_topk", "q_decode_json_payload",
+        "q_dedup_exact", "q_dlq_split", "q_doc_fingerprint",
+        "q_embedding_neardup", "q_embedding_neardup_lsh", "q_ewma_smoothing",
+        "q_funnel_stages", "q_interval_overlap_join", "q_join_left_outer",
+        "q_json_extract", "q_minhash_lsh_neardup", "q_msg_metadata_projection",
+        "q_multimodal_frame_sample", "q_nearest_centroid", "q_psi_drift",
+        "q_scd2_dimension", "q_session_window", "q_simhash_signatures",
+        "q_split_contamination", "q_stream_static_join", "q_text_quality",
+        "q_topk_per_group", "q_training_data_pipeline", "q_triangle_count",
+        "q_variant_extract", "q_window_rank", "q_window_tumbling",
+        "q_zipf_slope", "q_zscore_per_group",
+    }
+)
 
 
 def main() -> int:
@@ -135,6 +158,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # like-for-like round-over-round comparator: the frozen
+                # round-3 query set's total under this run
+                "shared_subset_seconds": round(
+                    sum(t for q, t in times.items() if q in SHARED_SUBSET), 3
+                ),
+                "shared_subset_n": sum(1 for q in times if q in SHARED_SUBSET),
             }
         )
     )

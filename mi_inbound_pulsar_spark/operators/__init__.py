@@ -69,78 +69,74 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-4 ROTATION: the driver samples the FIRST 50 entries, and
-    # rounds 1-3 covered 94 distinct names — this head is a third
-    # disjoint, family-stratified set of 50 never-driver-checked
-    # queries (plus every query whose semantics changed this round:
-    # rfm/pareto/length-bucketing de-globalization, µs session gaps,
-    # MAD guard), so driver-hard evidence accumulates across rounds
-    # instead of re-proving the same rows.
-    # window functions
-    "q_window_frames",
-    "q_window_range_frame",
-    "q_window_sliding",
-    # aggregates / robust stats / sketches
-    "q_histogram",
-    "q_winsorized_stats",
-    "q_hll_sketch_union",
-    "q_robust_zscore_mad",
-    "q_supplier_hhi",
-    # set operations
-    "q_union_all",
-    "q_except_all",
-    "q_intersect",
-    # scalar function surface
-    "q_string_functions",
-    "q_datetime_functions",
-    "q_try_functions",
-    "q_null_semantics",
-    "q_array_setops",
-    # reshaping
-    "q_pivot_inferred",
-    # streaming-shaped (batch-oracle forms)
-    "q_stream_static_join",
-    "q_sessionize_batch",
-    "q_session_paths",
-    "q_gap_fill_locf",
-    "q_time_rollup_pyramid",
-    # as-of joins
-    "q_asof_join_forward",
-    # ingestion parity
-    "q_decode_json_payload",
-    "q_topic_subscribe_filter",
-    "q_key_distribution",
-    # dedup / LSH / clustering
-    "q_dedup_normalized",
-    "q_embedding_neardup",
-    "q_neardup_clusters",
-    "q_simhash_consistency",
-    "q_dedup_incremental_lsh",
-    "q_dup_source_matrix",
-    # similarity search / ANN recall gates
-    "q_cosine_topk",
-    "q_embedding_dim_variance",
-    "q_ann_kmeans_recall",
-    "q_ann_ivfpq_recall",
-    # text analysis / retrieval
-    "q_text_quality",
-    "q_tfidf_search",
-    "q_heavy_hitters",
-    "q_perplexity_filter",
+    # ROUND-5 ROTATION: the driver samples the FIRST 50 entries, and
+    # rounds 1-4 covered 144 distinct names — this head is a fourth
+    # disjoint, family-stratified set of never-driver-checked queries,
+    # leading with everything that is new or semantically changed this
+    # round (substring dedup; simhash's portable-hash oracle; the 6dp
+    # rounding pins on rolling_median/temperature_mixture; the
+    # copurchase pack guard), so driver-hard evidence accumulates
+    # across rounds instead of re-proving the same rows.
+    # new / changed this round
+    "q_substring_dedup",
+    "q_gopher_quality_rules",
+    "q_bpe_merge_candidates",
+    "q_autocorrelation",
+    "q_mutual_knn",
+    "q_simhash_signatures",
+    "q_rolling_median",
+    "q_temperature_mixture",
+    "q_copurchase_jaccard",
+    # graph / entity resolution
+    "q_kcore_peel",
+    "q_bfs_distances",
+    "q_entity_resolution",
+    "q_sorted_neighborhood",
+    "q_basket_lift",
+    # dedup families not yet driver-checked
+    "q_prefix_filter_jaccard",
+    "q_containment_neardup",
+    "q_line_dedup",
+    "q_dedup_incremental",
+    "q_cluster_keeper",
+    "q_doc_fingerprint",
+    # similarity / embedding transforms
+    "q_hybrid_search_rrf",
+    "q_random_projection",
+    "q_feature_hashing",
     # multimodal
-    "q_multimodal_dedup",
-    # sampling / training-data prep
-    "q_quota_sample",
-    "q_sequence_packing",
-    "q_length_bucketing",
+    "q_multimodal_frame_sample",
+    "q_multimodal_retrieval",
+    # text analysis
+    "q_lang_id",
+    "q_bigram_pmi",
+    "q_keyword_extraction",
+    "q_token_entropy",
+    "q_zipf_slope",
+    "q_rare_token_filter",
+    "q_repetition_filter",
+    "q_pii_redaction",
+    "q_unigram_kl_drift",
+    # sampling / splits / mixtures
+    "q_bottomk_sample",
+    "q_weighted_sample",
+    "q_kfold_assignment",
+    "q_stratified_split_check",
+    "q_split_contamination",
+    "q_corpus_mixture",
     # CDC / warehouse maintenance
-    "q_cdc_upsert_tombstones",
-    "q_incremental_rollup",
-    "q_snapshot_asof",
-    # product analytics
-    "q_cohort_retention",
-    "q_rfm_segmentation",
-    "q_pareto_contribution",
+    "q_scd2_asof_lookup",
+    "q_ivm_join_delta",
+    "q_constraint_audit",
+    "q_deletion_propagation",
+    # time series
+    "q_survival_curve",
+    "q_holt_linear_trend",
+    "q_tumbling_ohlc",
+    # set ops / UDTF surface
+    "q_except",
+    "q_union_distinct",
+    "q_udtf_strided_chunks",
 )
 
 

@@ -25,7 +25,9 @@ embedding-cosine near-dup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.functions.arrays import explode_computed
@@ -462,24 +464,41 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
-def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over
-    xxhash64(token) of the distinct tokens.
+def portable_token_hash(tok: Column) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex digits of
+    md5, parsed as an unsigned integer. Identical in Spark
+    (``conv(substr(md5(t),1,15),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``), always
+    non-negative, so a SimHash built on it is fully oracle-replayable.
+    xxhash64 stays the production default (one JVM hash vs md5+parse)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
-    One explode + one groupBy with 64 conditional-sum expressions —
-    all codegen'd; signature assembly is a shiftleft/bitwise-or fold.
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+    n_bits: int = 64,
+) -> DataFrame:
+    """``n_bits``-wide SimHash per document: per-bit majority vote over
+    ``token_hash(token)`` of the distinct tokens (default xxhash64/64).
+
+    One explode + one groupBy with ``n_bits`` conditional-sum
+    expressions — all codegen'd; signature assembly is a
+    shiftleft/bitwise-or fold.
     """
     tok, keep = explode_computed(F.array_distinct(F.split(F.col(text_col), " ")), "tok")
     toks = (
         docs.select(F.col(id_col).alias("doc_id"), tok)
         .filter(keep)
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", token_hash(F.col("tok")))
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     voted = toks.groupBy("doc_id").agg(*votes)
     sig = voted.withColumn(
@@ -489,7 +508,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                 F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                     F.lit(0).cast("long")
                 )
-                for i in range(64)
+                for i in range(n_bits)
             ),
             F.lit(0).cast("long"),
         ),
@@ -537,12 +556,41 @@ def simhash_neardup_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-@query("q_simhash_signatures")
+@query(
+    "q_simhash_signatures",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hs, unnest(generate_series(0, 59)) AS u(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (no oracle: xxhash64 is Spark-specific; the
-    pytest suite locks determinism and near-dup behavior instead)."""
+    """SimHash signature dump, now fully value-checked: built on the
+    engine-portable md5-60-bit token hash so DuckDB replays the entire
+    algorithm (tokenize → per-bit majority vote → signature assembly)
+    bit-for-bit. The xxhash64/64-bit production default is the same
+    code path (only ``token_hash``/``n_bits`` differ) and stays gated
+    by ``q_simhash_consistency`` + the Hamming-banding pytest."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_signatures(d).orderBy("doc_id")
+    return simhash_signatures(
+        d, token_hash=portable_token_hash, n_bits=60
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1390,6 +1438,153 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kept_segments") > 0)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr family)
+# --------------------------------------------------------------------------
+SUBSTR_SPAN_TOKENS = 20  # Lee et al. use 50 BPE tokens on web corpora;
+#                          20 fits this corpus's 10-99-token documents
+SUBSTR_MIN_DF = 2
+
+
+def substring_dedup(
+    docs: DataFrame,
+    k: int = SUBSTR_SPAN_TOKENS,
+    min_df: int = SUBSTR_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup: find every ``k``-token span that occurs in
+    ``min_df``+ distinct documents and strip all its occurrences,
+    reassembling the surviving tokens in order.
+
+    This is the Spark-native equivalent of Lee et al.'s suffix-array
+    ExactSubstr dedup: a suffix array answers "which length-k windows
+    repeat?"; a distributed engine answers the same question with a
+    rolling-window explode + corpus-frequency count — same decision
+    per token position, no global suffix sort. Reference anchor: the
+    reference engine has no dedup at all (`PulsarMessageConsumer.java`
+    delegates processing); this is north-star LLM-pipeline surface.
+
+    Plan: one narrow span explode (start positions 0..n-k), spans
+    keyed by the engine-portable 60-bit md5 hash
+    (:func:`portable_token_hash` — at 100 TB swap in the 128-bit
+    ``F.md5`` digest to push collision odds below corpus size; the
+    8-byte key halves shuffle width vs a 32-char hex string and is
+    ~300x narrower than shuffling the span text), a DF groupBy
+    (map-side partial agg), a frequency join back, and a per-doc
+    covered-position fold (``collect_list(sequence)`` →
+    ``array_distinct(flatten)``) — no second explode, no global sort.
+    Docs shorter than ``k`` tokens produce no spans and pass through
+    untouched (``sequence`` would count DOWN for n < k, so the span
+    array is explicitly emptied there).
+    """
+    words = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("w"), F.size(words).alias("n_tokens")
+    )
+    starts = F.when(
+        F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select("doc_id", "w", F.explode(starts).alias("i")).select(
+        "doc_id",
+        "i",
+        portable_token_hash(F.array_join(F.slice("w", F.col("i") + 1, k), " ")).alias(
+            "span_h"
+        ),
+    )
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("span_h")
+    )
+    hits = (
+        spans.join(dup, "span_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_span_starts"),
+            F.array_distinct(
+                F.flatten(F.collect_list(F.sequence(F.col("i"), F.col("i") + (k - 1))))
+            ).alias("cov"),
+        )
+    )
+    keep_tok = F.filter(
+        F.col("w"), lambda t, i: ~F.array_contains(F.col("cov"), i)
+    )
+    return (
+        toks.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_span_starts", F.lit(0)).alias("dup_span_starts"),
+            F.when(F.col("cov").isNull(), F.lit(0))
+            .otherwise(F.size("cov"))
+            .alias("removed_tokens"),
+            F.when(F.col("cov").isNull(), F.array_join("w", " "))
+            .otherwise(F.array_join(keep_tok, " "))
+            .alias("clean_text"),
+        )
+    )
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i - 1 AS i,
+             CAST(concat('0x', substr(md5(
+               array_to_string(w[i:i+{SUBSTR_SPAN_TOKENS - 1}], ' ')
+             ), 1, 15)) AS BIGINT) AS span_h
+      FROM docs,
+           unnest(generate_series(1, greatest(n_tokens - {SUBSTR_SPAN_TOKENS - 1}, 0)))
+             AS u(i)
+    ),
+    dup AS (
+      SELECT span_h FROM spans
+      GROUP BY span_h HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DF}
+    ),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_span_starts,
+             list_distinct(flatten(list(
+               generate_series(i, i + {SUBSTR_SPAN_TOKENS - 1})
+             ))) AS cov
+      FROM spans JOIN dup USING (span_h) GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, w[i] AS tok, i - 1 AS pos
+      FROM docs, unnest(generate_series(1, n_tokens)) AS u(i)
+    ),
+    clean AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+      FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      WHERE h.cov IS NULL OR NOT list_contains(h.cov, t.pos)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.n_tokens,
+           coalesce(h.dup_span_starts, 0) AS dup_span_starts,
+           CAST(coalesce(len(h.cov), 0) AS BIGINT) AS removed_tokens,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM docs d
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      LEFT JOIN clean c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup over the documents corpus: every
+    20-token window shared by 2+ documents is stripped from all of
+    them (see :func:`substring_dedup` for the suffix-array-equivalence
+    argument and the 100 TB plan shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dedup(d).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

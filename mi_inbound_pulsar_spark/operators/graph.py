@@ -451,10 +451,26 @@ def copurchase_pairs(pl: DataFrame, min_common: int) -> DataFrame:
     already grouped) and aggregated on a **packed 64-bit pair key**
     (``cust_a << 32 | cust_b``): half the shuffle width of a two-long
     key, measured 4.2 s vs 4.8 s for the full sf0.1 edge build.
-    Requires ids < 2^32 (TPC-H custkeys; for wider ids drop the
-    packing — it is an optimization, not semantics).
+    Requires ids in [0, 2^32) (TPC-H custkeys; for wider ids drop the
+    packing — it is an optimization, not semantics). The precondition
+    is *enforced*, not just documented: an out-of-range id hits
+    ``raise_error`` inside the packing expression, so violation fails
+    the job loudly instead of silently merging distinct pairs.
     """
-    pk = F.shiftleft(F.col("cust_a"), 32).bitwiseOR(F.col("cust_b"))
+    packable = (F.col("cust_a") >= 0) & (F.col("cust_b") < F.lit(4294967296))
+    pk = F.when(
+        packable, F.shiftleft(F.col("cust_a"), 32).bitwiseOR(F.col("cust_b"))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("copurchase_pairs: id outside packable range [0, 2^32): ("),
+                F.col("cust_a"),
+                F.lit(", "),
+                F.col("cust_b"),
+                F.lit(")"),
+            )
+        )
+    )
     return (
         pl.select(F.explode("custs").alias("cust_a"), "custs")
         .select("cust_a", F.explode("custs").alias("cust_b"))

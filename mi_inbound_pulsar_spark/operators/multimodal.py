@@ -5,10 +5,12 @@ Arrow-batched Pandas UDFs over ``mapInPandas``.
 The codec step is pluggable per media type: ``decode_media`` takes a
 decoder dict. Registered queries use the deterministic
 ``FAKE_DECODERS`` (clearly marked — oracle-reproducible arithmetic on
-byte length), while ``real_decoders()`` wires actual codecs behind
-optional imports: PIL for images when installed, stdlib ``wave`` for
-WAV audio (always available, exercised in tests/test_multimodal.py
-with a synthesized WAV). The Spark-side plumbing — binary schema,
+byte length), while ``real_decoders()`` wires actual codecs: PIL when
+installed, else pure-stdlib format parsers (PNG/GIF/BMP/JPEG/PNM —
+real header+structure decode, in-container tested) for images, and
+stdlib ``wave`` for WAV audio (always available, exercised in
+tests/test_multimodal.py with synthesized payloads of every
+format). The Spark-side plumbing — binary schema,
 mapInPandas batch shape, UDF signature, partition behavior — is
 identical on both tiers; a production build swaps one dict.
 
@@ -55,18 +57,168 @@ FAKE_DECODERS: dict[str, Callable[[bytes], dict]] = {
 }
 
 
+def _parse_png(b: bytes) -> dict:
+    """Real PNG parse (pure stdlib): signature + IHDR width/height with
+    CRC verification (zlib.crc32), APNG ``acTL`` frame count."""
+    import struct
+    import zlib
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    length, ctype = struct.unpack(">I4s", b[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG: first chunk is not IHDR")
+    if (zlib.crc32(b[12:29]) & 0xFFFFFFFF) != struct.unpack(">I", b[29:33])[0]:
+        raise ValueError("PNG: IHDR CRC mismatch")
+    width, height = struct.unpack(">II", b[16:24])
+    n_frames, off = 1, 33
+    while off + 8 <= len(b):  # scan chunks up to first IDAT for APNG acTL
+        ln, ct = struct.unpack(">I4s", b[off : off + 8])
+        if ct == b"acTL":
+            n_frames = struct.unpack(">I", b[off + 8 : off + 12])[0]
+            break
+        if ct in (b"IDAT", b"IEND"):
+            break
+        off += 12 + ln
+    return {"width": int(width), "height": int(height), "n_frames": int(n_frames)}
+
+
+def _parse_gif(b: bytes) -> dict:
+    """Real GIF parse (pure stdlib): logical-screen descriptor plus a
+    full block walk (extensions, local color tables, LZW sub-blocks)
+    counting image descriptors — animated GIFs report true frames."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", b[6:10])
+    flags, off = b[10], 13
+    if flags & 0x80:  # global color table
+        off += 3 * (2 << (flags & 0x07))
+    n_frames = 0
+    while off < len(b):
+        blk = b[off]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label byte then sub-blocks
+            off += 2
+            while off < len(b) and b[off] != 0:
+                off += 1 + b[off]
+            off += 1
+        elif blk == 0x2C:  # image descriptor
+            n_frames += 1
+            lflags = b[off + 9]
+            off += 10
+            if lflags & 0x80:  # local color table
+                off += 3 * (2 << (lflags & 0x07))
+            off += 1  # LZW minimum code size
+            while off < len(b) and b[off] != 0:
+                off += 1 + b[off]
+            off += 1
+        else:
+            raise ValueError(f"GIF: unknown block 0x{blk:02x} at {off}")
+    return {"width": int(width), "height": int(height), "n_frames": max(n_frames, 1)}
+
+
+def _parse_bmp(b: bytes) -> dict:
+    """Real BMP parse (pure stdlib): BITMAPINFOHEADER (or the ancient
+    CORE header) dimensions; top-down negative heights normalized."""
+    import struct
+
+    if b[:2] != b"BM" or len(b) < 26:
+        raise ValueError("not a BMP")
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size >= 40:
+        width, height = struct.unpack("<ii", b[18:26])
+    else:  # BITMAPCOREHEADER: u16 dims
+        width, height = struct.unpack("<HH", b[18:22])
+    return {"width": int(abs(width)), "height": int(abs(height)), "n_frames": 1}
+
+
+def _parse_jpeg(b: bytes) -> dict:
+    """Real JPEG parse (pure stdlib): marker-segment walk to the first
+    SOFn frame header (baseline/progressive), big-endian dims."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    off = 2
+    while off + 4 <= len(b):
+        if b[off] != 0xFF:
+            raise ValueError(f"JPEG: lost marker sync at {off}")
+        marker = b[off + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            off += 2
+            continue
+        seglen = struct.unpack(">H", b[off + 2 : off + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height, width = struct.unpack(">HH", b[off + 5 : off + 9])
+            return {"width": int(width), "height": int(height), "n_frames": 1}
+        off += 2 + seglen
+    raise ValueError("JPEG: no SOF marker found")
+
+
+def _parse_pnm(b: bytes) -> dict:
+    """Real PPM/PGM parse (pure stdlib): P5/P6 ASCII header with
+    comment handling."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 2 and i < len(b):
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            toks.append(int(b[i:j]))
+            i = j
+    if len(toks) < 2:
+        raise ValueError("PNM: truncated header")
+    return {"width": toks[0], "height": toks[1], "n_frames": 1}
+
+
+_IMAGE_PARSERS = (
+    (b"\x89PNG\r\n\x1a\n", _parse_png),
+    (b"GIF8", _parse_gif),
+    (b"BM", _parse_bmp),
+    (b"\xff\xd8", _parse_jpeg),
+    (b"P5", _parse_pnm),
+    (b"P6", _parse_pnm),
+)
+
+
+def stdlib_image_decode(payload: bytes) -> dict:
+    """Real image codec, zero external dependencies: sniffs the magic
+    bytes and runs an actual format parser (PNG incl. IHDR CRC check
+    and APNG frame count, GIF block walk with true frame count, BMP,
+    JPEG SOF marker walk, binary PNM). Exercised for real in
+    tests/test_multimodal.py on synthesized payloads of every format —
+    this tier is NOT a fake."""
+    for magic, parser in _IMAGE_PARSERS:
+        if payload[: len(magic)] == magic:
+            return parser(payload)
+    raise NotImplementedError(
+        "unrecognized image format (supported without PIL: PNG, GIF, BMP, "
+        "JPEG, PNM; install Pillow for the full format surface)"
+    )
+
+
 def _real_image_decode(payload: bytes) -> dict:
-    """Real image codec via PIL, import-guarded: decodes actual
-    PNG/JPEG/... payloads when Pillow is installed (it is not in this
-    container — the guard raises a clear error instead of a stub
-    silently lying about dimensions)."""
+    """Real image codec: PIL when installed (full format surface),
+    otherwise the pure-stdlib parsers in :func:`stdlib_image_decode` —
+    so the real tier works, and is tested, even in this container."""
     try:
         from PIL import Image  # optional dependency
-    except ImportError as exc:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "real image decode requires Pillow (pip install Pillow); "
-            "use FAKE_DECODERS for the deterministic test tier"
-        ) from exc
+    except ImportError:
+        return stdlib_image_decode(payload)
     import io
 
     with Image.open(io.BytesIO(payload)) as img:

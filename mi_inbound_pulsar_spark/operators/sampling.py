@@ -966,7 +966,10 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY source
     ),
     wts AS (
-      SELECT *, CAST(sqrt(n_tokens) AS DECIMAL(28,6)) AS sq FROM src
+      -- round to 6dp BEFORE the decimal cast so the rounding rule is
+      -- pinned by us, not inherited from each engine's double->decimal
+      -- cast behavior at exact half-ulp boundaries
+      SELECT *, CAST(round(sqrt(n_tokens), 6) AS DECIMAL(28,6)) AS sq FROM src
     ),
     tot AS (
       SELECT sum(sq) AS sum_sq, sum(n_tokens) AS total_tokens FROM wts
@@ -1011,7 +1014,9 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_tokens")
     )
-    wts = src.withColumn("sq", F.sqrt("n_tokens").cast("decimal(28,6)"))
+    # explicit 6dp round before the decimal cast: pins the rounding rule
+    # (Spark's cast is HALF_UP, DuckDB's may differ at an exact boundary)
+    wts = src.withColumn("sq", F.round(F.sqrt("n_tokens"), 6).cast("decimal(28,6)"))
     tot = wts.agg(
         F.sum("sq").alias("sum_sq"), F.sum("n_tokens").alias("total_tokens")
     )

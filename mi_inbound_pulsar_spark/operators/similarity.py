@@ -606,3 +606,146 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "rank_lex", "rank_sem", F.round("_rrf", 6).alias("rrf_score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual k-nearest-neighbor pairs (SemDeDup-style semantic dedup signal)
+# --------------------------------------------------------------------------
+MUTUAL_KNN_K = 5
+KNN_BLOCKS = 8
+
+
+def knn_self_join(e: DataFrame, k: int = MUTUAL_KNN_K, n_blocks: int = KNN_BLOCKS) -> DataFrame:
+    """Exact cosine k-NN of every corpus vector against the whole
+    corpus (self-join form), without ever collecting the corpus.
+
+    Block-cogrouped GEMM (the ``q_embedding_neardup`` kernel shape):
+    vectors hash into ``n_blocks`` blocks, each unordered block pair
+    (bi ≤ bj) cogroups once, one float64 GEMM scores it, and each side
+    keeps only a per-pair partial top-k — so the shuffle into the
+    global row_number merge carries O(n · pairs_per_block · k) candidate
+    rows, never n². Work is O(n²/B) per task — the exact-kNN lower
+    bound — and at 100 TB this operator is the *verifier* run after an
+    IVF/LSH candidate generator (q_ann_ivf_topk / rhp_band_keys) cuts
+    the candidate space; the block join is also exactly how the
+    verification stage parallelizes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    blk = e.select("vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk"))
+    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    bp_l = spark.createDataFrame(block_pairs, "bi long, bj long")
+    bp_r = spark.createDataFrame(block_pairs, "bi long, bj long")
+    left = blk.join(F.broadcast(bp_l), blk.blk == bp_l.bi).select(
+        "bi", "bj", F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l")
+    )
+    right = blk.join(F.broadcast(bp_r), blk.blk == bp_r.bj).select(
+        "bi", "bj", F.col("vec_id").alias("id_r"), F.col("embedding").alias("emb_r")
+    )
+    take = k + 8  # tie margin; global row_number resolves exactly
+
+    def score(key, lpdf, rpdf):
+        bi, bj = key
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.array([], np.int64),
+                "neighbor_id": np.array([], np.int64),
+                "sim": np.array([], np.float64),
+            }
+        )
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        ids_l = lpdf["id_l"].to_numpy(dtype=np.int64)
+        ids_r = rpdf["id_r"].to_numpy(dtype=np.int64)
+        ml = np.array(list(lpdf["emb_l"]), dtype=np.float64)
+        mr = np.array(list(rpdf["emb_r"]), dtype=np.float64)
+        for m in (ml, mr):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            m /= n
+        sims = ml @ mr.T
+        directions = [(ids_l, ids_r, sims)]
+        if bi != bj:  # diagonal pairs cover both directions in one GEMM
+            directions.append((ids_r, ids_l, sims.T))
+        frames = []
+        for q_ids, c_ids, S in directions:
+            for qi in range(len(q_ids)):
+                row = S[qi]
+                mask = c_ids != q_ids[qi]
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                part = cand[np.argsort(-row[cand], kind="stable")[:take]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.full(len(part), q_ids[qi], np.int64),
+                            "neighbor_id": c_ids[part],
+                            "sim": row[part],
+                        }
+                    )
+                )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, schema="vec_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim")
+    )
+
+
+@query(
+    "q_mutual_knn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    ),
+    knn AS (
+      SELECT ia, ib, sim,
+             row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rk
+      FROM pairs
+    ),
+    topk AS (SELECT ia, ib, sim FROM knn WHERE rk <= {MUTUAL_KNN_K})
+    SELECT t.ia AS id_a, t.ib AS id_b, round(t.sim, 6) AS sim
+    FROM topk t JOIN topk u ON t.ia = u.ib AND t.ib = u.ia
+    WHERE t.ia < t.ib
+    ORDER BY id_a, id_b
+    """,
+)
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN pairs (a ∈ kNN(b) AND b ∈ kNN(a), k={MUTUAL_KNN_K})
+    — the reciprocal-neighbor signal SemDeDup-style semantic dedup and
+    kNN-graph clustering build on: mutual pairs are far more precise
+    duplicate/cluster edges than one-directional hits. Built on the
+    block-cogrouped exact kNN self-join (:func:`knn_self_join` — the
+    corpus never collects, candidates bounded per block pair); the
+    mutuality check is one self-join on the (k·n)-row kNN edge list.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = knn_self_join(e, k=MUTUAL_KNN_K)
+    rev = knn.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id")
+    )
+    return (
+        knn.join(rev, ["vec_id", "neighbor_id"])
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )

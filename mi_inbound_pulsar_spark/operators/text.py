@@ -1189,3 +1189,174 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher rule-based quality filters (Rae et al. 2021, Appendix A)
+# --------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+@query(
+    "q_gopher_quality_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 6)
+               AS mean_word_len,
+             round((
+               (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '...', ''))) / 3
+             ) * 1.0 / len(w), 6) AS symbol_ratio,
+             round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / len(w), 6) AS alpha_word_ratio,
+             len(list_intersect(list_distinct(w),
+                 ['the','a','of','and','in','to','is'])) AS n_stop_hits
+      FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AS pass_word_count,
+           mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+             AS pass_mean_len,
+           symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS pass_symbol_ratio,
+           alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS pass_alpha_ratio,
+           n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS pass_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+             AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+             AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+             AND n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS gopher_pass
+    FROM feat ORDER BY doc_id
+    """,
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filters (Rae et al. 2021, Appendix A —
+    the rule family MassiveText/RefinedWeb/Dolma standardized on):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (# and ellipsis), fraction-of-words-with-an-alphabetic-character,
+    and a minimum-distinct-stopword requirement, emitted as per-rule
+    booleans plus the conjunctive verdict. Complements the *scored*
+    filters (``q_text_quality``/``q_quality_logit``): production
+    pipelines run the hard rules first, then score survivors.
+
+    Scale: every feature is a row-local expression over the token
+    array — no shuffle at all until the final orderBy; filters
+    compose into the corpus scan. Reference parity: north-star
+    LLM-pipeline surface (the reference delegates all processing,
+    `PulsarMessageConsumer.java:535-545`).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    mean_len = F.round(
+        F.aggregate(F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x)
+        / n_words,
+        6,
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / n_words, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    stop_hits = F.size(F.array_intersect(F.array_distinct(w), F.lit(list(STOPWORDS))))
+    feats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+    )
+    p_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    p_ml = F.col("mean_word_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+    p_sym = F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO
+    p_alpha = F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO
+    p_stop = F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS
+    return feats.select(
+        "*",
+        p_wc.alias("pass_word_count"),
+        p_ml.alias("pass_mean_len"),
+        p_sym.alias("pass_symbol_ratio"),
+        p_alpha.alias("pass_alpha_ratio"),
+        p_stop.alias("pass_stopwords"),
+        (p_wc & p_ml & p_sym & p_alpha & p_stop).alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# BPE first-merge statistics (Sennrich et al. 2016)
+# --------------------------------------------------------------------------
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "q_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, count(*) AS c FROM words
+      WHERE len(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, c
+      FROM wc, unnest(generate_series(1, len(word) - 1)) AS u(i)
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS total
+    FROM pairs GROUP BY pair
+    ORDER BY total DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration (Sennrich et al. 2016): count
+    every adjacent character pair across the corpus weighted by word
+    frequency and emit the top merge candidates — the statistic a
+    tokenizer-training pipeline computes once per merge round.
+
+    Scale: the corpus collapses to the **word-frequency table first**
+    (one groupBy whose key space is the vocabulary, not the corpus),
+    then pairs explode off distinct words only — the classic BPE
+    optimization; pair counting shuffles ≤ |vocab| × avg_word_len
+    rows regardless of corpus size. Top-k is a TakeOrdered, not a
+    global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "word")
+    wc = (
+        d.select(tok)
+        .filter(keep)
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_col, keep_p = explode_computed(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        ),
+        "pair",
+    )
+    pairs = wc.select(pair_col, "c").filter(keep_p)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("total"))
+        .orderBy(F.desc("total"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

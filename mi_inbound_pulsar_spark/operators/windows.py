@@ -495,13 +495,13 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, total_micro,
-           CAST(quantile_cont(total_micro, 0.5) OVER (
+           round(CAST(quantile_cont(total_micro, 0.5) OVER (
              PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
              AS rolling_median_7d,
-           CAST(quantile_cont(total_micro, 0.9) OVER (
+           round(CAST(quantile_cont(total_micro, 0.9) OVER (
              PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
              AS rolling_p90_7d
     FROM daily
     ORDER BY event_type, day
@@ -532,8 +532,85 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "total_micro",
-            F.percentile("total_micro", F.lit(0.5)).over(w).alias("rolling_median_7d"),
-            F.percentile("total_micro", F.lit(0.9)).over(w).alias("rolling_p90_7d"),
+            # round to 6dp (repo convention for float outputs) so the
+            # hash match pins OUR rounding rule, not the engines'
+            # bit-identical-lerp coincidence
+            F.round(F.percentile("total_micro", F.lit(0.5)).over(w), 6).alias(
+                "rolling_median_7d"
+            ),
+            F.round(F.percentile("total_micro", F.lit(0.9)).over(w), 6).alias(
+                "rolling_p90_7d"
+            ),
         )
         .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function (ACF) per series
+# --------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+
+@query(
+    "q_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    )
+    SELECT a.event_type AS event_type, k.k AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.x, b.x), 6) AS acf
+    FROM d a
+      JOIN unnest(generate_series(1, {ACF_MAX_LAG})) AS k(k) ON true
+      JOIN d b ON b.event_type = a.event_type AND b.rn = a.rn - k.k
+    GROUP BY a.event_type, k.k
+    ORDER BY a.event_type, lag
+    """,
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1..{ACF_MAX_LAG}: Pearson
+    correlation of the daily-total series with its lag-k shift — the
+    seasonality/persistence detector behind every forecasting
+    pipeline's lag selection (pairs with ``q_seasonal_baseline`` /
+    ``q_holt_linear_trend``). Lags are in *observed* periods (row
+    shift over the per-series ordering), the convention an ACF on an
+    un-gap-filled series uses; both engines mirror it exactly.
+
+    Plan: events collapse to the per-(type, day) rollup first
+    (types×days rows); the lag alignment is one self-join on the
+    per-series row number (both sides hash-partition by event_type —
+    tiny), and ``corr`` is a single codegen'd aggregate. Integer
+    micro-units keep the inputs exact; only the correlation itself is
+    float, rounded to 6dp on both sides. No global window anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(micro).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select("event_type", "x", F.row_number().over(w).alias("rn"))
+    ks = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = d.alias("a").join(F.broadcast(ks), F.lit(True))
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.rn") == F.col("a.rn") - F.col("lag")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr(F.col("a.x"), F.col("b.x")), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
     )

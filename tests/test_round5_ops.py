@@ -1,0 +1,155 @@
+"""Round-5 operator tests: exact substring-span dedup (planted
+cross-document passages), the copurchase pack-range guard, and the
+portable SimHash hash equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup: planted duplicated passages
+# ---------------------------------------------------------------------------
+def _words(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def test_substring_dedup_strips_planted_passage(spark):
+    """Two documents share a planted 25-token passage (k=20 → 6 dup
+    span starts each, 25 covered positions); their unique text must
+    survive verbatim and the passage must vanish from both. A third
+    fully-unique document passes through untouched."""
+    from mi_inbound_pulsar_spark.operators.dedup import substring_dedup
+
+    passage = _words("dup", 25)
+    a_unique = _words("alpha", 30)
+    b_unique = _words("beta", 30)
+    c_text = _words("gamma", 40)
+    rows = [
+        (1, " ".join(a_unique + passage)),
+        (2, " ".join(passage + b_unique)),
+        (3, " ".join(c_text)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=20).collect()}
+
+    assert out[1]["dup_span_starts"] == 6  # 25 - 20 + 1
+    assert out[2]["dup_span_starts"] == 6
+    assert out[1]["removed_tokens"] == 25
+    assert out[2]["removed_tokens"] == 25
+    assert out[1]["clean_text"] == " ".join(a_unique)
+    assert out[2]["clean_text"] == " ".join(b_unique)
+    assert out[3]["dup_span_starts"] == 0
+    assert out[3]["removed_tokens"] == 0
+    assert out[3]["clean_text"] == " ".join(c_text)
+
+
+def test_substring_dedup_short_docs_pass_through(spark):
+    """Documents shorter than k tokens produce no spans (the sequence
+    guard: no descending 1..0 artifact) and round-trip unchanged, even
+    when byte-identical to each other."""
+    from mi_inbound_pulsar_spark.operators.dedup import substring_dedup
+
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, " ".join(_words("w", 19)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=20).collect()}
+    for i, text in [(1, "tiny doc"), (2, "tiny doc"), (3, " ".join(_words("w", 19)))]:
+        assert out[i]["removed_tokens"] == 0
+        assert out[i]["clean_text"] == text
+
+
+def test_substring_dedup_mid_document_overlap(spark):
+    """Overlapping shared spans merge their covered positions (the
+    array_distinct(flatten(...)) fold), so a shared passage embedded
+    mid-document leaves exactly the flanking text."""
+    from mi_inbound_pulsar_spark.operators.dedup import substring_dedup
+
+    shared = _words("s", 22)
+    pre, post = _words("pre", 10), _words("post", 10)
+    rows = [
+        (1, " ".join(pre + shared + post)),
+        (2, " ".join(shared)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=20).collect()}
+    assert out[1]["clean_text"] == " ".join(pre + post)
+    assert out[1]["removed_tokens"] == 22
+    # doc 2 is nothing but the shared passage: fully stripped
+    assert out[2]["clean_text"] == ""
+    assert out[2]["removed_tokens"] == 22
+
+
+# ---------------------------------------------------------------------------
+# copurchase_pairs: packable-range guard
+# ---------------------------------------------------------------------------
+def test_copurchase_pack_guard_raises_on_wide_ids(spark):
+    """Ids at or above 2^32 would silently corrupt the packed 64-bit
+    pair key; the guard must fail the job loudly instead."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mi_inbound_pulsar_spark.operators.graph import copurchase_pairs
+
+    ok = spark.createDataFrame(
+        [(1, [1, 2]), (2, [1, 2])], "part long, custs array<long>"
+    )
+    got = {
+        (r["cust_a"], r["cust_b"]): r["c"]
+        for r in copurchase_pairs(ok, min_common=2).collect()
+    }
+    assert got == {(1, 2): 2}
+
+    bad = spark.createDataFrame(
+        [(1, [1, 2**32]), (2, [1, 2**32])], "part long, custs array<long>"
+    )
+    with pytest.raises(SparkRuntimeException, match="packable range"):
+        copurchase_pairs(bad, min_common=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# portable SimHash: Spark-side hash equals the oracle's parse rule
+# ---------------------------------------------------------------------------
+def test_portable_token_hash_matches_md5_prefix(spark):
+    """conv(substr(md5(t),1,15),16,10) must equal Python's
+    int(md5hex[:15], 16) — the exact value DuckDB's '0x…'::BIGINT cast
+    produces — and is always non-negative (60 bits)."""
+    import hashlib
+
+    from mi_inbound_pulsar_spark.operators.dedup import portable_token_hash
+
+    toks = ["hello", "world", "", "a b", "ünïcödé"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r["tok"]: r["h"]
+        for r in df.select("tok", portable_token_hash(F.col("tok")).alias("h")).collect()
+    }
+    for t in toks:
+        expected = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        assert got[t] == expected
+        assert got[t] >= 0
+
+
+def test_simhash_portable_and_production_agree_on_duplicates(spark):
+    """Both hash tiers must give byte-identical documents identical
+    signatures, and distinct-token documents distinct signatures."""
+    from mi_inbound_pulsar_spark.operators.dedup import (
+        portable_token_hash,
+        simhash_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "entirely different content with other words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for kwargs in (
+        {},  # production: xxhash64 / 64-bit
+        {"token_hash": portable_token_hash, "n_bits": 60},  # oracle tier
+    ):
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, **kwargs).collect()
+        }
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[3]

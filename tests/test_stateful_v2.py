@@ -70,11 +70,22 @@ def test_transform_with_state_running_counter(spark):
     # container lacks — skip there (applyInPandasWithState, which has no
     # such dependency, carries the arbitrary-state coverage in
     # tests/test_chunking.py).
+    #
+    # REQUIREMENTS NOTE (why this stays skipped here): the container
+    # cannot take protobuf. (a) installs are prohibited AND there is no
+    # network — `pip download protobuf` exits without fetching anything;
+    # (b) no protobuf wheel/sdist exists anywhere on disk (verified:
+    # only typeshed stubs and pyspark's .proto sources); (c) vendoring
+    # is not viable: pyspark's generated *_pb2 modules need the real
+    # runtime's C-or-pure descriptor pool (google.protobuf.descriptor),
+    # ~10k lines that cannot be faithfully reimplemented here. On any
+    # machine with `pip install protobuf` this test runs as-is.
     import pytest
 
     pytest.importorskip(
         "google.protobuf.descriptor",
-        reason="transformWithState needs protobuf (not in container)",
+        reason="transformWithState needs protobuf (not in container; "
+        "no network + installs prohibited — see note above)",
     )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
