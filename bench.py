@@ -85,6 +85,10 @@ HEADLINE = [
     "q_ivm_join_delta",
     # substring-span dedup (round 5)
     "q_substring_dedup",
+    # mutual-kNN / link prediction / span corruption (round 5, 2nd phase)
+    "q_mutual_knn",
+    "q_adamic_adar",
+    "q_span_corruption",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

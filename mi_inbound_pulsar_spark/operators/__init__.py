@@ -83,6 +83,14 @@ _PRIORITY = (
     "q_bpe_merge_candidates",
     "q_autocorrelation",
     "q_mutual_knn",
+    "q_adamic_adar",
+    "q_k_anonymity",
+    "q_benford_digits",
+    "q_regex_token_count",
+    "q_dataset_card",
+    "q_span_corruption",
+    "q_knn_classification",
+    "q_knn_graph_components",
     "q_simhash_signatures",
     "q_rolling_median",
     "q_temperature_mixture",
@@ -98,8 +106,6 @@ _PRIORITY = (
     "q_containment_neardup",
     "q_line_dedup",
     "q_dedup_incremental",
-    "q_cluster_keeper",
-    "q_doc_fingerprint",
     # similarity / embedding transforms
     "q_hybrid_search_rrf",
     "q_random_projection",
@@ -113,28 +119,22 @@ _PRIORITY = (
     "q_keyword_extraction",
     "q_token_entropy",
     "q_zipf_slope",
-    "q_rare_token_filter",
-    "q_repetition_filter",
     "q_pii_redaction",
     "q_unigram_kl_drift",
     # sampling / splits / mixtures
     "q_bottomk_sample",
     "q_weighted_sample",
-    "q_kfold_assignment",
     "q_stratified_split_check",
     "q_split_contamination",
-    "q_corpus_mixture",
     # CDC / warehouse maintenance
     "q_scd2_asof_lookup",
     "q_ivm_join_delta",
     "q_constraint_audit",
-    "q_deletion_propagation",
     # time series
     "q_survival_curve",
     "q_holt_linear_trend",
     "q_tumbling_ohlc",
     # set ops / UDTF surface
-    "q_except",
     "q_union_distinct",
     "q_udtf_strided_chunks",
 )

@@ -870,3 +870,114 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "cms_estimate", "exact_count")
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy QA before dataset release)
+# --------------------------------------------------------------------------
+K_ANON_THRESHOLD = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) >= {K_ANON_THRESHOLD} AS k_anonymous,
+           round(1.0 / count(*), 6) AS reident_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier pair
+    (nation, market segment): every equivalence class's size, whether
+    it meets k={K_ANON_THRESHOLD}, and the worst-case re-identification
+    risk 1/size — the privacy gate a dataset-release pipeline runs
+    before publishing (pairs with ``q_pii_redaction``/``q_pseudonymize``:
+    those scrub direct identifiers, this audits the quasi-identifiers
+    that remain).
+
+    Scale: one groupBy whose key space is the quasi-identifier domain
+    (tiny by definition — if it weren't, the data would be k-anonymous
+    trivially); map-side partial agg collapses everything early.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") >= K_ANON_THRESHOLD).alias("k_anonymous"),
+            F.round(1.0 / F.col("class_size"), 6).alias("reident_risk"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit conformance (fraud / data-quality screen)
+# --------------------------------------------------------------------------
+@query(
+    "q_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_obs,
+           round(n_obs * 1.0 / n, 6) AS obs_freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+           round(pow(n_obs - n * log10(1.0 + 1.0 / digit), 2)
+                 / (n * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM obs, tot
+    ORDER BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance of order totals: observed
+    vs expected log10(1+1/d) frequency per leading digit plus the
+    per-digit chi-square term — the classic screen for fabricated or
+    truncated numeric columns in incoming data (sum the chi2 terms and
+    compare against the chi-square(8) critical value downstream).
+
+    Determinism note: the leading digit comes from
+    ``substr(cast(floor(x) as bigint))``, not ``floor(log10 x)`` —
+    float log10 at exact powers of ten can land a hair below the
+    integer and misbin the digit; string extraction of the explicitly
+    floored integer cannot (Spark's decimal→bigint cast ROUNDS, so the
+    floor() is load-bearing on the Spark side too).
+
+    Scale: 9-row groupBy with map-side combine; the scalar total rides
+    a broadcast cross join.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    exp_freq = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_freq"),
+            F.round(exp_freq, 6).alias("benford_freq"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("n") * exp_freq, 2)
+                / (F.col("n") * exp_freq),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

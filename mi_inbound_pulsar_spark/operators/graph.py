@@ -941,3 +941,58 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction over the co-purchase graph
+# --------------------------------------------------------------------------
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pf AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
+    capped AS (SELECT b.cust, b.part, pf.df FROM basket b JOIN pf USING (part)
+               WHERE pf.df BETWEEN 2 AND {COPURCHASE_MAX_DF})
+    SELECT a.cust AS cust_a, b.cust AS cust_b,
+           CAST(count(*) AS BIGINT) AS common_parts,
+           round(sum(1.0 / ln(a.df)), 6) AS aa_score
+    FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
+    GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_COMMON}
+    ORDER BY cust_a, cust_b
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003): score every
+    candidate customer pair by Σ 1/ln(df) over their common parts —
+    rare shared items count more than popular ones, the standard
+    common-neighbor weighting for recommend-a-connection features.
+    Pairs below {COPURCHASE_MIN_COMMON} common parts are pruned (same
+    support floor as ``q_copurchase_jaccard``).
+
+    Plan: reuses the one-scan :func:`part_posting_lists` kernel (DF
+    cap kills hot-item d² blow-up); pair enumeration is the narrow
+    double-explode with the per-part weight riding along — one extra
+    float per row over the co-purchase kernel, same exchange count.
+    Float-sum order across parts differs between engines; scores are
+    rounded to 6dp on both sides (values ≥ 1/ln(40) ≈ 0.27 per term,
+    so 6dp dwarfs the 1e-15 relative reassociation error).
+    """
+    pl = part_posting_lists(spark, sf_dir).filter(F.size("custs") >= 2)
+    wt = 1.0 / F.log(F.size("custs").cast("double"))
+    pairs = (
+        pl.select(F.explode("custs").alias("cust_a"), "custs", wt.alias("wt"))
+        .select("cust_a", F.explode("custs").alias("cust_b"), "wt")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+    )
+    return (
+        pairs.groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_parts"),
+            F.round(F.sum("wt"), 6).alias("aa_score"),
+        )
+        .filter(F.col("common_parts") >= COPURCHASE_MIN_COMMON)
+        .orderBy("cust_a", "cust_b")
+    )

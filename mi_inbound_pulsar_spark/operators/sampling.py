@@ -1038,3 +1038,102 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption (text-to-text pretraining pair generation)
+# --------------------------------------------------------------------------
+SPAN_WINDOW = 20  # one masked span per 20-token window ...
+SPAN_START = 8  # ... starting at window offset 8 ...
+SPAN_LEN = 3  # ... 3 tokens long => 15% corruption, mean span 3 (T5's recipe)
+
+
+@query(
+    "q_span_corruption",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, w[i] AS tok, i - 1 AS pos
+      FROM docs, unnest(generate_series(1, n_tokens)) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, tok, pos,
+             pos % {SPAN_WINDOW} AS off, pos // {SPAN_WINDOW} AS win
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (
+             WHERE off BETWEEN {SPAN_START} AND {SPAN_START + SPAN_LEN - 1}
+           ) AS BIGINT) AS n_masked,
+           coalesce(string_agg(
+             CASE WHEN off = {SPAN_START}
+                    THEN '<extra_id_' || win || '>'
+                  WHEN off BETWEEN {SPAN_START + 1} AND {SPAN_START + SPAN_LEN - 1}
+                    THEN NULL
+                  ELSE tok END, ' ' ORDER BY pos), '') AS input_text,
+           coalesce(string_agg(
+             CASE WHEN off = {SPAN_START}
+                    THEN '<extra_id_' || win || '> ' || tok
+                  WHEN off BETWEEN {SPAN_START + 1} AND {SPAN_START + SPAN_LEN - 1}
+                    THEN tok
+                  END, ' ' ORDER BY pos), '') AS target_text
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): mask a 3-token
+    span in every 20-token window (15% corruption, mean span 3 — the
+    T5 recipe, made deterministic: window w masks offsets 8-10 and
+    gets sentinel ``<extra_id_w>``), emitting the (input, target)
+    text-to-text pretraining pair per document. Deterministic span
+    placement is what makes the pair generation oracle-replayable;
+    a production build swaps in seeded randomness per (doc_id, epoch).
+
+    Scale: entirely row-local — one ``transform`` over the token array
+    builds both sides with no explode and no shuffle; the corpus scan
+    is the whole plan. Short documents (< 9 tokens) yield an untouched
+    input and an empty target, exactly like T5's packing of short
+    sequences.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+
+    def _classify(t, i):
+        off = i % SPAN_WINDOW
+        win = F.floor(i / SPAN_WINDOW).cast("int")
+        sentinel = F.concat(F.lit("<extra_id_"), win.cast("string"), F.lit(">"))
+        return off, sentinel
+
+    def input_item(t, i):
+        off, sentinel = _classify(t, i)
+        return (
+            F.when(off == SPAN_START, sentinel)
+            .when(off.between(SPAN_START + 1, SPAN_START + SPAN_LEN - 1), F.lit(None))
+            .otherwise(t)
+        )
+
+    def target_item(t, i):
+        off, sentinel = _classify(t, i)
+        return F.when(
+            off == SPAN_START, F.concat(sentinel, F.lit(" "), t)
+        ).when(off.between(SPAN_START + 1, SPAN_START + SPAN_LEN - 1), t)
+
+    def joined(items):
+        return F.array_join(F.filter(items, lambda x: x.isNotNull()), " ")
+
+    n_masked = F.size(
+        F.filter(
+            F.transform(w, lambda t, i: i),
+            lambda i: (i % SPAN_WINDOW).between(SPAN_START, SPAN_START + SPAN_LEN - 1),
+        )
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_masked.alias("n_masked"),
+        joined(F.transform(w, input_item)).alias("input_text"),
+        joined(F.transform(w, target_item)).alias("target_text"),
+    ).orderBy("doc_id")

@@ -749,3 +749,144 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+#: shared DuckDB replay of the exact-kNN + mutuality pipeline (the
+#: q_mutual_knn oracle body), reused by the composition oracles below.
+_MUTUAL_KNN_CTE = f"""
+    e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+    ),
+    allpairs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    ),
+    knn AS MATERIALIZED (
+      SELECT ia, ib, sim,
+             row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rk
+      FROM allpairs
+    ),
+    topk AS MATERIALIZED (SELECT ia, ib, sim FROM knn WHERE rk <= {MUTUAL_KNN_K})
+"""
+
+
+@query(
+    "q_knn_classification",
+    oracle=f"""
+    WITH {_MUTUAL_KNN_CTE},
+    votes AS (
+      SELECT t.ia AS vec_id, n.label AS pred, count(*) AS c
+      FROM topk t JOIN e n ON t.ib = n.vec_id
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT vec_id, pred,
+             row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, pred) AS rk
+      FROM votes
+    )
+    SELECT q.label AS true_label, b.pred AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM best b JOIN e q ON b.vec_id = q.vec_id
+    WHERE b.rk = 1
+    GROUP BY 1, 2 ORDER BY true_label, pred_label
+    """,
+)
+def q_knn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification confusion matrix (k={MUTUAL_KNN_K}, majority
+    vote over neighbor labels, ties to the smaller label) — the
+    leave-one-out eval every labeled-embedding pipeline runs to sanity-
+    check its vector space, and the supervised counterpart of
+    ``q_nearest_centroid``'s Rocchio classifier.
+
+    Plan: reuses the block-cogrouped exact kNN self-join (corpus never
+    collects); voting is one groupBy on the (k·n)-row edge list joined
+    to the label column, and the argmax is a per-vector rank over ≤k
+    rows. The confusion matrix aggregate is |labels|² rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = knn_self_join(e, k=MUTUAL_KNN_K)
+    labels = e.select("vec_id", "label")
+    votes = (
+        knn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("pred")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), "pred")
+    best = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(labels, "vec_id")
+        .groupBy(F.col("label").alias("true_label"), F.col("pred").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+SEMANTIC_EDGE_MIN_SIM = 0.38  # keeps ~the top decile of mutual edges
+
+
+@query(
+    "q_knn_graph_components",
+    oracle=f"""
+    WITH RECURSIVE {_MUTUAL_KNN_CTE},
+    mutual AS MATERIALIZED (
+      SELECT t.ia AS id_a, t.ib AS id_b
+      FROM topk t JOIN topk u ON t.ia = u.ib AND t.ib = u.ia
+      WHERE t.ia < t.ib AND t.sim >= {SEMANTIC_EDGE_MIN_SIM}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM mutual
+      UNION
+      SELECT id_b, id_a FROM mutual
+    ),
+    reach(vec_id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e2.src, r.comp FROM edges e2 JOIN reach r ON e2.dst = r.vec_id
+    ),
+    labeled AS (
+      SELECT vec_id, min(comp) AS component FROM reach GROUP BY vec_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(vec_id) AS BIGINT) AS keeper_vec_id
+    FROM labeled GROUP BY component ORDER BY component
+    """,
+)
+def q_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the mutual-kNN graph with keeper
+    election — the cluster step of SemDeDup-style semantic dedup:
+    reciprocal-neighbor edges partition the corpus into semantic
+    groups; each keeps its lowest-id representative. Composes
+    ``q_mutual_knn``'s edge list (thresholded at sim ≥ 0.38 — without a
+    floor, reciprocal edges over a weakly-structured space percolate
+    into one giant component, exactly why SemDeDup applies its own
+    epsilon) with the min-label + pointer-jumping
+    components kernel (O(log diameter) rounds, localCheckpoint per
+    round); the oracle replays the same fixpoint as a recursive
+    closure over MATERIALIZED CTEs (the k-core/BFS oracle recipe).
+    """
+    from mi_inbound_pulsar_spark.operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        q_mutual_knn(spark, sf_dir)
+        .filter(F.col("sim") >= SEMANTIC_EDGE_MIN_SIM)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("keeper_vec_id"),
+        )
+        .orderBy("component")
+    )

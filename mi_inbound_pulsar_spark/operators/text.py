@@ -1360,3 +1360,114 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------
+# Regex tokenizer statistics (whitespace vs BPE-ish pre-tokenization)
+# --------------------------------------------------------------------------
+#: GPT-2-style pre-tokenizer classes restricted to a regex subset with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): runs of
+#: letters, runs of digits, runs of other non-space symbols.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@query(
+    "q_regex_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}'))
+             AS n_regex_tokens,
+           len(list_filter(regexp_extract_all(text, '{TOKEN_REGEX}'),
+                           x -> regexp_matches(x, '^[A-Za-z]+$')))
+             AS n_alpha_tokens,
+           len(list_filter(regexp_extract_all(text, '{TOKEN_REGEX}'),
+                           x -> regexp_matches(x, '^[0-9]+$')))
+             AS n_num_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer regex (letter runs
+    / digit runs / symbol runs — the GPT-2 pre-tokenizer's class
+    structure, restricted to syntax Java regex and RE2 interpret
+    identically) next to the plain whitespace count — the pair of
+    numbers every token-budget estimate starts from, and the
+    north-star "token counting (whitespace + a BPE-ish regex)" item.
+
+    Scale: entirely row-local expressions over the scan; no shuffle
+    before the orderBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_regex_tokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))).alias(
+            "n_alpha_tokens"
+        ),
+        F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).alias("n_num_tokens"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Dataset-card statistics (per-source corpus report)
+# --------------------------------------------------------------------------
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE), 6) AS tok_p50,
+           round(CAST(quantile_cont(n_tokens, 0.9) AS DOUBLE), 6) AS tok_p90,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(count(*) FILTER (WHERE lang = 'en') * 1.0 / count(*), 6)
+             AS pct_english,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dup_docs
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card statistics — the summary table a corpus
+    release publishes (docs, token budget, length percentiles, language
+    mix, exact-duplicate load). One query = one card row per source;
+    composes the token, lang and dedup signals the per-doc operators
+    expose individually.
+
+    Scale: single groupBy keyed by source (tiny domain); the exact
+    percentiles run on integer token counts per group (bounded-height
+    sort inside the aggregate, no global window); duplicate load is
+    count − count_distinct(md5) inside the same aggregate — the text
+    never shuffles, its 16-byte hash does.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(
+            "source",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("tok_p50"),
+            F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("tok_p90"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.round(
+                F.count_if(F.col("lang") == "en") / F.count(F.lit(1)), 6
+            ).alias("pct_english"),
+            (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_exact_dup_docs"),
+        )
+        .orderBy("source")
+    )
