@@ -91,6 +91,8 @@ _PRIORITY = (
     "q_span_corruption",
     "q_knn_classification",
     "q_knn_graph_components",
+    "q_tfidf_cosine_neardup",
+    "q_neyman_allocation",
     "q_simhash_signatures",
     "q_rolling_median",
     "q_temperature_mixture",
@@ -124,7 +126,6 @@ _PRIORITY = (
     # sampling / splits / mixtures
     "q_bottomk_sample",
     "q_weighted_sample",
-    "q_stratified_split_check",
     "q_split_contamination",
     # CDC / warehouse maintenance
     "q_scd2_asof_lookup",
@@ -133,7 +134,6 @@ _PRIORITY = (
     # time series
     "q_survival_curve",
     "q_holt_linear_trend",
-    "q_tumbling_ohlc",
     # set ops / UDTF surface
     "q_union_distinct",
     "q_udtf_strided_chunks",

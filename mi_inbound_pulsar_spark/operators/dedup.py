@@ -1729,3 +1729,98 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF weighted-cosine near-dup (the weighted set-similarity join)
+# --------------------------------------------------------------------------
+TFIDF_COSINE_MIN_SIM = 0.3
+TFIDF_MAX_DF = 40  # hot-term candidate bound (idf already downweights them)
+
+
+@query(
+    "q_tfidf_cosine_neardup",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT t.doc_id, t.tok, t.tf * ln(n.n_docs * 1.0 / d.df) AS w, d.df
+      FROM tf t JOIN df d USING (tok), n
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE a.df <= {TFIDF_MAX_DF}
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (x.nrm * y.nrm), 6) AS cosine
+    FROM dots JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
+    WHERE round(dot / (x.nrm * y.nrm), 6) >= {TFIDF_COSINE_MIN_SIM}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighted-cosine near-dup pairs (cosine ≥ 0.3) — the
+    *weighted* set-similarity join (Bayardo et al. WWW'07 operate on
+    exactly these vectors): unlike Jaccard, shared rare terms count
+    for more than shared boilerplate, so templated documents with
+    distinct payloads separate cleanly.
+
+    Plan: tf groupBy (keys = doc×term occurrences), df groupBy (keyed
+    by vocabulary), weights joined back, norms per doc, then the
+    inverted-index self-join restricted to terms with
+    df ≤ {TFIDF_MAX_DF} — the same hot-key candidate bound as
+    ``jaccard_pairs``; dropping a hot term from *candidate generation*
+    barely moves the cosine because ln(N/df) → 0 as df → N (norms keep
+    every term, so scores stay exact up to the capped candidates).
+    Float-sum order across terms differs between engines — the cosine
+    is rounded to 6dp on both sides before the threshold, making the
+    filter decision identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    tf = (
+        d.select("doc_id", tok)
+        .filter(keep)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = d.count()  # scalar, driver-side by construction
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.filter(F.col("df") <= TFIDF_MAX_DF).alias("a")
+    b = w.filter(F.col("df") <= TFIDF_MAX_DF).alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot") / (F.col("x.nrm") * F.col("y.nrm")), 6
+    )
+    return (
+        dots.join(nrm.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(nrm.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= TFIDF_COSINE_MIN_SIM)
+        .orderBy("doc_a", "doc_b")
+    )

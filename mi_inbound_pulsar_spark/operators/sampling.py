@@ -1137,3 +1137,65 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined(F.transform(w, input_item)).alias("input_text"),
         joined(F.transform(w, target_item)).alias("target_text"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Neyman optimal stratified allocation
+# --------------------------------------------------------------------------
+NEYMAN_BUDGET = 1000  # total documents to sample across strata
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             stddev_samp(n_chars) AS sd
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs * sd) AS denom FROM s)
+    SELECT source, n_docs, round(sd, 6) AS stddev_chars,
+           round(n_docs * sd / denom, 6) AS alloc_frac,
+           CAST(least(
+             CAST(round({NEYMAN_BUDGET} * n_docs * sd / denom, 0) AS BIGINT),
+             n_docs) AS BIGINT) AS alloc_docs
+    FROM s, tot
+    ORDER BY source
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934):
+    distribute a {NEYMAN_BUDGET}-document annotation/eval budget across
+    sources proportionally to N_h·S_h — high-variance strata get more
+    of the budget than proportional allocation would give, minimizing
+    the estimator's variance at fixed cost. The statistical planning
+    step upstream of ``q_quota_sample``/``q_stratified_split_check``
+    (which execute a chosen allocation); allocations are capped at the
+    stratum size.
+
+    Scale: one groupBy keyed by source (map-side partial stddev via
+    the (n, Σx, Σx²) moments), a broadcastable scalar denominator,
+    row-local allocation arithmetic. ``stddev_samp`` shares the same
+    definition in both engines; all emitted floats round to 6dp.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.stddev_samp("n_chars").alias("sd"),
+    )
+    tot = s.agg(F.sum(F.col("n_docs") * F.col("sd")).alias("denom"))
+    share = F.col("n_docs") * F.col("sd") / F.col("denom")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round("sd", 6).alias("stddev_chars"),
+            F.round(share, 6).alias("alloc_frac"),
+            F.least(
+                F.round(NEYMAN_BUDGET * share, 0).cast("long"), F.col("n_docs")
+            ).alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )

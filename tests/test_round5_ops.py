@@ -153,3 +153,86 @@ def test_simhash_portable_and_production_agree_on_duplicates(spark):
         }
         assert sigs[1] == sigs[2]
         assert sigs[1] != sigs[3]
+
+
+# ---------------------------------------------------------------------------
+# round-5 second phase: invariants on any data regeneration
+# ---------------------------------------------------------------------------
+def test_mutual_knn_reciprocity(spark, sf_dir):
+    """Every emitted pair must be reciprocal: each endpoint appears in
+    the other's exact top-k — checked against the raw kNN edge list."""
+    from mi_inbound_pulsar_spark.operators.similarity import (
+        MUTUAL_KNN_K,
+        knn_self_join,
+        q_mutual_knn,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    knn_edges = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_self_join(e, k=MUTUAL_KNN_K).collect()
+    }
+    mutual = [(r["id_a"], r["id_b"]) for r in q_mutual_knn(spark, sf_dir).collect()]
+    assert mutual, "no mutual pairs found"
+    for a, b in mutual:
+        assert (a, b) in knn_edges and (b, a) in knn_edges, (a, b)
+
+
+def test_span_corruption_roundtrip(spark):
+    """Interleaving target spans back into the input at the sentinel
+    positions must reconstruct the original text exactly."""
+    import re
+
+    import mi_inbound_pulsar_spark.operators.sampling as sampling_mod
+    from mi_inbound_pulsar_spark.operators.sampling import SPAN_LEN
+
+    text = " ".join(f"w{i}" for i in range(47))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    # drive the registered query over the synthetic frame
+    orig = sampling_mod.load_table
+    sampling_mod.load_table = lambda s, d, t: docs
+    try:
+        out = sampling_mod.q_span_corruption(spark, "ignored").collect()[0]
+    finally:
+        sampling_mod.load_table = orig
+
+    spans = {}
+    for m in re.finditer(r"<extra_id_(\d+)> ((?:\S+ ?){%d})" % SPAN_LEN, out["target_text"] + " "):
+        spans[int(m.group(1))] = m.group(2).strip()
+    rebuilt = re.sub(
+        r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], out["input_text"]
+    )
+    assert rebuilt == text
+    assert out["n_masked"] == sum(len(v.split()) for v in spans.values())
+
+
+def test_tfidf_cosine_separates_templates(spark):
+    """Two docs sharing only boilerplate score below two docs sharing a
+    rare payload — the property that distinguishes weighted cosine from
+    Jaccard."""
+    from mi_inbound_pulsar_spark.operators.dedup import TFIDF_MAX_DF  # noqa: F401
+    import mi_inbound_pulsar_spark.operators.dedup as dedup_mod
+
+    boiler = "terms of service apply all rights reserved contact us"
+    rows = [
+        (1, boiler + " unique alpha payload one"),
+        (2, boiler + " unique alpha payload one"),
+        (3, boiler + " different beta content here"),
+        (4, "totally unrelated gamma text body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dedup_mod.load_table
+    dedup_mod.load_table = lambda s, d, t: docs
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in dedup_mod.q_tfidf_cosine_neardup(spark, "ignored").collect()
+        }
+    finally:
+        dedup_mod.load_table = orig
+    assert got.get((1, 2), 0.0) == 1.0  # identical docs → cosine 1
+    # boilerplate-only overlap scores strictly below the identical pair
+    assert got.get((1, 3), 0.0) < 1.0
+    assert (1, 4) not in got or got[(1, 4)] < got[(1, 2)]
