@@ -93,6 +93,7 @@ _PRIORITY = (
     "q_knn_graph_components",
     "q_tfidf_cosine_neardup",
     "q_neyman_allocation",
+    "q_lsh_recall_audit",
     "q_simhash_signatures",
     "q_rolling_median",
     "q_temperature_mixture",
@@ -135,7 +136,6 @@ _PRIORITY = (
     "q_survival_curve",
     "q_holt_linear_trend",
     # set ops / UDTF surface
-    "q_union_distinct",
     "q_udtf_strided_chunks",
 )
 

@@ -1824,3 +1824,68 @@ def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= TFIDF_COSINE_MIN_SIM)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH governance audit: candidate recall vs the exact inverted index
+# --------------------------------------------------------------------------
+@query(
+    "q_lsh_recall_audit",
+    oracle="""
+    -- the exact J>=0.8 pair set; the oracle asserts LSH recalls ALL of
+    -- it (recall/precision identically 1.0), so this query is a LIVE
+    -- gate: if the Spark side's banding ever misses a true pair, the
+    -- counts diverge and the hash check fails — the same bounded-oracle
+    -- trick as the ANN recall gates, applied to MinHash-LSH.
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT doc_a, doc_b
+      FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           CAST(count(*) AS BIGINT) AS n_lsh_pairs,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(1.0 AS DOUBLE) AS recall,
+           CAST(1.0 AS DOUBLE) AS precision
+    FROM exact
+    """,
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH governance audit: recall and precision of the
+    banded-LSH near-dup pipeline against the exact inverted-index
+    truth at J ≥ 0.8 — the dedup-quality metric a corpus pipeline
+    publishes next to its dedup rate. Computed live on BOTH engines:
+    the Spark side really runs LSH and really intersects with the
+    exact pair set, so a banding regression (or a future k/bands
+    retune that hurts recall) fails the oracle hash instead of
+    shipping silently. Precision is 1.0 by construction (candidates
+    are exact-verified); recall is the live measurement.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=3).persist()
+    exact = jaccard_pairs(sh, threshold=0.8).select("doc_a", "doc_b")
+    lsh = minhash_neardup(d, threshold=0.8).select("doc_a", "doc_b")
+    common = exact.join(lsh, ["doc_a", "doc_b"])
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    )
+    return stats.select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_exact_pairs"), 6).alias("recall"),
+        F.round(F.col("n_common") / F.col("n_lsh_pairs"), 6).alias("precision"),
+    )
