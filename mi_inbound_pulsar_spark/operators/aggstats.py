@@ -927,7 +927,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                   AS INTEGER) AS digit
-      FROM orders WHERE o_totalprice > 0
+      FROM orders WHERE o_totalprice >= 1
     ),
     obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
     tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
@@ -957,7 +957,11 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: 9-row groupBy with map-side combine; the scalar total rides
     a broadcast cross join.
     """
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # >= 1, not > 0: the floor/substr extraction reads the INTEGER part,
+    # so (0,1) values would all misbin to digit 0 (and 1/digit would
+    # divide by zero) — Benford's first-significant-digit domain for
+    # sub-unit values needs a scale-up pass first
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     digit = F.substring(
         F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
     ).cast("int")

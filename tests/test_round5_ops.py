@@ -236,3 +236,131 @@ def test_tfidf_cosine_separates_templates(spark):
     # boilerplate-only overlap scores strictly below the identical pair
     assert got.get((1, 3), 0.0) < 1.0
     assert (1, 4) not in got or got[(1, 4)] < got[(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# violation-injection tests: each audit fires on planted bad data
+# ---------------------------------------------------------------------------
+def _with_table(mod, docs, fn, *args):
+    """Run a registered query against a synthetic frame by swapping the
+    module's load_table for the call."""
+    orig = mod.load_table
+    mod.load_table = lambda s, d, t: docs
+    try:
+        return fn(*args).collect()
+    finally:
+        mod.load_table = orig
+
+
+def test_benford_digit_extraction_at_power_of_ten_boundaries(spark):
+    """floor(log10) misbins exact powers of ten; the string-extraction
+    path must not. 100.00 -> 1, 999.99 -> 9, 1000.00 -> 1."""
+    import mi_inbound_pulsar_spark.operators.aggstats as aggstats_mod
+
+    rows = [(1, 100.00), (2, 999.99), (3, 1000.00), (4, 0.50)]  # 0.50 excluded
+    o = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    got = _with_table(
+        aggstats_mod, o, aggstats_mod.q_benford_digits, spark, "ignored"
+    )
+    by_digit = {r["digit"]: r["n_obs"] for r in got}
+    assert by_digit == {1: 2, 9: 1}  # 100.00+1000.00 -> 1; 999.99 -> 9;
+    #                                  0.50 outside the integer-part domain
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    import mi_inbound_pulsar_spark.operators.aggstats as aggstats_mod
+
+    rows = [(i, 1, "SEG_A") for i in range(10)] + [(99, 2, "SEG_B")]
+    c = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_mktsegment string"
+    )
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in _with_table(
+            aggstats_mod, c, aggstats_mod.q_k_anonymity, spark, "ignored"
+        )
+    }
+    assert got[(1, "SEG_A")]["k_anonymous"] is True
+    assert got[(2, "SEG_B")]["k_anonymous"] is False
+    assert got[(2, "SEG_B")]["reident_risk"] == 1.0
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each planted violation flips exactly its own rule flag."""
+    import mi_inbound_pulsar_spark.operators.text as text_mod
+
+    good = "the cat and the dog sat in a field of green grass " * 6  # 60 words
+    short = "the cat and a dog"
+    symbols = ("the " * 50) + "# " * 20
+    no_alpha = " ".join(["1234"] * 60) + " the of"  # mean len in [3,10]
+    no_stops = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, good.strip()),
+        (2, short),
+        (3, symbols.strip()),
+        (4, no_alpha),
+        (5, no_stops),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in _with_table(
+            text_mod, docs, text_mod.q_gopher_quality_rules, spark, "ignored"
+        )
+    }
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["pass_word_count"] is False
+    assert got[3]["pass_symbol_ratio"] is False
+    assert got[4]["pass_alpha_ratio"] is False and got[4]["pass_mean_len"] is True
+    assert got[5]["pass_stopwords"] is False
+    for i in (2, 3, 4, 5):
+        assert got[i]["gopher_pass"] is False
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    """Two strata, equal size: the one with higher char-count variance
+    must receive the larger share, and shares must sum to ~1."""
+    import mi_inbound_pulsar_spark.operators.sampling as sampling_mod
+
+    rows = [(i, "lo", 100 + (i % 2)) for i in range(50)] + [
+        (100 + i, "hi", 100 + 40 * (i % 5)) for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["source"]: r
+        for r in _with_table(
+            sampling_mod, docs, sampling_mod.q_neyman_allocation, spark, "ignored"
+        )
+    }
+    assert got["hi"]["alloc_frac"] > got["lo"]["alloc_frac"]
+    assert abs(got["hi"]["alloc_frac"] + got["lo"]["alloc_frac"] - 1.0) < 1e-5
+    # cap: no stratum is allocated more docs than it has
+    for r in got.values():
+        assert r["alloc_docs"] <= r["n_docs"]
+
+
+def test_adamic_adar_weights_rare_parts_higher(spark):
+    """Same common-part count: the pair sharing RARE parts must outscore
+    the pair sharing popular parts."""
+    from mi_inbound_pulsar_spark.operators.graph import copurchase_pairs  # noqa: F401
+    import mi_inbound_pulsar_spark.operators.graph as graph_mod
+    import math
+
+    # posting lists: parts p1..p4 rare (df=2, custs 1&2); parts q1..q4
+    # popular (df=4, custs 3,4,5,6)
+    pl_rows = [(f"p{i}", [1, 2]) for i in range(4)] + [
+        (f"q{i}", [3, 4, 5, 6]) for i in range(4)
+    ]
+    pl = spark.createDataFrame(pl_rows, "part string, custs array<long>")
+    orig = graph_mod.part_posting_lists
+    graph_mod.part_posting_lists = lambda s, d: pl
+    try:
+        got = {
+            (r["cust_a"], r["cust_b"]): r["aa_score"]
+            for r in graph_mod.q_adamic_adar(spark, "ignored").collect()
+        }
+    finally:
+        graph_mod.part_posting_lists = orig
+    assert got[(1, 2)] == round(4 / math.log(2), 6)
+    assert got[(3, 4)] == round(4 / math.log(4), 6)
+    assert got[(1, 2)] > got[(3, 4)]
