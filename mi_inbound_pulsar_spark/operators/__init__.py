@@ -94,6 +94,9 @@ _PRIORITY = (
     "q_tfidf_cosine_neardup",
     "q_neyman_allocation",
     "q_lsh_recall_audit",
+    "q_gini_spend",
+    "q_weighted_median",
+    "q_lang_id_confusion",
     "q_simhash_signatures",
     "q_rolling_median",
     "q_temperature_mixture",
@@ -120,13 +123,10 @@ _PRIORITY = (
     "q_lang_id",
     "q_bigram_pmi",
     "q_keyword_extraction",
-    "q_token_entropy",
     "q_zipf_slope",
     "q_pii_redaction",
-    "q_unigram_kl_drift",
     # sampling / splits / mixtures
     "q_bottomk_sample",
-    "q_weighted_sample",
     "q_split_contamination",
     # CDC / warehouse maintenance
     "q_scd2_asof_lookup",

@@ -985,3 +985,131 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient (inequality of customer spend)
+# --------------------------------------------------------------------------
+@query(
+    "q_gini_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(2.0 * sum(i * cents) / (count(*) * sum(cents))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend — the inequality summary
+    (0 = equal, →1 = concentrated) that pairs with ``q_supplier_hhi``
+    and ``q_pareto_contribution`` in the revenue-concentration family.
+    Formula: G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted x.
+
+    Scale: the rank is the **two-phase distributed global rank**
+    (`plans/ranking.py`: range-shuffle + broadcast per-partition
+    offsets), never a single-partition window; spend is exact integer
+    cents so Σ(i·x_i) and Σx are exact longs — the only float is the
+    final division, rounded to 6dp on both sides.
+    """
+    from ..plans.ranking import attach_global_order_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    spend = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    ranked, n = attach_global_order_stats(
+        spend, [F.col("cents"), F.col("o_custkey")], rn_col="i"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents")) / (F.count(F.lit(1)) * F.sum("cents"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted median (per-group, exact integer arithmetic)
+# --------------------------------------------------------------------------
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity, 0) AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, price_cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price_cents, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS total_wt
+      FROM li
+    )
+    SELECT l_returnflag,
+           CAST(min(total_wt) AS BIGINT) AS total_weight,
+           CAST(min(price_cents) AS BIGINT) AS weighted_median_cents
+    FROM cum
+    WHERE 2 * cw >= total_wt
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity reaches half the group's total —
+    the weighted quantile every pricing/inventory rollup wants where a
+    plain median over line items would over-weight small orders.
+
+    Exactness: prices and weights become integer cents/units before
+    any accumulation; the half-total test is ``2·cum ≥ total`` so no
+    division ever happens — both engines agree bit-for-bit. Scale: the
+    window partitions by group (per-group sort, no global window);
+    at extreme group skew pre-aggregate equal prices first.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_cents"),
+        F.round("l_quantity", 0).cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_all).alias("total_wt"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("total_wt").alias("total_weight"),
+            F.min("price_cents").alias("weighted_median_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

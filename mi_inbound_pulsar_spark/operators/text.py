@@ -1471,3 +1471,64 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation (confusion matrix of the heuristic vs truth)
+# --------------------------------------------------------------------------
+@query(
+    "q_lang_id_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT lang AS actual_lang,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains(['the','a','of','and','value'], x))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains(['data','row','filter','query'], x))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains(['table','join','batch','window'], x))) AS s_de,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains(['stream','sort','merge','line'], x))) AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT actual_lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+      FROM scored
+    )
+    SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY actual_lang, predicted_lang
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-lexicon language-ID heuristic
+    against the corpus's ground-truth ``lang`` column — the evaluation
+    a pipeline publishes before trusting an automatic lang filter
+    (the per-doc predictions themselves are ``q_lang_id``; this is
+    their quality report, in the same eval family as
+    ``q_knn_classification``). One row-local score pass + a groupBy
+    over the |langs|² key space.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scores = {lang: _count_in(words, markers) for lang, markers in LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        d.select(F.col("lang").alias("actual_lang"), predicted.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
