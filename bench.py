@@ -89,8 +89,9 @@ HEADLINE = [
     "q_mutual_knn",
     "q_adamic_adar",
     "q_span_corruption",
-    # weighted-cosine SSJoin (round 5, 3rd phase)
+    # weighted-cosine SSJoin / distributed-rank Gini (round 5, 3rd phase)
     "q_tfidf_cosine_neardup",
+    "q_gini_spend",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
