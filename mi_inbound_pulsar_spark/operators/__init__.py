@@ -97,6 +97,11 @@ _PRIORITY = (
     "q_gini_spend",
     "q_weighted_median",
     "q_lang_id_confusion",
+    "q_hapax_ratio",
+    "q_ngram_novelty",
+    "q_jaccard_threshold_sweep",
+    "q_dedup_report",
+    "q_theil_sen_trend",
     "q_simhash_signatures",
     "q_rolling_median",
     "q_temperature_mixture",
@@ -106,7 +111,6 @@ _PRIORITY = (
     "q_bfs_distances",
     "q_entity_resolution",
     "q_sorted_neighborhood",
-    "q_basket_lift",
     # dedup families not yet driver-checked
     "q_prefix_filter_jaccard",
     "q_containment_neardup",
@@ -121,12 +125,9 @@ _PRIORITY = (
     "q_multimodal_retrieval",
     # text analysis
     "q_lang_id",
-    "q_bigram_pmi",
-    "q_keyword_extraction",
     "q_zipf_slope",
     "q_pii_redaction",
     # sampling / splits / mixtures
-    "q_bottomk_sample",
     "q_split_contamination",
     # CDC / warehouse maintenance
     "q_scd2_asof_lookup",
@@ -134,7 +135,6 @@ _PRIORITY = (
     "q_constraint_audit",
     # time series
     "q_survival_curve",
-    "q_holt_linear_trend",
     # set ops / UDTF surface
     "q_udtf_strided_chunks",
 )

@@ -1889,3 +1889,211 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_common") / F.col("n_exact_pairs"), 6).alias("recall"),
         F.round(F.col("n_common") / F.col("n_lsh_pairs"), 6).alias("precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty (incremental-curation ordering signal)
+# --------------------------------------------------------------------------
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    first_owner AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE f.owner = s.doc_id) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (WHERE f.owner = s.doc_id) * 1.0 / count(*), 6)
+             AS novelty
+    FROM sh s JOIN first_owner f ON s.shingle = f.shingle
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty under the corpus's ingest order:
+    the share of a document's distinct shingles whose FIRST owner
+    (lowest doc_id) is the document itself — the incremental-curation
+    signal for "does this document add anything we have not already
+    ingested?" (near 0 ⇒ rehash of earlier content even if no single
+    earlier doc matches it — the many-to-one duplication case pairwise
+    Jaccard misses).
+
+    Scale: one min-aggregate over the shingle index (16-byte-hash the
+    shingle at 100 TB, as in ``jaccard_pairs``), one join back keyed
+    the same way, one per-doc rollup. Nothing pairwise anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=3)
+    first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    return (
+        sh.join(first_owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("owner") == F.col("doc_id")).alias("n_novel"),
+            F.round(
+                F.count_if(F.col("owner") == F.col("doc_id")) / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Jaccard threshold sweep (dedup-policy calibration curve)
+# --------------------------------------------------------------------------
+@query(
+    "q_jaccard_threshold_sweep",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT round(c * 1.0 / (x.n + y.n - c), 6) AS j
+      FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    )
+    SELECT t.thr AS threshold,
+           CAST(count(*) FILTER (WHERE j >= t.thr) AS BIGINT) AS n_pairs
+    FROM (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS thr) t, jac
+    GROUP BY t.thr ORDER BY threshold
+    """,
+)
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy calibration curve: how many near-dup pairs each
+    candidate Jaccard threshold would mark, from ONE pass over the
+    exact pair table — the sweep a pipeline owner reads before fixing
+    the production threshold (the knee in this curve is where
+    boilerplate ends and true duplication begins).
+
+    Scale: the pair table is computed once (inverted index, DF-capped
+    at production); the sweep is a 5-row broadcast cross join and a
+    conditional count — adding thresholds costs nothing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=3)
+    jac = jaccard_pairs(sh, threshold=0.0).select("jaccard")
+    thr = d.sparkSession.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "thr double"
+    )
+    return (
+        jac.crossJoin(F.broadcast(thr))
+        .groupBy(F.col("thr").alias("threshold"))
+        .agg(F.count_if(F.col("jaccard") >= F.col("thr")).alias("n_pairs"))
+        .orderBy("threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus dedup report (pipeline funnel summary)
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_report",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT count(*) AS n_neardup_pairs
+      FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+    ),
+    spans AS (
+      SELECT doc_id, i - 1 AS i,
+             CAST(concat('0x', substr(md5(
+               array_to_string(w[i:i+{SUBSTR_SPAN_TOKENS - 1}], ' ')
+             ), 1, 15)) AS BIGINT) AS span_h
+      FROM docs,
+           unnest(generate_series(1, greatest(n_tokens - {SUBSTR_SPAN_TOKENS - 1}, 0)))
+             AS u(i)
+    ),
+    dupspan AS (
+      SELECT span_h FROM spans
+      GROUP BY span_h HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DF}
+    ),
+    spandocs AS (
+      SELECT count(DISTINCT doc_id) AS n_substring_dup_docs
+      FROM spans JOIN dupspan USING (span_h)
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dup_docs
+      FROM docs
+    )
+    SELECT base.n_docs, base.total_tokens, base.n_exact_dup_docs,
+           CAST(near.n_neardup_pairs AS BIGINT) AS n_neardup_pairs,
+           CAST(spandocs.n_substring_dup_docs AS BIGINT) AS n_substring_dup_docs
+    FROM base, near, spandocs
+    """,
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus duplication report — the governance summary a
+    dedup pipeline publishes per snapshot: corpus size, exact-dup
+    load (count − distinct md5), near-dup pair count at the production
+    Jaccard threshold, and how many documents carry a cross-document
+    repeated 20-token span. Composes three verified kernels (exact
+    hash groupBy, inverted-index Jaccard, substring spans) into the
+    number-wall every curation review starts from.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=3)
+    near = (
+        jaccard_pairs(sh, threshold=0.8)
+        .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+    )
+    words = F.split(F.col("text"), " ")
+    toks = d.select(
+        "doc_id", words.alias("w"), F.size(words).alias("n_tokens")
+    )
+    k = SUBSTR_SPAN_TOKENS
+    starts = F.when(
+        F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select("doc_id", "w", F.explode(starts).alias("i")).select(
+        "doc_id",
+        portable_token_hash(F.array_join(F.slice("w", F.col("i") + 1, k), " ")).alias(
+            "span_h"
+        ),
+    )
+    dupspan = (
+        spans.groupBy("span_h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= SUBSTR_MIN_DF)
+        .select("span_h")
+    )
+    spandocs = (
+        spans.join(dupspan, "span_h")
+        .agg(F.count_distinct("doc_id").alias("n_substring_dup_docs"))
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words)).alias("total_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias(
+            "n_exact_dup_docs"
+        ),
+    )
+    return base.crossJoin(F.broadcast(near)).crossJoin(F.broadcast(spandocs))

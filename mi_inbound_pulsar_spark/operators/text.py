@@ -1532,3 +1532,59 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Lexical richness: hapax legomena / type-token ratio per source
+# --------------------------------------------------------------------------
+@query(
+    "q_hapax_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT source, tok, count(*) AS f FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (WHERE f = 1) AS BIGINT) AS n_hapax,
+           round(count(*) * 1.0 / sum(f), 6) AS type_token_ratio,
+           round(count(*) FILTER (WHERE f = 1) * 1.0 / count(*), 6)
+             AS hapax_ratio
+    FROM freq GROUP BY source ORDER BY source
+    """,
+)
+def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: type-token ratio and the
+    hapax-legomena share (types occurring exactly once) — the classic
+    vocabulary-growth signals used to spot templated/boilerplate
+    sources (low TTR, low hapax) before tokenizer training and to
+    size vocabulary budgets (Heaps'-law calibration).
+
+    Scale: one groupBy keyed by (source, token) with map-side combine,
+    then a per-source rollup — shuffle bounded by vocabulary size per
+    source, never corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    freq = (
+        d.select("source", tok)
+        .filter(keep)
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("f").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.count_if(F.col("f") == 1).alias("n_hapax"),
+            F.round(F.count(F.lit(1)) / F.sum("f"), 6).alias("type_token_ratio"),
+            F.round(F.count_if(F.col("f") == 1) / F.count(F.lit(1)), 6).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -614,3 +614,77 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+@query(
+    "q_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) * 1.0 / (b.rn - a.rn) AS slope
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.rn > a.rn
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(quantile_cont(slope, 0.5) AS DOUBLE), 6)
+             AS theil_sen_slope_micro
+    FROM slopes GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per series: the median of all pairwise
+    slopes of the daily totals — the outlier-proof alternative to the
+    OLS fits elsewhere in the suite (``q_zipf_slope``,
+    ``q_holt_linear_trend``): up to ~29% contaminated days cannot
+    move it. Slopes are over observation index (like the ACF's
+    lag convention), inputs exact integer micro-units, and the median
+    is the same interpolated percentile both engines share (rounded
+    6dp — the repo's float convention).
+
+    Scale: series collapse to types×days rows first, the pairwise
+    self-join is per-series (≤ d²/2 tiny rows — for long series
+    subsample pairs or use the repeated-median variant), and the
+    median is one aggregate per series. No global window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(micro).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select("event_type", "y", F.row_number().over(w).alias("rn"))
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.rn") > F.col("a.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.rn") - F.col("a.rn"))).alias(
+            "slope"
+        ),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias(
+                "theil_sen_slope_micro"
+            ),
+        )
+        .orderBy("event_type")
+    )

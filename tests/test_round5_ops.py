@@ -364,3 +364,53 @@ def test_adamic_adar_weights_rare_parts_higher(spark):
     assert got[(1, 2)] == round(4 / math.log(2), 6)
     assert got[(3, 4)] == round(4 / math.log(4), 6)
     assert got[(1, 2)] > got[(3, 4)]
+
+
+def test_gini_closed_form(spark):
+    """Gini of a known distribution matches the closed form: equal
+    spend -> 0; one customer holding everything -> (n-1)/n."""
+    import mi_inbound_pulsar_spark.operators.aggstats as aggstats_mod
+
+    equal = spark.createDataFrame(
+        [(i, i, 100.0) for i in range(1, 5)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    got = _with_table(aggstats_mod, equal, aggstats_mod.q_gini_spend, spark, "x")[0]
+    assert got["gini"] == 0.0
+
+    concentrated = spark.createDataFrame(
+        [(1, 1, 400.0)] + [(i, i, 0.0) for i in range(2, 5)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    got = _with_table(
+        aggstats_mod, concentrated, aggstats_mod.q_gini_spend, spark, "x"
+    )[0]
+    assert got["gini"] == 0.75  # (n-1)/n with n=4
+
+
+def test_weighted_median_closed_form(spark):
+    """Hand-checkable weighted median: prices 1,2,3 with weights 1,1,10
+    -> the heavy item wins; equal weights -> middle item."""
+    import mi_inbound_pulsar_spark.operators.aggstats as aggstats_mod
+
+    rows = [
+        ("A", 1, 1, 1.00, 1.0),
+        ("A", 2, 1, 2.00, 1.0),
+        ("A", 3, 1, 3.00, 10.0),
+        ("B", 4, 1, 1.00, 1.0),
+        ("B", 5, 1, 2.00, 1.0),
+        ("B", 6, 1, 3.00, 1.0),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_orderkey long, l_linenumber int, "
+        "l_extendedprice double, l_quantity double",
+    )
+    got = {
+        r["l_returnflag"]: r["weighted_median_cents"]
+        for r in _with_table(
+            aggstats_mod, li, aggstats_mod.q_weighted_median, spark, "x"
+        )
+    }
+    assert got["A"] == 300  # weight 10 at price 3.00 dominates
+    assert got["B"] == 200  # equal weights -> middle price
