@@ -92,6 +92,9 @@ HEADLINE = [
     # weighted-cosine SSJoin / distributed-rank Gini (round 5, 3rd phase)
     "q_tfidf_cosine_neardup",
     "q_gini_spend",
+    # curation reports (round 5, final phase)
+    "q_ngram_novelty",
+    "q_dedup_report",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
