@@ -102,15 +102,16 @@ _PRIORITY = (
     "q_jaccard_threshold_sweep",
     "q_dedup_report",
     "q_theil_sen_trend",
+    "q_equidepth_histogram",
+    "q_cms_topk_audit",
+    "q_char_ngram_profile",
     "q_simhash_signatures",
     "q_rolling_median",
     "q_temperature_mixture",
     "q_copurchase_jaccard",
     # graph / entity resolution
     "q_kcore_peel",
-    "q_bfs_distances",
     "q_entity_resolution",
-    "q_sorted_neighborhood",
     # dedup families not yet driver-checked
     "q_prefix_filter_jaccard",
     "q_containment_neardup",
@@ -119,7 +120,6 @@ _PRIORITY = (
     # similarity / embedding transforms
     "q_hybrid_search_rrf",
     "q_random_projection",
-    "q_feature_hashing",
     # multimodal
     "q_multimodal_frame_sample",
     "q_multimodal_retrieval",

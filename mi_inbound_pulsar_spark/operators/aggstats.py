@@ -1113,3 +1113,165 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (distributed-rank construction)
+# --------------------------------------------------------------------------
+EQUIDEPTH_BUCKETS = 10
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    t AS (
+      SELECT cents,
+             ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY cents, o_orderkey)
+               AS bucket
+      FROM v
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals ({EQUIDEPTH_BUCKETS}
+    buckets of equal row count, ANSI ntile semantics) — the histogram
+    an optimizer's statistics collector and any skew-aware range
+    partitioner actually wants (the equi-WIDTH twin is
+    ``q_histogram``; equal-width buckets go empty under skew, equal-
+    depth buckets track the mass).
+
+    Scale: bucket assignment is the two-phase distributed global rank
+    (`plans/ranking.py`) + the closed-form ntile — never a
+    single-partition window; values are exact integer cents.
+    """
+    from ..plans.ranking import attach_global_order_stats, ntile_from_rn
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked, total = attach_global_order_stats(
+        o, [F.col("cents"), F.col("o_orderkey")], rn_col="rn"
+    )
+    return (
+        ranked.select(
+            "cents", ntile_from_rn(F.col("rn"), total, EQUIDEPTH_BUCKETS).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min top-k audit (sketch-accuracy governance, cf. q_lsh_recall_audit)
+# --------------------------------------------------------------------------
+CMS_TOPK = 10
+
+
+@query(
+    "q_cms_topk_audit",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT r.d AS row,
+             substr(md5(concat(CAST(r.d AS VARCHAR), '_',
+                               CAST(user_id AS VARCHAR))), r.d+1, 1) AS bucket,
+             count(*) AS c
+      FROM events, unnest(range(0, {CMS_DEPTH})) AS r(d)
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id),
+    est AS (
+      SELECT e.user_id, e.exact_count, min(c.c) AS est
+      FROM exact e
+      CROSS JOIN unnest(range(0, {CMS_DEPTH})) AS r(d)
+      JOIN cnt c
+        ON c.row = r.d
+       AND c.bucket = substr(md5(concat(CAST(r.d AS VARCHAR), '_',
+                                        CAST(e.user_id AS VARCHAR))), r.d+1, 1)
+      GROUP BY e.user_id, e.exact_count
+    ),
+    top_exact AS (
+      SELECT user_id, exact_count, est FROM est
+      ORDER BY exact_count DESC, user_id LIMIT {CMS_TOPK}
+    ),
+    top_est AS (
+      SELECT user_id FROM est ORDER BY est DESC, user_id LIMIT {CMS_TOPK}
+    )
+    SELECT CAST({CMS_TOPK} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM top_exact JOIN top_est USING (user_id))
+             AS BIGINT) AS n_overlap,
+           CAST((SELECT max(est - exact_count) FROM top_exact) AS BIGINT)
+             AS max_overestimate_topk,
+           CAST((SELECT min(est - exact_count) FROM top_exact) AS BIGINT)
+             AS min_overestimate_topk
+    """,
+)
+def q_cms_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter governance audit for the Count-Min sketch: does the
+    sketch's top-{CMS_TOPK} agree with the exact top-{CMS_TOPK}, and
+    how big is the (one-sided) overestimate among the true heavy
+    hitters? The sketch-accuracy twin of ``q_lsh_recall_audit`` —
+    both engines REALLY build the sketch and really rank by it, so a
+    width/depth retune that degrades heavy-hitter fidelity fails the
+    hash instead of shipping.
+
+    Scale: the counter table is depth x width cells regardless of
+    input; both rankings are TakeOrdered over the per-user table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    )
+    bucket = F.substring(
+        F.md5(F.concat_ws("_", F.col("d"), F.col("user_id")).cast("binary")),
+        F.col("d") + 1,
+        1,
+    )
+    cnt = rows.groupBy("d", bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("c"))
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probed = exact.select(
+        "user_id",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat_ws("_", F.col("d"), F.col("user_id")).cast("binary")),
+            F.col("d") + 1,
+            1,
+        ),
+    )
+    est = (
+        probed.join(F.broadcast(cnt), ["d", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("est"))
+    )
+    top_exact = est.orderBy(F.desc("exact_count"), "user_id").limit(CMS_TOPK)
+    top_est = est.orderBy(F.desc("est"), "user_id").limit(CMS_TOPK).select("user_id")
+    overlap = top_exact.join(top_est, "user_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    spread = top_exact.agg(
+        F.max(F.col("est") - F.col("exact_count")).alias("max_overestimate_topk"),
+        F.min(F.col("est") - F.col("exact_count")).alias("min_overestimate_topk"),
+    )
+    return (
+        est.sparkSession.range(1)
+        .select(F.lit(CMS_TOPK).cast("long").alias("k"))
+        .crossJoin(F.broadcast(overlap))
+        .crossJoin(F.broadcast(spread))
+    )

@@ -1588,3 +1588,64 @@ def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Character n-gram language profiles (Cavnar-Trenkle style)
+# --------------------------------------------------------------------------
+CHAR_PROFILE_TOPN = 10
+
+
+@query(
+    "q_char_ngram_profile",
+    oracle=f"""
+    WITH grams AS (
+      SELECT lang, substr(text, i, 3) AS gram
+      FROM documents, unnest(generate_series(1, greatest(len(text) - 2, 0))) AS u(i)
+    ),
+    counts AS (
+      SELECT lang, gram, count(*) AS f FROM grams GROUP BY lang, gram
+    ),
+    ranked AS (
+      SELECT lang, gram, f,
+             row_number() OVER (PARTITION BY lang ORDER BY f DESC, gram) AS rk
+      FROM counts
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, gram, CAST(f AS BIGINT) AS f
+    FROM ranked WHERE rk <= {CHAR_PROFILE_TOPN}
+    ORDER BY lang, rk
+    """,
+)
+def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profiles (the Cavnar-Trenkle
+    n-gram language-ID representation): the top-{CHAR_PROFILE_TOPN}
+    most frequent char 3-grams per language — the training half of a
+    profile-based lang-ID system (the marker-lexicon classifier
+    ``q_lang_id`` and its confusion eval are the serving half).
+
+    Scale: one narrow position-explode (3 bytes of payload per gram
+    row — hash gram to 8 bytes at 100 TB), one (lang, gram) groupBy
+    bounded by |langs|x|gram vocab|, a per-lang top-k window over the
+    counted profile (tiny partitions by construction).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # explicit emptiness guard: sequence(1, 0) would count DOWN in
+    # Spark while DuckDB's generate_series(1, 0) is empty — texts
+    # shorter than 3 chars must yield no grams in both engines
+    starts = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pos, keep = explode_computed(starts, "i")
+    grams = (
+        d.select("lang", F.col("text"), pos)
+        .filter(keep)
+        .select("lang", F.col("text").substr(F.col("i"), F.lit(3)).alias("gram"))
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "gram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CHAR_PROFILE_TOPN)
+        .select("lang", F.col("rk").cast("long").alias("rk"), "gram", "f")
+        .orderBy("lang", "rk")
+    )
