@@ -414,3 +414,51 @@ def test_weighted_median_closed_form(spark):
     }
     assert got["A"] == 300  # weight 10 at price 3.00 dominates
     assert got["B"] == 200  # equal weights -> middle price
+
+
+def test_equidepth_histogram_bucket_sizes(spark):
+    """ANSI ntile semantics: with 25 rows and 10 buckets the first 5
+    buckets hold 3 rows, the rest 2; bucket ranges must be ordered and
+    non-overlapping."""
+    import mi_inbound_pulsar_spark.operators.aggstats as aggstats_mod
+
+    rows = [(i, float(i * 7 % 100) + 1.0) for i in range(1, 26)]
+    o = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    got = _with_table(
+        aggstats_mod, o, aggstats_mod.q_equidepth_histogram, spark, "x"
+    )
+    sizes = [r["n_rows"] for r in got]
+    assert sizes == [3] * 5 + [2] * 5
+    for prev, cur in zip(got, got[1:]):
+        assert prev["hi_cents"] <= cur["lo_cents"]
+
+
+def test_cms_topk_audit_one_sided(spark, sf_dir):
+    """Count-Min never underestimates: both overestimate bounds must be
+    >= 0, and the top-k overlap is within [0, k]."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_cms_topk_audit
+
+    r = q_cms_topk_audit(spark, sf_dir).collect()[0]
+    assert r["min_overestimate_topk"] >= 0
+    assert r["max_overestimate_topk"] >= r["min_overestimate_topk"]
+    assert 0 <= r["n_overlap"] <= r["k"]
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    """The lowest-id document owns all its shingles; an exact copy that
+    arrives later has novelty 0."""
+    import mi_inbound_pulsar_spark.operators.dedup as dedup_mod
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in _with_table(
+            dedup_mod, docs, dedup_mod.q_ngram_novelty, spark, "x"
+        )
+    }
+    assert got[1]["novelty"] == 1.0
+    assert got[2]["novelty"] == 0.0
+    assert got[1]["n_shingles"] == 28  # 30 - 3 + 1
