@@ -105,6 +105,8 @@ _PRIORITY = (
     "q_equidepth_histogram",
     "q_cms_topk_audit",
     "q_char_ngram_profile",
+    "q_burstiness",
+    "q_hll_error_audit",
     "q_simhash_signatures",
     "q_rolling_median",
     "q_temperature_mixture",
@@ -116,10 +118,8 @@ _PRIORITY = (
     "q_prefix_filter_jaccard",
     "q_containment_neardup",
     "q_line_dedup",
-    "q_dedup_incremental",
     # similarity / embedding transforms
     "q_hybrid_search_rrf",
-    "q_random_projection",
     # multimodal
     "q_multimodal_frame_sample",
     "q_multimodal_retrieval",

@@ -1275,3 +1275,50 @@ def q_cms_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(overlap))
         .crossJoin(F.broadcast(spread))
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog error audit (third member of the sketch-governance family)
+# --------------------------------------------------------------------------
+@query(
+    "q_hll_error_audit",
+    oracle="""
+    -- bounded-oracle gate (cf. q_lsh_recall_audit / q_cms_topk_audit):
+    -- the HLL estimate itself is engine-specific, so the oracle pins
+    -- the exact counts and asserts the relative error stays inside the
+    -- configured-precision bound; Spark REALLY measures it, and a
+    -- precision downgrade that breaks the bound fails the hash.
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS hll_within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy audit per event series: Spark builds the
+    lgK=12 HLL sketch, estimates distinct users, and checks the
+    relative error against the theoretical ~1.04/sqrt(2^12) ≈ 1.6%
+    standard error (gated at 3 sigma ≈ 5%). The estimate itself is
+    engine-specific and excluded from hashing; the exact counts and
+    the bound verdict are what the oracle pins — the same live-gate
+    construction as the LSH recall and CMS top-k audits, completing
+    the sketch-governance family (membership/frequency/cardinality).
+
+    Scale: the sketch is the mergeable fixed-size state that replaces
+    exact distinct at 100 TB; the exact side here is the audit's
+    ground truth, affordable at audit time on a sample or partition.
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"),
+    )
+    rel_err = F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+    return (
+        agg.select(
+            "event_type",
+            "exact_users",
+            (rel_err <= 0.05).alias("hll_within_bound"),
+        )
+        .orderBy("event_type")
+    )

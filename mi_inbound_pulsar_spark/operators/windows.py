@@ -688,3 +688,57 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Burstiness (index of dispersion per series)
+# --------------------------------------------------------------------------
+@query(
+    "q_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(avg(n), 6) AS mean_daily,
+           round(var_samp(n), 6) AS var_daily,
+           round(var_samp(n) / avg(n), 6) AS fano_factor,
+           var_samp(n) / avg(n) > 1.5 AS bursty
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event series: the Fano factor (index of
+    dispersion, sample-variance / mean of daily counts) with a
+    Poisson-reference verdict — >1 means clumpier than random
+    arrivals, the signal that picks which streams need burst-aware
+    capacity or anomaly thresholds (complements the level/trend views:
+    ``q_seasonal_baseline``, ``q_anomaly_trailing``, ``q_cusum_drift``).
+
+    Scale: events collapse to types×days counts first; the dispersion
+    aggregate is one codegen'd pass over that tiny rollup. var_samp
+    shares its definition across engines; floats round to 6dp and the
+    verdict threshold compares the unrounded value identically on
+    both sides.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fano = F.var_samp("n") / F.avg("n")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("n_events"),
+            F.round(F.avg("n"), 6).alias("mean_daily"),
+            F.round(F.var_samp("n"), 6).alias("var_daily"),
+            F.round(fano, 6).alias("fano_factor"),
+            (fano > 1.5).alias("bursty"),
+        )
+        .orderBy("event_type")
+    )
