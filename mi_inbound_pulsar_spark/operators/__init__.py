@@ -107,6 +107,7 @@ _PRIORITY = (
     "q_char_ngram_profile",
     "q_burstiness",
     "q_hll_error_audit",
+    "q_retrieval_mrr",
     "q_simhash_signatures",
     "q_rolling_median",
     "q_temperature_mixture",
@@ -125,7 +126,6 @@ _PRIORITY = (
     "q_multimodal_retrieval",
     # text analysis
     "q_lang_id",
-    "q_zipf_slope",
     "q_pii_redaction",
     # sampling / splits / mixtures
     "q_split_contamination",

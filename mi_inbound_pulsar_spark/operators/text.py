@@ -1649,3 +1649,113 @@ def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rk").cast("long").alias("rk"), "gram", "f")
         .orderBy("lang", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: mean reciprocal rank of known-item search
+# --------------------------------------------------------------------------
+MRR_N_QUERIES = 5  # query docs: doc_id < 5
+MRR_TERMS_PER_QUERY = 2  # each query = its 2 globally-rarest tokens
+
+
+@query(
+    "q_retrieval_mrr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+      SELECT qid, tok, df FROM (
+        SELECT t.doc_id AS qid, t.tok, d.df,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+                 AS rk
+        FROM tf t JOIN df d USING (tok)
+        WHERE t.doc_id < {MRR_N_QUERIES}
+      ) WHERE rk <= {MRR_TERMS_PER_QUERY}
+    ),
+    scores AS (
+      SELECT q.qid, t.doc_id,
+             sum(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+      FROM qterms q
+        JOIN tf t ON t.tok = q.tok
+        JOIN dl l ON l.doc_id = t.doc_id, stats s
+      GROUP BY q.qid, t.doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scores
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(1.0 / rank), 6) AS mrr,
+           CAST(count_if(rank <= 10) AS BIGINT) AS n_hits_top10
+    FROM ranked WHERE doc_id = qid
+    """,
+)
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval evaluation: each of the first
+    {MRR_N_QUERIES} documents becomes a query (its
+    {MRR_TERMS_PER_QUERY} globally-rarest tokens — the
+    distinctive-terms heuristic), BM25 (k1=1.2, b=0.75, the
+    ``q_bm25_search`` formula) ranks the corpus, and the metric is the
+    mean reciprocal rank of the source document — the standard IR
+    eval (MRR) closing the search family: scoring (`q_bm25_search`),
+    fusion (`q_hybrid_search_rrf`), and now measurement.
+
+    Determinism: ranks order by the 6dp-ROUNDED score (then doc_id),
+    so float ulp differences between engines cannot flip a rank.
+    Scale: rare query terms have minimal posting lists by
+    construction, so the candidate set per query is tiny; stats ride
+    one broadcast row; rank windows partition by query.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    tf = (
+        d.select("doc_id", tok)
+        .filter(keep)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_q = Window.partitionBy("qid").orderBy("df", "tok")
+    qterms = (
+        tf.filter(F.col("doc_id") < MRR_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .join(df, "tok")
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= MRR_TERMS_PER_QUERY)
+        .select("qid", "tok", "df")
+    )
+    contrib = (
+        qterms.join(tf, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+    )
+    scores = contrib.groupBy("qid", "doc_id").agg(F.sum("part").alias("score"))
+    w_r = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), "doc_id"
+    )
+    ranked = scores.withColumn("rank", F.row_number().over(w_r))
+    return ranked.filter(F.col("doc_id") == F.col("qid")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(1.0 / F.col("rank")), 6).alias("mrr"),
+        F.count_if(F.col("rank") <= 10).alias("n_hits_top10"),
+    )
