@@ -462,3 +462,27 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark):
     assert got[1]["novelty"] == 1.0
     assert got[2]["novelty"] == 0.0
     assert got[1]["n_shingles"] == 28  # 30 - 3 + 1
+
+
+def test_retrieval_mrr_bounds_and_planted_hit(spark):
+    """MRR lies in (0, 1]; a corpus where each query doc's rare terms
+    are unique to it must score a perfect MRR of 1.0."""
+    import mi_inbound_pulsar_spark.operators.text as text_mod
+
+    common = "the quick brown fox jumps over lazy dogs again and again"
+    rows = [
+        (0, common + " zebraword0 xylophone0"),
+        (1, common + " zebraword1 xylophone1"),
+        (2, common + " zebraword2 xylophone2"),
+        (3, common + " zebraword3 xylophone3"),
+        (4, common + " zebraword4 xylophone4"),
+        (5, common + " filler text body here"),
+        (6, common + " other filler body too"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _with_table(
+        text_mod, docs, text_mod.q_retrieval_mrr, spark, "x"
+    )[0]
+    assert got["n_queries"] == 5
+    assert got["mrr"] == 1.0  # unique rare terms -> source ranks first
+    assert got["n_hits_top10"] == 5
