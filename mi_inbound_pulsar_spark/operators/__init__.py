@@ -69,74 +69,66 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-5 ROTATION: the driver samples the FIRST 50 entries, and
-    # rounds 1-4 covered 144 distinct names — this head is a fourth
-    # disjoint, family-stratified set of never-driver-checked queries,
-    # leading with everything that is new or semantically changed this
-    # round (substring dedup; simhash's portable-hash oracle; the 6dp
-    # rounding pins on rolling_median/temperature_mixture; the
-    # copurchase pack guard), so driver-hard evidence accumulates
-    # across rounds instead of re-proving the same rows.
-    # new / changed this round
-    "q_substring_dedup",
-    "q_gopher_quality_rules",
-    "q_bpe_merge_candidates",
-    "q_autocorrelation",
-    "q_mutual_knn",
-    "q_adamic_adar",
-    "q_k_anonymity",
-    "q_benford_digits",
-    "q_regex_token_count",
-    "q_dataset_card",
-    "q_span_corruption",
-    "q_knn_classification",
-    "q_knn_graph_components",
-    "q_tfidf_cosine_neardup",
-    "q_neyman_allocation",
-    "q_lsh_recall_audit",
-    "q_gini_spend",
-    "q_weighted_median",
-    "q_lang_id_confusion",
-    "q_hapax_ratio",
-    "q_ngram_novelty",
-    "q_jaccard_threshold_sweep",
-    "q_dedup_report",
-    "q_theil_sen_trend",
-    "q_equidepth_histogram",
-    "q_cms_topk_audit",
-    "q_char_ngram_profile",
-    "q_burstiness",
-    "q_hll_error_audit",
-    "q_retrieval_mrr",
-    "q_simhash_signatures",
-    "q_rolling_median",
-    "q_temperature_mixture",
-    "q_copurchase_jaccard",
-    # graph / entity resolution
-    "q_kcore_peel",
-    "q_entity_resolution",
-    # dedup families not yet driver-checked
-    "q_prefix_filter_jaccard",
-    "q_containment_neardup",
-    "q_line_dedup",
-    # similarity / embedding transforms
-    "q_hybrid_search_rrf",
-    # multimodal
-    "q_multimodal_frame_sample",
-    "q_multimodal_retrieval",
-    # text analysis
-    "q_lang_id",
-    "q_pii_redaction",
-    # sampling / splits / mixtures
-    "q_split_contamination",
-    # CDC / warehouse maintenance
-    "q_scd2_asof_lookup",
-    "q_ivm_join_delta",
-    "q_constraint_audit",
-    # time series
-    "q_survival_curve",
-    # set ops / UDTF surface
-    "q_udtf_strided_chunks",
+    # ROUND-6 ROTATION: the driver samples the FIRST 50 entries.
+    # Rounds 1-5 covered 194 distinct names; this head leads with the
+    # two queries NEW this round (semdedup flagship, BPE merge loop),
+    # then a sixth disjoint, never-driver-checked set of 50 from the
+    # 59 remaining (the last two spill to round 7's window along with
+    # the other 9: q_twap, q_udf_surface, q_unigram_kl_drift,
+    # q_union_distinct, q_variant_extract, q_weighted_sample,
+    # q_window_distribution, q_window_ignore_nulls, q_zipf_slope).
+    "q_semdedup",
+    "q_bpe_merge_loop",
+    "q_ab_lift",
+    "q_anomaly_trailing",
+    "q_basket_lift",
+    "q_bfs_distances",
+    "q_bigram_pmi",
+    "q_bitwise_agg",
+    "q_bottomk_sample",
+    "q_cluster_keeper",
+    "q_conversion_latency",
+    "q_corpus_mixture",
+    "q_countmin_sketch",
+    "q_cumulative_distinct",
+    "q_cusum_drift",
+    "q_dau_wau_stickiness",
+    "q_dedup_incremental",
+    "q_deletion_propagation",
+    "q_doc_fingerprint",
+    "q_event_streaks",
+    "q_except",
+    "q_explode_posexplode",
+    "q_feature_hashing",
+    "q_first_touch_attribution",
+    "q_funnel_windowed",
+    "q_holt_linear_trend",
+    "q_join_key_skew_report",
+    "q_keyword_extraction",
+    "q_kfold_assignment",
+    "q_markov_transitions",
+    "q_math_conditional",
+    "q_mixture_upsample",
+    "q_mode_median",
+    "q_ngram_frequency",
+    "q_period_over_period",
+    "q_phrase_search",
+    "q_pseudonymize",
+    "q_psi_drift",
+    "q_quality_logit",
+    "q_quantile_normalize",
+    "q_random_projection",
+    "q_rare_token_filter",
+    "q_repetition_filter",
+    "q_seasonal_baseline",
+    "q_skyline_dominance",
+    "q_sorted_neighborhood",
+    "q_stratified_split_check",
+    "q_table_profile",
+    "q_timeseries_similarity",
+    "q_token_entropy",
+    "q_topic_throughput",
+    "q_tumbling_ohlc",
 )
 
 

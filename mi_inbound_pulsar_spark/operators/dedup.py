@@ -1874,7 +1874,12 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     sh = shingles(d, n=3).persist()
-    exact = jaccard_pairs(sh, threshold=0.8).select("doc_a", "doc_b")
+    # truth side of an audit: uncapped — the DF cap is a production
+    # skew guard, but here it would silently diverge from the oracle's
+    # truly-exact pair set once any shingle's df exceeds the cap
+    exact = jaccard_pairs(sh, threshold=0.8, max_doc_freq=None).select(
+        "doc_a", "doc_b"
+    )
     lsh = minhash_neardup(d, threshold=0.8).select("doc_a", "doc_b")
     common = exact.join(lsh, ["doc_a", "doc_b"])
     stats = (
@@ -1982,7 +1987,9 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     sh = shingles(d, n=3)
-    jac = jaccard_pairs(sh, threshold=0.0).select("jaccard")
+    # calibration truth: uncapped (the DF cap bites hardest at the low
+    # thresholds being swept; the oracle's pair set is truly exact)
+    jac = jaccard_pairs(sh, threshold=0.0, max_doc_freq=None).select("jaccard")
     thr = d.sparkSession.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "thr double"
     )
@@ -2062,7 +2069,9 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = shingles(d, n=3)
     near = (
-        jaccard_pairs(sh, threshold=0.8)
+        # governance truth side: uncapped, matching the oracle's truly
+        # exact pair set (the DF cap is for the production dedup path)
+        jaccard_pairs(sh, threshold=0.8, max_doc_freq=None)
         .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
     )
     words = F.split(F.col("text"), " ")

@@ -629,6 +629,14 @@ def knn_self_join(e: DataFrame, k: int = MUTUAL_KNN_K, n_blocks: int = KNN_BLOCK
     IVF/LSH candidate generator (q_ann_ivf_topk / rhp_band_keys) cuts
     the candidate space; the block join is also exactly how the
     verification stage parallelizes.
+
+    Ranking is on the 6dp-ROUNDED similarity with neighbor_id as the
+    tie-break, applied identically in the per-block partial top-k, the
+    global row_number merge, and the DuckDB oracles: numpy's
+    normalized-GEMM and DuckDB's list_cosine_similarity differ at ulp
+    level, which can flip an unrounded rank at the k-th boundary (the
+    q_retrieval_mrr hazard), and exact-duplicate embeddings tie exactly
+    at 6dp, so the tie-break must agree everywhere too.
     """
     import numpy as np
     import pandas as pd
@@ -671,13 +679,21 @@ def knn_self_join(e: DataFrame, k: int = MUTUAL_KNN_K, n_blocks: int = KNN_BLOCK
             directions.append((ids_r, ids_l, sims.T))
         frames = []
         for q_ids, c_ids, S in directions:
+            Sr = np.round(S, 6)  # rank on the rounded value, like the global window
             for qi in range(len(q_ids)):
                 row = S[qi]
+                row_r = Sr[qi]
                 mask = c_ids != q_ids[qi]
                 cand = np.nonzero(mask)[0]
                 if len(cand) == 0:
                     continue
-                part = cand[np.argsort(-row[cand], kind="stable")[:take]]
+                # lexsort: primary -rounded_sim, secondary neighbor_id —
+                # the same (sim DESC, neighbor_id ASC) order as the
+                # global row_number and the oracle, so per-block
+                # truncation never drops the tied candidate the global
+                # rank would pick.
+                order = np.lexsort((c_ids[cand], -row_r[cand]))
+                part = cand[order[:take]]
                 frames.append(
                     pd.DataFrame(
                         {
@@ -696,7 +712,7 @@ def knn_self_join(e: DataFrame, k: int = MUTUAL_KNN_K, n_blocks: int = KNN_BLOCK
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(score, schema="vec_id long, neighbor_id long, sim double")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "neighbor_id")
+    w = Window.partitionBy("vec_id").orderBy(F.desc(F.round("sim", 6)), "neighbor_id")
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -715,7 +731,7 @@ def knn_self_join(e: DataFrame, k: int = MUTUAL_KNN_K, n_blocks: int = KNN_BLOCK
     ),
     knn AS (
       SELECT ia, ib, sim,
-             row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rk
+             row_number() OVER (PARTITION BY ia ORDER BY round(sim, 6) DESC, ib) AS rk
       FROM pairs
     ),
     topk AS (SELECT ia, ib, sim FROM knn WHERE rk <= {MUTUAL_KNN_K})
@@ -764,7 +780,7 @@ _MUTUAL_KNN_CTE = f"""
     ),
     knn AS MATERIALIZED (
       SELECT ia, ib, sim,
-             row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rk
+             row_number() OVER (PARTITION BY ia ORDER BY round(sim, 6) DESC, ib) AS rk
       FROM allpairs
     ),
     topk AS MATERIALIZED (SELECT ia, ib, sim FROM knn WHERE rk <= {MUTUAL_KNN_K})
@@ -837,7 +853,7 @@ SEMANTIC_EDGE_MIN_SIM = 0.38  # keeps ~the top decile of mutual edges
     mutual AS MATERIALIZED (
       SELECT t.ia AS id_a, t.ib AS id_b
       FROM topk t JOIN topk u ON t.ia = u.ib AND t.ib = u.ia
-      WHERE t.ia < t.ib AND t.sim >= {SEMANTIC_EDGE_MIN_SIM}
+      WHERE t.ia < t.ib AND round(t.sim, 6) >= {SEMANTIC_EDGE_MIN_SIM}
     ),
     edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM mutual
@@ -889,4 +905,198 @@ def q_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("keeper_vec_id"),
         )
         .orderBy("component")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+SEMDEDUP_EPS = 0.38  # same epsilon as the mutual-kNN edge floor
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (
+      SELECT CAST(vec_id / {CENTROID_STRIDE} AS BIGINT) AS cell, emb AS cent_emb
+      FROM e WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, emb, cell, round(sim, 6) AS cent_sim FROM (
+        SELECT v.vec_id, v.emb, c.cell,
+               list_cosine_similarity(v.emb, c.cent_emb) AS sim,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.emb, c.cent_emb) DESC, c.cell)
+                 AS rn
+        FROM e v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    dup AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {SEMDEDUP_EPS}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM dup
+      UNION SELECT id_b, id_a FROM dup
+    ),
+    reach(vec_id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e2.src, r.comp FROM edges e2 JOIN reach r ON e2.dst = r.vec_id
+    ),
+    labeled AS (SELECT vec_id, min(comp) AS grp FROM reach GROUP BY vec_id),
+    ranked AS (
+      SELECT l.grp, l.vec_id, a.cell, a.cent_sim,
+             row_number() OVER (PARTITION BY l.grp
+                                ORDER BY a.cent_sim, l.vec_id) AS rn
+      FROM labeled l JOIN assign a ON l.vec_id = a.vec_id
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(max(cell) AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT)
+             AS keeper_vec_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_pruned
+    FROM ranked GROUP BY grp ORDER BY grp
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-style cluster assignment → *intra-cluster* pairwise cosine
+    → epsilon-graph duplicate groups → keeper election. The keeper is
+    the group member with the LOWEST similarity to its cluster
+    centroid (the paper's rule: keep the outlier, prune the redundant
+    core), ties to the lowest vec_id.
+
+    This is the flagship composition of the semantic-dedup family: the
+    clustering step bounds the pairwise step to O(n²/k) *per cluster*
+    — the pair enumeration provably never goes corpus-pairwise, which
+    is the whole reason SemDeDup scales where brute near-dup does not.
+    Deterministic stride centroids stand in for trained k-means so the
+    DuckDB oracle can replay the index exactly (the
+    ``q_ann_ivf_topk`` recipe; ``train_spherical_kmeans`` is the
+    drop-in production centroid source with identical plan shape).
+
+    Plan: centroid matrix is k×64 driver-side (bounded by k); the
+    corpus never collects and never shuffles for assignment (one
+    narrow ``mapInPandas`` GEMM argmax). The ONLY corpus shuffle is
+    the groupBy ``cell`` — at 100 TB the assignment is written
+    bucketed by cell, making this a zero-exchange ``applyInPandas``.
+    Each cell's kernel does the pairwise GEMM *and* the epsilon-graph
+    components in one pass (cell-local union-find over the adjacency
+    bitmap it just built — groups cannot span cells by construction,
+    so no distributed component iteration exists in this plan at
+    all); keeper election is one tiny ``min_by`` aggregate over the
+    duplicate-group rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup_groups(e)
+
+
+def semdedup_groups(
+    e: DataFrame,
+    eps: float = SEMDEDUP_EPS,
+    stride: int = CENTROID_STRIDE,
+) -> DataFrame:
+    """Library form of :func:`q_semdedup`: SemDeDup duplicate groups
+    over an (vec_id, embedding) frame with stride-``stride`` centroids
+    and epsilon ``eps``. See the query docstring for the plan shape."""
+    centroids = e.filter(F.col("vec_id") % stride == 0).select(
+        (F.col("vec_id") / stride).cast("long").alias("cell"),
+        F.col("embedding"),
+    )
+    cent_ids, cent_mat = _collect_matrix(centroids, "cell", "embedding")
+    cent_ids_u, cent_units = _unit_rows(cent_ids, cent_mat)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            _, units = _unit_rows(ids, mat)
+            sims = units @ cent_units.T
+            best = np.argmax(sims, axis=1)  # first max → lowest cell id
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cent_ids_u[best],
+                    "cent_sim": sims[np.arange(len(ids)), best],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell long, cent_sim double, embedding array<float>"
+    )
+
+    def cell_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Duplicate groups within ONE cell: epsilon-graph components
+        via a cell-local union-find over the pairwise-sim bitmap. The
+        whole point of SemDeDup's clustering step is that groups can
+        never span cells, so components need no distributed iteration
+        — the O(cell²) adjacency this kernel already materialized for
+        the pairwise step is the entire input."""
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.array([], np.int64),
+                "grp": np.array([], np.int64),
+                "cell": np.array([], np.int64),
+                "cent_sim": np.array([], np.float64),
+            }
+        )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return empty
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        _, units = _unit_rows(ids, mat)
+        sims = np.round(units @ units.T, 6)
+        adj = sims >= eps
+        np.fill_diagonal(adj, False)
+        dup = adj.any(axis=1)  # singletons are not duplicates
+        if not dup.any():
+            return empty
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(*np.nonzero(np.triu(adj, k=1))):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(len(ids))])
+        out = pd.DataFrame(
+            {
+                "vec_id": ids[dup],
+                "root": roots[dup],
+                "cell": pdf["cell"].to_numpy(dtype=np.int64)[dup],
+                "cent_sim": pdf["cent_sim"].to_numpy(dtype=np.float64)[dup],
+            }
+        )
+        # group label = smallest member vec_id (the oracle's min(comp))
+        out["grp"] = out.groupby("root")["vec_id"].transform("min")
+        return out[["vec_id", "grp", "cell", "cent_sim"]]
+
+    members = assigned.groupBy("cell").applyInPandas(
+        cell_groups, schema="vec_id long, grp long, cell long, cent_sim double"
+    )
+    return (
+        members.groupBy("grp")
+        .agg(
+            F.max("cell").alias("cell"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by(
+                "vec_id", F.struct(F.round("cent_sim", 6), F.col("vec_id"))
+            ).alias("keeper_vec_id"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_pruned"),
+        )
+        .orderBy("grp")
     )

@@ -1759,3 +1759,146 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(1.0 / F.col("rank")), 6).alias("mrr"),
         F.count_if(F.col("rank") <= 10).alias("n_hits_top10"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge LOOP (multi-iteration tokenizer training, Sennrich et al. 2016)
+# --------------------------------------------------------------------------
+BPE_LOOP_ITERS = 5
+
+
+def _bpe_loop_oracle(n: int) -> str:
+    """Unrolled n-iteration BPE replay: each stage counts adjacent
+    symbol pairs over the marker-delimited vocabulary, takes the argmax
+    (ties → lexicographically smallest pair), and applies the merge as
+    a left-to-right string replace — the same greedy-leftmost
+    non-overlapping semantics ``replace`` has in both engines."""
+    head = """
+    WITH t0 AS (
+      SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS repr, c
+      FROM (
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE NOT contains(word, '<') AND NOT contains(word, '>')
+        GROUP BY word
+      )
+    )"""
+    parts = [head]
+    for i in range(1, n + 1):
+        parts.append(f""",
+    p{i} AS (
+      SELECT toks[i] AS l, toks[i+1] AS r, c
+      FROM (
+        SELECT regexp_extract_all(repr, '<([^<>]+)>', 1) AS toks, c FROM t{i-1}
+      ), unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+    ),
+    b{i} AS (
+      SELECT CAST({i} AS BIGINT) AS iteration, l, r,
+             CAST(sum(c) AS BIGINT) AS total
+      FROM p{i} GROUP BY l, r
+      ORDER BY total DESC, l, r LIMIT 1
+    ),
+    t{i} AS (
+      SELECT replace(t.repr, '<' || b.l || '><' || b.r || '>',
+                     '<' || b.l || b.r || '>') AS repr, t.c
+      FROM t{i-1} t, b{i} b
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT iteration, l AS left_sym, r AS right_sym, l || r AS merged, total FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY iteration")
+    return "".join(parts)
+
+
+@query("q_bpe_merge_loop", oracle=_bpe_loop_oracle(BPE_LOOP_ITERS))
+def q_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real BPE training loop (Sennrich et al. 2016), five merge
+    iterations: count adjacent symbol pairs weighted by word frequency,
+    merge the argmax pair everywhere (greedy leftmost, ties to the
+    lexicographically smallest pair), re-count, repeat — extending
+    ``q_bpe_merge_candidates`` (iteration 1 only) to the iterative
+    re-count shape where the vocabulary-bounded plan gets stress-tested.
+
+    Tokenization state is a marker-delimited string per vocabulary word
+    (``abc`` → ``<a><b><c>``), so applying a merge is one left-to-right
+    non-overlapping ``replace`` — identical semantics in Spark and
+    DuckDB, and exactly BPE's greedy-leftmost merge order. Words
+    containing the marker chars are filtered identically on both sides
+    (on a raw corpus, swap the markers for \\x1e/\\x1f).
+
+    Scale: the corpus collapses to the word-frequency table FIRST (one
+    groupBy keyed by the vocabulary — the classic BPE optimization), so
+    every iteration is vocabulary-bounded regardless of corpus size.
+    Each round's argmax is a TakeOrdered(1) over the pair counts kept
+    as a ONE-ROW DataFrame (no driver collect anywhere): the merge is
+    applied by broadcast cross join, and the one-row frame is
+    ``localCheckpoint``-ed to stop lineage growth across rounds — the
+    same iterative-Spark discipline as ``q_kcore_peel``'s peel rounds.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merge_loop(d, BPE_LOOP_ITERS)
+
+
+def bpe_merge_loop(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> DataFrame:
+    """Library form of :func:`q_bpe_merge_loop`: the merge table after
+    ``iters`` BPE iterations over a (doc_id, text) frame. See the
+    query docstring for the plan shape."""
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "word")
+    wc = (
+        d.select(tok)
+        .filter(keep)
+        .filter(~F.col("word").contains("<") & ~F.col("word").contains(">"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cur = wc.select(
+        F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("repr"), "c"
+    ).persist()
+
+    merges = []
+    for i in range(1, iters + 1):
+        toks = F.regexp_extract_all(F.col("repr"), F.lit("<([^<>]+)>"), 1)
+        pair_arr = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda ix: F.struct(
+                    F.get(toks, ix).alias("l"), F.get(toks, ix + 1).alias("r")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            cur.select(F.explode(pair_arr).alias("p"), "c")
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "c")
+            .groupBy("l", "r")
+            .agg(F.sum("c").alias("total"))
+            .orderBy(F.desc("total"), "l", "r")
+            .limit(1)
+            .select(F.lit(i).cast("long").alias("iteration"), "l", "r", "total")
+            .localCheckpoint()  # 1 row; cuts the cross-round lineage
+        )
+        merges.append(best)
+        b = F.broadcast(
+            best.select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
+        )
+        cur = cur.crossJoin(b).select(
+            F.replace(
+                F.col("repr"),
+                F.concat(F.lit("<"), F.col("_bl"), F.lit("><"), F.col("_br"), F.lit(">")),
+                F.concat(F.lit("<"), F.col("_bl"), F.col("_br"), F.lit(">")),
+            ).alias("repr"),
+            "c",
+        )
+
+    from functools import reduce
+
+    merged = reduce(DataFrame.unionByName, merges)
+    return merged.select(
+        "iteration",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.concat("l", "r").alias("merged"),
+        "total",
+    ).orderBy("iteration")

@@ -610,7 +610,14 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.event_type").alias("event_type"), "lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.corr(F.col("a.x"), F.col("b.x")), 6).alias("acf"),
+            # degenerate series (constant, or a single aligned pair):
+            # Spark's corr yields NaN where DuckDB yields NULL — map
+            # NaN → NULL so both engines agree on such data
+            F.when(
+                F.isnan(F.corr(F.col("a.x"), F.col("b.x"))), F.lit(None)
+            )
+            .otherwise(F.round(F.corr(F.col("a.x"), F.col("b.x")), 6))
+            .alias("acf"),
         )
         .orderBy("event_type", "lag")
     )
