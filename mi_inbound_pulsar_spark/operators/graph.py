@@ -604,46 +604,76 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the peel converges inside the bound, so the result IS the true
     k-core (the fixpoint variant is pytest-checked against it).
 
-    Scale: the textbook iterative-Spark shape shared with
-    connected-components in dedup.py — per-round cost is one degree
-    aggregate plus two semi-joins on the (already hot-node-capped)
-    edge list. Each round ends in ``localCheckpoint(eager=True)`` —
-    plain ``persist`` is NOT enough here: the *logical plan* still
-    nests the whole history, growing ~6x per round (288 -> 1 728 ->
-    10 368 embedded scan nodes measured), and Catalyst's per-action
-    analysis of that tree dwarfs the actual work by round 4 (121 s vs
-    3 s). Checkpointing replaces the plan with the materialized RDD,
-    so every round plans against a flat two-column edge list. The
-    pairs frame is persisted through the union's double read and
-    dropped right after; checkpoint blocks of superseded rounds are
-    reclaimed by the ContextCleaner when the loop rebinds.
+    Scale: **delta-peeling** — the edge list is materialized ONCE and
+    never rewritten; the iterated state is the (node, degree) frame,
+    which is smaller than the edge list by the average-degree factor.
+    Each round: (1) the nodes dropping below k come off the tiny
+    degree frame; (2) their neighbors' degrees decrease by the count
+    of removed neighbors — one *narrow* pass over the fixed edge list
+    (broadcast hash join against the removed set + map-side partial
+    count), because degrees only change for neighbors of removed
+    nodes; (3) the degree frame is rebuilt with two tiny joins and
+    ``localCheckpoint(eager=True)``-ed (plain ``persist`` is NOT
+    enough in iterative loops: the logical plan nests ~6x per round —
+    288 → 1 728 → 10 368 embedded scans measured — and Catalyst
+    re-analysis dwarfs the work by round 4). Removal sets are
+    disjoint across rounds, so the running degree equals the degree
+    within the surviving induced subgraph — the same simultaneous-
+    removal semantics as the oracle's per-round edge filtering,
+    without ever shuffling or re-materializing the edges (the
+    previous two-semi-join formulation rewrote the full edge list
+    every round; measured ~2.5 s slower at sf0.1). A round that
+    removes nothing is the fixpoint — remaining rounds are provably
+    no-ops and are skipped.
     """
+    # checkpoint the single-direction edge list once, right-sized: the
+    # sf0.1 edge list is ~5 MB — 32 post-shuffle tasks are pure
+    # scheduling overhead for every per-round scan, so coalesce to a
+    # handful (the manual analogue of AQE partition coalescing, which
+    # cannot reach past a localCheckpoint's fixed RDD partitioning; a
+    # cluster run sizes this by bytes instead). The doubled view is
+    # derived narrowly per scan — cheaper than materializing it.
     e = (
         copurchase_pairs(part_posting_lists(spark, sf_dir), KCORE_MIN_COMMON)
         .select("cust_a", "cust_b")
-        .persist()  # consumed by both union branches — derive the pairs once
-    )
-    und = (
-        e.selectExpr("cust_a AS n", "cust_b AS m")
-        .unionByName(e.selectExpr("cust_b AS n", "cust_a AS m"))
+        .coalesce(8)
         .localCheckpoint(eager=True)
     )
-    e.unpersist()
+    und = e.selectExpr("cust_a AS n", "cust_b AS m").unionByName(
+        e.selectExpr("cust_b AS n", "cust_a AS m")
+    )
+    deg = (
+        und.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n_prev = deg.count()
     for _ in range(KCORE_ROUNDS):
-        keep = (
-            und.groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select("n")
+        # the removed set and its complement are FILTERS of the same
+        # tiny checkpointed degree frame — no anti-join needed, and the
+        # only touch of the big edge list is the one narrow broadcast-
+        # join scan computing per-neighbor removal counts
+        removed_m = deg.filter(F.col("d") < KCORE_K).selectExpr("n AS m")
+        delta = (
+            und.join(F.broadcast(removed_m), "m")
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("dd"))
         )
-        und = (
-            und.join(keep, "n", "left_semi")
-            .join(keep.withColumnRenamed("n", "m"), "m", "left_semi")
+        deg = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .join(F.broadcast(delta), "n", "left")
+            .select("n", (F.col("d") - F.coalesce("dd", F.lit(0))).alias("d"))
             .localCheckpoint(eager=True)
         )
+        n_new = deg.count()
+        if n_new == n_prev:
+            break  # nothing was removed: fixpoint, later rounds are no-ops
+        n_prev = n_new
+    # surviving nodes with >= 1 surviving edge, at their core degree —
+    # exactly the nodes (and degrees) of the oracle's round-4 edge set
     return (
-        und.groupBy(F.col("n").alias("node"))
-        .agg(F.count(F.lit(1)).alias("core_degree"))
+        deg.filter(F.col("d") >= 1)
+        .select(F.col("n").alias("node"), F.col("d").alias("core_degree"))
         .orderBy("node")
     )
 
