@@ -85,9 +85,11 @@ HEADLINE = [
     "q_ivm_join_delta",
     # substring-span dedup (round 5)
     "q_substring_dedup",
-    # SemDeDup flagship / BPE training loop (round 6)
+    # SemDeDup flagship / BPE training loop / data selection (round 6)
     "q_semdedup",
     "q_bpe_merge_loop",
+    "q_dsir_selection",
+    "q_quality_terciles",
     # mutual-kNN / link prediction / span corruption (round 5, 2nd phase)
     "q_mutual_knn",
     "q_adamic_adar",

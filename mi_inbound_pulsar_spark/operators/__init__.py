@@ -79,6 +79,8 @@ _PRIORITY = (
     # q_window_distribution, q_window_ignore_nulls, q_zipf_slope).
     "q_semdedup",
     "q_bpe_merge_loop",
+    "q_dsir_selection",
+    "q_quality_terciles",
     "q_ab_lift",
     "q_anomaly_trailing",
     "q_basket_lift",

@@ -1199,3 +1199,117 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, arXiv:2302.03169)
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"
+DSIR_KEEP_QUANTILE = 0.8
+
+
+@query(
+    "q_dsir_selection",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(u.x), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+      FROM docs, unnest(w) AS u(x)
+    ),
+    tgt AS (SELECT b, count(*) AS c FROM tok
+            WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
+    raw AS (SELECT b, count(*) AS c FROM tok GROUP BY b),
+    nt AS (SELECT sum(c) AS n FROM tgt),
+    nr AS (SELECT sum(c) AS n FROM raw),
+    ratio AS (
+      SELECT r.b,
+             ln((coalesce(t.c, 0) + 1.0) / (nt.n + {DSIR_BUCKETS}))
+               - ln((r.c + 1.0) / (nr.n + {DSIR_BUCKETS})) AS lr
+      FROM raw r LEFT JOIN tgt t USING (b), nt, nr
+    ),
+    scores AS (
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(ratio.lr) AS s
+      FROM tok JOIN ratio USING (b) GROUP BY tok.doc_id
+    ),
+    thr AS (SELECT quantile_cont(s, {DSIR_KEEP_QUANTILE}) AS t FROM scores)
+    SELECT doc_id, n_tokens, round(s, 6) AS dsir_logweight,
+           round(s, 6) >= round(thr.t, 6) AS selected
+    FROM scores, thr ORDER BY doc_id
+    """,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): score every raw document by how much its hashed-unigram
+    distribution looks like a TARGET domain (here ``src0``) vs the raw
+    corpus, keep the top quantile. The per-document log importance
+    weight is Σ_w log(p_target(bucket(w)) / p_raw(bucket(w))) with
+    add-1 smoothing over {DSIR_BUCKETS} feature-hash buckets — the
+    paper's bag-of-hashed-ngrams estimator, the standard cheap
+    domain-matching selector for pretraining corpora.
+
+    Scale: both bucket distributions aggregate to at most
+    {DSIR_BUCKETS} rows (feature hashing bounds the vocabulary by
+    construction — the point of DSIR's estimator); the log-ratio
+    table broadcasts; per-document scoring is one map-side-combined
+    groupBy over the token stream. Only the tiny threshold aggregate
+    is global. The md5-prefix bucket hash is engine-portable (the
+    ``q_simhash_signatures`` recipe).
+    """
+    from mi_inbound_pulsar_spark.functions.arrays import explode_computed
+
+    d = load_table(spark, sf_dir, "documents")
+    tok_col, keep = explode_computed(F.split(F.col("text"), " "), "w")
+    tok = (
+        d.select("doc_id", "source", tok_col)
+        .filter(keep)
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    tgt = (
+        tok.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    nt = tgt.agg(F.sum("tc").alias("nt"))
+    nr = raw.agg(F.sum("rc").alias("nr"))
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(nt)
+        .crossJoin(nr)
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + 1.0) / (F.col("nt") + DSIR_BUCKETS))
+                - F.log((F.col("rc") + 1.0) / (F.col("nr") + DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    scores = (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("s"))
+    )
+    thr = scores.agg(F.percentile("s", F.lit(DSIR_KEEP_QUANTILE)).alias("t"))
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("s", 6).alias("dsir_logweight"),
+            (F.round("s", 6) >= F.round("t", 6)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

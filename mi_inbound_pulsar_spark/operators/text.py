@@ -1902,3 +1902,100 @@ def bpe_merge_loop(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> DataFrame:
         F.concat("l", "r").alias("merged"),
         "total",
     ).orderBy("iteration")
+
+
+# --------------------------------------------------------------------------
+# CCNet-style per-language quality terciles (Wenzek et al. 2020)
+# --------------------------------------------------------------------------
+@query(
+    "q_quality_terciles",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop,
+             len(text) AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tokens,
+             round(-2.0
+                   + 3.0 * (n_types * 1.0 / n_tokens)
+                   + 4.0 * (n_stop * 1.0 / n_tokens)
+                   + 0.1 * ((n_chars - (n_tokens - 1)) * 1.0 / n_tokens)
+                   - 0.002 * n_tokens, 6) AS logit
+      FROM feats
+    ),
+    bucketed AS (
+      SELECT lang, n_tokens, logit,
+             ntile(3) OVER (PARTITION BY lang ORDER BY logit DESC, doc_id)
+               AS tercile
+      FROM scored
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(logit), 6) AS avg_logit
+    FROM bucketed
+    GROUP BY lang, tercile ORDER BY lang, bucket
+    """,
+)
+def q_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail bucketing (Wenzek et al. 2020): rank
+    every document within its LANGUAGE by quality score and cut into
+    terciles — the per-language quality stratification CCNet feeds
+    into downstream mixture decisions (train on head+middle, drop
+    tail). Reuses ``q_quality_logit``'s fixed-weight scorer (rounded
+    to 6dp BEFORE ranking, so the order is engine-identical; ties
+    break by doc_id) and labels terciles with ``ntile(3)`` — both
+    engines share ntile's ceiling-division group sizes.
+
+    Scale: the window partitions by ``lang`` (never global). A
+    language's partition is corpus-scale at 100 TB, so production
+    replaces the exact ntile with approx_percentile cut-points per
+    language (the ``q_equidepth_histogram`` kernel) — the exact form
+    here is the oracle-checkable contract the sketch tier is gated
+    against.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "data", "value")))
+    mean_len = (F.length("text") - (n_tokens - 1)) / n_tokens
+    logit = F.round(
+        F.lit(-2.0)
+        + 3.0 * (n_types / n_tokens)
+        + 4.0 * (n_stop / n_tokens)
+        + 0.1 * mean_len
+        - 0.002 * n_tokens,
+        6,
+    )
+    scored = d.select(
+        "doc_id", "lang", n_tokens.cast("long").alias("n_tokens"), logit.alias("logit")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("logit"), "doc_id")
+    bucketed = scored.withColumn("tercile", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("logit"), 6).alias("avg_logit"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "avg_logit",
+        )
+        .orderBy("lang", "bucket")
+    )
