@@ -90,6 +90,8 @@ HEADLINE = [
     "q_bpe_merge_loop",
     "q_dsir_selection",
     "q_quality_terciles",
+    "q_bpe_tokenize",
+    "q_decontaminate_13gram",
     # mutual-kNN / link prediction / span corruption (round 5, 2nd phase)
     "q_mutual_knn",
     "q_adamic_adar",

@@ -81,6 +81,8 @@ _PRIORITY = (
     "q_bpe_merge_loop",
     "q_dsir_selection",
     "q_quality_terciles",
+    "q_bpe_tokenize",
+    "q_decontaminate_13gram",
     "q_ab_lift",
     "q_anomaly_trailing",
     "q_basket_lift",

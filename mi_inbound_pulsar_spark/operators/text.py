@@ -1845,6 +1845,16 @@ def bpe_merge_loop(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> DataFrame:
     """Library form of :func:`q_bpe_merge_loop`: the merge table after
     ``iters`` BPE iterations over a (doc_id, text) frame. See the
     query docstring for the plan shape."""
+    merges, _vocab = bpe_train(d, iters)
+    return merges
+
+
+def bpe_train(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> tuple[DataFrame, DataFrame]:
+    """Run the BPE training loop and return BOTH artifacts: the merge
+    table (iteration, l, r, total — one checkpointed row per round)
+    and the final tokenized vocabulary (word, repr, c) after all
+    merges — the state :func:`q_bpe_tokenize` applies back to the
+    corpus. Same plan shape as :func:`q_bpe_merge_loop`."""
     tok, keep = explode_computed(F.split(F.col("text"), " "), "word")
     wc = (
         d.select(tok)
@@ -1854,7 +1864,7 @@ def bpe_merge_loop(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     cur = wc.select(
-        F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("repr"), "c"
+        "word", F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("repr"), "c"
     ).persist()
 
     merges = []
@@ -1884,6 +1894,7 @@ def bpe_merge_loop(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> DataFrame:
             best.select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
         )
         cur = cur.crossJoin(b).select(
+            "word",
             F.replace(
                 F.col("repr"),
                 F.concat(F.lit("<"), F.col("_bl"), F.lit("><"), F.col("_br"), F.lit(">")),
@@ -1895,13 +1906,14 @@ def bpe_merge_loop(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> DataFrame:
     from functools import reduce
 
     merged = reduce(DataFrame.unionByName, merges)
-    return merged.select(
+    merge_table = merged.select(
         "iteration",
         F.col("l").alias("left_sym"),
         F.col("r").alias("right_sym"),
         F.concat("l", "r").alias("merged"),
         "total",
     ).orderBy("iteration")
+    return merge_table, cur
 
 
 # --------------------------------------------------------------------------
@@ -1998,4 +2010,199 @@ def q_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logit",
         )
         .orderBy("lang", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer APPLICATION: train merges, tokenize the corpus (fertility)
+# --------------------------------------------------------------------------
+def _bpe_vocab_cte(n: int) -> str:
+    """Unrolled n-iteration BPE replay carrying the word through, so
+    the final per-word token count is joinable back to documents."""
+    head = """
+    t0 AS (
+      SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS repr, c
+      FROM (
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE NOT contains(word, '<') AND NOT contains(word, '>')
+        GROUP BY word
+      )
+    )"""
+    parts = [head]
+    for i in range(1, n + 1):
+        parts.append(f""",
+    p{i} AS (
+      SELECT toks[i] AS l, toks[i+1] AS r, c
+      FROM (
+        SELECT regexp_extract_all(repr, '<([^<>]+)>', 1) AS toks, c FROM t{i-1}
+      ), unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+    ),
+    b{i} AS (
+      SELECT l, r FROM p{i} GROUP BY l, r
+      ORDER BY sum(c) DESC, l, r LIMIT 1
+    ),
+    t{i} AS (
+      SELECT t.word, replace(t.repr, '<' || b.l || '><' || b.r || '>',
+                             '<' || b.l || b.r || '>') AS repr, t.c
+      FROM t{i-1} t, b{i} b
+    )""")
+    return "".join(parts)
+
+
+@query(
+    "q_bpe_tokenize",
+    oracle=f"""
+    WITH {_bpe_vocab_cte(BPE_LOOP_ITERS)},
+    vocab AS (
+      SELECT word,
+             len(regexp_extract_all(repr, '<([^<>]+)>', 1)) AS n_tok
+      FROM t{BPE_LOOP_ITERS}
+    ),
+    docw AS (
+      SELECT doc_id, u.x AS word, count(*) AS k
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(w) AS u(x)
+      WHERE NOT contains(u.x, '<') AND NOT contains(u.x, '>')
+      GROUP BY doc_id, u.x
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.k) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(d.k * v.n_tok) AS BIGINT) AS n_bpe_tokens,
+           round(sum(d.k * v.n_tok) * 1.0 / sum(d.k), 6) AS fertility
+    FROM docw d JOIN vocab v USING (word)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: run the {BPE_LOOP_ITERS}-round BPE loop
+    (:func:`bpe_train`) and tokenize the whole corpus with the learned
+    merges, reporting per-document whitespace tokens, BPE tokens, and
+    fertility (BPE/whitespace — the tokenizer-efficiency number every
+    tokenizer bake-off reports). This is the end-to-end composition a
+    tokenizer-training pipeline actually ships: the merge table alone
+    is an artifact, the *encoded corpus size* is the decision input.
+
+    Scale: the apply step never re-runs merges on raw text — the final
+    tokenized VOCABULARY (word → token count) is the join artifact, so
+    tokenizing 100 TB is one (doc_id, word) count aggregate (map-side
+    combined, keyed by the corpus token stream) joined to a
+    vocabulary-bounded table. The train side is the verified
+    vocabulary-bounded loop.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    _merges, vocab = bpe_train(d, BPE_LOOP_ITERS)
+    n_tok = F.size(F.regexp_extract_all(F.col("repr"), F.lit("<([^<>]+)>"), 1))
+    vocab_counts = vocab.select("word", n_tok.alias("n_tok"))
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "word")
+    docw = (
+        d.select("doc_id", tok)
+        .filter(keep)
+        .filter(~F.col("word").contains("<") & ~F.col("word").contains(">"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        docw.join(vocab_counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_ws_tokens"),
+            F.sum(F.col("k") * F.col("n_tok")).alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("k") * F.col("n_tok")) / F.sum("k"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# GPT-3-style 13-gram eval decontamination (Brown et al. 2020, App. C)
+# --------------------------------------------------------------------------
+DECON_SPAN_TOKENS = 13
+
+
+@query(
+    "q_decontaminate_13gram",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             CASE WHEN substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    spans AS (
+      SELECT split, doc_id,
+             CAST(concat('0x', substr(md5(
+               array_to_string(w[i:i+{DECON_SPAN_TOKENS - 1}], ' ')
+             ), 1, 15)) AS BIGINT) AS span_h
+      FROM tagged,
+           unnest(generate_series(1,
+             greatest(len(w) - {DECON_SPAN_TOKENS - 1}, 0))) AS u(i)
+    ),
+    train_spans AS (SELECT DISTINCT span_h FROM spans WHERE split = 'train'),
+    test_spans AS (SELECT doc_id, span_h FROM spans WHERE split = 'test')
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(tr.span_h) AS BIGINT) AS n_dirty,
+           count(tr.span_h) > 0 AS dropped
+    FROM test_spans t LEFT JOIN train_spans tr USING (span_h)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def q_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3's eval decontamination rule (Brown et al. 2020, Appendix
+    C): a TEST document is dropped from evaluation if ANY of its
+    {DECON_SPAN_TOKENS}-token spans also occurs in the TRAIN split.
+    Complements ``q_split_contamination`` (which measures the 3-gram
+    overlap *fraction*): this is the binary removal decision at the
+    span length the paper used, with per-document dirty-span counts
+    for the audit trail. Spans ride as the engine-portable 60-bit
+    md5-prefix hash (``portable_token_hash``).
+
+    Scale: the train span set is deduped before the probe, the join is
+    an inverted-index LEFT JOIN on an 8-byte key, and the test side is
+    the sliver — the same bounded shapes as ``q_substring_dedup``'s
+    span index. Nothing pairwise, nothing global.
+    """
+    from mi_inbound_pulsar_spark.operators.dedup import portable_token_hash
+    from mi_inbound_pulsar_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), "split-")
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    k = DECON_SPAN_TOKENS
+    words = F.split(F.col("text"), " ")
+    toks = d.select("doc_id", split.alias("split"), words.alias("w"))
+    starts = F.when(
+        F.size("w") >= k, F.sequence(F.lit(0), F.size("w") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        "doc_id", "split", F.explode(starts).alias("i"), "w"
+    ).select(
+        "doc_id",
+        "split",
+        portable_token_hash(
+            F.array_join(F.slice("w", F.col("i") + 1, k), " ")
+        ).alias("span_h"),
+    )
+    train_spans = (
+        spans.filter(F.col("split") == "train").select("span_h").distinct()
+    )
+    test_spans = spans.filter(F.col("split") == "test").select("doc_id", "span_h")
+    return (
+        test_spans.join(
+            train_spans.withColumn("hit", F.lit(1)), "span_h", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("hit").alias("n_dirty"),
+            (F.count("hit") > 0).alias("dropped"),
+        )
+        .orderBy("doc_id")
     )
