@@ -1012,17 +1012,30 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pl = part_posting_lists(spark, sf_dir).filter(F.size("custs") >= 2)
     wt = 1.0 / F.log(F.size("custs").cast("double"))
+    # same packed 64-bit pair key as copurchase_pairs (half the shuffle
+    # key width); TPC-H custkeys are in [0, 2^32) — the pack guard in
+    # copurchase_pairs enforces the shared precondition loudly
     pairs = (
         pl.select(F.explode("custs").alias("cust_a"), "custs", wt.alias("wt"))
         .select("cust_a", F.explode("custs").alias("cust_b"), "wt")
         .filter(F.col("cust_a") < F.col("cust_b"))
+        .select(
+            F.shiftleft(F.col("cust_a"), 32).bitwiseOR(F.col("cust_b")).alias("pk"),
+            "wt",
+        )
     )
     return (
-        pairs.groupBy("cust_a", "cust_b")
+        pairs.groupBy("pk")
         .agg(
             F.count(F.lit(1)).alias("common_parts"),
             F.round(F.sum("wt"), 6).alias("aa_score"),
         )
         .filter(F.col("common_parts") >= COPURCHASE_MIN_COMMON)
+        .select(
+            F.shiftrightunsigned("pk", 32).alias("cust_a"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("cust_b"),
+            "common_parts",
+            "aa_score",
+        )
         .orderBy("cust_a", "cust_b")
     )
