@@ -92,6 +92,8 @@ HEADLINE = [
     "q_quality_terciles",
     "q_bpe_tokenize",
     "q_decontaminate_13gram",
+    "q_mann_whitney",
+    "q_fellegi_sunter",
     # mutual-kNN / link prediction / span corruption (round 5, 2nd phase)
     "q_mutual_knn",
     "q_adamic_adar",

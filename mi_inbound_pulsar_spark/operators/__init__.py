@@ -83,6 +83,10 @@ _PRIORITY = (
     "q_quality_terciles",
     "q_bpe_tokenize",
     "q_decontaminate_13gram",
+    "q_mann_whitney",
+    "q_l_diversity",
+    "q_readability",
+    "q_fellegi_sunter",
     "q_ab_lift",
     "q_anomaly_trailing",
     "q_basket_lift",

@@ -1322,3 +1322,149 @@ def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U / Wilcoxon rank-sum (nonparametric A/B readout)
+# --------------------------------------------------------------------------
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    vc AS (
+      SELECT value,
+             count(*) FILTER (WHERE arm = 'A') AS ca,
+             count(*) AS c
+      FROM assigned GROUP BY value
+    ),
+    ranked AS (
+      SELECT ca, c,
+             sum(c) OVER (ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before
+      FROM vc
+    ),
+    s AS (
+      SELECT sum(ca) AS n_a, sum(c) - sum(ca) AS n_b, sum(c) AS n,
+             sum(ca * (coalesce(cum_before, 0) + (c + 1.0) / 2)) AS r_a,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term
+      FROM ranked
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(r_a - n_a * (n_a + 1.0) / 2, 6) AS u_a,
+           round((r_a - n_a * (n_a + 1.0) / 2 - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b / 12.0
+                        * ((n + 1) - tie_term / (n * (n - 1.0)))), 6) AS z
+    FROM s
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the same hash-split
+    A/B arms as ``q_ab_lift`` — the nonparametric companion readout:
+    no normality assumption, robust to the heavy-tailed purchase
+    values Welch's t can be dragged by. Average ranks for ties and the
+    tie-corrected normal approximation (the textbook form).
+
+    Scale: ranks are never assigned per row — the corpus collapses to
+    the per-DISTINCT-VALUE rollup first, and the average rank of a
+    value is its cumulative predecessor count + (c+1)/2 from one
+    running sum over that rollup (window input is the value domain,
+    not the event stream — the q_zipf_slope waiver class). Every term
+    is an integer or half-integer, so the statistic is exact in
+    doubles and engine-identical before the final rounding.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    vc = (
+        e.select(arm.alias("arm"), "value")
+        .groupBy("value")
+        .agg(
+            F.count_if(F.col("arm") == "A").alias("ca"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.withColumn("cum_before", F.sum("c").over(w))
+    s = ranked.agg(
+        F.sum("ca").alias("n_a"),
+        (F.sum("c") - F.sum("ca")).alias("n_b"),
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("ca") * (F.coalesce("cum_before", F.lit(0)) + (F.col("c") + 1.0) / 2)
+        ).alias("r_a"),
+        F.sum(F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie_term"
+        ),
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1.0) / 2
+    z = (u_a - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(
+        F.col("n_a")
+        * F.col("n_b")
+        / 12.0
+        * ((F.col("n") + 1) - F.col("tie_term") / (F.col("n") * (F.col("n") - 1.0)))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# l-diversity (the sensitive-attribute companion of k-anonymity)
+# --------------------------------------------------------------------------
+L_DIVERSITY_THRESHOLD = 3
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000)
+             AS BIGINT) AS l_distinct,
+           count(DISTINCT CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000)
+             >= {L_DIVERSITY_THRESHOLD} AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): within every
+    quasi-identifier equivalence class (same (nation, segment) pair as
+    ``q_k_anonymity``), the SENSITIVE attribute (account-balance band
+    in exact integer cents // 100k — a salary-band stand-in) must
+    take at least l={L_DIVERSITY_THRESHOLD} distinct values
+    — k-anonymity alone does not stop attribute disclosure when a
+    class is homogeneous in the sensitive column.
+
+    Scale: one groupBy over the quasi-identifier domain with a
+    count_distinct on the sensitive value — at 100 TB swap in
+    approx_count_distinct and gate it with the HLL error audit.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = (F.round(F.col("c_acctbal") * 100, 0).cast("long") / F.lit(100000)).cast(
+        "long"
+    )
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(band).alias("l_distinct"),
+            (F.count_distinct(band) >= L_DIVERSITY_THRESHOLD).alias("l_diverse"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -2206,3 +2206,50 @@ def q_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease with a deterministic proxy)
+# --------------------------------------------------------------------------
+@query(
+    "q_readability",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * n_words
+                 - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch_score
+    FROM feats ORDER BY doc_id
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the standard deterministic
+    corpus-scale proxies: syllables ≈ vowel runs (``[aeiouy]+``
+    matches never span the space separator, so one regex over the raw
+    text counts the whole document), and the corpus carries no
+    sentence punctuation, so each document scores as one sentence —
+    making the words-per-sentence term the document length. The
+    readability band is a routine quality-mix feature next to the
+    logit/Gopher gates (a swap-in sentence splitter only changes the
+    first term's denominator).
+
+    Scale: two row-local expressions over the scan; no shuffle before
+    the orderBy. Exact integer counts; only the final score is float,
+    rounded to 6dp with the same operation order on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_syll = F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiouy]+"), 0))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - 1.015 * n_words - 84.6 * (n_syll / n_words), 6
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")
