@@ -94,6 +94,7 @@ HEADLINE = [
     "q_decontaminate_13gram",
     "q_mann_whitney",
     "q_fellegi_sunter",
+    "q_label_propagation",
     # mutual-kNN / link prediction / span corruption (round 5, 2nd phase)
     "q_mutual_knn",
     "q_adamic_adar",

@@ -87,6 +87,9 @@ _PRIORITY = (
     "q_l_diversity",
     "q_readability",
     "q_fellegi_sunter",
+    "q_label_propagation",
+    "q_chisq_independence",
+    "q_horvitz_thompson",
     "q_ab_lift",
     "q_anomaly_trailing",
     "q_basket_lift",

@@ -1468,3 +1468,76 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (source x lang contingency)
+# --------------------------------------------------------------------------
+@query(
+    "q_chisq_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY source, lang
+    ),
+    margins AS (
+      SELECT o.source, o.lang, o.o,
+             rs.rn, cs.cn, t.n
+      FROM obs o
+      JOIN (SELECT source, sum(o) AS rn FROM obs GROUP BY source) rs USING (source)
+      JOIN (SELECT lang, sum(o) AS cn FROM obs GROUP BY lang) cs USING (lang)
+      CROSS JOIN (SELECT sum(o) AS n FROM obs) t
+    ),
+    cells AS (
+      SELECT CAST(rn * cn AS DOUBLE) / n AS e, o FROM margins
+    ),
+    dims AS (
+      SELECT count(DISTINCT source) AS r, count(DISTINCT lang) AS c FROM obs
+    )
+    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+           round((SELECT sum((o - e) * (o - e) / e) FROM cells), 6) AS chi2
+    FROM dims
+    """,
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence over the source × lang
+    contingency table — the balance check a corpus-mixture owner runs
+    to see whether language composition differs across sources (the
+    categorical complement of ``q_psi_drift``'s numeric drift and
+    ``q_unigram_kl_drift``'s token drift). Emits the statistic and
+    degrees of freedom; the p-value lookup is a client-side table.
+
+    Scale: the contingency table is |sources| × |langs| rows — the
+    corpus collapses in ONE map-side-combined groupBy; margins and the
+    statistic are arithmetic over that tiny table. Expected counts
+    rn·cn/n are exact-integer products divided once in double.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rs = obs.groupBy("source").agg(F.sum("o").alias("rn"))
+    cs = obs.groupBy("lang").agg(F.sum("o").alias("cn"))
+    t = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(rs, "source")
+        .join(cs, "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "o",
+            ((F.col("rn") * F.col("cn")).cast("double") / F.col("n")).alias("e"),
+        )
+    )
+    dims = obs.agg(
+        F.count_distinct("source").alias("r"), F.count_distinct("lang").alias("c")
+    )
+    stat = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+    )
+    return stat.crossJoin(F.broadcast(dims)).select(
+        "n_cells",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        "chi2",
+    )

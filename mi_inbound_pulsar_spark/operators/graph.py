@@ -13,7 +13,7 @@ are the one-shot structural queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
@@ -1151,3 +1151,103 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("fs_score"),
         (score > FS_MATCH_THRESHOLD).alias("is_match"),
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (bounded-round synchronous LPA)
+# --------------------------------------------------------------------------
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled ``LPA_ROUNDS``-round synchronous label propagation as a
+    CTE chain — the same bounded-round recipe as the k-core oracle:
+    both engines run exactly this many rounds with identical
+    (count DESC, label ASC) tie-breaks, so the contract is
+    deterministic on any data."""
+    sql = f"""
+    WITH basket AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pf AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
+    capped AS (SELECT b.cust, b.part FROM basket b JOIN pf USING (part)
+               WHERE pf.df <= {COPURCHASE_MAX_DF}),
+    e AS MATERIALIZED (
+      SELECT a.cust AS ca, b.cust AS cb
+      FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_COMMON}
+    ),
+    und AS MATERIALIZED (SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT n, n AS lab FROM und)"""
+    for r in range(1, LPA_ROUNDS + 1):
+        sql += f""",
+    c{r} AS (
+      SELECT u.n, l.lab, count(*) AS c
+      FROM und u JOIN l{r-1} l ON u.m = l.n
+      GROUP BY u.n, l.lab
+    ),
+    l{r} AS MATERIALIZED (
+      SELECT n, lab FROM (
+        SELECT n, lab, row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+    sql += f"""
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(n) AS BIGINT) AS min_member
+    FROM l{LPA_ROUNDS} GROUP BY lab ORDER BY community
+    """
+    return sql
+
+
+@query("q_label_propagation", oracle=_lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the co-purchase graph ({LPA_ROUNDS} rounds,
+    deterministic ties: neighbor-majority label, ties to the smallest
+    label) — the near-linear community pass run before expensive
+    modularity methods; communities here are customer cohorts sharing
+    niche products (the DF cap already removed everyone-buys-it
+    items). Bounded rounds make the operator SQL-expressible, the same
+    closed-form-oracle trick as ``q_kcore_peel``; synchronous LPA can
+    oscillate on bipartite-ish structure, which a fixed round budget
+    also sidesteps deterministically.
+
+    Scale: the iterated state is the (node, label) frame — node-
+    bounded, broadcast onto the fixed once-checkpointed edge list each
+    round (the delta-peeling lesson: never rewrite the edges). The
+    per-round count is one map-side-combined groupBy keyed by
+    (node, label) and the argmax is a per-node window over ≤ degree
+    rows. ``localCheckpoint`` per round cuts the iterative lineage.
+    """
+    e = (
+        copurchase_pairs(part_posting_lists(spark, sf_dir), COPURCHASE_MIN_COMMON)
+        .select("cust_a", "cust_b")
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    und = e.selectExpr("cust_a AS n", "cust_b AS m").unionByName(
+        e.selectExpr("cust_b AS n", "cust_a AS m")
+    )
+    labels = und.select("n").distinct().withColumn("lab", F.col("n")).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("n").orderBy(F.desc("c"), "lab")
+    for _ in range(LPA_ROUNDS):
+        nbr = und.join(
+            F.broadcast(labels.selectExpr("n AS m", "lab")), "m"
+        )
+        counts = nbr.groupBy("n", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("n").alias("min_member"))
+        .orderBy("community")
+    )

@@ -1313,3 +1313,96 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Horvitz-Thompson estimation under the deterministic stratified sample
+# --------------------------------------------------------------------------
+HT_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.75}
+
+
+@query(
+    "q_horvitz_thompson",
+    oracle=f"""
+    WITH rates AS (
+      SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in HT_RATES.items())})
+        AS t(lang, pi)
+    ),
+    tagged AS (
+      SELECT d.lang, d.n_chars, r.pi,
+             substr(md5('ht:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS h
+      FROM documents d JOIN rates r USING (lang)
+    ),
+    sampled AS (
+      SELECT lang, n_chars, pi FROM tagged
+      WHERE CAST(concat('0x', h) AS BIGINT) < pi * 65536
+    )
+    SELECT t.lang,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.true_chars AS BIGINT) AS true_chars,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           round(coalesce(s.ht_chars, 0.0), 6) AS ht_chars,
+           round(coalesce(s.ht_chars, 0.0) / t.true_chars - 1, 6) AS rel_error
+    FROM (
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS true_chars
+      FROM documents GROUP BY lang
+    ) t
+    LEFT JOIN (
+      SELECT lang, count(*) AS n_sampled, sum(n_chars / pi) AS ht_chars
+      FROM sampled GROUP BY lang
+    ) s USING (lang)
+    ORDER BY t.lang
+    """,
+)
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation (Horvitz & Thompson 1952) under the
+    repo's deterministic stratified Bernoulli sample: each language
+    stratum samples at a known inclusion probability π (md5-bucket
+    membership — reproducible, RNG-free), and the stratum total of
+    ``n_chars`` is estimated as Σ y/π over sampled rows only. Emits
+    the estimate next to the true total and its relative error — the
+    audit that certifies a sampling pipeline's estimator is unbiased
+    *before* anyone trusts sampled metrics at 100 TB (where the true
+    total is only affordable on small strata).
+
+    Scale: membership is a row-local hash compare (16-bit bucket vs
+    π·65536); both aggregates are one map-side-combined groupBy each.
+    The π table is a broadcast literal; the HT sum divides exact
+    integers by a fixed dyadic-friendly π, rounded 6dp identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rates = d.sparkSession.createDataFrame(
+        list(HT_RATES.items()), "lang string, pi double"
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ht:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    tagged = d.join(F.broadcast(rates), "lang").select(
+        "lang", "n_chars", "pi", h16.alias("h")
+    )
+    sampled = tagged.filter(F.col("h") < F.col("pi") * 65536)
+    truth = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("true_chars")
+    )
+    est = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("n_chars") / F.col("pi")).alias("ht_chars"),
+    )
+    return (
+        truth.join(est, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "true_chars",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round(F.coalesce("ht_chars", F.lit(0.0)), 6).alias("ht_chars"),
+            F.round(
+                F.coalesce("ht_chars", F.lit(0.0)) / F.col("true_chars") - 1, 6
+            ).alias("rel_error"),
+        )
+        .orderBy("lang")
+    )
