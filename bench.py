@@ -95,6 +95,7 @@ HEADLINE = [
     "q_mann_whitney",
     "q_fellegi_sunter",
     "q_label_propagation",
+    "q_vocab_coverage",
     # mutual-kNN / link prediction / span corruption (round 5, 2nd phase)
     "q_mutual_knn",
     "q_adamic_adar",

@@ -71,12 +71,13 @@ def _load_all() -> None:
 _PRIORITY = (
     # ROUND-6 ROTATION: the driver samples the FIRST 50 entries.
     # Rounds 1-5 covered 194 distinct names; this head leads with the
-    # two queries NEW this round (semdedup flagship, BPE merge loop),
-    # then a sixth disjoint, never-driver-checked set of 50 from the
-    # 59 remaining (the last two spill to round 7's window along with
-    # the other 9: q_twap, q_udf_surface, q_unigram_kl_drift,
-    # q_union_distinct, q_variant_extract, q_weighted_sample,
-    # q_window_distribution, q_window_ignore_nulls, q_zipf_slope).
+    # 16 queries NEW this round (all never driver-checked by
+    # definition), then a sixth disjoint never-driver-checked set —
+    # the driver's 50 covers the 16 new + the first 34; the remaining
+    # listed names spill to round 7's window along with q_twap,
+    # q_udf_surface, q_unigram_kl_drift, q_union_distinct,
+    # q_variant_extract, q_weighted_sample, q_window_distribution,
+    # q_window_ignore_nulls, q_zipf_slope.
     "q_semdedup",
     "q_bpe_merge_loop",
     "q_dsir_selection",
@@ -90,6 +91,9 @@ _PRIORITY = (
     "q_label_propagation",
     "q_chisq_independence",
     "q_horvitz_thompson",
+    "q_wilson_ctr",
+    "q_ks_test",
+    "q_vocab_coverage",
     "q_ab_lift",
     "q_anomaly_trailing",
     "q_basket_lift",

@@ -1541,3 +1541,175 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
         "chi2",
     )
+
+
+# --------------------------------------------------------------------------
+# Wilson lower-bound proportion ranking
+# --------------------------------------------------------------------------
+WILSON_Z = 1.96
+WILSON_SUCCESS_MIN = 10.0  # fixed business threshold: a "big" event value
+
+
+@query(
+    "q_wilson_ctr",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type, count(*) AS n,
+             count(*) FILTER (WHERE value > {WILSON_SUCCESS_MIN}) AS s
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT event_type, n, s,
+             s * 1.0 / n AS raw_rate,
+             (s * 1.0 / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+              - {WILSON_Z} * sqrt((s * 1.0 / n) * (1 - s * 1.0 / n) / n
+                                  + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+               / (1 + {WILSON_Z} * {WILSON_Z} / n) AS wilson_lo
+      FROM agg
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+           round(raw_rate, 6) AS raw_rate,
+           round(wilson_lo, 6) AS wilson_lower,
+           CAST(row_number() OVER (ORDER BY round(wilson_lo, 6) DESC, event_type)
+             AS BIGINT) AS rank_wilson,
+           CAST(row_number() OVER (ORDER BY round(raw_rate, 6) DESC, event_type)
+             AS BIGINT) AS rank_raw
+    FROM scored ORDER BY event_type
+    """,
+)
+def q_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound (Wilson 1927 — the "how not to sort by
+    average rating" correction): per event type, the success proportion
+    (value above a fixed business threshold) with its 95% lower
+    confidence bound, ranked both ways — small-sample types drop under
+    Wilson ranking exactly where raw-rate ranking overtrusts them. The
+    standard ranking-with-uncertainty primitive for conversion/CTR
+    leaderboards. Ranks order by the 6dp-ROUNDED score (ties by type)
+    so cross-engine float ulps cannot flip them.
+
+    Scale: one map-side-combined two-count aggregate per type; the
+    formula and both rank windows run over the |event_types|-row
+    result (the aggregate-bounded window class).
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") > WILSON_SUCCESS_MIN).alias("s"),
+    )
+    z = WILSON_Z
+    p = F.col("s") / F.col("n")
+    n = F.col("n")
+    wilson = (
+        p + z * z / (2 * n) - z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    ) / (1 + z * z / n)
+    scored = agg.select(
+        "event_type",
+        "n",
+        "s",
+        F.round(p, 6).alias("raw_rate"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    )
+    w_w = Window.orderBy(F.desc("wilson_lower"), "event_type")
+    w_r = Window.orderBy(F.desc("raw_rate"), "event_type")
+    return scored.select(
+        "event_type",
+        "n",
+        "s",
+        "raw_rate",
+        "wilson_lower",
+        F.row_number().over(w_w).cast("long").alias("rank_wilson"),
+        F.row_number().over(w_r).cast("long").alias("rank_raw"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (exact integer arithmetic)
+# --------------------------------------------------------------------------
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    vc AS (
+      SELECT value,
+             count(*) FILTER (WHERE arm = 'A') AS ca,
+             count(*) FILTER (WHERE arm = 'B') AS cb
+      FROM assigned GROUP BY value
+    ),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY value) AS cum_a,
+             sum(cb) OVER (ORDER BY value) AS cum_b
+      FROM vc
+    ),
+    tot AS (
+      SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM vc
+    ),
+    d AS (
+      SELECT max(abs(cum_a * tot.n_b - cum_b * tot.n_a)) AS d_scaled
+      FROM cum, tot
+    )
+    SELECT CAST(tot.n_a AS BIGINT) AS n_a, CAST(tot.n_b AS BIGINT) AS n_b,
+           round(d.d_scaled * 1.0 / (tot.n_a * tot.n_b), 6) AS ks_d,
+           round(d.d_scaled * 1.0 / (tot.n_a * tot.n_b)
+                 * sqrt(tot.n_a * tot.n_b * 1.0 / (tot.n_a + tot.n_b)), 6)
+             AS ks_stat
+    FROM d, tot
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov between the hash-split A/B arms:
+    D = max |F_A(v) − F_B(v)| over the pooled support, plus the
+    normalized statistic D·√(n_A·n_B/(n_A+n_B)) — the
+    distribution-shape companion to ``q_mann_whitney``'s location
+    test (KS also catches variance/shape shifts a rank-sum misses).
+
+    Exactness: D is computed as max |cumA·n_B − cumB·n_A| in INTEGER
+    arithmetic and divided once at the end — no float comparisons
+    anywhere inside the max, so both engines agree bit-for-bit before
+    the final 6dp rounds. The cumulative sums run over the
+    per-distinct-value rollup (the q_zipf_slope window class), never
+    per event row.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    vc = (
+        e.select(arm.alias("arm"), "value")
+        .groupBy("value")
+        .agg(
+            F.count_if(F.col("arm") == "A").alias("ca"),
+            F.count_if(F.col("arm") == "B").alias("cb"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    tot = vc.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        ).alias("d_scaled")
+    )
+    ks_d = F.col("d_scaled") / (F.col("n_a") * F.col("n_b"))
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(
+            ks_d
+            * F.sqrt(
+                F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )

@@ -2253,3 +2253,75 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(206.835) - 1.015 * n_words - 84.6 * (n_syll / n_words), 6
         ).alias("flesch_score"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer sizing input)
+# --------------------------------------------------------------------------
+VOCAB_COVERAGE_SIZES = (100, 1000, 10000)
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, count(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY word
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rn,
+             sum(f) OVER () AS total
+      FROM wc
+    )
+    SELECT CAST(k.k AS BIGINT) AS vocab_size,
+           CAST(count(*) FILTER (WHERE rn <= k.k) AS BIGINT) AS n_types,
+           CAST(coalesce(sum(f) FILTER (WHERE rn <= k.k), 0) AS BIGINT)
+             AS covered_tokens,
+           round(coalesce(sum(f) FILTER (WHERE rn <= k.k), 0) * 1.0 / max(total), 6)
+             AS coverage
+    FROM ranked, (SELECT unnest({list(VOCAB_COVERAGE_SIZES)}) AS k) k
+    GROUP BY k.k ORDER BY vocab_size
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage curve: what fraction of all corpus tokens the
+    top-k most frequent word types cover, at candidate vocabulary
+    sizes {VOCAB_COVERAGE_SIZES} — the first chart any tokenizer-
+    sizing decision reads (where the curve flattens is where a bigger
+    vocabulary stops paying; pairs with ``q_zipf_slope``'s power-law
+    fit and ``q_bpe_tokenize``'s fertility).
+
+    Scale: the corpus collapses to the vocabulary ONCE; the frequency
+    ranking uses the two-phase distributed global rank
+    (``attach_global_order_stats`` — no single-task sort), and the
+    coverage at all K thresholds folds in ONE aggregate over the
+    ranked vocabulary with conditional sums.
+    """
+    from mi_inbound_pulsar_spark.plans.ranking import attach_global_order_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "word")
+    wc = d.select(tok).filter(keep).groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    ranked, _total_rows = attach_global_order_stats(
+        wc, [F.desc("f"), F.asc("word")], rn_col="rn"
+    )
+    aggs = [F.sum("f").alias("total")]
+    for k in VOCAB_COVERAGE_SIZES:
+        aggs.append(F.count_if(F.col("rn") <= k).alias(f"n_{k}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("rn") <= k, F.col("f"))), F.lit(0)).alias(
+                f"c_{k}"
+            )
+        )
+    one = ranked.agg(*aggs)
+    rows = None
+    for k in VOCAB_COVERAGE_SIZES:
+        r = one.select(
+            F.lit(k).cast("long").alias("vocab_size"),
+            F.col(f"n_{k}").alias("n_types"),
+            F.col(f"c_{k}").alias("covered_tokens"),
+            F.round(F.col(f"c_{k}") / F.col("total"), 6).alias("coverage"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("vocab_size")
