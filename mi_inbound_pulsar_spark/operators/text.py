@@ -1800,9 +1800,9 @@ def _bpe_loop_oracle(n: int) -> str:
       ORDER BY total DESC, l, r LIMIT 1
     ),
     t{i} AS (
-      SELECT replace(t.repr, '<' || b.l || '><' || b.r || '>',
-                     '<' || b.l || b.r || '>') AS repr, t.c
-      FROM t{i-1} t, b{i} b
+      SELECT coalesce(replace(t.repr, '<' || b.l || '><' || b.r || '>',
+                              '<' || b.l || b.r || '>'), t.repr) AS repr, t.c
+      FROM t{i-1} t LEFT JOIN b{i} b ON true
     )""")
     union = "\n      UNION ALL ".join(
         f"SELECT iteration, l AS left_sym, r AS right_sym, l || r AS merged, total FROM b{i}"
@@ -1889,6 +1889,12 @@ def bpe_train(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> tuple[DataFrame, Dat
             .select(F.lit(i).cast("long").alias("iteration"), "l", "r", "total")
             .localCheckpoint()  # 1 row; cuts the cross-round lineage
         )
+        if best.isEmpty():
+            # merges exhausted (no adjacent pair anywhere — e.g. a
+            # fully-merged or all-single-symbol vocabulary): every
+            # later round is empty too, and applying an empty merge
+            # via cross join would wipe `cur` — stop here
+            break
         merges.append(best)
         b = F.broadcast(
             best.select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
@@ -1905,6 +1911,11 @@ def bpe_train(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> tuple[DataFrame, Dat
 
     from functools import reduce
 
+    if not merges:
+        empty = d.sparkSession.createDataFrame(
+            [], "iteration long, l string, r string, total long"
+        )
+        merges = [empty]
     merged = reduce(DataFrame.unionByName, merges)
     merge_table = merged.select(
         "iteration",
@@ -2044,9 +2055,10 @@ def _bpe_vocab_cte(n: int) -> str:
       ORDER BY sum(c) DESC, l, r LIMIT 1
     ),
     t{i} AS (
-      SELECT t.word, replace(t.repr, '<' || b.l || '><' || b.r || '>',
-                             '<' || b.l || b.r || '>') AS repr, t.c
-      FROM t{i-1} t, b{i} b
+      SELECT t.word, coalesce(replace(t.repr, '<' || b.l || '><' || b.r || '>',
+                                      '<' || b.l || b.r || '>'), t.repr) AS repr,
+             t.c
+      FROM t{i-1} t LEFT JOIN b{i} b ON true
     )""")
     return "".join(parts)
 
