@@ -140,6 +140,27 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def packed_pair_key(a: Column, b: Column) -> Column:
+    """Pack an ordered id pair into one 64-bit long (``a << 32 | b``) —
+    half the shuffle key width of a two-long group key. Requires both
+    ids in [0, 2^32); the precondition is ENFORCED: an out-of-range id
+    hits ``raise_error`` so violation fails the job loudly instead of
+    silently merging distinct pairs (for wider ids drop the packing —
+    it is an optimization, not semantics)."""
+    packable = (a >= 0) & (b < F.lit(4294967296))
+    return F.when(packable, F.shiftleft(a, 32).bitwiseOR(b)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("packed_pair_key: id outside [0, 2^32): ("),
+                a,
+                F.lit(", "),
+                b,
+                F.lit(")"),
+            )
+        )
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame,
     threshold: float,
@@ -188,10 +209,18 @@ def jaccard_pairs(
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
+    # packed 64-bit pair key (guarded): halves the pair-agg shuffle key
+    # width — the copurchase_pairs trick, shared via packed_pair_key
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(packed_pair_key(F.col("a.doc_id"), F.col("b.doc_id")).alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            F.shiftrightunsigned("pk", 32).alias("doc_a"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("doc_b"),
+            "n_common",
+        )
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
