@@ -230,3 +230,28 @@ def test_corrupt_json_records_are_captured_not_fatal(spark):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert bad.count() == 1
     assert df.filter(F.col("k").isNotNull()).count() == 2
+
+
+def test_orc_source_roundtrip_and_pushdown(spark, sf_dir):
+    # §2B scans/sources: ORC (the third columnar file format Spark
+    # ships natively) — value-identical round-trip with zstd, and the
+    # scan must push filters down like the parquet path does
+    src = (
+        simulated_message_frame(spark, sf_dir)
+        .select("message_id", "topic", "key", "value")
+        .limit(200)
+    )
+    base = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/t"
+    src.write.option("compression", "zstd").orc(base)
+    back = spark.read.orc(base)
+    canon = lambda rows: sorted(tuple(r) for r in rows)
+    assert canon(back.collect()) == canon(src.collect())
+
+    plan = (
+        back.filter(F.col("topic") == "topic-a")
+        .select("message_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "topic" in plan.split("PushedFilters")[1][:120]
