@@ -150,6 +150,42 @@ def prior_bench_times() -> dict[str, float]:
         return {}
 
 
+def _streaming_throughput(spark, sf_dir: str) -> float:
+    """End-to-end Structured Streaming ingestion rate at this sf: the
+    simulated message frame staged as 8 files, replayed with
+    maxFilesPerTrigger=1 through decode_payload + project_metadata in
+    foreachBatch, drained with processAllAvailable. Returns rows/s
+    (micro-batch scheduling included — the honest steady-state number)."""
+    import shutil
+    import tempfile
+
+    from mi_inbound_pulsar_spark.functions.payload import (
+        decode_payload,
+        project_metadata,
+    )
+    from mi_inbound_pulsar_spark.sources.pulsar_source import simulated_stream
+
+    staging = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        stream = simulated_stream(spark, sf_dir, staging_dir=staging, files=8)
+        seen = {"rows": 0}
+
+        def sink(batch_df, _epoch):
+            decoded = decode_payload(
+                batch_df, "application/json", schema="k int"
+            )
+            seen["rows"] += project_metadata(decoded).count()
+
+        t0 = time.time()
+        q = stream.writeStream.foreachBatch(sink).start()
+        q.processAllAvailable()
+        q.stop()
+        elapsed = time.time() - t0
+        return round(seen["rows"] / elapsed, 1) if elapsed > 0 else 0.0
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -190,6 +226,13 @@ def main() -> int:
             # measurement — each query is measured with a clean cache
             spark.catalog.clearCache()
 
+    # Streaming ingestion throughput (the reference's actual job): the
+    # simulated message frame replayed through a real Structured
+    # Streaming query — decode + metadata projection per micro-batch —
+    # rows/s end-to-end including micro-batch scheduling, the number
+    # the reference's polling consumer would be measured by.
+    streaming_rps = _streaming_throughput(spark, sf_dir)
+
     total = round(sum(times.values()), 3)
     # regression gate: any query >1.3x its previous round's best is a
     # visible diff in the JSON line, not judge arithmetic (0.3 s floor
@@ -208,6 +251,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "regressions": regressions,
+                "streaming_rows_per_sec": streaming_rps,
                 "sf": sf,
                 # like-for-like round-over-round comparator: the frozen
                 # round-3 query set's total under this run
