@@ -146,8 +146,16 @@ def packed_pair_key(a: Column, b: Column) -> Column:
     ids in [0, 2^32); the precondition is ENFORCED: an out-of-range id
     hits ``raise_error`` so violation fails the job loudly instead of
     silently merging distinct pairs (for wider ids drop the packing —
-    it is an optimization, not semantics)."""
-    packable = (a >= 0) & (b < F.lit(4294967296))
+    it is an optimization, not semantics).
+
+    Both ids are cast to LONG first: ``shiftleft`` on an INT (or a
+    string that coerces to INT) is a *32-bit* shift, where ``<< 32``
+    is a no-op and every pair would silently collapse onto doc_b's
+    key — the loud-failure guard below cannot catch that, so the cast
+    is load-bearing, not cosmetic."""
+    a, b = a.cast("long"), b.cast("long")
+    lim = F.lit(4294967296)
+    packable = (a >= 0) & (a < lim) & (b >= 0) & (b < lim)
     return F.when(packable, F.shiftleft(a, 32).bitwiseOR(b)).otherwise(
         F.raise_error(
             F.concat(

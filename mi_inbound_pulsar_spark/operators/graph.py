@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
-from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingles
+from mi_inbound_pulsar_spark.operators.dedup import (
+    jaccard_pairs,
+    packed_pair_key,
+    shingles,
+)
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
 
@@ -453,24 +457,11 @@ def copurchase_pairs(pl: DataFrame, min_common: int) -> DataFrame:
     key, measured 4.2 s vs 4.8 s for the full sf0.1 edge build.
     Requires ids in [0, 2^32) (TPC-H custkeys; for wider ids drop the
     packing — it is an optimization, not semantics). The precondition
-    is *enforced*, not just documented: an out-of-range id hits
-    ``raise_error`` inside the packing expression, so violation fails
-    the job loudly instead of silently merging distinct pairs.
+    is *enforced* by the shared :func:`packed_pair_key` helper, which
+    also casts to LONG first (``shiftleft`` on an INT is a 32-bit
+    shift, where ``<< 32`` silently no-ops and merges all pairs).
     """
-    packable = (F.col("cust_a") >= 0) & (F.col("cust_b") < F.lit(4294967296))
-    pk = F.when(
-        packable, F.shiftleft(F.col("cust_a"), 32).bitwiseOR(F.col("cust_b"))
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("copurchase_pairs: id outside packable range [0, 2^32): ("),
-                F.col("cust_a"),
-                F.lit(", "),
-                F.col("cust_b"),
-                F.lit(")"),
-            )
-        )
-    )
+    pk = packed_pair_key(F.col("cust_a"), F.col("cust_b"))
     return (
         pl.select(F.explode("custs").alias("cust_a"), "custs")
         .select("cust_a", F.explode("custs").alias("cust_b"))
@@ -1013,14 +1004,13 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl = part_posting_lists(spark, sf_dir).filter(F.size("custs") >= 2)
     wt = 1.0 / F.log(F.size("custs").cast("double"))
     # same packed 64-bit pair key as copurchase_pairs (half the shuffle
-    # key width); TPC-H custkeys are in [0, 2^32) — the pack guard in
-    # copurchase_pairs enforces the shared precondition loudly
+    # key width); packed_pair_key casts to LONG and range-guards loudly
     pairs = (
         pl.select(F.explode("custs").alias("cust_a"), "custs", wt.alias("wt"))
         .select("cust_a", F.explode("custs").alias("cust_b"), "wt")
         .filter(F.col("cust_a") < F.col("cust_b"))
         .select(
-            F.shiftleft(F.col("cust_a"), 32).bitwiseOR(F.col("cust_b")).alias("pk"),
+            packed_pair_key(F.col("cust_a"), F.col("cust_b")).alias("pk"),
             "wt",
         )
     )
