@@ -1713,3 +1713,456 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test (the parametric A/B readout)
+# --------------------------------------------------------------------------
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT
+        count(*) FILTER (WHERE arm = 'A') AS n_a,
+        count(*) FILTER (WHERE arm = 'B') AS n_b,
+        sum(cents) FILTER (WHERE arm = 'A') AS s_a,
+        sum(cents) FILTER (WHERE arm = 'B') AS s_b,
+        sum(cents * cents) FILTER (WHERE arm = 'A') AS ss_a,
+        sum(cents * cents) FILTER (WHERE arm = 'B') AS ss_b
+      FROM assigned
+    ),
+    v AS (
+      SELECT n_a, n_b,
+             s_a / (100.0 * n_a) AS mean_a,
+             s_b / (100.0 * n_b) AS mean_b,
+             (ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / ((n_a - 1) * 10000.0)
+               AS var_a,
+             (ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / ((n_b - 1) * 10000.0)
+               AS var_b
+      FROM m
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t,
+           round(
+             (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS dof
+    FROM v
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic with the Welch-Satterthwaite
+    degrees of freedom (Welch 1947) between the same md5 hash-split A/B
+    arms as ``q_ab_lift`` / ``q_mann_whitney`` — the parametric member
+    of the A/B readout family (MW is its rank-based twin, KS its
+    distribution-shape twin).
+
+    Hash-exactness: means and variances are derived from EXACT integer
+    moment sums (values are cents, so ``Σx`` and ``Σx²`` are integer
+    aggregates with no float reassociation), then combined in one
+    deterministic double expression — both engines produce the
+    bit-identical statistic before the 6dp rounding. var_samp is NOT
+    used precisely because its streaming update order differs per
+    engine.
+
+    Scale: the corpus collapses in ONE map-side-combined aggregate to
+    six integers; everything after is scalar arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm_a = (
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    m = e.select(arm_a.alias("is_a"), cents.alias("cents")).agg(
+        F.count_if("is_a").alias("n_a"),
+        F.count_if(~F.col("is_a")).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("cents"))).alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("cents"))).alias("s_b"),
+        F.sum(F.when(F.col("is_a"), F.col("cents") * F.col("cents"))).alias("ss_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("cents") * F.col("cents"))).alias("ss_b"),
+    )
+    mean_a = F.col("s_a") / (100.0 * F.col("n_a"))
+    mean_b = F.col("s_b") / (100.0 * F.col("n_b"))
+    var_a = (
+        F.col("ss_a") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    ) / ((F.col("n_a") - 1) * 10000.0)
+    var_b = (
+        F.col("ss_b") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    ) / ((F.col("n_b") - 1) * 10000.0)
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 6).alias("t"),
+        F.round(
+            (se2_a + se2_b) * (se2_a + se2_b)
+            / (se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1)),
+            6,
+        ).alias("dof"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V (effect size for categorical association)
+# --------------------------------------------------------------------------
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT c_nationkey AS r_key, c_mktsegment AS c_key, count(*) AS o
+      FROM customer GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.o, rs.rn, cs.cn, t.n
+      FROM obs o
+      JOIN (SELECT r_key, sum(o) AS rn FROM obs GROUP BY r_key) rs USING (r_key)
+      JOIN (SELECT c_key, sum(o) AS cn FROM obs GROUP BY c_key) cs USING (c_key)
+      CROSS JOIN (SELECT sum(o) AS n FROM obs) t
+    ),
+    stat AS (
+      SELECT sum((o - CAST(rn * cn AS DOUBLE) / n)
+                 * (o - CAST(rn * cn AS DOUBLE) / n)
+                 / (CAST(rn * cn AS DOUBLE) / n)) AS chi2,
+             max(n) AS n
+      FROM margins
+    ),
+    dims AS (
+      SELECT count(DISTINCT r_key) AS r, count(DISTINCT c_key) AS c FROM obs
+    )
+    SELECT CAST(stat.n AS BIGINT) AS n,
+           CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+           round(stat.chi2, 6) AS chi2,
+           round(sqrt(stat.chi2 / (stat.n * least(dims.r - 1, dims.c - 1))), 6)
+             AS cramers_v
+    FROM stat, dims
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size (Cramér 1946) over the nation × market
+    segment contingency table — the chi-square statistic normalized to
+    [0, 1] so association strength is comparable across tables of
+    different size, the readout a mixture owner uses to decide whether
+    a categorical dependency is *practically* meaningful (the p-value
+    twin is ``q_chisq_independence``).
+
+    Scale: identical shape to q_chisq_independence — the corpus
+    collapses to the |nations| × |segments| contingency table in one
+    map-side-combined groupBy; margins and V are arithmetic over that
+    tiny table with the one-row total broadcast.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    obs = c.groupBy(
+        F.col("c_nationkey").alias("r_key"), F.col("c_mktsegment").alias("c_key")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rs = obs.groupBy("r_key").agg(F.sum("o").alias("rn"))
+    cs = obs.groupBy("c_key").agg(F.sum("o").alias("cn"))
+    t = obs.agg(F.sum("o").alias("n"))
+    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("n")
+    stat = (
+        obs.join(rs, "r_key")
+        .join(cs, "c_key")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+            F.max("n").alias("n"),
+        )
+    )
+    dims = obs.agg(
+        F.count_distinct("r_key").alias("r"), F.count_distinct("c_key").alias("c")
+    )
+    return stat.crossJoin(F.broadcast(dims)).select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-series goodness-of-fit tests
+# --------------------------------------------------------------------------
+BH_FDR_Q = 0.10
+
+
+@query(
+    "q_benjamini_hochberg",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 30 THEN 'lo'
+                  WHEN value < 70 THEN 'mid' ELSE 'hi' END AS bucket
+      FROM events
+    ),
+    obs AS (SELECT event_type, bucket, count(*) AS o FROM b GROUP BY 1, 2),
+    gt AS (SELECT event_type, sum(o) AS ng FROM obs GROUP BY event_type),
+    bt AS (SELECT bucket, sum(o) AS nb FROM obs GROUP BY bucket),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    chi AS (
+      SELECT o.event_type,
+             sum((o.o - CAST(gt.ng * bt.nb AS DOUBLE) / tot.n)
+                 * (o.o - CAST(gt.ng * bt.nb AS DOUBLE) / tot.n)
+                 / (CAST(gt.ng * bt.nb AS DOUBLE) / tot.n)) AS chi2
+      FROM obs o JOIN gt USING (event_type) JOIN bt USING (bucket)
+      CROSS JOIN tot
+      GROUP BY o.event_type
+    ),
+    p AS (
+      SELECT event_type, chi2, exp(-chi2 / 2) AS pval,
+             row_number() OVER (ORDER BY exp(-chi2 / 2), event_type) AS i,
+             count(*) OVER () AS m
+      FROM chi
+    ),
+    k AS (
+      SELECT coalesce(max(i) FILTER (WHERE pval <= i * {BH_FDR_Q} / m), 0)
+        AS kmax FROM p
+    )
+    SELECT p.event_type, round(p.chi2, 6) AS chi2, round(p.pval, 6) AS pval,
+           CAST(p.i AS BIGINT) AS p_rank,
+           round(p.i * {BH_FDR_Q} / p.m, 6) AS bh_critical,
+           p.i <= k.kmax AS rejected
+    FROM p, k ORDER BY p.i
+    """,
+)
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    1995) at q=0.10 over one hypothesis per event series: a
+    3-bucket value-distribution goodness-of-fit chi-square against the
+    pooled distribution. With exactly 2 degrees of freedom the
+    chi-square survival function is EXACTLY ``exp(-x/2)`` — no erf or
+    incomplete-gamma approximation, so the p-values are closed-form
+    and engine-identical. The step-up rule (reject all ranks up to the
+    LARGEST i with p_i <= i·q/m, including any non-monotone dips
+    before it) is the part naive per-test thresholding gets wrong.
+
+    Scale: corpus → |series| × 3 contingency cells in one
+    map-side-combined groupBy; the BH window runs over the m-row
+    p-value table (m = |event types|), the q_zipf_slope
+    aggregate-bounded waiver class.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 30, "lo")
+        .when(F.col("value") < 70, "mid")
+        .otherwise("hi")
+    )
+    obs = e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    gt = obs.groupBy("event_type").agg(F.sum("o").alias("ng"))
+    bt = obs.groupBy("bucket").agg(F.sum("o").alias("nb"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp_c = (F.col("ng") * F.col("nb")).cast("double") / F.col("n")
+    chi = (
+        obs.join(gt, "event_type")
+        .join(bt, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("o") - exp_c) * (F.col("o") - exp_c) / exp_c).alias("chi2")
+        )
+    )
+    pval = F.exp(-F.col("chi2") / 2)
+    w = Window.orderBy(pval, "event_type")
+    p = chi.select(
+        "event_type",
+        "chi2",
+        pval.alias("pval"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    crit = F.col("i") * BH_FDR_Q / F.col("m")
+    k = p.agg(
+        F.coalesce(F.max(F.when(F.col("pval") <= crit, F.col("i"))), F.lit(0)).alias(
+            "kmax"
+        )
+    )
+    return (
+        p.crossJoin(F.broadcast(k))
+        .select(
+            "event_type",
+            F.round("chi2", 6).alias("chi2"),
+            F.round("pval", 6).alias("pval"),
+            F.col("i").cast("long").alias("p_rank"),
+            F.round(crit, 6).alias("bh_critical"),
+            (F.col("i") <= F.col("kmax")).alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (midranks for ties)
+# --------------------------------------------------------------------------
+@query(
+    "q_spearman_corr",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS x,
+             CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+      SELECT pri,
+             rank() OVER (PARTITION BY pri ORDER BY x)
+               + (count(*) OVER (PARTITION BY pri, x) - 1) / 2.0 AS rx,
+             rank() OVER (PARTITION BY pri ORDER BY y)
+               + (count(*) OVER (PARTITION BY pri, y) - 1) / 2.0 AS ry
+      FROM j
+    )
+    SELECT pri, CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx, ry), 6) AS spearman_rho
+    FROM r GROUP BY pri ORDER BY pri
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per order priority between order value
+    and the customer's account balance — Pearson correlation computed
+    on MIDRANKS (min-rank + (ties-1)/2, the tie-correct form), the
+    monotone-association complement of ``q_agg_corr``'s linear Pearson.
+
+    Midranks are exact half-integers (rank() plus a half-integer tie
+    offset over integer-cents keys), so the only float work is the
+    final corr aggregate — rounded 6dp per the repo convention (corr
+    accumulates in engine-specific order; rho is O(0.01-1) so 6dp
+    dwarfs the reassociation error).
+
+    Scale: both rank windows are PARTITIONED by the group key — no
+    global sort; ranks then collapse in one map-side-combined corr
+    per group.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("y")
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).select("pri", "x", "y")
+    rx = (
+        F.rank().over(Window.partitionBy("pri").orderBy("x"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("pri", "x")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(Window.partitionBy("pri").orderBy("y"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("pri", "y")) - 1) / 2.0
+    )
+    r = j.select("pri", rx.alias("rx"), ry.alias("ry"))
+    return (
+        r.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+        )
+        .orderBy("pri")
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b over daily series pairs (tie-corrected)
+# --------------------------------------------------------------------------
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             sign((a.x - b.x) * (a.y - b.y)) AS s,
+             CAST(a.x = b.x AS INT) AS tx,
+             CAST(a.y = b.y AS INT) AS ty
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+    ),
+    agg AS (
+      SELECT event_type,
+             count(*) AS n0,
+             sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS conc,
+             sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS disc,
+             sum(tx) AS n1, sum(ty) AS n2
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round((conc - disc) / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 6)
+             AS kendall_tau_b
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per event series between daily volume and daily
+    revenue (Kendall 1945, the tie-corrected form): concordant minus
+    discordant day pairs over the geometric mean of tie-adjusted pair
+    counts. The rank-based alternative to ``q_spearman_corr`` that is
+    also a U-statistic — its pairwise structure reuses the
+    ``q_theil_sen_trend`` per-series pair-join shape exactly.
+
+    Hash-exactness: x (a count) and y (integer cents) are exact, so
+    sign/tie tests and all four tallies are integer-exact; only the
+    final sqrt normalization is float, rounded 6dp.
+
+    Scale: the corpus collapses to |series| × |days| rows first; the
+    pair join is per-series over that rollup (d²/2 tiny rows — for
+    long series subsample days first). No global window, no cartesian:
+    the join is equi-keyed on the series with a range residual.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"), F.sum(cents).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = F.signum(
+        ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))).cast("double")
+    )
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        s.alias("s"),
+        (F.col("a.x") == F.col("b.x")).cast("int").alias("tx"),
+        (F.col("a.y") == F.col("b.y")).cast("int").alias("ty"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(F.col("s") > 0).alias("conc"),
+        F.count_if(F.col("s") < 0).alias("disc"),
+        F.sum("tx").alias("n1"),
+        F.sum("ty").alias("n2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n0").alias("n_pairs"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / F.sqrt((F.col("n0") - F.col("n1")).cast("double") * (F.col("n0") - F.col("n2"))),
+            6,
+        ).alias("kendall_tau_b"),
+    ).orderBy("event_type")

@@ -1241,3 +1241,100 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("n").alias("min_member"))
         .orderBy("community")
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) — integer-ppm fixpoint
+# --------------------------------------------------------------------------
+@query(
+    "q_hits_scores",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    a1 AS (
+      SELECT supp, sum(CAST(1000000 AS BIGINT)) AS a FROM edges GROUP BY supp
+    ),
+    a1n AS (
+      SELECT supp, a * 1000000 // (SELECT sum(a) FROM a1) AS a FROM a1
+    ),
+    h1 AS (
+      SELECT e.cust, sum(a1n.a) AS h FROM edges e JOIN a1n USING (supp)
+      GROUP BY e.cust
+    ),
+    h1n AS (
+      SELECT cust, h * 1000000 // (SELECT sum(h) FROM h1) AS h FROM h1
+    ),
+    a2 AS (
+      SELECT e.supp, sum(h1n.h) AS a FROM edges e JOIN h1n USING (cust)
+      GROUP BY e.supp
+    ),
+    a2n AS (
+      SELECT supp, a * 1000000 // (SELECT sum(a) FROM a2) AS a FROM a2
+    ),
+    h2 AS (
+      SELECT e.cust, sum(a2n.a) AS h FROM edges e JOIN a2n USING (supp)
+      GROUP BY e.cust
+    ),
+    h2n AS (
+      SELECT cust, h * 1000000 // (SELECT sum(h) FROM h2) AS h FROM h2
+    )
+    SELECT supp AS node, CAST(a AS BIGINT) AS authority_ppm
+    FROM a2n ORDER BY authority_ppm DESC, node LIMIT 25
+    """,
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the bipartite customer→supplier
+    purchase graph: customers are hubs, suppliers authorities; two
+    synchronous update rounds (authority = Σ hub of in-neighbors,
+    hub = Σ authority of out-neighbors), each followed by L1
+    normalization. Like ``q_pagerank_purchases`` the fixpoint runs in
+    **parts-per-million integer arithmetic** (``score·1e6 DIV Σ``),
+    so every engine produces the bit-identical vector — a float HITS
+    would drift with summation order. Top suppliers by final
+    authority.
+
+    Plan per half-round: one equi-join of the current score vector
+    onto the edge list + one map-side-combined aggregate on the other
+    side's key; the L1 total is a 1-row aggregate broadcast back.
+    The edge list is built once and persisted; 2 rounds = 4 such
+    half-rounds, the synchronous-iteration shape shared with PageRank.
+    Overflow headroom: scores are ≤ 1e6 post-normalization, so the
+    pre-normalization Σ is ≤ 1e6·|edges| and the ·1e6 product stays
+    under 2^63 up to ~9e6 edges per node-side — at larger graphs
+    widen to DECIMAL(38,0) before the multiply.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .persist()
+    )
+
+    def l1_normalize(scores: DataFrame, key: str) -> DataFrame:
+        tot = scores.agg(F.sum("s").alias("tot"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            key, F.expr("s * 1000000 DIV tot").alias("s")
+        )
+
+    hubs = edges.select("cust").distinct().select(
+        "cust", F.lit(1000000).cast("long").alias("s")
+    )
+    for _ in range(2):
+        auth = l1_normalize(
+            edges.join(hubs, "cust").groupBy("supp").agg(F.sum("s").alias("s")),
+            "supp",
+        )
+        hubs = l1_normalize(
+            edges.join(auth, "supp").groupBy("cust").agg(F.sum("s").alias("s")),
+            "cust",
+        )
+    # `auth` holds the round-2 normalized authority vector
+    return (
+        auth.select(F.col("supp").alias("node"), F.col("s").alias("authority_ppm"))
+        .orderBy(F.desc("authority_ppm"), "node")
+        .limit(25)
+    )

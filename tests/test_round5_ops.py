@@ -102,7 +102,7 @@ def test_copurchase_pack_guard_raises_on_wide_ids(spark):
     bad = spark.createDataFrame(
         [(1, [1, 2**32]), (2, [1, 2**32])], "part long, custs array<long>"
     )
-    with pytest.raises(SparkRuntimeException, match="packable range"):
+    with pytest.raises(SparkRuntimeException, match="id outside"):
         copurchase_pairs(bad, min_common=2).collect()
 
 
@@ -486,3 +486,24 @@ def test_retrieval_mrr_bounds_and_planted_hit(spark):
     assert got["n_queries"] == 5
     assert got["mrr"] == 1.0  # unique rare terms -> source ranks first
     assert got["n_hits_top10"] == 5
+
+
+def test_packed_pair_key_casts_narrow_ids_to_long(spark):
+    """Regression: shiftleft on an INT (or string→INT coercion) is a
+    32-bit shift, so ``<< 32`` silently no-ops and every pair collapses
+    onto doc_b's key. The helper must cast to LONG first."""
+    import pyspark.sql.functions as F
+
+    from mi_inbound_pulsar_spark.operators.dedup import packed_pair_key
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a int, b int"
+    ).union(spark.createDataFrame([(1, 2)], "a string, b string").selectExpr(
+        "cast(a as int) a", "cast(b as int) b"))
+    keys = [
+        r["pk"]
+        for r in df.select(
+            packed_pair_key(F.col("a"), F.col("b")).alias("pk")
+        ).collect()
+    ]
+    assert sorted(set(keys)) == [(1 << 32) | 2, (1 << 32) | 3, (2 << 32) | 3]

@@ -53,6 +53,9 @@ WAIVERS = {
     # rollup; Wilson ranks over the |event_types|-row aggregate
     "q_ks_test": {"GlobalWindow"},
     "q_wilson_ctr": {"GlobalWindow"},
+    # BH step-up ranks the m-row p-value table (m = |event types|,
+    # an aggregate output) — the same aggregate-bounded class
+    "q_benjamini_hochberg": {"GlobalWindow"},
 }
 
 
