@@ -1100,3 +1100,81 @@ def semdedup_groups(
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# int8 symmetric embedding quantization + reconstruction audit
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH el AS (
+      SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    scale AS (
+      SELECT dim, max(abs(x)) AS s FROM el GROUP BY dim
+    ),
+    q AS (
+      SELECT el.label,
+             el.x,
+             greatest(-127, least(127,
+               floor(el.x / scale.s * 127 + 0.5))) AS qv,
+             scale.s
+      FROM el JOIN scale USING (dim)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_elems,
+           round(sum((x - qv * s / 127) * (x - qv * s / 127)) * 1000000
+                 / count(*), 6) AS mse_micro,
+           round(max(abs(x - qv * s / 127)) * 1000, 6) AS max_abs_err_milli
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus (the standard serving/storage compression: q = round(x/s ·
+    127) with s = per-dim max |x|) plus the reconstruction-error audit
+    a vector-store owner runs before switching the ANN index to int8 —
+    per-label MSE (in micro-units) and worst-case absolute error (in
+    milli-units). Companion of ``q_ann_pq_recall``: PQ compresses by
+    codebook, this by scalar range; both need an error gate.
+
+    Hash-exactness: the quantized code is ``floor(x/s·127 + 0.5)``
+    spelled explicitly (NOT engine ``round``, whose half-rule differs),
+    over float32 values promoted exactly to double — both engines
+    produce the bit-identical code; only the error aggregates carry
+    reassociation noise, rounded 6dp.
+
+    Scale: one posexplode + a |dims|-row max aggregate (broadcast
+    back), then a map-side-combined per-label aggregate — the corpus
+    shuffles only as (label, partial-moment) rows. The quantized
+    column itself would be written back bucketed; here the audit is
+    the deliverable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("label", "dim", F.col("xf").cast("double").alias("x"))
+    scale = el.groupBy("dim").agg(F.max(F.abs("x")).alias("s"))
+    qv = F.greatest(
+        F.lit(-127.0),
+        F.least(F.lit(127.0), F.floor(F.col("x") / F.col("s") * 127 + 0.5)),
+    )
+    q = el.join(F.broadcast(scale), "dim").select(
+        "label", "x", "s", qv.alias("qv")
+    )
+    err = F.col("x") - F.col("qv") * F.col("s") / 127
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            F.round(F.sum(err * err) * 1000000 / F.count(F.lit(1)), 6).alias(
+                "mse_micro"
+            ),
+            F.round(F.max(F.abs(err)) * 1000, 6).alias("max_abs_err_milli"),
+        )
+        .orderBy("label")
+    )

@@ -2337,3 +2337,195 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("vocab_size")
+
+
+# --------------------------------------------------------------------------
+# Bigram LM cross-entropy (the real-LM upgrade of q_perplexity_filter)
+# --------------------------------------------------------------------------
+BIGRAM_LM_ADD_K = 0.5
+
+
+@query(
+    "q_bigram_lm_cross_entropy",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (
+      SELECT w1, count(*) AS cu
+      FROM (SELECT unnest(w) AS w1 FROM docs) GROUP BY w1
+    ),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+    scored AS (
+      SELECT bg.doc_id,
+             count(*) AS n_bigrams,
+             sum(-log2((bc.cb + {BIGRAM_LM_ADD_K})
+                       / (uni.cu + {BIGRAM_LM_ADD_K} * vocab.v))) AS nll
+      FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(nll / n_bigrams, 6) AS cross_entropy_bits,
+           (nll / n_bigrams > 8.0) AS flagged
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (bits per bigram) under an
+    add-k-smoothed corpus BIGRAM language model — the real-LM upgrade
+    of ``q_perplexity_filter``'s unigram proxy (Jurafsky & Martin ch.
+    3; the KenLM-scoring stage of CCNet, Wenzek et al. 2020, uses the
+    same statistic from a 5-gram model). P(w2|w1) = (c(w1,w2)+k) /
+    (c(w1)+k·V); documents with improbable transition structure (word
+    salad that unigram frequency cannot see) score high and get
+    flagged. The threshold compares the unrounded value identically on
+    both sides.
+
+    Plan: two vocabulary-bounded groupBys build the model (bigram and
+    unigram tables); the per-doc bigram stream joins the model on its
+    key — the model side is vocabulary²-bounded and hot (every probe
+    hits), the corpus side streams. One per-doc aggregate finishes.
+    At 100 TB train the model on a sample slice, same plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    docs = d.select("doc_id", w.alias("w"))
+    uni = (
+        docs.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    nll_term = -F.log2(
+        (F.col("cb") + BIGRAM_LM_ADD_K)
+        / (F.col("cu") + BIGRAM_LM_ADD_K * F.col("v"))
+    )
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(nll_term).alias("nll"),
+        )
+    )
+    ce = F.col("nll") / F.col("n_bigrams")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(ce, 6).alias("cross_entropy_bits"),
+        (ce > 8.0).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit (the companion of q_zipf_slope)
+# --------------------------------------------------------------------------
+HEAPS_CHECKPOINTS = 100
+
+
+@query(
+    "q_heaps_law",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    width AS (
+      SELECT greatest(1, (max(doc_id) + 1) // {HEAPS_CHECKPOINTS}) AS wd
+      FROM docs
+    ),
+    tok AS (
+      SELECT doc_id // (SELECT wd FROM width) AS bucket, unnest(w) AS term
+      FROM docs
+    ),
+    toks_per_bucket AS (
+      SELECT bucket, count(*) AS n_tok FROM tok GROUP BY bucket
+    ),
+    first_seen AS (
+      SELECT term, min(bucket) AS fb FROM tok GROUP BY term
+    ),
+    new_types AS (
+      SELECT fb AS bucket, count(*) AS n_new FROM first_seen GROUP BY fb
+    ),
+    cp AS (
+      SELECT t.bucket,
+             sum(t.n_tok) OVER (ORDER BY t.bucket) AS cum_tokens,
+             sum(coalesce(n.n_new, 0)) OVER (ORDER BY t.bucket) AS cum_vocab
+      FROM toks_per_bucket t LEFT JOIN new_types n USING (bucket)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+           CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(cum_vocab) AS BIGINT) AS total_vocab,
+           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_beta,
+           round(regr_intercept(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_log_k
+    FROM cp
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit (Heaps 1978): vocabulary size grows as V ≈ K·nᵝ
+    with corpus size n; the log-log regression slope β is the standard
+    sublinearity readout a tokenizer owner checks before sizing a
+    vocabulary (the growth-curve companion of ``q_zipf_slope``'s
+    frequency-decay exponent and ``q_vocab_coverage``'s fixed-vocab
+    curve).
+
+    Scale design: the cumulative window does NOT run over documents —
+    docs collapse into {HEAPS_CHECKPOINTS} ordered doc-id buckets
+    first (bucket width from a 1-row max aggregate), each type is
+    attributed to its FIRST bucket by a vocabulary-bounded min
+    aggregate, and the running sums + regression run over the ≤
+    {HEAPS_CHECKPOINTS}-row checkpoint table — the aggregate-bounded
+    global-window class (q_zipf_slope waiver), corpus-size-independent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split("text", " ").alias("w"))
+    width = docs.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(max(doc_id) + 1) DIV {HEAPS_CHECKPOINTS}"),
+        ).alias("wd")
+    )
+    tok = (
+        docs.crossJoin(F.broadcast(width))
+        .select(
+            F.expr("doc_id DIV wd").alias("bucket"),
+            F.explode("w").alias("term"),
+        )
+    )
+    tpb = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_seen = tok.groupBy("term").agg(F.min("bucket").alias("fb"))
+    new_types = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w_cum = Window.orderBy("bucket")
+    cp = (
+        tpb.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w_cum).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w_cum).alias("cum_vocab"),
+        )
+    )
+    lv, lt = F.log(F.col("cum_vocab")), F.log(F.col("cum_tokens"))
+    return cp.agg(
+        F.count(F.lit(1)).alias("n_checkpoints"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("total_vocab"),
+        F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(lv, lt), 6).alias("heaps_log_k"),
+    )

@@ -56,6 +56,8 @@ WAIVERS = {
     # BH step-up ranks the m-row p-value table (m = |event types|,
     # an aggregate output) — the same aggregate-bounded class
     "q_benjamini_hochberg": {"GlobalWindow"},
+    # running sums over the <=100-row checkpoint-bucket rollup
+    "q_heaps_law": {"GlobalWindow"},
 }
 
 
