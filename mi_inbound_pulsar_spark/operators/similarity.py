@@ -1178,3 +1178,90 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining over the kNN shortlist (contrastive training prep)
+# --------------------------------------------------------------------------
+HARD_NEG_POOL_K = 10
+HARD_NEG_PER_ANCHOR = 3
+
+
+@query(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+    ),
+    allpairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    ),
+    knn AS (
+      SELECT ia, ib, sim,
+             row_number() OVER (PARTITION BY ia ORDER BY round(sim, 6) DESC, ib) AS rk
+      FROM allpairs
+    ),
+    shortlist AS (SELECT ia, ib, sim FROM knn WHERE rk <= {HARD_NEG_POOL_K}),
+    negs AS (
+      SELECT s.ia AS vec_id, qa.label AS anchor_label,
+             s.ib AS neg_id, nb.label AS neg_label, s.sim,
+             row_number() OVER (PARTITION BY s.ia
+                                ORDER BY round(s.sim, 6) DESC, s.ib) AS neg_rank
+      FROM shortlist s
+      JOIN e qa ON s.ia = qa.vec_id
+      JOIN e nb ON s.ib = nb.vec_id
+      WHERE qa.label != nb.label
+    )
+    SELECT vec_id, anchor_label, neg_id, neg_label,
+           round(sim, 6) AS sim, CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM negs WHERE neg_rank <= {HARD_NEG_PER_ANCHOR}
+    ORDER BY vec_id, neg_rank
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020): for every anchor vector, the top
+    {HARD_NEG_PER_ANCHOR} most-similar neighbors with a DIFFERENT
+    label from its {HARD_NEG_POOL_K}-NN shortlist — near-misses the
+    embedding currently confuses, the highest-value negatives a
+    training batch can contain.
+
+    Plan: reuses the block-cogrouped exact kNN self-join (the corpus
+    never collects; at 100 TB the shortlist generator is the ANN index
+    and this stage is unchanged — practical miners rank negatives
+    within an ANN shortlist, exactly this shape). Label joins ride the
+    (k·n)-row edge list; the per-anchor re-rank window sees ≤ k rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    knn = knn_self_join(e, k=HARD_NEG_POOL_K)
+    negs = (
+        knn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            labels.select("vec_id", F.col("label").alias("anchor_label")), "vec_id"
+        )
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round("sim", 6)), "neighbor_id"
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= HARD_NEG_PER_ANCHOR)
+        .select(
+            "vec_id",
+            "anchor_label",
+            F.col("neighbor_id").alias("neg_id"),
+            "neg_label",
+            F.round("sim", 6).alias("sim"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+        .orderBy("vec_id", "neg_rank")
+    )
