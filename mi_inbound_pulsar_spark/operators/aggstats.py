@@ -2166,3 +2166,108 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau_b"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Delete-one-block jackknife confidence interval
+# --------------------------------------------------------------------------
+JACKKNIFE_BLOCKS = 10
+
+
+@query(
+    "q_jackknife_ci",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT CAST(concat('0x', substr(md5('jk:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {JACKKNIFE_BLOCKS} AS blk,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per_block AS (
+      SELECT blk, count(*) AS nb, sum(cents) AS sb FROM blocked GROUP BY blk
+    ),
+    tot AS (SELECT sum(nb) AS n, sum(sb) AS s FROM per_block),
+    loo AS (
+      SELECT (t.s - p.sb) / (100.0 * (t.n - p.nb)) AS m_loo
+      FROM per_block p CROSS JOIN tot t
+    ),
+    jk AS (
+      SELECT count(*) AS b, avg(m_loo) AS m_bar,
+             sum((m_loo - (SELECT avg(m_loo) FROM loo))
+                 * (m_loo - (SELECT avg(m_loo) FROM loo))) AS ss
+      FROM loo
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(jk.b AS BIGINT) AS n_blocks,
+           round(t.s / (100.0 * t.n), 6) AS mean,
+           round(sqrt((jk.b - 1.0) / jk.b * jk.ss), 6) AS jk_se,
+           round(t.s / (100.0 * t.n) - 1.96 * sqrt((jk.b - 1.0) / jk.b * jk.ss), 6)
+             AS ci_lo,
+           round(t.s / (100.0 * t.n) + 1.96 * sqrt((jk.b - 1.0) / jk.b * jk.ss), 6)
+             AS ci_hi
+    FROM jk CROSS JOIN tot t
+    """,
+)
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife standard error and 95% CI for the
+    mean purchase value (Quenouille 1956 / Tukey 1958; the block form
+    is how distributed systems resample without a shuffle-per-replica
+    — one pass yields all {JACKKNIFE_BLOCKS} leave-one-out estimates).
+    Blocks are a deterministic md5 hash of the user, so the resampling
+    plan is reproducible across engines and runs — no RNG.
+
+    Hash-exactness: per-block sums are exact integer cents; each
+    leave-one-out mean is one deterministic double expression over
+    (total − block) integers; only the {JACKKNIFE_BLOCKS}-term
+    variance sum carries reassociation noise, rounded 6dp.
+
+    Scale: ONE map-side-combined groupBy to {JACKKNIFE_BLOCKS} block
+    rows, then scalar arithmetic — contrast a bootstrap, which needs
+    R passes or a poissonized reshuffle; the jackknife gets R=B
+    replicates from a single aggregation.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # portable 60-bit md5-prefix bucket (the q_decontaminate_13gram /
+    # portable_token_hash rule) — engine hash() functions differ
+    blk = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("jk:"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % JACKKNIFE_BLOCKS
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_block = (
+        e.select(blk.alias("blk"), cents.alias("cents"))
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("cents").alias("sb"))
+    )
+    tot = per_block.agg(F.sum("nb").alias("n"), F.sum("sb").alias("s"))
+    loo = per_block.crossJoin(F.broadcast(tot)).select(
+        ((F.col("s") - F.col("sb")) / (100.0 * (F.col("n") - F.col("nb")))).alias(
+            "m_loo"
+        )
+    )
+    m_bar = loo.agg(F.avg("m_loo").alias("m_bar"))
+    jk = (
+        loo.crossJoin(F.broadcast(m_bar))
+        .agg(
+            F.count(F.lit(1)).alias("b"),
+            F.sum(
+                (F.col("m_loo") - F.col("m_bar")) * (F.col("m_loo") - F.col("m_bar"))
+            ).alias("ss"),
+        )
+    )
+    se = F.sqrt((F.col("b") - 1.0) / F.col("b") * F.col("ss"))
+    mean = F.col("s") / (100.0 * F.col("n"))
+    return jk.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("b").cast("long").alias("n_blocks"),
+        F.round(mean, 6).alias("mean"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(mean - 1.96 * se, 6).alias("ci_lo"),
+        F.round(mean + 1.96 * se, 6).alias("ci_hi"),
+    )
