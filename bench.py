@@ -106,6 +106,15 @@ HEADLINE = [
     # curation reports (round 5, final phase)
     "q_ngram_novelty",
     "q_dedup_report",
+    # statistics suite / LM scoring / quantization (round 6, 2nd phase)
+    "q_welch_ttest",
+    "q_benjamini_hochberg",
+    "q_kendall_tau",
+    "q_jackknife_ci",
+    "q_bigram_lm_cross_entropy",
+    "q_heaps_law",
+    "q_embedding_quantize",
+    "q_hard_negative_mining",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

@@ -2471,8 +2471,9 @@ HEAPS_CHECKPOINTS = 100
     SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
            CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
            CAST(max(cum_vocab) AS BIGINT) AS total_vocab,
-           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_beta,
-           round(regr_intercept(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_log_k
+           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) + 0.0 AS heaps_beta,
+           round(regr_intercept(ln(cum_vocab), ln(cum_tokens)), 6) + 0.0
+             AS heaps_log_k
     FROM cp
     """,
 )
@@ -2526,6 +2527,8 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_checkpoints"),
         F.max("cum_tokens").alias("total_tokens"),
         F.max("cum_vocab").alias("total_vocab"),
-        F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
-        F.round(F.regr_intercept(lv, lt), 6).alias("heaps_log_k"),
+        # + 0.0 normalizes IEEE negative zero (a saturated vocabulary
+        # yields slope -0.0 on one engine and 0.0 on the other)
+        (F.round(F.regr_slope(lv, lt), 6) + 0.0).alias("heaps_beta"),
+        (F.round(F.regr_intercept(lv, lt), 6) + 0.0).alias("heaps_log_k"),
     )
