@@ -1338,3 +1338,96 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_ppm"), "node")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Blocking-key quality evaluation (pairs completeness / reduction ratio)
+# --------------------------------------------------------------------------
+@query(
+    "q_blocking_eval",
+    oracle=f"""
+    WITH scoped AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey < {ER_SCOPE}
+    ),
+    truth AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM scoped a JOIN scoped b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= {ER_MAX_DIST}
+    ),
+    cand AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM scoped a JOIN scoped b
+        ON a.p_partkey < b.p_partkey
+       AND substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+    ),
+    n AS (SELECT count(*) AS nr FROM scoped),
+    m AS (
+      SELECT
+        (SELECT count(*) FROM truth) AS n_truth,
+        (SELECT count(*) FROM cand) AS n_cand,
+        (SELECT count(*) FROM truth t JOIN cand c
+           ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_cov
+    )
+    SELECT CAST(n.nr AS BIGINT) AS n_records,
+           CAST(m.n_truth AS BIGINT) AS n_truth_pairs,
+           CAST(m.n_cand AS BIGINT) AS n_candidate_pairs,
+           CAST(m.n_cov AS BIGINT) AS n_covered,
+           round(m.n_cov * 1.0 / m.n_truth, 6) AS pairs_completeness,
+           round(1.0 - m.n_cand * 2.0 / (n.nr * (n.nr - 1)), 6)
+             AS reduction_ratio
+    FROM m, n
+    """,
+)
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key quality audit for entity resolution (Christen
+    2012): pairs completeness (what fraction of TRUE edit-distance
+    matches the prefix-4 blocking key retains) and reduction ratio
+    (what fraction of the all-pairs space it prunes) — the two numbers
+    that justify a blocking scheme before anyone trusts
+    ``q_entity_resolution``'s output. The dedup-side sibling is
+    ``q_lsh_recall_audit`` (same audit, MinHash banding instead of a
+    key).
+
+    Scale: the exact-truth side is inherently quadratic, so — exactly
+    like the LSH recall audit — it runs on a bounded audit slice
+    (p_partkey < {ER_SCOPE}; Spark plans the tiny self-join as a
+    BroadcastNestedLoopJoin, the tolerated broadcast form). The
+    candidate side is the production blocking join and stays
+    equi-keyed at any scale.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < ER_SCOPE)
+    scoped = p.select("p_partkey", "p_name").persist()
+    a, b = scoped.alias("a"), scoped.alias("b")
+    truth = a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey")).filter(
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= ER_MAX_DIST
+    ).select(
+        F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
+    )
+    cand = a.join(
+        b,
+        (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.substring(F.col("a.p_name"), 1, 4)
+            == F.substring(F.col("b.p_name"), 1, 4)
+        ),
+    ).select(
+        F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
+    )
+    nr = scoped.agg(F.count(F.lit(1)).alias("nr"))
+    covered = truth.join(cand, ["id_a", "id_b"])
+    m = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(covered.agg(F.count(F.lit(1)).alias("n_cov")))
+        .crossJoin(F.broadcast(nr))
+    )
+    return m.select(
+        F.col("nr").cast("long").alias("n_records"),
+        F.col("n_truth").cast("long").alias("n_truth_pairs"),
+        F.col("n_cand").cast("long").alias("n_candidate_pairs"),
+        F.col("n_cov").cast("long").alias("n_covered"),
+        F.round(F.col("n_cov") / F.col("n_truth"), 6).alias("pairs_completeness"),
+        F.round(
+            1.0 - F.col("n_cand") * 2.0 / (F.col("nr") * (F.col("nr") - 1)), 6
+        ).alias("reduction_ratio"),
+    )
