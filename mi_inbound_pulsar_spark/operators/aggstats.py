@@ -2271,3 +2271,97 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean - 1.96 * se, 6).alias("ci_lo"),
         F.round(mean + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect at fixed power
+# --------------------------------------------------------------------------
+MDE_Z_ALPHA = 1.959964  # two-sided 5%
+MDE_Z_BETA = 0.841621   # 80% power
+
+
+@query(
+    "q_ab_power_mde",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT arm, count(*) AS n, sum(cents) AS s, sum(cents * cents) AS ss
+      FROM assigned GROUP BY arm
+    ),
+    v AS (
+      SELECT arm, n,
+             s / (100.0 * n) AS mean,
+             (ss - CAST(s AS DOUBLE) * s / n) / ((n - 1) * 10000.0) AS var
+      FROM m
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+           round(var, 6) AS var,
+           round(({MDE_Z_ALPHA} + {MDE_Z_BETA}) * sqrt(2 * var / n), 6)
+             AS mde_abs,
+           round(({MDE_Z_ALPHA} + {MDE_Z_BETA}) * sqrt(2 * var / n) / mean, 6)
+             AS mde_rel,
+           CAST(ceil(2 * var * ({MDE_Z_ALPHA} + {MDE_Z_BETA})
+                     * ({MDE_Z_ALPHA} + {MDE_Z_BETA})
+                     / (0.05 * mean * 0.05 * mean)) AS BIGINT)
+             AS n_needed_5pct
+    FROM v ORDER BY arm
+    """,
+)
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis per arm (the standard two-sample normal
+    approximation): the minimum detectable effect at 80% power /
+    two-sided α=5% given the arm's current n and variance, absolute
+    and relative, plus the sample size needed to detect a 5% relative
+    lift — the pre-registration readout that accompanies the
+    ``q_welch_ttest`` / ``q_ab_lift`` / ``q_mann_whitney`` family.
+
+    Hash-exactness: the same exact-integer-moment construction as
+    ``q_welch_ttest`` (values are cents), so mean/var/MDE are
+    deterministic doubles on both engines before the 6dp rounding;
+    ceil() on the deterministic double keeps n_needed integer-exact.
+
+    Scale: one map-side-combined aggregate to two (arm, moments) rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    m = (
+        e.select(arm.alias("arm"), cents.alias("cents"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        )
+    )
+    mean = F.col("s") / (100.0 * F.col("n"))
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        (F.col("n") - 1) * 10000.0
+    )
+    z = MDE_Z_ALPHA + MDE_Z_BETA
+    mde = z * F.sqrt(2 * var / F.col("n"))
+    return (
+        m.select(
+            "arm",
+            F.col("n").cast("long").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(var, 6).alias("var"),
+            F.round(mde, 6).alias("mde_abs"),
+            F.round(mde / mean, 6).alias("mde_rel"),
+            F.ceil(2 * var * z * z / (0.05 * mean * 0.05 * mean))
+            .cast("long")
+            .alias("n_needed_5pct"),
+        )
+        .orderBy("arm")
+    )

@@ -1250,3 +1250,62 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("cumulative_users", F.sum("new_users").over(w))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Session-gap calibration: the data-driven way to pick the 30-min timeout
+# --------------------------------------------------------------------------
+@query(
+    "q_session_gap_calibration",
+    oracle="""
+    WITH gaps AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(quantile_cont(gap_us, 0.50) AS DOUBLE) / 1000000, 6)
+             AS p50_gap_s,
+           round(CAST(quantile_cont(gap_us, 0.90) AS DOUBLE) / 1000000, 6)
+             AS p90_gap_s,
+           round(CAST(quantile_cont(gap_us, 0.99) AS DOUBLE) / 1000000, 6)
+             AS p99_gap_s,
+           round(count(*) FILTER (WHERE gap_us > 1800 * 1000000) * 1.0
+                 / count(*), 6) AS break_rate_30m,
+           round(count(*) FILTER (WHERE gap_us > 900 * 1000000) * 1.0
+                 / count(*), 6) AS break_rate_15m
+    FROM g
+    """,
+)
+def q_session_gap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user — the calibration readout
+    that justifies ``q_session_window``'s 30-minute timeout instead of
+    folklore: gap percentiles (exact interpolated, in seconds) and the
+    session-break rate a 15- vs 30-minute threshold would produce.
+    Gaps are exact integer microseconds (epoch diff), so the only
+    float is the percentile interpolation, rounded 6dp.
+
+    Scale: the lag window is PARTITIONED by user (no global sort);
+    gaps collapse into one exact-percentile aggregate — at 100 TB
+    swap percentile for approx_percentile and gate with the
+    equi-depth audit.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.50)) / 1000000, 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.90)) / 1000000, 6).alias("p90_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.99)) / 1000000, 6).alias("p99_gap_s"),
+        F.round(
+            F.count_if(F.col("gap_us") > 1800 * 1000000) / F.count(F.lit(1)), 6
+        ).alias("break_rate_30m"),
+        F.round(
+            F.count_if(F.col("gap_us") > 900 * 1000000) / F.count(F.lit(1)), 6
+        ).alias("break_rate_15m"),
+    )
