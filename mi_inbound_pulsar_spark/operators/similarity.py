@@ -1265,3 +1265,73 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "neg_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Recall gate for the int8-quantized corpus (companion of q_ann_pq_recall)
+# --------------------------------------------------------------------------
+INT8_RECALL_FLOOR = 0.9
+
+
+@query(
+    "q_int8_recall",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-oracle gate for int8 scalar quantization
+    (``q_embedding_quantize``'s codes used for real): top-k
+    recall of brute-force search over the DEQUANTIZED corpus against
+    the float-exact top-k, as a driver-hashable boolean
+    (recall >= 0.9 ⇒ matches the oracle's constant;
+    a quantization regression flips the flag and fails the hash —
+    the q_ann_pq_recall gate pattern).
+
+    Plan: per-dim scales are a |dims|-row aggregate (collected —
+    bounded by the embedding width, not the corpus); quantize +
+    dequantize run vectorized inside one ``mapInPandas`` pass over
+    the corpus partitions (the corpus never shuffles); both search
+    arms are the per-partition-top-k brute kernel.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    scale_rows = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("s"))
+        .collect()
+    )
+    dims = max(r["dim"] for r in scale_rows) + 1
+    s = np.ones(dims, dtype=np.float64)
+    for r in scale_rows:
+        if r["s"] > 0:
+            s[r["dim"]] = r["s"]
+
+    def dequantize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = np.clip(np.floor(m / s * 127 + 0.5), -127, 127)
+            deq = q * s / 127
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": list(deq)}
+            )
+
+    deq_corpus = e.select("vec_id", "embedding").mapInPandas(
+        dequantize, schema="vec_id long, embedding array<double>"
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    approx = brute_force_topk(deq_corpus, queries).select("query_id", "neighbor_id")
+    exact = brute_force_topk(e, queries).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("query_id").alias("n_queries"),
+    )
+    return totals.crossJoin(hits).select(
+        "n_queries",
+        (F.col("hits") / F.col("n_exact") >= INT8_RECALL_FLOOR).alias("recall_ok"),
+    )
