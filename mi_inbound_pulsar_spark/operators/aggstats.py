@@ -1977,32 +1977,47 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("o") - exp_c) * (F.col("o") - exp_c) / exp_c).alias("chi2")
         )
     )
-    pval = F.exp(-F.col("chi2") / 2)
-    w = Window.orderBy(pval, "event_type")
-    p = chi.select(
-        "event_type",
-        "chi2",
-        pval.alias("pval"),
+    p = chi.select("event_type", "chi2", F.exp(-F.col("chi2") / 2).alias("pval"))
+    return (
+        bh_stepup(p, key="event_type", fdr_q=BH_FDR_Q)
+        .select(
+            "event_type",
+            F.round("chi2", 6).alias("chi2"),
+            F.round("pval", 6).alias("pval"),
+            "p_rank",
+            "bh_critical",
+            "rejected",
+        )
+        .orderBy("p_rank")
+    )
+
+
+def bh_stepup(p: DataFrame, key: str, fdr_q: float) -> DataFrame:
+    """Benjamini-Hochberg step-up over a small hypothesis frame with a
+    ``pval`` column: rank ascending (ties broken by ``key``), reject
+    every rank up to the LARGEST i with p_i <= i·q/m — including
+    non-monotone dips before it. Passenger columns ride through.
+    The window input is the m-row hypothesis table, never raw data."""
+    w = Window.orderBy("pval", key)
+    ranked = p.select(
+        "*",
         F.row_number().over(w).alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
     )
-    crit = F.col("i") * BH_FDR_Q / F.col("m")
-    k = p.agg(
+    crit = F.col("i") * fdr_q / F.col("m")
+    k = ranked.agg(
         F.coalesce(F.max(F.when(F.col("pval") <= crit, F.col("i"))), F.lit(0)).alias(
             "kmax"
         )
     )
     return (
-        p.crossJoin(F.broadcast(k))
+        ranked.crossJoin(F.broadcast(k))
         .select(
-            "event_type",
-            F.round("chi2", 6).alias("chi2"),
-            F.round("pval", 6).alias("pval"),
+            *(c for c in p.columns),
             F.col("i").cast("long").alias("p_rank"),
             F.round(crit, 6).alias("bh_critical"),
             (F.col("i") <= F.col("kmax")).alias("rejected"),
         )
-        .orderBy("p_rank")
     )
 
 
@@ -2107,8 +2122,10 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n0 AS BIGINT) AS n_pairs,
            CAST(conc AS BIGINT) AS concordant,
            CAST(disc AS BIGINT) AS discordant,
-           round((conc - disc) / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 6)
-             AS kendall_tau_b
+           CASE WHEN CAST(n0 - n1 AS DOUBLE) * (n0 - n2) > 0
+                THEN round((conc - disc)
+                           / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 6)
+                END AS kendall_tau_b
     FROM agg ORDER BY event_type
     """,
 )
@@ -2134,38 +2151,51 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x"), F.sum(cents).alias("y")
     )
-    a, b = daily.alias("a"), daily.alias("b")
+    return kendall_tau_b(daily, grp="event_type", order="day").orderBy(
+        "event_type"
+    )
+
+
+def kendall_tau_b(series: DataFrame, grp: str, order: str) -> DataFrame:
+    """Kendall tau-b per group over a (grp, order, x, y) frame with
+    integer-exact ``x``/``y``: equi-keyed per-group pair join (range
+    residual on ``order``), integer sign/tie tallies, one sqrt at the
+    end. Returns (grp, n_pairs, concordant, discordant,
+    kendall_tau_b)."""
+    a, b = series.alias("a"), series.alias("b")
     s = F.signum(
         ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))).cast("double")
     )
     pairs = a.join(
         b,
-        (F.col("b.event_type") == F.col("a.event_type"))
-        & (F.col("b.day") > F.col("a.day")),
+        (F.col(f"b.{grp}") == F.col(f"a.{grp}"))
+        & (F.col(f"b.{order}") > F.col(f"a.{order}")),
     ).select(
-        F.col("a.event_type").alias("event_type"),
+        F.col(f"a.{grp}").alias(grp),
         s.alias("s"),
         (F.col("a.x") == F.col("b.x")).cast("int").alias("tx"),
         (F.col("a.y") == F.col("b.y")).cast("int").alias("ty"),
     )
-    agg = pairs.groupBy("event_type").agg(
+    agg = pairs.groupBy(grp).agg(
         F.count(F.lit(1)).alias("n0"),
         F.count_if(F.col("s") > 0).alias("conc"),
         F.count_if(F.col("s") < 0).alias("disc"),
         F.sum("tx").alias("n1"),
         F.sum("ty").alias("n2"),
     )
+    denom_sq = (F.col("n0") - F.col("n1")).cast("double") * (F.col("n0") - F.col("n2"))
     return agg.select(
-        "event_type",
+        grp,
         F.col("n0").alias("n_pairs"),
         F.col("conc").alias("concordant"),
         F.col("disc").alias("discordant"),
-        F.round(
-            (F.col("conc") - F.col("disc"))
-            / F.sqrt((F.col("n0") - F.col("n1")).cast("double") * (F.col("n0") - F.col("n2"))),
-            6,
+        # a fully-tied x or y series zeroes the denominator: tau-b is
+        # undefined there — NULL, not a divide-by-zero job failure
+        F.when(
+            denom_sq > 0,
+            F.round((F.col("conc") - F.col("disc")) / F.sqrt(denom_sq), 6),
         ).alias("kendall_tau_b"),
-    ).orderBy("event_type")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,125 @@
+"""Property-based tests for the statistics kernels: Benjamini-Hochberg
+step-up and Kendall tau-b against pure-Python reference
+implementations. Each hypothesis example runs real Spark jobs, so
+example counts are small; generators force the nasty cases (tied
+p-values, tied x/y values, all-concordant/all-discordant series,
+non-monotone BH dips)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg step-up
+# ---------------------------------------------------------------------------
+def _ref_bh(pvals: list[float], q: float) -> list[bool]:
+    """Reference step-up: sort ascending, k = max{i : p_(i) <= i*q/m},
+    reject ranks 1..k."""
+    m = len(pvals)
+    order = sorted(range(m), key=lambda j: (pvals[j], j))
+    k = 0
+    for rank, j in enumerate(order, start=1):
+        if pvals[j] <= rank * q / m:
+            k = rank
+    rejected = [False] * m
+    for rank, j in enumerate(order, start=1):
+        rejected[j] = rank <= k
+    return rejected
+
+
+pvals_strategy = st.lists(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(pvals=pvals_strategy)
+def test_bh_stepup_matches_reference(spark, pvals):
+    from mi_inbound_pulsar_spark.operators.aggstats import bh_stepup
+
+    rows = [(f"h{j:02d}", float(p)) for j, p in enumerate(pvals)]
+    df = spark.createDataFrame(rows, "hyp string, pval double")
+    got = {
+        r["hyp"]: r["rejected"]
+        for r in bh_stepup(df, key="hyp", fdr_q=0.1).collect()
+    }
+    expected = _ref_bh([p for _, p in rows], 0.1)
+    assert [got[f"h{j:02d}"] for j in range(len(rows))] == expected
+
+
+def test_bh_stepup_rejects_nonmonotone_dip(spark):
+    """The defining step-up case: p = [0.01, 0.04, 0.045] at q=0.1,
+    m=3 → criticals 0.0333/0.0667/0.1. Rank 2 (0.04) is BELOW its
+    critical only via the step-up rule reaching rank 3 first: all
+    three are rejected even though naive per-rank testing would stop
+    at rank 1... verify every rank is rejected."""
+    from mi_inbound_pulsar_spark.operators.aggstats import bh_stepup
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.09)], "hyp string, pval double"
+    )
+    got = {r["hyp"]: r["rejected"] for r in bh_stepup(df, "hyp", 0.1).collect()}
+    assert got == {"a": True, "b": True, "c": True}
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+def _ref_tau_b(xy: list[tuple[int, int]]) -> float | None:
+    n = len(xy)
+    conc = disc = tx = ty = 0
+    n0 = n * (n - 1) // 2
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xy[i][0] - xy[j][0]
+            dy = xy[i][1] - xy[j][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            s = dx * dy
+            if dx != 0 and dy != 0:
+                if s > 0:
+                    conc += 1
+                else:
+                    disc += 1
+    denom = math.sqrt((n0 - tx) * (n0 - ty))
+    if denom == 0:
+        return None
+    return round((conc - disc) / denom, 6)
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4), st.integers(min_value=0, max_value=4)
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(xy=series_strategy)
+def test_kendall_tau_b_matches_reference(spark, xy):
+    from mi_inbound_pulsar_spark.operators.aggstats import kendall_tau_b
+
+    ref = _ref_tau_b(xy)
+    rows = [("g", i, int(x), int(y)) for i, (x, y) in enumerate(xy)]
+    df = spark.createDataFrame(rows, "grp string, t long, x long, y long")
+    out = kendall_tau_b(df, grp="grp", order="t").collect()
+    assert len(out) == 1
+    got = out[0]["kendall_tau_b"]
+    if ref is None:
+        # all-tied on x or y: denominator 0 → NULL (division by zero
+        # yields NULL on both engines' float path only when non-ANSI;
+        # here the expression produces NaN/None — accept either)
+        assert got is None or math.isnan(got)
+    else:
+        assert got is not None and abs(got - ref) < 1e-9
+    assert out[0]["n_pairs"] == len(xy) * (len(xy) - 1) // 2
