@@ -1114,3 +1114,278 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (Anderl et al. 2014)
+# --------------------------------------------------------------------------
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+MARKOV_ITERS = 20
+
+
+def _markov_journey_sql() -> str:
+    """Shared oracle CTE block: journeys split at each purchase, runs
+    of the same channel collapsed, transitions with START / CONV /
+    DROP pseudo-states, and row-normalized probabilities."""
+    return """
+    ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey
+      FROM events
+    ),
+    collapsed AS (
+      SELECT user_id, journey, ch, ts, event_id FROM (
+        SELECT user_id, journey, event_type AS ch, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id, journey
+                                     ORDER BY ts, event_id) AS prev_ch
+        FROM ordered WHERE event_type != 'purchase'
+      ) WHERE prev_ch IS NULL OR prev_ch != ch
+    ),
+    conv AS (
+      SELECT DISTINCT user_id, journey FROM ordered
+      WHERE event_type = 'purchase'
+    ),
+    steps AS (
+      SELECT user_id, journey, ch,
+             lead(ch) OVER (PARTITION BY user_id, journey
+                            ORDER BY ts, event_id) AS nxt,
+             row_number() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS rn
+      FROM collapsed
+    ),
+    trans_raw AS (
+      SELECT user_id, 'START' AS src, ch AS dst FROM steps WHERE rn = 1
+      UNION ALL
+      SELECT user_id, ch, nxt FROM steps WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT s.user_id, s.ch,
+             CASE WHEN c.user_id IS NOT NULL THEN 'CONV' ELSE 'DROP' END
+      FROM steps s LEFT JOIN conv c USING (user_id, journey)
+      WHERE s.nxt IS NULL
+      UNION ALL
+      SELECT c.user_id, 'START', 'CONV'
+      FROM conv c LEFT JOIN (SELECT DISTINCT user_id, journey FROM collapsed) k
+        USING (user_id, journey)
+      WHERE k.user_id IS NULL
+    ),
+    tcount AS (SELECT src, dst, count(*) AS n FROM trans_raw GROUP BY src, dst),
+    ttot AS (SELECT src, sum(n) AS t FROM tcount GROUP BY src),
+    -- MATERIALIZED is load-bearing: tr is referenced by every one of
+    -- the 5×{MARKOV_ITERS} unrolled iteration CTEs; inlining would
+    -- replicate the whole journey pipeline into each of them
+    tr AS MATERIALIZED (
+      SELECT c.src, c.dst, c.n * 1.0 / t.t AS prob
+      FROM tcount c JOIN ttot t USING (src)
+    )""".replace("{MARKOV_ITERS}", str(MARKOV_ITERS))
+
+
+def _absorb_cte(tag: str, removed: str | None, iters: int) -> str:
+    """Unrolled fixed-point CTE chain (the _bpe_vocab_cte trick):
+    p_k(s) = P(s→CONV) + Σ P(s→s')·p_{k-1}(s') for ``iters`` rounds,
+    over ``tr`` filtered for the removal scenario."""
+    src = (
+        f"(SELECT * FROM tr WHERE src != '{removed}' AND dst != '{removed}')"
+        if removed
+        else "tr"
+    )
+    # every level MATERIALIZED: each holds <= |states| rows, and
+    # materializing keeps the 5×iters-level plan LINEAR — inlined,
+    # the optimizer re-plans a join tree that deepens per level
+    parts = [
+        f""",
+    p_{tag}_0 AS MATERIALIZED (
+      SELECT DISTINCT t.src AS state, CAST(0 AS DOUBLE) AS p FROM {src} t
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    p_{tag}_{k} AS MATERIALIZED (
+      SELECT t.src AS state,
+             sum(CASE WHEN t.dst = 'CONV' THEN t.prob
+                      ELSE t.prob * coalesce(pp.p, 0) END) AS p
+      FROM {src} t
+      LEFT JOIN p_{tag}_{k - 1} pp ON t.dst = pp.state
+      GROUP BY t.src
+    )""")
+    return "".join(parts)
+
+
+def _markov_attribution_oracle() -> str:
+    ctes = [f"WITH {_markov_journey_sql()}"]
+    ctes.append(_absorb_cte("base", None, MARKOV_ITERS))
+    for c in MARKOV_CHANNELS:
+        ctes.append(_absorb_cte(c, c, MARKOV_ITERS))
+    scen = "\n      UNION ALL\n".join(
+        f"""      SELECT '{c}' AS channel,
+        coalesce((SELECT max(p) FROM p_{c}_{MARKOV_ITERS}
+                  WHERE state = 'START'), 0) AS p_removed"""
+        for c in MARKOV_CHANNELS
+    )
+    return "".join(ctes) + f""",
+    basep AS (
+      SELECT p FROM p_base_{MARKOV_ITERS} WHERE state = 'START'
+    ),
+    scen AS (
+{scen}
+    ),
+    eff AS (
+      SELECT channel, 1.0 - p_removed / (SELECT p FROM basep) AS effect
+      FROM scen
+    ),
+    tot AS (SELECT sum(effect) AS te FROM eff)
+    SELECT e.channel,
+           round((SELECT p FROM basep), 6) AS p_conversion,
+           round(e.effect, 6) AS removal_effect,
+           round(e.effect / t.te, 6) AS attribution_share
+    FROM eff e CROSS JOIN tot t
+    ORDER BY e.channel
+    """
+
+
+@query("q_markov_attribution", oracle=_markov_attribution_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2014):
+    model user journeys as a first-order chain over channels with
+    START/CONV(ersion)/DROP absorbing pseudo-states, compute the
+    START→CONV absorption probability, then re-compute it with each
+    channel REMOVED (its row and column zeroed, mass unrenormalized —
+    the paper's definition); a channel's attribution share is its
+    relative drop in total conversion. This completes the attribution
+    family: first/last touch are positional heuristics, the removal
+    effect is causal-flavored and order-aware.
+
+    Journeys split at each purchase (the purchase ends the journey it
+    terminates); consecutive repeats of a channel collapse to one
+    state. Both engines run the SAME fixed {MARKOV_ITERS}-iteration
+    power series p_k = c + T·p_{{k-1}} — a linear solve would converge
+    to a slightly different fixpoint than the truncated series and
+    break the hash; with substochastic T the truncation error is
+    < spectral_radius^{MARKOV_ITERS}, far below the 6dp rounding.
+
+    Scale: journey construction is windows PARTITIONED by user; the
+    corpus collapses into the (src, dst) transition table — at most
+    (|channels|+1)×(|channels|+2) rows, bounded by the CHANNEL DOMAIN,
+    not the corpus — which is collected (the centroid-collect class)
+    and solved in numpy per scenario; 5 scenarios × a 5×5 matvec is
+    driver-side microseconds. The oracle unrolls the identical
+    iteration as a generated CTE chain (the BPE-loop trick).
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "events")
+    w_j = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w_j),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    w_uj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    collapsed = (
+        ordered.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "journey",
+            F.col("event_type").alias("ch"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w_uj).alias("prev_ch"),
+        )
+        .filter(F.col("prev_ch").isNull() | (F.col("prev_ch") != F.col("ch")))
+    )
+    conv = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select("user_id", "journey")
+        .distinct()
+    )
+    steps = collapsed.select(
+        "user_id",
+        "journey",
+        "ch",
+        F.lead("ch").over(w_uj).alias("nxt"),
+        F.row_number().over(w_uj).alias("rn"),
+    )
+    first = steps.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("ch").alias("dst")
+    )
+    mid = steps.filter(F.col("nxt").isNotNull()).select(
+        F.col("ch").alias("src"), F.col("nxt").alias("dst")
+    )
+    last = (
+        steps.filter(F.col("nxt").isNull())
+        .join(conv.withColumn("cv", F.lit(True)), ["user_id", "journey"], "left")
+        .select(
+            F.col("ch").alias("src"),
+            F.when(F.col("cv"), "CONV").otherwise("DROP").alias("dst"),
+        )
+    )
+    empty_conv = (
+        conv.join(
+            collapsed.select("user_id", "journey").distinct(),
+            ["user_id", "journey"],
+            "left_anti",
+        )
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    tcount = (
+        first.unionByName(mid)
+        .unionByName(last)
+        .unionByName(empty_conv)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ttot = tcount.groupBy("src").agg(F.sum("n").alias("t"))
+    # bounded collect: the transition table is (|channels|+1)×(|channels|+2)
+    rows = (
+        tcount.join(ttot, "src")
+        .select("src", "dst", (F.col("n") / F.col("t")).alias("prob"))
+        .collect()
+    )
+    states = ("START",) + MARKOV_CHANNELS
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    T = np.zeros((n, n))
+    cv = np.zeros(n)
+    for r in rows:
+        if r["src"] not in idx:
+            continue
+        if r["dst"] == "CONV":
+            cv[idx[r["src"]]] += r["prob"]
+        elif r["dst"] in idx:
+            T[idx[r["src"]], idx[r["dst"]]] += r["prob"]
+
+    def absorb(removed: str | None) -> float:
+        Tm, cm = T.copy(), cv.copy()
+        if removed is not None:
+            ri = idx[removed]
+            Tm[ri, :] = 0.0
+            Tm[:, ri] = 0.0
+            cm[ri] = 0.0
+        p = np.zeros(n)
+        for _ in range(MARKOV_ITERS):
+            p = cm + Tm @ p
+        return float(p[idx["START"]])
+
+    p_base = absorb(None)
+    effects = {c: 1.0 - absorb(c) / p_base for c in MARKOV_CHANNELS}
+    te = sum(effects.values())
+    out = [
+        (c, round(p_base, 6), round(effects[c], 6), round(effects[c] / te, 6))
+        for c in sorted(MARKOV_CHANNELS)
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conversion double, removal_effect double, "
+        "attribution_share double",
+    )

@@ -131,3 +131,20 @@ def test_embedding_quantize_error_bound(spark, sf_dir):
         assert r["mse_micro"] >= 0
         max_err = r["max_abs_err_milli"] / 1000.0
         assert r["mse_micro"] <= max_err * max_err * 1_000_000 + 1e-6
+
+
+def test_markov_attribution_structure(spark, sf_dir):
+    """Removal effects must lie in [0, 1] (removing a channel cannot
+    raise conversion when mass is not renormalized), shares must sum
+    to 1, and p_conversion must be a probability shared by all rows."""
+    from mi_inbound_pulsar_spark.operators.funnel import q_markov_attribution
+
+    rows = q_markov_attribution(spark, sf_dir).collect()
+    assert rows
+    shares = 0.0
+    pconv = {r["p_conversion"] for r in rows}
+    assert len(pconv) == 1 and 0.0 < pconv.pop() <= 1.0
+    for r in rows:
+        assert -1e-9 <= r["removal_effect"] <= 1.0 + 1e-9
+        shares += r["attribution_share"]
+    assert abs(shares - 1.0) < 1e-5
