@@ -115,6 +115,7 @@ HEADLINE = [
     "q_heaps_law",
     "q_embedding_quantize",
     "q_hard_negative_mining",
+    "q_markov_attribution",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
