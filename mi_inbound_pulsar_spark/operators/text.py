@@ -2532,3 +2532,286 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.regr_slope(lv, lt), 6) + 0.0).alias("heaps_beta"),
         (F.round(F.regr_intercept(lv, lt), 6) + 0.0).alias("heaps_log_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Calibration audit: quality-logit confidence vs Gopher-rule labels (ECE)
+# --------------------------------------------------------------------------
+ECE_BINS = 10
+
+
+@query(
+    "q_calibration_ece",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(-2.0
+               + 3.0 * (len(list_distinct(w)) * 1.0 / len(w))
+               + 4.0 * (len(list_filter(w,
+                   x -> x IN ('the','a','data','value'))) * 1.0 / len(w))
+               + 0.1 * ((len(text) - (len(w) - 1)) * 1.0 / len(w))
+               - 0.002 * len(w), 6) AS logit,
+             len(w) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AND (list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w))
+                     BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+               AND ((
+                 (len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) / 3
+               ) * 1.0 / len(w)) <= {GOPHER_MAX_SYMBOL_RATIO}
+               AND (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                    * 1.0 / len(w)) >= {GOPHER_MIN_ALPHA_RATIO}
+               AND len(list_intersect(list_distinct(w),
+                   ['the','a','of','and','in','to','is']))
+                     >= {GOPHER_MIN_STOP_HITS} AS label
+      FROM feats
+    ),
+    binned AS (
+      SELECT least(CAST(floor((1.0 / (1.0 + exp(-logit))) * {ECE_BINS}) AS BIGINT),
+                   {ECE_BINS - 1}) AS bin,
+             1.0 / (1.0 + exp(-logit)) AS conf,
+             CASE WHEN label THEN 1 ELSE 0 END AS y
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             round(avg(conf), 6) AS avg_confidence,
+             round(avg(y), 6) AS accuracy
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS n,
+             sum(n_docs * abs(accuracy - avg_confidence)) AS gap_mass
+      FROM per_bin
+    )
+    SELECT p.bin, p.n_docs, p.avg_confidence, p.accuracy,
+           round(abs(p.accuracy - p.avg_confidence), 6) AS abs_gap,
+           round(t.gap_mass / t.n, 6) AS ece
+    FROM per_bin p CROSS JOIN tot t
+    ORDER BY p.bin
+    """,
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error audit (Naeini et al. 2015 / Guo et
+    al. 2017) of the fastText-style quality logit against the Gopher
+    hard rules as labels: sigmoid confidences bucketed into
+    {ECE_BINS} equal-width bins; per-bin mean confidence vs empirical
+    pass rate, plus the sample-weighted ECE — the standard readout
+    before anyone trusts a learned quality score to gate a corpus
+    (an over-confident filter silently biases the mixture).
+
+    Hash-exactness: confidence is a deterministic function of the
+    6dp-ROUNDED logit (the q_quality_logit discipline), the label is
+    the exact-integer Gopher conjunction, and the ECE mass uses the
+    ROUNDED per-bin values so both engines fold the identical numbers.
+
+    Scale: one codegen'd projection per doc (no shuffle carries text),
+    a {ECE_BINS}-row groupBy, and a 1-row total broadcast back.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "data", "value")))
+    mean_len_logit = (F.length("text") - (n_tokens - 1)) / n_tokens
+    logit = F.round(
+        F.lit(-2.0)
+        + 3.0 * (n_types / n_tokens)
+        + 4.0 * (n_stop / n_tokens)
+        + 0.1 * mean_len_logit
+        - 0.002 * n_tokens,
+        6,
+    )
+    mean_word_len = (
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        / n_tokens
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    label = (
+        n_tokens.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_word_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (((n_hash + n_ell) / n_tokens) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (
+            (F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_tokens)
+            >= GOPHER_MIN_ALPHA_RATIO
+        )
+        & (
+            F.size(F.array_intersect(F.array_distinct(toks), F.lit(list(STOPWORDS))))
+            >= GOPHER_MIN_STOP_HITS
+        )
+    )
+    conf = 1.0 / (1.0 + F.exp(-logit))
+    binned = d.select(
+        F.least(
+            F.floor(conf * ECE_BINS).cast("long"), F.lit(ECE_BINS - 1).cast("long")
+        ).alias("bin"),
+        conf.alias("conf"),
+        F.when(label, 1).otherwise(0).alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("conf"), 6).alias("avg_confidence"),
+        F.round(F.avg("y"), 6).alias("accuracy"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(
+            F.col("n_docs") * F.abs(F.col("accuracy") - F.col("avg_confidence"))
+        ).alias("gap_mass"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "avg_confidence",
+            "accuracy",
+            F.round(F.abs(F.col("accuracy") - F.col("avg_confidence")), 6).alias(
+                "abs_gap"
+            ),
+            F.round(F.col("gap_mass") / F.col("n"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Skip-gram pair generation with deterministic subsampling (word2vec prep)
+# --------------------------------------------------------------------------
+SG_WINDOW = 2
+SG_SUBSAMPLE_T = 0.001
+SG_MIN_PAIR_COUNT = 5
+
+
+@query(
+    "q_skipgram_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, w[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(generate_series(1, len(w))) AS u(i)
+    ),
+    freq AS (
+      SELECT word, count(*) AS c FROM tok GROUP BY word
+    ),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    keepprob AS (
+      SELECT f.word,
+             least(1.0, (sqrt((f.c * 1.0 / t.n) / {SG_SUBSAMPLE_T}) + 1)
+                        * {SG_SUBSAMPLE_T} / (f.c * 1.0 / t.n)) AS kp
+      FROM freq f CROSS JOIN tot t
+    ),
+    kept AS (
+      SELECT t.doc_id, t.word,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS idx
+      FROM tok t JOIN keepprob k USING (word)
+      WHERE CAST(concat('0x', substr(md5(
+              'sg:' || CAST(t.doc_id AS VARCHAR) || ':' || CAST(t.pos AS VARCHAR)
+            ), 1, 15)) AS BIGINT) / 1152921504606846976.0 < k.kp
+    ),
+    nbr AS (
+      SELECT doc_id, word,
+             lead(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS n1,
+             lead(word, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS n2
+      FROM kept
+    ),
+    pairs AS (
+      SELECT word AS center, n1 AS context FROM nbr WHERE n1 IS NOT NULL
+      UNION ALL SELECT n1, word FROM nbr WHERE n1 IS NOT NULL
+      UNION ALL SELECT word, n2 FROM nbr WHERE n2 IS NOT NULL
+      UNION ALL SELECT n2, word FROM nbr WHERE n2 IS NOT NULL
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY center, context
+    HAVING count(*) >= {SG_MIN_PAIR_COUNT}
+    ORDER BY center, context
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training-pair generation with the
+    word2vec frequency-subsampling rule (Mikolov et al. 2013:
+    P(keep) = min(1, (√(f/t)+1)·t/f), t={SG_SUBSAMPLE_T}) — the
+    embedding-training data-prep stage. Subsampling is DETERMINISTIC:
+    the per-occurrence coin is the portable 60-bit md5 hash of
+    (doc, position) scaled to [0,1), so both engines and every rerun
+    drop the same occurrences (the repo's no-RNG discipline).
+    Surviving tokens re-index per document (the C implementation's
+    behavior: discarded words close the gap, widening effective
+    windows) and pair within ±{SG_WINDOW} via lead() — no self-join.
+
+    Scale: the frequency/keep-prob table is vocabulary-bounded and
+    broadcast; windows are PARTITIONED by document; the pair aggregate
+    is vocabulary²-bounded with map-side combine and a count floor.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    f_rel = F.col("c") / F.col("n")
+    keepprob = freq.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(f_rel / SG_SUBSAMPLE_T) + 1) * SG_SUBSAMPLE_T / f_rel,
+        ).alias("kp"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sg:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        (F.col("pos") + 1).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    kept = (
+        tok.join(F.broadcast(keepprob), "word")
+        .filter(coin < F.col("kp"))
+        .select(
+            "doc_id",
+            "word",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("pos"))
+            .alias("idx"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    nbr = kept.select(
+        "word",
+        F.lead("word", 1).over(w).alias("n1"),
+        F.lead("word", 2).over(w).alias("n2"),
+    )
+    pairs = None
+    for col in ("n1", "n2"):
+        fwd = nbr.filter(F.col(col).isNotNull()).select(
+            F.col("word").alias("center"), F.col(col).alias("context")
+        )
+        rev = nbr.filter(F.col(col).isNotNull()).select(
+            F.col(col).alias("center"), F.col("word").alias("context")
+        )
+        pairs = fwd.unionByName(rev) if pairs is None else pairs.unionByName(
+            fwd
+        ).unionByName(rev)
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= SG_MIN_PAIR_COUNT)
+        .orderBy("center", "context")
+    )
