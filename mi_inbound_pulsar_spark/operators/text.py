@@ -2815,3 +2815,164 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pairs") >= SG_MIN_PAIR_COUNT)
         .orderBy("center", "context")
     )
+
+
+# --------------------------------------------------------------------------
+# Negative-sampling table (unigram^0.75) — the skip-gram companion
+# --------------------------------------------------------------------------
+NEG_TABLE_TOP = 50
+
+
+@query(
+    "q_negative_sampling_table",
+    oracle=f"""
+    WITH tok AS (
+      SELECT w1 AS word FROM (
+        SELECT unnest(string_split(text, ' ')) AS w1 FROM documents
+      )
+    ),
+    freq AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    pw AS (
+      SELECT word, c, pow(c, 0.75) AS wt FROM freq
+    ),
+    tot AS (SELECT sum(wt) AS z FROM pw),
+    ranked AS (
+      SELECT word, c, wt / t.z AS p,
+             sum(wt / t.z) OVER (ORDER BY c DESC, word
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_p
+      FROM pw CROSS JOIN tot t
+    )
+    SELECT word, CAST(c AS BIGINT) AS count,
+           round(p, 6) AS sample_prob,
+           round(cum_p, 6) AS cum_prob
+    FROM ranked ORDER BY count DESC, word LIMIT {NEG_TABLE_TOP}
+    """,
+)
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling distribution for skip-gram training (Mikolov
+    et al. 2013): the smoothed unigram P(w) ∝ count(w)^0.75 that
+    down-weights stop-words and up-weights the tail, emitted with the
+    cumulative boundary each word owns in [0,1) — the table an
+    inverse-CDF sampler (deterministic hash coin, same trick as
+    ``q_skipgram_pairs``) draws negatives from. Top {NEG_TABLE_TOP}
+    by frequency for a stable audit slice.
+
+    Scale: the table IS the vocabulary — one map-side-combined count,
+    one 1-row normalizer broadcast, and a cumulative window over the
+    vocabulary rollup (the q_zipf_slope aggregate-bounded class).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pw = freq.select("word", "c", F.pow("c", 0.75).alias("wt"))
+    tot = pw.agg(F.sum("wt").alias("z"))
+    w = Window.orderBy(F.desc("c"), "word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pw.crossJoin(F.broadcast(tot)).select(
+        "word",
+        "c",
+        (F.col("wt") / F.col("z")).alias("p"),
+        F.sum(F.col("wt") / F.col("z")).over(w).alias("cum_p"),
+    )
+    return (
+        ranked.select(
+            "word",
+            F.col("c").alias("count"),
+            F.round("p", 6).alias("sample_prob"),
+            F.round("cum_p", 6).alias("cum_prob"),
+        )
+        .orderBy(F.desc("count"), "word")
+        .limit(NEG_TABLE_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# GloVe-style distance-weighted co-occurrence counts
+# --------------------------------------------------------------------------
+GLOVE_WINDOW = 3
+GLOVE_MIN_WEIGHT = 5.0
+
+
+@query(
+    "q_glove_cooccurrence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, w[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(generate_series(1, len(w))) AS u(i)
+    ),
+    nbr AS (
+      SELECT doc_id, word,
+             lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+             lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2,
+             lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS n3
+      FROM tok
+    ),
+    weighted AS (
+      SELECT word AS a, n1 AS b, 1.0 AS wt FROM nbr WHERE n1 IS NOT NULL
+      UNION ALL SELECT word, n2, 0.5 FROM nbr WHERE n2 IS NOT NULL
+      UNION ALL SELECT word, n3, 1.0 / 3 FROM nbr WHERE n3 IS NOT NULL
+    ),
+    sym AS (
+      SELECT least(a, b) AS w1, greatest(a, b) AS w2, wt FROM weighted
+    )
+    SELECT w1, w2,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           round(sum(wt), 6) AS x_ij
+    FROM sym GROUP BY w1, w2
+    HAVING sum(wt) >= {GLOVE_MIN_WEIGHT}
+    ORDER BY w1, w2
+    """,
+)
+def q_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe co-occurrence matrix construction (Pennington et al.
+    2014): symmetric window-{GLOVE_WINDOW} co-occurrence counts with
+    the paper's 1/distance weighting — X_ij is THE input statistic
+    GloVe factorizes, and the canonical-ordered (least, greatest) pair
+    key halves the matrix. The decay sum is over fixed dyadic weights
+    (1, 1/2, 1/3), so the only float noise is reassociation, rounded
+    6dp; the threshold compares sum(wt) identically on both sides.
+
+    Scale: three lead() columns over document-partitioned windows (no
+    self-join), one vocabulary²-bounded aggregate with map-side
+    combine and a weight floor that drops the long co-occurrence tail.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nbr = tok.select(
+        "word",
+        F.lead("word", 1).over(w).alias("n1"),
+        F.lead("word", 2).over(w).alias("n2"),
+        F.lead("word", 3).over(w).alias("n3"),
+    )
+    weighted = None
+    for col, wt in (("n1", 1.0), ("n2", 0.5), ("n3", 1.0 / 3)):
+        part = nbr.filter(F.col(col).isNotNull()).select(
+            F.col("word").alias("a"), F.col(col).alias("b"), F.lit(wt).alias("wt")
+        )
+        weighted = part if weighted is None else weighted.unionByName(part)
+    sym = weighted.select(
+        F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2"), "wt"
+    )
+    return (
+        sym.groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("wt").alias("raw_x"),
+        )
+        # threshold on the UNROUNDED sum, identically to the oracle's
+        # HAVING; the emitted x_ij is the rounded value
+        .filter(F.col("raw_x") >= GLOVE_MIN_WEIGHT)
+        .select(
+            "w1", "w2", "n_windows", F.round("raw_x", 6).alias("x_ij")
+        )
+        .orderBy("w1", "w2")
+    )

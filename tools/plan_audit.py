@@ -58,6 +58,9 @@ WAIVERS = {
     "q_benjamini_hochberg": {"GlobalWindow"},
     # running sums over the <=100-row checkpoint-bucket rollup
     "q_heaps_law": {"GlobalWindow"},
+    # cumulative sampling boundary over the vocabulary rollup — the
+    # q_zipf_slope vocab-bounded class
+    "q_negative_sampling_table": {"GlobalWindow"},
 }
 
 
