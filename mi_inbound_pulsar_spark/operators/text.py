@@ -2798,17 +2798,25 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("word", 1).over(w).alias("n1"),
         F.lead("word", 2).over(w).alias("n2"),
     )
-    pairs = None
-    for col in ("n1", "n2"):
-        fwd = nbr.filter(F.col(col).isNotNull()).select(
-            F.col("word").alias("center"), F.col(col).alias("context")
+    # ONE pass: a 4-way union would recompute the window lineage per
+    # branch (measured 18 exchanges); exploding an array of pair
+    # structs emits all four directions from a single scan
+    pair_structs = F.array(
+        *(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(a.alias("center"), b.alias("context")),
+            )
+            for c in ("n1", "n2")
+            for a, b in ((F.col("word"), F.col(c)), (F.col(c), F.col("word")))
         )
-        rev = nbr.filter(F.col(col).isNotNull()).select(
-            F.col(col).alias("center"), F.col("word").alias("context")
-        )
-        pairs = fwd.unionByName(rev) if pairs is None else pairs.unionByName(
-            fwd
-        ).unionByName(rev)
+    )
+    pcol, keep = explode_computed(pair_structs, "pr")
+    pairs = (
+        nbr.select(pcol)
+        .filter(keep)
+        .select(F.col("pr.center").alias("center"), F.col("pr.context").alias("context"))
+    )
     return (
         pairs.groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
