@@ -2961,14 +2961,30 @@ def q_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("word", 2).over(w).alias("n2"),
         F.lead("word", 3).over(w).alias("n3"),
     )
-    weighted = None
-    for col, wt in (("n1", 1.0), ("n2", 0.5), ("n3", 1.0 / 3)):
-        part = nbr.filter(F.col(col).isNotNull()).select(
-            F.col("word").alias("a"), F.col(col).alias("b"), F.lit(wt).alias("wt")
+    # one scan (the q_skipgram_pairs trick): explode an array of
+    # weighted pair structs instead of a 3-way union over the window
+    pair_structs = F.array(
+        *(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.col("word").alias("a"),
+                    F.col(c).alias("b"),
+                    F.lit(wt).alias("wt"),
+                ),
+            )
+            for c, wt in (("n1", 1.0), ("n2", 0.5), ("n3", 1.0 / 3))
         )
-        weighted = part if weighted is None else weighted.unionByName(part)
-    sym = weighted.select(
-        F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2"), "wt"
+    )
+    pcol, keep = explode_computed(pair_structs, "pr")
+    sym = (
+        nbr.select(pcol)
+        .filter(keep)
+        .select(
+            F.least("pr.a", "pr.b").alias("w1"),
+            F.greatest("pr.a", "pr.b").alias("w2"),
+            F.col("pr.wt").alias("wt"),
+        )
     )
     return (
         sym.groupBy("w1", "w2")
