@@ -1389,3 +1389,130 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_conversion double, removal_effect double, "
         "attribution_share double",
     )
+
+
+# --------------------------------------------------------------------------
+# Heuristic multi-touch attribution: linear / time-decay / position-based
+# --------------------------------------------------------------------------
+DECAY_HALFLIFE_S = 3600.0
+
+
+@query(
+    "q_attribution_models",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, journey, min(ts) AS conv_ts
+      FROM ordered WHERE event_type = 'purchase'
+      GROUP BY user_id, journey
+    ),
+    touches AS (
+      SELECT o.user_id, o.journey, o.event_type AS ch,
+             epoch_us(c.conv_ts) - epoch_us(o.ts) AS us_before,
+             row_number() OVER (PARTITION BY o.user_id, o.journey
+                                ORDER BY o.ts, o.event_id) AS pos,
+             count(*) OVER (PARTITION BY o.user_id, o.journey) AS n
+      FROM ordered o JOIN conv c USING (user_id, journey)
+      WHERE o.event_type != 'purchase'
+    ),
+    credits AS (
+      SELECT ch,
+             1.0 / n AS linear_c,
+             pow(0.5, (us_before / 1000000.0) / {DECAY_HALFLIFE_S})
+               / sum(pow(0.5, (us_before / 1000000.0) / {DECAY_HALFLIFE_S}))
+                 OVER (PARTITION BY user_id, journey) AS decay_c,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END AS position_c
+      FROM touches
+    )
+    SELECT ch AS channel,
+           round(sum(linear_c), 6) AS linear_credit,
+           round(sum(decay_c), 6) AS time_decay_credit,
+           round(sum(position_c), 6) AS position_credit
+    FROM credits GROUP BY ch ORDER BY ch
+    """,
+)
+def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three standard heuristic multi-touch attribution models in
+    one pass over converting journeys (same journey split as
+    ``q_markov_attribution``): LINEAR (equal credit per touch),
+    TIME-DECAY (exp half-life {DECAY_HALFLIFE_S:.0f}s to conversion,
+    normalized per journey), and POSITION-BASED (the 40/20/40
+    U-shape). Together with first/last touch and the Markov removal
+    effect this is the full attribution shelf an analytics engine
+    ships; disagreement BETWEEN models is itself the standard sanity
+    readout.
+
+    Hash-exactness: decay weights are deterministic doubles of exact
+    integer µs deltas; per-journey normalization divides within the
+    partition before any cross-journey sum; final per-channel sums
+    carry only reassociation noise under the 6dp rounding.
+
+    Scale: all windows are PARTITIONED by (user, journey); the output
+    aggregate is |channels| rows with map-side combine. No window ever
+    sees more than one journey.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_j = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w_j),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    conv = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "journey")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    w_uj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    w_ujn = Window.partitionBy("user_id", "journey")
+    touches = (
+        ordered.filter(F.col("event_type") != "purchase")
+        .join(conv, ["user_id", "journey"])
+        .select(
+            "user_id",
+            "journey",
+            F.col("event_type").alias("ch"),
+            (F.unix_micros("conv_ts") - F.unix_micros("ts")).alias("us_before"),
+            F.row_number().over(w_uj).alias("pos"),
+            F.count(F.lit(1)).over(w_ujn).alias("n"),
+        )
+    )
+    decay_w = F.pow(0.5, (F.col("us_before") / 1000000.0) / DECAY_HALFLIFE_S)
+    credits = touches.select(
+        "ch",
+        (1.0 / F.col("n")).alias("linear_c"),
+        (decay_w / F.sum(decay_w).over(w_ujn)).alias("decay_c"),
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+        .alias("position_c"),
+    )
+    return (
+        credits.groupBy(F.col("ch").alias("channel"))
+        .agg(
+            F.round(F.sum("linear_c"), 6).alias("linear_credit"),
+            F.round(F.sum("decay_c"), 6).alias("time_decay_credit"),
+            F.round(F.sum("position_c"), 6).alias("position_credit"),
+        )
+        .orderBy("channel")
+    )
