@@ -2071,22 +2071,44 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("y")
     )
     j = o.join(c, o.o_custkey == c.c_custkey).select("pri", "x", "y")
+    return spearman_rho(j, grp="pri").orderBy("pri")
+
+
+def spearman_rho(df: DataFrame, grp: str) -> DataFrame:
+    """Spearman rank correlation per group over a (grp, x, y) frame:
+    midranks (min-rank + (ties-1)/2) from PARTITIONED windows, then
+    Pearson over the midranks from EXACT half-integer moment sums with
+    a guarded denominator — a zero-variance group (all-tied x or y)
+    yields NULL instead of an ANSI divide-by-zero job failure (the
+    engine ``corr`` aggregate throws there under ANSI mode). Returns
+    (grp, n, spearman_rho)."""
     rx = (
-        F.rank().over(Window.partitionBy("pri").orderBy("x"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("pri", "x")) - 1) / 2.0
+        F.rank().over(Window.partitionBy(grp).orderBy("x"))
+        + (F.count(F.lit(1)).over(Window.partitionBy(grp, "x")) - 1) / 2.0
     )
     ry = (
-        F.rank().over(Window.partitionBy("pri").orderBy("y"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("pri", "y")) - 1) / 2.0
+        F.rank().over(Window.partitionBy(grp).orderBy("y"))
+        + (F.count(F.lit(1)).over(Window.partitionBy(grp, "y")) - 1) / 2.0
     )
-    r = j.select("pri", rx.alias("rx"), ry.alias("ry"))
-    return (
-        r.groupBy("pri")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
-        )
-        .orderBy("pri")
+    r = df.select(grp, rx.alias("rx"), ry.alias("ry"))
+    m = r.groupBy(grp).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        grp,
+        "n",
+        F.when(
+            (varx_n > 0) & (vary_n > 0),
+            F.round(cov_n / F.sqrt(varx_n * vary_n), 6),
+        ).alias("spearman_rho"),
     )
 
 

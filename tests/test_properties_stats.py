@@ -123,3 +123,52 @@ def test_kendall_tau_b_matches_reference(spark, xy):
     else:
         assert got is not None and abs(got - ref) < 1e-9
     assert out[0]["n_pairs"] == len(xy) * (len(xy) - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Spearman rho (midranks)
+# ---------------------------------------------------------------------------
+def _ref_spearman(xy: list[tuple[int, int]]) -> float | None:
+    n = len(xy)
+
+    def midranks(vals):
+        order = sorted(range(n), key=lambda j: vals[j])
+        ranks = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mid = (i + j) / 2.0 + 1.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = mid
+            i = j + 1
+        return ranks
+
+    rx = midranks([p[0] for p in xy])
+    ry = midranks([p[1] for p in xy])
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    sxy = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    sxx = sum((a - mx) ** 2 for a in rx)
+    syy = sum((b - my) ** 2 for b in ry)
+    if sxx == 0 or syy == 0:
+        return None
+    return round(sxy / math.sqrt(sxx * syy), 6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(xy=series_strategy)
+def test_spearman_rho_matches_reference(spark, xy):
+    from mi_inbound_pulsar_spark.operators.aggstats import spearman_rho
+
+    ref = _ref_spearman(xy)
+    rows = [("g", int(x), int(y)) for x, y in xy]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = spearman_rho(df, grp="grp").collect()
+    assert len(out) == 1
+    got = out[0]["spearman_rho"]
+    if ref is None:
+        assert got is None or math.isnan(got)
+    else:
+        assert got is not None and abs(got - ref) < 1e-5
