@@ -2417,3 +2417,104 @@ def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across day-of-week groups (seasonality strength)
+# --------------------------------------------------------------------------
+@query(
+    "q_anova_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT event_type, dow, count(*) AS ng,
+             sum(y) AS sg, sum(y * y) AS ssg
+      FROM daily GROUP BY event_type, dow
+    ),
+    t AS (
+      SELECT event_type, sum(ng) AS n, sum(sg) AS s, sum(ssg) AS ss,
+             count(*) AS k
+      FROM g GROUP BY event_type
+    ),
+    parts AS (
+      SELECT g.event_type,
+             sum(CAST(g.sg AS DOUBLE) * g.sg / g.ng)
+               - max(CAST(t.s AS DOUBLE) * t.s / t.n) AS ssb,
+             max(t.ss - CAST(t.s AS DOUBLE) * t.s / t.n) AS sst,
+             max(t.k) AS k, max(t.n) AS n
+      FROM g JOIN t USING (event_type)
+      GROUP BY g.event_type
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_days,
+           round(ssb / (k - 1) / ((sst - ssb) / (n - k)), 6) AS f_stat,
+           round(ssb / sst, 6) AS eta_squared,
+           ssb / (k - 1) / ((sst - ssb) / (n - k)) > 2.1 AS seasonal
+    FROM parts ORDER BY event_type
+    """,
+)
+def q_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily event volume across day-of-week groups,
+    per series — the seasonality-strength readout (F statistic and
+    effect size η² = SS_between/SS_total) that justifies fitting the
+    weekly profile ``q_seasonal_baseline`` uses; the decision
+    threshold compares the unrounded F identically on both sides.
+
+    Hash-exactness: group and total sums of squares come from EXACT
+    integer moments (counts and their squares), combined in one
+    deterministic double expression — the Welch-t construction
+    extended to k groups.
+
+    Scale: corpus → (series, dow) integer moments in one map-side-
+    combined groupBy chain; everything after is scalar arithmetic on
+    ≤ 7 rows per series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    g = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("y").alias("sg"),
+        F.sum(F.col("y") * F.col("y")).alias("ssg"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    parts = (
+        g.join(t, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("sg").cast("double") * F.col("sg") / F.col("ng"))
+                - F.max(F.col("s").cast("double") * F.col("s") / F.col("n"))
+            ).alias("ssb"),
+            F.max(
+                F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
+            ).alias("sst"),
+            F.max("k").alias("k"),
+            F.max("n").alias("n"),
+        )
+    )
+    f_stat = (
+        F.col("ssb") / (F.col("k") - 1) / ((F.col("sst") - F.col("ssb")) / (F.col("n") - F.col("k")))
+    )
+    return parts.select(
+        "event_type",
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_squared"),
+        (f_stat > 2.1).alias("seasonal"),
+    ).orderBy("event_type")

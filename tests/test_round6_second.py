@@ -148,3 +148,22 @@ def test_markov_attribution_structure(spark, sf_dir):
         assert -1e-9 <= r["removal_effect"] <= 1.0 + 1e-9
         shares += r["attribution_share"]
     assert abs(shares - 1.0) < 1e-5
+
+
+def test_attribution_models_conserve_credit(spark, sf_dir):
+    """Each model hands out EXACTLY one credit per converting journey
+    with at least one touch, so the three per-channel column sums must
+    agree with each other (and be a whole number of journeys)."""
+    from mi_inbound_pulsar_spark.operators.funnel import q_attribution_models
+
+    rows = q_attribution_models(spark, sf_dir).collect()
+    assert rows
+    totals = [
+        sum(r["linear_credit"] for r in rows),
+        sum(r["time_decay_credit"] for r in rows),
+        sum(r["position_credit"] for r in rows),
+    ]
+    for t in totals:
+        assert abs(t - totals[0]) < 1e-3
+        assert abs(t - round(t)) < 1e-3  # whole journeys
+        assert t > 0
