@@ -1335,3 +1335,148 @@ def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries",
         (F.col("hits") / F.col("n_exact") >= INT8_RECALL_FLOOR).alias("recall_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between the lexical and semantic rankings
+# --------------------------------------------------------------------------
+RBO_DEPTH = 20
+RBO_P = 0.9
+
+
+@query(
+    "q_rank_biased_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = 'data'))   AS tf1,
+             len(list_filter(string_split(text, ' '), x -> x = 'query'))  AS tf2,
+             len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf3
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             count_if(tf1 > 0) AS df1, count_if(tf2 > 0) AS df2,
+             count_if(tf3 > 0) AS df3
+      FROM t
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(
+               ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0)
+                 * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+               DESC, doc_id) AS ra
+      FROM t, s
+      WHERE tf1 + tf2 + tf3 > 0
+      QUALIFY ra <= {RBO_DEPTH}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    probe AS (SELECT emb AS p_emb FROM e WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(emb, p_emb), 6) DESC, vec_id
+             ) AS rb
+      FROM e, probe WHERE vec_id != 0
+      QUALIFY rb <= {RBO_DEPTH}
+    ),
+    joined AS (
+      SELECT greatest(lex.ra, sem.rb) AS m
+      FROM lex JOIN sem USING (doc_id)
+    ),
+    depths AS (
+      SELECT k FROM unnest(generate_series(1, {RBO_DEPTH})) AS u(k)
+    ),
+    terms AS (
+      SELECT d.k,
+             pow({RBO_P}, d.k - 1)
+               * (SELECT count(*) FROM joined j WHERE j.m <= d.k) * 1.0 / d.k
+               AS term
+      FROM depths d
+    )
+    SELECT CAST({RBO_DEPTH} AS BIGINT) AS depth,
+           CAST((SELECT count(*) FROM joined) AS BIGINT) AS overlap_at_depth,
+           round((1 - {RBO_P}) * sum(term), 6) AS rbo_trunc
+    FROM terms
+    """,
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated at depth
+    {RBO_DEPTH}, p={RBO_P}) between the lexical BM25 ranking and the
+    semantic cosine ranking — the top-weighted agreement measure an
+    IR owner reads before deciding whether dense retrieval actually
+    changes the ranking (Kendall over full lists over-weights the
+    tail; RBO's geometric decay matches user attention). Same shared
+    id-space conceit as ``q_hybrid_search_rrf``, whose two ranking
+    arms this reuses verbatim.
+
+    Hash-exactness: both rankings order by 6dp-rounded scores with id
+    tie-breaks (integer ranks are engine-identical); the RBO sum is
+    {RBO_DEPTH} deterministic terms, rounded 6dp.
+
+    Scale: both arms cut to depth via TakeOrderedAndProject; the
+    overlap join and depth series are ≤{RBO_DEPTH}-row frames.
+    """
+    from mi_inbound_pulsar_spark.operators.text import bm25_scored
+
+    d = load_table(spark, sf_dir, "documents")
+    lex = (
+        bm25_scored(d)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RBO_DEPTH)
+        .withColumn(
+            "ra", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        )
+        .select("doc_id", "ra")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("p_emb"))
+    dot = F.aggregate(
+        F.zip_with("emb", "p_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("p_emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col("vec_id").alias("doc_id"), F.round(dot / (na * nb), 6).alias("sim"))
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(RBO_DEPTH)
+        .withColumn(
+            "rb", F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id"))
+        )
+        .select("doc_id", "rb")
+    )
+    joined = lex.join(sem, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, RBO_DEPTH + 1).select(F.col("id").alias("k"))
+    terms = (
+        depths.join(F.broadcast(joined), F.col("m") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("m").alias("x_k"))
+        .select(
+            (F.pow(F.lit(RBO_P), F.col("k") - 1) * F.col("x_k") / F.col("k")).alias(
+                "term"
+            )
+        )
+    )
+    overlap = joined.agg(F.count(F.lit(1)).alias("overlap_at_depth"))
+    return (
+        terms.agg(F.round((1 - RBO_P) * F.sum("term"), 6).alias("rbo_trunc"))
+        .crossJoin(F.broadcast(overlap))
+        .select(
+            F.lit(RBO_DEPTH).cast("long").alias("depth"),
+            F.col("overlap_at_depth").cast("long"),
+            "rbo_trunc",
+        )
+    )
