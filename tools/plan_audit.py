@@ -46,6 +46,9 @@ WAIVERS = {
     # input is <= 100 rows by construction (TakeOrderedAndProject
     # upstream), not a corpus-wide sort
     "q_hybrid_search_rrf": {"GlobalWindow"},
+    # same class: ranks assigned AFTER orderBy().limit(RBO_DEPTH) —
+    # both window inputs are <= 20 rows by construction
+    "q_rank_biased_overlap": {"GlobalWindow"},
     # running sum over the per-DISTINCT-VALUE rollup (the value domain,
     # not the event stream) — the q_zipf_slope vocab-bounded class
     "q_mann_whitney": {"GlobalWindow"},
