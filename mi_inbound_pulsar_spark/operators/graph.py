@@ -1313,6 +1313,19 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    return (
+        hits_authority_ppm(edges)
+        .select(F.col("supp").alias("node"), F.col("s").alias("authority_ppm"))
+        .orderBy(F.desc("authority_ppm"), "node")
+        .limit(25)
+    )
+
+
+def hits_authority_ppm(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """The HITS fixpoint kernel over a (cust, supp) bipartite edge
+    frame: ``rounds`` synchronous hub/authority updates, each L1-
+    normalized in ppm integer arithmetic. Returns the final (supp, s)
+    authority vector."""
 
     def l1_normalize(scores: DataFrame, key: str) -> DataFrame:
         tot = scores.agg(F.sum("s").alias("tot"))
@@ -1323,7 +1336,8 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = edges.select("cust").distinct().select(
         "cust", F.lit(1000000).cast("long").alias("s")
     )
-    for _ in range(2):
+    auth = None
+    for _ in range(rounds):
         auth = l1_normalize(
             edges.join(hubs, "cust").groupBy("supp").agg(F.sum("s").alias("s")),
             "supp",
@@ -1332,12 +1346,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(auth, "supp").groupBy("cust").agg(F.sum("s").alias("s")),
             "cust",
         )
-    # `auth` holds the round-2 normalized authority vector
-    return (
-        auth.select(F.col("supp").alias("node"), F.col("s").alias("authority_ppm"))
-        .orderBy(F.desc("authority_ppm"), "node")
-        .limit(25)
-    )
+    return auth
 
 
 # --------------------------------------------------------------------------

@@ -167,3 +167,23 @@ def test_attribution_models_conserve_credit(spark, sf_dir):
         assert abs(t - totals[0]) < 1e-3
         assert abs(t - round(t)) < 1e-3  # whole journeys
         assert t > 0
+
+
+def test_hits_star_graph_hand_computed(spark):
+    """Hand-checkable star: supplier 100 is bought by customers 1-3,
+    supplier 200 only by customer 1. Round 1: auth(100)=3M→750k ppm,
+    auth(200)=1M→250k ppm after L1; the shared supplier must dominate
+    and the vector must stay exactly L1-normalized in ppm (up to
+    integer-division remainder)."""
+    from mi_inbound_pulsar_spark.operators.graph import hits_authority_ppm
+
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (1, 200)], "cust long, supp long"
+    )
+    one_round = {
+        r["supp"]: r["s"] for r in hits_authority_ppm(edges, rounds=1).collect()
+    }
+    assert one_round == {100: 750000, 200: 250000}
+    final = {r["supp"]: r["s"] for r in hits_authority_ppm(edges).collect()}
+    assert final[100] > final[200] > 0
+    assert 1_000_000 - len(final) < sum(final.values()) <= 1_000_000
