@@ -77,13 +77,16 @@ _PRIORITY = (
     # listed names spill to round 7's window along with q_twap,
     # q_udf_surface, q_unigram_kl_drift, q_union_distinct,
     # q_variant_extract, q_weighted_sample, q_window_distribution,
-    # q_window_ignore_nulls, q_zipf_slope, and the 18 queries NEW in
+    # q_window_ignore_nulls, q_zipf_slope, and the 23 queries NEW in
     # the round-6 third phase (never driver-checked by definition):
     # q_welch_ttest, q_cramers_v, q_benjamini_hochberg,
     # q_spearman_corr, q_kendall_tau, q_jackknife_ci, q_ab_power_mde,
     # q_hits_scores, q_bigram_lm_cross_entropy, q_heaps_law,
     # q_embedding_quantize, q_int8_recall, q_hard_negative_mining,
-    # q_blocking_eval, q_session_gap_calibration.
+    # q_blocking_eval, q_session_gap_calibration,
+    # q_markov_attribution, q_attribution_models, q_calibration_ece,
+    # q_skipgram_pairs, q_negative_sampling_table,
+    # q_glove_cooccurrence, q_anova_dow, q_rank_biased_overlap.
     "q_semdedup",
     "q_bpe_merge_loop",
     "q_dsir_selection",
