@@ -2518,3 +2518,193 @@ def q_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_squared"),
         (f_stat > 2.1).alias("seasonal"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Pairwise correlation matrix across daily series
+# --------------------------------------------------------------------------
+@query(
+    "q_correlation_matrix",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             a.y AS xa, b.y AS xb
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT ta, tb, count(*) AS n,
+             sum(xa) AS sa, sum(xb) AS sb,
+             sum(xa * xb) AS sab, sum(xa * xa) AS saa, sum(xb * xb) AS sbb
+      FROM pairs GROUP BY ta, tb
+    )
+    SELECT ta AS series_a, tb AS series_b, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+                THEN round((n * sab - CAST(sa AS DOUBLE) * sb)
+                           / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                  * (n * sbb - sb * sb)), 6)
+                END AS pearson_r
+    FROM m ORDER BY series_a, series_b
+    """,
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) across the
+    daily volumes of every event series — the co-movement profile a
+    capacity planner reads before treating series independently (the
+    multivariate companion of ``q_agg_corr``'s single pair and
+    ``q_timeseries_similarity``'s shape distance).
+
+    Hash-exactness: the per-pair moments are EXACT integer sums over
+    the day-aligned join; r is one deterministic double expression
+    with a guarded zero-variance denominator (NULL for a constant
+    series, the Spearman-kernel discipline).
+
+    Scale: the corpus collapses to |series|×|days| rows; the pair join
+    is day-equi-keyed, output |series|²/2 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.y").alias("xa"),
+        F.col("b.y").alias("xb"),
+    )
+    m = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+        F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+    )
+    var_a = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    var_b = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    cov = F.col("n") * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    return m.select(
+        F.col("ta").alias("series_a"),
+        F.col("tb").alias("series_b"),
+        F.col("n").alias("n_days"),
+        F.when(
+            (var_a > 0) & (var_b > 0),
+            F.round(cov / F.sqrt(var_a.cast("double") * var_b), 6),
+        ).alias("pearson_r"),
+    ).orderBy("series_a", "series_b")
+
+
+# --------------------------------------------------------------------------
+# Mutual information between event type and value bucket
+# --------------------------------------------------------------------------
+@query(
+    "q_mutual_information",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS x,
+             CASE WHEN value < 30 THEN 'lo'
+                  WHEN value < 70 THEN 'mid' ELSE 'hi' END AS y
+      FROM events
+    ),
+    joint AS (SELECT x, y, count(*) AS c FROM b GROUP BY x, y),
+    mx AS (SELECT x, sum(c) AS cx FROM joint GROUP BY x),
+    my AS (SELECT y, sum(c) AS cy FROM joint GROUP BY y),
+    n AS (SELECT sum(c) AS n FROM joint),
+    terms AS (
+      SELECT j.c * 1.0 / n.n
+               * log2((CAST(j.c AS DOUBLE) * n.n) / (CAST(mx.cx AS DOUBLE) * my.cy))
+               AS t,
+             j.c, n.n
+      FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    ),
+    hx AS (
+      SELECT -sum(cx * 1.0 / n.n * log2(cx * 1.0 / n.n)) AS h
+      FROM mx CROSS JOIN n
+    ),
+    hy AS (
+      SELECT -sum(cy * 1.0 / n.n * log2(cy * 1.0 / n.n)) AS h
+      FROM my CROSS JOIN n
+    )
+    SELECT CAST(max(terms.n) AS BIGINT) AS n_events,
+           round(sum(terms.t), 6) AS mi_bits,
+           round(sum(terms.t) / sqrt((SELECT h FROM hx) * (SELECT h FROM hy)), 6)
+             AS normalized_mi
+    FROM terms
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between event type and value bucket,
+    plus the sqrt-entropy-normalized NMI — the information-theoretic
+    dependence measure that catches nonlinear/categorical association
+    chi-square quantifies differently and Pearson misses entirely
+    (completes the dependence shelf: chi², Cramér's V, MI).
+
+    Hash-exactness: every probability is an exact integer ratio; the
+    MI sum folds |X|·|Y| deterministic double terms, rounded 6dp.
+
+    Scale: one map-side-combined groupBy to the joint contingency
+    table; margins and entropies are arithmetic over that tiny table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 30, "lo")
+        .when(F.col("value") < 70, "mid")
+        .otherwise("hi")
+    )
+    joint = e.groupBy(
+        F.col("event_type").alias("x"), bucket.alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
+    n = joint.agg(F.sum("c").alias("n"))
+    t = (
+        F.col("c")
+        / F.col("n")
+        * F.log2(
+            (F.col("c").cast("double") * F.col("n"))
+            / (F.col("cx").cast("double") * F.col("cy"))
+        )
+    )
+    terms = (
+        joint.join(mx, "x").join(my, "y").crossJoin(F.broadcast(n)).select(
+            t.alias("t"), "n"
+        )
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum(F.col("cx") / F.col("n") * F.log2(F.col("cx") / F.col("n")))).alias(
+                "h"
+            )
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum(F.col("cy") / F.col("n") * F.log2(F.col("cy") / F.col("n")))).alias(
+                "h"
+            )
+        )
+    )
+    mi = terms.agg(F.max("n").alias("n_events"), F.sum("t").alias("mi"))
+    return (
+        mi.crossJoin(F.broadcast(hx.select(F.col("h").alias("hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("hy"))))
+        .select(
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("mi", 6).alias("mi_bits"),
+            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias(
+                "normalized_mi"
+            ),
+        )
+    )
