@@ -187,3 +187,31 @@ def test_hits_star_graph_hand_computed(spark):
     final = {r["supp"]: r["s"] for r in hits_authority_ppm(edges).collect()}
     assert final[100] > final[200] > 0
     assert 1_000_000 - len(final) < sum(final.values()) <= 1_000_000
+
+
+def test_correlation_matrix_bounds(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.aggstats import q_correlation_matrix
+
+    rows = q_correlation_matrix(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["series_a"] < r["series_b"]  # strict upper triangle
+        assert (r["series_a"], r["series_b"]) not in seen
+        seen.add((r["series_a"], r["series_b"]))
+        if r["pearson_r"] is not None:
+            assert -1.0 - 1e-9 <= r["pearson_r"] <= 1.0 + 1e-9
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    """MI is non-negative and NMI (sqrt normalization) lies in [0, 1];
+    MI can never exceed either marginal entropy's bound log2(min(|X|,|Y|))."""
+    import math
+
+    from mi_inbound_pulsar_spark.operators.aggstats import q_mutual_information
+
+    r = q_mutual_information(spark, sf_dir).collect()[0]
+    assert r["n_events"] > 0
+    assert r["mi_bits"] >= -1e-9
+    assert -1e-9 <= r["normalized_mi"] <= 1.0 + 1e-9
+    assert r["mi_bits"] <= math.log2(3) + 1e-6  # |value buckets| = 3
