@@ -3000,3 +3000,226 @@ def q_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact AUC-ROC of the quality logit against the Gopher labels
+# --------------------------------------------------------------------------
+_QL_SCORE_SQL = """
+      SELECT round(-2.0
+        + 3.0 * (len(list_distinct(w)) * 1.0 / len(w))
+        + 4.0 * (len(list_filter(w,
+            x -> x IN ('the','a','data','value'))) * 1.0 / len(w))
+        + 0.1 * ((len(text) - (len(w) - 1)) * 1.0 / len(w))
+        - 0.002 * len(w), 6) AS score,
+      CASE WHEN len(w) BETWEEN {minw} AND {maxw}
+        AND (list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w))
+              BETWEEN {minl} AND {maxl}
+        AND (((len(text) - len(replace(text, '#', '')))
+              + (len(text) - len(replace(text, '...', ''))) / 3)
+             * 1.0 / len(w)) <= {maxsym}
+        AND (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             * 1.0 / len(w)) >= {minalpha}
+        AND len(list_intersect(list_distinct(w),
+            ['the','a','of','and','in','to','is'])) >= {minstop}
+        THEN 1 ELSE 0 END AS y
+      FROM (SELECT string_split(text, ' ') AS w, text FROM documents)
+"""
+
+
+def _ql_score_sql() -> str:
+    return _QL_SCORE_SQL.format(
+        minw=GOPHER_MIN_WORDS,
+        maxw=GOPHER_MAX_WORDS,
+        minl=GOPHER_MIN_MEAN_LEN,
+        maxl=GOPHER_MAX_MEAN_LEN,
+        maxsym=GOPHER_MAX_SYMBOL_RATIO,
+        minalpha=GOPHER_MIN_ALPHA_RATIO,
+        minstop=GOPHER_MIN_STOP_HITS,
+    )
+
+
+def _ql_scored(d: DataFrame) -> DataFrame:
+    """(score, y) per document: the 6dp-rounded quality logit and the
+    exact-integer Gopher conjunction — the shared input of the AUC,
+    gains-curve, and ECE audits."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "data", "value")))
+    score = F.round(
+        F.lit(-2.0)
+        + 3.0 * (n_types / n_tokens)
+        + 4.0 * (n_stop / n_tokens)
+        + 0.1 * ((F.length("text") - (n_tokens - 1)) / n_tokens)
+        - 0.002 * n_tokens,
+        6,
+    )
+    mean_word_len = (
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        / n_tokens
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    label = (
+        n_tokens.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_word_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (((n_hash + n_ell) / n_tokens) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (
+            (F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_tokens)
+            >= GOPHER_MIN_ALPHA_RATIO
+        )
+        & (
+            F.size(F.array_intersect(F.array_distinct(toks), F.lit(list(STOPWORDS))))
+            >= GOPHER_MIN_STOP_HITS
+        )
+    )
+    return d.select(score.alias("score"), F.when(label, 1).otherwise(0).alias("y"))
+
+
+@query(
+    "q_auc_roc",
+    oracle=f"""
+    WITH scored AS ({_ql_score_sql()}),
+    vc AS (
+      SELECT score, sum(y) AS np, count(*) AS c FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT np, c,
+             sum(c) OVER (ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before
+      FROM vc
+    ),
+    s AS (
+      SELECT sum(np) AS n_pos, sum(c) - sum(np) AS n_neg,
+             sum(np * (coalesce(cum_before, 0) + (c + 1.0) / 2)) AS r_pos
+      FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round((r_pos - n_pos * (n_pos + 1.0) / 2) / (n_pos * n_neg), 6)
+             AS auc_roc
+    FROM s
+    """,
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of the quality logit against the Gopher-rule
+    labels via the rank-sum identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋)
+    with midranks for ties — mathematically the Mann-Whitney U
+    normalized, and computed with that query's exact half-integer
+    construction (no threshold sweep, no trapezoid approximation).
+    Completes the filter-eval family: ECE says whether the scores are
+    calibrated, AUC says whether they RANK correctly.
+
+    Scale: the corpus collapses to the per-DISTINCT-SCORE rollup
+    first; the cumulative window runs over the score domain (the
+    q_mann_whitney waiver class), then one scalar aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vc = _ql_scored(d).groupBy("score").agg(
+        F.sum("y").alias("np"), F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.withColumn("cum_before", F.sum("c").over(w))
+    s = ranked.agg(
+        F.sum("np").alias("n_pos"),
+        (F.sum("c") - F.sum("np")).alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.coalesce("cum_before", F.lit(0)) + (F.col("c") + 1.0) / 2)
+        ).alias("r_pos"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1.0) / 2)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc_roc"),
+    )
+
+
+@query(
+    "q_gains_curve",
+    oracle=f"""
+    WITH scored AS ({_ql_score_sql()}),
+    binned AS (
+      SELECT least(CAST(floor((1.0 / (1.0 + exp(-score))) * {ECE_BINS}) AS BIGINT),
+                   {ECE_BINS - 1}) AS bin, y
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, count(*) AS nd, sum(y) AS np FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(nd) AS n, sum(np) AS p FROM per_bin),
+    cum AS (
+      SELECT bin, nd, np,
+             sum(nd) OVER (ORDER BY bin DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_docs,
+             sum(np) OVER (ORDER BY bin DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos
+      FROM per_bin
+    )
+    SELECT c.bin,
+           CAST(c.cum_docs AS BIGINT) AS cum_docs,
+           CAST(c.cum_pos AS BIGINT) AS cum_pos,
+           round(c.cum_docs * 1.0 / t.n, 6) AS doc_share,
+           round(c.cum_pos * 1.0 / t.p, 6) AS recall,
+           round(c.cum_pos * 1.0 / c.cum_docs, 6) AS precision,
+           round((c.cum_pos * 1.0 / t.p) / (c.cum_docs * 1.0 / t.n), 6) AS lift
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.bin DESC
+    """,
+)
+def q_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / precision-recall curve of the quality filter
+    at the {ECE_BINS} confidence-bin thresholds, highest bin first:
+    keeping the top bins at each cut yields doc_share of the corpus,
+    recall of the true-pass documents, precision within the kept set,
+    and lift vs random — the operating-point table a filter owner uses
+    to pick the keep threshold (AUC summarizes ranking, this shows the
+    actual cuts).
+
+    Scale: corpus → {ECE_BINS}-bin contingency; the cumulative window
+    runs over ≤ {ECE_BINS} rows (aggregate-bounded class) with the
+    1-row total broadcast back.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    conf = 1.0 / (1.0 + F.exp(-F.col("score")))
+    binned = _ql_scored(d).select(
+        F.least(
+            F.floor(conf * ECE_BINS).cast("long"), F.lit(ECE_BINS - 1).cast("long")
+        ).alias("bin"),
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("y").alias("np")
+    )
+    tot = per_bin.agg(F.sum("nd").alias("n"), F.sum("np").alias("p"))
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_bin.select(
+        "bin",
+        F.sum("nd").over(w).alias("cum_docs"),
+        F.sum("np").over(w).alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "cum_docs",
+            "cum_pos",
+            F.round(F.col("cum_docs") / F.col("n"), 6).alias("doc_share"),
+            F.round(F.col("cum_pos") / F.col("p"), 6).alias("recall"),
+            F.round(F.col("cum_pos") / F.col("cum_docs"), 6).alias("precision"),
+            F.round(
+                (F.col("cum_pos") / F.col("p")) / (F.col("cum_docs") / F.col("n")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("bin"))
+    )

@@ -215,3 +215,23 @@ def test_mutual_information_bounds(spark, sf_dir):
     assert r["mi_bits"] >= -1e-9
     assert -1e-9 <= r["normalized_mi"] <= 1.0 + 1e-9
     assert r["mi_bits"] <= math.log2(3) + 1e-6  # |value buckets| = 3
+
+
+def test_auc_and_gains_consistency(spark, sf_dir):
+    """AUC must be in [0,1]; the gains curve must be monotone in
+    cum_docs/cum_pos with recall reaching 1.0 at the last cut and
+    lift >= 1 at the top bin when the filter ranks better than random."""
+    from mi_inbound_pulsar_spark.operators.text import q_auc_roc, q_gains_curve
+
+    a = q_auc_roc(spark, sf_dir).collect()[0]
+    assert a["n_pos"] > 0 and a["n_neg"] > 0
+    assert -1e-9 <= a["auc_roc"] <= 1.0 + 1e-9
+
+    rows = q_gains_curve(spark, sf_dir).collect()
+    assert rows
+    docs = [r["cum_docs"] for r in rows]
+    pos = [r["cum_pos"] for r in rows]
+    assert docs == sorted(docs) and pos == sorted(pos)
+    assert abs(rows[-1]["recall"] - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 <= r["precision"] <= 1.0 + 1e-9

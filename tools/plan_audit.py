@@ -64,6 +64,10 @@ WAIVERS = {
     # cumulative sampling boundary over the vocabulary rollup — the
     # q_zipf_slope vocab-bounded class
     "q_negative_sampling_table": {"GlobalWindow"},
+    # rank-sum over the per-DISTINCT-SCORE rollup (the q_mann_whitney
+    # value-domain class) / cumulative gains over the 10-bin rollup
+    "q_auc_roc": {"GlobalWindow"},
+    "q_gains_curve": {"GlobalWindow"},
 }
 
 
