@@ -3223,3 +3223,189 @@ def q_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bin"))
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source unigram distributions
+# --------------------------------------------------------------------------
+@query(
+    "q_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, w1 AS word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w1 FROM documents
+      )
+    ),
+    freq AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS n FROM freq GROUP BY source),
+    p AS (
+      SELECT f.source, f.word, f.c * 1.0 / t.n AS p
+      FROM freq f JOIN tot t USING (source)
+    ),
+    vocab AS (SELECT DISTINCT word FROM freq),
+    srcs AS (SELECT DISTINCT source FROM freq),
+    grid AS (
+      SELECT a.source AS src_a, b.source AS src_b, v.word
+      FROM srcs a JOIN srcs b ON a.source < b.source CROSS JOIN vocab v
+    ),
+    joined AS (
+      SELECT g.src_a, g.src_b,
+             coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+      FROM grid g
+      LEFT JOIN p pa ON pa.source = g.src_a AND pa.word = g.word
+      LEFT JOIN p pb ON pb.source = g.src_b AND pb.word = g.word
+    ),
+    terms AS (
+      SELECT src_a, src_b,
+             CASE WHEN pa > 0
+               THEN 0.5 * pa * log2(pa / ((pa + pb) / 2)) ELSE 0 END
+             + CASE WHEN pb > 0
+               THEN 0.5 * pb * log2(pb / ((pa + pb) / 2)) ELSE 0 END AS t
+      FROM joined
+    )
+    SELECT src_a, src_b, round(sum(t), 6) AS js_divergence_bits
+    FROM terms GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the unigram
+    distributions of every source pair — the SYMMETRIC, bounded-[0,1]
+    distribution distance a mixture owner uses where one-directional
+    KL (``q_unigram_kl_drift``) is asymmetric and unbounded on
+    missing mass (JS handles absent words without smoothing: the 1/2
+    mixture is nonzero wherever either side is).
+
+    Scale: distributions are vocabulary-bounded per source; the
+    (source-pair × vocab) grid is |sources|²/2 · |vocab| rows — still
+    vocabulary-bounded, never corpus-bounded — folded in one
+    map-side-combined aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    freq = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("source").agg(F.sum("c").alias("n"))
+    p = freq.join(tot, "source").select(
+        "source", "word", (F.col("c") / F.col("n")).alias("p")
+    )
+    vocab = freq.select("word").distinct()
+    srcs = freq.select("source").distinct()
+    a, b = srcs.alias("a"), srcs.alias("b")
+    grid = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .crossJoin(vocab)
+    )
+    pa = p.select(
+        F.col("source").alias("src_a"), "word", F.col("p").alias("pa")
+    )
+    pb = p.select(
+        F.col("source").alias("src_b"), "word", F.col("p").alias("pb")
+    )
+    joined = (
+        grid.join(pa, ["src_a", "word"], "left")
+        .join(pb, ["src_b", "word"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    mid = (F.col("pa") + F.col("pb")) / 2
+    t = F.when(
+        F.col("pa") > 0, 0.5 * F.col("pa") * F.log2(F.col("pa") / mid)
+    ).otherwise(0.0) + F.when(
+        F.col("pb") > 0, 0.5 * F.col("pb") * F.log2(F.col("pb") / mid)
+    ).otherwise(0.0)
+    return (
+        joined.select("src_a", "src_b", t.alias("t"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum("t"), 6).alias("js_divergence_bits"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary overlap matrix
+# --------------------------------------------------------------------------
+@query(
+    "q_vocab_overlap",
+    oracle="""
+    WITH sv AS (
+      SELECT DISTINCT source, w1 AS word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w1 FROM documents
+      )
+    ),
+    sizes AS (SELECT source, count(*) AS nv FROM sv GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+      FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.nv AS BIGINT) AS vocab_a,
+           CAST(sb.nv AS BIGINT) AS vocab_b,
+           CAST(i.common AS BIGINT) AS common,
+           round(i.common * 1.0 / (sa.nv + sb.nv - i.common), 6)
+             AS jaccard,
+           round(i.common * 1.0 / least(sa.nv, sb.nv), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix: Jaccard and containment
+    of the distinct-word sets for every source pair — the lexical
+    complement of ``q_js_divergence`` (JS weighs by mass; this asks
+    whether the sources even share WORDS, the signal that catches a
+    source written in a different register or domain jargon).
+
+    Scale: per-source vocabularies are DISTINCT rollups (vocabulary-
+    bounded); the pair join is word-equi-keyed over those rollups —
+    the inverted-index shape, never a corpus self-join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sv = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("vocab_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("common") / F.least("vocab_a", "vocab_b"), 6
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
