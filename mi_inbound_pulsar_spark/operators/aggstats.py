@@ -2708,3 +2708,117 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Simpson's paradox audit: aggregated vs per-stratum association
+# --------------------------------------------------------------------------
+SIMPSON_HIGH_VALUE = 150000.0
+
+
+@query(
+    "q_simpson_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS stratum,
+             o.o_orderpriority LIKE '1%' OR o.o_orderpriority LIKE '2%'
+               AS urgent,
+             o.o_totalprice > {SIMPSON_HIGH_VALUE} AS high
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    strat AS (
+      SELECT stratum,
+             count(*) FILTER (WHERE urgent) AS nu,
+             count(*) FILTER (WHERE urgent AND high) AS hu,
+             count(*) FILTER (WHERE NOT urgent) AS no,
+             count(*) FILTER (WHERE NOT urgent AND high) AS ho
+      FROM base GROUP BY stratum
+      UNION ALL
+      SELECT 'ALL',
+             count(*) FILTER (WHERE urgent),
+             count(*) FILTER (WHERE urgent AND high),
+             count(*) FILTER (WHERE NOT urgent),
+             count(*) FILTER (WHERE NOT urgent AND high)
+      FROM base
+    ),
+    rates AS (
+      SELECT stratum, nu, no,
+             hu * 1.0 / nu AS p_urgent, ho * 1.0 / no AS p_other
+      FROM strat WHERE nu > 0 AND no > 0
+    ),
+    overall AS (
+      SELECT p_urgent - p_other AS d FROM rates WHERE stratum = 'ALL'
+    )
+    SELECT r.stratum,
+           CAST(r.nu AS BIGINT) AS n_urgent, CAST(r.no AS BIGINT) AS n_other,
+           round(r.p_urgent, 6) AS p_high_urgent,
+           round(r.p_other, 6) AS p_high_other,
+           round(r.p_urgent - r.p_other, 6) AS risk_diff,
+           sign(r.p_urgent - r.p_other) != sign(o.d) AS reversed
+    FROM rates r CROSS JOIN overall o
+    ORDER BY r.stratum
+    """,
+)
+def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit (Simpson 1951): the association between
+    urgent order priority and high order value, aggregated AND within
+    every market-segment stratum, with a ``reversed`` flag wherever a
+    stratum's risk difference has the opposite sign of the pooled one
+    — the classic aggregation trap every analytics readout should be
+    screened for before a pooled number ships.
+
+    Hash-exactness: all rates are exact integer ratios; the sign
+    comparison uses the unrounded differences identically on both
+    sides (measure-zero boundary only at an exact rate tie).
+
+    Scale: one map-side-combined groupBy per grain (stratum + pooled),
+    both tiny; the join is the standard broadcast fact-dim shape.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.col("o_orderpriority").like("1%")
+            | F.col("o_orderpriority").like("2%")
+        ).alias("urgent"),
+        (F.col("o_totalprice") > SIMPSON_HIGH_VALUE).alias("high"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("stratum")
+    )
+    base = o.join(c, o.o_custkey == c.c_custkey).select("stratum", "urgent", "high")
+
+    def tallies(df: DataFrame, label_col):
+        return df.groupBy(label_col.alias("stratum")).agg(
+            F.count_if("urgent").alias("nu"),
+            F.count_if(F.col("urgent") & F.col("high")).alias("hu"),
+            F.count_if(~F.col("urgent")).alias("no"),
+            F.count_if(~F.col("urgent") & F.col("high")).alias("ho"),
+        )
+
+    strat = tallies(base, F.col("stratum")).unionByName(
+        tallies(base, F.lit("ALL"))
+    )
+    rates = strat.filter((F.col("nu") > 0) & (F.col("no") > 0)).select(
+        "stratum",
+        "nu",
+        "no",
+        (F.col("hu") / F.col("nu")).alias("p_urgent"),
+        (F.col("ho") / F.col("no")).alias("p_other"),
+    )
+    overall = rates.filter(F.col("stratum") == "ALL").select(
+        (F.col("p_urgent") - F.col("p_other")).alias("d")
+    )
+    diff = F.col("p_urgent") - F.col("p_other")
+    return (
+        rates.crossJoin(F.broadcast(overall))
+        .select(
+            "stratum",
+            F.col("nu").alias("n_urgent"),
+            F.col("no").alias("n_other"),
+            F.round("p_urgent", 6).alias("p_high_urgent"),
+            F.round("p_other", 6).alias("p_high_other"),
+            F.round(diff, 6).alias("risk_diff"),
+            (F.signum(diff) != F.signum(F.col("d"))).alias("reversed"),
+        )
+        .orderBy("stratum")
+    )

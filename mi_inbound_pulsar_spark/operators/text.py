@@ -3409,3 +3409,67 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Source-level vocabulary diversity (Shannon H, evenness, effective vocab)
+# --------------------------------------------------------------------------
+@query(
+    "q_source_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT source, w1 AS word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w1 FROM documents
+      )
+    ),
+    freq AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT source, count(*) AS s, sum(c) AS n,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h_nats
+      FROM freq GROUP BY source
+    )
+    SELECT source,
+           CAST(s AS BIGINT) AS vocab_size,
+           CAST(n AS BIGINT) AS n_tokens,
+           round(h_nats / ln(2), 6) AS shannon_bits,
+           round(CASE WHEN s > 1 THEN h_nats / ln(s) END, 6) AS evenness,
+           round(exp(h_nats), 6) AS effective_vocab
+    FROM agg ORDER BY source
+    """,
+)
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE vocabulary diversity: Shannon entropy of the word
+    distribution (bits), Pielou's evenness H/ln(S), and the effective
+    vocabulary size e^H (the "perplexity" of the source's unigram
+    distribution) — the corpus-mixture diagnostic that separates a
+    diverse source from one dominated by boilerplate even when raw
+    vocabulary sizes look alike (``q_token_entropy`` is this signal's
+    per-DOCUMENT twin).
+
+    Hash-exactness: H = ln N − Σc·ln(c)/N over exact integer counts —
+    one deterministic expression per source aggregate; the single-word
+    degenerate source yields NULL evenness (ln 1 = 0 denominator)
+    identically on both sides.
+
+    Scale: per-source word counts are the vocabulary-bounded rollup;
+    the diversity is one further map-side-combined aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    freq = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    h_nats = F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+    agg = freq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum("c").alias("n"),
+        h_nats.alias("h_nats"),
+    )
+    return agg.select(
+        "source",
+        F.col("s").alias("vocab_size"),
+        F.col("n").alias("n_tokens"),
+        F.round(F.col("h_nats") / F.log(F.lit(2.0)), 6).alias("shannon_bits"),
+        F.round(
+            F.when(F.col("s") > 1, F.col("h_nats") / F.log("s")), 6
+        ).alias("evenness"),
+        F.round(F.exp("h_nats"), 6).alias("effective_vocab"),
+    ).orderBy("source")
