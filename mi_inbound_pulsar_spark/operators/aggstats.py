@@ -2822,3 +2822,151 @@ def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# --------------------------------------------------------------------------
+# Effect sizes: Cohen's d + Cliff's delta per source vs rest-of-corpus
+# --------------------------------------------------------------------------
+@query(
+    "q_effect_sizes",
+    oracle="""
+    WITH vc AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+    ),
+    mid AS (
+      SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1.0) / 2 AS midrank
+      FROM vc
+    ),
+    gv AS (
+      SELECT source, n_chars AS v, count(*) AS cg FROM documents GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT gv.source,
+             CAST(sum(gv.cg) AS BIGINT) AS n_g,
+             sum(CAST(gv.cg AS BIGINT) * gv.v) AS sum_g,
+             sum(CAST(gv.cg AS BIGINT) * gv.v * gv.v) AS sumsq_g,
+             sum(gv.cg * mid.midrank) AS r_g
+      FROM gv JOIN mid ON gv.v = mid.v
+      GROUP BY gv.source
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(n_chars AS BIGINT)) AS s,
+             sum(CAST(n_chars AS BIGINT) * n_chars) AS ss
+      FROM documents
+    ),
+    eff AS (
+      SELECT source, n_g, n - n_g AS n_r,
+             sum_g * 1.0 / n_g AS mean_g,
+             (s - sum_g) * 1.0 / (n - n_g) AS mean_r,
+             (sumsq_g - sum_g * sum_g * 1.0 / n_g) / (n_g - 1) AS var_g,
+             ((ss - sumsq_g) - (s - sum_g) * (s - sum_g) * 1.0 / (n - n_g))
+               / (n - n_g - 1) AS var_r,
+             2.0 * (r_g - n_g * (n_g + 1.0) / 2) / (n_g * (n - n_g)) - 1.0
+               AS delta
+      FROM g, tot
+    )
+    SELECT source, n_g AS n_docs,
+           round(mean_g, 6) AS mean_chars,
+           round((mean_g - mean_r)
+                 / sqrt(((n_g - 1) * var_g + (n_r - 1) * var_r)
+                        / (n_g + n_r - 2)), 6) AS cohens_d,
+           round(delta, 6) AS cliffs_delta,
+           CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                WHEN abs(delta) < 0.33 THEN 'small'
+                WHEN abs(delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM eff ORDER BY source
+    """,
+)
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes of document length per SOURCE against
+    the rest of the corpus: Cohen's d (pooled-SD mean difference) and
+    Cliff's delta (the nonparametric P(X>Y) − P(X<Y), Cliff 1993) with
+    Romano et al. (2006) magnitude labels — the practical-significance
+    companion to the suite's hypothesis tests (``q_welch_ttest``,
+    ``q_mann_whitney``): with corpus-scale n everything is
+    "significant", and the effect SIZE is what decides whether a
+    source's length skew actually matters for mixture design.
+
+    Cliff's delta is never computed pairwise: delta = 2U/(n_g·n_r) − 1
+    with U from the global midrank sum (the ``q_mann_whitney``
+    rank-sum identity, ties → half-credit via midranks), so each
+    source needs only its rank sum against ONE shared global ranking.
+
+    Hash-exactness: midranks are half-integers from exact counts;
+    group sums/sumsqs are exact integer arithmetic (BIGINT on the
+    oracle side to match Spark's long); d and delta are single
+    deterministic double expressions, 6dp-rounded; magnitude
+    thresholds compare the unrounded delta identically on both sides.
+
+    Scale: the corpus collapses to the value domain (distinct
+    n_chars) for ranking and to (source × value) for group sums —
+    both vocabulary-bounded; the running sum windows over the value
+    domain, not rows (the q_zipf_slope waiver class); everything else
+    is a |sources|-row aggregate against one broadcast total row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mid = vc.select(
+        "v",
+        (F.coalesce(F.sum("c").over(w), F.lit(0)) + (F.col("c") + 1.0) / 2).alias(
+            "midrank"
+        ),
+    )
+    gv = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cg")
+    )
+    g = (
+        gv.join(mid, "v")
+        .groupBy("source")
+        .agg(
+            F.sum("cg").alias("n_g"),
+            F.sum(F.col("cg") * F.col("v")).alias("sum_g"),
+            F.sum(F.col("cg") * F.col("v") * F.col("v")).alias("sumsq_g"),
+            F.sum(F.col("cg") * F.col("midrank")).alias("r_g"),
+        )
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    n_r = F.col("n") - F.col("n_g")
+    mean_g = F.col("sum_g") / F.col("n_g")
+    mean_r = (F.col("s") - F.col("sum_g")) / n_r
+    var_g = (F.col("sumsq_g") - F.col("sum_g") * F.col("sum_g") / F.col("n_g")) / (
+        F.col("n_g") - 1
+    )
+    var_r = (
+        (F.col("ss") - F.col("sumsq_g")) - (F.col("s") - F.col("sum_g")) ** 2 / n_r
+    ) / (n_r - 1)
+    pooled_sd = F.sqrt(
+        ((F.col("n_g") - 1) * var_g + (n_r - 1) * var_r) / (F.col("n_g") + n_r - 2)
+    )
+    delta = (
+        2.0
+        * (F.col("r_g") - F.col("n_g") * (F.col("n_g") + 1.0) / 2)
+        / (F.col("n_g") * n_r)
+        - 1.0
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_g").alias("n_docs"),
+            F.round(mean_g, 6).alias("mean_chars"),
+            F.round((mean_g - mean_r) / pooled_sd, 6).alias("cohens_d"),
+            F.round(delta, 6).alias("cliffs_delta"),
+            F.when(F.abs(delta) < 0.147, "negligible")
+            .when(F.abs(delta) < 0.33, "small")
+            .when(F.abs(delta) < 0.474, "medium")
+            .otherwise("large")
+            .alias("magnitude"),
+        )
+        .orderBy("source")
+    )

@@ -1406,3 +1406,74 @@ def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private noisy histogram (seeded-Laplace release)
+# --------------------------------------------------------------------------
+DP_EPSILON = 1.0  # per-count privacy budget; sensitivity 1 => scale b = 1/eps
+
+
+@query(
+    "q_dp_noisy_histogram",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+      FROM events GROUP BY event_type
+    ),
+    noise AS (
+      SELECT event_type, true_n,
+             (CAST('0x' || substr(md5('dp:' || event_type), 1, 13) AS BIGINT)
+              + 0.5) / 4503599627370496.0 - 0.5 AS u
+      FROM cell
+    )
+    SELECT event_type, true_n,
+           round(true_n - (1.0 / {DP_EPSILON}) * sign(u)
+                 * ln(1 - 2 * abs(u)), 6) AS noisy_n,
+           round(- (1.0 / {DP_EPSILON}) * sign(u) * ln(1 - 2 * abs(u)), 6)
+             AS laplace_noise
+    FROM noise ORDER BY event_type
+    """,
+)
+def q_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram release (Dwork et al. 2006):
+    each event-type count gets Laplace(1/ε) noise (sensitivity 1 —
+    one user event moves any count by at most 1) at ε={DP_EPSILON}.
+    The noise draw is the repo's standard ENGINE-PORTABLE determinism
+    pattern: u = md5-derived 52-bit uniform in (−0.5, 0.5), mapped
+    through the Laplace inverse CDF −b·sign(u)·ln(1−2|u|) — so the
+    release is reproducible across engines and runs (the salt string
+    is the release id; a true deployment would draw fresh noise per
+    release and this query IS that release function). True counts are
+    emitted alongside for the oracle check; a production release
+    would drop them.
+
+    Hash-exactness: the uniform is an exact dyadic rational of a
+    53-bit integer (13 hex digits + the half-up offset), identical in
+    Spark (``conv(substr(md5,1,13),16,10)``) and DuckDB
+    (``CAST('0x'||... AS BIGINT)``); the inverse CDF is one
+    deterministic double expression, 6dp-rounded.
+
+    Scale: one vocabulary-bounded count aggregate; noise is a narrow
+    row-local expression over the |event_types|-row rollup. This is
+    the histogram primitive under every DP analytics release (counts,
+    marginals, CDFs) — wider marginals just change the groupBy keys.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 13), 16, 10).cast(
+            "long"
+        )
+        + 0.5
+    ) / 4503599627370496.0 - 0.5
+    lap = -(1.0 / DP_EPSILON) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return (
+        cell.select(
+            "event_type",
+            "true_n",
+            F.round(F.col("true_n") + lap, 6).alias("noisy_n"),
+            F.round(lap, 6).alias("laplace_noise"),
+        )
+        .orderBy("event_type")
+    )

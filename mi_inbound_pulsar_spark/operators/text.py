@@ -3473,3 +3473,152 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("evenness"),
         F.round(F.exp("h_nats"), 6).alias("effective_vocab"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: graded nDCG@k of BM25 known-item search
+# --------------------------------------------------------------------------
+NDCG_K = 10
+
+
+@query(
+    "q_ndcg_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+      SELECT qid, tok, df FROM (
+        SELECT t.doc_id AS qid, t.tok, d.df,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+                 AS rk
+        FROM tf t JOIN df d USING (tok)
+        WHERE t.doc_id < {MRR_N_QUERIES}
+      ) WHERE rk <= {MRR_TERMS_PER_QUERY}
+    ),
+    scored AS (
+      SELECT q.qid, t.doc_id,
+             CAST(count(*) AS BIGINT) AS grade,
+             sum(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+      FROM qterms q
+        JOIN tf t ON t.tok = q.tok
+        JOIN dl l ON l.doc_id = t.doc_id, stats s
+      GROUP BY q.qid, t.doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id, grade,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id)
+               AS rank,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY grade DESC, doc_id) AS ideal_rank
+      FROM scored
+    )
+    SELECT qid,
+           CAST(count(*) AS BIGINT) AS n_graded,
+           round(
+             sum(CASE WHEN rank <= {NDCG_K}
+                      THEN (pow(2, grade) - 1) / log2(rank + 1.0)
+                      ELSE 0 END)
+             / sum(CASE WHEN ideal_rank <= {NDCG_K}
+                        THEN (pow(2, grade) - 1) / log2(ideal_rank + 1.0)
+                        ELSE 0 END),
+             6) AS ndcg_at_{NDCG_K}
+    FROM ranked GROUP BY qid ORDER BY qid
+    """,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@{NDCG_K} of the BM25 known-item benchmark — the
+    third leg of the retrieval-eval stool after the binary MRR
+    (``q_retrieval_mrr``) and the rank-agreement RBO
+    (``q_rank_biased_overlap``): each of the first {MRR_N_QUERIES}
+    documents queries with its {MRR_TERMS_PER_QUERY} globally-rarest
+    tokens; a document's RELEVANCE GRADE is how many of the query's
+    terms it contains (0-{MRR_TERMS_PER_QUERY}), the exponential-gain
+    DCG (2^grade - 1)/log2(rank+1) is summed over the BM25 top-{NDCG_K},
+    and the ideal DCG re-sorts the graded pool by grade. nDCG is the
+    standard graded-relevance IR metric (Järvelin & Kekäläinen 2002)
+    and the one a retrieval-augmented training pipeline gates its
+    index on.
+
+    Hash-exactness: ranks order by the 6dp-ROUNDED BM25 score (the
+    ``q_retrieval_mrr`` determinism rule) then doc_id; the ideal rank
+    orders by the integer grade then doc_id — within a grade tier the
+    gain term is constant, so ideal-rank tie order cannot change IDCG.
+    The query doc itself carries grade {MRR_TERMS_PER_QUERY}, so IDCG
+    is never zero.
+
+    Scale: the candidate pool per query is the posting lists of its
+    rarest terms — minimal by construction; both windows partition by
+    query id over that bounded pool; corpus statistics ride one
+    broadcast row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    tf = (
+        d.select("doc_id", tok)
+        .filter(keep)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_q = Window.partitionBy("qid").orderBy("df", "tok")
+    qterms = (
+        tf.filter(F.col("doc_id") < MRR_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .join(df, "tok")
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= MRR_TERMS_PER_QUERY)
+        .select("qid", "tok", "df")
+    )
+    scored = (
+        qterms.join(tf, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("grade"), F.sum("part").alias("score"))
+    )
+    w_r = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 6)), "doc_id")
+    w_i = Window.partitionBy("qid").orderBy(F.desc("grade"), "doc_id")
+    gain = F.pow(F.lit(2.0), F.col("grade")) - 1
+    ranked = scored.select(
+        "qid",
+        "grade",
+        F.row_number().over(w_r).alias("rank"),
+        F.row_number().over(w_i).alias("ideal_rank"),
+    )
+    dcg = F.sum(
+        F.when(F.col("rank") <= NDCG_K, gain / F.log2(F.col("rank") + 1.0)).otherwise(
+            0.0
+        )
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("ideal_rank") <= NDCG_K, gain / F.log2(F.col("ideal_rank") + 1.0)
+        ).otherwise(0.0)
+    )
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_graded"),
+            F.round(dcg / idcg, 6).alias(f"ndcg_at_{NDCG_K}"),
+        )
+        .orderBy("qid")
+    )

@@ -749,3 +749,134 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (nonparametric monotonic-trend detection)
+# --------------------------------------------------------------------------
+MK_Z_CRIT = 1.959964  # two-sided 95% normal critical value
+
+
+@query(
+    "q_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.rn > a.rn
+      GROUP BY a.event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, count(*) AS t FROM daily GROUP BY event_type, y)
+      GROUP BY event_type
+    ),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+    z AS (
+      SELECT n.event_type, n.n, s.s_stat,
+             (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0 AS var_s
+      FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+    )
+    SELECT event_type, n AS n_days, s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z_stat,
+           CASE WHEN s_stat > 0 AND (s_stat - 1) / sqrt(var_s) > {MK_Z_CRIT}
+                  THEN 'increasing'
+                WHEN s_stat < 0 AND (s_stat + 1) / sqrt(var_s) < -{MK_Z_CRIT}
+                  THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM z ORDER BY event_type
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per daily series (Mann 1945,
+    Kendall 1975): S = Σ_(i<j) sign(y_j − y_i) over the day-ordered
+    series, tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    Σ_g t_g(t_g−1)(2t_g+5)]/18, and the continuity-corrected normal
+    z — the hypothesis-test companion to ``q_theil_sen_trend``'s
+    slope ESTIMATE (the two are the standard pairing: Theil-Sen says
+    how steep, Mann-Kendall says whether it is significant at all,
+    with no distributional assumption the parametric fits elsewhere
+    in the suite need).
+
+    Hash-exactness: S and the tie term are exact integer aggregates
+    over exact integer micro-unit totals; Var(S) and z are single
+    deterministic double expressions of those integers (6dp-rounded);
+    the verdict thresholds compare the unrounded z identically on
+    both sides.
+
+    Scale: series collapse to types×days first (map-side combine);
+    the pairwise join is per-series over the tiny daily frame (the
+    ``q_theil_sen_trend`` shape — subsample pairs for multi-year
+    series); ties and n are vocabulary-bounded rollups of the same
+    daily frame. No global window, no driver loop.
+    """
+    e = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(micro).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select("event_type", "y", F.row_number().over(w).alias("rn"))
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.rn") > F.col("a.rn")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long")).alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z_raw = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var_s", var_s)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round("var_s", 6).alias("var_s"),
+            F.round(z_raw, 6).alias("z_stat"),
+            F.when(z_raw > MK_Z_CRIT, "increasing")
+            .when(z_raw < -MK_Z_CRIT, "decreasing")
+            .otherwise("no trend")
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )
