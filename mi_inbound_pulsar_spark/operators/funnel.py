@@ -1516,3 +1516,199 @@ def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Shapley-value attribution over the touch-set coalition lattice
+# --------------------------------------------------------------------------
+#: bit position per channel, alphabetical — the coalition lattice is
+#: 2^|channels| = 16 masks; exact Shapley is tractable because the
+#:  channel DOMAIN is small, never because the corpus is.
+SHAPLEY_CHANNELS = MARKOV_CHANNELS  # ("click", "error", "signup", "view")
+_SHAPLEY_N = len(SHAPLEY_CHANNELS)
+#: |S|!(n-|S|-1)!/n! for n=4 by |S| — exact dyadic/ternary rationals
+_SHAPLEY_W = ("0.25", "1.0/12", "1.0/12", "0.25")
+
+
+def _shapley_bit_sql() -> str:
+    return (
+        "CASE o.event_type "
+        + " ".join(
+            f"WHEN '{c}' THEN {1 << i}" for i, c in enumerate(SHAPLEY_CHANNELS)
+        )
+        + " END"
+    )
+
+
+@query(
+    "q_shapley_attribution",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id, journey FROM ordered
+      WHERE event_type = 'purchase'
+    ),
+    jm AS (
+      SELECT c.user_id, c.journey,
+             coalesce(bit_or({_shapley_bit_sql()}), 0) AS mask
+      FROM conv c LEFT JOIN ordered o
+        ON o.user_id = c.user_id AND o.journey = c.journey
+           AND o.event_type != 'purchase'
+      GROUP BY c.user_id, c.journey
+    ),
+    mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS conv_n FROM jm GROUP BY mask),
+    coal AS (SELECT s FROM generate_series(0, {2**_SHAPLEY_N - 1}) AS t(s)),
+    w AS (
+      SELECT coal.s, coalesce(sum(mc.conv_n), 0) AS worth
+      FROM coal LEFT JOIN mc ON (mc.mask & coal.s) = mc.mask
+      GROUP BY coal.s
+    ),
+    ch AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, '{c}')" for i, c in enumerate(SHAPLEY_CHANNELS))})
+        AS v(i, channel)
+    ),
+    contrib AS (
+      SELECT ch.channel,
+             CASE ((s.s & 1) + ((s.s >> 1) & 1) + ((s.s >> 2) & 1)
+                   + ((s.s >> 3) & 1))
+               WHEN 0 THEN {_SHAPLEY_W[0]} WHEN 1 THEN {_SHAPLEY_W[1]}
+               WHEN 2 THEN {_SHAPLEY_W[2]} ELSE {_SHAPLEY_W[3]} END
+               * (wi.worth - ws.worth) AS part
+      FROM ch
+        JOIN coal s ON ((s.s >> ch.i) & 1) = 0
+        JOIN w wi ON wi.s = (s.s | (1 << ch.i))
+        JOIN w ws ON ws.s = s.s
+    ),
+    span AS (
+      SELECT max(CASE WHEN s = {2**_SHAPLEY_N - 1} THEN worth END)
+               - max(CASE WHEN s = 0 THEN worth END) AS gain
+      FROM w
+    )
+    SELECT channel,
+           round(sum(part), 6) AS shapley_credit,
+           round(sum(part) / span.gain, 6) AS share
+    FROM contrib, span
+    GROUP BY channel, span.gain
+    ORDER BY channel
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution (Shapley 1953; the attribution
+    framing of Zhao et al. 2018): a converting journey's touch SET is
+    a coalition; the characteristic function w(S) = conversions from
+    journeys whose touch set ⊆ S (the cumulative worth — adding
+    channels never loses conversions); a channel's credit is its
+    exact Shapley value φ_i = Σ_(S∌i) |S|!(n−|S|−1)!/n! ·
+    [w(S∪i) − w(S)]. This is the game-theoretic member of the
+    attribution shelf — order-blind where Markov is order-aware,
+    axiomatic (efficiency: Σφ = w(N) − w(∅)) where the heuristics
+    (``q_attribution_models``) are conventions. Journeys that convert
+    with NO prior touch sit at mask 0 and cancel out of every
+    marginal, exactly as the axioms demand.
+
+    Exactness is affordable because the lattice is over the CHANNEL
+    DOMAIN (2^{_SHAPLEY_N} = {2**_SHAPLEY_N} coalitions), never the
+    corpus: the corpus collapses to ≤{2**_SHAPLEY_N} (mask, count)
+    rows via one bit_or rollup; everything downstream joins
+    literal-sized frames. At 100 TB the journey split and the mask
+    rollup are the only corpus-scale stages — both map-side-combined
+    windows/aggregates partitioned by user. For >≈20 channels exact
+    Shapley is infeasible for ANY engine; sample permutations instead.
+
+    Hash-exactness: worths are exact integer sums; the weights are
+    exact CASE rationals; φ is a 16-term deterministic double sum,
+    6dp-rounded; both engines share the same journey-split window as
+    ``q_attribution_models``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_j = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w_j),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    conv = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select("user_id", "journey")
+        .distinct()
+    )
+    bit = F.lit(None).cast("long")
+    for i, c in enumerate(SHAPLEY_CHANNELS):
+        bit = F.when(F.col("event_type") == c, F.lit(1 << i).cast("long")).otherwise(
+            bit
+        )
+    touches = ordered.filter(F.col("event_type") != "purchase").select(
+        "user_id", "journey", bit.alias("b")
+    )
+    jm = (
+        conv.join(touches, ["user_id", "journey"], "left")
+        .groupBy("user_id", "journey")
+        .agg(F.coalesce(F.bit_or("b"), F.lit(0)).alias("mask"))
+    )
+    mc = jm.groupBy("mask").agg(F.count(F.lit(1)).alias("conv_n"))
+    coal = spark.range(2**_SHAPLEY_N).select(F.col("id").alias("s"))
+    worth = (
+        coal.join(mc, mc["mask"].bitwiseAND(coal["s"]) == mc["mask"], "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).alias("worth"))
+    )
+    # bit precomputed per channel: Spark's shiftleft/shiftright take a
+    # literal shift amount, so carrying 2^i as a column avoids a
+    # column-valued shift in the join condition
+    ch = spark.createDataFrame(
+        [(i, 1 << i, c) for i, c in enumerate(SHAPLEY_CHANNELS)],
+        "i int, bit long, channel string",
+    )
+    popcount = sum(
+        (F.shiftright(F.col("s"), j).bitwiseAND(F.lit(1)) for j in range(_SHAPLEY_N)),
+        F.lit(0),
+    )
+    weight = (
+        F.when(popcount == 0, 0.25)
+        .when(popcount == 1, 1.0 / 12)
+        .when(popcount == 2, 1.0 / 12)
+        .otherwise(0.25)
+    )
+    excl = ch.join(coal, coal["s"].bitwiseAND(ch["bit"]) == 0).select(
+        "channel", "bit", "s", weight.alias("wt")
+    )
+    wi = worth.select(F.col("s").alias("s_with"), F.col("worth").alias("worth_with"))
+    contrib = (
+        excl.withColumn("s_with", F.col("s").bitwiseOR(F.col("bit")))
+        .join(wi, "s_with")
+        .join(worth, "s")
+        .select(
+            "channel", (F.col("wt") * (F.col("worth_with") - F.col("worth"))).alias("part")
+        )
+    )
+    span = worth.agg(
+        (
+            F.max(F.when(F.col("s") == 2**_SHAPLEY_N - 1, F.col("worth")))
+            - F.max(F.when(F.col("s") == 0, F.col("worth")))
+        ).alias("gain")
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(F.sum("part").alias("credit"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "channel",
+            F.round("credit", 6).alias("shapley_credit"),
+            F.round(F.col("credit") / F.col("gain"), 6).alias("share"),
+        )
+        .orderBy("channel")
+    )

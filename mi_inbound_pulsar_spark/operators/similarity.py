@@ -1480,3 +1480,103 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rbo_trunc",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Newman modularity of the label partition over the mutual-kNN graph
+# --------------------------------------------------------------------------
+@query(
+    "q_label_modularity",
+    oracle=f"""
+    WITH {_MUTUAL_KNN_CTE},
+    mutual AS MATERIALIZED (
+      SELECT t.ia AS id_a, t.ib AS id_b
+      FROM topk t JOIN topk u ON t.ia = u.ib AND t.ib = u.ia
+      WHERE t.ia < t.ib AND round(t.sim, 6) >= {SEMANTIC_EDGE_MIN_SIM}
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mutual),
+    deg AS (
+      SELECT l.label, CAST(count(*) AS BIGINT) AS degree_sum
+      FROM (SELECT id_a AS v FROM mutual UNION ALL SELECT id_b FROM mutual) ends
+        JOIN e l ON ends.v = l.vec_id
+      GROUP BY l.label
+    ),
+    internal AS (
+      SELECT la.label, CAST(count(*) AS BIGINT) AS internal_edges
+      FROM mutual mu
+        JOIN e la ON mu.id_a = la.vec_id
+        JOIN e lb ON mu.id_b = lb.vec_id
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    )
+    SELECT d.label,
+           coalesce(i.internal_edges, CAST(0 AS BIGINT)) AS internal_edges,
+           d.degree_sum,
+           round(coalesce(i.internal_edges, 0) * 1.0 / m.m
+                 - pow(d.degree_sum / (2.0 * m.m), 2), 6) AS q_contribution
+    FROM deg d LEFT JOIN internal i ON d.label = i.label, m
+    ORDER BY d.label
+    """,
+)
+def q_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (Newman & Girvan 2004) of the embedding-LABEL
+    partition over the mutual-kNN semantic graph: per label c,
+    Q_c = e_c/m − (d_c/2m)² (internal-edge fraction minus the
+    configuration-model expectation), so Σ Q_c is the modularity of
+    "labels as communities" — the quantitative answer to "do the
+    labels actually cluster in embedding space?", the validation step
+    between the graph kernels (``q_knn_graph_components``,
+    ``q_label_propagation``) and any downstream use of labels as
+    dedup/mixture strata. Labels whose nodes carry no mutual edges
+    simply don't appear (degree 0 ⇒ no contribution either way).
+
+    Hash-exactness: e_c, d_c, m are exact integer aggregates over the
+    already-verified ``q_mutual_knn`` edge list (6dp-rounded sim
+    threshold on both sides); the contribution is one deterministic
+    double expression, 6dp-rounded.
+
+    Scale: edges come from the block-cogrouped exact kNN (bounded per
+    block pair, corpus never collects); labels join onto the edge
+    list (2|E| rows); everything after is a |labels|-row rollup with
+    one broadcast scalar m.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    lab = e.select("vec_id", "label")
+    mutual = (
+        q_mutual_knn(spark, sf_dir)
+        .filter(F.col("sim") >= SEMANTIC_EDGE_MIN_SIM)
+        .select("id_a", "id_b")
+    )
+    m = mutual.agg(F.count(F.lit(1)).alias("m"))
+    ends = mutual.select(F.col("id_a").alias("v")).unionAll(
+        mutual.select(F.col("id_b").alias("v"))
+    )
+    deg = (
+        ends.join(lab, ends.v == lab.vec_id)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("degree_sum"))
+    )
+    la = lab.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
+    lb = lab.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
+    internal = (
+        mutual.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    return (
+        deg.join(internal, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("internal_edges", F.lit(0)) / F.col("m")
+                - (F.col("degree_sum") / (2.0 * F.col("m"))) ** 2,
+                6,
+            ).alias("q_contribution"),
+        )
+        .orderBy("label")
+    )

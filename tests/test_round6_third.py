@@ -1,0 +1,118 @@
+"""Round-6 third-phase operator invariants: retrieval nDCG,
+Mann-Kendall, effect sizes, the DP noisy histogram, label modularity,
+and exact Shapley attribution. Each asserts textbook-mandated
+structure on real sf0.001 output — bounds, conservation laws, and
+self-consistency — independent of the DuckDB oracle (which checks
+engine equality, not mathematical sanity).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def test_ndcg_bounds_and_known_item(spark, sf_dir):
+    """nDCG lies in (0, 1]; every query's own doc carries the maximum
+    grade so the graded pool is non-empty for all query ids."""
+    from mi_inbound_pulsar_spark.operators.text import MRR_N_QUERIES, q_ndcg_eval
+
+    rows = q_ndcg_eval(spark, sf_dir).collect()
+    assert [r["qid"] for r in rows] == list(range(MRR_N_QUERIES))
+    for r in rows:
+        assert r["n_graded"] >= 1
+        assert 0.0 < r["ndcg_at_10"] <= 1.0 + 1e-9
+
+
+def test_mann_kendall_consistency(spark, sf_dir):
+    """z must carry the sign of S (continuity correction cannot flip
+    it past zero), Var(S) is positive for n >= 2, |S| <= n(n-1)/2,
+    and the trend verdict matches the z threshold."""
+    from mi_inbound_pulsar_spark.operators.windows import MK_Z_CRIT, q_mann_kendall
+
+    rows = q_mann_kendall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, s, z = r["n_days"], r["s_stat"], r["z_stat"]
+        assert abs(s) <= n * (n - 1) / 2
+        assert r["var_s"] > 0
+        if s == 0:
+            assert z == 0
+        else:
+            assert math.copysign(1, z) == math.copysign(1, s) or z == 0
+        if r["trend"] == "increasing":
+            assert z > MK_Z_CRIT
+        elif r["trend"] == "decreasing":
+            assert z < -MK_Z_CRIT
+        else:
+            assert abs(z) <= MK_Z_CRIT + 1e-6
+
+
+def test_effect_sizes_bounds_and_labels(spark, sf_dir):
+    """Cliff's delta lies in [-1, 1]; the Romano magnitude label must
+    match the emitted delta; one row per source."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_effect_sizes
+
+    rows = q_effect_sizes(spark, sf_dir).collect()
+    assert len(rows) == len({r["source"] for r in rows})
+    for r in rows:
+        d = r["cliffs_delta"]
+        assert -1.0 - 1e-9 <= d <= 1.0 + 1e-9
+        a = abs(d)
+        # rounded delta can straddle a threshold only within 5e-7
+        if a < 0.147 - 1e-6:
+            assert r["magnitude"] == "negligible"
+        elif 0.147 + 1e-6 < a < 0.33 - 1e-6:
+            assert r["magnitude"] == "small"
+        elif 0.33 + 1e-6 < a < 0.474 - 1e-6:
+            assert r["magnitude"] == "medium"
+        elif a > 0.474 + 1e-6:
+            assert r["magnitude"] == "large"
+
+
+def test_dp_histogram_noise_is_laplace_consistent(spark, sf_dir):
+    """noisy = true + noise exactly (before rounding both are the
+    same expression), and each |noise| is finite and plausible for
+    b = 1/eps (P(|noise| > 20b) ~ 2e-9 — deterministic draws from the
+    md5 uniform cannot hit it)."""
+    from mi_inbound_pulsar_spark.operators.sampling import (
+        DP_EPSILON,
+        q_dp_noisy_histogram,
+    )
+
+    rows = q_dp_noisy_histogram(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs((r["true_n"] + r["laplace_noise"]) - r["noisy_n"]) < 2e-6
+        assert abs(r["laplace_noise"]) < 20.0 / DP_EPSILON
+
+
+def test_label_modularity_contributions_bounded(spark, sf_dir):
+    """Each community contribution lies in (-0.25, 1]; internal edges
+    cannot exceed half the degree sum (every internal edge contributes
+    2 to the community's degree); total Q lies in [-0.5, 1]."""
+    from mi_inbound_pulsar_spark.operators.similarity import q_label_modularity
+
+    rows = q_label_modularity(spark, sf_dir).collect()
+    assert rows
+    total_q = 0.0
+    for r in rows:
+        assert 2 * r["internal_edges"] <= r["degree_sum"]
+        assert -0.25 - 1e-9 <= r["q_contribution"] <= 1.0
+        total_q += r["q_contribution"]
+    assert -0.5 - 1e-6 <= total_q <= 1.0 + 1e-6
+
+
+def test_shapley_efficiency_and_symmetry_axioms(spark, sf_dir):
+    """Efficiency: shares sum to 1 (Sum(phi) = w(N) - w(empty));
+    every credit is non-negative because the cumulative worth is
+    monotone (adding a channel never loses conversions)."""
+    from mi_inbound_pulsar_spark.operators.funnel import (
+        SHAPLEY_CHANNELS,
+        q_shapley_attribution,
+    )
+
+    rows = q_shapley_attribution(spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} == set(SHAPLEY_CHANNELS)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["shapley_credit"] >= -1e-9

@@ -52,6 +52,8 @@ WAIVERS = {
     # running sum over the per-DISTINCT-VALUE rollup (the value domain,
     # not the event stream) — the q_zipf_slope vocab-bounded class
     "q_mann_whitney": {"GlobalWindow"},
+    # same class: global midranks over the distinct-n_chars rollup
+    "q_effect_sizes": {"GlobalWindow"},
     # same class: KS cumulative distributions over the distinct-value
     # rollup; Wilson ranks over the |event_types|-row aggregate
     "q_ks_test": {"GlobalWindow"},
