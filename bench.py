@@ -116,6 +116,13 @@ HEADLINE = [
     "q_embedding_quantize",
     "q_hard_negative_mining",
     "q_markov_attribution",
+    # retrieval nDCG / graph modularity / exact Shapley (round 6, 3rd phase)
+    "q_ndcg_eval",
+    "q_label_modularity",
+    "q_shapley_attribution",
+    # distributed resampling / embedding PCA gate (round 6, final phase)
+    "q_poisson_bootstrap_ci",
+    "q_pca_top_component",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

