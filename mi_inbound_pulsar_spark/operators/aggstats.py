@@ -3377,3 +3377,281 @@ def q_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (pre/post × arm 2×2 with a z readout)
+# --------------------------------------------------------------------------
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             sum(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_BOUNDARY}'
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               / 100.0 AS y_pre,
+             sum(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_BOUNDARY}'
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               / 100.0 AS y_post
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             avg(y_pre) AS mean_pre, avg(y_post) AS mean_post,
+             var_samp(y_post - y_pre) AS var_delta
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n_users END) AS n_a,
+        max(CASE WHEN arm = 'B' THEN n_users END) AS n_b,
+        max(CASE WHEN arm = 'A' THEN mean_pre END) AS pre_a,
+        max(CASE WHEN arm = 'A' THEN mean_post END) AS post_a,
+        max(CASE WHEN arm = 'B' THEN mean_pre END) AS pre_b,
+        max(CASE WHEN arm = 'B' THEN mean_post END) AS post_b,
+        max(CASE WHEN arm = 'A' THEN var_delta END) AS var_a,
+        max(CASE WHEN arm = 'B' THEN var_delta END) AS var_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round(pre_a, 6) AS pre_a, round(post_a, 6) AS post_a,
+           round(pre_b, 6) AS pre_b, round(post_b, 6) AS post_b,
+           round((post_b - pre_b) - (post_a - pre_a), 6) AS did_estimate,
+           round(((post_b - pre_b) - (post_a - pre_a))
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS z
+    FROM wide
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the 2×2 (arm × pre/post) design
+    (Card & Krueger 1994 canonical form): DiD = (B_post − B_pre) −
+    (A_post − A_pre) on per-user purchase totals, with the z readout
+    from the per-user delta variances — the parallel-trends causal
+    estimator completing the experimentation shelf next to the raw
+    lift (``q_ab_lift``), the variance-reduced contrast
+    (``q_cuped_adjustment``) and the nonparametric test
+    (``q_mann_whitney``); same 'exp7' arms and the same
+    {CUPED_BOUNDARY} period boundary as CUPED, so the three causal
+    readouts are directly comparable.
+
+    Hash-exactness: per-user period totals are exact integer cents;
+    cell means, delta variances, the estimate and z are deterministic
+    double expressions of those (6dp-rounded). The conditional-max
+    pivot is exact (one row per arm by construction).
+
+    Scale: one per-user rollup with map-side combine, one 2-row arm
+    aggregate, one 1-row pivot. Nothing else touches raw events.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pre = F.to_date("ts") < CUPED_BOUNDARY
+    per_user = (
+        e.select("user_id", arm.alias("arm"), cents.alias("c"), pre.alias("pre"))
+        .groupBy("user_id", "arm")
+        .agg(
+            (F.sum(F.when(F.col("pre"), F.col("c")).otherwise(0)) / 100.0).alias(
+                "y_pre"
+            ),
+            (F.sum(F.when(~F.col("pre"), F.col("c")).otherwise(0)) / 100.0).alias(
+                "y_post"
+            ),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.avg("y_pre").alias("mean_pre"),
+        F.avg("y_post").alias("mean_post"),
+        F.var_samp(F.col("y_post") - F.col("y_pre")).alias("var_delta"),
+    )
+
+    def cell(a: str, col: str):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = arms.agg(
+        cell("A", "n_users").alias("n_a"),
+        cell("B", "n_users").alias("n_b"),
+        cell("A", "mean_pre").alias("pre_a"),
+        cell("A", "mean_post").alias("post_a"),
+        cell("B", "mean_pre").alias("pre_b"),
+        cell("B", "mean_post").alias("post_b"),
+        cell("A", "var_delta").alias("var_a"),
+        cell("B", "var_delta").alias("var_b"),
+    )
+    did = (F.col("post_b") - F.col("pre_b")) - (F.col("post_a") - F.col("pre_a"))
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round("pre_a", 6).alias("pre_a"),
+        F.round("post_a", 6).alias("post_a"),
+        F.round("pre_b", 6).alias("pre_b"),
+        F.round("post_b", 6).alias("post_b"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(
+            did / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            6,
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverse-propensity-weighted ATE (stratified Hájek estimator)
+# --------------------------------------------------------------------------
+IPW_STRATA = 4
+
+
+@query(
+    "q_ipw_ate",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE CAST(ts AS DATE)
+               < DATE '{CUPED_BOUNDARY}') AS BIGINT) AS pre_n,
+             CAST(count(*) FILTER (WHERE event_type = 'error'
+               AND CAST(ts AS DATE) < DATE '{CUPED_BOUNDARY}') AS BIGINT)
+               AS pre_err,
+             sum(CASE WHEN event_type = 'purchase'
+                      AND CAST(ts AS DATE) >= DATE '{CUPED_BOUNDARY}'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) / 100.0 AS y
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT sum(pre_n) AS tn, sum(pre_err) AS te,
+             max(pre_n) AS maxn
+      FROM per_user
+    ),
+    assigned AS (
+      SELECT u.user_id, u.y,
+             CASE WHEN u.pre_err * t.tn > u.pre_n * t.te THEN 1 ELSE 0 END
+               AS treated,
+             least(CAST(floor({IPW_STRATA}.0 * u.pre_n / (t.maxn + 1))
+                     AS BIGINT), {IPW_STRATA - 1}) AS stratum
+      FROM per_user u, tot t
+    ),
+    prop AS (
+      SELECT stratum, avg(CAST(treated AS DOUBLE)) AS p
+      FROM assigned GROUP BY stratum
+    ),
+    supported AS (
+      SELECT a.*, p.p FROM assigned a JOIN prop p USING (stratum)
+      WHERE p.p > 0 AND p.p < 1
+    ),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(DISTINCT stratum) AS BIGINT) AS n_strata,
+             sum(treated * y / p) / sum(treated / p) AS e1,
+             sum((1 - treated) * y / (1 - p)) / sum((1 - treated) / (1 - p))
+               AS e0,
+             avg(CASE WHEN treated = 1 THEN y END)
+               - avg(CASE WHEN treated = 0 THEN y END) AS naive
+      FROM supported
+    )
+    SELECT n_users, n_strata,
+           round(e1, 6) AS mean_treated_ipw,
+           round(e0, 6) AS mean_control_ipw,
+           round(e1 - e0, 6) AS ipw_ate,
+           round(naive, 6) AS naive_diff
+    FROM est
+    """,
+)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified inverse-propensity-weighted ATE (Horvitz-Thompson
+    weighting with the Hájek normalization; Rosenbaum & Rubin 1983):
+    an OBSERVATIONAL treatment — the user was error-prone in the
+    pre-period relative to the corpus rate (exact integer
+    cross-multiply, no float ratio) — whose effect on post-period
+    purchase total is estimated by weighting each user by 1/p̂ (treated)
+    or 1/(1−p̂) (control), with the propensity p̂ estimated per
+    pre-activity STRATUM and strata outside common support
+    (p̂ ∈ {{0,1}}) excluded on both engines identically. The naive
+    treated-minus-control difference is emitted alongside — the gap
+    between the two IS the confounding this estimator removes; the
+    causal shelf is now randomized lift → CUPED → DiD → observational
+    IPW.
+
+    Hash-exactness: treatment and strata are exact integer decisions
+    (strata cut against the broadcast max, not a global ntile
+    window); p̂ is a rational of counts; the weighted sums carry only
+    reassociation noise under the 6dp round.
+
+    Scale: one per-user rollup, one broadcast 3-scalar total row, one
+    |strata|-row propensity aggregate joined back — no global window,
+    no second pass over raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pre = F.to_date("ts") < CUPED_BOUNDARY
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.count_if(pre).alias("pre_n"),
+        F.count_if(pre & (F.col("event_type") == "error")).alias("pre_err"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & ~pre, cents
+                ).otherwise(0)
+            )
+            / 100.0
+        ).alias("y"),
+    )
+    tot = per_user.agg(
+        F.sum("pre_n").alias("tn"),
+        F.sum("pre_err").alias("te"),
+        F.max("pre_n").alias("maxn"),
+    )
+    assigned = per_user.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "y",
+        F.when(
+            F.col("pre_err") * F.col("tn") > F.col("pre_n") * F.col("te"), 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.least(
+            F.floor(float(IPW_STRATA) * F.col("pre_n") / (F.col("maxn") + 1)).cast(
+                "long"
+            ),
+            F.lit(IPW_STRATA - 1),
+        ).alias("stratum"),
+    )
+    prop = assigned.groupBy("stratum").agg(
+        F.avg(F.col("treated").cast("double")).alias("p")
+    )
+    supported = assigned.join(
+        prop.filter((F.col("p") > 0) & (F.col("p") < 1)), "stratum"
+    )
+    est = supported.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_distinct("stratum").alias("n_strata"),
+        (
+            F.sum(F.col("treated") * F.col("y") / F.col("p"))
+            / F.sum(F.col("treated") / F.col("p"))
+        ).alias("e1"),
+        (
+            F.sum((1 - F.col("treated")) * F.col("y") / (1 - F.col("p")))
+            / F.sum((1 - F.col("treated")) / (1 - F.col("p")))
+        ).alias("e0"),
+        (
+            F.avg(F.when(F.col("treated") == 1, F.col("y")))
+            - F.avg(F.when(F.col("treated") == 0, F.col("y")))
+        ).alias("naive"),
+    )
+    return est.select(
+        "n_users",
+        "n_strata",
+        F.round("e1", 6).alias("mean_treated_ipw"),
+        F.round("e0", 6).alias("mean_control_ipw"),
+        F.round(F.col("e1") - F.col("e0"), 6).alias("ipw_ate"),
+        F.round("naive", 6).alias("naive_diff"),
+    )

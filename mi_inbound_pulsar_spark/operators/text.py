@@ -3622,3 +3622,101 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (the production n-gram smoother)
+# --------------------------------------------------------------------------
+KN_DISCOUNT = 0.75
+
+
+@query(
+    "q_kneser_ney_bigram",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT w[i] AS t1, w[i + 1] AS t2
+      FROM docs, unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    bc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+    ctx AS (
+      SELECT t1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS fanout
+      FROM bc GROUP BY t1
+    ),
+    cont AS (SELECT t2, CAST(count(*) AS BIGINT) AS fanin FROM bc GROUP BY t2),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc)
+    SELECT bc.t1, bc.t2, bc.c12,
+           ctx.c1, ctx.fanout, cont.fanin,
+           round(greatest(bc.c12 - {KN_DISCOUNT}, 0) / ctx.c1
+                 + ({KN_DISCOUNT} * ctx.fanout / ctx.c1)
+                   * (cont.fanin * 1.0 / types.n_types), 6) AS p_kn
+    FROM bc JOIN ctx USING (t1) JOIN cont USING (t2), types
+    ORDER BY bc.c12 DESC, bc.t1, bc.t2
+    LIMIT 20
+    """,
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1999 interpolated form, fixed discount
+    D={KN_DISCOUNT}): P(w₂|w₁) = max(c₁₂−D,0)/c₁ + (D·N₁₊(w₁·)/c₁) ·
+    N₁₊(·w₂)/N₁₊(··) — the production n-gram smoother (absolute
+    discounting with CONTINUATION-count backoff: 'Francisco' is
+    frequent but only ever follows 'San', so its unigram backoff mass
+    is tiny). Upgrades the suite's add-k bigram LM
+    (``q_bigram_lm_cross_entropy``) to the estimator a real n-gram
+    scorer ships; top-20 bigrams with all four count components
+    exposed. Context totals c₁ are the standard bigram-marginal
+    convention (Σ_w c(w₁,w)), so every term derives from ONE bigram
+    count table.
+
+    Hash-exactness: every input is an exact integer count; P_KN is
+    one deterministic double expression, 6dp-rounded; ordering is by
+    integer count then bigram text.
+
+    Scale: bigram expansion is the narrow per-doc array transform
+    (no window, no per-token shuffle); everything downstream is
+    bounded by the bigram-TYPE vocabulary, with the context/
+    continuation tables broadcast back onto it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wdf = d.select(F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
+    idx = F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(w, i).alias("t1"), F.element_at(w, i + 1).alias("t2")
+        ),
+    )
+    p_col, keep_p = explode_computed(pairs, "p")
+    bi = wdf.select(p_col).filter(keep_p).select("p.t1", "p.t2")
+    bc = bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bc.groupBy("t1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = bc.groupBy("t2").agg(F.count(F.lit(1)).alias("fanin"))
+    types = bc.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("c12") - KN_DISCOUNT, F.lit(0.0)) / F.col("c1")
+        + (KN_DISCOUNT * F.col("fanout") / F.col("c1"))
+        * (F.col("fanin") / F.col("n_types"))
+    )
+    return (
+        bc.join(F.broadcast(ctx), "t1")
+        .join(F.broadcast(cont), "t2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            "c1",
+            "fanout",
+            "fanin",
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "t1", "t2")
+        .limit(20)
+    )

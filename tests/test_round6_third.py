@@ -189,3 +189,49 @@ def test_pca_top_component_is_unit_dominant(spark, sf_dir):
     lam = rows[0]["eigenvalue"]
     evr = rows[0]["explained_var_ratio"]
     assert lam > 0 and 0.0 < evr <= 1.0
+
+
+def test_diff_in_diff_cell_algebra(spark, sf_dir):
+    """The DiD estimate must equal the 2x2 cell algebra of its own
+    emitted means, and z must carry its sign."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_diff_in_diff
+
+    r = q_diff_in_diff(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 1 and r["n_b"] > 1
+    did = (r["post_b"] - r["pre_b"]) - (r["post_a"] - r["pre_a"])
+    assert abs(did - r["did_estimate"]) < 1e-5
+    if r["did_estimate"] != 0:
+        assert (r["z"] > 0) == (r["did_estimate"] > 0)
+
+
+def test_ipw_common_support_and_bounds(spark, sf_dir):
+    """Users kept must come from common-support strata only; the IPW
+    means must lie within the outcome range (Hajek normalization is a
+    convex combination)."""
+    from mi_inbound_pulsar_spark.operators.aggstats import IPW_STRATA, q_ipw_ate
+
+    r = q_ipw_ate(spark, sf_dir).collect()[0]
+    assert 1 <= r["n_strata"] <= IPW_STRATA
+    assert r["n_users"] > 0
+    assert abs(r["ipw_ate"] - (r["mean_treated_ipw"] - r["mean_control_ipw"])) < 1e-5
+    # both estimators see the same confounded data; they may disagree,
+    # but each must be finite
+    for k in ("mean_treated_ipw", "mean_control_ipw", "naive_diff"):
+        assert r[k] is not None
+
+
+def test_kneser_ney_probability_structure(spark, sf_dir):
+    """Each P_KN lies in (0, 1]; the discounted term alone never
+    exceeds the raw MLE c12/c1; counts are self-consistent
+    (c12 <= c1, fanout/fanin >= 1)."""
+    from mi_inbound_pulsar_spark.operators.text import KN_DISCOUNT, q_kneser_ney_bigram
+
+    rows = q_kneser_ney_bigram(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["p_kn"] <= 1.0
+        assert r["c12"] <= r["c1"]
+        assert r["fanout"] >= 1 and r["fanin"] >= 1
+        mle = r["c12"] / r["c1"]
+        discounted = max(r["c12"] - KN_DISCOUNT, 0.0) / r["c1"]
+        assert discounted <= mle
