@@ -1712,3 +1712,166 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard + Greenwood CI for the KM curve
+# --------------------------------------------------------------------------
+GREENWOOD_Z = 1.959964
+
+
+@query(
+    "q_nelson_aalen",
+    oracle=f"""
+    WITH horizon AS (SELECT max(epoch_us(ts)) AS h FROM events),
+    signup AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.s_us, min(epoch_us(e.ts)) AS p_us
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) > s.s_us
+      GROUP BY s.user_id, s.s_us
+    ),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN p_us IS NOT NULL
+                  THEN CAST((p_us - s_us) // 86400000000 AS BIGINT)
+                  ELSE CAST((h - s_us) // 86400000000 AS BIGINT) END AS e_day,
+             p_us IS NOT NULL AS is_event
+      FROM conv, horizon
+    ),
+    spine AS (SELECT unnest(range(0, {SURVIVAL_WINDOW_DAYS})) AS day),
+    km AS (
+      SELECT spine.day,
+             CAST(count(*) FILTER (o.e_day >= spine.day) AS BIGINT) AS n_at_risk,
+             CAST(count(*) FILTER (o.is_event AND o.e_day = spine.day) AS BIGINT)
+               AS n_events
+      FROM spine CROSS JOIN obs o
+      GROUP BY spine.day
+    ),
+    curve AS (
+      SELECT day, n_at_risk, n_events,
+             sum(n_events * 1.0 / n_at_risk) OVER w AS cum_hazard,
+             CASE WHEN min(1.0 - n_events * 1.0 / n_at_risk) OVER w = 0
+                  THEN 0.0
+                  ELSE exp(sum(CASE WHEN n_events < n_at_risk
+                                    THEN ln(1.0 - n_events * 1.0 / n_at_risk)
+                                    END) OVER w) END AS s,
+             sum(CASE WHEN n_events < n_at_risk
+                      THEN n_events * 1.0
+                           / (n_at_risk * (n_at_risk - n_events)) END) OVER w
+               AS gw
+      FROM km WHERE n_at_risk > 0
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n_at_risk, n_events,
+           round(cum_hazard, 6) AS cum_hazard,
+           round(s, 6) AS survival,
+           round(s * sqrt(coalesce(gw, 0)), 6) AS greenwood_se,
+           round(greatest(s - {GREENWOOD_Z} * s * sqrt(coalesce(gw, 0)), 0.0), 6)
+             AS ci_lo,
+           round(least(s + {GREENWOOD_Z} * s * sqrt(coalesce(gw, 0)), 1.0), 6)
+             AS ci_hi
+    FROM curve ORDER BY day
+    """,
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard Ĥ(d) = Σ d_t/n_t and the
+    Greenwood-variance confidence band for the Kaplan-Meier curve
+    (Greenwood 1926; Nelson 1972; Aalen 1978) over the same
+    signup→first-purchase observation rollup as ``q_survival_curve``
+    — the uncertainty layer the point-estimate curve lacks: Var(Ŝ) =
+    Ŝ²·Σ d_t/(n_t(n_t−d_t)), linear 95% band clipped to [0,1] (the
+    log-log transform is the production variant; the clip is the
+    textbook simple band). The hazard is the additive view — it keeps
+    accumulating where KM saturates, which is what hazard-ratio
+    monitoring dashboards plot.
+
+    Hash-exactness: every running sum is over exact integer at-risk/
+    event counts on the bounded {SURVIVAL_WINDOW_DAYS}-day spine (the
+    q_survival_curve bounded-window class); total-death days are
+    excluded from the Greenwood sum on both engines (the same
+    ln-guard pattern as KM itself).
+
+    Scale: identical to q_survival_curve — per-user rollup, scalar
+    horizon, |spine|-row window. Nothing here sees raw events twice.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    horizon = e.agg(F.max(us).alias("h"))
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (signup.user_id == purchases.user_id) & (F.col("p_us") > F.col("s_us")),
+            "left",
+        )
+        .groupBy(signup.user_id, "s_us")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    obs = conv.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("p_us").isNotNull(),
+            F.floor((F.col("p_us") - F.col("s_us")) / 86_400_000_000),
+        )
+        .otherwise(F.floor((F.col("h") - F.col("s_us")) / 86_400_000_000))
+        .cast("long")
+        .alias("e_day"),
+        F.col("p_us").isNotNull().alias("is_event"),
+    )
+    spine = spark.range(0, SURVIVAL_WINDOW_DAYS).select(F.col("id").alias("day"))
+    km = (
+        F.broadcast(spine)
+        .crossJoin(obs)
+        .groupBy("day")
+        .agg(
+            F.count_if(F.col("e_day") >= F.col("day")).alias("n_at_risk"),
+            F.count_if(F.col("is_event") & (F.col("e_day") == F.col("day"))).alias(
+                "n_events"
+            ),
+        )
+        .filter(F.col("n_at_risk") > 0)
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")
+    s = F.when(F.min(term).over(w) == 0, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(F.when(F.col("n_events") < F.col("n_at_risk"), F.log(term))).over(w)
+        )
+    )
+    gw = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                F.col("n_events")
+                / (F.col("n_at_risk") * (F.col("n_at_risk") - F.col("n_events"))),
+            )
+        ).over(w),
+        F.lit(0.0),
+    )
+    se = s * F.sqrt(gw)
+    return (
+        km.select(
+            "day",
+            "n_at_risk",
+            "n_events",
+            F.round(F.sum(F.col("n_events") / F.col("n_at_risk")).over(w), 6).alias(
+                "cum_hazard"
+            ),
+            F.round(s, 6).alias("survival"),
+            F.round(se, 6).alias("greenwood_se"),
+            F.round(F.greatest(s - GREENWOOD_Z * se, F.lit(0.0)), 6).alias("ci_lo"),
+            F.round(F.least(s + GREENWOOD_Z * se, F.lit(1.0)), 6).alias("ci_hi"),
+        )
+        .orderBy("day")
+    )

@@ -238,8 +238,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oriented_triangle_count(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
-    """Triangle count with **degree orientation** — the skew-proof form
+def oriented_triangle_nodes(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Degree-oriented triangle TRIPLES (n1, n2, n3) — each triangle
+    exactly once. Triangle count with **degree orientation** — the skew-proof form
     of the two-hop join.
 
     Every undirected edge is re-oriented from its lower-(degree, id)
@@ -287,7 +288,19 @@ def oriented_triangle_count(edges: DataFrame, deg: DataFrame | None = None) -> D
             closer,
             (F.col("e1.v") == F.col("cu")) & (F.col("e2.v") == F.col("cv")),
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(
+            F.col("e1.u").alias("n1"),
+            F.col("e1.v").alias("n2"),
+            F.col("e2.v").alias("n3"),
+        )
+    )
+
+
+def oriented_triangle_count(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Triangle COUNT over :func:`oriented_triangle_nodes` (each
+    triangle appears exactly once as a (n1, n2, n3) triple)."""
+    return oriented_triangle_nodes(edges, deg=deg).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
 
 
@@ -1439,4 +1452,107 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             1.0 - F.col("n_cand") * 2.0 / (F.col("nr") * (F.col("nr") - 1)), 6
         ).alias("reduction_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient (per-node triangle density)
+# --------------------------------------------------------------------------
+@query(
+    "q_local_clustering",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM cand JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    tr AS (
+      SELECT a.src AS v, CAST(count(*) AS BIGINT) AS t
+      FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+      JOIN sym c ON c.src = a.dst AND c.dst = b.dst
+      GROUP BY a.src
+    ),
+    deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src)
+    SELECT deg.v AS doc_id, deg.d AS degree,
+           coalesce(tr.t, 0) AS n_triangles,
+           round(CASE WHEN deg.d >= 2
+                      THEN 2.0 * coalesce(tr.t, 0) / (deg.d * (deg.d - 1)) END,
+                 6) AS lcc
+    FROM deg LEFT JOIN tr ON deg.v = tr.v
+    ORDER BY doc_id
+    """,
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998)
+    over the same 3-gram-Jaccard near-dup graph as
+    ``q_triangle_count``: lcc(v) = 2·T(v)/(d(v)(d(v)−1)) — the
+    PER-NODE refinement of that query's single global coefficient.
+    In dedup terms it separates clique-like duplicate groups
+    (lcc ≈ 1 everywhere → collapse to one keeper) from chain-like
+    groups (low lcc hubs → transitive matches that need component
+    splitting or manual review); degree-1 nodes carry NULL (undefined
+    denominator) identically on both engines.
+
+    Scale: triangles come from the degree-ORIENTED triple enumerator
+    (:func:`oriented_triangle_nodes` — each triangle exactly once,
+    wedge fan-out bounded by the arboricity O(√m), celebrity-proof);
+    per-node counts are one explode of the 3 corners per triple. The
+    oracle enumerates the same triangle SET via the symmetric closure
+    (orientation changes enumeration order, never membership).
+    """
+    from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
+
+    d = load_table(spark, sf_dir, "documents")
+    sharr = shingle_arrays(d, n=3).persist()
+    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
+    edges = (
+        jaccard_pairs(sh, 0.5, sizes=sizes)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    corners = (
+        oriented_triangle_nodes(edges, deg=deg)
+        .select(
+            F.explode(F.array(F.col("n1"), F.col("n2"), F.col("n3"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    2.0 * F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+                ),
+                6,
+            ).alias("lcc"),
+        )
+        .orderBy("doc_id")
     )

@@ -1703,3 +1703,88 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "dim bigint, loading double, eigenvalue double, explained_var_ratio double"
     )
+
+
+# --------------------------------------------------------------------------
+# Truncated-dimension recall (Matryoshka-style dim-reduction audit)
+# --------------------------------------------------------------------------
+TRUNC_DIMS = 16
+
+
+@query(
+    "q_dim_truncation_recall",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             CAST(embedding[1:{TRUNC_DIMS}] AS DOUBLE[]) AS emb_t
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, emb, emb_t FROM e WHERE vec_id < {N_QUERIES}),
+    full_rank AS (
+      SELECT qid, vec_id AS nid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+               AS rk
+      FROM q JOIN e c ON c.vec_id != q.qid
+    ),
+    trunc_rank AS (
+      SELECT qid, vec_id AS nid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_cosine_similarity(q.emb_t, c.emb_t) DESC, c.vec_id)
+               AS rk
+      FROM q JOIN e c ON c.vec_id != q.qid
+    ),
+    f AS (SELECT qid, nid FROM full_rank WHERE rk <= {TOP_K}),
+    t AS (SELECT qid, nid FROM trunc_rank WHERE rk <= {TOP_K}),
+    hits AS (SELECT count(*) AS h FROM f JOIN t USING (qid, nid))
+    SELECT CAST((SELECT count(DISTINCT qid) FROM f) AS BIGINT) AS n_queries,
+           CAST((SELECT count(*) FROM f) AS BIGINT) AS n_exact,
+           CAST(hits.h AS BIGINT) AS n_hits,
+           round(hits.h * 1.0 / (SELECT count(*) FROM f), 6) AS recall
+    FROM hits
+    """,
+)
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} recall of {TRUNC_DIMS}-of-64-dimension TRUNCATED
+    cosine search against full-dimension exact search — the
+    Matryoshka-representation audit (Kusupati et al. 2022): if
+    embeddings were MRL-trained, prefix truncation preserves ranking
+    and this recall stays high, buying a 4× index-size and bandwidth
+    cut; if not (as with these synthetic vectors), the number
+    quantifies exactly what a dimension cut costs. Third member of
+    the compression-audit family with ``q_int8_recall`` (scalar
+    quantization) and ``q_ann_pq_recall`` (product quantization) —
+    together they price every standard embedding-budget lever.
+
+    Scale: both arms run the block-bounded brute top-k kernel
+    (:func:`brute_force_topk` — per-partition partial top-k, corpus
+    never collects); truncation is a narrow ``slice`` projection, so
+    the truncated arm also SCANS 4× less after column pruning.
+
+    Hash-exactness: the rank windows order by unrounded sim then
+    vec_id on both engines (the q_cosine_topk convention); the recall
+    is a ratio of exact integer overlap counts, 6dp-rounded.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    trunc = e.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIMS).alias("embedding")
+    )
+    trunc_q = queries.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIMS).alias("embedding")
+    )
+    exact = brute_force_topk(e, queries).select("query_id", "neighbor_id")
+    approx = brute_force_topk(trunc, trunc_q).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    return totals.crossJoin(hits).select(
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+    )

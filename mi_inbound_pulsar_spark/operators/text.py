@@ -3720,3 +3720,135 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "t1", "t2")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood (the LM retrieval scorer)
+# --------------------------------------------------------------------------
+QL_MU = 300.0  # Dirichlet prior mass; ~avg doc length is the standard pick
+
+
+@query(
+    "q_query_likelihood",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    coll AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_toks FROM toks),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+      SELECT qid, tok FROM (
+        SELECT t.doc_id AS qid, t.tok,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+                 AS rk
+        FROM tf t JOIN df d USING (tok)
+        WHERE t.doc_id < {MRR_N_QUERIES}
+      ) WHERE rk <= {MRR_TERMS_PER_QUERY}
+    ),
+    cand AS (
+      SELECT DISTINCT q.qid, t.doc_id
+      FROM qterms q JOIN tf t ON t.tok = q.tok
+    ),
+    scored AS (
+      SELECT c.qid, c.doc_id,
+             sum(ln((coalesce(t.tf, 0) + {QL_MU} * coll.cf / tot.n_toks)
+                    / (dl.dl + {QL_MU}))) AS score
+      FROM cand c
+        JOIN qterms q ON q.qid = c.qid
+        LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.tok = q.tok
+        JOIN coll ON coll.tok = q.tok
+        JOIN dl ON dl.doc_id = c.doc_id, tot
+      GROUP BY c.qid, c.doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+           round(score, 6) AS score
+    FROM ranked WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+)
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    1998; Zhai & Lafferty 2001): score(q, d) = Σ_t log((tf_td + μ·
+    P(t|C)) / (|d| + μ)) with μ={QL_MU:.0f} — the language-modeling
+    scorer that completes the retrieval shelf's second family next to
+    BM25 (``q_bm25_search``): same known-item benchmark queries as
+    ``q_retrieval_mrr`` (each of the first {MRR_N_QUERIES} docs'
+    {MRR_TERMS_PER_QUERY} rarest tokens), top-5 per query. Candidates
+    are docs matching ≥1 query term (posting-list union); absent
+    terms still contribute their smoothing mass via the LEFT join —
+    the part naive implementations drop, and exactly what makes
+    Dirichlet scores length-aware.
+
+    Hash-exactness: tf/cf/dl are exact integers; the score is a sum
+    of ≤{MRR_TERMS_PER_QUERY} deterministic log terms; ranks order by
+    the 6dp-ROUNDED score then doc_id (the q_retrieval_mrr rule).
+
+    Scale: candidates bound by the rare terms' posting lists; the
+    collection stats ride a broadcast scalar; rank windows partition
+    per query over the bounded candidate set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    toks = d.select("doc_id", tok).filter(keep)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    coll = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_toks"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_q = Window.partitionBy("qid").orderBy("df", "tok")
+    qterms = (
+        tf.filter(F.col("doc_id") < MRR_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .join(df, "tok")
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= MRR_TERMS_PER_QUERY)
+        .select("qid", "tok")
+    )
+    cand = (
+        qterms.join(tf.select("doc_id", "tok"), "tok")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    pair_tf = tf.select(
+        F.col("doc_id").alias("t_doc"), F.col("tok").alias("t_tok"), "tf"
+    )
+    scored = (
+        cand.join(qterms, "qid")
+        .join(
+            pair_tf,
+            (F.col("doc_id") == F.col("t_doc")) & (F.col("tok") == F.col("t_tok")),
+            "left",
+        )
+        .join(F.broadcast(coll), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (
+                        F.coalesce("tf", F.lit(0))
+                        + QL_MU * F.col("cf") / F.col("n_toks")
+                    )
+                    / (F.col("dl") + QL_MU)
+                )
+            ).alias("score")
+        )
+    )
+    w_r = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 6)), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_r).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "doc_id", F.round("score", 6).alias("score"))
+        .orderBy("qid", "rank")
+    )

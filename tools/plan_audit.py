@@ -40,6 +40,7 @@ WAIVERS = {
     "q_period_over_period": {"GlobalWindow"},  # tiny daily rollup
     "q_cumulative_distinct": {"GlobalWindow"},  # runs on the per-day rollup
     "q_survival_curve": {"GlobalWindow"},  # KM product over the 14-day spine
+    "q_nelson_aalen": {"GlobalWindow"},  # same 14-day-spine running sums
     # documented slow-tier UDTF surface demo, fenced to doc_id < 200
     "q_udtf_strided_chunks": {"BatchEvalPython"},
     # ranks assigned AFTER orderBy().limit(fusion depth) — the window
