@@ -87,13 +87,15 @@ _PRIORITY = (
     # q_markov_attribution, q_attribution_models, q_calibration_ece,
     # q_skipgram_pairs, q_negative_sampling_table,
     # q_glove_cooccurrence, q_anova_dow, q_rank_biased_overlap,
-    # plus the 17 final-phase additions: q_ndcg_eval, q_mann_kendall,
+    # plus the 21 final-phase additions: q_ndcg_eval, q_mann_kendall,
     # q_effect_sizes, q_dp_noisy_histogram, q_label_modularity,
     # q_shapley_attribution, q_poisson_bootstrap_ci,
     # q_cuped_adjustment, q_regression_diagnostics,
     # q_pca_top_component, q_diff_in_diff, q_ipw_ate,
     # q_kneser_ney_bigram, q_nelson_aalen, q_query_likelihood,
-    # q_local_clustering, q_dim_truncation_recall.
+    # q_local_clustering, q_dim_truncation_recall,
+    # q_changepoint_binary, q_conformal_interval,
+    # q_degree_powerlaw_mle, q_funnel_significance.
     "q_semdedup",
     "q_bpe_merge_loop",
     "q_dsir_selection",

@@ -3655,3 +3655,158 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("e1") - F.col("e0"), 6).alias("ipw_ate"),
         F.round("naive", 6).alias("naive_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals for the daily OLS forecast
+# --------------------------------------------------------------------------
+CONFORMAL_TRAIN_DAYS = 20
+CONFORMAL_CALIB_DAYS = 5
+CONFORMAL_ALPHA = 0.2  # 80% nominal coverage
+
+
+@query(
+    "q_conformal_interval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS x
+      FROM daily
+    ),
+    fit AS (
+      SELECT event_type, count(*) AS n, 
+             (sum(x * y) - sum(x) * sum(y) * 1.0 / count(*))
+               / (sum(x * x) - sum(x) * sum(x) * 1.0 / count(*)) AS slope,
+             sum(y) * 1.0 / count(*)
+               - (sum(x * y) - sum(x) * sum(y) * 1.0 / count(*))
+                 / (sum(x * x) - sum(x) * sum(x) * 1.0 / count(*))
+                 * (sum(x) * 1.0 / count(*)) AS icept
+      FROM d WHERE x <= {CONFORMAL_TRAIN_DAYS}
+      GROUP BY event_type
+    ),
+    calib AS (
+      SELECT d.event_type,
+             abs(d.y - (f.icept + f.slope * d.x)) AS r,
+             row_number() OVER (PARTITION BY d.event_type
+               ORDER BY abs(d.y - (f.icept + f.slope * d.x)), d.x) AS rk,
+             count(*) OVER (PARTITION BY d.event_type) AS m
+      FROM d JOIN fit f USING (event_type)
+      WHERE d.x > {CONFORMAL_TRAIN_DAYS}
+        AND d.x <= {CONFORMAL_TRAIN_DAYS + CONFORMAL_CALIB_DAYS}
+    ),
+    qhat AS (
+      SELECT event_type, r AS q
+      FROM calib
+      WHERE rk = least(CAST(ceil((m + 1) * (1.0 - {CONFORMAL_ALPHA}))
+                         AS BIGINT), m)
+    ),
+    test AS (
+      SELECT d.event_type,
+             count(*) AS n_test,
+             sum(CASE WHEN abs(d.y - (f.icept + f.slope * d.x)) <= q.q
+                      THEN 1 ELSE 0 END) AS covered
+      FROM d JOIN fit f USING (event_type) JOIN qhat q USING (event_type)
+      WHERE d.x > {CONFORMAL_TRAIN_DAYS + CONFORMAL_CALIB_DAYS}
+      GROUP BY d.event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n_test AS BIGINT) AS n_test,
+           round(q.q / 100.0, 6) AS q_hat,
+           round(t.covered * 1.0 / t.n_test, 6) AS coverage
+    FROM test t JOIN qhat q USING (event_type)
+    ORDER BY t.event_type
+    """,
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al. 2005; Lei et
+    al. 2018) for the daily OLS forecast: fit on days
+    1..{CONFORMAL_TRAIN_DAYS}, take the k-th smallest absolute
+    residual on the next {CONFORMAL_CALIB_DAYS} calibration days with
+    k = ⌈(m+1)(1−α)⌉ (α={CONFORMAL_ALPHA}), and report how often
+    ŷ ± q̂ covers the remaining test days — the DISTRIBUTION-FREE
+    uncertainty wrapper: unlike the Greenwood/Gaussian bands
+    elsewhere in the suite, its ≥(1−α) marginal coverage holds for
+    ANY residual distribution, which is why conformal wrappers are
+    the current standard for production forecast monitoring.
+
+    Hash-exactness: the fit is exact-integer-moment OLS; the
+    conformal quantile is an ORDER STATISTIC (row_number by residual
+    then day — no interpolation, so no float percentile semantics to
+    reconcile); coverage compares |residual| ≤ q̂ on exact inputs
+    identically on both engines.
+
+    Scale: the corpus collapses to types×days; every window is
+    per-series over that frame; the fit and q̂ are |series|-row
+    broadcasts onto it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("y")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type", "y", F.row_number().over(w_ord).cast("long").alias("x")
+    )
+    train = d.filter(F.col("x") <= CONFORMAL_TRAIN_DAYS)
+    mom = train.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    fit = mom.select(
+        "event_type",
+        slope.alias("slope"),
+        (F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n")).alias("icept"),
+    )
+    resid = F.abs(F.col("y") - (F.col("icept") + F.col("slope") * F.col("x")))
+    w_r = Window.partitionBy("event_type").orderBy(resid.asc(), F.col("x"))
+    w_m = Window.partitionBy("event_type")
+    calib = (
+        d.filter(
+            (F.col("x") > CONFORMAL_TRAIN_DAYS)
+            & (F.col("x") <= CONFORMAL_TRAIN_DAYS + CONFORMAL_CALIB_DAYS)
+        )
+        .join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type",
+            resid.alias("r"),
+            F.row_number().over(w_r).alias("rk"),
+            F.count(F.lit(1)).over(w_m).alias("m"),
+        )
+    )
+    qhat = calib.filter(
+        F.col("rk")
+        == F.least(
+            F.ceil((F.col("m") + 1) * (1.0 - CONFORMAL_ALPHA)).cast("long"),
+            F.col("m"),
+        )
+    ).select("event_type", F.col("r").alias("q"))
+    test = (
+        d.filter(F.col("x") > CONFORMAL_TRAIN_DAYS + CONFORMAL_CALIB_DAYS)
+        .join(F.broadcast(fit), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(resid <= F.col("q"), 1).otherwise(0)).alias("covered"),
+            F.first("q").alias("q"),
+        )
+    )
+    return test.select(
+        "event_type",
+        "n_test",
+        F.round(F.col("q") / 100.0, 6).alias("q_hat"),
+        F.round(F.col("covered") / F.col("n_test"), 6).alias("coverage"),
+    ).orderBy("event_type")

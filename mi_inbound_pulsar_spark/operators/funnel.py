@@ -1875,3 +1875,144 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel-stage significance (two-proportion z per stage, per arm)
+# --------------------------------------------------------------------------
+@query(
+    "q_funnel_significance",
+    oracle="""
+    WITH armed AS (
+      SELECT *, CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)),
+                         1, 1) < '8' THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, arm, min(ts) AS t1 FROM armed
+      WHERE event_type = 'signup' GROUP BY user_id, arm
+    ),
+    s2 AS (
+      SELECT e.user_id, e.arm, min(e.ts) AS t2
+      FROM armed e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id, e.arm
+    ),
+    s3 AS (
+      SELECT e.user_id, e.arm, min(e.ts) AS t3
+      FROM armed e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id, e.arm
+    ),
+    counts AS (
+      SELECT 'signup_to_click' AS stage,
+             (SELECT count(*) FROM s1 WHERE arm = 'A') AS base_a,
+             (SELECT count(*) FROM s2 WHERE arm = 'A') AS conv_a,
+             (SELECT count(*) FROM s1 WHERE arm = 'B') AS base_b,
+             (SELECT count(*) FROM s2 WHERE arm = 'B') AS conv_b
+      UNION ALL
+      SELECT 'click_to_purchase',
+             (SELECT count(*) FROM s2 WHERE arm = 'A'),
+             (SELECT count(*) FROM s3 WHERE arm = 'A'),
+             (SELECT count(*) FROM s2 WHERE arm = 'B'),
+             (SELECT count(*) FROM s3 WHERE arm = 'B')
+    )
+    SELECT stage,
+           CAST(base_a AS BIGINT) AS base_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(base_b AS BIGINT) AS base_b, CAST(conv_b AS BIGINT) AS conv_b,
+           round(conv_a * 1.0 / base_a, 6) AS p_a,
+           round(conv_b * 1.0 / base_b, 6) AS p_b,
+           round(CASE WHEN conv_a + conv_b = 0
+                        OR conv_a + conv_b = base_a + base_b THEN NULL
+                      ELSE (conv_b * 1.0 / base_b - conv_a * 1.0 / base_a)
+                        / sqrt((conv_a + conv_b) * 1.0 / (base_a + base_b)
+                           * (1 - (conv_a + conv_b) * 1.0 / (base_a + base_b))
+                           * (1.0 / base_a + 1.0 / base_b)) END, 6) AS z
+    FROM counts ORDER BY stage
+    """,
+)
+def q_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per ORDERED funnel stage between the exp7
+    arms (pooled-proportion SE, the textbook form): does the B arm
+    convert signup→click or click→purchase at a different rate than
+    A? This is the statistical gate on top of ``q_funnel_stages``'s
+    point rates — funnel dashboards without it flag noise as product
+    regressions; with the Wilson interval (``q_wilson_ctr``) and the
+    sequential monitors it completes the conversion-stats shelf.
+    Stage ordering (each stage strictly after the previous stage's
+    first completion) matches q_funnel_stages exactly.
+
+    Hash-exactness: all counts are exact integers from the same
+    chained min-aggregate funnel; p's and z are single deterministic
+    double expressions, 6dp-rounded.
+
+    Scale: the three funnel stages shuffle (user, arm, one timestamp)
+    each, shrinking at every stage; the z arithmetic runs on one
+    2-row count frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    armed = e.withColumn("arm", arm)
+    s1 = (
+        armed.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "arm")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        armed.filter(F.col("event_type") == "click")
+        .join(s1.select("user_id", "t1"), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "arm")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        armed.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "arm")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def arm_counts(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.count_if(F.col("arm") == "A").alias(f"{prefix}_a"),
+            F.count_if(F.col("arm") == "B").alias(f"{prefix}_b"),
+        )
+
+    c1, c2, c3 = arm_counts(s1, "n1"), arm_counts(s2, "n2"), arm_counts(s3, "n3")
+    wide = c1.crossJoin(c2).crossJoin(c3)
+    rows = []
+    for stage, base_a, conv_a, base_b, conv_b in (
+        ("signup_to_click", "n1_a", "n2_a", "n1_b", "n2_b"),
+        ("click_to_purchase", "n2_a", "n3_a", "n2_b", "n3_b"),
+    ):
+        p_a = F.col(conv_a) / F.col(base_a)
+        p_b = F.col(conv_b) / F.col(base_b)
+        pooled = (F.col(conv_a) + F.col(conv_b)) / (F.col(base_a) + F.col(base_b))
+        # degenerate stages (0% or 100% pooled conversion) have SE = 0:
+        # NULL z on both engines instead of an ANSI divide-by-zero
+        z = F.when(
+            (F.col(conv_a) + F.col(conv_b) > 0)
+            & (F.col(conv_a) + F.col(conv_b) < F.col(base_a) + F.col(base_b)),
+            (p_b - p_a)
+            / F.sqrt(
+                pooled * (1 - pooled) * (1.0 / F.col(base_a) + 1.0 / F.col(base_b))
+            ),
+        )
+        rows.append(
+            wide.select(
+                F.lit(stage).alias("stage"),
+                F.col(base_a).alias("base_a"),
+                F.col(conv_a).alias("conv_a"),
+                F.col(base_b).alias("base_b"),
+                F.col(conv_b).alias("conv_b"),
+                F.round(p_a, 6).alias("p_a"),
+                F.round(p_b, 6).alias("p_b"),
+                F.round(z, 6).alias("z"),
+            )
+        )
+    return rows[0].unionAll(rows[1]).orderBy("stage")

@@ -1556,3 +1556,119 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Power-law degree MLE (Clauset-Shalizi-Newman alpha + KS fit distance)
+# --------------------------------------------------------------------------
+@query(
+    "q_degree_powerlaw_mle",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM cand JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+      GROUP BY node
+    ),
+    mle AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             1.0 + count(*) / sum(ln(d / 0.5)) AS alpha
+      FROM deg
+    ),
+    dc AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM deg GROUP BY d),
+    ccdf AS (
+      SELECT d, c,
+             sum(c) OVER (ORDER BY d DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / (SELECT n_nodes FROM mle) AS emp
+      FROM dc
+    ),
+    ks AS (
+      SELECT max(abs(emp - pow((ccdf.d - 0.5) / 0.5, 1.0 - mle.alpha))) AS ks_d
+      FROM ccdf, mle
+    )
+    SELECT mle.n_nodes, mle.alpha IS NOT NULL AS fitted,
+           round(mle.alpha, 6) AS alpha,
+           round(ks.ks_d, 6) AS ks_distance
+    FROM mle, ks
+    """,
+)
+def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-approximation power-law MLE for the degree
+    distribution of the near-dup graph (Clauset, Shalizi & Newman
+    2009, eq. 3.1 with the discrete half-shift x−½ and x_min = 1):
+    α̂ = 1 + n / Σ ln(d/½), plus the KS distance between the
+    empirical degree CCDF and the fitted (d−½/½)^(1−α) — the
+    diagnostic that says whether the duplicate graph is scale-free
+    (a few giant templated clusters dominate, α small / heavy tail)
+    or homogeneous. Complements the point statistics
+    (``q_triangle_count``'s clustering, ``q_local_clustering``) with
+    a whole-distribution fit; ``q_zipf_slope`` is the same law on
+    token frequencies via regression rather than MLE.
+
+    Hash-exactness: degrees are exact integers; α is one aggregate
+    ratio (Σ of deterministic ln terms); the CCDF running sum windows
+    over the DISTINCT-DEGREE rollup (the q_mann_whitney value-domain
+    class) and the KS max is an exact aggregate of deterministic
+    doubles, 6dp-rounded.
+
+    Scale: the edge list is the capped inverted-index join; degrees
+    are one rollup; everything after is bounded by |distinct degrees|.
+    """
+    from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
+
+    d = load_table(spark, sf_dir, "documents")
+    sharr = shingle_arrays(d, n=3).persist()
+    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
+    edges = jaccard_pairs(sh, 0.5, sizes=sizes).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    mle = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("d") / 0.5))).alias("alpha"),
+    )
+    dc = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    ccdf = dc.select("d", F.sum("c").over(w).alias("cum")).crossJoin(
+        F.broadcast(mle)
+    )
+    ks = ccdf.agg(
+        F.max(
+            F.abs(
+                F.col("cum") / F.col("n_nodes")
+                - F.pow((F.col("d") - 0.5) / 0.5, 1.0 - F.col("alpha"))
+            )
+        ).alias("ks_d")
+    )
+    return (
+        mle.crossJoin(ks)
+        .select(
+            "n_nodes",
+            F.col("alpha").isNotNull().alias("fitted"),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("ks_d", 6).alias("ks_distance"),
+        )
+    )

@@ -880,3 +880,123 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Binary-segmentation changepoint (single most-likely split per series)
+# --------------------------------------------------------------------------
+@query(
+    "q_changepoint_binary",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS rn,
+             sum(y) OVER w AS cs,
+             sum(y * y) OVER w AS css,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             sum(y) OVER (PARTITION BY event_type) AS ts_,
+             sum(y * y) OVER (PARTITION BY event_type) AS tss
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cand AS (
+      SELECT event_type, day, rn, n,
+             ((tss - ts_ * ts_ * 1.0 / n)
+               - ((css - cs * cs * 1.0 / rn)
+                  + ((tss - css) - (ts_ - cs) * (ts_ - cs) * 1.0 / (n - rn))))
+               / (tss - ts_ * ts_ * 1.0 / n) AS explained,
+             cs * 1.0 / rn / 100.0 AS mean_left,
+             (ts_ - cs) * 1.0 / (n - rn) / 100.0 AS mean_right
+      FROM d WHERE rn >= 2 AND rn <= n - 2
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY round(explained, 6) DESC, rn) AS bk
+      FROM cand
+    )
+    SELECT event_type, n AS n_days, rn AS split_rn, day AS split_day,
+           round(explained, 6) AS explained_frac,
+           round(mean_left, 6) AS mean_left,
+           round(mean_right, 6) AS mean_right
+    FROM best WHERE bk = 1 ORDER BY event_type
+    """,
+)
+def q_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most-likely changepoint per daily series by binary
+    segmentation (Scott & Knott 1974; the first split of the standard
+    recursive detector): for every candidate split k the cost drop is
+    SS_total − (SS_left + SS_right), maximized over k with ≥2 days on
+    each side — the offline twin of the suite's ONLINE drift monitors
+    (``q_cusum_drift`` flags drift as it streams; this localizes where
+    a completed series broke). Recursing on the two halves with a
+    penalty gives full multiple-changepoint detection; the per-split
+    kernel is exactly this query.
+
+    Hash-exactness: the REPORTED statistic is the unit-scale explained
+    fraction (reduction / SS_total ∈ [0,1]) — the raw reduction at
+    cent² magnitude carries ~13 significant digits where engine ulp
+    differences straddle the 6dp round; the ratio cancels that scale.
+    The argmax orders by the 6dp-ROUNDED fraction then split index
+    (the knn tie rule), so an ulp cannot flip the winner either.
+
+    Scale: the corpus collapses to types×days first; prefix sums are
+    per-series windows over that tiny frame (never raw events); the
+    argmax is one more per-series window. O(|days|) candidates per
+    series, not O(|days|²) segment pairs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("y")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("event_type")
+    d = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).cast("long").alias("rn"),
+        F.sum("y").over(w_run).alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(w_run).alias("css"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("y").over(w_all).alias("ts_"),
+        F.sum(F.col("y") * F.col("y")).over(w_all).alias("tss"),
+    )
+    ss_tot = F.col("tss") - F.col("ts_") * F.col("ts_") / F.col("n")
+    ss_left = F.col("css") - F.col("cs") * F.col("cs") / F.col("rn")
+    rs = F.col("ts_") - F.col("cs")
+    rn_right = F.col("n") - F.col("rn")
+    ss_right = (F.col("tss") - F.col("css")) - rs * rs / rn_right
+    cand = d.filter((F.col("rn") >= 2) & (F.col("rn") <= F.col("n") - 2)).select(
+        "event_type",
+        "day",
+        "rn",
+        "n",
+        ((ss_tot - (ss_left + ss_right)) / ss_tot).alias("explained"),
+        (F.col("cs") / F.col("rn") / 100.0).alias("mean_left"),
+        (rs / rn_right / 100.0).alias("mean_right"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.desc(F.round("explained", 6)), "rn"
+    )
+    return (
+        cand.withColumn("bk", F.row_number().over(w_best))
+        .filter(F.col("bk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("rn").alias("split_rn"),
+            F.col("day").alias("split_day"),
+            F.round("explained", 6).alias("explained_frac"),
+            F.round("mean_left", 6).alias("mean_left"),
+            F.round("mean_right", 6).alias("mean_right"),
+        )
+        .orderBy("event_type")
+    )

@@ -304,3 +304,56 @@ def test_dim_truncation_recall_bounds(spark, sf_dir):
     assert r["n_exact"] == r["n_queries"] * 5
     assert 0 <= r["n_hits"] <= r["n_exact"]
     assert abs(r["recall"] - r["n_hits"] / r["n_exact"]) < 1e-6
+
+
+def test_changepoint_split_partitions_strictly(spark, sf_dir):
+    """The split leaves >= 2 days on each side, and the reported
+    SS reduction is non-negative (splitting can never raise the
+    two-segment fit cost above the one-segment cost)."""
+    from mi_inbound_pulsar_spark.operators.windows import q_changepoint_binary
+
+    rows = q_changepoint_binary(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r["split_rn"] <= r["n_days"] - 2
+        assert -1e-6 <= r["explained_frac"] <= 1.0 + 1e-9
+
+
+def test_conformal_order_statistic_and_coverage(spark, sf_dir):
+    """q_hat is a real calibration residual (positive), coverage lies
+    in [0, 1], and test days exist for every series."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_conformal_interval
+
+    rows = q_conformal_interval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["q_hat"] >= 0
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["n_test"] >= 1
+
+
+def test_powerlaw_alpha_and_ks_bounds(spark, sf_dir):
+    """alpha > 1 (the MLE form guarantees it for any degree >= 1 with
+    the half-shift), and the KS distance is a valid sup-norm in
+    [0, 1]."""
+    from mi_inbound_pulsar_spark.operators.graph import q_degree_powerlaw_mle
+
+    r = q_degree_powerlaw_mle(spark, sf_dir).collect()[0]
+    assert r["n_nodes"] > 0
+    assert r["alpha"] > 1.0
+    assert 0.0 <= r["ks_distance"] <= 1.0 + 1e-9
+
+
+def test_funnel_significance_consistency(spark, sf_dir):
+    """Stage counts must nest (conv <= base per arm), p's match their
+    own counts, and z carries the sign of p_b - p_a."""
+    from mi_inbound_pulsar_spark.operators.funnel import q_funnel_significance
+
+    rows = q_funnel_significance(spark, sf_dir).collect()
+    assert {r["stage"] for r in rows} == {"signup_to_click", "click_to_purchase"}
+    for r in rows:
+        assert r["conv_a"] <= r["base_a"] and r["conv_b"] <= r["base_b"]
+        assert abs(r["p_a"] - r["conv_a"] / r["base_a"]) < 1e-5
+        assert abs(r["p_b"] - r["conv_b"] / r["base_b"]) < 1e-5
+        if r["p_a"] != r["p_b"] and r["z"] is not None:
+            assert (r["z"] > 0) == (r["p_b"] > r["p_a"])

@@ -71,6 +71,8 @@ WAIVERS = {
     # value-domain class) / cumulative gains over the 10-bin rollup
     "q_auc_roc": {"GlobalWindow"},
     "q_gains_curve": {"GlobalWindow"},
+    # CCDF running sum over the distinct-DEGREE rollup — value-domain
+    "q_degree_powerlaw_mle": {"GlobalWindow"},
 }
 
 
