@@ -3810,3 +3810,141 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q") / 100.0, 6).alias("q_hat"),
         F.round(F.col("covered") / F.col("n_test"), 6).alias("coverage"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Group-sequential monitoring (O'Brien-Fleming boundary at K looks)
+# --------------------------------------------------------------------------
+OBF_LOOKS = 5
+OBF_C = 2.0403  # classical O'Brien-Fleming constant, K=5, two-sided alpha=.05
+
+
+@query(
+    "q_sequential_obrien_fleming",
+    oracle=f"""
+    WITH looks AS (SELECT k FROM generate_series(1, {OBF_LOOKS}) AS g(k)),
+    assigned AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cum AS (
+      SELECT l.k, a.arm,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(a.cents) AS s, sum(a.cents * a.cents) AS ss
+      FROM looks l JOIN assigned a ON a.d <= l.k * (30 / {OBF_LOOKS})
+      GROUP BY l.k, a.arm
+    ),
+    wide AS (
+      SELECT k,
+             max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             max(CASE WHEN arm = 'A' THEN s END) AS s_a,
+             max(CASE WHEN arm = 'B' THEN s END) AS s_b,
+             max(CASE WHEN arm = 'A' THEN ss END) AS ss_a,
+             max(CASE WHEN arm = 'B' THEN ss END) AS ss_b
+      FROM cum GROUP BY k
+    ),
+    z AS (
+      SELECT k, n_a, n_b,
+             ((s_b * 1.0 / n_b) - (s_a * 1.0 / n_a)) / 100.0
+               / sqrt(((ss_a - s_a * s_a * 1.0 / n_a) / (n_a - 1) / n_a
+                       + (ss_b - s_b * s_b * 1.0 / n_b) / (n_b - 1) / n_b)
+                      / 10000.0) AS zk
+      FROM wide
+    )
+    SELECT CAST(k AS BIGINT) AS look, CAST(k * (30 / {OBF_LOOKS}) AS BIGINT)
+             AS day_cut,
+           n_a, n_b,
+           round(zk, 6) AS z,
+           round({OBF_C} * sqrt({OBF_LOOKS} * 1.0 / k), 6) AS obf_bound,
+           abs(zk) > {OBF_C} * sqrt({OBF_LOOKS} * 1.0 / k) AS crossed
+    FROM z ORDER BY look
+    """,
+)
+def q_sequential_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with the O'Brien-Fleming
+    boundary (O'Brien & Fleming 1979; Pocock 1977 frames the
+    alternative): the z statistic for the arm difference is evaluated
+    at {OBF_LOOKS} interim looks (every 6 days of the 30-day window)
+    against the shrinking boundary C·√(K/k) (C={OBF_C}, the classical
+    two-sided α=0.05 constant) — early looks need overwhelming
+    evidence, the final look needs ≈1.96σ+, and the overall type-I
+    error stays controlled. This is the PEEKING-SAFE member of the
+    experimentation shelf: ``q_ab_lift``'s fixed-horizon z is invalid
+    the moment a dashboard refreshes daily; this is what that
+    dashboard should compute instead (``q_cusum_drift`` is the same
+    idea for drift rather than treatment effects).
+
+    Hash-exactness: per-look cumulative moments are exact integer
+    cents (one conditional-max pivot per look); z and the boundary
+    are deterministic double expressions, 6dp-rounded; the crossing
+    flag compares the unrounded z identically on both sides.
+
+    Scale: the look spine (K rows) joins the purchase stream on a
+    day-cut inequality — a broadcast-spine range join amplifying each
+    event ≤K times into a map-side-combined (look, arm) aggregate;
+    everything after is a K-row frame.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    assigned = e.select(
+        arm.alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) + 1).alias(
+            "d"
+        ),
+    )
+    step = 30 // OBF_LOOKS
+    looks = spark.range(1, OBF_LOOKS + 1).select(F.col("id").alias("k"))
+    cum = (
+        F.broadcast(looks)
+        .join(assigned, assigned["d"] <= F.col("k") * step)
+        .groupBy("k", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        )
+    )
+
+    def cell(a: str, col: str):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = cum.groupBy("k").agg(
+        cell("A", "n").alias("n_a"),
+        cell("B", "n").alias("n_b"),
+        cell("A", "s").alias("s_a"),
+        cell("B", "s").alias("s_b"),
+        cell("A", "ss").alias("ss_a"),
+        cell("B", "ss").alias("ss_b"),
+    )
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    zk = ((F.col("s_b") / F.col("n_b")) - (F.col("s_a") / F.col("n_a"))) / 100.0 / (
+        F.sqrt((var_a / F.col("n_a") + var_b / F.col("n_b")) / 10000.0)
+    )
+    bound = OBF_C * F.sqrt(F.lit(float(OBF_LOOKS)) / F.col("k"))
+    return wide.select(
+        F.col("k").alias("look"),
+        (F.col("k") * step).cast("long").alias("day_cut"),
+        "n_a",
+        "n_b",
+        F.round(zk, 6).alias("z"),
+        F.round(bound, 6).alias("obf_bound"),
+        (F.abs(zk) > bound).alias("crossed"),
+    ).orderBy("look")

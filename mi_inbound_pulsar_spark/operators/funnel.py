@@ -2016,3 +2016,108 @@ def q_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionAll(rows[1]).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per user by cohort age)
+# --------------------------------------------------------------------------
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_signup AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id, c_day,
+             CAST(date_trunc('week', c_day) AS DATE) AS cohort_week
+      FROM first_signup
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM cohorts GROUP BY cohort_week
+    ),
+    rev AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.c_day, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+               AS age_week,
+             sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS cents
+      FROM events e JOIN cohorts c USING (user_id)
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= c.c_day
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, age_week,
+             sum(cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_cents
+      FROM rev
+    )
+    SELECT c.cohort_week, c.age_week, s.n_users,
+           round(c.cum_cents / 100.0 / s.n_users, 6) AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, age_week
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue per user by
+    signup-week cohort and cohort AGE (weeks since each user's own
+    first signup) — the companion of ``q_cohort_retention`` on the
+    revenue axis, and the standard payback/LTV artifact every
+    subscription analytics stack ships. Ages are user-relative (not
+    calendar-relative), so late joiners in a week don't smear the
+    curve; revenue before the first signup is excluded.
+
+    Hash-exactness: per-(cohort, age) revenue is exact integer cents;
+    the cumulative window partitions by cohort over the tiny
+    (cohort × age) rollup; the per-user division happens once at
+    output against the exact cohort size.
+
+    Scale: per-user first-signup is one rollup; purchase revenue
+    joins the (user → cohort) map and collapses to |cohorts|×|ages|
+    rows BEFORE any window. No per-user window, no event
+    materialization.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("c_day"))
+    )
+    cohorts = first_signup.select(
+        "user_id", "c_day", F.date_trunc("week", "c_day").cast("date").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .filter(F.to_date("ts") >= F.col("c_day"))
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.to_date("ts"), F.col("c_day")) / 7)
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.select(
+            "cohort_week", "age_week", F.sum("cents").over(w).alias("cum_cents")
+        )
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            F.round(F.col("cum_cents") / 100.0 / F.col("n_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_week")
+    )

@@ -357,3 +357,46 @@ def test_funnel_significance_consistency(spark, sf_dir):
         assert abs(r["p_b"] - r["conv_b"] / r["base_b"]) < 1e-5
         if r["p_a"] != r["p_b"] and r["z"] is not None:
             assert (r["z"] > 0) == (r["p_b"] > r["p_a"])
+
+
+def test_obf_boundary_shrinks_to_final(spark, sf_dir):
+    """The OBF boundary is strictly decreasing in the look index and
+    ends near the fixed-horizon critical value; looks accumulate
+    monotonically growing samples."""
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        OBF_C,
+        OBF_LOOKS,
+        q_sequential_obrien_fleming,
+    )
+
+    rows = q_sequential_obrien_fleming(spark, sf_dir).collect()
+    assert [r["look"] for r in rows] == list(range(1, OBF_LOOKS + 1))
+    bounds = [r["obf_bound"] for r in rows]
+    assert bounds == sorted(bounds, reverse=True)
+    assert abs(bounds[-1] - OBF_C) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_a"] <= b["n_a"] and a["n_b"] <= b["n_b"]
+    for r in rows:
+        assert r["crossed"] == (abs(r["z"]) > r["obf_bound"]) or abs(
+            abs(r["z"]) - r["obf_bound"]
+        ) < 1e-5
+
+
+def test_cohort_ltv_monotone_per_cohort(spark, sf_dir):
+    """Cumulative LTV never decreases with cohort age, and every
+    cohort's size is positive."""
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.funnel import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_c = defaultdict(list)
+    for r in rows:
+        assert r["n_users"] > 0
+        by_c[r["cohort_week"]].append(r)
+    for c, rs in by_c.items():
+        ages = [r["age_week"] for r in rs]
+        assert ages == sorted(ages)
+        vals = [r["ltv_per_user"] for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
