@@ -123,6 +123,8 @@ HEADLINE = [
     # distributed resampling / embedding PCA gate (round 6, final phase)
     "q_poisson_bootstrap_ci",
     "q_pca_top_component",
+    "q_changepoint_binary",
+    "q_sequential_obrien_fleming",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

@@ -908,10 +908,11 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cand AS (
       SELECT event_type, day, rn, n,
-             ((tss - ts_ * ts_ * 1.0 / n)
-               - ((css - cs * cs * 1.0 / rn)
-                  + ((tss - css) - (ts_ - cs) * (ts_ - cs) * 1.0 / (n - rn))))
-               / (tss - ts_ * ts_ * 1.0 / n) AS explained,
+             CASE WHEN tss - ts_ * ts_ * 1.0 / n > 0 THEN
+               ((tss - ts_ * ts_ * 1.0 / n)
+                 - ((css - cs * cs * 1.0 / rn)
+                    + ((tss - css) - (ts_ - cs) * (ts_ - cs) * 1.0 / (n - rn))))
+                 / (tss - ts_ * ts_ * 1.0 / n) END AS explained,
              cs * 1.0 / rn / 100.0 AS mean_left,
              (ts_ - cs) * 1.0 / (n - rn) / 100.0 AS mean_right
       FROM d WHERE rn >= 2 AND rn <= n - 2
@@ -979,7 +980,11 @@ def q_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "rn",
         "n",
-        ((ss_tot - (ss_left + ss_right)) / ss_tot).alias("explained"),
+        # constant series (SS_total = 0) → NULL on both engines instead
+        # of an ANSI divide-by-zero
+        F.when(ss_tot > 0, (ss_tot - (ss_left + ss_right)) / ss_tot).alias(
+            "explained"
+        ),
         (F.col("cs") / F.col("rn") / 100.0).alias("mean_left"),
         (rs / rn_right / 100.0).alias("mean_right"),
     )
