@@ -3948,3 +3948,220 @@ def q_sequential_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bound, 6).alias("obf_bound"),
         (F.abs(zk) > bound).alias("crossed"),
     ).orderBy("look")
+
+
+# --------------------------------------------------------------------------
+# Doubly-robust ATE (AIPW: augmented inverse-propensity weighting)
+# --------------------------------------------------------------------------
+@query(
+    "q_doubly_robust_ate",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE CAST(ts AS DATE)
+               < DATE '{CUPED_BOUNDARY}') AS BIGINT) AS pre_n,
+             CAST(count(*) FILTER (WHERE event_type = 'error'
+               AND CAST(ts AS DATE) < DATE '{CUPED_BOUNDARY}') AS BIGINT)
+               AS pre_err,
+             sum(CASE WHEN event_type = 'purchase'
+                      AND CAST(ts AS DATE) >= DATE '{CUPED_BOUNDARY}'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) / 100.0 AS y
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT sum(pre_n) AS tn, sum(pre_err) AS te, max(pre_n) AS maxn
+      FROM per_user
+    ),
+    assigned AS (
+      SELECT u.user_id, u.y,
+             CASE WHEN u.pre_err * t.tn > u.pre_n * t.te THEN 1 ELSE 0 END
+               AS treated,
+             least(CAST(floor({IPW_STRATA}.0 * u.pre_n / (t.maxn + 1))
+                     AS BIGINT), {IPW_STRATA - 1}) AS stratum
+      FROM per_user u, tot t
+    ),
+    strat AS (
+      SELECT stratum, avg(CAST(treated AS DOUBLE)) AS p,
+             avg(CASE WHEN treated = 1 THEN y END) AS m1,
+             avg(CASE WHEN treated = 0 THEN y END) AS m0
+      FROM assigned GROUP BY stratum
+    ),
+    supported AS (
+      SELECT a.*, s.p, s.m1, s.m0
+      FROM assigned a JOIN strat s USING (stratum)
+      WHERE s.p > 0 AND s.p < 1
+    ),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             avg(treated * (y - m1) / p + m1) AS mu1,
+             avg((1 - treated) * (y - m0) / (1 - p) + m0) AS mu0,
+             avg(CASE WHEN treated = 1 THEN y END)
+               - avg(CASE WHEN treated = 0 THEN y END) AS naive
+      FROM supported
+    )
+    SELECT n_users,
+           round(mu1, 6) AS mean_treated_dr,
+           round(mu0, 6) AS mean_control_dr,
+           round(mu1 - mu0, 6) AS dr_ate,
+           round(naive, 6) AS naive_diff
+    FROM est
+    """,
+)
+def q_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust / AIPW average treatment effect (Robins, Rotnitzky
+    & Zhao 1994; Bang & Robins 2005): μ̂₁ = avg(T(Y−m̂₁)/p̂ + m̂₁),
+    μ̂₀ symmetric — the estimator stays CONSISTENT if EITHER the
+    propensity model OR the outcome model is right, which is why it
+    is the production default over plain IPW (``q_ipw_ate``, whose
+    treatment/strata construction this shares verbatim: error-prone
+    users by exact integer cross-multiply, activity strata against a
+    broadcast max). Here both nuisance models are per-stratum
+    empirical means, so the augmentation term also shows exactly how
+    much the outcome model corrects the reweighting on this data.
+
+    Hash-exactness: p̂/m̂₁/m̂₀ are per-stratum rationals of exact
+    integers and exact cent sums; the influence-function average is
+    one deterministic pass (6dp-rounded, reassociation-noise class);
+    common-support filtering is identical on both engines.
+
+    Scale: identical to IPW — one per-user rollup, one broadcast
+    3-scalar row, one |strata|-row nuisance table joined back.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pre = F.to_date("ts") < CUPED_BOUNDARY
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.count_if(pre).alias("pre_n"),
+        F.count_if(pre & (F.col("event_type") == "error")).alias("pre_err"),
+        (
+            F.sum(
+                F.when((F.col("event_type") == "purchase") & ~pre, cents).otherwise(0)
+            )
+            / 100.0
+        ).alias("y"),
+    )
+    tot = per_user.agg(
+        F.sum("pre_n").alias("tn"),
+        F.sum("pre_err").alias("te"),
+        F.max("pre_n").alias("maxn"),
+    )
+    assigned = per_user.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "y",
+        F.when(F.col("pre_err") * F.col("tn") > F.col("pre_n") * F.col("te"), 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.least(
+            F.floor(float(IPW_STRATA) * F.col("pre_n") / (F.col("maxn") + 1)).cast(
+                "long"
+            ),
+            F.lit(IPW_STRATA - 1),
+        ).alias("stratum"),
+    )
+    strat = assigned.groupBy("stratum").agg(
+        F.avg(F.col("treated").cast("double")).alias("p"),
+        F.avg(F.when(F.col("treated") == 1, F.col("y"))).alias("m1"),
+        F.avg(F.when(F.col("treated") == 0, F.col("y"))).alias("m0"),
+    )
+    supported = assigned.join(
+        strat.filter((F.col("p") > 0) & (F.col("p") < 1)), "stratum"
+    )
+    est = supported.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.avg(
+            F.col("treated") * (F.col("y") - F.col("m1")) / F.col("p") + F.col("m1")
+        ).alias("mu1"),
+        F.avg(
+            (1 - F.col("treated")) * (F.col("y") - F.col("m0")) / (1 - F.col("p"))
+            + F.col("m0")
+        ).alias("mu0"),
+        (
+            F.avg(F.when(F.col("treated") == 1, F.col("y")))
+            - F.avg(F.when(F.col("treated") == 0, F.col("y")))
+        ).alias("naive"),
+    )
+    return est.select(
+        "n_users",
+        F.round("mu1", 6).alias("mean_treated_dr"),
+        F.round("mu0", 6).alias("mean_control_dr"),
+        F.round(F.col("mu1") - F.col("mu0"), 6).alias("dr_ate"),
+        F.round("naive", 6).alias("naive_diff"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio mismatch guardrail (chi-square GOF on arm counts)
+# --------------------------------------------------------------------------
+SRM_CHI2_CRIT = 3.841459  # chi-square 1-dof, alpha = 0.05
+
+
+@query(
+    "q_sample_ratio_mismatch",
+    oracle=f"""
+    WITH arms AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+      SELECT CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round(n_a * 1.0 / (n_a + n_b), 6) AS frac_a,
+           round(pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                 + pow(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0), 6)
+             AS chi2,
+           pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+             + pow(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+             > {SRM_CHI2_CRIT} AS srm_detected
+    FROM c
+    """,
+)
+def q_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Fabijan et al. 2019 — "the
+    most useful A/B test quality check"): chi-square goodness-of-fit
+    of the observed arm USER counts against the designed 50/50 split,
+    flagged at the 1-dof α=0.05 critical value {SRM_CHI2_CRIT}. An
+    SRM means the randomization or logging is broken and every other
+    readout on the experimentation shelf (lift, CUPED, DiD,
+    sequential) is invalid — which is why this check gates them. The
+    md5 'exp7' assignment audits itself here: a detected SRM on a
+    hash split would indicate id-space skew in the hash prefix.
+
+    Hash-exactness: user counts are exact integers off a distinct
+    rollup; χ² is one deterministic expression; the flag compares the
+    unrounded statistic identically on both engines.
+
+    Scale: one distinct-user rollup (map-side partial distinct), one
+    2-cell count — the cheapest query in the suite, as a guardrail
+    should be.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    c = (
+        e.select("user_id")
+        .distinct()
+        .select(arm.alias("arm"))
+        .agg(
+            F.count_if(F.col("arm") == "A").alias("n_a"),
+            F.count_if(F.col("arm") == "B").alias("n_b"),
+        )
+    )
+    half = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (F.col("n_a") - half) ** 2 / half + (F.col("n_b") - half) ** 2 / half
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") / (F.col("n_a") + F.col("n_b")), 6).alias("frac_a"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).alias("srm_detected"),
+    )

@@ -1005,3 +1005,135 @@ def q_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling-origin forecast backtest (one-step-ahead OLS evaluation)
+# --------------------------------------------------------------------------
+BACKTEST_MIN_TRAIN = 20  # first forecast origin: fit on days 1..20
+
+
+@query(
+    "q_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS x
+      FROM daily
+    ),
+    run AS (
+      SELECT event_type, y, x,
+             sum(y) OVER w AS sy,
+             sum(y * x) OVER w AS sxy
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    fc AS (
+      SELECT event_type, x, y,
+             lag(sy) OVER v AS psy, lag(sxy) OVER v AS psxy,
+             x - 1 AS t
+      FROM run WINDOW v AS (PARTITION BY event_type ORDER BY x)
+    ),
+    err AS (
+      SELECT event_type,
+             (y - ((psy * 1.0 / t
+                    - ((psxy - (t * (t + 1) / 2) * psy / t)
+                       / (t * (t + 1) * (2 * t + 1) / 6
+                          - (t * (t + 1) / 2) * (t * (t + 1) / 2) / t))
+                      * ((t + 1) / 2.0))
+                   + ((psxy - (t * (t + 1) / 2) * psy / t)
+                      / (t * (t + 1) * (2 * t + 1) / 6
+                         - (t * (t + 1) / 2) * (t * (t + 1) / 2) / t)) * x))
+               / 100.0 AS e,
+             y / 100.0 AS actual
+      FROM fc WHERE t >= {BACKTEST_MIN_TRAIN}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           round(avg(abs(e)), 6) AS mae,
+           round(avg(e), 6) AS bias,
+           round(avg(abs(e) / actual), 6) AS mape
+    FROM err GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step-ahead backtest (Tashman 2000) of the
+    linear trend forecaster: for every origin t ≥
+    {BACKTEST_MIN_TRAIN}, fit OLS on days 1..t and forecast day t+1;
+    report MAE / bias / MAPE per series — the evaluation harness that
+    tells you whether ``q_holt_linear_trend``-style trend forecasts
+    are actually usable, measured the way production forecast systems
+    are (expanding window, never test-set leakage). The whole
+    backtest is ONE pass: because x is the day index 1..t, the x-side
+    moments are closed-form (Σx = t(t+1)/2, Σx² = t(t+1)(2t+1)/6), so
+    each origin's fit needs only the PREFIX sums Σy and Σxy — no
+    per-origin refit, no quadratic re-aggregation.
+
+    Hash-exactness: prefix sums are exact integer cents; each
+    forecast is a deterministic double expression of those (identical
+    formula text on both engines); the error aggregates carry only
+    reassociation noise (~1e-11 of the 6dp grid).
+
+    Scale: the corpus collapses to types×days; prefix sums and the
+    lag are per-series windows over that frame; the report is one
+    |series|-row aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("y")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_x = Window.partitionBy("event_type").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w_ord).cast("long").alias("x"),
+    ).select(
+        "event_type",
+        "y",
+        "x",
+        F.sum("y").over(w_x).alias("sy"),
+        F.sum(F.col("y") * F.col("x")).over(w_x).alias("sxy"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("x")
+    fc = d.select(
+        "event_type",
+        "x",
+        "y",
+        F.lag("sy").over(w_lag).alias("psy"),
+        F.lag("sxy").over(w_lag).alias("psxy"),
+        (F.col("x") - 1).alias("t"),
+    ).filter(F.col("t") >= BACKTEST_MIN_TRAIN)
+    t = F.col("t")
+    # '/' is double division in BOTH engines (DuckDB int/int → double);
+    # t(t+1)/2 and t(t+1)(2t+1)/6 are exact small integers either way
+    sx = t * (t + 1) / 2
+    sxx = t * (t + 1) * (2 * t + 1) / 6
+    slope = (F.col("psxy") - sx * F.col("psy") / t) / (sxx - sx * sx / t)
+    icept = F.col("psy") / t - slope * ((t + 1) / 2.0)
+    err = fc.select(
+        "event_type",
+        ((F.col("y") - (icept + slope * F.col("x"))) / 100.0).alias("e"),
+        (F.col("y") / 100.0).alias("actual"),
+    )
+    return (
+        err.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_forecasts"),
+            F.round(F.avg(F.abs("e")), 6).alias("mae"),
+            F.round(F.avg("e"), 6).alias("bias"),
+            F.round(F.avg(F.abs("e") / F.col("actual")), 6).alias("mape"),
+        )
+        .orderBy("event_type")
+    )

@@ -400,3 +400,49 @@ def test_cohort_ltv_monotone_per_cohort(spark, sf_dir):
         assert ages == sorted(ages)
         vals = [r["ltv_per_user"] for r in rs]
         assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_doubly_robust_agrees_with_ipw_family(spark, sf_dir):
+    """AIPW and plain IPW are both consistent under a correct
+    propensity model, so on the same strata they should land in the
+    same neighborhood; the DR estimate must equal mu1 - mu0."""
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        q_doubly_robust_ate,
+        q_ipw_ate,
+    )
+
+    dr = q_doubly_robust_ate(spark, sf_dir).collect()[0]
+    ipw = q_ipw_ate(spark, sf_dir).collect()[0]
+    assert abs(dr["dr_ate"] - (dr["mean_treated_dr"] - dr["mean_control_dr"])) < 1e-5
+    assert dr["naive_diff"] == ipw["naive_diff"]
+    # same data, same nuisance strata: the two estimators should not
+    # diverge by more than the raw confounding they both correct
+    spread = abs(dr["naive_diff"]) + 1e3
+    assert abs(dr["dr_ate"] - ipw["ipw_ate"]) < spread
+
+
+def test_srm_expected_no_mismatch_on_hash_split(spark, sf_dir):
+    """The md5 hash split is unbiased, so no SRM may fire on it; the
+    chi2 must be consistent with its own counts."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_sample_ratio_mismatch
+
+    r = q_sample_ratio_mismatch(spark, sf_dir).collect()[0]
+    n = r["n_a"] + r["n_b"]
+    assert n > 0
+    expect = n / 2.0
+    chi2 = (r["n_a"] - expect) ** 2 / expect + (r["n_b"] - expect) ** 2 / expect
+    assert abs(chi2 - r["chi2"]) < 1e-4
+    assert not r["srm_detected"]
+
+
+def test_forecast_backtest_error_consistency(spark, sf_dir):
+    """MAE >= |bias| always (triangle inequality); MAPE positive;
+    one forecast per day past the minimum training window."""
+    from mi_inbound_pulsar_spark.operators.windows import q_forecast_backtest
+
+    rows = q_forecast_backtest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mae"] >= abs(r["bias"]) - 1e-6
+        assert r["mape"] >= 0
+        assert r["n_forecasts"] >= 1
