@@ -4165,3 +4165,112 @@ def q_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > SRM_CHI2_CRIT).alias("srm_detected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes rate shrinkage (beta-binomial, method of moments)
+# --------------------------------------------------------------------------
+EB_TOP_N = 20
+
+
+@query(
+    "q_eb_shrinkage",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS k
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT avg(k * 1.0 / n) AS m, var_samp(k * 1.0 / n) AS v
+      FROM per_user
+    ),
+    prior AS (
+      SELECT m, v,
+             (m * (1 - m) / v - 1) * m AS alpha,
+             (m * (1 - m) / v - 1) * (1 - m) AS beta
+      FROM mom
+    ),
+    shrunk AS (
+      SELECT u.user_id, u.n, u.k,
+             u.k * 1.0 / u.n AS raw_rate,
+             (u.k + p.alpha) / (u.n + p.alpha + p.beta) AS eb_rate,
+             p.alpha AS alpha, p.beta AS beta
+      FROM per_user u, prior p
+    )
+    SELECT user_id, n, k,
+           round(raw_rate, 6) AS raw_rate,
+           round(eb_rate, 6) AS eb_rate,
+           round(alpha, 6) AS alpha,
+           round(beta, 6) AS beta
+    FROM shrunk
+    ORDER BY round(abs(raw_rate - eb_rate), 6) DESC, user_id
+    LIMIT {EB_TOP_N}
+    """,
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (Robbins 1956; the method-of-moments prior: α+β =
+    m(1−m)/v − 1): each user's raw k/n is pulled toward the corpus
+    prior in proportion to how little data they have — the estimator
+    every leaderboard/CTR/quality-rate surface should show instead of
+    raw rates, where a 1-for-2 user would otherwise outrank a
+    490-for-1000 one. Reports the {EB_TOP_N} users the shrinkage
+    moves most — exactly the small-sample cases the raw rate lies
+    about. (James-Stein is this idea for Gaussian means; the
+    beta-binomial version is the one rates need.)
+
+    Hash-exactness: k/n are exact integers; the prior is one
+    moment-row expression; ranking orders by the 6dp-ROUNDED
+    shrinkage delta then user_id, so engine ulps cannot flip the
+    cut (the knn tie rule).
+
+    Scale: one per-user rollup, one broadcast 2-scalar moment row,
+    and a TakeOrderedAndProject top-N (per-partition partial top-k,
+    no global sort) — scale-safe as written.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "purchase").alias("k"),
+    )
+    rate = F.col("k") / F.col("n")
+    mom = per_user.agg(
+        F.avg(rate).alias("m"), F.var_samp(rate).alias("v")
+    )
+    strength = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    prior = mom.select(
+        (strength * F.col("m")).alias("alpha"),
+        (strength * (1 - F.col("m"))).alias("beta"),
+    )
+    shrunk = per_user.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        "n",
+        "k",
+        rate.alias("raw_rate"),
+        ((F.col("k") + F.col("alpha")) / (F.col("n") + F.col("alpha") + F.col("beta"))).alias(
+            "eb_rate"
+        ),
+        "alpha",
+        "beta",
+    )
+    delta = F.round(F.abs(F.col("raw_rate") - F.col("eb_rate")), 6)
+    # orderBy().limit() compiles to TakeOrderedAndProject — the
+    # distributed top-k, no global window in the plan
+    return (
+        shrunk.select(
+            "user_id",
+            "n",
+            "k",
+            F.round("raw_rate", 6).alias("raw_rate"),
+            F.round("eb_rate", 6).alias("eb_rate"),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("beta", 6).alias("beta"),
+            delta.alias("_delta"),
+        )
+        .orderBy(F.col("_delta").desc(), "user_id")
+        .limit(EB_TOP_N)
+        .drop("_delta")
+    )

@@ -3852,3 +3852,356 @@ def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "doc_id", F.round("score", 6).alias("score"))
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Weight of Evidence / Information Value of the quality filter
+# --------------------------------------------------------------------------
+@query(
+    "q_woe_iv",
+    oracle=f"""
+    WITH scored AS ({{ql}}),
+    binned AS (
+      SELECT least(CAST(floor((1.0 / (1.0 + exp(-score))) * {ECE_BINS})
+                     AS BIGINT), {ECE_BINS - 1}) AS bin, y
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(y) AS BIGINT) AS np
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(np) AS p, sum(nd) - sum(np) AS neg FROM per_bin),
+    woe AS (
+      SELECT b.bin, b.nd, b.np, b.nd - b.np AS nn,
+             ln(((b.np + 0.5) / t.p) / (((b.nd - b.np) + 0.5) / t.neg)) AS w,
+             ((b.np + 0.5) / t.p - ((b.nd - b.np) + 0.5) / t.neg)
+               * ln(((b.np + 0.5) / t.p) / (((b.nd - b.np) + 0.5) / t.neg))
+               AS ivc
+      FROM per_bin b, tot t
+    )
+    SELECT bin, nd, np, nn,
+           round(w, 6) AS woe,
+           round(ivc, 6) AS iv_contrib,
+           round(sum(ivc) OVER (), 6) AS iv_total
+    FROM woe ORDER BY bin
+    """.replace("{{ql}}", "{ql}").format(ql=_ql_score_sql(), ECE_BINS=ECE_BINS),
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence and Information Value of the learned quality
+    logit against the Gopher-rule labels — the credit-scoring-standard
+    binning diagnostic (Siddiqi 2006) closing the filter-audit family:
+    AUC ranks (``q_auc_roc``), ECE calibrates (``q_calibration_ece``),
+    the gains curve prices thresholds (``q_gains_curve``), and WoE/IV
+    says WHICH confidence bins carry the separation and how much
+    predictive power the feature has overall (IV < 0.02 useless,
+    0.1-0.3 medium, > 0.5 suspicious — the standard reading). Both
+    engines use the ADJUSTED WoE (+0.5 Laplace on each bin cell), the
+    convention that keeps empty-cell bins finite.
+
+    Hash-exactness: bin cells are exact integers on the shared
+    quality-score kernel (the AUC/ECE/gains input); WoE and IV are
+    deterministic double expressions of those, 6dp-rounded; the
+    iv_total window is over ≤{ECE_BINS} aggregate rows.
+
+    Scale: corpus → {ECE_BINS}-bin contingency; everything after is
+    bin-bounded (the gains-curve class).
+    """
+    scored = _ql_scored(load_table(spark, sf_dir, "documents"))
+    prob = 1.0 / (1.0 + F.exp(-F.col("score")))
+    binned = scored.select(
+        F.least(
+            F.floor(prob * ECE_BINS).cast("long"), F.lit(ECE_BINS - 1)
+        ).alias("bin"),
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("y").alias("np")
+    )
+    tot = per_bin.agg(
+        F.sum("np").alias("p"), (F.sum("nd") - F.sum("np")).alias("neg")
+    )
+    nn = F.col("nd") - F.col("np")
+    good = (F.col("np") + 0.5) / F.col("p")
+    bad = (nn + 0.5) / F.col("neg")
+    w = F.log(good / bad)
+    woe = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "nd",
+        "np",
+        nn.alias("nn"),
+        w.alias("w"),
+        ((good - bad) * w).alias("ivc"),
+    )
+    w_all = Window.partitionBy()
+    return woe.select(
+        "bin",
+        "nd",
+        "np",
+        "nn",
+        F.round("w", 6).alias("woe"),
+        F.round("ivc", 6).alias("iv_contrib"),
+        F.round(F.sum("ivc").over(w_all), 6).alias("iv_total"),
+    ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking (greedy maximal marginal relevance)
+# --------------------------------------------------------------------------
+MMR_LAMBDA = 0.7
+MMR_POOL = 10  # BM25 candidates per query
+MMR_K = 5  # diversified selections per query
+
+
+def _mmr_oracle() -> str:
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    steps = []
+    prev_u = None
+    for k in range(1, MMR_K + 1):
+        if k == 1:
+            steps.append(f"""
+    sel1 AS MATERIALIZED (
+      SELECT qid, doc_id, rel, {lam} * rel AS mmr FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rel DESC, doc_id) AS rk
+        FROM cand) WHERE rk = 1
+    ),
+    selu1 AS MATERIALIZED (SELECT qid, doc_id FROM sel1)""")
+            prev_u = "selu1"
+            continue
+        steps.append(f"""
+    step{k} AS MATERIALIZED (
+      SELECT c.qid, c.doc_id, c.rel, coalesce(mx.s, 0) AS pen
+      FROM cand c
+      LEFT JOIN (SELECT p.qid, p.d1, max(p.sim) AS s
+                 FROM pairs p JOIN {prev_u} u
+                   ON p.qid = u.qid AND p.d2 = u.doc_id
+                 GROUP BY p.qid, p.d1) mx
+        ON mx.qid = c.qid AND mx.d1 = c.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev_u} u
+                        WHERE u.qid = c.qid AND u.doc_id = c.doc_id)
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT qid, doc_id, rel, {lam} * rel - {mu} * pen AS mmr FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY round({lam} * rel - {mu} * pen, 6) DESC, doc_id)
+                  AS rk
+        FROM step{k}) WHERE rk = 1
+    ),
+    selu{k} AS MATERIALIZED (
+      SELECT * FROM {prev_u} UNION ALL SELECT qid, doc_id FROM sel{k}
+    )""")
+        prev_u = f"selu{k}"
+    union = "\n      UNION ALL ".join(
+        f"SELECT qid, CAST({k} AS BIGINT) AS step, doc_id, rel, mmr FROM sel{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+      SELECT qid, tok, df FROM (
+        SELECT t.doc_id AS qid, t.tok, d.df,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+                 AS rk
+        FROM tf t JOIN df d USING (tok)
+        WHERE t.doc_id < {MRR_N_QUERIES}
+      ) WHERE rk <= {MRR_TERMS_PER_QUERY}
+    ),
+    scores AS (
+      SELECT q.qid, t.doc_id,
+             round(sum(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6) AS rel
+      FROM qterms q
+        JOIN tf t ON t.tok = q.tok
+        JOIN dl l ON l.doc_id = t.doc_id, stats s
+      GROUP BY q.qid, t.doc_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT qid, doc_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rel DESC, doc_id) AS rk
+        FROM scores) WHERE rk <= {MMR_POOL}
+    ),
+    dtok AS MATERIALIZED (
+      SELECT DISTINCT t.doc_id, t.tok
+      FROM tf t JOIN (SELECT DISTINCT doc_id FROM cand) c USING (doc_id)
+    ),
+    dsz AS MATERIALIZED (
+      SELECT doc_id, count(*) AS sz FROM dtok GROUP BY doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.qid, a.doc_id AS d1, b.doc_id AS d2,
+             cnt.c * 1.0 / (x.sz + y.sz - cnt.c) AS sim
+      FROM cand a
+        JOIN cand b ON a.qid = b.qid AND a.doc_id != b.doc_id
+        JOIN (SELECT ta.doc_id AS da, tb.doc_id AS db, count(*) AS c
+              FROM dtok ta JOIN dtok tb
+                ON ta.tok = tb.tok AND ta.doc_id != tb.doc_id
+              GROUP BY 1, 2) cnt
+          ON cnt.da = a.doc_id AND cnt.db = b.doc_id
+        JOIN dsz x ON x.doc_id = a.doc_id
+        JOIN dsz y ON y.doc_id = b.doc_id
+    ),{",".join(steps)}
+    SELECT qid, step, doc_id, rel, round(mmr, 6) AS mmr FROM (
+      {union}
+    ) ORDER BY qid, step
+    """
+
+
+@query("q_mmr_diversification", oracle=_mmr_oracle())
+def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from each known-item query's BM25 top-{MMR_POOL} pool,
+    greedily select {MMR_K} documents maximizing λ·rel −
+    (1−λ)·max_sim_to_selected (λ={MMR_LAMBDA}, doc-doc similarity =
+    token-set Jaccard within the pool) — the diversification layer a
+    retrieval stack puts between scoring and the user (or between
+    scoring and a RAG context window, where near-duplicate passages
+    waste the token budget MMR exists to protect). Completes the
+    retrieval shelf: scoring (BM25/QL), fusion (RRF), eval
+    (MRR/nDCG/RBO), and now result-set composition.
+
+    Hash-exactness: rel is the 6dp-rounded BM25 kernel; Jaccard sims
+    are rationals of exact token-set counts; each greedy step's
+    argmax orders by the 6dp-ROUNDED MMR score then doc_id, and the
+    oracle replays the IDENTICAL greedy unrolled as a
+    {MMR_K}-step MATERIALIZED-CTE chain (the BPE-loop trick).
+
+    Scale: pools are {MMR_POOL} docs/query by construction, so the
+    pairwise-similarity step is ≤{MMR_POOL}² per query and the greedy
+    loop iterates over literal-sized frames — MMR's quadratic term is
+    pool-bounded, never corpus-bounded (exactly how production
+    re-rankers run it).
+    """
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    tf = (
+        d.select("doc_id", tok)
+        .filter(keep)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_q = Window.partitionBy("qid").orderBy("df", "tok")
+    qterms = (
+        tf.filter(F.col("doc_id") < MRR_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .join(df, "tok")
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= MRR_TERMS_PER_QUERY)
+        .select("qid", "tok", "df")
+    )
+    scores = (
+        qterms.join(tf, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                    )
+                    * (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("rel")
+        )
+    )
+    w_pool = Window.partitionBy("qid").orderBy(F.desc("rel"), "doc_id")
+    cand = (
+        scores.withColumn("rk", F.row_number().over(w_pool))
+        .filter(F.col("rk") <= MMR_POOL)
+        .select("qid", "doc_id", "rel")
+        .localCheckpoint(eager=True)
+    )
+    cdocs = cand.select("doc_id").distinct()
+    dtok = (
+        tf.join(cdocs, "doc_id").select("doc_id", "tok").distinct()
+    )
+    dsz = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        dtok.alias("ta")
+        .join(
+            dtok.alias("tb"),
+            (F.col("ta.tok") == F.col("tb.tok"))
+            & (F.col("ta.doc_id") != F.col("tb.doc_id")),
+        )
+        .groupBy(
+            F.col("ta.doc_id").alias("da"), F.col("tb.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = cand.select("qid", F.col("doc_id").alias("d1"))
+    b = cand.select(F.col("qid").alias("qb"), F.col("doc_id").alias("d2"))
+    pairs = (
+        a.join(b, (F.col("qid") == F.col("qb")) & (F.col("d1") != F.col("d2")))
+        .join(common, (F.col("d1") == F.col("da")) & (F.col("d2") == F.col("db")))
+        .join(dsz.withColumnsRenamed({"doc_id": "d1", "sz": "sz1"}), "d1")
+        .join(dsz.withColumnsRenamed({"doc_id": "d2", "sz": "sz2"}), "d2")
+        .select(
+            "qid",
+            "d1",
+            "d2",
+            (F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c"))).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_pick = Window.partitionBy("qid")
+    sel = (
+        cand.withColumn(
+            "rk", F.row_number().over(w_pool)
+        )
+        .filter(F.col("rk") == 1)
+        .select("qid", "doc_id", "rel", (lam * F.col("rel")).alias("mmr"), F.lit(1).cast("long").alias("step"))
+        .localCheckpoint(eager=True)
+    )
+    for k in range(2, MMR_K + 1):
+        selu = sel.select("qid", "doc_id")
+        pen = (
+            pairs.join(
+                selu.withColumnsRenamed({"doc_id": "d2"}), ["qid", "d2"]
+            )
+            .groupBy("qid", F.col("d1").alias("doc_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        avail = (
+            cand.join(selu, ["qid", "doc_id"], "left_anti")
+            .join(pen, ["qid", "doc_id"], "left")
+            .select(
+                "qid",
+                "doc_id",
+                "rel",
+                (lam * F.col("rel") - mu * F.coalesce("pen", F.lit(0.0))).alias(
+                    "mmr"
+                ),
+            )
+        )
+        w_k = Window.partitionBy("qid").orderBy(
+            F.desc(F.round("mmr", 6)), "doc_id"
+        )
+        pick = (
+            avail.withColumn("rk", F.row_number().over(w_k))
+            .filter(F.col("rk") == 1)
+            .select("qid", "doc_id", "rel", "mmr", F.lit(k).cast("long").alias("step"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "qid", "step", "doc_id", "rel", F.round("mmr", 6).alias("mmr")
+    ).orderBy("qid", "step")

@@ -446,3 +446,59 @@ def test_forecast_backtest_error_consistency(spark, sf_dir):
         assert r["mae"] >= abs(r["bias"]) - 1e-6
         assert r["mape"] >= 0
         assert r["n_forecasts"] >= 1
+
+
+def test_woe_iv_zero_sum_property(spark, sf_dir):
+    """Sum of (pct_good - pct_bad) across bins is ~0 with the +0.5
+    adjustment small, IV contributions are non-negative (each term is
+    (a-b)*ln(a/b) >= 0), and iv_total equals their sum."""
+    from mi_inbound_pulsar_spark.operators.text import q_woe_iv
+
+    rows = q_woe_iv(spark, sf_dir).collect()
+    assert rows
+    total = rows[0]["iv_total"]
+    assert all(abs(r["iv_total"] - total) < 1e-9 for r in rows)
+    s = sum(r["iv_contrib"] for r in rows)
+    assert abs(s - total) < 1e-4
+    for r in rows:
+        assert r["iv_contrib"] >= -1e-9
+        assert r["np"] + r["nn"] == r["nd"]
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
+    """Every shrunk rate lies strictly between the raw rate and the
+    prior mean alpha/(alpha+beta); low-n users shrink more."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_eb_shrinkage
+
+    rows = q_eb_shrinkage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        prior_mean = r["alpha"] / (r["alpha"] + r["beta"])
+        lo, hi = sorted((r["raw_rate"], prior_mean))
+        assert lo - 1e-6 <= r["eb_rate"] <= hi + 1e-6
+
+
+def test_mmr_selects_distinct_and_starts_at_top_rel(spark, sf_dir):
+    """Step 1 is the pure-relevance argmax; selections are distinct
+    per query; MMR scores never exceed lambda*rel (penalty >= 0)."""
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.text import (
+        MMR_K,
+        MMR_LAMBDA,
+        q_mmr_diversification,
+    )
+
+    rows = q_mmr_diversification(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["qid"]].append(r)
+    for qid, rs in by_q.items():
+        assert [r["step"] for r in rs] == list(range(1, MMR_K + 1))
+        docs = [r["doc_id"] for r in rs]
+        assert len(set(docs)) == len(docs)
+        top = rs[0]
+        assert abs(top["mmr"] - MMR_LAMBDA * top["rel"]) < 1e-5
+        assert top["rel"] == max(r["rel"] for r in rs)
+        for r in rs:
+            assert r["mmr"] <= MMR_LAMBDA * r["rel"] + 1e-6

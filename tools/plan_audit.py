@@ -73,6 +73,8 @@ WAIVERS = {
     "q_gains_curve": {"GlobalWindow"},
     # CCDF running sum over the distinct-DEGREE rollup — value-domain
     "q_degree_powerlaw_mle": {"GlobalWindow"},
+    # iv_total over the <=10-bin contingency rollup — aggregate-bounded
+    "q_woe_iv": {"GlobalWindow"},
 }
 
 
