@@ -4274,3 +4274,126 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(EB_TOP_N)
         .drop("_delta")
     )
+
+
+# --------------------------------------------------------------------------
+# Qini / uplift-by-decile evaluation (treated-vs-control per score bin)
+# --------------------------------------------------------------------------
+UPLIFT_BINS = 10
+
+
+@query(
+    "q_qini_uplift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 0 ELSE 1 END AS treated,
+             CAST(count(*) FILTER (WHERE CAST(ts AS DATE)
+               < DATE '{CUPED_BOUNDARY}') AS BIGINT) AS pre_n,
+             sum(CASE WHEN event_type = 'purchase'
+                      AND CAST(ts AS DATE) >= DATE '{CUPED_BOUNDARY}'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) / 100.0 AS y
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(pre_n) AS maxn FROM per_user),
+    binned AS (
+      SELECT u.treated, u.y,
+             least(CAST(floor({UPLIFT_BINS}.0 * u.pre_n / (m.maxn + 1))
+                     AS BIGINT), {UPLIFT_BINS - 1}) AS bin
+      FROM per_user u, mx m
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(count(*) FILTER (treated = 1) AS BIGINT) AS n_t,
+             CAST(count(*) FILTER (treated = 0) AS BIGINT) AS n_c,
+             sum(y) FILTER (treated = 1) AS y_t,
+             sum(y) FILTER (treated = 0) AS y_c
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n_t, n_c,
+           round(y_t / n_t, 6) AS mean_treated,
+           round(y_c / n_c, 6) AS mean_control,
+           round(y_t / n_t - y_c / n_c, 6) AS uplift,
+           round(sum(y_t / n_t - y_c / n_c)
+                   OVER (ORDER BY bin DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cum_uplift
+    FROM cells WHERE n_t > 0 AND n_c > 0
+    ORDER BY bin DESC
+    """,
+)
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile / Qini-style evaluation (Radcliffe 2007): users
+    are binned by a pre-treatment targeting score (pre-period
+    activity, cut against a broadcast max — no global ntile), and
+    each bin reports the treated-minus-control outcome difference
+    plus the cumulative uplift walking from the highest-scored bin
+    down — the curve that tells a targeting model owner WHOM to
+    treat, which the average effects (``q_ab_lift``,
+    ``q_doubly_robust_ate``) cannot. Bins missing either arm are
+    excluded identically on both engines (no within-bin contrast
+    exists there).
+
+    Hash-exactness: cells are exact integer counts and exact cent
+    sums; per-bin means and the cumulative walk (a window over
+    ≤{UPLIFT_BINS} aggregate rows) are deterministic doubles,
+    6dp-rounded.
+
+    Scale: one per-user rollup, one broadcast scalar, one
+    {UPLIFT_BINS}-cell contingency — the q_gains_curve shape with a
+    treatment dimension.
+    """
+    e = load_table(spark, sf_dir, "events")
+    treated = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        0,
+    ).otherwise(1)
+    pre = F.to_date("ts") < CUPED_BOUNDARY
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.first(treated).alias("treated"),
+        F.count_if(pre).alias("pre_n"),
+        (
+            F.sum(
+                F.when((F.col("event_type") == "purchase") & ~pre, cents).otherwise(0)
+            )
+            / 100.0
+        ).alias("y"),
+    )
+    mx = per_user.agg(F.max("pre_n").alias("maxn"))
+    binned = per_user.crossJoin(F.broadcast(mx)).select(
+        "treated",
+        "y",
+        F.least(
+            F.floor(float(UPLIFT_BINS) * F.col("pre_n") / (F.col("maxn") + 1)).cast(
+                "long"
+            ),
+            F.lit(UPLIFT_BINS - 1),
+        ).alias("bin"),
+    )
+    cells = (
+        binned.groupBy("bin")
+        .agg(
+            F.count_if(F.col("treated") == 1).alias("n_t"),
+            F.count_if(F.col("treated") == 0).alias("n_c"),
+            F.sum(F.when(F.col("treated") == 1, F.col("y"))).alias("y_t"),
+            F.sum(F.when(F.col("treated") == 0, F.col("y"))).alias("y_c"),
+        )
+        .filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    )
+    uplift = F.col("y_t") / F.col("n_t") - F.col("y_c") / F.col("n_c")
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    return cells.select(
+        "bin",
+        "n_t",
+        "n_c",
+        F.round(F.col("y_t") / F.col("n_t"), 6).alias("mean_treated"),
+        F.round(F.col("y_c") / F.col("n_c"), 6).alias("mean_control"),
+        F.round(uplift, 6).alias("uplift"),
+        F.round(F.sum(uplift).over(w), 6).alias("cum_uplift"),
+    ).orderBy(F.desc("bin"))

@@ -4205,3 +4205,110 @@ def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "qid", "step", "doc_id", "rel", F.round("mmr", 6).alias("mmr")
     ).orderBy("qid", "step")
+
+
+# --------------------------------------------------------------------------
+# n-gram coverage curve (train-vocabulary coverage of test text, n=1..4)
+# --------------------------------------------------------------------------
+NGRAM_COVERAGE_MAX_N = 4
+
+
+@query(
+    "q_ngram_coverage",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+               AS is_train
+      FROM documents
+    ),
+    grams AS (
+      SELECT s.is_train, g.n,
+             list_aggregate(s.w[i:i + g.n - 1], 'string_agg', ' ') AS gram
+      FROM split s
+        CROSS JOIN (SELECT n FROM generate_series(1, {NGRAM_COVERAGE_MAX_N})
+                      AS t(n)) g,
+        unnest(generate_series(1, greatest(len(s.w) - g.n + 1, 0))) AS u(i)
+    ),
+    train_g AS (SELECT DISTINCT n, gram FROM grams WHERE is_train),
+    test_g AS (SELECT DISTINCT n, gram FROM grams WHERE NOT is_train),
+    cov AS (
+      SELECT t.n,
+             CAST(count(*) AS BIGINT) AS test_types,
+             CAST(count(tr.gram) AS BIGINT) AS covered_types
+      FROM test_g t LEFT JOIN train_g tr ON t.n = tr.n AND t.gram = tr.gram
+      GROUP BY t.n
+    )
+    SELECT CAST(n AS BIGINT) AS n, test_types, covered_types,
+           round(covered_types * 1.0 / test_types, 6) AS coverage
+    FROM cov ORDER BY n
+    """,
+)
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set n-gram coverage of the test split for n = 1..
+    {NGRAM_COVERAGE_MAX_N}: the fraction of distinct test n-gram TYPES
+    already present in the training half (the same md5 'split-' hash
+    split as ``q_hash_split``, so the diagnostic measures exactly the
+    split a model would train on). The curve's decay with n is the
+    standard generalization/contamination readout — near-1 unigram
+    coverage is expected, near-1 4-gram coverage means the test set
+    is phrase-level contaminated (``q_decontaminate_13gram`` is the
+    enforcement tool at n=13; ``q_ngram_novelty`` is the per-doc
+    view); fast decay means the test split genuinely exercises
+    composition.
+
+    Hash-exactness: both sides build grams as space-joined token
+    windows over the same split predicate; coverage is a ratio of
+    exact distinct-type counts, 6dp-rounded.
+
+    Scale: the gram explode is ×{NGRAM_COVERAGE_MAX_N} narrow passes
+    (hash grams to 8 bytes at 100 TB); the coverage join is
+    distinct-type-bounded per n, with the train side the build side
+    of a standard shuffle join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_train = (
+        F.substring(
+            F.md5(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        < "cd"
+    )
+    wdf = d.select(
+        F.split(F.col("text"), " ").alias("w"), is_train.alias("is_train")
+    )
+    per_n = []
+    for n in range(1, NGRAM_COVERAGE_MAX_N + 1):
+        w = F.col("w")
+        starts = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        gram = F.array_join(F.slice(w, F.col("i"), n), " ")
+        i_col, keep = explode_computed(starts, "i")
+        per_n.append(
+            wdf.select("w", "is_train", i_col)
+            .filter(keep)
+            .select(F.lit(n).cast("long").alias("n"), "is_train", gram.alias("gram"))
+        )
+    grams = per_n[0]
+    for p in per_n[1:]:
+        grams = grams.unionByName(p)
+    train_g = grams.filter("is_train").select("n", "gram").distinct()
+    test_g = grams.filter(~F.col("is_train")).select("n", "gram").distinct()
+    cov = (
+        test_g.join(
+            train_g.withColumnRenamed("gram", "tr_gram"),
+            (test_g["n"] == train_g["n"]) & (test_g["gram"] == F.col("tr_gram")),
+            "left",
+        )
+        .groupBy(test_g["n"].alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("test_types"),
+            F.count("tr_gram").alias("covered_types"),
+        )
+    )
+    return cov.select(
+        "n",
+        "test_types",
+        "covered_types",
+        F.round(F.col("covered_types") / F.col("test_types"), 6).alias("coverage"),
+    ).orderBy("n")

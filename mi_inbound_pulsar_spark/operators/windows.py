@@ -1137,3 +1137,93 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Shewhart individuals control chart (x-bar ± 2.66·MR-bar limits)
+# --------------------------------------------------------------------------
+SPC_MR_CONST = 2.6595  # 3/d2 for n=2 moving ranges (d2 = 1.128)
+
+
+@query(
+    "q_control_chart",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    mr AS (
+      SELECT event_type, day, y,
+             abs(y - lag(y) OVER (PARTITION BY event_type ORDER BY day))
+               AS moving_range
+      FROM daily
+    ),
+    lim AS (
+      SELECT event_type,
+             avg(y) AS center,
+             avg(moving_range) AS mrbar
+      FROM mr GROUP BY event_type
+    )
+    SELECT m.event_type, m.day,
+           round(m.y / 100.0, 6) AS y,
+           round(l.center / 100.0, 6) AS center,
+           round((l.center - {SPC_MR_CONST} * l.mrbar) / 100.0, 6) AS lcl,
+           round((l.center + {SPC_MR_CONST} * l.mrbar) / 100.0, 6) AS ucl,
+           m.y < l.center - {SPC_MR_CONST} * l.mrbar
+             OR m.y > l.center + {SPC_MR_CONST} * l.mrbar AS out_of_control
+    FROM mr m JOIN lim l USING (event_type)
+    ORDER BY m.event_type, m.day
+    """,
+)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals/moving-range control chart (Shewhart 1931;
+    Montgomery's I-MR chart): center line x̄ and 3σ-equivalent limits
+    x̄ ± {SPC_MR_CONST}·M̄R, where M̄R is the mean absolute
+    day-over-day change — σ estimated from SHORT-TERM variation, so a
+    slow drift inflates neither limit and still flags (the reason SPC
+    uses moving ranges instead of the plain stddev the z-score
+    monitors here use). Completes the monitoring shelf: CUSUM
+    accumulates small shifts, changepoint localizes retrospectively,
+    the control chart is the classic per-point alarm with known
+    false-positive rate (~0.27%).
+
+    Hash-exactness: daily totals and moving ranges are exact integer
+    cents; center/M̄R/limits are deterministic doubles of those; the
+    out-of-control flag compares unrounded values identically on both
+    engines.
+
+    Scale: per-series lag window over the types×days rollup; limits
+    are a |series|-row aggregate broadcast back. Raw events are
+    touched once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.abs(F.col("y") - F.lag("y").over(w)).alias("moving_range"),
+    )
+    lim = mr.groupBy("event_type").agg(
+        F.avg("y").alias("center"), F.avg("moving_range").alias("mrbar")
+    )
+    lcl = F.col("center") - SPC_MR_CONST * F.col("mrbar")
+    ucl = F.col("center") + SPC_MR_CONST * F.col("mrbar")
+    return (
+        mr.join(F.broadcast(lim), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("y") / 100.0, 6).alias("y"),
+            F.round(F.col("center") / 100.0, 6).alias("center"),
+            F.round(lcl / 100.0, 6).alias("lcl"),
+            F.round(ucl / 100.0, 6).alias("ucl"),
+            ((F.col("y") < lcl) | (F.col("y") > ucl)).alias("out_of_control"),
+        )
+        .orderBy("event_type", "day")
+    )

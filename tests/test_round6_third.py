@@ -502,3 +502,56 @@ def test_mmr_selects_distinct_and_starts_at_top_rel(spark, sf_dir):
         assert top["rel"] == max(r["rel"] for r in rs)
         for r in rs:
             assert r["mmr"] <= MMR_LAMBDA * r["rel"] + 1e-6
+
+
+def test_qini_cumulative_matches_cells(spark, sf_dir):
+    """cum_uplift must be the running sum of uplift walking bins
+    highest-first, and every kept bin has both arms."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_qini_uplift
+
+    rows = q_qini_uplift(spark, sf_dir).collect()
+    assert rows
+    running = 0.0
+    for r in rows:
+        assert r["n_t"] > 0 and r["n_c"] > 0
+        assert abs(r["uplift"] - (r["mean_treated"] - r["mean_control"])) < 1e-5
+        running += r["uplift"]
+        assert abs(r["cum_uplift"] - running) < 1e-4
+
+
+def test_control_chart_limits_and_flags(spark, sf_dir):
+    """LCL < center < UCL per series, limits are series-constant, and
+    the flag matches the emitted limits."""
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.windows import q_control_chart
+
+    rows = q_control_chart(spark, sf_dir).collect()
+    by_s = defaultdict(list)
+    for r in rows:
+        by_s[r["event_type"]].append(r)
+    for et, rs in by_s.items():
+        centers = {r["center"] for r in rs}
+        assert len(centers) == 1
+        for r in rs:
+            assert r["lcl"] < r["center"] < r["ucl"]
+            if r["y"] < r["lcl"] - 1e-6 or r["y"] > r["ucl"] + 1e-6:
+                assert r["out_of_control"]
+            elif r["lcl"] + 1e-6 < r["y"] < r["ucl"] - 1e-6:
+                assert not r["out_of_control"]
+
+
+def test_ngram_coverage_decays_with_order(spark, sf_dir):
+    """Coverage is in [0, 1], unigram coverage is the maximum, and
+    coverage is non-increasing in n (longer grams are strictly harder
+    to have seen)."""
+    from mi_inbound_pulsar_spark.operators.text import q_ngram_coverage
+
+    rows = q_ngram_coverage(spark, sf_dir).collect()
+    assert [r["n"] for r in rows] == [1, 2, 3, 4]
+    covs = [r["coverage"] for r in rows]
+    for c in covs:
+        assert 0.0 <= c <= 1.0
+    assert all(a >= b - 1e-9 for a, b in zip(covs, covs[1:]))
+    for r in rows:
+        assert r["covered_types"] <= r["test_types"]

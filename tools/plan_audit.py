@@ -75,6 +75,8 @@ WAIVERS = {
     "q_degree_powerlaw_mle": {"GlobalWindow"},
     # iv_total over the <=10-bin contingency rollup — aggregate-bounded
     "q_woe_iv": {"GlobalWindow"},
+    # cumulative uplift over the <=10-bin contingency — same class
+    "q_qini_uplift": {"GlobalWindow"},
 }
 
 
