@@ -4397,3 +4397,102 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uplift, 6).alias("uplift"),
         F.round(F.sum(uplift).over(w), 6).alias("cum_uplift"),
     ).orderBy(F.desc("bin"))
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve (cumulative value share by population decile)
+# --------------------------------------------------------------------------
+LORENZ_BINS = 10
+
+
+@query(
+    "q_lorenz_curve",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS rk,
+             count(*) OVER () AS n,
+             sum(cents) OVER () AS tot
+      FROM per_user
+    ),
+    binned AS (
+      SELECT least(CAST(floor({LORENZ_BINS}.0 * (rk - 1) / n) AS BIGINT),
+                   {LORENZ_BINS - 1}) AS decile,
+             cents, n, tot
+      FROM ranked
+    ),
+    cells AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             max(n) AS n, max(tot) AS tot
+      FROM binned GROUP BY decile
+    )
+    SELECT decile, n_users,
+           round(sum(n_users) OVER w * 1.0 / n, 6) AS pop_share,
+           round(sum(cents) OVER w * 1.0 / tot, 6) AS value_share
+    FROM cells
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY decile
+    """,
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of purchase revenue over users (Lorenz 1905):
+    users sorted poorest-first into {LORENZ_BINS} population deciles,
+    each reporting the cumulative population share vs cumulative
+    value share — the curve whose doubled area-to-diagonal IS the
+    Gini that ``q_gini_spend`` reports as a scalar, and the
+    operational view (\"the top decile holds X% of spend\") that a
+    scalar can't give. The decile rank uses the distributed
+    two-phase-rank-compatible (value, user_id) total order, so the
+    curve is deterministic under ties.
+
+    Hash-exactness: ranks order exact integer cents with user_id
+    tie-break; shares are rationals of exact integer sums over the
+    {LORENZ_BINS}-cell rollup, 6dp-rounded.
+
+    Scale: one per-user rollup; the global rank is the
+    `plans/ranking.py` two-phase pattern at 100 TB (the local window
+    here is its semantic spec); everything after is decile-bounded.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w_rank = Window.orderBy("cents", "user_id")
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "cents",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("tot"),
+    )
+    binned = ranked.select(
+        F.least(
+            F.floor(float(LORENZ_BINS) * (F.col("rk") - 1) / F.col("n")).cast("long"),
+            F.lit(LORENZ_BINS - 1),
+        ).alias("decile"),
+        "cents",
+        "n",
+        "tot",
+    )
+    cells = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("cents"),
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return cells.select(
+        "decile",
+        "n_users",
+        F.round(F.sum("n_users").over(w_cum) / F.col("n"), 6).alias("pop_share"),
+        F.round(F.sum("cents").over(w_cum) / F.col("tot"), 6).alias("value_share"),
+    ).orderBy("decile")

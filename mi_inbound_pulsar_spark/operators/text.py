@@ -4312,3 +4312,98 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_types",
         F.round(F.col("covered_types") / F.col("test_types"), 6).alias("coverage"),
     ).orderBy("n")
+
+
+# --------------------------------------------------------------------------
+# Brier score decomposition (reliability / resolution / uncertainty)
+# --------------------------------------------------------------------------
+@query(
+    "q_brier_decomposition",
+    oracle=f"""
+    WITH scored AS ({{ql}}),
+    binned AS (
+      SELECT least(CAST(floor((1.0 / (1.0 + exp(-score))) * {ECE_BINS})
+                     AS BIGINT), {ECE_BINS - 1}) AS bin,
+             1.0 / (1.0 + exp(-score)) AS p, y
+      FROM scored
+    ),
+    tot AS (SELECT count(*) AS n, avg(CAST(y AS DOUBLE)) AS ybar FROM binned),
+    per_bin AS (
+      SELECT bin, count(*) AS nk, avg(p) AS pk, avg(CAST(y AS DOUBLE)) AS ok
+      FROM binned GROUP BY bin
+    ),
+    parts AS (
+      SELECT
+        (SELECT avg(pow(p - y, 2)) FROM binned) AS brier,
+        sum(b.nk * pow(b.pk - b.ok, 2)) / t.n AS reliability,
+        sum(b.nk * pow(b.ok - t.ybar, 2)) / t.n AS resolution,
+        t.ybar * (1 - t.ybar) AS uncertainty
+      FROM per_bin b, tot t GROUP BY t.n, t.ybar
+    )
+    SELECT round(brier, 6) AS brier,
+           round(reliability, 6) AS reliability,
+           round(resolution, 6) AS resolution,
+           round(uncertainty, 6) AS uncertainty,
+           round(reliability - resolution + uncertainty, 6)
+             AS decomposed_brier
+    FROM parts
+    """.replace("{{ql}}", "{ql}").format(ql=_ql_score_sql(), ECE_BINS=ECE_BINS),
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the quality filter's Brier
+    score: Brier ≈ RELIABILITY (calibration error, the ECE's squared
+    cousin) − RESOLUTION (how much the bins separate outcomes) +
+    UNCERTAINTY (base-rate variance) over the shared
+    {ECE_BINS}-confidence-bin partition — the one readout that says
+    whether a filter's error comes from MIScalibration (fix with
+    isotonic/Platt) or from lack of DISCRIMINATION (fix with better
+    features). The identity holds exactly for bin-averaged forecasts;
+    the residual vs the raw Brier (within-bin variance) is visible as
+    brier − decomposed_brier. Completes the probabilistic-eval shelf:
+    AUC ranks, ECE and WoE bin, Brier decomposes.
+
+    Hash-exactness: bins and outcomes are exact; p is the
+    deterministic sigmoid of the 6dp-rounded logit; every term is a
+    bin-bounded aggregate of deterministic doubles, 6dp-rounded.
+
+    Scale: corpus → {ECE_BINS}-bin contingency + one scalar pass for
+    the raw Brier; the q_gains_curve class.
+    """
+    scored = _ql_scored(load_table(spark, sf_dir, "documents"))
+    p = 1.0 / (1.0 + F.exp(-F.col("score")))
+    binned = scored.select(
+        F.least(F.floor(p * ECE_BINS).cast("long"), F.lit(ECE_BINS - 1)).alias(
+            "bin"
+        ),
+        p.alias("p"),
+        F.col("y").cast("double").alias("y"),
+    )
+    tot = binned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("ybar"),
+        F.avg((F.col("p") - F.col("y")) ** 2).alias("brier"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.avg("p").alias("pk"),
+        F.avg("y").alias("ok"),
+    )
+    parts = per_bin.crossJoin(F.broadcast(tot)).agg(
+        F.first("brier").alias("brier"),
+        (
+            F.sum(F.col("nk") * (F.col("pk") - F.col("ok")) ** 2) / F.first("n")
+        ).alias("reliability"),
+        (
+            F.sum(F.col("nk") * (F.col("ok") - F.col("ybar")) ** 2) / F.first("n")
+        ).alias("resolution"),
+        (F.first("ybar") * (1 - F.first("ybar"))).alias("uncertainty"),
+    )
+    return parts.select(
+        F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round("uncertainty", 6).alias("uncertainty"),
+        F.round(
+            F.col("reliability") - F.col("resolution") + F.col("uncertainty"), 6
+        ).alias("decomposed_brier"),
+    )

@@ -555,3 +555,34 @@ def test_ngram_coverage_decays_with_order(spark, sf_dir):
     assert all(a >= b - 1e-9 for a, b in zip(covs, covs[1:]))
     for r in rows:
         assert r["covered_types"] <= r["test_types"]
+
+
+def test_lorenz_curve_convexity_and_endpoints(spark, sf_dir):
+    """The Lorenz curve ends at (1, 1), lies under the diagonal
+    (value_share <= pop_share for a poorest-first sort), and both
+    shares are nondecreasing."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_lorenz_curve
+
+    rows = q_lorenz_curve(spark, sf_dir).collect()
+    assert rows
+    assert abs(rows[-1]["pop_share"] - 1.0) < 1e-6
+    assert abs(rows[-1]["value_share"] - 1.0) < 1e-6
+    prev_p, prev_v = 0.0, 0.0
+    for r in rows:
+        assert r["value_share"] <= r["pop_share"] + 1e-6
+        assert r["pop_share"] >= prev_p - 1e-9
+        assert r["value_share"] >= prev_v - 1e-9
+        prev_p, prev_v = r["pop_share"], r["value_share"]
+
+
+def test_brier_decomposition_identity_and_bounds(spark, sf_dir):
+    """All four terms are non-negative; REL - RES + UNC approximates
+    the raw Brier within the within-bin variance the bin-averaged
+    identity drops; uncertainty <= 0.25."""
+    from mi_inbound_pulsar_spark.operators.text import q_brier_decomposition
+
+    r = q_brier_decomposition(spark, sf_dir).collect()[0]
+    for k in ("brier", "reliability", "resolution", "uncertainty"):
+        assert r[k] >= -1e-9
+    assert r["uncertainty"] <= 0.25 + 1e-9
+    assert abs(r["brier"] - r["decomposed_brier"]) < 0.05

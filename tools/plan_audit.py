@@ -77,6 +77,10 @@ WAIVERS = {
     "q_woe_iv": {"GlobalWindow"},
     # cumulative uplift over the <=10-bin contingency — same class
     "q_qini_uplift": {"GlobalWindow"},
+    # global user rank: the plans/ranking.py two-phase pattern's
+    # semantic spec (docstring documents the 100 TB path); cumulative
+    # shares over the 10-decile rollup
+    "q_lorenz_curve": {"GlobalWindow"},
 }
 
 
