@@ -586,3 +586,129 @@ def test_brier_decomposition_identity_and_bounds(spark, sf_dir):
         assert r[k] >= -1e-9
     assert r["uncertainty"] <= 0.25 + 1e-9
     assert abs(r["brier"] - r["decomposed_brier"]) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Independent pure-Python reference implementations, cross-checked on the
+# real sf0.001 data — a third opinion beside the Spark query and its DuckDB
+# oracle (which share formula TEXT; these share nothing but the definition).
+# ---------------------------------------------------------------------------
+
+
+def test_shapley_matches_brute_force_definition(spark, sf_dir):
+    """Recompute exact Shapley values from first principles (journey
+    split -> touch masks -> cumulative worth -> factorial-weighted
+    marginals) in pure Python and compare."""
+    import hashlib
+    from collections import defaultdict
+    from math import factorial
+
+    from mi_inbound_pulsar_spark.operators.funnel import (
+        SHAPLEY_CHANNELS,
+        q_shapley_attribution,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r["user_id"]].append(r)
+    bit = {c: 1 << i for i, c in enumerate(SHAPLEY_CHANNELS)}
+    conv_by_mask = defaultdict(int)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        mask = 0
+        for r in rows:
+            if r["event_type"] == "purchase":
+                conv_by_mask[mask] += 1
+                mask = 0
+            else:
+                mask |= bit[r["event_type"]]
+    n = len(SHAPLEY_CHANNELS)
+
+    def worth(s: int) -> int:
+        return sum(c for m, c in conv_by_mask.items() if m & s == m)
+
+    phi = {}
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        total = 0.0
+        for s in range(1 << n):
+            if s >> i & 1:
+                continue
+            k = bin(s).count("1")
+            wgt = factorial(k) * factorial(n - k - 1) / factorial(n)
+            total += wgt * (worth(s | (1 << i)) - worth(s))
+        phi[ch] = total
+    got = {r["channel"]: r["shapley_credit"] for r in
+           q_shapley_attribution(spark, sf_dir).collect()}
+    assert set(got) == set(phi)
+    for ch in phi:
+        assert abs(got[ch] - phi[ch]) < 1e-4, (ch, got[ch], phi[ch])
+
+
+def test_mann_kendall_matches_brute_force(spark, sf_dir):
+    """Recompute S and the tie-corrected Var(S) by literal pairwise
+    enumeration over the collected daily series."""
+    from collections import Counter, defaultdict
+
+    from mi_inbound_pulsar_spark.operators.windows import q_mann_kendall
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(ts AS DATE) AS day",
+            "CAST(round(value * 1000000, 0) AS LONG) AS micro",
+        )
+        .groupBy("event_type", "day")
+        .sum("micro")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["sum(micro)"]))
+    got = {r["event_type"]: r for r in q_mann_kendall(spark, sf_dir).collect()}
+    for et, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        n = len(ys)
+        s = sum(
+            (0 if ys[j] == ys[i] else (1 if ys[j] > ys[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(ys)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        assert got[et]["n_days"] == n
+        assert got[et]["s_stat"] == s
+        assert abs(got[et]["var_s"] - var_s) < 1e-4
+
+
+def test_cliffs_delta_matches_brute_pairwise(spark, sf_dir):
+    """Recompute Cliff's delta by literal pairwise comparison for
+    every source against the rest of the corpus."""
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.aggstats import q_effect_sizes
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    allv = []
+    for r in docs:
+        by_src[r["source"]].append(r["n_chars"])
+        allv.append((r["source"], r["n_chars"]))
+    got = {r["source"]: r["cliffs_delta"] for r in
+           q_effect_sizes(spark, sf_dir).collect()}
+    for src, xs in by_src.items():
+        rest = [v for s, v in allv if s != src]
+        gt = sum(1 for x in xs for y in rest if x > y)
+        lt = sum(1 for x in xs for y in rest if x < y)
+        delta = (gt - lt) / (len(xs) * len(rest))
+        assert abs(got[src] - delta) < 1e-5, (src, got[src], delta)
