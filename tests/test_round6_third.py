@@ -712,3 +712,26 @@ def test_cliffs_delta_matches_brute_pairwise(spark, sf_dir):
         lt = sum(1 for x in xs for y in rest if x < y)
         delta = (gt - lt) / (len(xs) * len(rest))
         assert abs(got[src] - delta) < 1e-5, (src, got[src], delta)
+
+
+def test_pca_power_iteration_agrees_with_exact_eigh(spark, sf_dir):
+    """The power-iteration loading must align with numpy's EXACT
+    dominant eigenvector of the same covariance (|cos angle| > 0.999)
+    and the Rayleigh eigenvalue must match lambda_max to 0.1% — this
+    verifies CONVERGENCE, which engine-vs-oracle agreement alone
+    cannot (both replay the same fixed iteration)."""
+    import numpy as np
+
+    from mi_inbound_pulsar_spark.operators.similarity import q_pca_top_component
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    lam_true, v_true = evals[-1], evecs[:, -1]
+    out = q_pca_top_component(spark, sf_dir).collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    lam = out[0]["eigenvalue"]
+    assert abs(abs(float(v @ v_true)) - 1.0) < 1e-3
+    assert abs(lam - lam_true) / lam_true < 1e-3
