@@ -1585,7 +1585,7 @@ def q_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # PCA top component via power iteration over the dim-bounded covariance
 # --------------------------------------------------------------------------
-PCA_ITERS = 15
+PCA_ITERS = 120  # eigengap ~0.93 on this data: 0.93^120 ~ 2e-4 residual
 _PCA_DIM_START = 1.0 / 8  # v0 = all-ones L2-normalized for dim 64
 
 
@@ -1650,6 +1650,9 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     an embedding-prep pipeline (dominant-direction strength is the
     standard anisotropy diagnostic; "all-but-the-top" post-processing
     removes exactly this component): {PCA_ITERS} fixed iterations
+    (the eigengap ratio here is ~0.93, so convergence needs
+    ~0.93^k ≪ 1 — pytest checks the result against numpy's exact
+    eigendecomposition, not just the oracle replay)
     v ← Mv/‖Mv‖ from the all-ones start, Rayleigh eigenvalue λ = vᵀMv,
     and λ/trace as the explained-variance ratio.
 
