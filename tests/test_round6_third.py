@@ -735,3 +735,167 @@ def test_pca_power_iteration_agrees_with_exact_eigh(spark, sf_dir):
     lam = out[0]["eigenvalue"]
     assert abs(abs(float(v @ v_true)) - 1.0) < 1e-3
     assert abs(lam - lam_true) / lam_true < 1e-3
+
+
+def test_kneser_ney_matches_brute_force(spark, sf_dir):
+    """Recompute interpolated KN probabilities from raw bigram counts
+    in pure Python for every emitted row."""
+    from collections import Counter
+
+    from mi_inbound_pulsar_spark.operators.text import (
+        KN_DISCOUNT,
+        q_kneser_ney_bigram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    bc = Counter()
+    for r in docs:
+        w = r["text"].split(" ")
+        for a, b in zip(w, w[1:]):
+            bc[(a, b)] += 1
+    c1 = Counter()
+    fanout = Counter()
+    fanin = Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c
+        fanout[a] += 1
+        fanin[b] += 1
+    n_types = len(bc)
+    for r in q_kneser_ney_bigram(spark, sf_dir).collect():
+        a, b = r["t1"], r["t2"]
+        p = max(bc[(a, b)] - KN_DISCOUNT, 0) / c1[a] + (
+            KN_DISCOUNT * fanout[a] / c1[a]
+        ) * (fanin[b] / n_types)
+        assert r["c12"] == bc[(a, b)]
+        assert abs(r["p_kn"] - p) < 1e-5
+
+
+def test_poisson_bootstrap_matches_brute_force(spark, sf_dir):
+    """Recompute every replicate mean from the same md5 seeds and the
+    same inverse-CDF ladder in pure Python; the CI endpoints must be
+    the same interpolated percentiles."""
+    import hashlib
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        BOOT_B,
+        _POIS1_CDF,
+        q_poisson_bootstrap_ci,
+    )
+
+    cdf = [float(c) for c in _POIS1_CDF]
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type", "event_id",
+            "CAST(round(value * 100, 0) AS LONG) AS cents",
+        )
+        .collect()
+    )
+    sums = defaultdict(lambda: [0, 0])  # (type, b) -> [w*cents, w]
+    for r in events:
+        for b in range(BOOT_B):
+            h = hashlib.md5(f"boot:{b}:{r['event_id']}".encode()).hexdigest()
+            u = (int(h[:13], 16) + 0.5) / 4503599627370496.0
+            w = next((k for k, c in enumerate(cdf) if u < c), 9)
+            cell = sums[(r["event_type"], b)]
+            cell[0] += r["cents"] * w
+            cell[1] += w
+
+    def pct(vals, q):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * q
+        lo, hi = int(pos), min(int(pos) + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+
+    by_type = defaultdict(list)
+    for (et, _b), (wc, w) in sums.items():
+        by_type[et].append(wc / (100.0 * w))
+    for r in q_poisson_bootstrap_ci(spark, sf_dir).collect():
+        ms = by_type[r["event_type"]]
+        assert len(ms) == BOOT_B
+        assert abs(r["ci_lo"] - pct(ms, 0.025)) < 1e-4
+        assert abs(r["ci_hi"] - pct(ms, 0.975)) < 1e-4
+
+
+def test_label_modularity_matches_brute_force(spark, sf_dir):
+    """Recompute Newman Q per label from the (independently verified)
+    mutual-kNN edge list and the label map in pure Python."""
+    from collections import defaultdict
+
+    from mi_inbound_pulsar_spark.operators.similarity import (
+        SEMANTIC_EDGE_MIN_SIM,
+        q_label_modularity,
+        q_mutual_knn,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    edges = [
+        (r["id_a"], r["id_b"])
+        for r in q_mutual_knn(spark, sf_dir).collect()
+        if r["sim"] >= SEMANTIC_EDGE_MIN_SIM
+    ]
+    m = len(edges)
+    internal = defaultdict(int)
+    degsum = defaultdict(int)
+    for a, b in edges:
+        degsum[labels[a]] += 1
+        degsum[labels[b]] += 1
+        if labels[a] == labels[b]:
+            internal[labels[a]] += 1
+    for r in q_label_modularity(spark, sf_dir).collect():
+        lbl = r["label"]
+        assert r["internal_edges"] == internal[lbl]
+        assert r["degree_sum"] == degsum[lbl]
+        q_ref = internal[lbl] / m - (degsum[lbl] / (2.0 * m)) ** 2
+        assert abs(r["q_contribution"] - q_ref) < 1e-5
+
+
+def test_conformal_matches_brute_force(spark, sf_dir):
+    """Recompute the split-conformal quantile and coverage with a
+    plain numpy OLS fit on the collected daily series."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        CONFORMAL_ALPHA,
+        CONFORMAL_CALIB_DAYS,
+        CONFORMAL_TRAIN_DAYS,
+        q_conformal_interval,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(ts AS DATE) AS day",
+            "CAST(round(value * 100, 0) AS LONG) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .sum("cents")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["sum(cents)"]))
+    got = {r["event_type"]: r for r in q_conformal_interval(spark, sf_dir).collect()}
+    for et, pts in series.items():
+        ys = np.array([y for _, y in sorted(pts)], dtype=np.float64)
+        x = np.arange(1, len(ys) + 1, dtype=np.float64)
+        tr = slice(0, CONFORMAL_TRAIN_DAYS)
+        slope, icept = np.polyfit(x[tr], ys[tr], 1)
+        cal = slice(CONFORMAL_TRAIN_DAYS, CONFORMAL_TRAIN_DAYS + CONFORMAL_CALIB_DAYS)
+        resid = np.abs(ys[cal] - (icept + slope * x[cal]))
+        m = len(resid)
+        k = min(int(np.ceil((m + 1) * (1 - CONFORMAL_ALPHA))), m)
+        qhat = np.sort(resid)[k - 1]
+        te = slice(CONFORMAL_TRAIN_DAYS + CONFORMAL_CALIB_DAYS, None)
+        cov = float(
+            np.mean(np.abs(ys[te] - (icept + slope * x[te])) <= qhat)
+        )
+        assert abs(got[et]["q_hat"] - qhat / 100.0) < 0.02
+        assert abs(got[et]["coverage"] - cov) < 1e-6
