@@ -1791,3 +1791,199 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette (centroid-based cluster-quality score)
+# --------------------------------------------------------------------------
+@query(
+    "q_simplified_silhouette",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+      SELECT CAST(vec_id / {CENTROID_STRIDE} AS BIGINT) AS cell, emb AS cent_emb
+      FROM e WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    ranked AS MATERIALIZED (
+      SELECT v.vec_id, c.cell,
+             round(list_cosine_similarity(v.emb, c.cent_emb), 6) AS sim,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.emb, c.cent_emb), 6)
+                          DESC, c.cell) AS rn
+      FROM e v CROSS JOIN cent c
+    ),
+    sil AS (
+      SELECT a.vec_id, a.cell,
+             ((1 - b.sim) - (1 - a.sim))
+               / greatest(1 - a.sim, 1 - b.sim) AS s
+      FROM ranked a JOIN ranked b
+        ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(s), 6) AS mean_silhouette,
+           CAST(count(*) FILTER (s < 0) AS BIGINT) AS n_misassigned
+    FROM sil GROUP BY cell ORDER BY cell
+    """,
+)
+def q_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (Hruschka et al. 2004 — the
+    centroid-based O(n·k) variant of Rousseeuw 1987): for each vector,
+    a = cosine distance to its OWN (nearest) centroid, b = distance to
+    the SECOND-nearest centroid, s = (b−a)/max(a,b) ∈ [−1,1]; per-cell
+    mean silhouette plus the count of negative-s members (vectors the
+    assignment itself says sit closer to another cluster) — the
+    cluster-quality gate between the k-means/IVF index builders and
+    anything that trusts their cells (SemDeDup's intra-cell pruning,
+    IVF probe counts). The full silhouette is O(n²); the simplified
+    form is the one that exists at corpus scale, and the same top-2
+    centroid scan the IVF probe already does.
+
+    Hash-exactness: per-(vector, centroid) sims are 6dp-rounded before
+    the top-2 ranking (the q_semdedup assignment rule, ties → lowest
+    cell), so a and b are deterministic; s and the per-cell mean
+    carry only reassociation noise under the 6dp round.
+
+    Scale: centroids are driver-bounded (the k-means-collect class);
+    the top-2 scan is one vectorized mapInPandas pass (corpus never
+    shuffles raw embeddings); output is |cells|-bounded.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        (F.col("vec_id") / CENTROID_STRIDE).cast("long").alias("cell"),
+        F.col("embedding"),
+    )
+    cent_ids, cent_mat = _collect_matrix(centroids, "cell", "embedding")
+    cent_ids, cent_units = _unit_rows(cent_ids, cent_mat)
+
+    def top2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            _, units = _unit_rows(ids, mat)
+            sims = np.round(units @ cent_units.T, 6)  # 6dp BEFORE ranking
+            # ties → lowest cell id: lexsort on (-sim, cell)
+            order = np.lexsort(
+                (np.broadcast_to(cent_ids, sims.shape), -sims), axis=1
+            )
+            best, second = order[:, 0], order[:, 1]
+            rows = np.arange(len(ids))
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cent_ids[best],
+                    "sim1": sims[rows, best],
+                    "sim2": sims[rows, second],
+                }
+            )
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        top2, schema="vec_id long, cell long, sim1 double, sim2 double"
+    )
+    a = 1 - F.col("sim1")
+    b = 1 - F.col("sim2")
+    s = (b - a) / F.greatest(a, b)
+    return (
+        assigned.select("cell", s.alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.count_if(F.col("s") < 0).alias("n_misassigned"),
+        )
+        .orderBy("cell")
+    )
+
+
+# --------------------------------------------------------------------------
+# HDBSCAN stage 1: core distances + mutual-reachability edge weights
+# --------------------------------------------------------------------------
+CORE_K = MUTUAL_KNN_K  # core distance = distance to the k-th neighbor
+
+
+@query(
+    "q_core_distance",
+    oracle=f"""
+    WITH {_MUTUAL_KNN_CTE},
+    core AS MATERIALIZED (
+      SELECT ia AS vec_id, 1 - round(sim, 6) AS core_dist
+      FROM knn WHERE rk = {CORE_K}
+    ),
+    mutual AS (
+      SELECT t.ia AS id_a, t.ib AS id_b, 1 - round(t.sim, 6) AS d
+      FROM topk t JOIN topk u ON t.ia = u.ib AND t.ib = u.ia
+      WHERE t.ia < t.ib
+    )
+    SELECT m.id_a, m.id_b,
+           round(ca.core_dist, 6) AS core_a,
+           round(cb.core_dist, 6) AS core_b,
+           round(m.d, 6) AS dist,
+           round(greatest(ca.core_dist, cb.core_dist, m.d), 6)
+             AS mutual_reachability
+    FROM mutual m
+      JOIN core ca ON ca.vec_id = m.id_a
+      JOIN core cb ON cb.vec_id = m.id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def q_core_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN stage 1 (Campello, Moulavi & Sander 2013): each
+    vector's CORE DISTANCE (cosine distance to its {CORE_K}-th
+    neighbor — the local density estimate) and, over the mutual-kNN
+    edge list, the MUTUAL-REACHABILITY weight max(core_a, core_b,
+    d(a,b)) — the transformed metric whose minimum spanning tree IS
+    density-based clustering: sparse-region points inflate their
+    incident edges, so the MST cuts exactly where density drops.
+    Everything downstream (MST + cluster extraction) runs on this
+    |edges|-bounded weighted graph; this query materializes the
+    corpus-scale part.
+
+    Hash-exactness: built entirely on the verified exact-kNN kernel —
+    core distance is the rank-{CORE_K} row of the same 6dp-rounded
+    ranking ``q_mutual_knn`` uses; the reachability is a greatest()
+    of already-rounded values.
+
+    Scale: the kNN self-join is block-cogrouped (corpus never
+    collects); core distances are one rank filter of its output; the
+    edge join is (k·n)-bounded.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = knn_self_join(e, k=CORE_K)
+    w = Window.partitionBy("vec_id").orderBy(F.desc(F.round("sim", 6)), "neighbor_id")
+    ranked = knn.withColumn("rk", F.row_number().over(w))
+    core = ranked.filter(F.col("rk") == CORE_K).select(
+        "vec_id", (1 - F.round("sim", 6)).alias("core_dist")
+    )
+    rev = knn.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id")
+    )
+    mutual = (
+        knn.join(rev, ["vec_id", "neighbor_id"])
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            (1 - F.round("sim", 6)).alias("d"),
+        )
+    )
+    ca = core.withColumnsRenamed({"vec_id": "id_a", "core_dist": "core_a"})
+    cb = core.withColumnsRenamed({"vec_id": "id_b", "core_dist": "core_b"})
+    return (
+        mutual.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("core_a", 6).alias("core_a"),
+            F.round("core_b", 6).alias("core_b"),
+            F.round("d", 6).alias("dist"),
+            F.round(
+                F.greatest(F.col("core_a"), F.col("core_b"), F.col("d")), 6
+            ).alias("mutual_reachability"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -899,3 +899,31 @@ def test_conformal_matches_brute_force(spark, sf_dir):
         )
         assert abs(got[et]["q_hat"] - qhat / 100.0) < 0.02
         assert abs(got[et]["coverage"] - cov) < 1e-6
+
+
+def test_silhouette_bounds_and_own_cell(spark, sf_dir):
+    """Mean silhouette lies in [-1, 1]; misassigned counts can't
+    exceed membership; membership sums to the corpus size."""
+    from mi_inbound_pulsar_spark.operators.similarity import q_simplified_silhouette
+
+    rows = q_simplified_silhouette(spark, sf_dir).collect()
+    assert rows
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == n
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
+        assert 0 <= r["n_misassigned"] <= r["n_members"]
+
+
+def test_core_distance_dominates_pair_distance(spark, sf_dir):
+    """Mutual reachability is >= each of its three arguments and
+    equals their max; core distances are valid cosine distances."""
+    from mi_inbound_pulsar_spark.operators.similarity import q_core_distance
+
+    rows = q_core_distance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        mr = r["mutual_reachability"]
+        assert abs(mr - max(r["core_a"], r["core_b"], r["dist"])) < 1e-9
+        for k in ("core_a", "core_b", "dist"):
+            assert -1e-9 <= r[k] <= 2.0 + 1e-9
