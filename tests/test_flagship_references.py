@@ -1,0 +1,127 @@
+"""Brute-force third opinions for two flagship kernels: SemDeDup
+(numpy cosines + union-find) and the heuristic multi-touch attribution
+models (pure-Python journey walk). Recomputed from definitions on the
+real sf0.001 data — independent of both the Spark implementation and
+its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+
+
+def test_semdedup_matches_numpy_union_find(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        SEMDEDUP_EPS,
+        q_semdedup,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    units = x / np.linalg.norm(x, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, units = ids[order], units[order]
+    cent_mask = ids % CENTROID_STRIDE == 0
+    cent_ids = (ids[cent_mask] // CENTROID_STRIDE).astype(np.int64)
+    cent_units = units[cent_mask]
+    sims = np.round(units @ cent_units.T, 6)
+    # nearest centroid, ties -> lowest cell (lexsort mirrors the query)
+    best = np.lexsort((np.broadcast_to(cent_ids, sims.shape), -sims), axis=1)[:, 0]
+    cell = cent_ids[best]
+
+    parent = {int(v): int(v) for v in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_cell = defaultdict(list)
+    for i, v in enumerate(ids):
+        by_cell[cell[i]].append(i)
+    for members in by_cell.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                if round(float(units[a] @ units[b]), 6) >= SEMDEDUP_EPS:
+                    union(int(ids[a]), int(ids[b]))
+    groups = defaultdict(set)
+    for v in ids:
+        groups[find(int(v))].add(int(v))
+    dup_groups = {k: vs for k, vs in groups.items() if len(vs) >= 2}
+
+    got = q_semdedup(spark, sf_dir).collect()
+    got_groups = {r["grp"]: r for r in got}
+    assert set(got_groups) == set(dup_groups)
+    for grp, r in got_groups.items():
+        assert r["n_members"] == len(dup_groups[grp])
+
+
+def test_attribution_models_match_pure_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.funnel import (
+        DECAY_HALFLIFE_S,
+        q_attribution_models,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r["user_id"]].append(r)
+    linear = defaultdict(float)
+    decay = defaultdict(float)
+    position = defaultdict(float)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        journey = []
+        for r in rows:
+            if r["event_type"] == "purchase":
+                if journey:
+                    n = len(journey)
+                    conv_us = int(r["ts"].timestamp() * 1_000_000)
+                    ws = [
+                        0.5
+                        ** (
+                            (conv_us - int(t.timestamp() * 1_000_000))
+                            / 1_000_000.0
+                            / DECAY_HALFLIFE_S
+                        )
+                        for _, t in journey
+                    ]
+                    tot = sum(ws)
+                    for i, (ch, _t) in enumerate(journey):
+                        linear[ch] += 1.0 / n
+                        decay[ch] += ws[i] / tot
+                        if n == 1:
+                            position[ch] += 1.0
+                        elif n == 2:
+                            position[ch] += 0.5
+                        elif i == 0 or i == n - 1:
+                            position[ch] += 0.4
+                        else:
+                            position[ch] += 0.2 / (n - 2)
+                journey = []
+            else:
+                journey.append((r["event_type"], r["ts"]))
+    # NOTE: the query uses min(purchase ts) per journey as conv time;
+    # journeys here end at the first purchase encountered, identical.
+    got = {r["channel"]: r for r in q_attribution_models(spark, sf_dir).collect()}
+    assert set(got) == set(linear)
+    for ch in linear:
+        assert math.isclose(got[ch]["linear_credit"], linear[ch], abs_tol=1e-4)
+        assert math.isclose(got[ch]["time_decay_credit"], decay[ch], abs_tol=1e-4)
+        assert math.isclose(got[ch]["position_credit"], position[ch], abs_tol=1e-4)
