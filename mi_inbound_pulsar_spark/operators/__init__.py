@@ -87,7 +87,7 @@ _PRIORITY = (
     # q_markov_attribution, q_attribution_models, q_calibration_ece,
     # q_skipgram_pairs, q_negative_sampling_table,
     # q_glove_cooccurrence, q_anova_dow, q_rank_biased_overlap,
-    # plus the 36 final-phase additions: q_ndcg_eval, q_mann_kendall,
+    # plus the 39 final-phase additions: q_ndcg_eval, q_mann_kendall,
     # q_effect_sizes, q_dp_noisy_histogram, q_label_modularity,
     # q_shapley_attribution, q_poisson_bootstrap_ci,
     # q_cuped_adjustment, q_regression_diagnostics,
@@ -101,7 +101,9 @@ _PRIORITY = (
     # q_forecast_backtest, q_woe_iv, q_eb_shrinkage,
     # q_mmr_diversification, q_qini_uplift, q_control_chart,
     # q_ngram_coverage, q_lorenz_curve, q_brier_decomposition,
-    # q_simplified_silhouette, q_core_distance.
+    # q_simplified_silhouette, q_core_distance,
+    # q_density_clusters, q_wasserstein_distance,
+    # q_quantile_treatment_effect.
     "q_semdedup",
     "q_bpe_merge_loop",
     "q_dsir_selection",

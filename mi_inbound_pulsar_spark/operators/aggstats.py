@@ -1694,7 +1694,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = vc.select(
         F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
     )
-    tot = vc.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    tot = vc.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
     d = cum.crossJoin(F.broadcast(tot)).agg(
         F.max(
             F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
@@ -4496,3 +4499,206 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_users").over(w_cum) / F.col("n"), 6).alias("pop_share"),
         F.round(F.sum("cents").over(w_cum) / F.col("tot"), 6).alias("value_share"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance between the A/B arms
+# --------------------------------------------------------------------------
+@query(
+    "q_wasserstein_distance",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    vc AS (
+      SELECT cents,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS ca,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS cb
+      FROM assigned GROUP BY cents
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b FROM vc),
+    steps AS (
+      SELECT cents,
+             sum(ca) OVER w * 1.0 / t.n_a AS fa,
+             sum(cb) OVER w * 1.0 / t.n_b AS fb,
+             lead(cents) OVER (ORDER BY cents) AS nxt
+      FROM vc, tot t
+      WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT t.n_a, t.n_b,
+           round(sum(abs(fa - fb) * (nxt - cents)) / 100.0, 6)
+             AS wasserstein_1,
+           round(max(abs(fa - fb)), 6) AS ks_distance
+    FROM steps, tot t
+    WHERE nxt IS NOT NULL
+    GROUP BY t.n_a, t.n_b
+    """,
+)
+def q_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the A/B arms'
+    purchase-value distributions — W₁ = ∫|F_A − F_B| dx over the
+    empirical CDFs, computed exactly as the step-function integral on
+    the distinct-value grid — with the KS sup-distance from the same
+    pass. W₁ is the distribution-distance the shelf was missing: KS
+    sees the worst POINT, PSI/JS see binned mass, W₁ integrates the
+    whole discrepancy IN VALUE UNITS (dollars of mass transport),
+    which is what makes it the standard drift metric for numeric
+    features and the loss geometry behind optimal-transport methods.
+
+    Hash-exactness: CDFs are rationals of exact integer counts on the
+    distinct-cents grid; step widths are exact integer cents; W₁ is
+    one deterministic sum, 6dp-rounded (dollars).
+
+    Scale: the corpus collapses to the distinct-value rollup first;
+    the running CDFs window over the VALUE DOMAIN (the q_mann_whitney
+    waiver class), never the event stream.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    vc = (
+        e.select(arm.alias("arm"), cents.alias("cents"))
+        .groupBy("cents")
+        .agg(
+            F.count_if(F.col("arm") == "A").alias("ca"),
+            F.count_if(F.col("arm") == "B").alias("cb"),
+        )
+    )
+    tot = vc.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    steps = vc.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "cents",
+        (F.sum("ca").over(w) / F.col("n_a")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("n_b")).alias("fb"),
+        F.lead("cents").over(Window.orderBy("cents")).alias("nxt"),
+    )
+    return (
+        steps.filter(F.col("nxt").isNotNull())
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("fa") - F.col("fb")) * (F.col("nxt") - F.col("cents")))
+                / 100.0,
+                6,
+            ).alias("wasserstein_1"),
+            F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_distance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile treatment effects (distributional A/B readout)
+# --------------------------------------------------------------------------
+QTE_TAUS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "q_quantile_treatment_effect",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(value * 100, 0) AS BIGINT) / 100.0 AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    q AS (
+      SELECT CAST(0.1 AS DOUBLE) AS tau,
+             CAST(quantile_cont(v, 0.1) FILTER (arm = 'A') AS DOUBLE) AS q_a,
+             CAST(quantile_cont(v, 0.1) FILTER (arm = 'B') AS DOUBLE) AS q_b
+      FROM assigned
+      UNION ALL\n      SELECT CAST(0.25 AS DOUBLE) AS tau,
+             CAST(quantile_cont(v, 0.25) FILTER (arm = 'A') AS DOUBLE) AS q_a,
+             CAST(quantile_cont(v, 0.25) FILTER (arm = 'B') AS DOUBLE) AS q_b
+      FROM assigned
+      UNION ALL\n      SELECT CAST(0.5 AS DOUBLE) AS tau,
+             CAST(quantile_cont(v, 0.5) FILTER (arm = 'A') AS DOUBLE) AS q_a,
+             CAST(quantile_cont(v, 0.5) FILTER (arm = 'B') AS DOUBLE) AS q_b
+      FROM assigned
+      UNION ALL\n      SELECT CAST(0.75 AS DOUBLE) AS tau,
+             CAST(quantile_cont(v, 0.75) FILTER (arm = 'A') AS DOUBLE) AS q_a,
+             CAST(quantile_cont(v, 0.75) FILTER (arm = 'B') AS DOUBLE) AS q_b
+      FROM assigned
+      UNION ALL\n      SELECT CAST(0.9 AS DOUBLE) AS tau,
+             CAST(quantile_cont(v, 0.9) FILTER (arm = 'A') AS DOUBLE) AS q_a,
+             CAST(quantile_cont(v, 0.9) FILTER (arm = 'B') AS DOUBLE) AS q_b
+      FROM assigned
+    )
+    SELECT tau, round(q_a, 6) AS q_a, round(q_b, 6) AS q_b,
+           round(q_b - q_a, 6) AS qte
+    FROM q ORDER BY tau
+    """,
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974; Koenker's quantile
+    view of an experiment): q_B(τ) − q_A(τ) at τ ∈ {QTE_TAUS} — the
+    DISTRIBUTIONAL readout the mean lift (``q_ab_lift``) compresses
+    away: a treatment can leave the mean flat while moving the tails
+    (or vice versa), and the QTE profile is what shows it, in value
+    units per quantile. With W₁ (``q_wasserstein_distance``) giving
+    the integrated discrepancy, this gives its per-quantile
+    decomposition (for continuous F, W₁ = ∫|QTE(τ)|dτ when the
+    curves don't cross).
+
+    Hash-exactness: both engines use the SAME interpolated-percentile
+    definition (the q_theil_sen convention) over exact integer-cents
+    values; the tau spine is a literal array on both sides.
+
+    Scale: per-arm quantiles are one aggregate over the purchase
+    rollup (Spark computes all taus in one percentile() pass —
+    map-side partial histograms; at extreme scale swap for
+    approx_percentile gated by the HLL-style error audit).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    v = F.round(F.col("value") * 100, 0).cast("long") / 100.0
+    taus = list(QTE_TAUS)
+    per_arm = (
+        e.select(arm.alias("arm"), v.alias("v"))
+        .groupBy("arm")
+        .agg(F.percentile("v", F.array(*[F.lit(t) for t in taus])).alias("qs"))
+    )
+    exploded = per_arm.select(
+        "arm", F.posexplode("qs").alias("i", "q")
+    ).select(
+        "arm",
+        F.element_at(F.array(*[F.lit(t) for t in taus]), F.col("i") + 1).alias(
+            "tau"
+        ),
+        "q",
+    )
+    wide = exploded.groupBy("tau").agg(
+        F.max(F.when(F.col("arm") == "A", F.col("q"))).alias("q_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("q"))).alias("q_b"),
+    )
+    return wide.select(
+        "tau",
+        F.round("q_a", 6).alias("q_a"),
+        F.round("q_b", 6).alias("q_b"),
+        F.round(F.col("q_b") - F.col("q_a"), 6).alias("qte"),
+    ).orderBy("tau")

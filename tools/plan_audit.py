@@ -77,6 +77,9 @@ WAIVERS = {
     "q_woe_iv": {"GlobalWindow"},
     # cumulative uplift over the <=10-bin contingency — same class
     "q_qini_uplift": {"GlobalWindow"},
+    # CDF steps over the distinct-cents rollup — the q_mann_whitney
+    # value-domain class
+    "q_wasserstein_distance": {"GlobalWindow"},
     # global user rank: the plans/ranking.py two-phase pattern's
     # semantic spec (docstring documents the 100 TB path); cumulative
     # shares over the 10-decile rollup
