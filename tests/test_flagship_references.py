@@ -125,3 +125,44 @@ def test_attribution_models_match_pure_python(spark, sf_dir):
         assert math.isclose(got[ch]["linear_credit"], linear[ch], abs_tol=1e-4)
         assert math.isclose(got[ch]["time_decay_credit"], decay[ch], abs_tol=1e-4)
         assert math.isclose(got[ch]["position_credit"], position[ch], abs_tol=1e-4)
+
+
+def test_substring_dedup_matches_pure_python(spark, sf_dir):
+    """Brute-force ExactSubstr replay: enumerate every k-token window,
+    count distinct-doc frequency, mark covered positions, and compare
+    the per-doc span counts and kept-token counts."""
+    from mi_inbound_pulsar_spark.operators.dedup import (
+        SUBSTR_MIN_DF,
+        SUBSTR_SPAN_TOKENS,
+        q_substring_dedup,
+    )
+
+    k = SUBSTR_SPAN_TOKENS
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    span_docs = defaultdict(set)
+    for d, w in docs.items():
+        for i in range(len(w) - k + 1):
+            span_docs[" ".join(w[i : i + k])].add(d)
+    dup_spans = {s for s, ds in span_docs.items() if len(ds) >= SUBSTR_MIN_DF}
+    expected = {}
+    for d, w in docs.items():
+        cov = set()
+        n_hits = 0
+        for i in range(len(w) - k + 1):
+            if " ".join(w[i : i + k]) in dup_spans:
+                n_hits += 1
+                cov.update(range(i, i + k))
+        expected[d] = (n_hits, len(w) - len(cov))
+    got = q_substring_dedup(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        n_hits, kept = expected[r["doc_id"]]
+        assert r["dup_span_starts"] == n_hits, (
+            r["doc_id"], r["dup_span_starts"], n_hits,
+        )
+        assert r["removed_tokens"] == r["n_tokens"] - kept
+        got_kept = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+        assert got_kept == kept, (r["doc_id"], got_kept, kept)
