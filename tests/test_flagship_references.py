@@ -166,3 +166,57 @@ def test_substring_dedup_matches_pure_python(spark, sf_dir):
         assert r["removed_tokens"] == r["n_tokens"] - kept
         got_kept = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
         assert got_kept == kept, (r["doc_id"], got_kept, kept)
+
+
+def test_dsir_matches_pure_python(spark, sf_dir):
+    """Brute-force DSIR replay: md5 bucket hashing, add-1 smoothed
+    target/raw distributions, per-doc log-weight sums, and the
+    interpolated keep-quantile threshold."""
+    import hashlib
+
+    from mi_inbound_pulsar_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        DSIR_KEEP_QUANTILE,
+        DSIR_TARGET_SOURCE,
+        q_dsir_selection,
+    )
+
+    docs = [
+        (r["doc_id"], r["source"], r["text"].split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    bcache = {}
+
+    def bucket(w):
+        if w not in bcache:
+            bcache[w] = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+        return bcache[w]
+
+    tc = defaultdict(int)
+    rc = defaultdict(int)
+    for _d, src, ws in docs:
+        for w in ws:
+            b = bucket(w)
+            rc[b] += 1
+            if src == DSIR_TARGET_SOURCE:
+                tc[b] += 1
+    nt, nr = sum(tc.values()), sum(rc.values())
+    lr = {
+        b: math.log((tc.get(b, 0) + 1.0) / (nt + DSIR_BUCKETS))
+        - math.log((rc[b] + 1.0) / (nr + DSIR_BUCKETS))
+        for b in rc
+    }
+    scores = {
+        d: sum(lr[bucket(w)] for w in ws) for d, _src, ws in docs
+    }
+    vals = sorted(scores.values())
+    pos = (len(vals) - 1) * DSIR_KEEP_QUANTILE
+    lo, hi = int(pos), min(int(pos) + 1, len(vals) - 1)
+    thr = vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+    got = q_dsir_selection(spark, sf_dir).collect()
+    assert len(got) == len(scores)
+    for r in got:
+        assert math.isclose(r["dsir_logweight"], scores[r["doc_id"]], abs_tol=1e-4)
+        assert r["selected"] == (
+            round(scores[r["doc_id"]], 6) >= round(thr, 6)
+        ), (r["doc_id"],)
