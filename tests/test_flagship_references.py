@@ -220,3 +220,79 @@ def test_dsir_matches_pure_python(spark, sf_dir):
         assert r["selected"] == (
             round(scores[r["doc_id"]], 6) >= round(thr, 6)
         ), (r["doc_id"],)
+
+
+def test_markov_attribution_matches_exact_linear_solve(spark, sf_dir):
+    """Independent check of the removal-effect attribution: rebuild the
+    transition table in pure Python from the raw events, then solve the
+    absorption probability EXACTLY ((I - T)^-1 c via numpy) instead of
+    the query's fixed 20-iteration power series. Agreement within the
+    documented series-truncation slack validates journey construction,
+    transition counting, and the removal semantics end to end."""
+    from mi_inbound_pulsar_spark.operators.funnel import (
+        MARKOV_CHANNELS,
+        q_markov_attribution,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r["user_id"]].append(r)
+    counts = defaultdict(int)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        journey = []
+        for r in rows:
+            if r["event_type"] == "purchase":
+                if journey:
+                    counts[("START", journey[0])] += 1
+                    for a, b in zip(journey, journey[1:]):
+                        counts[(a, b)] += 1
+                    counts[(journey[-1], "CONV")] += 1
+                else:
+                    counts[("START", "CONV")] += 1
+                journey = []
+            else:
+                ch = r["event_type"]
+                if not journey or journey[-1] != ch:
+                    journey.append(ch)
+        if journey:
+            counts[("START", journey[0])] += 1
+            for a, b in zip(journey, journey[1:]):
+                counts[(a, b)] += 1
+            counts[(journey[-1], "DROP")] += 1
+    states = ("START",) + tuple(MARKOV_CHANNELS)
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+
+    def absorb(removed=None):
+        T = np.zeros((n, n))
+        c = np.zeros(n)
+        tot = defaultdict(int)
+        for (a, _b), k in counts.items():
+            tot[a] += k
+        for (a, b), k in counts.items():
+            if a == removed or b == removed:
+                continue
+            p = k / tot[a]
+            if b == "CONV":
+                c[idx[a]] += p
+            elif b != "DROP":
+                T[idx[a], idx[b]] += p
+        return float(np.linalg.solve(np.eye(n) - T, c)[idx["START"]])
+
+    p_base = absorb(None)
+    effects = {ch: 1.0 - absorb(ch) / p_base for ch in MARKOV_CHANNELS}
+    te = sum(effects.values())
+    got = {r["channel"]: r for r in q_markov_attribution(spark, sf_dir).collect()}
+    assert set(got) == set(effects)
+    for ch in effects:
+        assert math.isclose(got[ch]["p_conversion"], p_base, abs_tol=0.02)
+        assert math.isclose(got[ch]["removal_effect"], effects[ch], abs_tol=0.02)
+        assert math.isclose(
+            got[ch]["attribution_share"], effects[ch] / te, abs_tol=0.02
+        )
