@@ -296,3 +296,62 @@ def test_markov_attribution_matches_exact_linear_solve(spark, sf_dir):
         assert math.isclose(
             got[ch]["attribution_share"], effects[ch] / te, abs_tol=0.02
         )
+
+
+def _brute_jaccard_pairs(docs, threshold):
+    """All doc pairs with 3-gram-shingle Jaccard >= threshold, using
+    the repo's round-6dp-then-threshold convention."""
+    sh = {}
+    for d, w in docs.items():
+        sh[d] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    out = {}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_minhash_lsh_neardup_is_exact_at_threshold(spark, sf_dir):
+    """The LSH+verify pipeline must return EXACTLY the brute-force
+    J >= 0.8 pair set (banding is recall machinery; the exact verify
+    step makes the output exact)."""
+    from mi_inbound_pulsar_spark.operators.dedup import q_minhash_lsh_neardup
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    expected = _brute_jaccard_pairs(docs, 0.8)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_minhash_lsh_neardup(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, j in expected.items():
+        assert abs(got[k] - j) < 1e-5
+
+
+def test_prefix_filter_jaccard_is_exact_at_threshold(spark, sf_dir):
+    """The PPJoin candidate rule must lose nothing: its output equals
+    the brute-force J >= 0.5 pair set."""
+    from mi_inbound_pulsar_spark.operators.dedup import q_prefix_filter_jaccard
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    expected = _brute_jaccard_pairs(docs, 0.5)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_prefix_filter_jaccard(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, j in expected.items():
+        assert abs(got[k] - j) < 1e-5
