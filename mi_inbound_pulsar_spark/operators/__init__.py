@@ -69,107 +69,73 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-6 ROTATION: the driver samples the FIRST 50 entries.
-    # Rounds 1-5 covered 194 distinct names; this head leads with the
-    # 16 queries NEW this round (all never driver-checked by
-    # definition), then a sixth disjoint never-driver-checked set —
-    # the driver's 50 covers the 16 new + the first 34; the remaining
-    # listed names spill to round 7's window along with q_twap,
-    # q_udf_surface, q_unigram_kl_drift, q_union_distinct,
+    # ROUND-7 ROTATION: the driver samples the FIRST 50 entries.
+    # Rounds 1-6 covered 244 distinct names (all green); this head is
+    # the seventh DISJOINT never-driver-checked set — the 50 newest
+    # statistics / causal / retrieval / graph queries, exactly the
+    # list VERDICT.md round 6 asked for. 45 never-driver-checked
+    # names remain for round 8: q_welch_ttest, q_spearman_corr,
+    # q_session_gap_calibration, q_skipgram_pairs,
+    # q_rank_biased_overlap, q_shapley_attribution,
+    # q_poisson_bootstrap_ci, q_regression_diagnostics,
+    # q_pca_top_component, q_query_likelihood,
+    # q_sequential_obrien_fleming, q_sample_ratio_mismatch,
+    # q_woe_iv, q_qini_uplift, q_simplified_silhouette,
+    # q_wasserstein_distance, q_quantile_treatment_effect,
+    # q_twap, q_udf_surface, q_unigram_kl_drift, q_union_distinct,
     # q_variant_extract, q_weighted_sample, q_window_distribution,
-    # q_window_ignore_nulls, q_zipf_slope, and the 23 queries NEW in
-    # the round-6 third phase (never driver-checked by definition):
-    # q_welch_ttest, q_cramers_v, q_benjamini_hochberg,
-    # q_spearman_corr, q_kendall_tau, q_jackknife_ci, q_ab_power_mde,
-    # q_hits_scores, q_bigram_lm_cross_entropy, q_heaps_law,
-    # q_embedding_quantize, q_int8_recall, q_hard_negative_mining,
-    # q_blocking_eval, q_session_gap_calibration,
-    # q_markov_attribution, q_attribution_models, q_calibration_ece,
-    # q_skipgram_pairs, q_negative_sampling_table,
-    # q_glove_cooccurrence, q_anova_dow, q_rank_biased_overlap,
-    # plus the 39 final-phase additions: q_ndcg_eval, q_mann_kendall,
-    # q_effect_sizes, q_dp_noisy_histogram, q_label_modularity,
-    # q_shapley_attribution, q_poisson_bootstrap_ci,
-    # q_cuped_adjustment, q_regression_diagnostics,
-    # q_pca_top_component, q_diff_in_diff, q_ipw_ate,
-    # q_kneser_ney_bigram, q_nelson_aalen, q_query_likelihood,
-    # q_local_clustering, q_dim_truncation_recall,
-    # q_changepoint_binary, q_conformal_interval,
-    # q_degree_powerlaw_mle, q_funnel_significance,
-    # q_sequential_obrien_fleming, q_cohort_ltv,
-    # q_doubly_robust_ate, q_sample_ratio_mismatch,
-    # q_forecast_backtest, q_woe_iv, q_eb_shrinkage,
-    # q_mmr_diversification, q_qini_uplift, q_control_chart,
-    # q_ngram_coverage, q_lorenz_curve, q_brier_decomposition,
-    # q_simplified_silhouette, q_core_distance,
-    # q_density_clusters, q_wasserstein_distance,
-    # q_quantile_treatment_effect.
-    "q_semdedup",
-    "q_bpe_merge_loop",
-    "q_dsir_selection",
-    "q_quality_terciles",
-    "q_bpe_tokenize",
-    "q_decontaminate_13gram",
-    "q_mann_whitney",
-    "q_l_diversity",
-    "q_readability",
-    "q_fellegi_sunter",
-    "q_label_propagation",
-    "q_chisq_independence",
-    "q_horvitz_thompson",
-    "q_wilson_ctr",
-    "q_ks_test",
-    "q_vocab_coverage",
-    "q_ab_lift",
-    "q_anomaly_trailing",
-    "q_basket_lift",
-    "q_bfs_distances",
-    "q_bigram_pmi",
-    "q_bitwise_agg",
-    "q_bottomk_sample",
-    "q_cluster_keeper",
-    "q_conversion_latency",
-    "q_corpus_mixture",
-    "q_countmin_sketch",
-    "q_cumulative_distinct",
-    "q_cusum_drift",
-    "q_dau_wau_stickiness",
-    "q_dedup_incremental",
-    "q_deletion_propagation",
-    "q_doc_fingerprint",
-    "q_event_streaks",
-    "q_except",
-    "q_explode_posexplode",
-    "q_feature_hashing",
-    "q_first_touch_attribution",
-    "q_funnel_windowed",
-    "q_holt_linear_trend",
-    "q_join_key_skew_report",
-    "q_keyword_extraction",
-    "q_kfold_assignment",
-    "q_markov_transitions",
-    "q_math_conditional",
-    "q_mixture_upsample",
-    "q_mode_median",
-    "q_ngram_frequency",
-    "q_period_over_period",
-    "q_phrase_search",
-    "q_pseudonymize",
-    "q_psi_drift",
-    "q_quality_logit",
-    "q_quantile_normalize",
-    "q_random_projection",
-    "q_rare_token_filter",
-    "q_repetition_filter",
-    "q_seasonal_baseline",
-    "q_skyline_dominance",
-    "q_sorted_neighborhood",
-    "q_stratified_split_check",
-    "q_table_profile",
-    "q_timeseries_similarity",
-    "q_token_entropy",
-    "q_topic_throughput",
-    "q_tumbling_ohlc",
+    # q_window_ignore_nulls, q_zipf_slope, ... plus any queries NEW
+    # this round (never driver-checked by definition).
+    "q_ab_power_mde",
+    "q_anova_dow",
+    "q_attribution_models",
+    "q_auc_roc",
+    "q_benjamini_hochberg",
+    "q_bigram_lm_cross_entropy",
+    "q_blocking_eval",
+    "q_brier_decomposition",
+    "q_calibration_ece",
+    "q_changepoint_binary",
+    "q_cohort_ltv",
+    "q_conformal_interval",
+    "q_control_chart",
+    "q_core_distance",
+    "q_correlation_matrix",
+    "q_cramers_v",
+    "q_cuped_adjustment",
+    "q_degree_powerlaw_mle",
+    "q_density_clusters",
+    "q_diff_in_diff",
+    "q_dim_truncation_recall",
+    "q_doubly_robust_ate",
+    "q_dp_noisy_histogram",
+    "q_eb_shrinkage",
+    "q_effect_sizes",
+    "q_embedding_quantize",
+    "q_forecast_backtest",
+    "q_funnel_significance",
+    "q_gains_curve",
+    "q_glove_cooccurrence",
+    "q_hard_negative_mining",
+    "q_heaps_law",
+    "q_hits_scores",
+    "q_int8_recall",
+    "q_ipw_ate",
+    "q_jackknife_ci",
+    "q_js_divergence",
+    "q_kendall_tau",
+    "q_kneser_ney_bigram",
+    "q_label_modularity",
+    "q_local_clustering",
+    "q_lorenz_curve",
+    "q_mann_kendall",
+    "q_markov_attribution",
+    "q_mmr_diversification",
+    "q_mutual_information",
+    "q_ndcg_eval",
+    "q_negative_sampling_table",
+    "q_nelson_aalen",
+    "q_ngram_coverage",
 )
 
 

@@ -175,6 +175,7 @@ def jaccard_pairs(
     max_doc_freq: int | None = 1000,
     hash_keys: bool = True,
     sizes: DataFrame | None = None,
+    pack_pair_keys: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard over a (doc_id, shingle) frame via inverted-index
     self-join: |A∩B| from the shingle join, sizes joined in, J computed.
@@ -200,6 +201,12 @@ def jaccard_pairs(
     |A∩B| by 1); at p ≈ n²/2⁶⁵ this is ~10⁻¹¹ for a million distinct
     shingles and the oracle suite runs identically with it on. Pass
     ``False`` for literal string-key semantics.
+
+    ``pack_pair_keys`` (default ``None`` = auto by id dtype) controls
+    the packed 64-bit pair-key optimization in the pair aggregation:
+    auto packs integral ids and falls back to the plain two-column
+    groupBy for string/decimal/float ids (which the packer cannot
+    represent). Pass ``False`` for bigint ids outside [0, 2^32).
     """
     if hash_keys:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
@@ -217,19 +224,60 @@ def jaccard_pairs(
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
-    # packed 64-bit pair key (guarded): halves the pair-agg shuffle key
-    # width — the copurchase_pairs trick, shared via packed_pair_key
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(packed_pair_key(F.col("a.doc_id"), F.col("b.doc_id")).alias("pk"))
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .select(
-            F.shiftrightunsigned("pk", 32).alias("doc_a"),
-            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("doc_b"),
-            "n_common",
-        )
+    joined = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
+    # packed 64-bit pair key: halves the pair-agg shuffle key width —
+    # the copurchase_pairs trick, shared via packed_pair_key. Packing
+    # is GATED ON THE ID COLUMN'S TYPE, never forced: string / decimal
+    # / float ids (which would cast to NULL and trip the helper's
+    # raise_error) take the unpacked two-column groupBy the kernel has
+    # always supported — packing is an optimization, not semantics.
+    # int32-and-narrower ids are bias-packed (+2^31 into [0, 2^32)),
+    # safe for EVERY representable value including negatives; bigint
+    # ids keep the guarded pack (loud failure outside [0, 2^32)) —
+    # callers with genuinely wide longs pass pack_pair_keys=False.
+    id_type = dict(sh.dtypes)["doc_id"]
+    if pack_pair_keys is None:
+        pack_pair_keys = id_type in ("tinyint", "smallint", "int", "bigint")
+    if pack_pair_keys and id_type in ("tinyint", "smallint", "int"):
+        bias = F.lit(2147483648)
+        pk = F.shiftleft(F.col("a.doc_id").cast("long") + bias, 32).bitwiseOR(
+            F.col("b.doc_id").cast("long") + bias
+        )
+        common = (
+            joined.select(pk.alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .select(
+                (F.shiftrightunsigned("pk", 32) - bias).alias("doc_a"),
+                (F.col("pk").bitwiseAND(F.lit(4294967295)) - bias).alias("doc_b"),
+                "n_common",
+            )
+        )
+    elif pack_pair_keys:
+        common = (
+            joined.select(
+                packed_pair_key(F.col("a.doc_id"), F.col("b.doc_id")).alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .select(
+                F.shiftrightunsigned("pk", 32).alias("doc_a"),
+                F.col("pk").bitwiseAND(F.lit(4294967295)).alias("doc_b"),
+                "n_common",
+            )
+        )
+    else:
+        common = (
+            joined.select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (

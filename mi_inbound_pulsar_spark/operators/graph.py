@@ -1160,6 +1160,10 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Label propagation communities (bounded-round synchronous LPA)
 # --------------------------------------------------------------------------
 LPA_ROUNDS = 3
+# Broadcast the per-round (node, label) state only while it plausibly
+# fits an executor (~16 B/row → ≤ ~80 MB); above this the loop uses a
+# plain hash join — node-scale state must never be force-broadcast.
+LPA_BROADCAST_MAX_NODES = 5_000_000
 
 
 def _lpa_oracle() -> str:
@@ -1218,12 +1222,20 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oscillate on bipartite-ish structure, which a fixed round budget
     also sidesteps deterministically.
 
-    Scale: the iterated state is the (node, label) frame — node-
-    bounded, broadcast onto the fixed once-checkpointed edge list each
-    round (the delta-peeling lesson: never rewrite the edges). The
-    per-round count is one map-side-combined groupBy keyed by
-    (node, label) and the argmax is a per-node window over ≤ degree
-    rows. ``localCheckpoint`` per round cuts the iterative lineage.
+    Scale: the iterated state is the (node, label) frame — NODE-
+    bounded, which is a weaker bound than the k-/vocab-/domain-bounded
+    state elsewhere in the repo: the frame grows with the corpus, so
+    the per-round labels join is SIZE-GATED, not force-broadcast. The
+    node count is invariant across rounds (one row per node), so one
+    count of the checkpointed init frame decides the whole loop:
+    ≤ ``LPA_BROADCAST_MAX_NODES`` → broadcast hint (local[32] and any
+    cluster where the state fits an executor); above it → plain hash
+    join, the documented 100 TB form (AQE may still convert at
+    runtime; the edge list is the large side either way — the
+    bucketed-IVF gating pattern). The per-round count is one
+    map-side-combined groupBy keyed by (node, label) and the argmax
+    is a per-node window over ≤ degree rows. ``localCheckpoint`` per
+    round cuts the iterative lineage.
     """
     e = (
         copurchase_pairs(part_posting_lists(spark, sf_dir), COPURCHASE_MIN_COMMON)
@@ -1237,10 +1249,14 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select("n").distinct().withColumn("lab", F.col("n")).localCheckpoint(
         eager=True
     )
+    # one count against the eager checkpoint (already materialized —
+    # a narrow scan, not a recompute) gates every round's join shape
+    small_state = labels.count() <= LPA_BROADCAST_MAX_NODES
     w = Window.partitionBy("n").orderBy(F.desc("c"), "lab")
     for _ in range(LPA_ROUNDS):
+        lab_side = labels.selectExpr("n AS m", "lab")
         nbr = und.join(
-            F.broadcast(labels.selectExpr("n AS m", "lab")), "m"
+            F.broadcast(lab_side) if small_state else lab_side, "m"
         )
         counts = nbr.groupBy("n", "lab").agg(F.count(F.lit(1)).alias("c"))
         labels = (
@@ -1470,6 +1486,8 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
       GROUP BY 1, 2
     ),
     edges AS MATERIALIZED (
@@ -1513,6 +1531,12 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node counts are one explode of the 3 corners per triple. The
     oracle enumerates the same triangle SET via the symmetric closure
     (orientation changes enumeration order, never membership).
+
+    The graph uses the PRODUCTION capped index (``jaccard_pairs``
+    default ``max_doc_freq=1000``) and the oracle encodes the same
+    df≤1000 hot-shingle exclusion in its candidate CTE — the contract
+    is the capped graph at every corpus scale, not just corpora where
+    no shingle happens to exceed the cap.
     """
     from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
 
@@ -1573,6 +1597,8 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
       GROUP BY 1, 2
     ),
     edges AS MATERIALIZED (
@@ -1629,6 +1655,9 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the edge list is the capped inverted-index join; degrees
     are one rollup; everything after is bounded by |distinct degrees|.
+    The oracle encodes the same df≤1000 hot-shingle exclusion as the
+    production ``jaccard_pairs`` index, so the contract holds on
+    corpora with hot shingles too.
     """
     from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
 

@@ -927,9 +927,10 @@ SEMDEDUP_EPS = 0.38  # same epsilon as the mutual-kNN edge floor
     assign AS MATERIALIZED (
       SELECT vec_id, emb, cell, round(sim, 6) AS cent_sim FROM (
         SELECT v.vec_id, v.emb, c.cell,
-               list_cosine_similarity(v.emb, c.cent_emb) AS sim,
+               round(list_cosine_similarity(v.emb, c.cent_emb), 9) AS sim,
                row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY list_cosine_similarity(v.emb, c.cent_emb) DESC, c.cell)
+                 ORDER BY round(list_cosine_similarity(v.emb, c.cent_emb), 9)
+                            DESC, c.cell)
                  AS rn
         FROM e v CROSS JOIN cent c
       ) WHERE rn = 1
@@ -1019,7 +1020,12 @@ def semdedup_groups(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             _, units = _unit_rows(ids, mat)
-            sims = units @ cent_units.T
+            # 9dp quantization BEFORE the argmax (the PCA-oracle
+            # recipe): an ulp-level centroid tie from different
+            # summation order across engines must not flip a
+            # document's cell — cell choice cascades into entirely
+            # different duplicate groups
+            sims = np.round(units @ cent_units.T, 9)
             best = np.argmax(sims, axis=1)  # first max → lowest cell id
             yield pd.DataFrame(
                 {

@@ -155,3 +155,26 @@ def test_jaccard_hot_shingle_cap_bounds_join(spark):
     assert jaccard_pairs(sh, threshold=0.0, max_doc_freq=None).count() == 780
     # capped: the stop-gram leaves the index; no surviving shared shingle
     assert jaccard_pairs(sh, threshold=0.0, max_doc_freq=10).count() == 0
+
+
+def test_jaccard_pairs_nonnumeric_and_negative_ids(spark):
+    """Pair-key packing is a type-gated optimization, not semantics:
+    non-numeric string ids (which cast to NULL and would trip the
+    packed key's range guard) fall back to the unpacked two-column
+    groupBy, and negative int ids take the bias-packed path — both
+    inputs the kernel must handle, not fail on."""
+    from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs
+
+    rows = [("doc-a", "x y z"), ("doc-b", "x y z"), ("doc-c", "q r s")]
+    sh = spark.createDataFrame(rows, "doc_id string, shingle string")
+    got = jaccard_pairs(sh, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got} == {
+        ("doc-a", "doc-b", 1.0)
+    }
+
+    rows_int = [(-5, "x y z"), (7, "x y z"), (9, "q r s")]
+    sh_int = spark.createDataFrame(rows_int, "doc_id int, shingle string")
+    got_int = jaccard_pairs(sh_int, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got_int} == {
+        (-5, 7, 1.0)
+    }

@@ -29,7 +29,7 @@ def test_semdedup_matches_numpy_union_find(spark, sf_dir):
     cent_mask = ids % CENTROID_STRIDE == 0
     cent_ids = (ids[cent_mask] // CENTROID_STRIDE).astype(np.int64)
     cent_units = units[cent_mask]
-    sims = np.round(units @ cent_units.T, 6)
+    sims = np.round(units @ cent_units.T, 9)
     # nearest centroid, ties -> lowest cell (lexsort mirrors the query)
     best = np.lexsort((np.broadcast_to(cent_ids, sims.shape), -sims), axis=1)[:, 0]
     cell = cent_ids[best]
