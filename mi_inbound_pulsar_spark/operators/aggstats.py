@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
 
@@ -1394,6 +1395,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c"),
         )
     )
+    vc = bounded_window_input(vc, label="q_mann_whitney value domain")
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     ranked = vc.withColumn("cum_before", F.sum("c").over(w))
     s = ranked.agg(
@@ -1609,6 +1611,7 @@ def q_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("raw_rate"),
         F.round(wilson, 6).alias("wilson_lower"),
     )
+    scored = bounded_window_input(scored, label="q_wilson_ctr event types")
     w_w = Window.orderBy(F.desc("wilson_lower"), "event_type")
     w_r = Window.orderBy(F.desc("raw_rate"), "event_type")
     return scored.select(
@@ -1690,6 +1693,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("arm") == "B").alias("cb"),
         )
     )
+    vc = bounded_window_input(vc, label="q_ks_test value domain")
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     cum = vc.select(
         F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
@@ -2000,7 +2004,9 @@ def bh_stepup(p: DataFrame, key: str, fdr_q: float) -> DataFrame:
     ``pval`` column: rank ascending (ties broken by ``key``), reject
     every rank up to the LARGEST i with p_i <= i·q/m — including
     non-monotone dips before it. Passenger columns ride through.
-    The window input is the m-row hypothesis table, never raw data."""
+    The window input is the m-row hypothesis table, never raw data
+    (row-bound-guarded)."""
+    p = bounded_window_input(p, label="bh_stepup hypothesis table")
     w = Window.orderBy("pval", key)
     ranked = p.select(
         "*",
@@ -2914,6 +2920,7 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     vc = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    vc = bounded_window_input(vc, label="q_effect_sizes value domain")
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     mid = vc.select(
         "v",
@@ -4389,6 +4396,7 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
     )
+    cells = bounded_window_input(cells, label="q_qini_uplift bins")
     uplift = F.col("y_t") / F.col("n_t") - F.col("y_c") / F.col("n_c")
     w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
     return cells.select(
@@ -4459,45 +4467,53 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break; shares are rationals of exact integer sums over the
     {LORENZ_BINS}-cell rollup, 6dp-rounded.
 
-    Scale: one per-user rollup; the global rank is the
-    `plans/ranking.py` two-phase pattern at 100 TB (the local window
-    here is its semantic spec); everything after is decile-bounded.
+    Scale: one per-user rollup; the global USER rank is the actual
+    `plans/ranking.py` two-phase distributed rank (range shuffle +
+    per-partition offsets — no single-task sort); population / value
+    totals are one 1-row aggregate collect; everything after is
+    decile-bounded, with the final cumulative window running over the
+    row-bound-guarded {LORENZ_BINS}-cell rollup.
     """
+    from mi_inbound_pulsar_spark.plans.ranking import (
+        attach_global_order_stats,
+        bounded_window_input,
+    )
+
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
     per_user = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
-    )
-    w_rank = Window.orderBy("cents", "user_id")
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "cents",
-        F.row_number().over(w_rank).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("cents").over(w_all).alias("tot"),
+    ).persist()
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
+    ).collect()[0]
+    n_total, cents_total = totals["n"] or 0, totals["tot"] or 0
+    ranked, _ = attach_global_order_stats(
+        per_user, [F.col("cents"), F.col("user_id")], rn_col="rk"
     )
     binned = ranked.select(
         F.least(
-            F.floor(float(LORENZ_BINS) * (F.col("rk") - 1) / F.col("n")).cast("long"),
+            F.floor(
+                float(LORENZ_BINS) * (F.col("rk") - 1) / F.lit(n_total)
+            ).cast("long"),
             F.lit(LORENZ_BINS - 1),
         ).alias("decile"),
         "cents",
-        "n",
-        "tot",
     )
     cells = binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").alias("cents"),
-        F.max("n").alias("n"),
-        F.max("tot").alias("tot"),
     )
+    cells = bounded_window_input(cells, label="q_lorenz_curve deciles")
     w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return cells.select(
         "decile",
         "n_users",
-        F.round(F.sum("n_users").over(w_cum) / F.col("n"), 6).alias("pop_share"),
-        F.round(F.sum("cents").over(w_cum) / F.col("tot"), 6).alias("value_share"),
+        F.round(F.sum("n_users").over(w_cum) / F.lit(n_total), 6).alias("pop_share"),
+        F.round(
+            F.sum("cents").over(w_cum) / F.lit(cents_total), 6
+        ).alias("value_share"),
     ).orderBy("decile")
 
 
@@ -4581,6 +4597,7 @@ def q_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
     )
+    vc = bounded_window_input(vc, label="q_wasserstein_distance value domain")
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     steps = vc.crossJoin(F.broadcast(tot)).select(
         "n_a",

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -1245,6 +1246,7 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("new_users", F.lit(0)).alias("new_users"),
         )
     )
+    joined = bounded_window_input(joined, label="q_cumulative_distinct day spine")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         joined.withColumn("cumulative_users", F.sum("new_users").over(w))

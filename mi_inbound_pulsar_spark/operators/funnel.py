@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
 #: reference/current boundary for the drift monitor.
@@ -901,6 +902,7 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    daily = bounded_window_input(daily, label="q_period_over_period day rollup")
     w = Window.orderBy("day")
     prev1, prev7 = F.lag("n", 1).over(w), F.lag("n", 7).over(w)
     return daily.select(
@@ -1027,6 +1029,7 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    km = bounded_window_input(km, label="q_survival_curve day spine")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     term = F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")
     # guarded KM product (matches the oracle): a total-death day zeroes
@@ -1842,6 +1845,7 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_at_risk") > 0)
     )
+    km = bounded_window_input(km, label="q_nelson_aalen day spine")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     term = F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")
     s = F.when(F.min(term).over(w) == 0, F.lit(0.0)).otherwise(

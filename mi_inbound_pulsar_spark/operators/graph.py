@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.operators.dedup import (
     jaccard_pairs,
     packed_pair_key,
@@ -1680,6 +1681,7 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("d") / 0.5))).alias("alpha"),
     )
     dc = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    dc = bounded_window_input(dc, label="q_degree_powerlaw_mle degree domain")
     w = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
     ccdf = dc.select("d", F.sum("c").over(w).alias("cum")).crossJoin(
         F.broadcast(mle)

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.functions.arrays import explode_computed
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
 #: tiny per-language marker lexicons for the heuristic scorer. On real
@@ -886,6 +887,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("term"))
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    freq = bounded_window_input(freq, label="q_zipf_slope vocabulary")
     ranked = freq.select(
         "f", F.row_number().over(Window.orderBy(F.desc("f"), "term")).alias("r")
     )
@@ -2515,7 +2517,10 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cum = Window.orderBy("bucket")
     cp = (
-        tpb.join(new_types, "bucket", "left")
+        bounded_window_input(
+            tpb.join(new_types, "bucket", "left"),
+            label="q_heaps_law checkpoint buckets",
+        )
         .select(
             "bucket",
             F.sum("n_tok").over(w_cum).alias("cum_tokens"),
@@ -2877,6 +2882,7 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     pw = freq.select("word", "c", F.pow("c", 0.75).alias("wt"))
+    pw = bounded_window_input(pw, label="q_negative_sampling_table vocabulary")
     tot = pw.agg(F.sum("wt").alias("z"))
     w = Window.orderBy(F.desc("c"), "word").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -3121,6 +3127,7 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = _ql_scored(d).groupBy("score").agg(
         F.sum("y").alias("np"), F.count(F.lit(1)).alias("c")
     )
+    vc = bounded_window_input(vc, label="q_auc_roc score domain")
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     ranked = vc.withColumn("cum_before", F.sum("c").over(w))
     s = ranked.agg(
@@ -3200,6 +3207,7 @@ def q_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nd"), F.sum("y").alias("np")
     )
     tot = per_bin.agg(F.sum("nd").alias("n"), F.sum("np").alias("p"))
+    per_bin = bounded_window_input(per_bin, label="q_gains_curve bins")
     w = Window.orderBy(F.desc("bin")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -3933,6 +3941,7 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.alias("w"),
         ((good - bad) * w).alias("ivc"),
     )
+    woe = bounded_window_input(woe, label="q_woe_iv bins")
     w_all = Window.partitionBy()
     return woe.select(
         "bin",

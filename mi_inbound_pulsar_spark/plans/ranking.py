@@ -111,6 +111,70 @@ def attach_global_order_stats(
     return out.drop(*drop), total
 
 
+# Default row bound for bounded_window_input: far above every rollup
+# that legitimately feeds a global window here (vocab caps, value
+# domains, day spines — all ≤ tens of thousands) and far below
+# anything corpus-scale.
+BOUNDED_WINDOW_MAX_ROWS = 1_000_000
+
+# Marker literal embedded in the guard's raise_error message. The
+# static plan audit (tools/plan_audit.py) looks for it INSIDE each
+# global-Window node's input subtree: a global window is tolerated iff
+# its input carries this runtime row-bound guard — the mechanical
+# replacement for the old per-query hand-written waiver list.
+BOUNDED_WINDOW_MARK = "__bounded_window_guard__"
+
+
+def bounded_window_input(
+    df: DataFrame,
+    max_rows: int = BOUNDED_WINDOW_MAX_ROWS,
+    label: str = "",
+    persist: bool = True,
+) -> DataFrame:
+    """Declare-and-ENFORCE that ``df`` is a bounded rollup about to
+    feed a *global* (unpartitioned) window.
+
+    Global windows funnel all rows through one task, so they are only
+    acceptable over provably small frames (a vocabulary cap, a value
+    domain, a date spine, a ``limit`` output — aggregate rollups, never
+    raw corpus rows). Instead of documenting that bound in a waiver
+    list, this wrapper enforces it at runtime: a one-row count guard is
+    broadcast-joined onto the frame and ``raise_error``'s (with
+    :data:`BOUNDED_WINDOW_MARK` in the message, which the plan audit
+    detects inside the window's subtree) if the frame ever exceeds
+    ``max_rows`` — on a 100 TB corpus a mis-scoped rollup fails loudly
+    instead of silently single-tasking.
+
+    The frame is persisted by default since the guard's count is a
+    second scan — the inputs are tiny by contract, and without the
+    persist the (possibly expensive) upstream pipeline would compute
+    twice. Results are unchanged: the guard filter is always-true and
+    adds no columns.
+    """
+    if persist:
+        df = df.persist()
+    guard = df.agg(F.count(F.lit(1)).alias("__bw_n")).select(
+        F.when(F.col("__bw_n") <= max_rows, F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{BOUNDED_WINDOW_MARK} {label or 'global-window input'}"
+                        f" exceeds {max_rows} rows: "
+                    ),
+                    F.col("__bw_n").cast("string"),
+                )
+            )
+        )
+        .alias("__bw_ok")
+    )
+    return (
+        df.crossJoin(F.broadcast(guard))
+        .filter(F.col("__bw_ok") == 1)
+        .drop("__bw_ok")
+    )
+
+
 def ntile_from_rn(rn: Column, total: int, n_tiles: int) -> Column:
     """Closed-form ``ntile(n_tiles)`` from an exact 1-based global row
     number: the first ``total % n_tiles`` tiles hold

@@ -94,3 +94,46 @@ def test_rewritten_queries_have_no_unpartitioned_window(spark, sf_dir):
                 # spec: "Window [exprs], [order]" (2 brackets, no
                 # partition list between them)
                 assert line.count("[") >= 3, f"global window in {q.__name__}: {line}"
+
+
+def test_bounded_window_input_passes_and_enforces(spark):
+    """The global-window row-bound guard: transparent (same rows, same
+    columns) under the bound, loud job failure with the audit marker
+    above it."""
+    import pytest
+
+    from mi_inbound_pulsar_spark.plans.ranking import (
+        BOUNDED_WINDOW_MARK,
+        bounded_window_input,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    ok = bounded_window_input(df, max_rows=10, persist=False)
+    assert ok.columns == ["v"]
+    assert sorted(r["v"] for r in ok.collect()) == list(range(10))
+
+    bad = bounded_window_input(df, max_rows=5, label="test", persist=False)
+    with pytest.raises(Exception) as exc:
+        bad.collect()
+    assert BOUNDED_WINDOW_MARK in str(exc.value)
+
+
+def test_bounded_window_guard_visible_to_plan_audit(spark):
+    """The marker must survive Catalyst optimization inside the window
+    node's subtree — otherwise the plan audit's mechanical waiver
+    silently stops working (column pruning would drop an unused
+    guard)."""
+    from pyspark.sql import Window
+
+    from mi_inbound_pulsar_spark.plans.ranking import (
+        BOUNDED_WINDOW_MARK,
+        bounded_window_input,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    guarded = bounded_window_input(df, persist=False)
+    out = guarded.withColumn(
+        "cum", F.sum("v").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert BOUNDED_WINDOW_MARK in opt

@@ -31,59 +31,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
-# name -> flags tolerated there (each with a bounded-input justification)
+# name -> flags tolerated there (each with a bounded-input justification).
+# Global windows are NOT waived by name anymore: a global window is
+# tolerated iff its input subtree carries the bounded_window_input()
+# runtime row-bound guard (plans/ranking.py) — checked mechanically in
+# audit_one, enforced with raise_error at runtime.
 WAIVERS = {
     "q_udf_surface": {"BatchEvalPython"},  # documented slow-tier demo
-    # Global windows over provably bounded inputs (round-3 verdict's
-    # accepted cases — the input is an aggregate, not raw rows):
-    "q_zipf_slope": {"GlobalWindow"},  # vocab-bounded (distinct tokens)
-    "q_period_over_period": {"GlobalWindow"},  # tiny daily rollup
-    "q_cumulative_distinct": {"GlobalWindow"},  # runs on the per-day rollup
-    "q_survival_curve": {"GlobalWindow"},  # KM product over the 14-day spine
-    "q_nelson_aalen": {"GlobalWindow"},  # same 14-day-spine running sums
     # documented slow-tier UDTF surface demo, fenced to doc_id < 200
     "q_udtf_strided_chunks": {"BatchEvalPython"},
-    # ranks assigned AFTER orderBy().limit(fusion depth) — the window
-    # input is <= 100 rows by construction (TakeOrderedAndProject
-    # upstream), not a corpus-wide sort
-    "q_hybrid_search_rrf": {"GlobalWindow"},
-    # same class: ranks assigned AFTER orderBy().limit(RBO_DEPTH) —
-    # both window inputs are <= 20 rows by construction
-    "q_rank_biased_overlap": {"GlobalWindow"},
-    # running sum over the per-DISTINCT-VALUE rollup (the value domain,
-    # not the event stream) — the q_zipf_slope vocab-bounded class
-    "q_mann_whitney": {"GlobalWindow"},
-    # same class: global midranks over the distinct-n_chars rollup
-    "q_effect_sizes": {"GlobalWindow"},
-    # same class: KS cumulative distributions over the distinct-value
-    # rollup; Wilson ranks over the |event_types|-row aggregate
-    "q_ks_test": {"GlobalWindow"},
-    "q_wilson_ctr": {"GlobalWindow"},
-    # BH step-up ranks the m-row p-value table (m = |event types|,
-    # an aggregate output) — the same aggregate-bounded class
-    "q_benjamini_hochberg": {"GlobalWindow"},
-    # running sums over the <=100-row checkpoint-bucket rollup
-    "q_heaps_law": {"GlobalWindow"},
-    # cumulative sampling boundary over the vocabulary rollup — the
-    # q_zipf_slope vocab-bounded class
-    "q_negative_sampling_table": {"GlobalWindow"},
-    # rank-sum over the per-DISTINCT-SCORE rollup (the q_mann_whitney
-    # value-domain class) / cumulative gains over the 10-bin rollup
-    "q_auc_roc": {"GlobalWindow"},
-    "q_gains_curve": {"GlobalWindow"},
-    # CCDF running sum over the distinct-DEGREE rollup — value-domain
-    "q_degree_powerlaw_mle": {"GlobalWindow"},
-    # iv_total over the <=10-bin contingency rollup — aggregate-bounded
-    "q_woe_iv": {"GlobalWindow"},
-    # cumulative uplift over the <=10-bin contingency — same class
-    "q_qini_uplift": {"GlobalWindow"},
-    # CDF steps over the distinct-cents rollup — the q_mann_whitney
-    # value-domain class
-    "q_wasserstein_distance": {"GlobalWindow"},
-    # global user rank: the plans/ranking.py two-phase pattern's
-    # semantic spec (docstring documents the 100 TB path); cumulative
-    # shares over the 10-decile rollup
-    "q_lorenz_curve": {"GlobalWindow"},
 }
 
 
@@ -99,13 +55,42 @@ def walk(node):
         yield from walk(node.children().apply(i))
 
 
+def _limit_below(node):
+    """True if descending from ``node`` through single-child operators
+    (Project/Filter/Sort/Window…) reaches a Limit: the window input is
+    ≤ k rows by construction. Stops at the first multi-child node —
+    a join of limited and unlimited sides must use the runtime guard."""
+    cur = node
+    while cur.children().size() == 1:
+        cur = cur.children().apply(0)
+        if "Limit" in cur.getClass().getSimpleName():
+            return True
+    return False
+
+
 def audit_one(name, df):
+    from mi_inbound_pulsar_spark.plans.ranking import BOUNDED_WINDOW_MARK
+
     qe = df._jdf.queryExecution()
     flags = []
     for n in walk(qe.optimizedPlan()):
         cls = n.getClass().getSimpleName()
         if cls == "Window" and n.partitionSpec().isEmpty():
-            flags.append("GlobalWindow")
+            # tolerated iff THIS window's input is mechanically
+            # bounded: (a) its subtree carries the
+            # bounded_window_input() runtime row-bound guard (the
+            # node's toString() is its treeString, so the marker in
+            # the guard's raise_error literal is visible exactly when
+            # the guard sits below the window), or (b) descending
+            # from the window through unary operators reaches a
+            # Limit — the input is ≤ k rows by construction
+            # (TakeOrderedAndProject rank lists).
+            if BOUNDED_WINDOW_MARK in n.toString():
+                flags.append("GlobalWindow(guarded)")
+            elif _limit_below(n):
+                flags.append("GlobalWindow(guarded)")
+            else:
+                flags.append("GlobalWindow")
     phys = qe.executedPlan()
     n_exchange = 0
     for n in walk(phys):
@@ -117,7 +102,13 @@ def audit_one(name, df):
         elif cls.endswith("ShuffleExchangeExec"):
             n_exchange += 1
     waived = WAIVERS.get(name, set())
-    live = sorted({f for f in flags if f.split("(")[0] not in waived})
+    live = sorted(
+        {
+            f
+            for f in flags
+            if f.split("(")[0] not in waived and not f.endswith("(guarded)")
+        }
+    )
     return {"exchanges": n_exchange, "flags": live, "waived": sorted(set(flags) - set(live))}
 
 
