@@ -348,3 +348,89 @@ def q_retry_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dlq.select("message_id", "redelivery_count").orderBy(
         F.col("message_id").cast("long")
     )
+
+
+@query(
+    "q_streaming_curation_replay",
+    oracle="""
+    -- closed form of the streaming curation contract: on doc_id-
+    -- ordered batches, the union of the committed per-epoch outputs
+    -- is row-identical to the single-shot batch pipeline (quality ->
+    -- exact dedup with min-doc_id keeper -> train split -> per-source
+    -- sequence packing), because the cross-batch hash index makes the
+    -- keeper the globally-first occurrence and the offsets snapshot
+    -- continues each source's token stream exactly where the previous
+    -- epoch stopped
+    WITH quality AS (
+      SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, any_value(source) AS source,
+             any_value(n_tokens) AS n_tokens
+      FROM quality GROUP BY md5(text)
+    ),
+    train AS (
+      SELECT doc_id, source, n_tokens FROM deduped
+      WHERE substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS stream_offset
+      FROM train
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(stream_offset AS BIGINT) AS stream_offset,
+           CAST(stream_offset // 512 AS BIGINT) AS pack_start
+    FROM packed ORDER BY source, doc_id
+    """,
+)
+def q_streaming_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 streaming-curation stretch as a driver-hashable
+    query (the ``q_retry_pipeline_audit`` recipe): replay the
+    documents table through :class:`StreamingCurationPipeline` as
+    THREE doc_id-ordered micro-batches — fresh state dirs, per-epoch
+    commit markers, cross-batch exact-dedup index and per-source
+    offset snapshots all exercised for real — then return the union
+    of the committed packed outputs.
+
+    The oracle is the single-shot batch twin
+    (``q_training_data_pipeline``'s SQL): on ordered input the
+    streaming decomposition must be row-identical, which is exactly
+    the exactly-once/batch-twin contract the pytest suite asserts
+    (tests/test_streaming_curation.py) — this query makes the same
+    contract hash-checkable by the external driver at every scale
+    factor.
+
+    Scale: each epoch's work is bounded by its batch (the dedup probe
+    is delta-vs-index, never index×index); state is parquet keyed by
+    hash/source, so a 1000-executor deployment shards it like any
+    other table.
+    """
+    import tempfile
+
+    from mi_inbound_pulsar_spark.streaming.curation import (
+        StreamingCurationPipeline,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pipe = StreamingCurationPipeline(
+        state_dir=tempfile.mkdtemp(prefix="curation_state_"),
+        out_dir=tempfile.mkdtemp(prefix="curation_out_"),
+        num_partitions=8,
+    )
+    hi = d.agg(F.max("doc_id")).first()[0] or 0
+    cuts = (hi // 3, 2 * hi // 3)
+    pipe(d.filter(F.col("doc_id") <= cuts[0]), 0)
+    pipe(
+        d.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])), 1
+    )
+    pipe(d.filter(F.col("doc_id") > cuts[1]), 2)
+    out = pipe.read_output(spark)
+    return out.select(
+        "doc_id", "source", "n_tokens", "stream_offset", "pack_start"
+    ).orderBy("source", "doc_id")
