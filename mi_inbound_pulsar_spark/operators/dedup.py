@@ -1482,10 +1482,12 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in original order.
 
     Scale: the segment explode is narrow (one codegen'd projection);
-    the only shuffles are the DF count (key = the segment string — at
-    production scale hash it to 8 bytes first, exactly like the
-    shingle index in :func:`q_ngram_jaccard_neardup`) and the
-    frequency join back. Reassembly is a per-doc sort of an in-memory
+    the only shuffles are the DF count and the frequency join back,
+    both keyed on xxhash64(segment) — 8-byte longs instead of ~50-byte
+    segment strings, exactly the shingle-index trick in
+    :func:`jaccard_pairs` (a 64-bit collision merges two segments'
+    DF counts at p ≈ n²/2⁶⁵ — the accepted trade everywhere else in
+    this module). Reassembly is a per-doc sort of an in-memory
     array (collect_list + array_sort), never a global sort. Per-doc
     decisions are row-local after the join, so the pipeline is
     growth-stable: adding documents only grows the DF table.
@@ -1498,12 +1500,13 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
     )
     e = d.select("doc_id", segs.alias("_segs")).select(
-        "doc_id", F.posexplode("_segs").alias("seg_idx", "segment")
-    )
-    freq = e.groupBy("segment").agg(F.count_distinct("doc_id").alias("df"))
+        "doc_id",
+        F.posexplode("_segs").alias("seg_idx", "segment"),
+    ).withColumn("seg_h", F.xxhash64("segment"))
+    freq = e.groupBy("seg_h").agg(F.count_distinct("doc_id").alias("df"))
     kept_cond = F.col("df") <= LINE_MAX_DF
     return (
-        e.join(freq, "segment")
+        e.join(freq, "seg_h")
         .groupBy("doc_id")
         .agg(
             F.sum(kept_cond.cast("long")).alias("kept_segments"),
