@@ -125,6 +125,16 @@ HEADLINE = [
     "q_pca_top_component",
     "q_changepoint_binary",
     "q_sequential_obrien_fleming",
+    # streaming-state replays / ported distributed rank / inferential
+    # additions (round 7)
+    "q_streaming_curation_replay",
+    "q_streaming_privacy_replay",
+    "q_lorenz_curve",
+    "q_local_clustering",
+    "q_degree_powerlaw_mle",
+    "q_wasserstein_distance",
+    "q_auc_roc",
+    "q_mmr_diversification",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
@@ -150,23 +160,45 @@ SHARED_SUBSET = frozenset(
 
 
 def prior_bench_times() -> dict[str, float]:
-    """Per-query times from the newest committed BENCH_r*.json — the
-    baseline for the regression gate. Empty dict if none exists."""
+    """Per-query times for the regression gate's baseline, merged
+    oldest→newest so the most recent measurement of each query wins:
+
+    - driver-committed ``BENCH_r*.json`` (the driver wraps our stdout:
+      the per-query map lives under ``parsed.queries``, and ``parsed``
+      is null when the JSON line outgrew the driver's 2000-char tail —
+      the round-6 case — so older rounds still contribute);
+    - ``BENCH_FULL.json``, the full per-query map this script commits
+      every run (read BEFORE this run overwrites it, i.e. it holds the
+      previous round's numbers).
+    """
     import re
 
     root = Path(__file__).resolve().parent
-    best: tuple[int, Path] | None = None
+    rounds: list[tuple[int, Path]] = []
     for p in root.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return {}
-    try:
-        data = json.loads(best[1].read_text())
-        return {k: float(v) for k, v in data.get("queries", {}).items()}
-    except (OSError, ValueError):
-        return {}
+        if m:
+            rounds.append((int(m.group(1)), p))
+    merged: dict[str, float] = {}
+    for _, p in sorted(rounds):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        parsed = data.get("parsed") or data  # driver wrapper or raw line
+        merged.update(
+            (k, float(v)) for k, v in (parsed.get("queries") or {}).items()
+        )
+    full = root / "BENCH_FULL.json"
+    if full.exists():
+        try:
+            data = json.loads(full.read_text())
+            merged.update(
+                (k, float(v)) for k, v in data.get("queries", {}).items()
+            )
+        except (OSError, ValueError):
+            pass
+    return merged
 
 
 def _streaming_throughput(spark, sf_dir: str) -> float:
@@ -262,13 +294,32 @@ def main() -> int:
         for q, t in times.items()
         if q in prior and t > max(1.3 * prior[q], prior[q] + 0.3)
     )
+    # Full per-query map committed to the repo (the JSON line below
+    # must fit the driver's 2000-char tail — 82+ queries no longer do,
+    # which is exactly how round 6's line ended up with parsed=null in
+    # BENCH_r06.json).
+    Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
+        json.dumps(
+            {"sf": sf, "value": total, "queries": times, "regressions": regressions},
+            indent=1,
+            sort_keys=True,
+        )
+        + "\n"
+    )
+    top = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:40]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "n_queries": len(times),
+                # the 40 most expensive queries this run; the full
+                # per-query map is committed as BENCH_FULL.json
+                "queries": top,
+                "queries_full": "BENCH_FULL.json",
                 "regressions": regressions,
                 "streaming_rows_per_sec": streaming_rps,
                 "sf": sf,
@@ -278,7 +329,8 @@ def main() -> int:
                     sum(t for q, t in times.items() if q in SHARED_SUBSET), 3
                 ),
                 "shared_subset_n": sum(1 for q in times if q in SHARED_SUBSET),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0

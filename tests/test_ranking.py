@@ -108,11 +108,11 @@ def test_bounded_window_input_passes_and_enforces(spark):
     )
 
     df = spark.range(10).withColumnRenamed("id", "v")
-    ok = bounded_window_input(df, max_rows=10, persist=False)
+    ok = bounded_window_input(df, max_rows=10)
     assert ok.columns == ["v"]
     assert sorted(r["v"] for r in ok.collect()) == list(range(10))
 
-    bad = bounded_window_input(df, max_rows=5, label="test", persist=False)
+    bad = bounded_window_input(df, max_rows=5, label="test")
     with pytest.raises(Exception) as exc:
         bad.collect()
     assert BOUNDED_WINDOW_MARK in str(exc.value)
@@ -131,7 +131,7 @@ def test_bounded_window_guard_visible_to_plan_audit(spark):
     )
 
     df = spark.range(10).withColumnRenamed("id", "v")
-    guarded = bounded_window_input(df, persist=False)
+    guarded = bounded_window_input(df)
     out = guarded.withColumn(
         "cum", F.sum("v").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
     )
