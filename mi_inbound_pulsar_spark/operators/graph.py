@@ -1253,17 +1253,20 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one count against the eager checkpoint (already materialized —
     # a narrow scan, not a recompute) gates every round's join shape
     small_state = labels.count() <= LPA_BROADCAST_MAX_NODES
-    w = Window.partitionBy("n").orderBy(F.desc("c"), "lab")
     for _ in range(LPA_ROUNDS):
         lab_side = labels.selectExpr("n AS m", "lab")
         nbr = und.join(
             F.broadcast(lab_side) if small_state else lab_side, "m"
         )
         counts = nbr.groupBy("n", "lab").agg(F.count(F.lit(1)).alias("c"))
+        # per-node argmax as a hash aggregate, not a window: min_by on
+        # the (-count, label) struct is the same (count DESC, label
+        # ASC) tie-break with no per-partition sort
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("n", "lab")
+            counts.groupBy("n")
+            .agg(
+                F.min_by("lab", F.struct(-F.col("c"), F.col("lab"))).alias("lab")
+            )
             .localCheckpoint(eager=True)
         )
     return (

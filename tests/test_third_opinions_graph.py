@@ -175,7 +175,8 @@ def test_hits_matches_pure_python_integer_ppm(spark, sf_dir):
         (r["node"], r["authority_ppm"])
         for r in q_hits_scores(spark, sf_dir).collect()
     ]
-    assert got == want and len(want) == 25
+    # sf0.001 has only 10 suppliers — the top-25 limit is not binding
+    assert got == want and len(want) == min(25, len(auth))
 
 
 def test_bfs_distances_matches_pure_python(spark, sf_dir):
