@@ -4719,3 +4719,130 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_b", 6).alias("q_b"),
         F.round(F.col("q_b") - F.col("q_a"), 6).alias("qte"),
     ).orderBy("tau")
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (Li, Li & Venkatasubramanian 2007)
+# --------------------------------------------------------------------------
+T_CLOSE_THRESHOLD = 0.25
+
+
+@query(
+    "q_t_closeness",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000 AS band
+      FROM customer
+    ),
+    bands AS (SELECT DISTINCT band FROM c),
+    nb AS (SELECT count(*) AS n_bands FROM bands),
+    gdist AS (
+      SELECT band, count(*) * 1.0 / (SELECT count(*) FROM c) AS p_g
+      FROM c GROUP BY band
+    ),
+    classes AS (
+      SELECT nat, seg, count(*) AS class_size FROM c GROUP BY nat, seg
+    ),
+    cls AS (
+      SELECT nat, seg, band, count(*) AS n FROM c GROUP BY nat, seg, band
+    ),
+    grid AS (
+      SELECT k.nat, k.seg, k.class_size, b.band,
+             COALESCE(x.n, 0) * 1.0 / k.class_size - g.p_g AS diff
+      FROM classes k
+        CROSS JOIN bands b
+        JOIN gdist g ON g.band = b.band
+        LEFT JOIN cls x ON x.nat = k.nat AND x.seg = k.seg
+                        AND x.band = b.band
+    ),
+    cum AS (
+      SELECT nat, seg, class_size,
+             sum(diff) OVER (PARTITION BY nat, seg ORDER BY band
+                             ROWS UNBOUNDED PRECEDING) AS cum_diff
+      FROM grid
+    )
+    SELECT nat, seg, CAST(class_size AS BIGINT) AS class_size,
+           round(sum(abs(cum_diff)) / (nb.n_bands - 1), 6) AS t_emd,
+           round(sum(abs(cum_diff)) / (nb.n_bands - 1), 6)
+             <= {T_CLOSE_THRESHOLD} AS t_close
+    FROM cum, nb
+    GROUP BY nat, seg, class_size, nb.n_bands
+    ORDER BY nat, seg
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the release-privacy ladder after ``q_k_anonymity``
+    and ``q_l_diversity``: for every quasi-identifier class (nation,
+    segment), the Earth Mover's Distance between the class's
+    distribution over the ORDERED sensitive attribute (account-balance
+    band, the ``q_streaming_privacy_replay`` banding) and the global
+    distribution. For ordered categories with unit ground distance the
+    EMD closed form is sum(|cumulative difference|)/(bands−1), so a
+    class passes when its balance mix is within t={T_CLOSE_THRESHOLD}
+    of the corpus — the check that catches a class that is k-anonymous
+    and l-diverse yet still leaks ("everyone in this class is broke").
+
+    The band domain is completed per class by a (classes × bands)
+    cross join of two rollups before the cumulative window, so absent
+    bands contribute p=0 identically on both engines; the pass flag
+    compares the 6dp-ROUNDED statistic.
+
+    Scale: every frame is bounded by the QI domain × band domain
+    (both rollups by definition tiny); raw customers collapse in the
+    first aggregates and never reappear.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.round(F.col("c_acctbal") * 100, 0).cast("long") / F.lit(100000)
+        )
+        .cast("long")
+        .alias("band"),
+    )
+    bands = c.select("band").distinct()
+    nb = bands.agg(F.count(F.lit(1)).alias("n_bands"))
+    total = c.count()
+    glob = c.groupBy("band").agg(
+        (F.count(F.lit(1)) / F.lit(total)).alias("p_g")
+    )
+    classes = c.groupBy("nat", "seg").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    cls = c.groupBy("nat", "seg", "band").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(F.broadcast(glob), "band")
+        .join(F.broadcast(cls), ["nat", "seg", "band"], "left")
+        .select(
+            "nat",
+            "seg",
+            "class_size",
+            "band",
+            (
+                F.coalesce("n", F.lit(0)) / F.col("class_size") - F.col("p_g")
+            ).alias("diff"),
+        )
+    )
+    w = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "nat", "seg", "class_size", F.sum("diff").over(w).alias("cum_diff")
+    )
+    t_emd = F.round(
+        F.sum(F.abs("cum_diff")) / (F.first("n_bands") - 1), 6
+    )
+    return (
+        cum.crossJoin(F.broadcast(nb))
+        .groupBy("nat", "seg", "class_size")
+        .agg(
+            t_emd.alias("t_emd"),
+            (t_emd <= T_CLOSE_THRESHOLD).alias("t_close"),
+        )
+        .orderBy("nat", "seg")
+    )

@@ -1311,3 +1311,305 @@ def q_session_gap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("gap_us") > 900 * 1000000) / F.count(F.lit(1)), 6
         ).alias("break_rate_15m"),
     )
+
+
+# --------------------------------------------------------------------------
+# STL-style seasonal-trend decomposition (Cleveland et al. 1990, one pass)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, n,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN avg(n) OVER w7 END AS trend,
+             (day - DATE '1970-01-01') % 7 AS dow
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+      SELECT event_type, dow, avg(n - trend) AS s_raw
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2
+    ),
+    seas_c AS (
+      SELECT event_type, dow,
+             s_raw - avg(s_raw) OVER (PARTITION BY event_type) AS seasonal
+      FROM seas
+    )
+    SELECT t.event_type, t.day, CAST(t.n AS BIGINT) AS n,
+           round(t.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(t.n - t.trend - s.seasonal, 6) + 0.0 AS residual
+    FROM tr t JOIN seas_c s USING (event_type, dow)
+    ORDER BY t.event_type, t.day
+    """,
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass seasonal-trend decomposition of the per-type daily
+    event-count series (the additive skeleton of STL, Cleveland et
+    al. 1990): trend = centered 7-row moving average (NULL at the
+    edges where the frame is short), seasonal = the per-day-of-week
+    mean of the detrended series re-centered to sum to zero, residual
+    = the remainder. Day-of-week is the portable ``epoch_days % 7``
+    so both engines bucket identically. The rollup a forecasting
+    pipeline runs before fitting anything: how much of the signal is
+    calendar, how much is drift, how much is noise.
+
+    Hash-exactness: the moving average is a fixed 7-row frame in a
+    deterministic (day) order; the seasonal means aggregate <= ~13
+    doubles — all rounded 6dp, with the ``q_cusum_drift`` +0.0
+    negative-zero fold on the fully-cancelling residual.
+
+    Scale: events collapse to the (type, day) rollup first; every
+    window partitions by event_type over day-domain-bounded rows
+    (never raw events), and the 7-row seasonal profile broadcasts
+    back onto the rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.avg("n").over(w7)
+        ).alias("trend"),
+        (
+            F.datediff("day", F.to_date(F.lit("1970-01-01"))) % 7
+        ).alias("dow"),
+    )
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(F.avg(F.col("n") - F.col("trend")).alias("s_raw"))
+    )
+    w_type = Window.partitionBy("event_type")
+    seas_c = seas.select(
+        "event_type",
+        "dow",
+        (F.col("s_raw") - F.avg("s_raw").over(w_type)).alias("seasonal"),
+    )
+    return (
+        tr.join(F.broadcast(seas_c), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            (
+                F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6)
+                + F.lit(0.0)
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley sequential drift test (Page 1954, Hinkley 1971)
+# --------------------------------------------------------------------------
+PH_DELTA = 0.005
+PH_LAMBDA = 1.0
+
+
+@query(
+    "q_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS mu_day
+      FROM events GROUP BY 1, 2
+    ),
+    dev AS (
+      SELECT event_type, day, mu_day,
+             mu_day - avg(mu_day) OVER wc - {PH_DELTA} AS dev
+      FROM daily
+      WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING)
+    ),
+    m AS (
+      SELECT event_type, day, mu_day,
+             sum(dev) OVER wc AS m
+      FROM dev
+      WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, day, round(mu_day, 6) AS mu_day,
+           round(m - min(m) OVER wc, 6) + 0.0 AS ph,
+           round(m - min(m) OVER wc, 6) > {PH_LAMBDA} AS alarm
+    FROM m
+    WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING)
+    ORDER BY event_type, day
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential mean-shift test per event type over the
+    daily mean-value series: m_t = cumulative sum of (x_t − mean-so-
+    far − delta), PH_t = m_t − min(m) so far, alarm when PH exceeds
+    lambda — the one-sided sequential change detector ML monitoring
+    stacks run where CUSUM (``q_cusum_drift``) needs the whole series
+    to center. Three STACKED cumulative windows (expanding mean →
+    cumulative deviation → running minimum) share one partition/order,
+    so Spark plans a single Exchange+Sort with chained Window nodes.
+
+    Hash-exactness: every window is a sequential left-to-right fold in
+    (day) order on both engines; the alarm compares the 6dp-ROUNDED
+    statistic so a knife-edge float cannot flip the boolean on one
+    side only; +0.0 folds the fully-cancelled −0.0.
+
+    Scale: all windows run on the (type, day) rollup, partitioned by
+    event_type — never a global window, never raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("mu_day")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = daily.select(
+        "event_type",
+        "day",
+        "mu_day",
+        (F.col("mu_day") - F.avg("mu_day").over(wc) - PH_DELTA).alias("dev"),
+    )
+    m = dev.select(
+        "event_type", "day", "mu_day", F.sum("dev").over(wc).alias("m")
+    )
+    ph = F.round(F.col("m") - F.min("m").over(wc), 6)
+    return m.select(
+        "event_type",
+        "day",
+        F.round("mu_day", 6).alias("mu_day"),
+        (ph + F.lit(0.0)).alias("ph"),
+        (ph > PH_LAMBDA).alias("alarm"),
+    ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# UCB1 bandit-policy trajectory (Auer et al. 2002)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ucb1_bandit",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+             count(*) AS n_d, sum(value) AS s_d
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT a.arm, d.day
+      FROM (SELECT DISTINCT arm FROM daily) a,
+           (SELECT DISTINCT day FROM daily) d
+    ),
+    cum AS (
+      SELECT g.arm, g.day,
+             sum(COALESCE(d.n_d, 0)) OVER wa AS cum_n,
+             sum(COALESCE(d.s_d, 0)) OVER wa AS cum_s
+      FROM grid g LEFT JOIN daily d USING (arm, day)
+      WINDOW wa AS (PARTITION BY g.arm ORDER BY g.day
+                    ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+      SELECT arm, day, cum_n,
+             CASE WHEN cum_n > 0 THEN round(cum_s / cum_n, 6) END
+               AS mean_reward,
+             CASE WHEN cum_n > 0 THEN
+               round(cum_s / cum_n
+                     + sqrt(2 * ln(sum(cum_n) OVER (PARTITION BY day))
+                            / cum_n), 6)
+             END AS ucb
+      FROM cum
+    )
+    SELECT arm, day, CAST(cum_n AS BIGINT) AS cum_n, mean_reward, ucb,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY ucb DESC NULLS LAST, arm) = 1
+             AS chosen
+    FROM scored
+    ORDER BY day, arm
+    """,
+)
+def q_ucb1_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 policy replay (Auer et al. 2002) over the event stream:
+    treating each event_type as an arm and ``value`` as its reward,
+    emit for every (day, arm) the cumulative play count, mean reward,
+    and the UCB1 index mean + sqrt(2·ln N / n) computed from the
+    cumulative statistics THROUGH that day (N = total plays across
+    arms), plus which arm the policy would pull next. The offline
+    policy-evaluation rollup an experimentation platform renders as
+    its bandit dashboard.
+
+    The (arm × day) grid is completed by a cross join of the two
+    DISTINCT rollups before the cumulative windows, so an arm silent
+    on a day still carries its statistics forward — identical
+    gap-filling on both engines. Selection ranks the 6dp-rounded
+    index (ties → arm name; never-played arms rank last, mirroring
+    both engines' NULLS LAST).
+
+    Scale: everything runs on the (arms × days) grid — both domains
+    are rollup-bounded (5 × ~90 here), never raw events; the per-day
+    total-N window partitions by day over |arms| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("arm"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_d"), F.sum("value").alias("s_d"))
+    grid = (
+        daily.select("arm")
+        .distinct()
+        .crossJoin(daily.select("day").distinct())
+    )
+    wa = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.join(daily, ["arm", "day"], "left").select(
+        "arm",
+        "day",
+        F.sum(F.coalesce("n_d", F.lit(0))).over(wa).alias("cum_n"),
+        F.sum(F.coalesce("s_d", F.lit(0.0))).over(wa).alias("cum_s"),
+    )
+    n_day = F.sum("cum_n").over(Window.partitionBy("day"))
+    scored = cum.select(
+        "arm",
+        "day",
+        "cum_n",
+        F.when(
+            F.col("cum_n") > 0, F.round(F.col("cum_s") / F.col("cum_n"), 6)
+        ).alias("mean_reward"),
+        F.when(
+            F.col("cum_n") > 0,
+            F.round(
+                F.col("cum_s") / F.col("cum_n")
+                + F.sqrt(2 * F.log(n_day) / F.col("cum_n")),
+                6,
+            ),
+        ).alias("ucb"),
+    )
+    w_pick = Window.partitionBy("day").orderBy(
+        F.col("ucb").desc_nulls_last(), "arm"
+    )
+    return scored.select(
+        "arm",
+        "day",
+        "cum_n",
+        "mean_reward",
+        "ucb",
+        (F.row_number().over(w_pick) == 1).alias("chosen"),
+    ).orderBy("day", "arm")

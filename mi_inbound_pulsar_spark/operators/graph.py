@@ -1706,3 +1706,120 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ks_d", 6).alias("ks_distance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Katz centrality (Katz 1953) — truncated attenuated-path fixpoint
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_katz_centrality",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM cs
+      UNION
+      SELECT supp AS src, cust AS dst FROM cs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes),
+    s1 AS (
+      SELECT e.dst AS node, sum(x0.x) AS inflow
+      FROM edges e JOIN x0 ON e.src = x0.node GROUP BY e.dst
+    ),
+    x1 AS (
+      SELECT n.node,
+             1000000 + (200000 * COALESCE(s1.inflow, 0)) // 1000000 AS x
+      FROM nodes n LEFT JOIN s1 USING (node)
+    ),
+    s2 AS (
+      SELECT e.dst AS node, sum(x1.x) AS inflow
+      FROM edges e JOIN x1 ON e.src = x1.node GROUP BY e.dst
+    ),
+    x2 AS (
+      SELECT n.node,
+             1000000 + (200000 * COALESCE(s2.inflow, 0)) // 1000000 AS x
+      FROM nodes n LEFT JOIN s2 USING (node)
+    ),
+    s3 AS (
+      SELECT e.dst AS node, sum(x2.x) AS inflow
+      FROM edges e JOIN x2 ON e.src = x2.node GROUP BY e.dst
+    ),
+    x3 AS (
+      SELECT n.node,
+             1000000 + (200000 * COALESCE(s3.inflow, 0)) // 1000000 AS x
+      FROM nodes n LEFT JOIN s3 USING (node)
+    )
+    SELECT node, CAST(x AS BIGINT) AS katz_ppm
+    FROM x3
+    ORDER BY katz_ppm DESC, node
+    LIMIT 25
+    """,
+)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (Katz 1953), truncated at 3 attenuated-path
+    hops with alpha=0.2 and beta=1, over the customer↔supplier
+    purchase graph: x ← beta + alpha·Aᵀx. Unlike PageRank
+    (``q_pagerank_purchases``) the inflow is NOT degree-normalized, so
+    a hub's influence scales with how many walks reach it, not how it
+    splits its own mass — the centrality retrieval stacks use for
+    "well-connected to well-connected" expansion.
+
+    Hash-exactness: the same parts-per-million integer arithmetic as
+    the PageRank fixpoint (x·1e6, `(200000·Σ) DIV 1e6` per round) —
+    both engines hit the bit-identical truncated fixpoint; float Katz
+    would drift with summation order. Magnitude is bounded by
+    (alpha·d̄)³·1e6 — int64 has nine orders of headroom over the
+    tested graphs; a 100 TB deployment with million-degree hubs re-scales
+    beta down before the loop.
+
+    Plan per iteration: rank-vector join onto the persisted edge list
+    + one dst aggregate + one left join to nodes — identical
+    synchronous-iteration shape (3 shuffle rounds) as PageRank, so the
+    same scale story holds.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1000000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    x = nodes.select("node", F.lit(1000000).cast("long").alias("x"))
+    for _ in range(3):
+        inflow = (
+            edges.join(x.withColumnsRenamed({"node": "src"}), "src")
+            .groupBy("dst")
+            .agg(F.sum("x").alias("inflow"))
+            .withColumnsRenamed({"dst": "node"})
+        )
+        x = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(1000000)
+                + F.expr("200000 * coalesce(inflow, 0) DIV 1000000")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    return (
+        x.select("node", F.col("x").alias("katz_ppm"))
+        .orderBy(F.desc("katz_ppm"), "node")
+        .limit(25)
+    )
