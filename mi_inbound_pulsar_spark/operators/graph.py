@@ -1823,3 +1823,150 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz_ppm"), "node")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank (Jeh & Widom 2003) — seed-restart fixpoint
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_personalized_pagerank",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM cs
+      UNION
+      SELECT supp AS src, cust AS dst FROM cs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    seeds AS (
+      SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 1
+    ),
+    ns AS (
+      SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+      FROM nodes n LEFT JOIN seeds s USING (node)
+    ),
+    x0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS x FROM ns),
+    s1 AS (
+      SELECT e.dst AS node, sum(x0.x // o.d) AS inflow
+      FROM edges e JOIN x0 ON e.src = x0.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    x1 AS (
+      SELECT ns.node,
+             150000 * ns.is_seed
+               + (850000 * COALESCE(s1.inflow, 0)) // 1000000 AS x
+      FROM ns LEFT JOIN s1 USING (node)
+    ),
+    s2 AS (
+      SELECT e.dst AS node, sum(x1.x // o.d) AS inflow
+      FROM edges e JOIN x1 ON e.src = x1.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    x2 AS (
+      SELECT ns.node,
+             150000 * ns.is_seed
+               + (850000 * COALESCE(s2.inflow, 0)) // 1000000 AS x
+      FROM ns LEFT JOIN s2 USING (node)
+    ),
+    s3 AS (
+      SELECT e.dst AS node, sum(x2.x // o.d) AS inflow
+      FROM edges e JOIN x2 ON e.src = x2.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    x3 AS (
+      SELECT ns.node,
+             150000 * ns.is_seed
+               + (850000 * COALESCE(s3.inflow, 0)) // 1000000 AS x
+      FROM ns LEFT JOIN s3 USING (node)
+    )
+    SELECT node, CAST(x AS BIGINT) AS ppr_ppm
+    FROM x3 WHERE x > 0
+    ORDER BY ppr_ppm DESC, node
+    LIMIT 25
+    """,
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom 2003) with the restart mass
+    pinned to a seed set — nation-1 customers — over the
+    customer↔supplier purchase graph: x ← 0.15·s + 0.85·Aᵀ(x/d),
+    3 synchronous iterations. Where global PageRank
+    (``q_pagerank_purchases``) answers "important overall", PPR
+    answers "important *to these seeds*" — the similar-item /
+    audience-expansion primitive recommender retrieval uses.
+
+    Hash-exactness: the shared parts-per-million integer fixpoint
+    (`x DIV d`, `(850000·Σ) DIV 1e6` per round, restart `150000·s`) —
+    bit-identical on both engines where float PPR would drift with
+    summation order.
+
+    Plan: the seed indicator is joined onto the node set ONCE
+    (plain hash join — node-scale state is never force-broadcast,
+    the q_label_propagation size-adaptive lesson) and persisted;
+    each iteration is the same rank-join + dst-aggregate +
+    node-join shape as PageRank — 3 shuffle rounds over
+    co-partitioned node-keyed frames.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1000000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    contrib_src = edges.join(outdeg, "src")
+    seeds = cust.filter(F.col("c_nationkey") == 1).select(
+        F.col("c_custkey").alias("node"), F.lit(1).alias("flag")
+    )
+    ns = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .join(seeds, "node", "left")
+        .select("node", F.coalesce("flag", F.lit(0)).alias("is_seed"))
+        .persist()
+    )
+    x = ns.select(
+        "node", (F.col("is_seed") * 1000000).cast("long").alias("x")
+    )
+    for _ in range(3):
+        inflow = (
+            contrib_src.join(x.withColumnsRenamed({"node": "src"}), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("x DIV d")).alias("inflow"))
+            .withColumnsRenamed({"dst": "node"})
+        )
+        x = ns.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(150000) * F.col("is_seed")
+                + F.expr("850000 * coalesce(inflow, 0) DIV 1000000")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    return (
+        x.filter(F.col("x") > 0)
+        .select("node", F.col("x").alias("ppr_ppm"))
+        .orderBy(F.desc("ppr_ppm"), "node")
+        .limit(25)
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.operators.text import TOKEN_REGEX
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
 
@@ -1476,4 +1477,120 @@ def q_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lap, 6).alias("laplace_noise"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, one MW step)
+# --------------------------------------------------------------------------
+DOREMI_ETA = 0.5  # multiplicative-weights step size
+DOREMI_EPS = 0.01  # uniform smoothing of the final mixture
+
+
+@query(
+    "q_doremi_reweight",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, strlen(text) AS nb,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS nt
+      FROM documents
+    ),
+    dom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nb) AS BIGINT) AS bsum,
+             CAST(sum(nt) AS BIGINT) AS tsum
+      FROM per GROUP BY source
+    ),
+    corpus AS (
+      SELECT sum(nb) * 1.0 / sum(nt) AS proxy_c FROM per
+    ),
+    ex AS (
+      SELECT source, n_docs, bsum * 1.0 / tsum AS proxy_d,
+             greatest(round(bsum * 1.0 / tsum - proxy_c, 9), 0.0) AS excess
+      FROM dom, corpus
+    ),
+    wr AS (
+      SELECT *, exp({DOREMI_ETA} * excess) AS w_raw FROM ex
+    ),
+    z AS (
+      SELECT sum(w_raw) AS z, count(*) AS k FROM wr
+    )
+    SELECT source, n_docs,
+           round(proxy_d, 6) AS bytes_per_token,
+           round(excess, 6) AS excess_loss,
+           round(w_raw / z, 6) AS domain_weight,
+           round((1 - {DOREMI_EPS}) * (w_raw / z) + {DOREMI_EPS} / k, 6)
+             AS mixture_weight
+    FROM wr, z
+    ORDER BY source
+    """,
+)
+def q_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi multiplicative-weights step (Xie et al. 2023,
+    "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): per-source domain weights αᵈ ∝ exp(η·excess_lossᵈ),
+    smoothed with a uniform ε-mixture — the domain-reweighting
+    recipe production pre-training mixtures are tuned with. The
+    excess-loss proxy is each domain's bytes-per-token above the
+    corpus mean (clipped at 0, DoReMi's λ⁺): byte-dense domains are
+    "harder" for the tokenizer-budgeted reference model, standing in
+    for the per-domain excess log-loss a real proxy-model run
+    produces. Swapping in measured losses is a one-column change.
+
+    Hash-exactness: the proxies are ratios of exact integer sums; the
+    excess is rounded to 9dp BEFORE exp so both engines exponentiate
+    the identical double (η=0.5 is a power of two, so the product is
+    exact); the softmax denominator is a sum over the domain set (≤
+    dozens), keeping any summation-order ulp far under the 6dp output
+    rounding.
+
+    Scale: corpus collapses to the source-domain rollup (tiny) in one
+    pass; everything after is arithmetic over ≤|domains| rows. The
+    100 TB form is identical — DoReMi's state is by construction
+    domain-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.octet_length("text").alias("nb"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+        ).alias("nt"),
+    )
+    dom = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("bsum"),
+        F.sum("nt").alias("tsum"),
+    )
+    corpus = per.agg(
+        (F.sum("nb") * F.lit(1.0) / F.sum("nt")).alias("proxy_c")
+    )
+    proxy_d = F.col("bsum") * F.lit(1.0) / F.col("tsum")
+    ex = dom.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        proxy_d.alias("proxy_d"),
+        F.greatest(
+            F.round(proxy_d - F.col("proxy_c"), 9), F.lit(0.0)
+        ).alias("excess"),
+    )
+    wr = ex.select(
+        "*", F.exp(F.lit(DOREMI_ETA) * F.col("excess")).alias("w_raw")
+    )
+    z = wr.agg(F.sum("w_raw").alias("z"), F.count(F.lit(1)).alias("k"))
+    weight = F.col("w_raw") / F.col("z")
+    return (
+        wr.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round("proxy_d", 6).alias("bytes_per_token"),
+            F.round("excess", 6).alias("excess_loss"),
+            F.round(weight, 6).alias("domain_weight"),
+            F.round(
+                F.lit(1 - DOREMI_EPS) * weight + F.lit(DOREMI_EPS) / F.col("k"),
+                6,
+            ).alias("mixture_weight"),
+        )
+        .orderBy("source")
     )

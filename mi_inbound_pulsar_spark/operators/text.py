@@ -4416,3 +4416,249 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("reliability") - F.col("resolution") + F.col("uncertainty"), 6
         ).alias("decomposed_brier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility / compression (per-language tokenizer economics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) * 1.0
+                 / sum(len(string_split(text, ' '))), 6) AS fertility,
+           round(sum(strlen(text)) * 1.0
+                 / sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))), 6)
+             AS bytes_per_token,
+           round(sum(len(list_filter(regexp_extract_all(text, '{TOKEN_REGEX}'),
+                                     x -> regexp_matches(x, '^[A-Za-z]+$'))))
+                 * 1.0
+                 / sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))), 6)
+             AS alpha_share
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer economics under the BPE-ish
+    pre-tokenizer (``TOKEN_REGEX``): **fertility** (subword tokens per
+    whitespace word — the standard "how much does this tokenizer
+    fragment language X" statistic), **bytes per token** (the
+    compression rate that converts a byte budget into a token budget),
+    and the alpha-token share. These three numbers are what a
+    multilingual pre-training run uses to translate per-language byte
+    counts into per-language token counts and to spot languages the
+    tokenizer punishes.
+
+    Hash-exactness: all four aggregates are sums of per-row INTEGER
+    counts (token counts, ``octet_length``), so both engines divide
+    the identical exact integers; outputs are 6dp-rounded.
+
+    Scale: row-local token counting on the scan, then one aggregate
+    keyed by the language domain (tiny) — no explode, no per-token
+    shuffle; the whole corpus collapses in the first exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    base = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("nw"),
+        F.size(toks).alias("nt"),
+        F.octet_length("text").alias("nb"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))).alias("na"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("nt") / F.sum("nw"), 6).alias("fertility"),
+            F.round(F.sum("nb") / F.sum("nt"), 6).alias("bytes_per_token"),
+            F.round(F.sum("na") / F.sum("nt"), 6).alias("alpha_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (Church & Gale 1995 variance-to-mean ratio)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_term_burstiness",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    st AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+      FROM tc GROUP BY tok
+    )
+    SELECT tok, df, total,
+           round((sumsq * 1.0 / n_docs
+                  - (total * 1.0 / n_docs) * (total * 1.0 / n_docs))
+                 / (total * 1.0 / n_docs), 6) AS burstiness
+    FROM st, n
+    ORDER BY total DESC, tok
+    LIMIT 20
+    """,
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): the variance-to-mean
+    ratio of a term's per-document count over ALL documents (absent
+    docs counting as 0). Content words are *bursty* — they recur
+    within the documents that mention them (VMR ≫ 1) — while function
+    words scatter Poisson-like (VMR ≈ 1); the ratio is the classic
+    content-word detector that a frequency cut can't express, and a
+    quality signal for spotting keyword-stuffed documents. Top-20
+    terms by corpus frequency with df/total/burstiness exposed.
+
+    Hash-exactness: zeros never materialize — E[X] and E[X²] over all
+    N docs derive from Σcnt and Σcnt² over PRESENT (doc, term) rows
+    plus the scalar N, all exact integers; the VMR is one
+    deterministic double expression (products and divisions only, no
+    pow), 6dp-rounded; ordering is integer-count then term.
+
+    Scale: explode → (doc, term) count → term-keyed aggregate, all
+    bounded by occurrences then vocabulary; top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok_col, keep = explode_computed(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0), "tok"
+    )
+    tc = (
+        d.select("doc_id", tok_col)
+        .filter(keep)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = tc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    nd = F.col("n_docs")
+    mu = F.col("total") * F.lit(1.0) / nd
+    vmr = (F.col("sumsq") * F.lit(1.0) / nd - mu * mu) / mu
+    return (
+        st.crossJoin(F.broadcast(n_docs))
+        .select("tok", "df", "total", F.round(vmr, 6).alias("burstiness"))
+        .orderBy(F.desc("total"), "tok")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Self-BLEU-2 corpus diversity (Zhu et al. 2018, Texygen)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_self_bleu",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+      FROM docs, unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    tc AS (SELECT doc_id, bg, count(*) AS cnt FROM bi GROUP BY 1, 2),
+    m1 AS (SELECT bg, max(cnt) AS max1 FROM tc GROUP BY bg),
+    st AS (
+      SELECT t.bg, any_value(m.max1) AS max1,
+             count(*) FILTER (WHERE t.cnt = m.max1) AS n_at_max,
+             max(CASE WHEN t.cnt < m.max1 THEN t.cnt END) AS max2
+      FROM tc t JOIN m1 m USING (bg) GROUP BY t.bg
+    ),
+    ref AS (
+      SELECT t.doc_id, t.cnt,
+             CASE WHEN t.cnt = s.max1 AND s.n_at_max = 1
+                  THEN COALESCE(s.max2, 0) ELSE s.max1 END AS r
+      FROM tc t JOIN st s USING (bg)
+    )
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(sum(least(cnt, r)) AS BIGINT) AS clipped,
+           round(sum(least(cnt, r)) * 1.0 / sum(cnt), 6) AS self_bleu2
+    FROM ref GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-2 (Zhu et al. 2018, Texygen): each document's
+    modified (clipped) bigram precision against the REST of the corpus
+    as references — the standard corpus-diversity metric (high
+    self-BLEU = the corpus repeats itself; the generation-quality
+    complement of the near-dup detectors). BLEU's clipping needs, per
+    bigram, the maximum count among the OTHER documents: computed
+    exactly from (max1, #docs at max1, max2) per bigram — a document
+    holding the unique maximum clips against max2, everyone else
+    against max1 — so no per-pair work ever happens.
+
+    Hash-exactness: counts, maxima, and least() are integers; the only
+    double is the final ratio, 6dp-rounded.
+
+    Scale: the bigram expansion is the narrow per-doc array transform;
+    the two stats passes are bigram-keyed aggregates (vocab-bounded);
+    the per-doc rollup is corpus-bounded. The all-pairs formulation
+    BLEU is usually written as never materializes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wdf = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
+    idx = F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    bg_col, keep = explode_computed(bigrams, "bg")
+    tc = (
+        wdf.select("doc_id", bg_col)
+        .filter(keep)
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    m1 = tc.groupBy("bg").agg(F.max("cnt").alias("max1"))
+    st = (
+        tc.join(m1, "bg")
+        .groupBy("bg")
+        .agg(
+            F.max("max1").alias("max1"),
+            F.count_if(F.col("cnt") == F.col("max1")).alias("n_at_max"),
+            F.max(F.when(F.col("cnt") < F.col("max1"), F.col("cnt"))).alias(
+                "max2"
+            ),
+        )
+    )
+    ref = tc.join(st, "bg").select(
+        "doc_id",
+        "cnt",
+        F.when(
+            (F.col("cnt") == F.col("max1")) & (F.col("n_at_max") == 1),
+            F.coalesce(F.col("max2"), F.lit(0)),
+        )
+        .otherwise(F.col("max1"))
+        .alias("r"),
+    )
+    return (
+        ref.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.least("cnt", "r")).alias("clipped"),
+            F.round(
+                F.sum(F.least("cnt", "r")) * F.lit(1.0) / F.sum("cnt"), 6
+            ).alias("self_bleu2"),
+        )
+        .orderBy("doc_id")
+    )
