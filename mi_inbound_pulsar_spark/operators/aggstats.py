@@ -4846,3 +4846,110 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nat", "seg")
     )
+
+
+# --------------------------------------------------------------------------
+# Decision stump: best single Gini split (the CART root node)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_decision_stump",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(c_acctbal) AS BIGINT) AS band,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+      FROM customer
+    ),
+    per AS (
+      SELECT band, CAST(sum(y) AS BIGINT) AS n1,
+             CAST(count(*) - sum(y) AS BIGINT) AS n0
+      FROM c GROUP BY band
+    ),
+    cum AS (
+      SELECT band,
+             sum(n1) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS c1,
+             sum(n0) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS c0
+      FROM per
+    ),
+    tot AS (SELECT sum(n1) AS t1, sum(n0) AS t0 FROM per),
+    scored AS (
+      SELECT band AS threshold,
+             CAST(c1 + c0 AS BIGINT) AS n_left,
+             CAST((t1 - c1) + (t0 - c0) AS BIGINT) AS n_right,
+             round(
+               ((c1 + c0) * (c1 + c0) - c1 * c1 - c0 * c0) * 1.0
+                 / ((c1 + c0) * (t1 + t0))
+               + (((t1 - c1) + (t0 - c0)) * ((t1 - c1) + (t0 - c0))
+                  - (t1 - c1) * (t1 - c1) - (t0 - c0) * (t0 - c0)) * 1.0
+                 / (((t1 - c1) + (t0 - c0)) * (t1 + t0)), 6) AS gini_split
+      FROM cum, tot
+      WHERE (t1 - c1) + (t0 - c0) > 0
+    )
+    SELECT threshold, n_left, n_right, gini_split
+    FROM scored
+    ORDER BY gini_split, threshold
+    LIMIT 5
+    """,
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump — the exhaustively-searched CART root node
+    (Breiman et al. 1984): the account-balance threshold that best
+    separates BUILDING-segment customers by weighted Gini impurity,
+    evaluated at EVERY dollar band of the balance domain via one
+    cumulative scan (left/right class counts from prefix sums — the
+    same trick single-machine tree learners use, distributed). Top-5
+    candidate splits exposed with their partition sizes; this is the
+    boosted-stump / feature-screening primitive (a one-node
+    GradientBoostedTree iteration is exactly this query on residuals).
+
+    Hash-exactness: class counts, prefix sums, and every Gini
+    numerator are exact integers (the weighted Gini is written as
+    (nL²−c1²−c0²)/(nL·N) + (nR²−r1²−r0²)/(nR·N), all-integer until
+    the two divisions); 6dp-rounded with a threshold tie-break.
+
+    Scale: the corpus collapses to the ~11k-row dollar-band rollup in
+    the first aggregate; the cumulative window runs over that VALUE
+    DOMAIN, not rows — declared and runtime-enforced via
+    ``bounded_window_input``; the final top-5 is a
+    TakeOrderedAndProject.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.floor("c_acctbal").cast("long").alias("band"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("y"),
+    )
+    per = c.groupBy("band").agg(
+        F.sum("y").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n0"),
+    )
+    per = bounded_window_input(per, label="q_decision_stump balance bands")
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "band",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n0").over(w).alias("c0"),
+    )
+    tot = per.agg(F.sum("n1").alias("t1"), F.sum("n0").alias("t0"))
+    nl = F.col("c1") + F.col("c0")
+    r1 = F.col("t1") - F.col("c1")
+    r0 = F.col("t0") - F.col("c0")
+    nr = r1 + r0
+    n = F.col("t1") + F.col("t0")
+    gini = (
+        (nl * nl - F.col("c1") * F.col("c1") - F.col("c0") * F.col("c0"))
+        * F.lit(1.0)
+        / (nl * n)
+        + (nr * nr - r1 * r1 - r0 * r0) * F.lit(1.0) / (nr * n)
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(nr > 0)
+        .select(
+            F.col("band").alias("threshold"),
+            nl.alias("n_left"),
+            nr.alias("n_right"),
+            F.round(gini, 6).alias("gini_split"),
+        )
+        .orderBy("gini_split", "threshold")
+        .limit(5)
+    )

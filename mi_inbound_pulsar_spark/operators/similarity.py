@@ -2081,3 +2081,109 @@ def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez 1985; Sener & Savarese 2018)
+# --------------------------------------------------------------------------
+KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Generated CTE chain unrolling the greedy farthest-point loop —
+    the ``q_bpe_merge_loop`` oracle recipe applied to coreset
+    selection (one argmax + one min-update per iteration)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings)",
+        "c1 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1)",
+        "s1 AS (SELECT e.vec_id, e.emb, "
+        "round(list_distance(e.emb, c1.emb), 6) AS mind FROM e, c1)",
+    ]
+    sel = ["SELECT 1 AS sel_order, vec_id, 0.0 AS sep_distance FROM c1"]
+    for j in range(2, k + 1):
+        parts.append(
+            f"p{j} AS (SELECT vec_id, emb, mind FROM s{j - 1} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f"s{j} AS (SELECT s.vec_id, s.emb, least(s.mind, "
+                f"round(list_distance(s.emb, p{j}.emb), 6)) AS mind "
+                f"FROM s{j - 1} s, p{j})"
+            )
+        sel.append(
+            f"SELECT {j} AS sel_order, vec_id, mind AS sep_distance "
+            f"FROM p{j}"
+        )
+    return (
+        ",\n    ".join(parts)
+        + "\n    "
+        + " UNION ALL ".join(sel)
+        + " ORDER BY sel_order"
+    )
+
+
+@query("q_kcenter_coreset", oracle=_kcenter_oracle(KCENTER_K))
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal, the 2-approximation; Sener & Savarese 2018 use exactly
+    this loop for training-set coresets): seed with the lowest vec_id,
+    then k−1 times pick the point FARTHEST from the chosen set — the
+    selection that maximizes coverage diversity, the geometric
+    complement of SemDeDup's "drop the redundant" (this keeps the
+    spread-out). Emits the selection trace: order, chosen vector, and
+    its separation distance (= the corpus coverage radius at the
+    moment of selection, the textbook coreset quality certificate —
+    monotonically non-increasing down the trace).
+
+    Float-determinism: per-step euclidean distances are rounded to 6dp
+    BEFORE the running min and the argmax (the q_nearest_centroid /
+    SemDeDup 9dp lesson), with a vec_id tie-break, so ulp-level
+    engine noise cannot flip a selection; the oracle is the same loop
+    unrolled as a generated CTE chain.
+
+    Scale: each of the k iterations is one narrow distance map against
+    a SINGLE broadcast center (64 doubles) + a running-min update +
+    a TakeOrderedAndProject(1) argmax — never a pairwise matrix, never
+    a global sort; driver state is k rows by construction.
+    ``localCheckpoint`` per round stops the iterative plan-nesting
+    blowup (the q_kcore_peel lesson).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+    def dist_to(center_vals: list) -> F.Column:
+        c = F.array(*(F.lit(float(v)) for v in center_vals))
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("emb", c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    trace = [(1, first["vec_id"], 0.0)]
+    state = e.select(
+        "vec_id", "emb", dist_to(first["emb"]).alias("mind")
+    ).localCheckpoint(eager=True)
+    for j in range(2, KCENTER_K + 1):
+        top = (
+            state.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        )
+        trace.append((j, top["vec_id"], float(top["mind"])))
+        if j < KCENTER_K:
+            state = state.select(
+                "vec_id",
+                "emb",
+                F.least("mind", dist_to(top["emb"])).alias("mind"),
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        trace, "sel_order int, vec_id bigint, sep_distance double"
+    ).orderBy("sel_order")

@@ -4662,3 +4662,204 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes source classifier (train + confusion matrix)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_naive_bayes_confusion",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, source, lower(text) AS t,
+             substring(md5('nb' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+               AS is_train
+      FROM documents
+    ),
+    tr_tok AS (
+      SELECT doc_id, source, unnest(regexp_extract_all(t, '[a-z]+')) AS tok
+      FROM split WHERE is_train
+    ),
+    te_tok AS (
+      SELECT doc_id, source, unnest(regexp_extract_all(t, '[a-z]+')) AS tok
+      FROM split WHERE NOT is_train
+    ),
+    vocab AS (SELECT DISTINCT tok FROM tr_tok),
+    v AS (SELECT count(*) AS vsz FROM vocab),
+    cls AS (
+      SELECT source AS cl, count(*) AS ndocs
+      FROM split WHERE is_train GROUP BY source
+    ),
+    dtot AS (SELECT count(*) AS d FROM split WHERE is_train),
+    ctok AS (SELECT source AS cl, count(*) AS ntok FROM tr_tok GROUP BY source),
+    prior AS (
+      SELECT cls.cl,
+             CAST(round(ln(cls.ndocs * 1.0 / dtot.d) * 1000000, 0) AS BIGINT)
+               AS prior_ppm,
+             ctok.ntok
+      FROM cls JOIN ctok USING (cl), dtot
+    ),
+    tc AS (
+      SELECT source AS cl, tok, count(*) AS cnt FROM tr_tok GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT p.cl, vb.tok,
+             CAST(round(ln((COALESCE(tc.cnt, 0) + 1.0) / (p.ntok + v.vsz))
+                        * 1000000, 0) AS BIGINT) AS lp_ppm
+      FROM vocab vb CROSS JOIN prior p
+      LEFT JOIN tc ON tc.cl = p.cl AND tc.tok = vb.tok, v
+    ),
+    te AS (
+      SELECT doc_id, source AS true_source, tok, count(*) AS occ
+      FROM te_tok GROUP BY 1, 2, 3
+    ),
+    contrib AS (
+      SELECT te.doc_id, g.cl, sum(te.occ * g.lp_ppm) AS tok_ppm
+      FROM te JOIN grid g USING (tok) GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT s.doc_id, s.source AS true_source, p.cl, p.prior_ppm
+      FROM split s CROSS JOIN prior p WHERE NOT s.is_train
+    ),
+    scored AS (
+      SELECT sp.doc_id, sp.true_source, sp.cl,
+             sp.prior_ppm + COALESCE(c.tok_ppm, 0) AS score
+      FROM spine sp LEFT JOIN contrib c
+        ON c.doc_id = sp.doc_id AND c.cl = sp.cl
+    ),
+    pred AS (
+      SELECT doc_id, true_source, cl AS pred_source,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cl) AS rn
+      FROM scored
+    )
+    SELECT true_source, pred_source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY true_source, pred_source
+    ORDER BY true_source, pred_source
+    """,
+)
+def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND evaluated inside the engine
+    (McCallum & Nigam 1998): a deterministic md5 50/50 split, Laplace
+    add-one token likelihoods per source class on the train half,
+    argmax classification of the test half, and the resulting
+    source-vs-predicted confusion matrix — the standard cheap text
+    classifier a curation pipeline uses for domain tagging before any
+    GPU model exists. Unseen test tokens drop out (the train-vocab
+    join), the multinomial convention.
+
+    Hash-exactness: all likelihoods are quantized to INTEGER ppm
+    log-probabilities (`round(ln(count ratio)·1e6)` of identical exact
+    integer ratios) at train time, so test scoring — Σ occ·lp + prior
+    — is pure int64 arithmetic and the per-document argmax (score
+    desc, class asc) is bit-identical on both engines; the confusion
+    matrix is integer counts.
+
+    Scale: model state is the (train-vocab × class) grid — vocabulary-
+    bounded, the NB property that makes it a one-pass distributed
+    trainer; scoring joins test tokens against that grid on the token
+    key, per-doc rollup, and a per-doc (partitioned) argmax window.
+    Nothing is ever corpus × corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id",
+        "source",
+        F.lower(F.col("text")).alias("t"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("nb"), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            )
+            < "80"
+        ).alias("is_train"),
+    ).persist()
+    tok_col, keep = explode_computed(
+        F.regexp_extract_all(F.col("t"), F.lit("[a-z]+"), 0), "tok"
+    )
+    tr_tok = (
+        split.filter("is_train").select("doc_id", "source", tok_col).filter(keep)
+    )
+    te_tok = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", "source", tok_col)
+        .filter(keep)
+    )
+    vocab = tr_tok.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("vsz"))
+    cls = (
+        split.filter("is_train")
+        .groupBy(F.col("source").alias("cl"))
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+    )
+    dtot = split.filter("is_train").agg(F.count(F.lit(1)).alias("d"))
+    ctok = tr_tok.groupBy(F.col("source").alias("cl")).agg(
+        F.count(F.lit(1)).alias("ntok")
+    )
+    prior = (
+        cls.join(ctok, "cl")
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "cl",
+            F.round(F.log(F.col("ndocs") * F.lit(1.0) / F.col("d")) * 1000000, 0)
+            .cast("long")
+            .alias("prior_ppm"),
+            "ntok",
+        )
+    )
+    tc = tr_tok.groupBy(F.col("source").alias("cl"), "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(prior))
+        .join(tc, ["cl", "tok"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "cl",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce("cnt", F.lit(0)) + F.lit(1.0))
+                    / (F.col("ntok") + F.col("vsz"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("lp_ppm"),
+        )
+    )
+    te = te_tok.groupBy(
+        "doc_id", F.col("source").alias("true_source"), "tok"
+    ).agg(F.count(F.lit(1)).alias("occ"))
+    contrib = (
+        te.join(grid, "tok")
+        .groupBy("doc_id", "cl")
+        .agg(F.sum(F.col("occ") * F.col("lp_ppm")).alias("tok_ppm"))
+    )
+    spine = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", F.col("source").alias("true_source"))
+        .crossJoin(F.broadcast(prior.select("cl", "prior_ppm")))
+    )
+    scored = spine.join(contrib, ["doc_id", "cl"], "left").select(
+        "doc_id",
+        "true_source",
+        "cl",
+        (F.col("prior_ppm") + F.coalesce("tok_ppm", F.lit(0))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cl")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_source", F.col("cl").alias("pred_source"))
+    )
+    return (
+        pred.groupBy("true_source", "pred_source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_source", "pred_source")
+    )
