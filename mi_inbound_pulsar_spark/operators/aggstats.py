@@ -4953,3 +4953,77 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gini_split", "threshold")
         .limit(5)
     )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator (Hill 1975)
+# --------------------------------------------------------------------------
+HILL_K = 200
+
+
+@query(
+    "q_hill_tail_index",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders
+    ),
+    top AS (
+      SELECT v FROM cents ORDER BY v DESC LIMIT {HILL_K + 1}
+    ),
+    agg AS (
+      SELECT min(v) AS xref,
+             CAST(count(*) FILTER (WHERE v > (SELECT min(v) FROM top))
+                  AS BIGINT) AS k_eff,
+             sum(ln(v * 1.0 / (SELECT min(v) FROM top))) AS sum_ln
+      FROM top
+    )
+    SELECT k_eff,
+           round(xref / 100.0, 2) AS x_ref,
+           round(sum_ln / k_eff, 6) AS hill_inv,
+           round(k_eff / sum_ln, 6) AS tail_index
+    FROM agg
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index (Hill 1975) over order
+    totals: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) on the top-k order statistics —
+    the standard "how heavy is the spend tail" number (α ≤ 2 means
+    infinite variance: means are unstable, medians and trimmed stats
+    are mandatory). Companion to ``q_degree_powerlaw_mle`` (discrete
+    degrees) for a continuous value column.
+
+    Value ties straddling the k-cut are harmless: selection is by
+    VALUE, both engines keep the same value multiset, and rows equal
+    to the reference x₍ₖ₊₁₎ contribute ln(1)=0, so k_eff counts the
+    strictly-greater rows both engines agree on.
+
+    Hash-exactness: values are exact integer cents; each ln argument
+    is the identical exact ratio; the Σ runs over ≤{HILL_K} terms
+    (ulp noise far under 6dp).
+
+    Scale: the top-(k+1) is a TakeOrderedAndProject (per-partition
+    heads folded on executors, merged once) — the ONLY global step;
+    everything after is one aggregate over k+1 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v")
+    )
+    top = cents.orderBy(F.desc("v")).limit(HILL_K + 1)
+    xref = top.agg(F.min("v").alias("xref"))
+    agg = (
+        top.crossJoin(F.broadcast(xref))
+        .agg(
+            F.max("xref").alias("xref"),
+            F.count_if(F.col("v") > F.col("xref")).alias("k_eff"),
+            F.sum(F.log(F.col("v") * F.lit(1.0) / F.col("xref"))).alias(
+                "sum_ln"
+            ),
+        )
+    )
+    return agg.select(
+        "k_eff",
+        F.round(F.col("xref") / 100.0, 2).alias("x_ref"),
+        F.round(F.col("sum_ln") / F.col("k_eff"), 6).alias("hill_inv"),
+        F.round(F.col("k_eff") / F.col("sum_ln"), 6).alias("tail_index"),
+    )

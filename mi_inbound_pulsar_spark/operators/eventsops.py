@@ -1613,3 +1613,324 @@ def q_ucb1_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ucb",
         (F.row_number().over(w_pick) == 1).alias("chosen"),
     ).orderBy("day", "arm")
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining: frequent event-type trigrams per session
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_event_trigram_mining",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    tri AS (
+      SELECT user_id, session_id,
+             event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS trigram
+      FROM sessions
+      WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT trigram,
+           CAST(count(DISTINCT CAST(user_id AS VARCHAR) || '#'
+                               || CAST(session_id AS VARCHAR)) AS BIGINT)
+             AS support,
+           CAST(count(*) AS BIGINT) AS occurrences
+    FROM tri WHERE trigram IS NOT NULL
+    GROUP BY trigram
+    ORDER BY support DESC, trigram
+    LIMIT 20
+    """,
+)
+def q_event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns — the contiguous-trigram special
+    case of PrefixSpan-style sequence mining (Pei et al. 2001)
+    restricted to within-session order: 30-minute-gap sessionization
+    (the ``q_session_paths`` recipe), consecutive event-type trigrams
+    via two ``lead``s, support counted in SESSIONS (the sequence-
+    mining convention — one session voting once however often it
+    repeats the pattern) next to raw occurrences. Top-20 by support —
+    the "what do users do in what order" building block behavioral
+    funnels are mined from.
+
+    Hash-exactness: pure integer counts over exact string patterns;
+    ordering is (support, trigram).
+
+    Scale: both windows are user-/session-partitioned (never global);
+    the trigram aggregate is bounded by the event-type³ pattern
+    vocabulary; top-20 is a TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = sessions.select(
+        "user_id",
+        "session_id",
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("trigram"),
+        F.lead("event_type", 2).over(ws).alias("third"),
+    ).filter(F.col("third").isNotNull())
+    skey = F.concat_ws(
+        "#", F.col("user_id").cast("string"), F.col("session_id").cast("string")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(
+            F.countDistinct(skey).alias("support"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .orderBy(F.desc("support"), "trigram")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# SAX symbolization of the daily-revenue series (Lin, Keogh et al. 2003)
+# --------------------------------------------------------------------------
+SAX_SEGMENTS = 16
+
+
+@query(
+    "q_sax_symbolic",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(round(sum(o_totalprice), 0) AS BIGINT) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    stats AS (
+      SELECT count(*) AS n, sum(rev) AS sx, sum(rev * rev) AS sxx FROM daily
+    ),
+    idx AS (
+      SELECT d, rev, row_number() OVER (ORDER BY d) - 1 AS i FROM daily
+    ),
+    seg AS (
+      SELECT (i * {SAX_SEGMENTS}) // n AS segment,
+             CAST(count(*) AS BIGINT) AS n_days,
+             sum(rev) AS seg_sum
+      FROM idx, stats
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT segment, n_days,
+             (seg_sum * 1.0 / n_days - sx * 1.0 / n)
+               / sqrt(sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+               AS paa
+      FROM seg, stats
+    )
+    SELECT segment, n_days, round(paa, 6) AS paa,
+           CASE WHEN round(paa, 9) < -0.6745 THEN 'a'
+                WHEN round(paa, 9) < 0 THEN 'b'
+                WHEN round(paa, 9) < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z
+    ORDER BY segment
+    """,
+)
+def q_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin, Keogh, Lonardi &
+    Chiu 2003) of the daily-revenue series: z-normalize, Piecewise
+    Aggregate Approximation into {SAX_SEGMENTS} equal-width segments,
+    then map each segment mean to a 4-letter alphabet at the standard
+    Gaussian breakpoints (−0.6745, 0, 0.6745). The discretization that
+    turns a numeric series into a string so the TEXT machinery
+    (n-gram novelty, fingerprinting, exact-substring dedup) applies to
+    time series — motif discovery's front end.
+
+    Hash-exactness: daily revenue is rounded to whole-dollar INTEGERS
+    first, so n/Σx/Σx² and per-segment sums are exact; each PAA value
+    is computed FROM THOSE SUMS ((Σseg/n_seg − μ)/σ, one deterministic
+    double expression — never a float sum whose order could differ);
+    symbols compare the 9dp-rounded PAA against the breakpoints.
+
+    Scale: the corpus collapses to the date-domain rollup immediately;
+    the day-index window runs over that bounded spine (declared via
+    ``bounded_window_input``); Σx² of whole-dollar daily totals is
+    int64-safe through sf10 — the 100 TB form swaps the raw sums for
+    Welford partials, noted here for the audit trail.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 0).cast("long").alias("rev"))
+    )
+    daily = bounded_window_input(daily, label="q_sax_symbolic date spine")
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+    )
+    idx = daily.select(
+        "rev", (F.row_number().over(Window.orderBy("d")) - 1).alias("i")
+    )
+    seg = (
+        idx.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.expr(f"CAST(i AS BIGINT) * {SAX_SEGMENTS} DIV n").alias(
+                "segment"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("seg_sum"))
+    )
+    mu = F.col("sx") * F.lit(1.0) / F.col("n")
+    sigma = F.sqrt(F.col("sxx") * F.lit(1.0) / F.col("n") - mu * mu)
+    paa = (F.col("seg_sum") * F.lit(1.0) / F.col("n_days") - mu) / sigma
+    paa_r = F.round(paa, 9)
+    return (
+        seg.crossJoin(F.broadcast(stats))
+        .select(
+            "segment",
+            "n_days",
+            F.round(paa, 6).alias("paa"),
+            F.when(paa_r < -0.6745, "a")
+            .when(paa_r < 0, "b")
+            .when(paa_r < 0.6745, "c")
+            .otherwise("d")
+            .alias("symbol"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Permutation entropy of the daily series (Bandt & Pompe 2002)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_permutation_entropy",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(round(sum(o_totalprice), 0) AS BIGINT) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    tri AS (
+      SELECT rev AS a,
+             lead(rev, 1) OVER (ORDER BY d) AS b,
+             lead(rev, 2) OVER (ORDER BY d) AS c
+      FROM daily
+    ),
+    pat AS (
+      SELECT CASE
+               WHEN a <= b AND b <= c THEN '012'
+               WHEN a <= c AND c < b THEN '021'
+               WHEN b < a AND a <= c THEN '102'
+               WHEN c < a AND a <= b THEN '120'
+               WHEN b <= c AND c < a THEN '201'
+               ELSE '210' END AS pattern
+      FROM tri WHERE c IS NOT NULL
+    ),
+    cnt AS (
+      SELECT pattern, CAST(count(*) AS BIGINT) AS n FROM pat GROUP BY pattern
+    ),
+    tot AS (SELECT sum(n) AS t FROM cnt)
+    SELECT pattern, n,
+           round(n * 1.0 / t, 6) AS p,
+           round(-(n * 1.0 / t) * ln(n * 1.0 / t), 6) AS neg_p_ln_p
+    FROM cnt, tot
+    ORDER BY pattern
+    """,
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy components (Bandt & Pompe 2002, embedding
+    dimension 3): the distribution of ordinal patterns among
+    consecutive daily-revenue triples — the complexity measure that
+    distinguishes structured series from noise using only ORDER
+    comparisons, immune to monotone transforms and outliers (their
+    "natural complexity measure for time series"). Emits each
+    pattern's count, probability, and −p·ln p term; the entropy is the
+    sum of the last column, left unsummed so the oracle checks the
+    full distribution.
+
+    Ties break toward the earlier index (a<=b ⇒ ascending), the
+    standard convention. Hash-exactness: patterns come from INTEGER
+    comparisons of whole-dollar daily totals; counts are exact; the
+    only doubles are the final two rounded expressions.
+
+    Scale: date-domain rollup first; the lead window rides the
+    bounded spine (``bounded_window_input``); the pattern aggregate
+    is 6 rows by construction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 0).cast("long").alias("rev"))
+    )
+    daily = bounded_window_input(
+        daily, label="q_permutation_entropy date spine"
+    )
+    w = Window.orderBy("d")
+    tri = daily.select(
+        F.col("rev").alias("a"),
+        F.lead("rev", 1).over(w).alias("b"),
+        F.lead("rev", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    pat = tri.select(
+        F.when((a <= b) & (b <= c), "012")
+        .when((a <= c) & (c < b), "021")
+        .when((b < a) & (a <= c), "102")
+        .when((c < a) & (a <= b), "120")
+        .when((b <= c) & (c < a), "201")
+        .otherwise("210")
+        .alias("pattern")
+    )
+    cnt = pat.groupBy("pattern").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    p = F.col("n") * F.lit(1.0) / F.col("t")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "pattern",
+            "n",
+            F.round(p, 6).alias("p"),
+            F.round(-p * F.log(p), 6).alias("neg_p_ln_p"),
+        )
+        .orderBy("pattern")
+    )
