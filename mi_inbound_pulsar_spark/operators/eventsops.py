@@ -1934,3 +1934,84 @@ def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+# --------------------------------------------------------------------------
+# Geometric adstock (Broadbent 1979; media-mix modeling's carryover)
+# --------------------------------------------------------------------------
+#: ppm carryover weights 0.7^k, k=0..13, PRE-QUANTIZED to integers so
+#: both engines convolve with bit-identical coefficients (cross-engine
+#: pow(0.7, k) is not ulp-stable; a Python-time table is).
+ADSTOCK_W_PPM = [round(0.7**k * 1e6) for k in range(14)]
+
+
+@query(
+    "q_geometric_adstock",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    conv AS (
+      SELECT d, cents,
+             {" + ".join(
+                 f"COALESCE(lag(cents, {k}) OVER (ORDER BY d), 0) * {w}"
+                 for k, w in enumerate(ADSTOCK_W_PPM)
+             )} AS adstock_ppm
+      FROM daily
+    )
+    SELECT d, round(cents / 100.0, 2) AS revenue,
+           round(adstock_ppm / 100000000.0, 2) AS adstock
+    FROM conv
+    ORDER BY adstock DESC, d
+    LIMIT 25
+    """,
+)
+def q_geometric_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric adstock (Broadbent 1979) — the carryover transform at
+    the heart of media-mix models: adstock_t = Σₖ 0.7ᵏ·x_{t−k} over a
+    14-day memory, i.e. today's effective pressure includes decayed
+    echoes of the last two weeks. Applied to daily revenue; top-25
+    carryover-pressure days. MMM fits regress outcomes on THIS column
+    instead of raw spend — the transform is the feature engineering.
+
+    Hash-exactness: daily cents are exact integers and the decay
+    weights are PRE-QUANTIZED ppm integers (module constant — computed
+    once in Python, so neither engine ever calls pow), making the
+    convolution pure int64 (≤14 terms × cents×1e6 ≈ 10¹⁵, int64-safe
+    through sf10); only the two display divisions are doubles.
+
+    Scale: date-domain rollup first; the 14 lags ride ONE ordered
+    window over the bounded spine (``bounded_window_input``); top-25
+    is a TakeOrderedAndProject.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    daily = bounded_window_input(
+        daily, label="q_geometric_adstock date spine"
+    )
+    w = Window.orderBy("d")
+    terms = [
+        F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * F.lit(wk)
+        for k, wk in enumerate(ADSTOCK_W_PPM)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (
+        daily.select(
+            "d",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            total.alias("adstock_ppm"),
+        )
+        .select(
+            "d",
+            "revenue",
+            F.round(F.col("adstock_ppm") / 100000000.0, 2).alias("adstock"),
+        )
+        .orderBy(F.desc("adstock"), "d")
+        .limit(25)
+    )
