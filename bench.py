@@ -135,6 +135,16 @@ HEADLINE = [
     "q_wasserstein_distance",
     "q_auc_roc",
     "q_mmr_diversification",
+    # round-7 second half: ML classics / coreset / sequence mining
+    "q_kcenter_coreset",
+    "q_naive_bayes_confusion",
+    "q_decision_stump",
+    "q_doremi_reweight",
+    "q_self_bleu",
+    "q_katz_centrality",
+    "q_personalized_pagerank",
+    "q_event_trigram_mining",
+    "q_t_closeness",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
