@@ -367,25 +367,10 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⇒ 3 shuffle rounds, the textbook synchronous-PageRank shape (the
     iterative-algorithm twin of the connected-components operator).
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + 1000000).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = (
-        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
-        .unionByName(cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    edges = purchase_graph_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    contrib_src = edges.join(outdeg, "src")
+    contrib_src = edges.join(outdeg, "src").persist()
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         inflow = (
@@ -1782,24 +1767,7 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous-iteration shape (3 shuffle rounds) as PageRank, so the
     same scale story holds.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + 1000000).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = (
-        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
-        .unionByName(
-            cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
+    edges = purchase_graph_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     x = nodes.select("node", F.lit(1000000).cast("long").alias("x"))
     for _ in range(3):
@@ -1827,6 +1795,47 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Personalized PageRank (Jeh & Widom 2003) — seed-restart fixpoint
+def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer↔supplier purchase edge list, shared by the
+    PageRank / Katz / personalized-PageRank fixpoints.
+
+    Two scale-deliberate choices:
+
+    - **No outer distinct.** The (cust, supp) basket is deduplicated
+      once; the two direction branches then live in DISJOINT id
+      domains (supplier ids are offset by +1,000,000), so their union
+      is duplicate-free BY CONSTRUCTION — the previous
+      ``union().distinct()`` paid one full extra edge-list exchange
+      for rows that could never collide. (The SQL oracles keep UNION:
+      on disjoint branches it dedups nothing and keeps the contract
+      readable.)
+    - **Repartitioned by ``src`` before persist**, so every fixpoint
+      iteration's rank-vector join reads the cached edge partitioning
+      and only the (node-sized) rank side shuffles — instead of
+      re-exchanging the edge list every round.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1000000).alias("supp"),
+        )
+        .distinct()
+    )
+    return (
+        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1912,29 +1921,12 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-join shape as PageRank — 3 shuffle rounds over
     co-partitioned node-keyed frames.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + 1000000).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = (
-        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
-        .unionByName(
-            cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
+    edges = purchase_graph_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    contrib_src = edges.join(outdeg, "src")
+    contrib_src = edges.join(outdeg, "src").persist()
     seeds = cust.filter(F.col("c_nationkey") == 1).select(
         F.col("c_custkey").alias("node"), F.lit(1).alias("flag")
     )
