@@ -221,3 +221,63 @@ def test_decision_stump_matches_pure_python(spark, sf_dir):
         for r in q_decision_stump(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_isotonic_minimax_matches_pava(spark, sf_dir):
+    """The engine computes isotonic calibration through the minimax
+    closed form; this replay runs the ACTUAL pool-adjacent-violators
+    sweep — a genuinely different algorithm — and checks the fits
+    agree, plus the PAVA invariants (monotone fit, weighted mass
+    preserved)."""
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        q_isotonic_calibration,
+    )
+
+    rows = q_isotonic_calibration(spark, sf_dir).collect()
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    agg = {}
+    for r in li:
+        b = int(_round_half_away(float(r["l_discount"]) * 100))
+        w, y = agg.get(b, (0, 0))
+        agg[b] = (w + 1, y + (r["l_returnflag"] == "R"))
+    blocks = [
+        [b, float(agg[b][0]), float(agg[b][1])] for b in sorted(agg)
+    ]  # [bin, weight, ysum]
+    # PAVA: merge adjacent blocks while a violator (mean > next mean)
+    stack = []
+    for blk in blocks:
+        stack.append(blk)
+        while (
+            len(stack) > 1
+            and stack[-2][2] / stack[-2][1] > stack[-1][2] / stack[-1][1]
+        ):
+            b2 = stack.pop()
+            stack[-1][1] += b2[1]
+            stack[-1][2] += b2[2]
+    fit = {}
+    idx = 0
+    bins_sorted = sorted(agg)
+    for blk in stack:
+        mean = blk[2] / blk[1]
+        # blk[0] is the first bin of the merged block; assign mean to
+        # every original bin consumed by it
+        width = int(blk[1])
+        consumed = 0
+        while consumed < width:
+            b = bins_sorted[idx]
+            fit[b] = mean
+            consumed += agg[b][0]
+            idx += 1
+
+    got = {r.discount_pct: r.iso_rate for r in rows}
+    assert set(got) == set(fit)
+    for b in fit:
+        assert abs(got[b] - fit[b]) < 1e-6, (b, got[b], fit[b])
+    # monotone non-decreasing
+    seq = [got[b] for b in sorted(got)]
+    assert all(a <= b + 1e-9 for a, b in zip(seq, seq[1:]))
+    # weighted mass preserved: sum w*iso == sum y
+    tot_iso = sum(agg[b][0] * fit[b] for b in fit)
+    tot_y = sum(y for _, y in agg.values())
+    assert abs(tot_iso - tot_y) < 1e-6
