@@ -145,6 +145,7 @@ HEADLINE = [
     "q_personalized_pagerank",
     "q_event_trigram_mining",
     "q_t_closeness",
+    "q_isotonic_calibration",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

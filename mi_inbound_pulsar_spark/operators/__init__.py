@@ -84,8 +84,15 @@ _PRIORITY = (
     # q_wasserstein_distance, q_quantile_treatment_effect,
     # q_twap, q_udf_surface, q_unigram_kl_drift, q_union_distinct,
     # q_variant_extract, q_weighted_sample, q_window_distribution,
-    # q_window_ignore_nulls, q_zipf_slope, ... plus any queries NEW
-    # this round (never driver-checked by definition).
+    # q_window_ignore_nulls, q_zipf_slope, ... plus the 14 queries
+    # NEW this round (never driver-checked by definition):
+    # q_stl_decompose, q_page_hinkley, q_ucb1_bandit, q_t_closeness,
+    # q_katz_centrality, q_doremi_reweight, q_self_bleu,
+    # q_term_burstiness, q_tokenizer_fertility,
+    # q_personalized_pagerank, q_kcenter_coreset,
+    # q_naive_bayes_confusion, q_decision_stump,
+    # q_event_trigram_mining, q_sax_symbolic, q_permutation_entropy,
+    # q_hill_tail_index, q_geometric_adstock, q_isotonic_calibration.
     "q_ab_power_mde",
     "q_anova_dow",
     "q_attribution_models",
