@@ -84,7 +84,7 @@ _PRIORITY = (
     # q_wasserstein_distance, q_quantile_treatment_effect,
     # q_twap, q_udf_surface, q_unigram_kl_drift, q_union_distinct,
     # q_variant_extract, q_weighted_sample, q_window_distribution,
-    # q_window_ignore_nulls, q_zipf_slope, ... plus the 14 queries
+    # q_window_ignore_nulls, q_zipf_slope, ... plus the 19 queries
     # NEW this round (never driver-checked by definition):
     # q_stl_decompose, q_page_hinkley, q_ucb1_bandit, q_t_closeness,
     # q_katz_centrality, q_doremi_reweight, q_self_bleu,

@@ -4804,9 +4804,12 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = c.select("band").distinct()
     nb = bands.agg(F.count(F.lit(1)).alias("n_bands"))
-    total = c.count()
-    glob = c.groupBy("band").agg(
-        (F.count(F.lit(1)) / F.lit(total)).alias("p_g")
+    total = c.agg(F.count(F.lit(1)).alias("n_total"))
+    glob = (
+        c.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_band"))
+        .crossJoin(F.broadcast(total))
+        .select("band", (F.col("n_band") / F.col("n_total")).alias("p_g"))
     )
     classes = c.groupBy("nat", "seg").agg(
         F.count(F.lit(1)).alias("class_size")
@@ -5143,8 +5146,11 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("mean_ij").alias("m"))
     )
     iso = inner_min.groupBy("t").agg(F.max("m").alias("iso_rate"))
+    # project the display columns from the PERSISTED pref frame — the
+    # raw `bins` plan fragment would not match the cache and re-scan
+    # all of lineitem a second time
     return (
-        bins.join(iso, bins.bin == iso.t)
+        pref.join(iso, pref.bin == iso.t)
         .select(
             F.col("bin").alias("discount_pct"),
             F.col("w").alias("n"),

@@ -1371,6 +1371,13 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by event_type over day-domain-bounded rows
     (never raw events), and the 7-row seasonal profile broadcasts
     back onto the rollup.
+    
+
+    Known scope: an event type whose daily series is shorter than
+    the 7-day trend window yields no interior trend rows, so the
+    profile joins drop it from the output entirely (both engines
+    agree — the oracle mirrors the joins); emitting NULL-trend rows
+    for sub-window series is a deliberate non-goal here.
     """
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
@@ -1707,14 +1714,16 @@ def q_event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = sessions.select(
         "user_id",
         "session_id",
-        F.concat_ws(
-            ">",
-            "event_type",
+        # F.concat (not concat_ws): NULLs must propagate exactly like
+        # the oracle's || operator, not be skipped
+        F.concat(
+            F.col("event_type"),
+            F.lit(">"),
             F.lead("event_type", 1).over(ws),
+            F.lit(">"),
             F.lead("event_type", 2).over(ws),
         ).alias("trigram"),
-        F.lead("event_type", 2).over(ws).alias("third"),
-    ).filter(F.col("third").isNotNull())
+    ).filter(F.col("trigram").isNotNull())
     skey = F.concat_ws(
         "#", F.col("user_id").cast("string"), F.col("session_id").cast("string")
     )

@@ -305,14 +305,64 @@ def oriented_triangle_count(edges: DataFrame, deg: DataFrame | None = None) -> D
     )
 
 
+# --------------------------------------------------------------------------
+# Shared purchase-graph edge list + PageRank fixpoint
+# --------------------------------------------------------------------------
+
+
+def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer↔supplier purchase edge list, shared by the
+    PageRank / Katz / personalized-PageRank fixpoints.
+
+    Two scale-deliberate choices:
+
+    - **No outer distinct.** The (cust, supp) basket is deduplicated
+      once; the two direction branches then live in DISJOINT id
+      domains (supplier ids are offset by +1,000,000,000), so their union
+      is duplicate-free BY CONSTRUCTION — the previous
+      ``union().distinct()`` paid one full extra edge-list exchange
+      for rows that could never collide. The offset is 1e9 (not the
+      original 1e6) because custkeys reach 150k·SF: at 1e6 the id
+      domains would overlap from SF≈7 and a reversed twin could
+      silently double-count an edge; 1e9 keeps them disjoint past
+      SF 6,000. (The SQL oracles keep UNION:
+      on disjoint branches it dedups nothing and keeps the contract
+      readable.)
+    - **Repartitioned by ``src`` before persist**, so every fixpoint
+      iteration's rank-vector join reads the cached edge partitioning
+      and only the (node-sized) rank side shuffles — instead of
+      re-exchanging the edge list every round.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1_000_000_000).alias("supp"),
+        )
+        .distinct()
+    )
+    return (
+        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
+
+
 @query(
     "q_pagerank_purchases",
     oracle="""
     WITH edges AS (
-      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000000 AS dst
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       UNION
-      SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
+      SELECT DISTINCT l.l_suppkey + 1000000000 AS src, o.o_custkey AS dst
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -1702,7 +1752,7 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_katz_centrality",
     oracle="""
     WITH cs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000000 AS supp
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
     edges AS (
@@ -1795,47 +1845,6 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Personalized PageRank (Jeh & Widom 2003) — seed-restart fixpoint
-def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric customer↔supplier purchase edge list, shared by the
-    PageRank / Katz / personalized-PageRank fixpoints.
-
-    Two scale-deliberate choices:
-
-    - **No outer distinct.** The (cust, supp) basket is deduplicated
-      once; the two direction branches then live in DISJOINT id
-      domains (supplier ids are offset by +1,000,000), so their union
-      is duplicate-free BY CONSTRUCTION — the previous
-      ``union().distinct()`` paid one full extra edge-list exchange
-      for rows that could never collide. (The SQL oracles keep UNION:
-      on disjoint branches it dedups nothing and keeps the contract
-      readable.)
-    - **Repartitioned by ``src`` before persist**, so every fixpoint
-      iteration's rank-vector join reads the cached edge partitioning
-      and only the (node-sized) rank side shuffles — instead of
-      re-exchanging the edge list every round.
-    """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + 1000000).alias("supp"),
-        )
-        .distinct()
-    )
-    return (
-        cs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
-        .unionByName(
-            cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-        )
-        .repartition("src")
-        .persist()
-    )
-
-
 # --------------------------------------------------------------------------
 
 
@@ -1843,7 +1852,7 @@ def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_personalized_pagerank",
     oracle="""
     WITH cs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000000 AS supp
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
     edges AS (

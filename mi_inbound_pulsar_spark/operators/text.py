@@ -4789,7 +4789,14 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", tok_col)
         .filter(keep)
     )
-    vocab = tr_tok.select("tok").distinct()
+    tc_base = (
+        tr_tok.groupBy(F.col("source").alias("cl"), "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    # vocab and per-class token totals derive from the ONE (class,
+    # token) rollup — the train half is tokenized exactly once
+    vocab = tc_base.select("tok").distinct()
     v = vocab.agg(F.count(F.lit(1)).alias("vsz"))
     cls = (
         split.filter("is_train")
@@ -4797,9 +4804,7 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ndocs"))
     )
     dtot = split.filter("is_train").agg(F.count(F.lit(1)).alias("d"))
-    ctok = tr_tok.groupBy(F.col("source").alias("cl")).agg(
-        F.count(F.lit(1)).alias("ntok")
-    )
+    ctok = tc_base.groupBy("cl").agg(F.sum("cnt").alias("ntok"))
     prior = (
         cls.join(ctok, "cl")
         .crossJoin(F.broadcast(dtot))
@@ -4811,9 +4816,7 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ntok",
         )
     )
-    tc = tr_tok.groupBy(F.col("source").alias("cl"), "tok").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    tc = tc_base
     grid = (
         vocab.crossJoin(F.broadcast(prior))
         .join(tc, ["cl", "tok"], "left")

@@ -124,7 +124,7 @@ def test_katz_matches_numpy_int_fixpoint(spark, sf_dir):
     )
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .select("o_custkey", (F.col("l_suppkey") + 1000000).alias("supp"))
+        .select("o_custkey", (F.col("l_suppkey") + 1_000_000_000).alias("supp"))
         .distinct()
         .collect()
     )

@@ -127,7 +127,7 @@ def test_pagerank_matches_pure_python_integer_ppm(spark, sf_dir):
     contributions) replayed with Python ints — bit-exact."""
     from mi_inbound_pulsar_spark.operators.graph import q_pagerank_purchases
 
-    cs = {(c, s + 1000000) for c, s in _bipartite(sf_dir)}
+    cs = {(c, s + 1_000_000_000) for c, s in _bipartite(sf_dir)}
     edges = cs | {(s, c) for c, s in cs}
     out: dict[int, list[int]] = defaultdict(list)
     for a, b in edges:
