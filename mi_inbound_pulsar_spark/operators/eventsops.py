@@ -2024,3 +2024,134 @@ def q_geometric_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adstock"), "d")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# IPS offline policy evaluation (Horvitz-Thompson replay; Li et al. 2011)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ips_policy_eval",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             substring(md5('ips' || CAST(event_id AS VARCHAR)), 1, 2) < '80'
+               AS is_log
+      FROM events
+    ),
+    pol AS (
+      SELECT user_id, event_type AS rec, count(*) AS c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM ev WHERE is_log GROUP BY user_id, event_type
+    ),
+    rec AS (SELECT user_id, rec FROM pol WHERE rn = 1),
+    test AS (SELECT * FROM ev WHERE NOT is_log),
+    prop AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_a
+      FROM test GROUP BY event_type
+    ),
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM test),
+    matched AS (
+      SELECT t.event_type,
+             CAST(count(*) AS BIGINT) AS n_match,
+             CAST(sum(t.cents) AS BIGINT) AS match_cents
+      FROM test t JOIN rec r
+        ON r.user_id = t.user_id AND r.rec = t.event_type
+      GROUP BY t.event_type
+    )
+    SELECT p.event_type, p.n_a,
+           round(p.n_a * 1.0 / ntot.n, 6) AS p_log,
+           COALESCE(m.n_match, 0) AS n_match,
+           round(COALESCE(m.match_cents, 0) * 1.0 / p.n_a * 1.0 / 100, 6)
+             AS ips_contribution
+    FROM prop p LEFT JOIN matched m USING (event_type), ntot
+    ORDER BY p.event_type
+    """,
+)
+def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-scored offline policy evaluation (the
+    Horvitz-Thompson replay estimator of Li, Chu, Langford & Schapire
+    2011): split events into an exploration log and an evaluation log
+    (md5 halves), learn a deterministic target policy π(user) = the
+    user's most frequent logged event type (count desc, type asc),
+    then estimate π's per-action value on the held-out log as
+    Σ reward·1[a=π(x)] / p̂(a) — the counterfactual "what would this
+    policy have earned" number computed WITHOUT deploying it. The
+    per-action decomposition is exposed (the total IPS estimate is
+    Σ ips_contribution / n, left unsummed so the oracle checks the
+    full profile); propensities are the evaluation log's empirical
+    action frequencies, the standard replay convention for logs
+    without recorded probabilities.
+
+    Hash-exactness: rewards are exact integer cents, propensities and
+    contributions are ratios of integer aggregates; the policy argmax
+    is a (count desc, type asc) row_number — integer-deterministic.
+
+    Scale: the policy table is one (user × type) count + a
+    user-partitioned argmax window; scoring is an equi-join of the
+    evaluation log onto that user-keyed table; every aggregate is
+    action-domain-bounded. Nothing collects, nothing is pairwise.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ips"), F.col("event_id").cast("string"))
+                ),
+                1,
+                2,
+            )
+            < "80"
+        ).alias("is_log"),
+    ).persist()
+    wu = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.col("event_type")
+    )
+    rec = (
+        ev.filter("is_log")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("rec"))
+    )
+    test = ev.filter(~F.col("is_log"))
+    prop = test.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    ntot = test.agg(F.count(F.lit(1)).alias("n"))
+    matched = (
+        test.join(
+            rec,
+            (test.user_id == rec.user_id) & (test.event_type == rec.rec),
+        )
+        .groupBy(test.event_type)
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.sum("cents").alias("match_cents"),
+        )
+    )
+    return (
+        prop.join(matched, "event_type", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "event_type",
+            "n_a",
+            F.round(F.col("n_a") * F.lit(1.0) / F.col("n"), 6).alias("p_log"),
+            F.coalesce("n_match", F.lit(0)).alias("n_match"),
+            F.round(
+                F.coalesce("match_cents", F.lit(0))
+                * F.lit(1.0)
+                / F.col("n_a")
+                * F.lit(1.0)
+                / 100,
+                6,
+            ).alias("ips_contribution"),
+        )
+        .orderBy("event_type")
+    )

@@ -1971,3 +1971,90 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr_ppm"), "node")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (Newman 2002)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_degree_assortativity",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000000 AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM cs
+      UNION
+      SELECT supp AS src, cust AS dst FROM cs
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    de AS (
+      SELECT a.d AS dj, b.d AS dk
+      FROM edges e JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dj * dk) AS BIGINT) AS sjk,
+             CAST(sum(dj) AS BIGINT) AS sj,
+             CAST(sum(dk) AS BIGINT) AS sk,
+             CAST(sum(dj * dj) AS BIGINT) AS sjj,
+             CAST(sum(dk * dk) AS BIGINT) AS skk
+      FROM de
+    )
+    SELECT m,
+           round(
+             (sjk * 1.0 / m - (sj * 1.0 / m) * (sk * 1.0 / m))
+             / sqrt((sjj * 1.0 / m - (sj * 1.0 / m) * (sj * 1.0 / m))
+                    * (skk * 1.0 / m - (sk * 1.0 / m) * (sk * 1.0 / m))),
+             6) AS assortativity
+    FROM s
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation of endpoint degrees
+    over all DIRECTED edge occurrences of the customer↔supplier
+    purchase graph — one number answering "do hubs connect to hubs"
+    (r>0, social-network-like) or "hubs to leaves" (r<0,
+    bipartite/infrastructure-like; expect strongly negative here,
+    which is exactly why Katz and PageRank disagree on this graph).
+
+    Hash-exactness: all six moments are exact integer sums (degrees
+    are counts; products ≤ deg²·|E| stay far inside int64); the
+    coefficient is one deterministic double expression, 6dp-rounded.
+
+    Scale: degrees via one node-keyed aggregate; each endpoint's
+    degree joins back onto the edge list on its OWN key (src-keyed
+    first — riding the persisted edge partitioning — then dst-keyed);
+    the moment rollup collapses everything to one row. No windows,
+    no pairwise work beyond the edges themselves.
+    """
+    edges = purchase_graph_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    de = (
+        edges.join(deg.withColumnsRenamed({"node": "src", "d": "dj"}), "src")
+        .join(deg.withColumnsRenamed({"node": "dst", "d": "dk"}), "dst")
+        .select("dj", "dk")
+    )
+    s = de.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+        F.sum("dj").alias("sj"),
+        F.sum("dk").alias("sk"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+        F.sum(F.col("dk") * F.col("dk")).alias("skk"),
+    )
+    m = F.col("m")
+    mean_j = F.col("sj") * F.lit(1.0) / m
+    mean_k = F.col("sk") * F.lit(1.0) / m
+    cov = F.col("sjk") * F.lit(1.0) / m - mean_j * mean_k
+    var_j = F.col("sjj") * F.lit(1.0) / m - mean_j * mean_j
+    var_k = F.col("skk") * F.lit(1.0) / m - mean_k * mean_k
+    return s.select(
+        "m", F.round(cov / F.sqrt(var_j * var_k), 6).alias("assortativity")
+    )

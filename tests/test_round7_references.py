@@ -281,3 +281,84 @@ def test_isotonic_minimax_matches_pava(spark, sf_dir):
     tot_iso = sum(agg[b][0] * fit[b] for b in fit)
     tot_y = sum(y for _, y in agg.values())
     assert abs(tot_iso - tot_y) < 1e-6
+
+
+def test_assortativity_matches_pure_python(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mi_inbound_pulsar_spark.operators.graph import (
+        q_degree_assortativity,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", (F.col("l_suppkey") + 1_000_000_000).alias("s"))
+        .distinct()
+        .collect()
+    )
+    edges = []
+    for r in cs:
+        edges.append((r["o_custkey"], r["s"]))
+        edges.append((r["s"], r["o_custkey"]))
+    deg = Counter(s for s, _ in edges)
+    dj = [deg[s] for s, _ in edges]
+    dk = [deg[d] for _, d in edges]
+    m = len(edges)
+    mj, mk = sum(dj) / m, sum(dk) / m
+    cov = sum(a * b for a, b in zip(dj, dk)) / m - mj * mk
+    vj = sum(a * a for a in dj) / m - mj * mj
+    vk = sum(b * b for b in dk) / m - mk * mk
+    expect = cov / math.sqrt(vj * vk)
+
+    (row,) = q_degree_assortativity(spark, sf_dir).collect()
+    assert row.m == m
+    assert abs(row.assortativity - expect) < 1e-6
+    # bipartite purchase graphs are disassortative
+    assert row.assortativity < 0
+
+
+def test_ips_policy_eval_matches_pure_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.eventsops import (
+        q_ips_policy_eval,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+
+    def is_log(eid):
+        return hashlib.md5(f"ips{eid}".encode()).hexdigest()[:2] < "80"
+
+    log = [r for r in rows if is_log(r["event_id"])]
+    test = [r for r in rows if not is_log(r["event_id"])]
+    per_user = defaultdict(Counter)
+    for r in log:
+        per_user[r["user_id"]][r["event_type"]] += 1
+    rec = {
+        u: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for u, c in per_user.items()
+    }
+    n = len(test)
+    n_a = Counter(r["event_type"] for r in test)
+    n_match = Counter()
+    match_cents = Counter()
+    for r in test:
+        if rec.get(r["user_id"]) == r["event_type"]:
+            n_match[r["event_type"]] += 1
+            match_cents[r["event_type"]] += int(
+                _round_half_away(float(r["value"]) * 100)
+            )
+    got = {r.event_type: r for r in q_ips_policy_eval(spark, sf_dir).collect()}
+    assert set(got) == set(n_a)
+    for a in n_a:
+        assert got[a].n_a == n_a[a]
+        assert got[a].n_match == n_match[a]
+        assert abs(got[a].p_log - n_a[a] / n) < 1e-6
+        assert (
+            abs(got[a].ips_contribution - match_cents[a] / n_a[a] / 100)
+            < 1e-5
+        )
