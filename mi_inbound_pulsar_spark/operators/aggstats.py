@@ -5159,3 +5159,257 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# Regression discontinuity at the zero-balance cutoff (Imbens & Lemieux)
+# --------------------------------------------------------------------------
+RDD_BANDWIDTH_CENTS = 200000  # local-linear window: ±$2,000 around 0
+
+
+@query(
+    "q_regression_discontinuity",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+      FROM customer
+      WHERE abs(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+              <= {RDD_BANDWIDTH_CENTS}
+    ),
+    y AS (
+      SELECT c.c_custkey, c.x, CAST(count(o.o_orderkey) AS BIGINT) AS y
+      FROM c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.x
+    ),
+    m AS (
+      SELECT x >= 0 AS treated,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM y GROUP BY 1
+    ),
+    fit AS (
+      SELECT treated, n,
+             (sy * 1.0 * sxx - sx * 1.0 * sxy)
+               / (n * 1.0 * sxx - sx * 1.0 * sx) AS intercept,
+             (n * 1.0 * sxy - sx * 1.0 * sy)
+               / (n * 1.0 * sxx - sx * 1.0 * sx) AS slope
+      FROM m
+    )
+    SELECT r.n AS n_right, l.n AS n_left,
+           round(r.intercept, 6) AS limit_right,
+           round(l.intercept, 6) AS limit_left,
+           round(r.intercept - l.intercept, 6) AS rdd_effect,
+           round(r.slope * 100000, 6) AS slope_right_per_k,
+           round(l.slope * 100000, 6) AS slope_left_per_k
+    FROM fit r, fit l
+    WHERE r.treated AND NOT l.treated
+    """,
+)
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity (Imbens & Lemieux 2008): local
+    linear fits on each side of the zero-account-balance cutoff within
+    a ±$2,000 bandwidth, outcome = the customer's order count; the
+    causal estimand is the jump between the two one-sided intercepts
+    AT the cutoff — the quasi-experimental design for "does crossing
+    the threshold change behavior" when treatment is assigned by the
+    running variable itself (here: negative-balance status). Both
+    one-sided slopes are exposed (per $1,000) so a reader can see the
+    local trends the limits extrapolate from.
+
+    Hash-exactness: both OLS fits are CLOSED FORMS over five exact
+    integer moments per side (n, Σx, Σy, Σxy, Σx² of cents ×
+    order counts — far inside int64 at the bandwidth); the division
+    is one deterministic double expression per coefficient,
+    6dp-rounded.
+
+    Scale: the bandwidth filter pushes to the customer scan; the
+    outcome join is customer-keyed; everything collapses to TWO moment
+    rows before any arithmetic. The textbook "RDD at 100 TB" shape —
+    no sorting, no windows, no per-row model state.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("x"),
+    ).filter(F.abs(F.col("x")) <= RDD_BANDWIDTH_CENTS)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    y = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "x")
+        .agg(F.count("o_orderkey").alias("y"))
+    )
+    m = y.groupBy((F.col("x") >= 0).alias("treated")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.lit(1.0) * F.col("sxx") - F.col("sx") * F.lit(
+        1.0
+    ) * F.col("sx")
+    fit = m.select(
+        "treated",
+        "n",
+        (
+            (
+                F.col("sy") * F.lit(1.0) * F.col("sxx")
+                - F.col("sx") * F.lit(1.0) * F.col("sxy")
+            )
+            / det
+        ).alias("intercept"),
+        (
+            (
+                F.col("n") * F.lit(1.0) * F.col("sxy")
+                - F.col("sx") * F.lit(1.0) * F.col("sy")
+            )
+            / det
+        ).alias("slope"),
+    )
+    r = fit.filter("treated").select(
+        F.col("n").alias("n_right"),
+        F.col("intercept").alias("ir"),
+        F.col("slope").alias("sr"),
+    )
+    lft = fit.filter(~F.col("treated")).select(
+        F.col("n").alias("n_left"),
+        F.col("intercept").alias("il"),
+        F.col("slope").alias("sl"),
+    )
+    return r.crossJoin(F.broadcast(lft)).select(
+        "n_right",
+        "n_left",
+        F.round("ir", 6).alias("limit_right"),
+        F.round("il", 6).alias("limit_left"),
+        F.round(F.col("ir") - F.col("il"), 6).alias("rdd_effect"),
+        F.round(F.col("sr") * 100000, 6).alias("slope_right_per_k"),
+        F.round(F.col("sl") * 100000, 6).alias("slope_left_per_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interrupted time series (Bernal, Cummins & Gasparrini 2017)
+# --------------------------------------------------------------------------
+ITS_CUTOVER = "1998-04-01"  # intervention date: the series midpoint
+
+
+@query(
+    "q_interrupted_time_series",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY o_orderdate
+    ),
+    idx AS (
+      SELECT d, y,
+             CAST(datediff('day', DATE '{ITS_CUTOVER}', d) AS BIGINT) AS t,
+             d >= DATE '{ITS_CUTOVER}' AS post
+      FROM daily
+    ),
+    m AS (
+      SELECT post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(t * y) AS BIGINT) AS sxy,
+             CAST(sum(t * t) AS BIGINT) AS sxx
+      FROM idx GROUP BY post
+    ),
+    fit AS (
+      SELECT post, n,
+             (sy * 1.0 * sxx - sx * 1.0 * sxy)
+               / (n * 1.0 * sxx - sx * 1.0 * sx) AS level_at_cutover,
+             (n * 1.0 * sxy - sx * 1.0 * sy)
+               / (n * 1.0 * sxx - sx * 1.0 * sx) AS slope
+      FROM m
+    )
+    SELECT pre.n AS n_pre, post.n AS n_post,
+           round(pre.level_at_cutover, 6) AS level_pre,
+           round(post.level_at_cutover, 6) AS level_post,
+           round(post.level_at_cutover - pre.level_at_cutover, 6)
+             AS level_change,
+           round(pre.slope, 6) AS slope_pre,
+           round(post.slope, 6) AS slope_post,
+           round(post.slope - pre.slope, 6) AS slope_change
+    FROM fit pre, fit post
+    WHERE NOT pre.post AND post.post
+    """,
+)
+def q_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series / segmented regression (Bernal, Cummins
+    & Gasparrini 2017): fit the daily-order-count trend separately
+    before and after the {ITS_CUTOVER} cutover, with the day index
+    CENTERED at the cutover so each segment's intercept IS its level
+    at the intervention — the level change and slope change are the
+    two ITS estimands ("did the intervention shift the series, and
+    did it bend it"). The pre-segment extrapolates forward to the
+    cutover, the standard segmented-regression convention.
+
+    Hash-exactness: day offsets and daily counts are exact integers,
+    both fits are closed forms over five integer moments per segment,
+    6dp-rounded.
+
+    Scale: the corpus collapses to the date-domain rollup in one
+    aggregate; the moment rollup is two rows; no windows at all (the
+    day index is a date DIFFERENCE, not a rank).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    idx = daily.select(
+        "y",
+        F.datediff(F.col("d"), F.lit(ITS_CUTOVER)).cast("long").alias("t"),
+        (F.col("d") >= F.lit(ITS_CUTOVER)).alias("post"),
+    )
+    m = idx.groupBy("post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+    )
+    det = F.col("n") * F.lit(1.0) * F.col("sxx") - F.col("sx") * F.lit(
+        1.0
+    ) * F.col("sx")
+    fit = m.select(
+        "post",
+        "n",
+        (
+            (
+                F.col("sy") * F.lit(1.0) * F.col("sxx")
+                - F.col("sx") * F.lit(1.0) * F.col("sxy")
+            )
+            / det
+        ).alias("level_at_cutover"),
+        (
+            (
+                F.col("n") * F.lit(1.0) * F.col("sxy")
+                - F.col("sx") * F.lit(1.0) * F.col("sy")
+            )
+            / det
+        ).alias("slope"),
+    )
+    pre = fit.filter(~F.col("post")).select(
+        F.col("n").alias("n_pre"),
+        F.col("level_at_cutover").alias("lp"),
+        F.col("slope").alias("sp"),
+    )
+    post = fit.filter("post").select(
+        F.col("n").alias("n_post"),
+        F.col("level_at_cutover").alias("lq"),
+        F.col("slope").alias("sq"),
+    )
+    return pre.crossJoin(F.broadcast(post)).select(
+        "n_pre",
+        "n_post",
+        F.round("lp", 6).alias("level_pre"),
+        F.round("lq", 6).alias("level_post"),
+        F.round(F.col("lq") - F.col("lp"), 6).alias("level_change"),
+        F.round("sp", 6).alias("slope_pre"),
+        F.round("sq", 6).alias("slope_post"),
+        F.round(F.col("sq") - F.col("sp"), 6).alias("slope_change"),
+    )
