@@ -5413,3 +5413,151 @@ def q_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sq", 6).alias("slope_post"),
         F.round(F.col("sq") - F.col("sp"), 6).alias("slope_change"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-neighbor caliper matching ATT (Rosenbaum & Rubin 1983)
+# --------------------------------------------------------------------------
+PSM_CALIPER_CENTS = 500  # max balance distance for a valid match
+
+
+@query(
+    "q_matching_att",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS cust,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x,
+             c_mktsegment = 'AUTOMOBILE' AS treated
+      FROM customer
+    ),
+    y AS (
+      SELECT c.cust, c.x, c.treated,
+             CAST(COALESCE(sum(CAST(round(o.o_totalprice * 100, 0)
+                                    AS BIGINT)), 0) AS BIGINT) AS spend
+      FROM c LEFT JOIN orders o ON o.o_custkey = c.cust
+      GROUP BY c.cust, c.x, c.treated
+    ),
+    t AS (SELECT * FROM y WHERE treated),
+    ctl AS (SELECT * FROM y WHERE NOT treated),
+    cand AS (
+      SELECT t.cust AS t_cust, t.spend AS t_spend,
+             ctl.cust AS c_cust, ctl.spend AS c_spend,
+             abs(t.x - ctl.x) AS dist
+      FROM t JOIN ctl
+        ON (ctl.x // {PSM_CALIPER_CENTS})
+             BETWEEN (t.x // {PSM_CALIPER_CENTS}) - 1
+                 AND (t.x // {PSM_CALIPER_CENTS}) + 1
+      WHERE abs(t.x - ctl.x) <= {PSM_CALIPER_CENTS}
+    ),
+    best AS (
+      SELECT t_cust, t_spend, c_spend,
+             row_number() OVER (PARTITION BY t_cust
+                                ORDER BY dist, c_cust) AS rn
+      FROM cand
+    ),
+    matched AS (SELECT * FROM best WHERE rn = 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_treated,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           round(avg(t_spend) / 100, 6) AS mean_treated,
+           round(avg(c_spend) / 100, 6) AS mean_matched_control,
+           round((avg(t_spend) - avg(c_spend)) / 100, 6) AS att
+    FROM matched
+    """,
+)
+def q_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor matching with a caliper (Rosenbaum & Rubin
+    1983; matching with replacement, the standard observational-ATT
+    estimator): each AUTOMOBILE-segment customer is matched to the
+    closest non-AUTOMOBILE customer by account balance (≤$5
+    caliper), and the treatment effect on the treated is the mean
+    spend gap over matched pairs — completing the causal shelf
+    (IPW → doubly-robust → DiD → RDD → ITS → matching). Treated
+    units with no control inside the caliper drop, the caliper's
+    defining behavior (n_treated vs n_matched exposes the match
+    rate).
+
+    The nearest-neighbor search is the banding trick: candidates come
+    only from the treated unit's caliper band ±1 (any control within
+    the caliper is provably inside those three bands), so candidate
+    generation is an EQUI-join on the band key (FLOOR division on
+    both engines — Spark's DIV truncates toward zero, which would
+    shift negative-balance bands) — never treated × control. The argmin is (distance, control id) — integer-exact.
+
+    Hash-exactness: balances and spends are integer cents; means are
+    ratios of exact integer sums, 6dp-rounded.
+
+    Scale: band join bounded by caliper density; per-treated argmin is
+    a window partitioned by the treated key; two scalar aggregates
+    finish. At 100 TB the band key doubles as the shuffle key — the
+    same co-location discipline as the as-of join.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("x"),
+        (F.col("c_mktsegment") == "AUTOMOBILE").alias("treated"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p"),
+    )
+    y = (
+        c.join(o, c.cust == o.o_custkey, "left")
+        .groupBy("cust", "x", "treated")
+        .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("spend"))
+        .persist()
+    )
+    t = y.filter("treated").select(
+        F.col("cust").alias("t_cust"),
+        F.col("x").alias("tx"),
+        F.col("spend").alias("t_spend"),
+        F.floor(F.col("x") / PSM_CALIPER_CENTS).cast("long").alias("band"),
+    )
+    ctl = y.filter(~F.col("treated")).select(
+        F.col("cust").alias("c_cust"),
+        F.col("x").alias("cx"),
+        F.col("spend").alias("c_spend"),
+        F.floor(F.col("x") / PSM_CALIPER_CENTS).cast("long").alias("cband"),
+    )
+    probes = t.select(
+        "t_cust",
+        "tx",
+        "t_spend",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("cband"),
+    )
+    cand = (
+        probes.join(ctl, "cband")
+        .filter(F.abs(F.col("tx") - F.col("cx")) <= PSM_CALIPER_CENTS)
+        .select(
+            "t_cust",
+            "t_spend",
+            "c_spend",
+            F.abs(F.col("tx") - F.col("cx")).alias("dist"),
+            "c_cust",
+        )
+    )
+    w = Window.partitionBy("t_cust").orderBy("dist", "c_cust")
+    matched = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    n_t = t.agg(F.count(F.lit(1)).alias("n_treated"))
+    return (
+        matched.agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.avg("t_spend") / 100, 6).alias("mean_treated"),
+            F.round(F.avg("c_spend") / 100, 6).alias("mean_matched_control"),
+            F.round(
+                (F.avg("t_spend") - F.avg("c_spend")) / 100, 6
+            ).alias("att"),
+        )
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "n_treated",
+            "n_matched",
+            "mean_treated",
+            "mean_matched_control",
+            "att",
+        )
+    )
