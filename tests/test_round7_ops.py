@@ -180,3 +180,50 @@ def test_t_closeness_flag_consistency(spark):
     rows = q_t_closeness(spark, SF).collect()
     assert all(r.t_emd >= 0 for r in rows)
     assert all(r.t_close == (r.t_emd <= T_CLOSE_THRESHOLD) for r in rows)
+
+
+def test_rdd_internal_consistency(spark):
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        RDD_BANDWIDTH_CENTS,
+        q_regression_discontinuity,
+    )
+    from pyspark.sql import functions as F
+
+    (row,) = q_regression_discontinuity(spark, SF).collect()
+    in_bw = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .filter(
+            F.abs(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            <= RDD_BANDWIDTH_CENTS
+        )
+        .count()
+    )
+    assert row.n_left + row.n_right == in_bw
+    assert abs(row.rdd_effect - (row.limit_right - row.limit_left)) < 2e-6
+
+
+def test_its_internal_consistency(spark):
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        q_interrupted_time_series,
+    )
+
+    (row,) = q_interrupted_time_series(spark, SF).collect()
+    n_days = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderdate")
+        .distinct()
+        .count()
+    )
+    assert row.n_pre + row.n_post == n_days
+    assert abs(row.level_change - (row.level_post - row.level_pre)) < 2e-6
+    assert abs(row.slope_change - (row.slope_post - row.slope_pre)) < 2e-6
+
+
+def test_matching_att_consistency(spark):
+    from mi_inbound_pulsar_spark.operators.aggstats import q_matching_att
+
+    (row,) = q_matching_att(spark, SF).collect()
+    assert 0 < row.n_matched <= row.n_treated
+    assert (
+        abs(row.att - (row.mean_treated - row.mean_matched_control)) < 2e-6
+    )
