@@ -146,6 +146,8 @@ HEADLINE = [
     "q_event_trigram_mining",
     "q_t_closeness",
     "q_isotonic_calibration",
+    # composed streaming gates (round 8)
+    "q_streaming_composed_replay",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
@@ -166,6 +168,40 @@ SHARED_SUBSET = frozenset(
         "q_topk_per_group", "q_training_data_pipeline", "q_triangle_count",
         "q_variant_extract", "q_window_rank", "q_window_tumbling",
         "q_zipf_slope", "q_zscore_per_group",
+    }
+)
+
+
+#: the round-7 headline complement, frozen in round 8: everything that
+#: joined HEADLINE after the round-3 freeze — dedup flagships, graph
+#: fixpoints, streaming-state replays, the inferential/causal suite —
+#: so like-for-like comparisons cover the later families too, not just
+#: the 27 early queries the round-3 set happens to share. Frozen NOW:
+#: future rounds keep adding to HEADLINE but never to this set.
+SHARED_SUBSET_R7 = frozenset(
+    {
+        "q_adamic_adar", "q_auc_roc", "q_benjamini_hochberg",
+        "q_bigram_lm_cross_entropy", "q_bpe_merge_loop", "q_bpe_tokenize",
+        "q_changepoint_binary", "q_containment_neardup",
+        "q_copurchase_jaccard", "q_decision_stump",
+        "q_decontaminate_13gram", "q_dedup_report", "q_degree_powerlaw_mle",
+        "q_doremi_reweight", "q_dsir_selection", "q_embedding_quantize",
+        "q_event_trigram_mining", "q_fellegi_sunter", "q_gini_spend",
+        "q_hard_negative_mining", "q_heaps_law", "q_hybrid_search_rrf",
+        "q_isotonic_calibration", "q_ivm_join_delta", "q_jackknife_ci",
+        "q_katz_centrality", "q_kcenter_coreset", "q_kcore_peel",
+        "q_kendall_tau", "q_label_modularity", "q_label_propagation",
+        "q_line_dedup", "q_local_clustering", "q_lorenz_curve",
+        "q_mann_whitney", "q_markov_attribution", "q_mmr_diversification",
+        "q_mutual_knn", "q_naive_bayes_confusion", "q_ndcg_eval",
+        "q_ngram_novelty", "q_pca_top_component", "q_personalized_pagerank",
+        "q_pii_redaction", "q_poisson_bootstrap_ci",
+        "q_prefix_filter_jaccard", "q_quality_terciles", "q_self_bleu",
+        "q_semdedup", "q_sequential_obrien_fleming", "q_shapley_attribution",
+        "q_span_corruption", "q_streaming_curation_replay",
+        "q_streaming_privacy_replay", "q_substring_dedup", "q_t_closeness",
+        "q_tfidf_cosine_neardup", "q_tumbling_ohlc", "q_vocab_coverage",
+        "q_wasserstein_distance", "q_welch_ttest",
     }
 )
 
@@ -340,6 +376,15 @@ def main() -> int:
                     sum(t for q, t in times.items() if q in SHARED_SUBSET), 3
                 ),
                 "shared_subset_n": sum(1 for q in times if q in SHARED_SUBSET),
+                # second frozen comparator (round-8 freeze): the
+                # round-4..7 families the round-3 set can't see — both
+                # subsets share the per-query 1.3x regression gate
+                "shared_subset_r7_seconds": round(
+                    sum(t for q, t in times.items() if q in SHARED_SUBSET_R7), 3
+                ),
+                "shared_subset_r7_n": sum(
+                    1 for q in times if q in SHARED_SUBSET_R7
+                ),
             },
             separators=(",", ":"),
         )

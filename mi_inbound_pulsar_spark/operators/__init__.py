@@ -69,80 +69,70 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-7 ROTATION: the driver samples the FIRST 50 entries.
-    # Rounds 1-6 covered 244 distinct names (all green); this head is
-    # the seventh DISJOINT never-driver-checked set — the 50 newest
-    # statistics / causal / retrieval / graph queries, exactly the
-    # list VERDICT.md round 6 asked for. 45 never-driver-checked
-    # names remain for round 8: q_welch_ttest, q_spearman_corr,
-    # q_session_gap_calibration, q_skipgram_pairs,
-    # q_rank_biased_overlap, q_shapley_attribution,
-    # q_poisson_bootstrap_ci, q_regression_diagnostics,
-    # q_pca_top_component, q_query_likelihood,
-    # q_sequential_obrien_fleming, q_sample_ratio_mismatch,
-    # q_woe_iv, q_qini_uplift, q_simplified_silhouette,
-    # q_wasserstein_distance, q_quantile_treatment_effect,
-    # q_twap, q_udf_surface, q_unigram_kl_drift, q_union_distinct,
-    # q_variant_extract, q_weighted_sample, q_window_distribution,
-    # q_window_ignore_nulls, q_zipf_slope, ... plus the 19 queries
-    # NEW this round (never driver-checked by definition):
-    # q_stl_decompose, q_page_hinkley, q_ucb1_bandit, q_t_closeness,
-    # q_katz_centrality, q_doremi_reweight, q_self_bleu,
-    # q_term_burstiness, q_tokenizer_fertility,
-    # q_personalized_pagerank, q_kcenter_coreset,
-    # q_naive_bayes_confusion, q_decision_stump,
-    # q_event_trigram_mining, q_sax_symbolic, q_permutation_entropy,
-    # q_hill_tail_index, q_geometric_adstock, q_isotonic_calibration.
-    "q_ab_power_mde",
-    "q_anova_dow",
-    "q_attribution_models",
-    "q_auc_roc",
-    "q_benjamini_hochberg",
-    "q_bigram_lm_cross_entropy",
-    "q_blocking_eval",
-    "q_brier_decomposition",
-    "q_calibration_ece",
-    "q_changepoint_binary",
-    "q_cohort_ltv",
-    "q_conformal_interval",
-    "q_control_chart",
-    "q_core_distance",
-    "q_correlation_matrix",
-    "q_cramers_v",
-    "q_cuped_adjustment",
-    "q_degree_powerlaw_mle",
-    "q_density_clusters",
-    "q_diff_in_diff",
-    "q_dim_truncation_recall",
-    "q_doubly_robust_ate",
-    "q_dp_noisy_histogram",
-    "q_eb_shrinkage",
-    "q_effect_sizes",
-    "q_embedding_quantize",
-    "q_forecast_backtest",
-    "q_funnel_significance",
-    "q_gains_curve",
-    "q_glove_cooccurrence",
-    "q_hard_negative_mining",
-    "q_heaps_law",
-    "q_hits_scores",
-    "q_int8_recall",
-    "q_ipw_ate",
-    "q_jackknife_ci",
-    "q_js_divergence",
-    "q_kendall_tau",
-    "q_kneser_ney_bigram",
-    "q_label_modularity",
-    "q_local_clustering",
-    "q_lorenz_curve",
-    "q_mann_kendall",
-    "q_markov_attribution",
-    "q_mmr_diversification",
-    "q_mutual_information",
-    "q_ndcg_eval",
-    "q_negative_sampling_table",
-    "q_nelson_aalen",
-    "q_ngram_coverage",
+    # ROUND-8 ROTATION: the driver samples the FIRST 50 entries.
+    # Rounds 1-7 covered 294 distinct names (all green); this head is
+    # the eighth DISJOINT never-driver-checked set — exactly the 50
+    # names VERDICT.md round 7 asked for (newest code first: the
+    # round-7 causal/streaming-replay/graph additions plus the
+    # remaining statistics leftovers). After this round 21
+    # never-driver-checked names remain for round 9:
+    # q_table_profile, q_term_burstiness, q_timeseries_similarity,
+    # q_token_entropy, q_tokenizer_fertility, q_topic_throughput,
+    # q_tumbling_ohlc, q_twap, q_ucb1_bandit,
+    # q_udf_surface, q_unigram_kl_drift, q_union_distinct,
+    # q_variant_extract, q_vocab_overlap, q_wasserstein_distance,
+    # q_weighted_sample, q_welch_ttest, q_window_distribution,
+    # q_window_ignore_nulls, q_woe_iv, q_zipf_slope.
+    "q_decision_stump",
+    "q_degree_assortativity",
+    "q_doremi_reweight",
+    "q_event_trigram_mining",
+    "q_geometric_adstock",
+    "q_hill_tail_index",
+    "q_interrupted_time_series",
+    "q_ips_policy_eval",
+    "q_isotonic_calibration",
+    "q_katz_centrality",
+    "q_kcenter_coreset",
+    "q_matching_att",
+    "q_naive_bayes_confusion",
+    "q_page_hinkley",
+    "q_pca_top_component",
+    "q_permutation_entropy",
+    "q_personalized_pagerank",
+    "q_poisson_bootstrap_ci",
+    "q_pseudonymize",
+    "q_psi_drift",
+    "q_qini_uplift",
+    "q_quality_logit",
+    "q_quantile_normalize",
+    "q_quantile_treatment_effect",
+    "q_query_likelihood",
+    "q_random_projection",
+    "q_rank_biased_overlap",
+    "q_rare_token_filter",
+    "q_regression_diagnostics",
+    "q_regression_discontinuity",
+    "q_repetition_filter",
+    "q_sample_ratio_mismatch",
+    "q_sax_symbolic",
+    "q_seasonal_baseline",
+    "q_self_bleu",
+    "q_sequential_obrien_fleming",
+    "q_session_gap_calibration",
+    "q_shapley_attribution",
+    "q_simplified_silhouette",
+    "q_simpson_audit",
+    "q_skipgram_pairs",
+    "q_skyline_dominance",
+    "q_sorted_neighborhood",
+    "q_source_diversity",
+    "q_spearman_corr",
+    "q_stl_decompose",
+    "q_stratified_split_check",
+    "q_streaming_curation_replay",
+    "q_streaming_privacy_replay",
+    "q_t_closeness",
 )
 
 

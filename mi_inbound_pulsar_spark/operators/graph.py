@@ -17,6 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.adaptive import (
+    ADAPTIVE_BROADCAST_MAX_ROWS,
+    adaptive_broadcast,
+    table_row_bound,
+)
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.operators.dedup import (
     jaccard_pairs,
@@ -650,9 +655,11 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round: (1) the nodes dropping below k come off the tiny
     degree frame; (2) their neighbors' degrees decrease by the count
     of removed neighbors — one *narrow* pass over the fixed edge list
-    (broadcast hash join against the removed set + map-side partial
-    count), because degrees only change for neighbors of removed
-    nodes; (3) the degree frame is rebuilt with two tiny joins and
+    (size-gated broadcast hash join against the removed set + map-side
+    partial count — the hint rides
+    :func:`~..plans.adaptive.adaptive_broadcast` because round-1
+    removal sets are node-scale worst-case), because degrees only
+    change for neighbors of removed nodes; (3) the degree frame is rebuilt with two tiny joins and
     ``localCheckpoint(eager=True)``-ed (plain ``persist`` is NOT
     enough in iterative loops: the logical plan nests ~6x per round —
     288 → 1 728 → 10 368 embedded scans measured — and Catalyst
@@ -688,6 +695,11 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_prev = deg.count()
+    # removal sets and degree deltas are node-scale worst-case (round
+    # 1 can remove most of the graph), so their broadcast hints ride
+    # the shared size gate: cheap cached customer-count bound, plain
+    # hash join above it (AQE still free to convert on actual size)
+    node_bound = table_row_bound(spark, sf_dir, "customer")
     for _ in range(KCORE_ROUNDS):
         # the removed set and its complement are FILTERS of the same
         # tiny checkpointed degree frame — no anti-join needed, and the
@@ -695,13 +707,15 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join scan computing per-neighbor removal counts
         removed_m = deg.filter(F.col("d") < KCORE_K).selectExpr("n AS m")
         delta = (
-            und.join(F.broadcast(removed_m), "m")
+            und.join(
+                adaptive_broadcast(removed_m, count_hint=node_bound), "m"
+            )
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("dd"))
         )
         deg = (
             deg.filter(F.col("d") >= KCORE_K)
-            .join(F.broadcast(delta), "n", "left")
+            .join(adaptive_broadcast(delta, count_hint=node_bound), "n", "left")
             .select("n", (F.col("d") - F.coalesce("dd", F.lit(0))).alias("d"))
             .localCheckpoint(eager=True)
         )
@@ -1199,7 +1213,7 @@ LPA_ROUNDS = 3
 # Broadcast the per-round (node, label) state only while it plausibly
 # fits an executor (~16 B/row → ≤ ~80 MB); above this the loop uses a
 # plain hash join — node-scale state must never be force-broadcast.
-LPA_BROADCAST_MAX_NODES = 5_000_000
+LPA_BROADCAST_MAX_NODES = ADAPTIVE_BROADCAST_MAX_ROWS
 
 
 def _lpa_oracle() -> str:
@@ -1268,7 +1282,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster where the state fits an executor); above it → plain hash
     join, the documented 100 TB form (AQE may still convert at
     runtime; the edge list is the large side either way — the
-    bucketed-IVF gating pattern). The per-round count is one
+    bucketed-IVF gating pattern). The gate is the shared
+    :func:`~..plans.adaptive.adaptive_broadcast` path, and its bound
+    is the *customer base-table row count* (node domain ⊆ customers)
+    via the cached metadata-only :func:`table_row_bound` — zero extra
+    actions per invocation after the first. The per-round count is one
     map-side-combined groupBy keyed by (node, label) and the argmax
     is a per-node window over ≤ degree rows. ``localCheckpoint`` per
     round cuts the iterative lineage.
@@ -1285,13 +1303,17 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select("n").distinct().withColumn("lab", F.col("n")).localCheckpoint(
         eager=True
     )
-    # one count against the eager checkpoint (already materialized —
-    # a narrow scan, not a recompute) gates every round's join shape
-    small_state = labels.count() <= LPA_BROADCAST_MAX_NODES
+    # the state's key domain is customers, so the cached base-table
+    # row count bounds every round's (node, label) frame — no per-
+    # invocation count action just to pick the join shape
+    node_bound = table_row_bound(spark, sf_dir, "customer")
     for _ in range(LPA_ROUNDS):
         lab_side = labels.selectExpr("n AS m", "lab")
         nbr = und.join(
-            F.broadcast(lab_side) if small_state else lab_side, "m"
+            adaptive_broadcast(
+                lab_side, LPA_BROADCAST_MAX_NODES, count_hint=node_bound
+            ),
+            "m",
         )
         counts = nbr.groupBy("n", "lab").agg(F.count(F.lit(1)).alias("c"))
         # per-node argmax as a hash aggregate, not a window: min_by on

@@ -1,0 +1,66 @@
+"""Size-gated broadcast hints for iterative operators.
+
+Iterative graph/label algorithms (LPA, k-core peeling, BFS frontiers)
+hint their per-round state frame as the broadcast side of the
+state-vs-edge-list join: on local[32] and any cluster where the state
+fits an executor this wins by skipping the per-round shuffle. But that
+state is NODE-bounded, not k-/vocab-/domain-bounded — it grows with
+the corpus, so a hard-coded ``F.broadcast`` is a 100 TB executor-OOM
+waiting to happen. The reference engine never faces the question (it
+delegates all processing to its host, ``PulsarMessageConsumer.java:
+535-545``); Spark-side the correct form is a *size-gated* hint.
+
+:func:`adaptive_broadcast` is that gate as one tested code path
+instead of per-site constants: hint iff a row bound fits, otherwise
+return the frame unhinted (plain shuffle hash join — AQE may still
+convert to broadcast at runtime if actual size allows; the edge list
+stays the streamed side either way). The bound is either supplied by
+the caller (``count_hint`` — e.g. an invariant node count the loop
+already knows) or measured once with ``df.count()``.
+
+:func:`table_row_bound` supplies the cheapest useful ``count_hint``
+for node-scale state: the row count of the parquet base table whose
+key domain contains the nodes (customers for the co-purchase graph).
+A parquet ``count()`` with zero projected columns is answered from
+row-group metadata — no column IO — and the result is cached per
+path for the life of the process, so repeated invocations (bench
+loops, multi-query sessions) pay zero extra actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Shared default for node-scale state: ~16 B/row keyed state → ≤ ~80 MB
+# on the executor, comfortably inside a 1-2 GB broadcast budget.
+ADAPTIVE_BROADCAST_MAX_ROWS = 5_000_000
+
+_ROW_COUNT_CACHE: dict[str, int] = {}
+
+
+def table_row_bound(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count of ``{sf_dir}/{table}.parquet`` — a cheap, cached
+    upper bound for any state frame whose keys are drawn from that
+    table's key domain (metadata-only count, cached per path)."""
+    path = f"{sf_dir}/{table}.parquet"
+    if path not in _ROW_COUNT_CACHE:
+        _ROW_COUNT_CACHE[path] = spark.read.parquet(path).count()
+    return _ROW_COUNT_CACHE[path]
+
+
+def adaptive_broadcast(
+    df: DataFrame,
+    max_rows: int = ADAPTIVE_BROADCAST_MAX_ROWS,
+    count_hint: int | None = None,
+) -> DataFrame:
+    """Return ``F.broadcast(df)`` iff a row bound on ``df`` fits
+    ``max_rows``, else ``df`` unhinted.
+
+    ``count_hint`` is any *upper bound* on ``df``'s row count the
+    caller already has (an invariant loop count, a base-table bound
+    from :func:`table_row_bound`); passing one makes the gate free.
+    Without one the frame is counted — callers in loops should hint.
+    """
+    n = df.count() if count_hint is None else count_hint
+    return F.broadcast(df) if n <= max_rows else df

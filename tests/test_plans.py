@@ -349,3 +349,70 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# adaptive_broadcast — the shared size gate for node-scale iterative state
+# --------------------------------------------------------------------------
+def test_adaptive_broadcast_gates_on_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mi_inbound_pulsar_spark.plans.adaptive import adaptive_broadcast
+
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    small = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    # under the bound (count_hint supplied): hint applied → broadcast join
+    hinted = big.join(adaptive_broadcast(small, 100, count_hint=10), "k")
+    assert "BroadcastHashJoin" in plan_of(hinted)
+    # over the bound: no hint — with autoBroadcastJoin disabled the join
+    # must fall back to a shuffle join (prove the hint really is absent)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = big.join(adaptive_broadcast(small, 5, count_hint=10), "k")
+        assert "BroadcastHashJoin" not in plan_of(gated)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # no count_hint: the frame is counted (11 ≤ 100 → hinted)
+    measured = big.join(adaptive_broadcast(small, 100), "k")
+    assert "BroadcastHashJoin" in plan_of(measured)
+    # results identical either way
+    assert sorted(r.k for r in hinted.collect()) == sorted(
+        r.k for r in measured.collect()
+    )
+
+
+def test_table_row_bound_cached(spark, sf_dir):
+    from mi_inbound_pulsar_spark.plans import adaptive
+
+    adaptive._ROW_COUNT_CACHE.clear()
+    n1 = adaptive.table_row_bound(spark, sf_dir, "customer")
+    assert n1 > 0
+    key = f"{sf_dir}/customer.parquet"
+    assert adaptive._ROW_COUNT_CACHE[key] == n1
+    # poison the cache: a second call must NOT recount
+    adaptive._ROW_COUNT_CACHE[key] = n1 + 7
+    assert adaptive.table_row_bound(spark, sf_dir, "customer") == n1 + 7
+    adaptive._ROW_COUNT_CACHE.clear()
+
+
+def test_lpa_kcore_gate_open_at_test_scale(spark, sf_dir):
+    # the size gate must leave the small-scale plans unchanged: the
+    # customer bound is far under the threshold, so the per-round
+    # state joins keep their broadcast hint (the rounds themselves
+    # localCheckpoint, so assert the gate's decision directly and
+    # that both queries still run end-to-end)
+    from mi_inbound_pulsar_spark.operators.graph import (
+        q_kcore_peel,
+        q_label_propagation,
+    )
+    from mi_inbound_pulsar_spark.plans.adaptive import (
+        ADAPTIVE_BROADCAST_MAX_ROWS,
+        table_row_bound,
+    )
+
+    assert table_row_bound(spark, sf_dir, "customer") <= ADAPTIVE_BROADCAST_MAX_ROWS
+    assert q_label_propagation(spark, sf_dir).count() > 0
+    assert "CartesianProduct" not in plan_of(q_kcore_peel(spark, sf_dir))

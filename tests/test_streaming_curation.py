@@ -131,3 +131,64 @@ def test_streaming_curation_replay_is_idempotent(spark):
         ).collect()
     }
     assert totals2 == totals
+
+
+def test_crash_between_state_writes_replays_cleanly(spark):
+    """Torn-epoch injection for the curation state family: kill after
+    the hashes+shingles deltas land but before the packed output and
+    offsets snapshot (no commit marker). Readers must not see the torn
+    epoch — in particular the NEXT replay must not treat the torn
+    hashes/v1 as committed index (which would dedup epoch 1's own
+    documents against themselves and emit nothing) — and the restart
+    rewrites every v1 dir, converging to the no-crash outcome."""
+    import pytest
+
+    from pyspark.sql import Row
+
+    def frame(lo, hi):
+        rows = [
+            Row(doc_id=i, source="s", text=" ".join(f"w{i}t{j}" for j in range(25)))
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows)
+
+    ctl = _pipe("curation_ctl_")
+    ctl(frame(0, 40), 0)
+    ctl(frame(40, 80), 1)
+    want = {
+        (r.doc_id, r.stream_offset, r.pack_start)
+        for r in ctl.read_output(spark).collect()
+    }
+
+    pipe = _pipe("curation_torn_")
+    pipe(frame(0, 40), 0)
+
+    orig_write = pipe._write
+    calls = {"n": 0}
+
+    def torn_write(df, root, epoch_id, key):
+        orig_write(df, root, epoch_id, key)
+        calls["n"] += 1
+        if calls["n"] == 2:  # hashes + shingles landed; kill before out/offsets
+            raise RuntimeError("injected crash mid-epoch")
+
+    pipe._write = torn_write
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe(frame(40, 80), 1)
+    pipe._write = orig_write
+
+    assert os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.out_dir, "v1"))
+    assert pipe._committed_epochs() == [0]
+
+    pipe(frame(40, 80), 1)  # restart replay
+    assert pipe._committed_epochs() == [0, 1]
+    got = {
+        (r.doc_id, r.stream_offset, r.pack_start)
+        for r in pipe.read_output(spark).collect()
+    }
+    assert got == want
+    # offsets snapshot reflects exactly one accounting of epoch 1
+    off = spark.read.parquet(os.path.join(pipe.state_dir, "offsets", "v1"))
+    ctl_off = spark.read.parquet(os.path.join(ctl.state_dir, "offsets", "v1"))
+    assert sorted(map(tuple, off.collect())) == sorted(map(tuple, ctl_off.collect()))

@@ -131,3 +131,60 @@ def test_redaction_applies_before_release(spark):
         assert r["chars_removed"] == len(f"user{r['rid']}@example.com") - len(
             "<EMAIL>"
         )
+
+
+def test_crash_between_state_writes_replays_cleanly(spark):
+    """The commit-marker contract's sharpest edge: a crash AFTER the
+    stats snapshot lands but BEFORE the pending/out writes leaves a
+    torn epoch on disk — stats/v1 exists, pending/v1 and out/v1 do
+    not, and no marker. The contract: readers never see the torn
+    epoch, and the restart's replay REWRITES v1 from scratch (not a
+    second increment), converging to exactly the no-crash outcome."""
+    import pytest
+
+    b0 = _frame(spark, [(1, 1, "A", 0), (2, 1, "A", 1), (3, 1, "A", 2)])
+    b1 = _frame(spark, [(4, 1, "A", 0), (5, 1, "A", 1)])
+
+    # control: the no-crash outcome
+    ctl = _pipe(spark)
+    ctl(b0, 0)
+    ctl(b1, 1)
+    want_out = sorted(
+        (r["rid"], r["release_epoch"]) for r in ctl.read_output(spark).collect()
+    )
+
+    pipe = _pipe(spark)
+    pipe(b0, 0)
+
+    orig_write = pipe._write
+    calls = {"n": 0}
+
+    def torn_write(df, root, epoch_id, key):
+        orig_write(df, root, epoch_id, key)
+        calls["n"] += 1
+        if calls["n"] == 1:  # stats landed; kill before pending/out
+            raise RuntimeError("injected crash mid-epoch")
+
+    pipe._write = torn_write
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe(b1, 1)
+    pipe._write = orig_write
+
+    # torn state on disk: stats/v1 exists, no marker, readers blind to it
+    assert os.path.isdir(os.path.join(pipe.state_dir, "stats", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.state_dir, "pending", "v1"))
+    assert pipe._committed_epochs() == [0]
+    assert all(
+        r["release_epoch"] == 0 for r in pipe.read_output(spark).collect()
+    )
+
+    # restart: at-least-once redelivers epoch 1; the replay must
+    # rewrite the torn stats/v1 (not add to it) and land everything
+    pipe(b1, 1)
+    assert pipe._committed_epochs() == [0, 1]
+    got_out = sorted(
+        (r["rid"], r["release_epoch"]) for r in pipe.read_output(spark).collect()
+    )
+    assert got_out == want_out == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)]
+    stats = spark.read.parquet(os.path.join(pipe.state_dir, "stats", "v1"))
+    assert stats.agg(F.sum("n")).first()[0] == 5  # 10 would mean torn+replay summed
