@@ -346,8 +346,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(string_split(text, ' ')) >= 20
     ),
     deduped AS (
-      SELECT min(doc_id) AS doc_id, any_value(source) AS source,
-             any_value(n_tokens) AS n_tokens
+      SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+             arg_min(n_tokens, doc_id) AS n_tokens
       FROM quality GROUP BY md5(text)
     ),
     train AS (
@@ -389,12 +389,16 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = d.select(
         "doc_id", "source", "text", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     ).filter(F.col("n_tokens") >= 20)
+    # keeper = min doc_id; passenger columns from the KEEPER row via
+    # min_by — source is NOT md5-determined (cross-source duplicate
+    # texts exist, observed at sf0.1), so any_value here would be
+    # nondeterministic and break batch-twin/oracle parity
     deduped = (
         quality.groupBy(F.md5("text"))
         .agg(
             F.min("doc_id").alias("doc_id"),
-            F.any_value("source").alias("source"),
-            F.any_value("n_tokens").alias("n_tokens"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
         )
         .drop("md5(text)")
     )

@@ -68,6 +68,7 @@ class StreamingCurationPipeline:
         pack_size: int = PACK_SIZE,
         neardup_threshold: float | None = None,
         num_partitions: int = 8,
+        autocommit: bool = True,
     ):
         self.state_dir = state_dir
         self.out_dir = out_dir
@@ -76,6 +77,9 @@ class StreamingCurationPipeline:
         self.pack_size = pack_size
         self.neardup_threshold = neardup_threshold
         self.num_partitions = num_partitions
+        # autocommit=False → a composing caller owns the epoch's single
+        # commit marker (streaming/composed.py)
+        self.autocommit = autocommit
         os.makedirs(os.path.join(state_dir, "_commits"), exist_ok=True)
 
     # -- state plumbing (the KeyedRetryPipeline recipe) ---------------------
@@ -128,15 +132,19 @@ class StreamingCurationPipeline:
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         ).filter(F.col("n_tokens") >= self.min_tokens)
 
-        # 2a. in-batch exact dedup (min-doc_id keeper; texts in an
-        # md5 group are identical, so any_value is exact)
+        # 2a. in-batch exact dedup (min-doc_id keeper). text/n_tokens
+        # are identical across an md5 group, but SOURCE may differ
+        # (cross-source duplicates exist in the corpus — observed at
+        # sf0.1), so every passenger column is taken from the KEEPER
+        # row via min_by: deterministic under any batch decomposition,
+        # which the replay oracles' arg_min closed form depends on
         deduped = (
             quality.groupBy(F.md5("text").alias("text_md5"))
             .agg(
                 F.min("doc_id").alias("doc_id"),
-                F.any_value("source").alias("source"),
-                F.any_value("text").alias("text"),
-                F.any_value("n_tokens").alias("n_tokens"),
+                F.min_by("source", "doc_id").alias("source"),
+                F.min_by("text", "doc_id").alias("text"),
+                F.min_by("n_tokens", "doc_id").alias("n_tokens"),
             )
         )
         # 2b. cross-batch exact dedup: anti-join the accepted-hash index
@@ -220,4 +228,5 @@ class StreamingCurationPipeline:
             new_offsets, os.path.join(self.state_dir, "offsets"), epoch_id, "source"
         )
         survivors.unpersist()
-        self._finalize(epoch_id)
+        if self.autocommit:
+            self._finalize(epoch_id)

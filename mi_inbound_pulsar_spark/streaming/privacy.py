@@ -68,6 +68,7 @@ class StreamingPrivacyPipeline:
         k: int = K_ANON,
         l_div: int = L_DIVERSE,
         num_partitions: int = 8,
+        autocommit: bool = True,
     ):
         self.state_dir = state_dir
         self.out_dir = out_dir
@@ -78,6 +79,10 @@ class StreamingPrivacyPipeline:
         self.k = k
         self.l_div = l_div
         self.num_partitions = num_partitions
+        # autocommit=False → a composing caller owns the epoch's single
+        # commit marker (streaming/composed.py); state reads still key
+        # off this state_dir's _commits, which the composer shares
+        self.autocommit = autocommit
         os.makedirs(os.path.join(state_dir, "_commits"), exist_ok=True)
 
     # -- state plumbing (the StreamingCurationPipeline recipe) --------------
@@ -190,4 +195,5 @@ class StreamingPrivacyPipeline:
         self._write(released, self.out_dir, epoch_id, self.id_col)
         candidates.unpersist()
         stats.unpersist()
-        self._finalize(epoch_id)
+        if self.autocommit:
+            self._finalize(epoch_id)
