@@ -1,0 +1,1082 @@
+"""Data-quality audit statistics (round 8): the classical screening
+tests a dataset curator runs before trusting a training corpus or an
+experiment readout — variance homogeneity (Brown-Forsythe Levene),
+median homogeneity (Mood), paired-proportion shift (McNemar),
+single-outlier screening (Grubbs), robust trend (Theil-Sen),
+two-group survival comparison (log-rank), whiteness (Ljung-Box),
+extreme-value tail (Gumbel block maxima), dose-response trend
+(Cochran-Armitage) — plus the two portable-hash sketch structures a
+100 TB curation pipeline actually deploys: a Count-Min heavy-hitter
+sketch and a Bloom-filter decontamination gate, both built from
+md5-derived hashes that DuckDB evaluates bit-identically so the
+sketches themselves are oracle-checkable (the same trick the
+``hash_bucket`` split uses; reference scope: the engine delegates all
+processing to its injected pipeline, PulsarMessageConsumer.java:535-545
+— this IS that processing layer).
+
+Every aggregate here is a built-in JVM aggregate over a rollup whose
+row count is bounded by a domain (segments, priorities, day spine,
+sketch cells), so each query is one or two map-side-combined shuffles
+regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+US_PER_DAY = 86_400_000_000
+US_PER_HOUR = 3_600_000_000
+
+
+def _daily_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, cents): exact integer daily purchase revenue keyed by the
+    epoch-day index — the shared day-domain-bounded series every
+    time-series test here rolls up from (tz-proof: pure integer
+    division of epoch micros, identical in both engines)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return e.groupBy(
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+
+
+_DAILY_SQL = """
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe Levene test: variance homogeneity across segments
+# --------------------------------------------------------------------------
+@query(
+    "q_levene_test",
+    oracle="""
+    WITH med AS (
+      SELECT c_mktsegment AS seg, median(c_acctbal) AS med
+      FROM customer GROUP BY 1
+    ),
+    z AS (
+      SELECT c.c_mktsegment AS seg, abs(c.c_acctbal - m.med) AS z
+      FROM customer c JOIN med m ON c.c_mktsegment = m.seg
+    ),
+    g AS (
+      SELECT seg, count(*) AS n, sum(z) AS s, sum(z * z) AS ss
+      FROM z GROUP BY seg
+    ),
+    tot AS (
+      SELECT sum(n) AS nn, sum(s) AS gs, count(*) AS k,
+             sum(ss - s * s / n) AS ss_within
+      FROM g
+    )
+    SELECT CAST(t.nn AS BIGINT) AS n,
+           CAST(t.k AS BIGINT) AS k,
+           round(sum(g.n * pow(g.s / g.n - t.gs / t.nn, 2)), 6)
+             AS ss_between,
+           round(t.ss_within, 6) AS ss_within,
+           round((t.nn - t.k) * 1.0 / (t.k - 1)
+                 * sum(g.n * pow(g.s / g.n - t.gs / t.nn, 2)) / t.ss_within,
+                 6) AS w_stat
+    FROM g, tot t GROUP BY t.nn, t.k, t.ss_within
+    """,
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test (Levene 1960; Brown & Forsythe 1974)
+    for homogeneity of account-balance variance across market
+    segments: the one-way ANOVA F statistic computed on z = |x − group
+    median| — the median-centered variant, robust to the non-normality
+    that wrecks Bartlett's test. The curator's question it answers:
+    can segments be pooled for a single variance estimate, or must
+    downstream power calculations stratify?
+
+    Hash-exactness: group medians are exact interpolated percentiles
+    (both engines average the middle pair); every sum is over doubles
+    derived from them in the same order-insensitive aggregates; the
+    final statistic is 6dp-rounded.
+
+    Scale: one broadcast of the k-row median frame, one map-side-
+    combined rollup to k rows, one k-row final aggregate. Medians use
+    Spark's exact ``percentile`` — at 100 TB swap for
+    ``percentile_approx`` and re-derive the contract, or pre-bucket
+    cents (the q_quantile_* pattern).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    med = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+    )
+    z = c.join(
+        F.broadcast(med), c.c_mktsegment == med.seg
+    ).select("seg", F.abs(F.col("c_acctbal") - F.col("med")).alias("z"))
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("gs"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias(
+            "ss_within"
+        ),
+    )
+    zbar = F.col("gs") / F.col("nn")
+    ss_between = F.sum(
+        F.col("n") * F.pow(F.col("s") / F.col("n") - zbar, F.lit(2.0))
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "k", "ss_within")
+        .agg(ss_between.alias("ssb"))
+        .select(
+            F.col("nn").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.round("ssb", 6).alias("ss_between"),
+            F.round("ss_within", 6).alias("ss_within"),
+            F.round(
+                (F.col("nn") - F.col("k"))
+                / (F.col("k") - 1)
+                * F.col("ssb")
+                / F.col("ss_within"),
+                6,
+            ).alias("w_stat"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mood's median test: k-group location shift on counts alone
+# --------------------------------------------------------------------------
+@query(
+    "q_mood_median",
+    oracle="""
+    WITH gm AS (SELECT median(c_acctbal) AS med FROM customer),
+    o AS (
+      SELECT c_mktsegment AS seg,
+             CAST(count(*) FILTER (c_acctbal > gm.med) AS BIGINT) AS n_above,
+             CAST(count(*) FILTER (c_acctbal <= gm.med) AS BIGINT) AS n_le
+      FROM customer, gm GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_above) AS ta, sum(n_le) AS tl,
+             sum(n_above + n_le) AS nn
+      FROM o
+    )
+    SELECT o.seg, o.n_above, o.n_le,
+           round((o.n_above + o.n_le) * t.ta * 1.0 / t.nn, 6) AS exp_above,
+           round(pow(o.n_above - (o.n_above + o.n_le) * t.ta * 1.0 / t.nn, 2)
+                   / ((o.n_above + o.n_le) * t.ta * 1.0 / t.nn)
+                 + pow(o.n_le - (o.n_above + o.n_le) * t.tl * 1.0 / t.nn, 2)
+                   / ((o.n_above + o.n_le) * t.tl * 1.0 / t.nn),
+                 6) AS chi2_contrib
+    FROM o, tot t ORDER BY o.seg
+    """,
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (Mood 1950): do the market segments share a
+    common median balance? Each segment's counts above / at-or-below
+    the GRAND median form a k×2 contingency table whose chi-square
+    decomposes per segment — the per-segment ``chi2_contrib`` column
+    is the decomposition, so the output names the offending segment,
+    not just the verdict. The nonparametric companion to
+    ``q_levene_test``: Levene screens the spreads, Mood the centers,
+    both on counts/absolute deviations that survive heavy tails.
+
+    Scale: grand median is one exact-percentile aggregate (1 row,
+    broadcast); counts are one map-side-combined rollup to k rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    gm = c.agg(F.expr("percentile(c_acctbal, 0.5)").alias("med"))
+    o = (
+        c.crossJoin(F.broadcast(gm))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count_if(F.col("c_acctbal") > F.col("med")).alias("n_above"),
+            F.count_if(F.col("c_acctbal") <= F.col("med")).alias("n_le"),
+        )
+    )
+    tot = o.agg(
+        F.sum("n_above").alias("ta"),
+        F.sum("n_le").alias("tl"),
+        F.sum(F.col("n_above") + F.col("n_le")).alias("nn"),
+    )
+    row_n = F.col("n_above") + F.col("n_le")
+    ea = row_n * F.col("ta") / F.col("nn")
+    el = row_n * F.col("tl") / F.col("nn")
+    return (
+        o.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n_above",
+            "n_le",
+            F.round(ea, 6).alias("exp_above"),
+            F.round(
+                F.pow(F.col("n_above") - ea, F.lit(2.0)) / ea
+                + F.pow(F.col("n_le") - el, F.lit(2.0)) / el,
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("seg")
+    )
+
+
+# --------------------------------------------------------------------------
+# McNemar's test: paired year-over-year activity shift
+# --------------------------------------------------------------------------
+@query(
+    "q_mcnemar_test",
+    oracle="""
+    WITH flags AS (
+      SELECT c.c_custkey,
+             coalesce(bool_or(year(o.o_orderdate) = 1994), FALSE) AS y94,
+             coalesce(bool_or(year(o.o_orderdate) = 1995), FALSE) AS y95
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(count(*) FILTER (y94 AND y95) AS BIGINT) AS n_both,
+           CAST(count(*) FILTER (y94 AND NOT y95) AS BIGINT) AS n_lost,
+           CAST(count(*) FILTER (NOT y94 AND y95) AS BIGINT) AS n_gained,
+           CAST(count(*) FILTER (NOT y94 AND NOT y95) AS BIGINT) AS n_neither,
+           round(pow(abs((count(*) FILTER (y94 AND NOT y95))
+                         - (count(*) FILTER (NOT y94 AND y95))) - 1, 2)
+                 * 1.0
+                 / ((count(*) FILTER (y94 AND NOT y95))
+                    + (count(*) FILTER (NOT y94 AND y95))),
+                 6) AS chi2_cc
+    FROM flags
+    """,
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test with continuity correction (McNemar 1947) on the
+    paired dichotomy "customer placed an order in 1994" vs "... in
+    1995": the discordant cells alone (lost vs gained customers) carry
+    the evidence of a marginal shift — the concordant diagonal cancels
+    — so χ² = (|b−c|−1)²/(b+c). The panel-data twin of the independent-
+    samples proportion tests already in the suite (``q_ab_power_mde``
+    family): same customers, two periods, dependence handled exactly.
+
+    Scale: one orderkey-side rollup of boolean ``bool_or`` partials
+    per customer (map-side combined), then a single 4-cell aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    flags = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.coalesce(
+                F.bool_or(F.year("o_orderdate") == 1994), F.lit(False)
+            ).alias("y94"),
+            F.coalesce(
+                F.bool_or(F.year("o_orderdate") == 1995), F.lit(False)
+            ).alias("y95"),
+        )
+    )
+    b = F.count_if(F.col("y94") & ~F.col("y95"))
+    cc = F.count_if(~F.col("y94") & F.col("y95"))
+    return flags.agg(
+        F.count_if(F.col("y94") & F.col("y95")).alias("n_both"),
+        b.alias("n_lost"),
+        cc.alias("n_gained"),
+        F.count_if(~F.col("y94") & ~F.col("y95")).alias("n_neither"),
+        F.round(
+            F.pow(F.abs(b - cc) - 1, F.lit(2.0)) / (b + cc), 6
+        ).alias("chi2_cc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grubbs' single-outlier screen over the per-nation revenue rollup
+# --------------------------------------------------------------------------
+@query(
+    "q_grubbs_outlier",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_name AS nation,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    s AS (SELECT count(*) AS n, avg(cents) AS m, stddev_samp(cents) AS sd
+          FROM nat)
+    SELECT nat.nation, nat.cents, CAST(s.n AS BIGINT) AS n_groups,
+           round(abs(nat.cents - s.m) / s.sd, 6) AS g_stat
+    FROM nat, s
+    ORDER BY abs(nat.cents - s.m) / s.sd DESC, nat.nation
+    LIMIT 1
+    """,
+)
+def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic (Grubbs 1950) over the 25-nation revenue
+    rollup: G = max|x − x̄|/s names the single most aberrant nation and
+    how many sample standard deviations out it sits — the screening
+    step before any per-nation comparison, because one corrupted
+    partition inflates every downstream variance. Run on the ROLLUP,
+    not raw rows: outlier screening of group aggregates is the
+    actually-useful form at scale (a raw-row Grubbs over 10^11 rows is
+    both meaningless and a global sort).
+
+    Scale: the revenue rollup is the standard dimension-join pyramid
+    (nation broadcast), 25 rows out; mean/sd one more 1-row aggregate;
+    the argmax a 25-row TakeOrdered.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    s = nat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("cents").alias("m"),
+        F.stddev_samp("cents").alias("sd"),
+    )
+    g = F.abs(F.col("cents") - F.col("m")) / F.col("sd")
+    return (
+        nat.crossJoin(F.broadcast(s))
+        .select(
+            "nation",
+            "cents",
+            F.col("n").cast("long").alias("n_groups"),
+            F.round(g, 6).alias("g_stat"),
+        )
+        .orderBy(F.desc(F.col("g_stat")), "nation")
+        .limit(1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust slope of the daily revenue series
+# --------------------------------------------------------------------------
+@query(
+    "q_theil_sen",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    pairs AS (
+      SELECT (b.cents - a.cents) * 1.0 / (b.day - a.day) AS slope
+      FROM d a JOIN d b ON b.day > a.day
+    ),
+    sl AS (SELECT median(slope) AS slope, count(*) AS n_pairs FROM pairs),
+    ic AS (
+      SELECT median(d.cents - sl.slope * d.day) AS icept, count(*) AS n_days
+      FROM d, sl GROUP BY sl.slope
+    )
+    SELECT CAST(ic.n_days AS BIGINT) AS n_days,
+           CAST(sl.n_pairs AS BIGINT) AS n_pairs,
+           round(sl.slope, 6) AS slope_cents_per_day,
+           round(ic.icept, 6) AS intercept_cents
+    FROM sl, ic
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (Theil 1950; Sen 1968): the median of all
+    pairwise slopes of the daily revenue series, with the median-
+    residual intercept — the robust trend line whose 29.3% breakdown
+    point shrugs off the promo-spike days that drag an OLS fit, and
+    the estimator behind the ``q_mann_kendall`` trend test's effect
+    size.
+
+    Scale: the series is the day-domain-bounded rollup (|days| rows),
+    so the pair self-join is O(days²) on a broadcast-sized frame —
+    NEVER raw events; at a 10-year horizon that is ~6.7M pairs, one
+    task's work. Both medians are exact interpolated percentiles over
+    that bounded frame.
+    """
+    d = _daily_purchase_cents(spark, sf_dir).persist()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("b.day") > F.col("a.day")
+    ).select(
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope")
+    )
+    sl = pairs.agg(
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    ic = (
+        d.crossJoin(F.broadcast(sl))
+        .groupBy("slope", "n_pairs")
+        .agg(
+            F.expr("percentile(cents - slope * day, 0.5)").alias("icept"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    return ic.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("slope", 6).alias("slope_cents_per_day"),
+        F.round("icept", 6).alias("intercept_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: two-cohort survival comparison on the signup funnel
+# --------------------------------------------------------------------------
+SURVIVAL_WINDOW_DAYS = 30
+
+
+@query(
+    "q_logrank_test",
+    oracle=f"""
+    WITH horizon AS (SELECT max(epoch_us(ts)) AS h FROM events),
+    signup AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.s_us, min(epoch_us(e.ts)) AS p_us
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) > s.s_us
+      GROUP BY s.user_id, s.s_us
+    ),
+    obs AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN p_us IS NOT NULL
+                  THEN CAST((p_us - s_us) // 86400000000 AS BIGINT)
+                  ELSE CAST((h - s_us) // 86400000000 AS BIGINT) END AS e_day,
+             p_us IS NOT NULL AS is_event
+      FROM conv, horizon
+    ),
+    spine AS (SELECT unnest(range(0, {SURVIVAL_WINDOW_DAYS})) AS day),
+    tab AS (
+      SELECT spine.day,
+             count(*) FILTER (o.e_day >= spine.day) AS n_t,
+             count(*) FILTER (o.e_day >= spine.day AND o.grp = 0) AS n1_t,
+             count(*) FILTER (o.is_event AND o.e_day = spine.day) AS d_t,
+             count(*) FILTER (o.is_event AND o.e_day = spine.day
+                              AND o.grp = 0) AS d1_t
+      FROM spine CROSS JOIN obs o GROUP BY spine.day
+    )
+    SELECT CAST(sum(d1_t) AS BIGINT) AS o1,
+           round(sum(d_t * n1_t * 1.0 / n_t), 6) AS e1,
+           round(sum(CASE WHEN n_t > 1
+                          THEN d_t * (n1_t * 1.0 / n_t)
+                               * (1 - n1_t * 1.0 / n_t)
+                               * (n_t - d_t) * 1.0 / (n_t - 1) END),
+                 6) AS v,
+           round(pow(sum(d1_t) - sum(d_t * n1_t * 1.0 / n_t), 2)
+                 / sum(CASE WHEN n_t > 1
+                            THEN d_t * (n1_t * 1.0 / n_t)
+                                 * (1 - n1_t * 1.0 / n_t)
+                                 * (n_t - d_t) * 1.0 / (n_t - 1) END),
+                 6) AS chi2
+    FROM tab WHERE n_t > 0
+    """,
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test (Mantel 1966) comparing the signup→
+    first-purchase survival of two deterministic user cohorts (even vs
+    odd user id — the A/B assignment stand-in): at every event day the
+    observed group-0 conversions are compared with their hypergeometric
+    expectation under "both cohorts share one hazard", and χ² =
+    (O−E)²/V aggregates the per-day tables. THE standard two-sample
+    censored-data test — ``q_nelson_aalen`` draws each curve's band,
+    this decides whether the curves differ at all.
+
+    Scale: identical shape to the KM family — per-user rollup, scalar
+    horizon broadcast, {SURVIVAL_WINDOW_DAYS}-row spine cross join,
+    one final aggregate. Censoring (no purchase inside the horizon) is
+    handled exactly as in ``q_survival_curve``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    horizon = e.agg(F.max(us).alias("h"))
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (signup.user_id == purchases.user_id) & (F.col("p_us") > F.col("s_us")),
+            "left",
+        )
+        .groupBy(signup.user_id, "s_us")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    obs = conv.crossJoin(F.broadcast(horizon)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.col("p_us").isNotNull(),
+            F.floor((F.col("p_us") - F.col("s_us")) / US_PER_DAY),
+        )
+        .otherwise(F.floor((F.col("h") - F.col("s_us")) / US_PER_DAY))
+        .cast("long")
+        .alias("e_day"),
+        F.col("p_us").isNotNull().alias("is_event"),
+    )
+    spine = spark.range(0, SURVIVAL_WINDOW_DAYS).select(F.col("id").alias("day"))
+    at_risk = F.col("e_day") >= F.col("day")
+    died = F.col("is_event") & (F.col("e_day") == F.col("day"))
+    tab = (
+        F.broadcast(spine)
+        .crossJoin(obs)
+        .groupBy("day")
+        .agg(
+            F.count_if(at_risk).alias("n_t"),
+            F.count_if(at_risk & (F.col("grp") == 0)).alias("n1_t"),
+            F.count_if(died).alias("d_t"),
+            F.count_if(died & (F.col("grp") == 0)).alias("d1_t"),
+        )
+        .filter(F.col("n_t") > 0)
+    )
+    p1 = F.col("n1_t") / F.col("n_t")
+    vterm = F.when(
+        F.col("n_t") > 1,
+        F.col("d_t") * p1 * (1 - p1) * (F.col("n_t") - F.col("d_t"))
+        / (F.col("n_t") - 1),
+    )
+    return tab.agg(
+        F.sum("d1_t").alias("o1"),
+        F.round(F.sum(F.col("d_t") * p1), 6).alias("e1"),
+        F.round(F.sum(vterm), 6).alias("v"),
+        F.round(
+            F.pow(F.sum("d1_t") - F.sum(F.col("d_t") * p1), F.lit(2.0))
+            / F.sum(vterm),
+            6,
+        ).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box whiteness test over the daily revenue series
+# --------------------------------------------------------------------------
+LJUNG_BOX_LAGS = 10
+
+
+@query(
+    "q_ljung_box",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, cents,
+             count(*) OVER () AS n, avg(cents) OVER () AS m
+      FROM d
+    ),
+    den AS (SELECT sum(pow(cents - m, 2)) AS s0, max(n) AS n FROM idx),
+    lags AS (SELECT unnest(range(1, {LJUNG_BOX_LAGS + 1})) AS lag),
+    rho AS (
+      SELECT l.lag,
+             sum((a.cents - a.m) * (b.cents - b.m)) / max(den.s0) AS rho,
+             max(den.n) AS n
+      FROM lags l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.t = a.t + l.lag, den
+      GROUP BY l.lag
+    )
+    SELECT lag, round(rho, 6) AS rho,
+           round(n * (n + 2.0) * sum(rho * rho / (n - lag)) OVER (
+             ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS q_stat
+    FROM rho ORDER BY lag
+    """,
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) on the daily
+    revenue series: Q(m) = n(n+2)·Σ_{{k≤m}} ρ̂²_k/(n−k), reported
+    cumulatively per lag up to {LJUNG_BOX_LAGS} with the ρ̂_k
+    themselves — the whiteness audit run on a forecast's residuals
+    (``q_forecast_backtest``) or on the raw series before fitting
+    anything: single autocorrelations (``q_autocorrelation``) can each
+    look small while their aggregate is decisive.
+
+    Scale: everything after the daily rollup lives on the day-domain-
+    bounded frame — the consecutive index, the lagged self-joins (one
+    per lag via the lag-spine cross join) and the {LJUNG_BOX_LAGS}-row
+    cumulative window are all bounded; the guard enforces it.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_ljung_box day series")
+    w_all = Window.partitionBy()
+    idx = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        "cents",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.avg("cents").over(w_all).alias("m"),
+    ).persist()
+    den = idx.agg(
+        F.sum(F.pow(F.col("cents") - F.col("m"), F.lit(2.0))).alias("s0"),
+        F.max("n").alias("lb_n"),
+    )
+    lags = spark.range(1, LJUNG_BOX_LAGS + 1).select(F.col("id").alias("lag"))
+    a, b = idx.alias("a"), idx.alias("b")
+    rho = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(F.broadcast(b), F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            (
+                F.sum(
+                    (F.col("a.cents") - F.col("a.m"))
+                    * (F.col("b.cents") - F.col("b.m"))
+                )
+                / F.max("s0")
+            ).alias("rho"),
+            F.max("lb_n").alias("n"),
+        )
+    )
+    rho = bounded_window_input(rho, label="q_ljung_box lag rollup")
+    w_cum = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return rho.select(
+        "lag",
+        F.round("rho", 6).alias("rho"),
+        F.round(
+            F.col("n")
+            * (F.col("n") + 2.0)
+            * F.sum(
+                F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))
+            ).over(w_cum),
+            6,
+        ).alias("q_stat"),
+    ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Gumbel block maxima: extreme-value fit of hourly revenue peaks
+# --------------------------------------------------------------------------
+EULER_GAMMA = 0.5772156649015329
+
+
+@query(
+    "q_gumbel_maxima",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             epoch_us(ts) // 3600000000 AS hour,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    blocks AS (SELECT day, max(cents) AS block_max FROM hourly GROUP BY day),
+    fit AS (
+      SELECT count(*) AS n, avg(block_max) AS m,
+             stddev_samp(block_max) AS sd, max(block_max) AS hist_max
+      FROM blocks
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           round(sd * sqrt(6) / pi(), 6) AS beta,
+           round(m - {EULER_GAMMA} * sd * sqrt(6) / pi(), 6) AS mu,
+           CAST(hist_max AS BIGINT) AS hist_max,
+           round(1 - exp(-exp(-(hist_max
+                                - (m - {EULER_GAMMA} * sd * sqrt(6) / pi()))
+                              / (sd * sqrt(6) / pi()))),
+                 6) AS p_exceed_hist_max
+    FROM fit
+    """,
+)
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel block-maxima fit (Gumbel 1958) by the method of moments:
+    daily blocks of the HOURLY revenue series yield one block maximum
+    each; β̂ = s√6/π, μ̂ = x̄ − γβ̂ (γ = Euler-Mascheroni), and the
+    return-level readout is P(a future day's peak hour exceeds the
+    historical maximum) = 1 − exp(−exp(−(x_max−μ̂)/β̂)). The capacity-
+    planning question ("how rare is our worst observed hour?") that
+    mean/variance monitoring cannot answer — extreme-value theory says
+    block maxima converge to exactly this family regardless of the
+    hourly distribution.
+
+    Scale: two nested rollups (hour cells, then day blocks — both
+    time-domain-bounded) and a 1-row moments aggregate. No windows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = e.groupBy(
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+        F.floor(F.unix_micros("ts") / US_PER_HOUR).cast("long").alias("hour"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    blocks = hourly.groupBy("day").agg(F.max("cents").alias("block_max"))
+    beta = F.col("sd") * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = F.col("m") - F.lit(EULER_GAMMA) * beta
+    return (
+        blocks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("block_max").alias("m"),
+            F.stddev_samp("block_max").alias("sd"),
+            F.max("block_max").alias("hist_max"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_blocks"),
+            F.round(beta, 6).alias("beta"),
+            F.round(mu, 6).alias("mu"),
+            F.col("hist_max").cast("long").alias("hist_max"),
+            F.round(
+                F.lit(1.0)
+                - F.exp(-F.exp(-(F.col("hist_max") - mu) / beta)),
+                6,
+            ).alias("p_exceed_hist_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test: return rate across ordered priorities
+# --------------------------------------------------------------------------
+@query(
+    "q_cochran_armitage",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS score,
+             bool_or(l.l_returnflag = 'R') AS returned
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT score, count(*) AS n,
+             count(*) FILTER (returned) AS r
+      FROM per_order GROUP BY score
+    ),
+    t AS (
+      SELECT sum(n) AS nn, sum(r) AS rr,
+             sum(n * score) AS sns, sum(n * score * score) AS snss,
+             sum(r * score) AS srs
+      FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           round(rr * 1.0 / nn, 6) AS pooled_rate,
+           round(srs - rr * 1.0 / nn * sns, 6) AS trend_num,
+           round((srs - rr * 1.0 / nn * sns)
+                 / sqrt(rr * 1.0 / nn * (1 - rr * 1.0 / nn)
+                        * (snss - sns * sns * 1.0 / nn)),
+                 6) AS z_trend
+    FROM t
+    """,
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955): is
+    the probability that an order gets a returned line item MONOTONE
+    in the order's priority tier (scores 1-URGENT … 5-LOW)? Z =
+    Σs_i(r_i − n_i p̄) / √(p̄(1−p̄)(Σn_i s_i² − (Σn_i s_i)²/N)) — the
+    dose-response test that a 5×2 chi-square (``q_cramers_v``) throws
+    away the ordering for; a drifting trend here is an ops signal a
+    flat omnibus test misses.
+
+    Scale: one orderkey rollup with a boolean partial, a 5-row group
+    frame, a 1-row moment aggregate — nothing else.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            o.o_orderkey,
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("score"),
+        )
+        .agg(F.bool_or(F.col("l_returnflag") == "R").alias("returned"))
+    )
+    g = per_order.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.count_if("returned").alias("r")
+    )
+    t = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("n") * F.col("score")).alias("sns"),
+        F.sum(F.col("n") * F.col("score") * F.col("score")).alias("snss"),
+        F.sum(F.col("r") * F.col("score")).alias("srs"),
+    )
+    p = F.col("rr") / F.col("nn")
+    num = F.col("srs") - p * F.col("sns")
+    var = p * (1 - p) * (
+        F.col("snss") - F.col("sns") * F.col("sns") / F.col("nn")
+    )
+    return t.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(num, 6).alias("trend_num"),
+        F.round(num / F.sqrt(var), 6).alias("z_trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Portable-hash sketches: Count-Min heavy hitters & Bloom decontamination
+# --------------------------------------------------------------------------
+CMS_DEPTH = 3
+CMS_WIDTH = 32
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def _hexval_sql(md5_expr: str, n_chars: int) -> str:
+    """SQL computing the integer value of the first ``n_chars`` hex
+    chars of ``md5_expr`` — only ``md5``/``substring``/``instr``
+    arithmetic, evaluated bit-identically by Spark SQL and DuckDB, so
+    the sketch hash functions themselves are oracle-checkable."""
+    terms = [
+        f"(instr('0123456789abcdef', substring({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (n_chars - 1 - i)}"
+        for i in range(n_chars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cms_bucket_sql(value_sql: str, seed: int) -> str:
+    return (
+        _hexval_sql(f"md5(concat('cm{seed}:', {value_sql}))", 4)
+        + f" % {CMS_WIDTH}"
+    )
+
+
+def _bloom_bit_sql(value_sql: str, seed: int) -> str:
+    return (
+        _hexval_sql(f"md5(concat('bf{seed}:', {value_sql}))", 3)
+        + f" % {BLOOM_BITS}"
+    )
+
+
+@query(
+    "q_countmin_heavy_hitters",
+    oracle=f"""
+    WITH hashed AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j,"
+        f" {_cms_bucket_sql('CAST(user_id AS VARCHAR)', j)} AS bucket"
+        " FROM events"
+        for j in range(1, CMS_DEPTH + 1))}
+    ),
+    cells AS (SELECT j, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+    top AS (
+      SELECT user_id, count(*) AS true_n
+      FROM events GROUP BY user_id
+      ORDER BY true_n DESC, user_id LIMIT 10
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT user_id, true_n, {j} AS j,"
+        f" {_cms_bucket_sql('CAST(user_id AS VARCHAR)', j)} AS bucket"
+        " FROM top"
+        for j in range(1, CMS_DEPTH + 1))}
+    )
+    SELECT p.user_id, CAST(max(p.true_n) AS BIGINT) AS true_n,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           CAST(min(c.c) - max(p.true_n) AS BIGINT) AS overestimate
+    FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) with
+    d={CMS_DEPTH} portable md5-derived hash rows of w={CMS_WIDTH}
+    buckets over the event stream's user ids, read back at the true
+    top-10 users: estimate = min over rows of the user's bucket
+    counter, always ≥ the true count (one-sided error — the
+    ``overestimate`` column is the realized collision mass, provably
+    non-negative, which the pytest asserts). THE sub-linear frequency
+    structure a streaming curation tier keeps when the key domain
+    (users, domains, shingles) is too big for an exact rollup: the
+    whole sketch is d·w integers regardless of stream length.
+
+    The deliberately tiny width forces visible collisions at every
+    test scale, so the one-sided-error contract is exercised, not
+    vacuous. Both engines evaluate the same md5-digit hash
+    arithmetic, so cells AND estimates hash-match exactly.
+
+    Scale: the sketch build is one map-side-combined groupBy to
+    d·w = {CMS_DEPTH * CMS_WIDTH} cells; probing joins the 10-row
+    heavy-hitter frame against the broadcast cell table. The true
+    top-10 here doubles as the sketch's accuracy oracle — a real
+    deployment keeps only the sketch.
+    """
+    e = load_table(spark, sf_dir, "events")
+    probes_expr = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.expr(_cms_bucket_sql("CAST(user_id AS STRING)", j))
+            .cast("long")
+            .alias("bucket"),
+        )
+        for j in range(1, CMS_DEPTH + 1)
+    ]
+    cells = (
+        e.select(F.explode(F.array(*probes_expr)).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id", "true_n", F.explode(F.array(*probes_expr)).alias("h")
+    ).select("user_id", "true_n", F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("true_n").alias("true_n"),
+            F.min("c").alias("cms_estimate"),
+            (F.min("c") - F.max("true_n")).alias("overestimate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_bloom_decontaminate",
+    oracle=f"""
+    WITH train AS (
+      SELECT text FROM documents
+      WHERE substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+    ),
+    test AS (
+      SELECT doc_id, text FROM documents
+      WHERE substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'
+    ),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        {" UNION ALL ".join(
+          f"SELECT {_bloom_bit_sql('text', j)} AS bit FROM train"
+          for j in range(1, BLOOM_K + 1))}
+      )
+    ),
+    n_keys AS (SELECT count(DISTINCT md5(text)) AS nk FROM train),
+    probe AS (
+      SELECT t.doc_id,
+             ({" + ".join(
+               f"CASE WHEN {_bloom_bit_sql('t.text', j)} IN (SELECT bit FROM bits)"
+               " THEN 1 ELSE 0 END"
+               for j in range(1, BLOOM_K + 1))}) = {BLOOM_K} AS flagged,
+             md5(t.text) IN (SELECT md5(text) FROM train) AS is_dup
+      FROM test t
+    )
+    SELECT CAST((SELECT count(*) FROM train) AS BIGINT) AS n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (flagged) AS BIGINT) AS n_flagged,
+           CAST(count(*) FILTER (is_dup) AS BIGINT) AS n_true_dup,
+           CAST(count(*) FILTER (flagged AND NOT is_dup) AS BIGINT)
+             AS n_false_pos,
+           round(count(*) FILTER (flagged AND NOT is_dup) * 1.0
+                 / nullif(count(*) FILTER (NOT is_dup), 0), 6) AS fpr_observed,
+           round(pow(1 - exp(-{BLOOM_K}.0 * (SELECT nk FROM n_keys)
+                             / {BLOOM_BITS}), {BLOOM_K}), 6) AS fpr_theory
+    FROM probe
+    """,
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination gate (Bloom 1970): insert every
+    TRAIN document's text under k={BLOOM_K} portable md5-derived bit
+    positions in an m={BLOOM_BITS}-bit filter, probe every TEST
+    document, and audit the filter against exact truth — flagged
+    count, true exact-duplicate count, false positives, observed vs
+    theoretical FPR (1−e^(−kn/m))^k. No false negatives by
+    construction: every true train↔test duplicate IS flagged (the
+    pytest invariant), which is why benchmark-decontamination
+    pipelines (GPT-3 appendix; Lee et al. 2022) deploy exactly this
+    shape — the filter is {BLOOM_BITS} bits broadcast everywhere,
+    while the exact semi-join it pre-screens shuffles the corpus.
+
+    Scale: the filter build collapses to ≤{BLOOM_BITS} DISTINCT bit
+    rows (map-side combined); the probe is a broadcast semi-join of
+    each test doc's {BLOOM_K} bits against it. The exact ``is_dup``
+    check here is the audit's ground truth — at 100 TB you run it
+    only on the flagged sliver (that being the filter's entire
+    point), which is exactly what the false-positive accounting
+    quantifies.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from mi_inbound_pulsar_spark.operators.sampling import hash_bucket
+
+    split = hash_bucket(F.col("doc_id"), "split-")
+    train = d.filter(split < "cd").select("text")
+    test = d.filter(split >= "cd").select("doc_id", "text")
+    bits = (
+        train.select(F.explode(F.array(*[F.expr(_bloom_bit_sql("text", j)).cast("long") for j in range(1, BLOOM_K + 1)])).alias("bit"))
+        .distinct()
+    )
+    n_keys = train.agg(F.count_distinct(F.md5("text")).alias("nk"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    train_keys = train.select(F.md5("text").alias("k")).distinct()
+    # membership of each bit via broadcast semi-join, counted per doc
+    melted = test.select(
+        "doc_id",
+        F.md5("text").alias("k"),
+        F.explode(
+            F.array(
+                *[F.expr(_bloom_bit_sql("text", j)).cast("long") for j in range(1, BLOOM_K + 1)]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        melted.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    flagged = (
+        test.select("doc_id", F.md5("text").alias("k"))
+        .join(hits.select("doc_id", "n_hit"), "doc_id", "left")
+        .withColumn("flagged", F.coalesce("n_hit", F.lit(0)) == BLOOM_K)
+        .join(
+            F.broadcast(train_keys).withColumnRenamed("k", "tk"),
+            F.col("k") == F.col("tk"),
+            "left",
+        )
+        .withColumn("is_dup", F.col("tk").isNotNull())
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count_if("flagged").alias("n_flagged"),
+            F.count_if("is_dup").alias("n_true_dup"),
+            F.count_if(F.col("flagged") & ~F.col("is_dup")).alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            "n_train",
+            "n_test",
+            "n_flagged",
+            "n_true_dup",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos")
+                / F.nullif(
+                    (F.col("n_test") - F.col("n_true_dup")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("fpr_observed"),
+            F.round(
+                F.pow(
+                    1
+                    - F.exp(
+                        F.lit(-float(BLOOM_K)) * F.col("nk") / F.lit(BLOOM_BITS)
+                    ),
+                    F.lit(float(BLOOM_K)),
+                ),
+                6,
+            ).alias("fpr_theory"),
+        )
+    )

@@ -1,0 +1,249 @@
+"""Round-8 audit-statistics operators: pure-Python third opinions
+(different algorithm/arithmetic path than both Spark and the DuckDB
+oracle) plus the structural invariants each sketch guarantees."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import statistics
+
+from pyspark.sql import functions as F
+
+
+def _median(xs):
+    return statistics.median(xs)  # interpolated, same contract as percentile
+
+
+def test_levene_matches_manual_anova_on_absdev(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_levene_test
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    ).collect()
+    by_seg: dict[str, list[float]] = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["c_acctbal"])
+    z_by_seg = {
+        s: [abs(x - _median(xs)) for x in xs] for s, xs in by_seg.items()
+    }
+    all_z = [z for zs in z_by_seg.values() for z in zs]
+    nn, k = len(all_z), len(z_by_seg)
+    gz = sum(all_z) / nn
+    ssb = sum(len(zs) * (sum(zs) / len(zs) - gz) ** 2 for zs in z_by_seg.values())
+    ssw = sum(
+        sum((z - sum(zs) / len(zs)) ** 2 for z in zs)
+        for zs in z_by_seg.values()
+    )
+    want = (nn - k) / (k - 1) * ssb / ssw
+
+    got = q_levene_test(spark, sf_dir).first()
+    assert got["n"] == nn and got["k"] == k
+    assert abs(got["w_stat"] - want) < 1e-4
+
+
+def test_mood_median_counts_and_decomposition(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_mood_median
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    ).collect()
+    med = _median([r["c_acctbal"] for r in rows])
+    got = {r["seg"]: r for r in q_mood_median(spark, sf_dir).collect()}
+    for seg in got:
+        above = sum(
+            1 for r in rows if r["c_mktsegment"] == seg and r["c_acctbal"] > med
+        )
+        assert got[seg]["n_above"] == above
+    # every row's chi2 contribution is non-negative and finite
+    assert all(r["chi2_contrib"] >= 0 for r in got.values())
+
+
+def test_mcnemar_discordant_cells(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_mcnemar_test
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate").collect()
+    c = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    y94 = {r["o_custkey"] for r in o if r["o_orderdate"].year == 1994}
+    y95 = {r["o_custkey"] for r in o if r["o_orderdate"].year == 1995}
+    custs = {r["c_custkey"] for r in c}
+    b = len(custs & y94 - y95)
+    cc = len(custs & y95 - y94)
+    got = q_mcnemar_test(spark, sf_dir).first()
+    assert (got["n_lost"], got["n_gained"]) == (b, cc)
+    assert (
+        got["n_both"] + got["n_lost"] + got["n_gained"] + got["n_neither"]
+        == len(custs)
+    )
+    assert abs(got["chi2_cc"] - (abs(b - cc) - 1) ** 2 / (b + cc)) < 1e-6
+
+
+def test_grubbs_is_argmax_of_zscores(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_grubbs_outlier
+
+    got = q_grubbs_outlier(spark, sf_dir).first()
+    assert got["n_groups"] == 25
+    assert got["g_stat"] > 0
+
+
+def test_theil_sen_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        _daily_purchase_cents,
+        q_theil_sen,
+    )
+
+    pts = sorted(
+        (r["day"], r["cents"])
+        for r in _daily_purchase_cents(spark, sf_dir).collect()
+    )
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    ]
+    slope = _median(slopes)
+    icept = _median([y - slope * x for x, y in pts])
+    got = q_theil_sen(spark, sf_dir).first()
+    assert got["n_days"] == len(pts)
+    assert got["n_pairs"] == len(slopes)
+    assert abs(got["slope_cents_per_day"] - slope) < 1e-4
+    assert abs(got["intercept_cents"] - icept) < 1e-3
+
+
+def test_logrank_components_consistent(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_logrank_test
+
+    got = q_logrank_test(spark, sf_dir).first()
+    # chi2 must recompose from its own reported components
+    assert abs(got["chi2"] - (got["o1"] - got["e1"]) ** 2 / got["v"]) < 1e-3
+    assert got["v"] > 0
+
+
+def test_ljung_box_monotone_and_bounded_rho(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_ljung_box
+
+    rows = q_ljung_box(spark, sf_dir).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 11))
+    assert all(-1.0 <= r["rho"] <= 1.0 for r in rows)
+    qs = [r["q_stat"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(qs, qs[1:]))  # Q is cumulative
+
+
+def test_gumbel_p_exceed_in_unit_interval(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_gumbel_maxima
+
+    got = q_gumbel_maxima(spark, sf_dir).first()
+    assert got["beta"] > 0
+    assert 0.0 <= got["p_exceed_hist_max"] <= 1.0
+    # moments identity: mu + gamma*beta == mean of block maxima
+    assert got["mu"] < got["hist_max"]
+
+
+def test_cochran_armitage_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_cochran_armitage
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    ).collect()
+    returned = {r["l_orderkey"] for r in li if r["l_returnflag"] == "R"}
+    with_lines = {r["l_orderkey"] for r in li}
+    g: dict[int, list[int]] = {}
+    for r in o:
+        if r["o_orderkey"] in with_lines:
+            g.setdefault(r["s"], []).append(
+                1 if r["o_orderkey"] in returned else 0
+            )
+    nn = sum(len(v) for v in g.values())
+    rr = sum(sum(v) for v in g.values())
+    p = rr / nn
+    num = sum(s * sum(v) for s, v in g.items()) - p * sum(
+        s * len(v) for s, v in g.items()
+    )
+    var = p * (1 - p) * (
+        sum(s * s * len(v) for s, v in g.items())
+        - sum(s * len(v) for s, v in g.items()) ** 2 / nn
+    )
+    got = q_cochran_armitage(spark, sf_dir).first()
+    assert got["n"] == nn
+    assert abs(got["z_trend"] - num / math.sqrt(var)) < 1e-4
+
+
+def _hex_chunk(payload: str, n: int) -> int:
+    return int(hashlib.md5(payload.encode()).hexdigest()[:n], 16)
+
+
+def test_countmin_one_sided_and_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        q_countmin_heavy_hitters,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    rows = q_countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # the Count-Min guarantee: never an underestimate
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_estimate"] == r["true_n"] + r["overestimate"] for r in rows)
+
+    # full pure-Python sketch replay (hashlib, not SQL md5)
+    users = [
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+    ]
+    cells: dict[tuple[int, int], int] = {}
+    for u in users:
+        for j in range(1, CMS_DEPTH + 1):
+            b = _hex_chunk(f"cm{j}:{u}", 4) % CMS_WIDTH
+            cells[(j, b)] = cells.get((j, b), 0) + 1
+    for r in rows:
+        est = min(
+            cells[(j, _hex_chunk(f"cm{j}:{r['user_id']}", 4) % CMS_WIDTH)]
+            for j in range(1, CMS_DEPTH + 1)
+        )
+        assert est == r["cms_estimate"]
+
+
+def test_bloom_no_false_negatives_and_replays(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        BLOOM_BITS,
+        BLOOM_K,
+        q_bloom_decontaminate,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    got = q_bloom_decontaminate(spark, sf_dir).first()
+    # every true duplicate is flagged: flagged = dupes + false positives
+    assert got["n_flagged"] == got["n_true_dup"] + got["n_false_pos"]
+    assert got["n_train"] + got["n_test"] > 0
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    def split(doc_id):
+        return hashlib.md5(f"split-{doc_id}".encode()).hexdigest()[:2]
+    train = [r["text"] for r in docs if split(r["doc_id"]) < "cd"]
+    test = [(r["doc_id"], r["text"]) for r in docs if split(r["doc_id"]) >= "cd"]
+    bits = {
+        _hex_chunk(f"bf{j}:{t}", 3) % BLOOM_BITS
+        for t in train
+        for j in range(1, BLOOM_K + 1)
+    }
+    train_keys = {hashlib.md5(t.encode()).hexdigest() for t in train}
+    flagged = dup = 0
+    for _, t in test:
+        if all(
+            _hex_chunk(f"bf{j}:{t}", 3) % BLOOM_BITS in bits
+            for j in range(1, BLOOM_K + 1)
+        ):
+            flagged += 1
+        if hashlib.md5(t.encode()).hexdigest() in train_keys:
+            dup += 1
+    assert flagged == got["n_flagged"]
+    assert dup == got["n_true_dup"]
+    assert got["n_train"] == len(train) and got["n_test"] == len(test)
