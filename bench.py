@@ -146,8 +146,15 @@ HEADLINE = [
     "q_event_trigram_mining",
     "q_t_closeness",
     "q_isotonic_calibration",
-    # composed streaming gates (round 8)
+    # composed streaming gates / audit stats / portable sketches (round 8)
     "q_streaming_composed_replay",
+    "q_countmin_heavy_hitters",
+    "q_bloom_decontaminate",
+    "q_hyperloglog_portable",
+    "q_permutation_test",
+    "q_fightin_words",
+    "q_theil_sen",
+    "q_logrank_test",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

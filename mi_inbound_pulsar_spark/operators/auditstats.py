@@ -1080,3 +1080,489 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr_theory"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Portable HyperLogLog: cardinality sketch with oracle-hashed registers
+# --------------------------------------------------------------------------
+HLL_M = 64  # registers
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_W_BITS = 24
+
+
+def _hll_rho_sql(w_sql: str) -> str:
+    """rank of the first 1-bit of a {HLL_W_BITS}-bit value as a CASE
+    threshold chain — integer comparisons only, no float log2 whose
+    boundary ulps could differ between engines."""
+    cases = " ".join(
+        f"WHEN {w_sql} >= {1 << (HLL_W_BITS - r)} THEN {r}"
+        for r in range(1, HLL_W_BITS + 1)
+    )
+    return f"(CASE {cases} ELSE {HLL_W_BITS + 1} END)"
+
+
+def _hll_parts_sql(value_sql: str) -> tuple[str, str]:
+    md5 = f"md5(concat('hll:', {value_sql}))"
+    idx = f"({_hexval_sql(md5, 2)} % {HLL_M})"
+    # rho bits from DIFFERENT hex chars than the index (independence)
+    w = (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substring({md5}, {i + 3}, 1)) - 1)"
+            f" * {16 ** (5 - i)}"
+            for i in range(6)
+        )
+        + ")"
+    )
+    return idx, _hll_rho_sql(w)
+
+
+@query(
+    "q_hyperloglog_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT {_hll_parts_sql('CAST(user_id AS VARCHAR)')[0]} AS idx,
+             {_hll_parts_sql('CAST(user_id AS VARCHAR)')[1]} AS rho
+      FROM events
+    ),
+    spine AS (SELECT unnest(range(0, {HLL_M})) AS idx),
+    regs AS (
+      SELECT spine.idx, coalesce(max(h.rho), 0) AS m
+      FROM spine LEFT JOIN h ON h.idx = spine.idx GROUP BY spine.idx
+    ),
+    agg AS (
+      SELECT sum(pow(2.0, -m)) AS z,
+             count(*) FILTER (m = 0) AS v
+      FROM regs
+    ),
+    exact AS (SELECT count(DISTINCT user_id) AS nd FROM events),
+    est AS (
+      SELECT CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} / z AS raw,
+             v, nd FROM agg, exact
+    )
+    SELECT CAST(nd AS BIGINT) AS exact_distinct,
+           CAST(v AS BIGINT) AS empty_registers,
+           round(raw, 6) AS raw_estimate,
+           round(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                      THEN {HLL_M} * ln({HLL_M} * 1.0 / v) ELSE raw END,
+                 6) AS estimate,
+           round(abs(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                          THEN {HLL_M} * ln({HLL_M} * 1.0 / v) ELSE raw END
+                     - nd) / nd, 6) AS rel_error
+    FROM est
+    """,
+)
+def q_hyperloglog_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) with m={HLL_M} registers
+    built from portable md5-derived hashes — register index and
+    leading-zero rank come from disjoint hex digits, the rank via an
+    integer CASE threshold chain (no float log2 at power-of-two
+    boundaries), so the REGISTERS, the raw estimate, the linear-
+    counting small-range correction, and the realized relative error
+    all hash-match between engines. Completes the portable-sketch
+    shelf: Bloom = membership, Count-Min = frequency, HLL =
+    cardinality, AMS = moment — the four structures a streaming
+    curation tier actually ships when the key domain outgrows exact
+    rollups. (Spark's own HLL surface — `approx_count_distinct`,
+    `hll_sketch_agg` — is covered by q_approx_distinct /
+    q_hll_sketch_union; this is the algorithm itself, auditable.)
+
+    Scale: the sketch is ONE map-side-combined groupBy to {HLL_M}
+    register rows regardless of stream length; the exact distinct
+    count rides along as the audit's ground truth (a deployment keeps
+    only the registers, mergeable by max across partitions/streams).
+    """
+    e = load_table(spark, sf_dir, "events")
+    idx_sql, rho_sql = _hll_parts_sql("CAST(user_id AS STRING)")
+    h = e.select(
+        F.expr(idx_sql).cast("long").alias("idx"),
+        F.expr(rho_sql).cast("long").alias("rho"),
+    )
+    spine = spark.range(0, HLL_M).select(F.col("id").alias("idx"))
+    regs = (
+        F.broadcast(spine)
+        .join(h.groupBy("idx").agg(F.max("rho").alias("mx")), "idx", "left")
+        .select("idx", F.coalesce("mx", F.lit(0)).alias("m"))
+    )
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z"),
+        F.count_if(F.col("m") == 0).alias("v"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("nd"))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("z")
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("nd").cast("long").alias("exact_distinct"),
+            F.col("v").cast("long").alias("empty_registers"),
+            F.round(raw, 6).alias("raw_estimate"),
+            F.round(corrected, 6).alias("estimate"),
+            F.round(F.abs(corrected - F.col("nd")) / F.col("nd"), 6).alias(
+                "rel_error"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# AMS sketch: second frequency moment from 16 signed estimators
+# --------------------------------------------------------------------------
+AMS_GROUPS = 4
+AMS_PER_GROUP = 4
+
+
+def _ams_sign_union_sql() -> str:
+    selects = []
+    for i in range(AMS_GROUPS * AMS_PER_GROUP):
+        md5 = "md5(concat('ams" + str(i) + ":', CAST(user_id AS VARCHAR)))"
+        selects.append(
+            "SELECT " + str(i) + " AS est, user_id, cnt, CASE WHEN "
+            + _hexval_sql(md5, 1)
+            + " % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM c"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "q_ams_f2_moment",
+    oracle=f"""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    signs AS (
+      {_ams_sign_union_sql()}
+    ),
+    x AS (
+      SELECT est, pow(sum(sgn * cnt), 2) AS x2 FROM signs GROUP BY est
+    ),
+    grp AS (
+      SELECT est // {AMS_PER_GROUP} AS g, avg(x2) AS gm FROM x GROUP BY 1
+    ),
+    exact AS (SELECT sum(cnt * cnt) AS f2 FROM c)
+    SELECT CAST(exact.f2 AS BIGINT) AS exact_f2,
+           round(median(grp.gm), 6) AS ams_estimate,
+           round(abs(median(grp.gm) - exact.f2) / exact.f2, 6) AS rel_error
+    FROM grp, exact GROUP BY exact.f2
+    """,
+)
+def q_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/Tug-of-War sketch (Alon, Matias & Szegedy 1996) for the
+    second frequency moment F₂ = Σ c_u² of the per-user event counts
+    — the self-join size / skew statistic that decides whether a key
+    is safe to shuffle on. {AMS_GROUPS}×{AMS_PER_GROUP} independent
+    ±1-signed sums (signs from portable md5 parity, so both engines
+    build the identical sketch), squared, averaged within groups and
+    median-of-means across them — the classic variance-then-
+    confidence reduction. The realized relative error against exact
+    F₂ is the readout.
+
+    Scale: each estimator is one signed map-side-combined sum; all
+    {AMS_GROUPS * AMS_PER_GROUP} ride the same shuffle of the user
+    rollup. A deployment sketches the raw STREAM without the rollup
+    (the sign-weighted sum is linear), which is the same plan minus
+    the groupBy.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    n_est = AMS_GROUPS * AMS_PER_GROUP
+    sign_exprs = [
+        F.struct(
+            F.lit(i).alias("est"),
+            F.when(
+                F.expr(
+                    _hexval_sql(
+                        f"md5(concat('ams{i}:', CAST(user_id AS STRING)))", 1
+                    )
+                )
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        for i in range(n_est)
+    ]
+    signs = c.select(
+        "cnt", F.explode(F.array(*sign_exprs)).alias("s")
+    ).select("cnt", F.col("s.est").alias("est"), F.col("s.sgn").alias("sgn"))
+    x = signs.groupBy("est").agg(
+        F.pow(F.sum(F.col("sgn") * F.col("cnt")), F.lit(2.0)).alias("x2")
+    )
+    grp = x.groupBy((F.col("est") / AMS_PER_GROUP).cast("long").alias("g")).agg(
+        F.avg("x2").alias("gm")
+    )
+    exact = c.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
+    return (
+        grp.crossJoin(F.broadcast(exact))
+        .groupBy("f2")
+        .agg(F.expr("percentile(gm, 0.5)").alias("med"))
+        .select(
+            F.col("f2").cast("long").alias("exact_f2"),
+            F.round("med", 6).alias("ams_estimate"),
+            F.round(F.abs(F.col("med") - F.col("f2")) / F.col("f2"), 6).alias(
+                "rel_error"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fightin' Words: informative-Dirichlet log-odds between two corpora
+# --------------------------------------------------------------------------
+FW_PRIOR_MASS = 100.0
+FW_TOP = 15
+
+
+@query(
+    "q_fightin_words",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang = 'en' AS grp, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT tok,
+             count(*) FILTER (grp) AS y1,
+             count(*) FILTER (NOT grp) AS y2
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT sum(y1) AS n1, sum(y2) AS n2, sum(y1 + y2) AS nn FROM cnt
+    ),
+    scored AS (
+      SELECT c.tok, c.y1, c.y2,
+             ln((c.y1 + {FW_PRIOR_MASS} * (c.y1 + c.y2) / t.nn)
+                / (t.n1 + {FW_PRIOR_MASS}
+                   - c.y1 - {FW_PRIOR_MASS} * (c.y1 + c.y2) / t.nn))
+             - ln((c.y2 + {FW_PRIOR_MASS} * (c.y1 + c.y2) / t.nn)
+                  / (t.n2 + {FW_PRIOR_MASS}
+                     - c.y2 - {FW_PRIOR_MASS} * (c.y1 + c.y2) / t.nn))
+               AS delta,
+             1.0 / (c.y1 + {FW_PRIOR_MASS} * (c.y1 + c.y2) / t.nn)
+             + 1.0 / (c.y2 + {FW_PRIOR_MASS} * (c.y1 + c.y2) / t.nn) AS var
+      FROM cnt c, tot t
+    )
+    SELECT tok, CAST(y1 AS BIGINT) AS y_en, CAST(y2 AS BIGINT) AS y_rest,
+           round(delta, 6) AS delta_logodds,
+           round(delta / sqrt(var), 6) AS z
+    FROM scored
+    ORDER BY abs(round(delta / sqrt(var), 6)) DESC, tok
+    LIMIT {FW_TOP}
+    """,
+)
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """\"Fightin' Words\" (Monroe, Colaresi & Quinn 2008): which tokens
+    most distinguish the English sub-corpus from the rest, by log-odds
+    difference under an informative Dirichlet prior (α_w proportional
+    to the POOLED corpus frequency, total mass {FW_PRIOR_MASS}) with
+    the per-term z = δ/√(1/(y₁+α) + 1/(y₂+α)). The prior is the whole
+    point: raw log-odds rank rare hapaxes first, PMI saturates — the
+    regularized z is the estimator corpus linguists and dataset
+    auditors use to characterize a sub-corpus ("what vocabulary does
+    this source/language/cluster over-use?"), the lexical companion
+    of q_unigram_kl_drift's scalar.
+
+    Scale: one token explode → vocabulary-bounded count rollup; the
+    totals ride a broadcast row; top-{FW_TOP} via
+    TakeOrderedAndProject on the 6dp-rounded |z| with token
+    tie-break.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("lang") == "en").alias("grp"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count_if("grp").alias("y1"),
+        F.count_if(~F.col("grp")).alias("y2"),
+    )
+    tot = cnt.agg(
+        F.sum("y1").alias("n1"),
+        F.sum("y2").alias("n2"),
+        F.sum(F.col("y1") + F.col("y2")).alias("nn"),
+    )
+    alpha = F.lit(FW_PRIOR_MASS) * (F.col("y1") + F.col("y2")) / F.col("nn")
+    delta = F.log(
+        (F.col("y1") + alpha)
+        / (F.col("n1") + FW_PRIOR_MASS - F.col("y1") - alpha)
+    ) - F.log(
+        (F.col("y2") + alpha)
+        / (F.col("n2") + FW_PRIOR_MASS - F.col("y2") - alpha)
+    )
+    var = 1.0 / (F.col("y1") + alpha) + 1.0 / (F.col("y2") + alpha)
+    z = F.round(delta / F.sqrt(var), 6)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("y1").alias("y_en"),
+            F.col("y2").alias("y_rest"),
+            F.round(delta, 6).alias("delta_logodds"),
+            z.alias("z"),
+        )
+        .orderBy(F.desc(F.abs(F.col("z"))), "tok")
+        .limit(FW_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic permutation test on the A/B revenue split
+# --------------------------------------------------------------------------
+PERM_B = 200
+
+
+def _perm_union_sql() -> str:
+    """B pseudo-permutation arm assignments + the observed one (perm
+    0), each a portable md5 parity of (perm id, user id) — the
+    'randomization' is a deterministic hash family, so both engines
+    enumerate the identical permutation set."""
+    selects = [
+        "SELECT 0 AS perm, user_id, cents, user_id % 2 AS arm FROM per_user"
+    ]
+    for i in range(1, PERM_B + 1):
+        md5 = "md5(concat('perm" + str(i) + ":', CAST(user_id AS VARCHAR)))"
+        selects.append(
+            "SELECT " + str(i) + " AS perm, user_id, cents, "
+            + _hexval_sql(md5, 1)
+            + " % 2 AS arm FROM per_user"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    assigned AS (
+      {{_PERM_UNION}}
+    ),
+    diffs AS (
+      SELECT perm,
+             avg(cents) FILTER (arm = 0) - avg(cents) FILTER (arm = 1)
+               AS diff
+      FROM assigned GROUP BY perm
+    ),
+    obs AS (SELECT diff AS obs_diff FROM diffs WHERE perm = 0)
+    SELECT round(obs.obs_diff, 6) AS obs_diff_cents,
+           CAST({PERM_B} AS BIGINT) AS n_perms,
+           CAST(count(*) FILTER (d.perm > 0
+                 AND abs(round(d.diff, 6)) >= abs(round(obs.obs_diff, 6)))
+               AS BIGINT) AS n_extreme,
+           round((1.0 + count(*) FILTER (d.perm > 0
+                   AND abs(round(d.diff, 6)) >= abs(round(obs.obs_diff, 6))))
+                 / (1.0 + {PERM_B}), 6) AS p_value
+    FROM diffs d, obs GROUP BY obs.obs_diff
+    """.replace("{_PERM_UNION}", _perm_union_sql()),
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test (Fisher 1935) of the even-vs-odd user A/B
+    revenue split, with a DETERMINISTIC permutation family: pseudo-
+    permutation i reassigns each user by the parity of a hex digit of
+    md5('perm i:' || user) — a fixed, portable randomization both
+    engines enumerate identically, so the permutation distribution
+    itself is oracle-hashed (the Monte-Carlo analogue of the
+    hash_bucket split trick; {PERM_B} draws, add-one p-value per
+    Davison & Hinkley). The distribution-free companion to
+    q_welch_ttest: no normality assumption, exact under the null of
+    exchangeability.
+
+    Scale: the per-user rollup is computed ONCE; the {PERM_B + 1}
+    assignments explode from it ({PERM_B + 1}×users rows, user-domain-
+    bounded — never raw events) into one map-side-combined
+    (perm, arm) rollup; everything after is {PERM_B + 1} rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    arm_exprs = [
+        F.struct(F.lit(0).alias("perm"), (F.col("user_id") % 2).cast("long").alias("arm"))
+    ]
+    for i in range(1, PERM_B + 1):
+        md5 = "md5(concat('perm" + str(i) + ":', CAST(user_id AS STRING)))"
+        arm_exprs.append(
+            F.struct(
+                F.lit(i).alias("perm"),
+                (F.expr(_hexval_sql(md5, 1)) % 2).cast("long").alias("arm"),
+            )
+        )
+    assigned = per_user.select(
+        "cents", F.explode(F.array(*arm_exprs)).alias("a")
+    ).select("cents", F.col("a.perm").alias("perm"), F.col("a.arm").alias("arm"))
+    diffs = assigned.groupBy("perm").agg(
+        (
+            F.avg(F.when(F.col("arm") == 0, F.col("cents")))
+            - F.avg(F.when(F.col("arm") == 1, F.col("cents")))
+        ).alias("diff")
+    )
+    obs = diffs.filter(F.col("perm") == 0).select(
+        F.col("diff").alias("obs_diff")
+    )
+    extreme = F.count_if(
+        (F.col("perm") > 0)
+        & (F.abs(F.round("diff", 6)) >= F.abs(F.round("obs_diff", 6)))
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff")
+        .agg(extreme.alias("n_extreme"))
+        .select(
+            F.round("obs_diff", 6).alias("obs_diff_cents"),
+            F.lit(PERM_B).cast("long").alias("n_perms"),
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            F.round((1.0 + F.col("n_extreme")) / (1.0 + PERM_B), 6).alias(
+                "p_value"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Overdispersion check: is per-user event count Poisson?
+# --------------------------------------------------------------------------
+@query(
+    "q_overdispersion_check",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(cnt), 6) AS mean_events,
+           round(var_samp(cnt), 6) AS var_events,
+           round(var_samp(cnt) / avg(cnt), 6) AS dispersion_index,
+           round(sqrt((count(*) - 1) / 2.0)
+                 * (var_samp(cnt) / avg(cnt) - 1), 6) AS bohning_z
+    FROM c
+    """,
+)
+def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screen (Böhning 1994): the dispersion index
+    D = s²/x̄ of per-user event counts and the normalized
+    z = √((n−1)/2)·(D−1) that tests D=1 — the one-row diagnostic that
+    decides whether per-user activity is Poisson (D≈1, rate-based
+    models fine) or clumped (D≫1 — negative-binomial / mixed models
+    needed, and every Poisson-assumption CI downstream is too
+    narrow). Run before q_poisson_bootstrap_ci's resampling is
+    trusted.
+
+    Scale: one user rollup, one moments aggregate. Nothing else.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    d_idx = F.var_samp("cnt") / F.avg("cnt")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("cnt"), 6).alias("mean_events"),
+        F.round(F.var_samp("cnt"), 6).alias("var_events"),
+        F.round(d_idx, 6).alias("dispersion_index"),
+        F.round(
+            F.sqrt((F.count(F.lit(1)) - 1) / F.lit(2.0)) * (d_idx - 1), 6
+        ).alias("bohning_z"),
+    )

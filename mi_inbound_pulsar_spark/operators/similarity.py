@@ -2148,7 +2148,16 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TakeOrderedAndProject(1) argmax — never a pairwise matrix, never
     a global sort; driver state is k rows by construction.
     ``localCheckpoint`` per round stops the iterative plan-nesting
-    blowup (the q_kcore_peel lesson).
+    blowup (the q_kcore_peel lesson). LATENCY caveat: this is the
+    repo's only loop whose wall-clock is O(k) sequential full-corpus
+    passes (one driver round-trip per greedy step — inherent to
+    Gonzalez, whose steps are data-dependent). Fine while k stays
+    coreset-sized (≤ hundreds); if k ever grows toward thousands,
+    switch to k-means‖-style oversampling (Bahmani et al. 2012):
+    sample O(k) candidates per pass with probability ∝ mind², run
+    O(log n) passes, then reduce the ~k·log n candidates to k on the
+    driver — same coverage guarantee class, ~log n passes instead
+    of k.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",

@@ -247,3 +247,133 @@ def test_bloom_no_false_negatives_and_replays(spark, sf_dir):
     assert flagged == got["n_flagged"]
     assert dup == got["n_true_dup"]
     assert got["n_train"] == len(train) and got["n_test"] == len(test)
+
+
+def test_hyperloglog_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_W_BITS,
+        q_hyperloglog_portable,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    users = [
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+    ]
+    regs = [0] * HLL_M
+    for u in users:
+        h = hashlib.md5(f"hll:{u}".encode()).hexdigest()
+        idx = int(h[:2], 16) % HLL_M
+        w = int(h[2:8], 16)
+        rho = HLL_W_BITS + 1 if w == 0 else HLL_W_BITS - w.bit_length() + 1
+        regs[idx] = max(regs[idx], rho)
+    z = sum(2.0 ** -m for m in regs)
+    v = regs.count(0)
+    raw = HLL_ALPHA * HLL_M * HLL_M / z
+    est = HLL_M * math.log(HLL_M / v) if (raw <= 2.5 * HLL_M and v > 0) else raw
+    got = q_hyperloglog_portable(spark, sf_dir).first()
+    assert got["exact_distinct"] == len(set(users))
+    assert got["empty_registers"] == v
+    assert abs(got["estimate"] - est) < 1e-4
+    # HLL accuracy sanity at m=64: ~13% typical error, allow generous slack
+    assert got["rel_error"] < 0.5
+
+
+def test_ams_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        AMS_GROUPS,
+        AMS_PER_GROUP,
+        q_ams_f2_moment,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    users = [
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+    ]
+    cnt: dict[int, int] = {}
+    for u in users:
+        cnt[u] = cnt.get(u, 0) + 1
+    f2 = sum(c * c for c in cnt.values())
+    means = []
+    for gi in range(AMS_GROUPS):
+        xs = []
+        for i in range(gi * AMS_PER_GROUP, (gi + 1) * AMS_PER_GROUP):
+            tot = sum(
+                (1 if int(hashlib.md5(f"ams{i}:{u}".encode()).hexdigest()[0], 16) % 2 == 0 else -1) * c
+                for u, c in cnt.items()
+            )
+            xs.append(tot * tot)
+        means.append(sum(xs) / len(xs))
+    est = statistics.median(means)
+    got = q_ams_f2_moment(spark, sf_dir).first()
+    assert got["exact_f2"] == f2
+    assert abs(got["ams_estimate"] - est) < 1e-3
+
+
+def test_permutation_test_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        PERM_B,
+        q_permutation_test,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+        .collect()
+    )
+    per_user = {r["user_id"]: r["cents"] for r in rows}
+
+    def diff(assign):
+        a = [c for u, c in per_user.items() if assign(u) == 0]
+        b = [c for u, c in per_user.items() if assign(u) == 1]
+        return sum(a) / len(a) - sum(b) / len(b)
+
+    obs = round(diff(lambda u: u % 2), 6)
+    extreme = 0
+    for i in range(1, PERM_B + 1):
+        d = round(
+            diff(
+                lambda u, i=i: int(
+                    hashlib.md5(f"perm{i}:{u}".encode()).hexdigest()[0], 16
+                )
+                % 2
+            ),
+            6,
+        )
+        if abs(d) >= abs(obs):
+            extreme += 1
+    got = q_permutation_test(spark, sf_dir).first()
+    assert abs(got["obs_diff_cents"] - obs) < 1e-4
+    assert got["n_extreme"] == extreme
+    assert abs(got["p_value"] - (1 + extreme) / (1 + PERM_B)) < 1e-6
+
+
+def test_fightin_words_prior_tempers_hapaxes(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_fightin_words
+
+    rows = q_fightin_words(spark, sf_dir).collect()
+    assert len(rows) == 15
+    # the informative prior must keep rare terms out of the top:
+    # every reported term appears more than once in the pooled corpus
+    assert all(r["y_en"] + r["y_rest"] > 1 for r in rows)
+    # z and delta agree in sign
+    assert all((r["z"] >= 0) == (r["delta_logodds"] >= 0) for r in rows)
+
+
+def test_overdispersion_identity(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        q_overdispersion_check,
+    )
+
+    got = q_overdispersion_check(spark, sf_dir).first()
+    assert abs(
+        got["dispersion_index"] - got["var_events"] / got["mean_events"]
+    ) < 1e-4
+    z = math.sqrt((got["n_users"] - 1) / 2.0) * (got["dispersion_index"] - 1)
+    assert abs(got["bohning_z"] - z) < 1e-3
