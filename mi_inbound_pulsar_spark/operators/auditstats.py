@@ -1566,3 +1566,97 @@ def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((F.count(F.lit(1)) - 1) / F.lit(2.0)) * (d_idx - 1), 6
         ).alias("bohning_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt's linear trend: double exponential smoothing of daily revenue
+# --------------------------------------------------------------------------
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+@query(
+    "q_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE d AS ({_DAILY_SQL}),
+    s AS (
+      SELECT list(CAST(cents AS DOUBLE) ORDER BY day) AS vals,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM d
+    ),
+    step AS (
+      SELECT 2 AS t, vals[2] AS l, vals[2] - vals[1] AS b,
+             CAST(0.0 AS DOUBLE) AS e
+      FROM s
+      UNION ALL
+      SELECT step.t + 1,
+             {HOLT_ALPHA} * s.vals[step.t + 1]
+               + {1 - HOLT_ALPHA} * (step.l + step.b),
+             {HOLT_BETA} * ({HOLT_ALPHA} * s.vals[step.t + 1]
+                 + {1 - HOLT_ALPHA} * (step.l + step.b) - step.l)
+               + {1 - HOLT_BETA} * step.b,
+             step.e + abs(s.vals[step.t + 1] - (step.l + step.b))
+      FROM step, s WHERE step.t < s.n_days
+    )
+    SELECT s.n_days,
+           round(step.l, 6) AS level,
+           round(step.b, 6) AS trend,
+           round(step.e / (s.n_days - 2), 6) AS mae_one_step,
+           round(step.l + step.b, 6) AS forecast_1d,
+           round(step.l + 7 * step.b, 6) AS forecast_7d
+    FROM step, s WHERE step.t = s.n_days
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957):
+    level/trend recurrences l′ = αx + (1−α)(l+b), b′ = β(l′−l) +
+    (1−β)b over the daily revenue series (α={HOLT_ALPHA},
+    β={HOLT_BETA}; textbook init l₂=x₂, b₂=x₂−x₁), with the
+    in-sample one-step MAE and the 1-/7-day-ahead forecasts l+h·b —
+    the trend-aware forecaster between the EWMA (no trend) and the
+    seasonal STL/backtest machinery. The recurrence is inherently
+    sequential; Spark runs it as one ``aggregate`` HOF left fold with
+    a struct accumulator, the oracle as a recursive CTE over the same
+    day list — NOT ``list_reduce``, because DuckDB (v1.0.0) evaluates
+    a lambda's struct fields SEQUENTIALLY, rebinding ``acc.l`` to the
+    new level before the trend field reads it — the coupled
+    recurrence silently diverges (found by hash mismatch; the
+    recursive CTE has textbook simultaneous row semantics). Same IEEE
+    op sequence either way, hash parity restored (the
+    q_ewma_smoothing recipe, upgraded from scalar to struct state).
+
+    Scale: the series is the day-domain-bounded rollup; the fold runs
+    once on |days| values in one task — the only correct plan for a
+    sequential recurrence. A per-key fleet of these (one series per
+    source/SKU) folds inside groupBy exactly like q_ewma_smoothing.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    s = d.agg(
+        F.expr(
+            "array_sort(collect_list(struct(day, CAST(cents AS DOUBLE) AS v)))"
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).select(F.expr("transform(seq, s -> s.v)").alias("vals"), "n_days")
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    fold = (
+        "aggregate("
+        " slice(vals, 3, size(vals) - 2),"
+        " named_struct('l', vals[1], 'b', vals[1] - vals[0], 'e', 0.0D),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {a} * x + {1 - a} * (acc.l + acc.b),"
+        f"   'b', {b_} * ({a} * x + {1 - a} * (acc.l + acc.b) - acc.l)"
+        f"        + {1 - b_} * acc.b,"
+        f"   'e', acc.e + abs(x - (acc.l + acc.b))))"
+    )
+    return s.select(
+        "n_days",
+        F.round(F.expr(fold + ".l"), 6).alias("level"),
+        F.round(F.expr(fold + ".b"), 6).alias("trend"),
+        F.round(
+            F.expr(fold + ".e") / (F.col("n_days") - 2), 6
+        ).alias("mae_one_step"),
+        F.round(F.expr(fold + ".l + " + fold + ".b"), 6).alias("forecast_1d"),
+        F.round(
+            F.expr(fold + ".l + 7 * " + fold + ".b"), 6
+        ).alias("forecast_7d"),
+    )

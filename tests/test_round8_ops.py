@@ -377,3 +377,33 @@ def test_overdispersion_identity(spark, sf_dir):
     ) < 1e-4
     z = math.sqrt((got["n_users"] - 1) / 2.0) * (got["dispersion_index"] - 1)
     assert abs(got["bohning_z"] - z) < 1e-3
+
+
+def test_holt_linear_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        _daily_purchase_cents,
+        q_holt_linear,
+    )
+
+    vals = [
+        float(r["cents"])
+        for r in sorted(
+            _daily_purchase_cents(spark, sf_dir).collect(),
+            key=lambda r: r["day"],
+        )
+    ]
+    l, b = vals[1], vals[1] - vals[0]
+    e = 0.0
+    for x in vals[2:]:
+        e += abs(x - (l + b))
+        l2 = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (l2 - l) + (1 - HOLT_BETA) * b
+        l = l2
+    got = q_holt_linear(spark, sf_dir).first()
+    assert got["n_days"] == len(vals)
+    assert abs(got["level"] - l) < 1e-3
+    assert abs(got["trend"] - b) < 1e-3
+    assert abs(got["mae_one_step"] - e / (len(vals) - 2)) < 1e-3
+    assert abs(got["forecast_7d"] - (l + 7 * b)) < 1e-2
