@@ -1179,11 +1179,13 @@ def q_hyperloglog_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(rho_sql).cast("long").alias("rho"),
     )
     spine = spark.range(0, HLL_M).select(F.col("id").alias("idx"))
-    regs = (
-        F.broadcast(spine)
-        .join(h.groupBy("idx").agg(F.max("rho").alias("mx")), "idx", "left")
-        .select("idx", F.coalesce("mx", F.lit(0)).alias("m"))
-    )
+    # broadcast the aggregated registers (≤ HLL_M rows) as the RIGHT
+    # side — a broadcast hint on the LEFT of a left join is ignored
+    regs = spine.join(
+        F.broadcast(h.groupBy("idx").agg(F.max("rho").alias("mx"))),
+        "idx",
+        "left",
+    ).select("idx", F.coalesce("mx", F.lit(0)).alias("m"))
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z"),
         F.count_if(F.col("m") == 0).alias("v"),
