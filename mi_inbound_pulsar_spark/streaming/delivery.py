@@ -440,12 +440,27 @@ class KeyedRetryPipeline:
         return spark.read.parquet(os.path.join(self.state_dir, f"v{epochs[-1]}"))
 
     def dead_letters_df(self, spark: SparkSession) -> DataFrame | None:
-        versions = (
-            [os.path.join(self.dlq_dir, d) for d in sorted(os.listdir(self.dlq_dir))]
-            if os.path.isdir(self.dlq_dir)
-            else []
-        )
-        versions = [v for v in versions if os.path.isdir(v)]
+        """Union of the COMMITTED per-epoch DLQ versions. A crash
+        between the DLQ write and the state write leaves a dlq
+        ``v<epoch>`` with no marker — those rows must stay invisible
+        until the epoch's replay completes, or a reader double-counts
+        them (found by the torn-epoch injection test). Markers older
+        than the keep-2 GC window are gone but were committed by
+        construction (a marker is only GC'd after newer commits), so
+        the filter is "epoch ≤ newest marker", not marker membership.
+        """
+        committed = self._committed_epochs()
+        if not committed or not os.path.isdir(self.dlq_dir):
+            return None
+        hi = committed[-1]
+        versions = [
+            os.path.join(self.dlq_dir, d)
+            for d in sorted(os.listdir(self.dlq_dir))
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and int(d[1:]) <= hi
+            and os.path.isdir(os.path.join(self.dlq_dir, d))
+        ]
         if not versions:
             return None
         return spark.read.parquet(*versions)

@@ -284,3 +284,85 @@ def test_keyed_retry_exponential_backoff(spark, tmp_path):
     fake[0] = 61.0 + 121.0 + 181.0
     pipe(empty, 6)  # cap honored: due at 180s, not 240s
     assert seen[-1] == ("a", 3)
+
+
+def test_keyed_retry_crash_between_dlq_and_state_replays_cleanly(spark, tmp_path):
+    """Torn-epoch injection for the retry state family (the
+    curation/privacy crash test's K-side twin): kill after the DLQ
+    write lands but before the state write (no commit marker). The
+    restart must treat the epoch as never-happened — readers stay on
+    the prior committed version, the replay rewrites BOTH v<epoch>
+    dirs, and poison records are neither lost nor double-DLQ'd."""
+    import pytest
+
+    from mi_inbound_pulsar_spark.streaming.delivery import KeyedRetryPipeline
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(str(i), f"payload{i}") for i in ids], "message_id string, body string"
+        )
+
+    def process(deliver, epoch_id):
+        ok = F.col("message_id").cast("long") % 5 != 0  # 5, 10 always fail
+        return deliver.select("message_id", ok.alias("ok"))
+
+    def make(state_dir, dlq_dir):
+        return KeyedRetryPipeline(
+            process,
+            DeadLetterPolicy(max_redeliveries=2),
+            state_dir=str(state_dir),
+            dlq_dir=str(dlq_dir),
+            nack_delay_ms=0,
+            num_partitions=2,
+        )
+
+    # control: no crash
+    ctl = make(tmp_path / "cs", tmp_path / "cd")
+    ctl(frame(range(1, 11)), 0)
+    ctl(frame([]), 1)  # redelivers 5,10 -> 2nd failure -> DLQ
+    want_dead = sorted(
+        (r["message_id"], r["redelivery_count"])
+        for r in ctl.dead_letters_df(spark).collect()
+    )
+    assert {m for m, _ in want_dead} == {"5", "10"}
+
+    pipe = make(tmp_path / "ts", tmp_path / "td")
+    pipe(frame(range(1, 11)), 0)
+    state_v0 = sorted(r["message_id"] for r in pipe.state_df(spark).collect())
+
+    orig = pipe._commit
+    calls = {"n": 0}
+
+    def torn(df, root, epoch_id):
+        orig(df, root, epoch_id)
+        calls["n"] += 1
+        if calls["n"] == 1:  # DLQ landed; kill before the state write
+            raise RuntimeError("injected crash mid-epoch")
+
+    pipe._commit = torn
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe(frame([]), 1)
+    pipe._commit = orig
+
+    # torn epoch on disk, invisible to readers
+    import os
+
+    assert os.path.isdir(str(tmp_path / "td" / "v1"))
+    assert pipe._committed_epochs() == [0]
+    assert pipe.dead_letters_df(spark) is None or (
+        pipe.dead_letters_df(spark).count() == 0
+    )
+    assert sorted(
+        r["message_id"] for r in pipe.state_df(spark).collect()
+    ) == state_v0
+
+    pipe(frame([]), 1)  # restart replay
+    assert pipe._committed_epochs() == [0, 1]
+    got_dead = sorted(
+        (r["message_id"], r["redelivery_count"])
+        for r in pipe.dead_letters_df(spark).collect()
+    )
+    assert got_dead == want_dead
+    # DLQ'd rows left the state table (bounded-state contract)
+    live = {r["message_id"] for r in pipe.state_df(spark).collect()}
+    assert not live & {"5", "10"}
