@@ -155,6 +155,11 @@ HEADLINE = [
     "q_fightin_words",
     "q_theil_sen",
     "q_logrank_test",
+    "q_rmst_difference",
+    "q_kendalls_w",
+    "q_chapman_estimator",
+    "q_holt_linear",
+    "q_ams_f2_moment",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

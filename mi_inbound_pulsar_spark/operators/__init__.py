@@ -75,15 +75,16 @@ _PRIORITY = (
     # the eighth DISJOINT never-driver-checked set — exactly the 50
     # names VERDICT.md round 7 asked for (newest code first: the
     # round-7 causal/streaming-replay/graph additions plus the
-    # remaining statistics leftovers). After this round 39 never-
-    # driver-checked names remain for round 9: the 18 round-8
+    # remaining statistics leftovers). After this round 42 never-
+    # driver-checked names remain for round 9: the 21 round-8
     # additions (q_streaming_composed_replay plus the auditstats
     # family: q_levene_test, q_mood_median, q_mcnemar_test,
     # q_grubbs_outlier, q_theil_sen, q_logrank_test, q_ljung_box,
     # q_gumbel_maxima, q_cochran_armitage, q_countmin_heavy_hitters,
     # q_bloom_decontaminate, q_hyperloglog_portable, q_ams_f2_moment,
     # q_fightin_words, q_permutation_test, q_overdispersion_check,
-    # q_holt_linear) and these 21 leftovers:
+    # q_holt_linear, q_rmst_difference, q_kendalls_w,
+    # q_chapman_estimator) and these 21 leftovers:
     # q_table_profile, q_term_burstiness, q_timeseries_similarity,
     # q_token_entropy, q_tokenizer_fertility, q_topic_throughput,
     # q_tumbling_ohlc, q_twap, q_ucb1_bandit,

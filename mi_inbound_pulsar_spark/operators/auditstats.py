@@ -1662,3 +1662,347 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(fold + ".l + 7 * " + fold + ".b"), 6
         ).alias("forecast_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time difference between the two cohorts
+# --------------------------------------------------------------------------
+@query(
+    "q_rmst_difference",
+    oracle=f"""
+    WITH horizon AS (SELECT max(epoch_us(ts)) AS h FROM events),
+    signup AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.s_us, min(epoch_us(e.ts)) AS p_us
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) > s.s_us
+      GROUP BY s.user_id, s.s_us
+    ),
+    obs AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN p_us IS NOT NULL
+                  THEN CAST((p_us - s_us) // 86400000000 AS BIGINT)
+                  ELSE CAST((h - s_us) // 86400000000 AS BIGINT) END AS e_day,
+             p_us IS NOT NULL AS is_event
+      FROM conv, horizon
+    ),
+    spine AS (SELECT unnest(range(0, {SURVIVAL_WINDOW_DAYS})) AS day),
+    km AS (
+      SELECT g.grp, spine.day,
+             count(*) FILTER (o.e_day >= spine.day) AS n_t,
+             count(*) FILTER (o.is_event AND o.e_day = spine.day) AS d_t
+      FROM spine
+        CROSS JOIN (SELECT DISTINCT grp FROM obs) g
+        LEFT JOIN obs o ON o.grp = g.grp
+      GROUP BY g.grp, spine.day
+    ),
+    surv AS (
+      SELECT grp, day,
+             exp(sum(CASE WHEN d_t < n_t AND n_t > 0
+                          THEN ln(1.0 - d_t * 1.0 / n_t) ELSE 0 END)
+                 OVER (PARTITION BY grp ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               * CASE WHEN min(CASE WHEN n_t > 0 THEN 1.0 - d_t * 1.0 / n_t END)
+                          OVER (PARTITION BY grp ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) = 0
+                      THEN 0 ELSE 1 END AS s
+      FROM km WHERE n_t > 0
+    ),
+    rmst AS (
+      -- step-function integral: S is constant on [day, day+1)
+      SELECT grp, sum(s) + 1.0 AS rmst_days, count(*) AS n_days
+      FROM surv WHERE day < {SURVIVAL_WINDOW_DAYS} - 1 GROUP BY grp
+    )
+    SELECT CAST({SURVIVAL_WINDOW_DAYS} AS BIGINT) AS tau_days,
+           round(max(CASE WHEN grp = 0 THEN rmst_days END), 6) AS rmst_even,
+           round(max(CASE WHEN grp = 1 THEN rmst_days END), 6) AS rmst_odd,
+           round(max(CASE WHEN grp = 0 THEN rmst_days END)
+                 - max(CASE WHEN grp = 1 THEN rmst_days END), 6)
+             AS rmst_diff_days
+    FROM rmst
+    """,
+)
+def q_rmst_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time difference (Royston & Parmar
+    2013): RMST(τ) = ∫₀^τ Ŝ(t)dt for each cohort (the step-function
+    integral of the KM curve on the shared {SURVIVAL_WINDOW_DAYS}-day
+    spine — here "mean days until first purchase, capped at τ") and
+    the between-cohort difference. The effect-size companion to
+    ``q_logrank_test``: log-rank answers "do the curves differ?",
+    RMST answers "by how many days" — the estimand regulators now ask
+    for when proportional hazards is doubtful, and the one that stays
+    defined under 100% eventual conversion.
+
+    Hash-exactness: the survival product is exp(Σln(1−d/n)) over
+    exact integer spine counts (the q_nelson_aalen recipe, cohort-
+    partitioned); the integral is a plain sum of the per-day step
+    values (S(0)=1 contributes the leading 1.0).
+
+    Scale: identical to the KM family — per-user rollup, scalar
+    horizon, 2×{SURVIVAL_WINDOW_DAYS}-row spine windows behind the
+    bounded-window guard.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    horizon = e.agg(F.max(us).alias("h"))
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (signup.user_id == purchases.user_id) & (F.col("p_us") > F.col("s_us")),
+            "left",
+        )
+        .groupBy(signup.user_id, "s_us")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    obs = conv.crossJoin(F.broadcast(horizon)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.col("p_us").isNotNull(),
+            F.floor((F.col("p_us") - F.col("s_us")) / US_PER_DAY),
+        )
+        .otherwise(F.floor((F.col("h") - F.col("s_us")) / US_PER_DAY))
+        .cast("long")
+        .alias("e_day"),
+        F.col("p_us").isNotNull().alias("is_event"),
+    )
+    spine = spark.range(0, SURVIVAL_WINDOW_DAYS).select(F.col("id").alias("day"))
+    grps = obs.select("grp").distinct()
+    km = (
+        F.broadcast(spine)
+        .crossJoin(F.broadcast(grps))
+        .join(obs.withColumnRenamed("grp", "ogrp"), F.col("ogrp") == F.col("grp"), "left")
+        .groupBy("grp", "day")
+        .agg(
+            F.count_if(F.col("e_day") >= F.col("day")).alias("n_t"),
+            F.count_if(F.col("is_event") & (F.col("e_day") == F.col("day"))).alias(
+                "d_t"
+            ),
+        )
+        .filter(F.col("n_t") > 0)
+    )
+    km = bounded_window_input(km, label="q_rmst_difference spine")
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    term = F.when(
+        (F.col("d_t") < F.col("n_t")) & (F.col("n_t") > 0),
+        F.log(F.lit(1.0) - F.col("d_t") / F.col("n_t")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = (
+        F.min(
+            F.when(F.col("n_t") > 0, F.lit(1.0) - F.col("d_t") / F.col("n_t"))
+        ).over(w)
+        == 0
+    )
+    surv = km.select(
+        "grp",
+        "day",
+        (
+            F.exp(F.sum(term).over(w))
+            * F.when(hit_zero, F.lit(0.0)).otherwise(F.lit(1.0))
+        ).alias("s"),
+    )
+    rmst = (
+        surv.filter(F.col("day") < SURVIVAL_WINDOW_DAYS - 1)
+        .groupBy("grp")
+        .agg((F.sum("s") + 1.0).alias("rmst_days"))
+    )
+    even = F.max(F.when(F.col("grp") == 0, F.col("rmst_days")))
+    odd = F.max(F.when(F.col("grp") == 1, F.col("rmst_days")))
+    return rmst.agg(
+        F.lit(SURVIVAL_WINDOW_DAYS).cast("long").alias("tau_days"),
+        F.round(even, 6).alias("rmst_even"),
+        F.round(odd, 6).alias("rmst_odd"),
+        F.round(even - odd, 6).alias("rmst_diff_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall's W: concordance of yearly nation-revenue rankings
+# --------------------------------------------------------------------------
+@query(
+    "q_kendalls_w",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS yr, n.n_name AS nation,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100,
+                                 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT yr, nation,
+             row_number() OVER (PARTITION BY yr
+                                ORDER BY cents DESC, nation) AS rk
+      FROM rev
+    ),
+    sums AS (
+      SELECT nation, sum(rk) AS r, count(*) AS k FROM ranked GROUP BY nation
+    ),
+    dims AS (SELECT count(*) AS n, max(k) AS k FROM sums)
+    SELECT CAST(d.n AS BIGINT) AS n_items,
+           CAST(d.k AS BIGINT) AS k_judges,
+           round(sum(pow(s.r - d.k * (d.n + 1) / 2.0, 2)), 6) AS s_stat,
+           round(12.0 * sum(pow(s.r - d.k * (d.n + 1) / 2.0, 2))
+                 / (d.k * d.k * (pow(d.n, 3) - d.n)), 6) AS w
+    FROM sums s, dims d GROUP BY d.n, d.k
+    """,
+)
+def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance (Kendall & Babington
+    Smith 1939): do the order years agree on how the 25 nations rank
+    by revenue? Each year is a judge ranking the nations
+    (deterministic ties: revenue DESC, name); W = 12S/(K²(n³−n)) with
+    S the squared deviations of per-nation rank sums from their
+    expectation. W≈1 means the league table is stable year over year
+    (one ranking suffices); W≈0 means yearly rankings are noise — the
+    multi-judge generalization of the pairwise rank correlations
+    (q_spearman_corr, q_kendall_tau) and of the two-list RBO.
+
+    Scale: the rollup is |years|×|nations| rows; the rank window
+    partitions by year over ≤n rows (guard-bounded); everything after
+    is an n-row aggregate.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    rev = bounded_window_input(rev, label="q_kendalls_w year x nation rollup")
+    w_rank = Window.partitionBy("yr").orderBy(F.desc("cents"), "nation")
+    sums = (
+        rev.withColumn("rk", F.row_number().over(w_rank))
+        .groupBy("nation")
+        .agg(F.sum("rk").alias("r"), F.count(F.lit(1)).alias("k"))
+    )
+    dims = sums.agg(F.count(F.lit(1)).alias("nn"), F.max("k").alias("kk"))
+    dev = F.pow(F.col("r") - F.col("kk") * (F.col("nn") + 1) / 2.0, F.lit(2.0))
+    return (
+        sums.drop("k")
+        .crossJoin(F.broadcast(dims))
+        .groupBy("nn", "kk")
+        .agg(F.sum(dev).alias("s_stat"))
+        .select(
+            F.col("nn").cast("long").alias("n_items"),
+            F.col("kk").cast("long").alias("k_judges"),
+            F.round("s_stat", 6).alias("s_stat"),
+            F.round(
+                12.0
+                * F.col("s_stat")
+                / (
+                    F.col("kk")
+                    * F.col("kk")
+                    * (F.pow(F.col("nn"), F.lit(3.0)) - F.col("nn"))
+                ),
+                6,
+            ).alias("w"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Chapman capture-recapture estimate of the active-user population
+# --------------------------------------------------------------------------
+@query(
+    "q_chapman_estimator",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    lo AS (SELECT min(day) AS d0 FROM d),
+    s1 AS (SELECT DISTINCT user_id FROM d, lo WHERE day - d0 < 15),
+    s2 AS (SELECT DISTINCT user_id FROM d, lo WHERE day - d0 >= 15),
+    m AS (SELECT count(*) AS m FROM s1 WHERE user_id IN (SELECT user_id FROM s2)),
+    c AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT m FROM m) AS m,
+             (SELECT count(DISTINCT user_id) FROM d) AS truth
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_first_half,
+           CAST(n2 AS BIGINT) AS n_second_half,
+           CAST(m AS BIGINT) AS n_recaptured,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6)
+             AS chapman_estimate,
+           CAST(truth AS BIGINT) AS exact_population,
+           round(abs((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 - truth)
+                 / truth, 6) AS rel_error
+    FROM c
+    """,
+)
+def q_chapman_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimator (Chapman 1951): treat the
+    month's first- and second-half active-user sets as two capture
+    samples and estimate the total population N̂ = (n₁+1)(n₂+1)/(m+1)−1
+    from the recapture overlap m — the bias-corrected Lincoln-Petersen
+    form. The corpus-audit use: when a "population" can only be
+    sampled (distinct contributors across two crawl snapshots, total
+    entities behind two partial logs), the overlap of two samples
+    estimates what neither sample sees. The exact distinct count
+    rides along as ground truth to expose the closure-assumption
+    error (users active in only one half violate equal catchability —
+    the realized rel_error IS that diagnostic).
+
+    Scale: three distinct-aggregates and a 1-row arithmetic select;
+    the half-month split reuses the tz-proof epoch-day arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+    )
+    d0 = d.agg(F.min("day").alias("d0"))
+    tagged = d.crossJoin(F.broadcast(d0)).select(
+        "user_id", (F.col("day") - F.col("d0") < 15).alias("first_half")
+    )
+    per_user = tagged.groupBy("user_id").agg(
+        F.bool_or("first_half").alias("in1"),
+        F.bool_or(~F.col("first_half")).alias("in2"),
+    )
+    stats = per_user.agg(
+        F.count_if("in1").alias("n1"),
+        F.count_if("in2").alias("n2"),
+        F.count_if(F.col("in1") & F.col("in2")).alias("m"),
+        F.count(F.lit(1)).alias("truth"),
+    )
+    est = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    return stats.select(
+        F.col("n1").cast("long").alias("n_first_half"),
+        F.col("n2").cast("long").alias("n_second_half"),
+        F.col("m").cast("long").alias("n_recaptured"),
+        F.round(est, 6).alias("chapman_estimate"),
+        F.col("truth").cast("long").alias("exact_population"),
+        F.round(F.abs(est - F.col("truth")) / F.col("truth"), 6).alias(
+            "rel_error"
+        ),
+    )

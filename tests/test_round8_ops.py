@@ -407,3 +407,75 @@ def test_holt_linear_replays_in_python(spark, sf_dir):
     assert abs(got["trend"] - b) < 1e-3
     assert abs(got["mae_one_step"] - e / (len(vals) - 2)) < 1e-3
     assert abs(got["forecast_7d"] - (l + 7 * b)) < 1e-2
+
+
+def test_rmst_integral_bounds(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        SURVIVAL_WINDOW_DAYS,
+        q_rmst_difference,
+    )
+
+    got = q_rmst_difference(spark, sf_dir).first()
+    # RMST is an integral of S in [0,1] over [0, tau]: 0 < rmst <= tau
+    for col in ("rmst_even", "rmst_odd"):
+        assert 0 < got[col] <= SURVIVAL_WINDOW_DAYS
+    assert abs(got["rmst_diff_days"] - (got["rmst_even"] - got["rmst_odd"])) < 1e-5
+
+
+def test_kendalls_w_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_kendalls_w
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect()
+    o = {r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"].year)
+         for r in load_table(spark, sf_dir, "orders").collect()}
+    c = {r["c_custkey"]: r["c_nationkey"]
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    n = {r["n_nationkey"]: r["n_name"]
+         for r in load_table(spark, sf_dir, "nation").collect()}
+    rev: dict[tuple[int, str], int] = {}
+    for r in l:
+        ck, yr = o[r["l_orderkey"]]
+        nat = n[c[ck]]
+        cents = round(r["l_extendedprice"] * (1 - r["l_discount"]) * 100)
+        rev[(yr, nat)] = rev.get((yr, nat), 0) + int(cents)
+    ranks: dict[str, int] = {}
+    years = sorted({yr for yr, _ in rev})
+    for yr in years:
+        row = sorted(
+            ((v, nat) for (y, nat), v in rev.items() if y == yr),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for i, (_, nat) in enumerate(row, 1):
+            ranks[nat] = ranks.get(nat, 0) + i
+    k, nn = len(years), len({nat for _, nat in rev})
+    s = sum((r - k * (nn + 1) / 2) ** 2 for r in ranks.values())
+    w = 12 * s / (k * k * (nn**3 - nn))
+    got = q_kendalls_w(spark, sf_dir).first()
+    assert (got["n_items"], got["k_judges"]) == (nn, k)
+    assert abs(got["w"] - w) < 1e-5
+    assert 0.0 <= got["w"] <= 1.0
+
+
+def test_chapman_replays_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        US_PER_DAY,
+        q_chapman_estimator,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    days = [(r["user_id"], int(r["ts"].timestamp() * 1e6) // US_PER_DAY) for r in rows]
+    d0 = min(d for _, d in days)
+    s1 = {u for u, d in days if d - d0 < 15}
+    s2 = {u for u, d in days if d - d0 >= 15}
+    m = len(s1 & s2)
+    est = (len(s1) + 1) * (len(s2) + 1) / (m + 1) - 1
+    got = q_chapman_estimator(spark, sf_dir).first()
+    assert (got["n_first_half"], got["n_second_half"], got["n_recaptured"]) == (
+        len(s1), len(s2), m,
+    )
+    assert abs(got["chapman_estimate"] - est) < 1e-4
+    assert got["exact_population"] == len(s1 | s2)
