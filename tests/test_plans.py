@@ -416,3 +416,25 @@ def test_lpa_kcore_gate_open_at_test_scale(spark, sf_dir):
     assert table_row_bound(spark, sf_dir, "customer") <= ADAPTIVE_BROADCAST_MAX_ROWS
     assert q_label_propagation(spark, sf_dir).count() > 0
     assert "CartesianProduct" not in plan_of(q_kcore_peel(spark, sf_dir))
+
+
+def test_lpa_kcore_gate_closed_path_is_correct(spark, sf_dir, monkeypatch):
+    """Force the size gate CLOSED (as a 100 TB node count would) and
+    assert the plain-hash-join fallback computes the identical result:
+    the scale path is a first-class code path, not dead code that only
+    a production incident would ever execute."""
+    from mi_inbound_pulsar_spark.operators import graph
+    from mi_inbound_pulsar_spark.plans import adaptive
+
+    open_lpa = graph.q_label_propagation(spark, sf_dir).collect()
+    open_kcore = graph.q_kcore_peel(spark, sf_dir).collect()
+
+    # a bound far above the threshold closes the gate at every site
+    monkeypatch.setattr(
+        graph, "table_row_bound", lambda *a, **k: 10 * adaptive.ADAPTIVE_BROADCAST_MAX_ROWS
+    )
+    closed_lpa = graph.q_label_propagation(spark, sf_dir).collect()
+    closed_kcore = graph.q_kcore_peel(spark, sf_dir).collect()
+
+    assert sorted(map(tuple, closed_lpa)) == sorted(map(tuple, open_lpa))
+    assert sorted(map(tuple, closed_kcore)) == sorted(map(tuple, open_kcore))
