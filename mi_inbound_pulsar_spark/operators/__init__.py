@@ -75,8 +75,8 @@ _PRIORITY = (
     # the eighth DISJOINT never-driver-checked set — exactly the 50
     # names VERDICT.md round 7 asked for (newest code first: the
     # round-7 causal/streaming-replay/graph additions plus the
-    # remaining statistics leftovers). After this round 42 never-
-    # driver-checked names remain for round 9: the 21 round-8
+    # remaining statistics leftovers). After this round 45 never-
+    # driver-checked names remain for round 9: the 24 round-8
     # additions (q_streaming_composed_replay plus the auditstats
     # family: q_levene_test, q_mood_median, q_mcnemar_test,
     # q_grubbs_outlier, q_theil_sen, q_logrank_test, q_ljung_box,
@@ -84,7 +84,8 @@ _PRIORITY = (
     # q_bloom_decontaminate, q_hyperloglog_portable, q_ams_f2_moment,
     # q_fightin_words, q_permutation_test, q_overdispersion_check,
     # q_holt_linear, q_rmst_difference, q_kendalls_w,
-    # q_chapman_estimator) and these 21 leftovers:
+    # q_chapman_estimator, q_cohen_kappa, q_v_measure,
+    # q_precision_recall_at_k) and these 21 leftovers:
     # q_table_profile, q_term_burstiness, q_timeseries_similarity,
     # q_token_entropy, q_tokenizer_fertility, q_topic_throughput,
     # q_tumbling_ohlc, q_twap, q_ucb1_bandit,

@@ -4866,3 +4866,326 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_source", "pred_source")
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier-agreement audits over the lang-ID heuristic (round 8)
+# --------------------------------------------------------------------------
+_LANGID_PRED_SQL = """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(w, x -> x IN ('the','a','of','and','value')))  AS s_en,
+             len(list_filter(w, x -> x IN ('data','row','filter','query'))) AS s_es,
+             len(list_filter(w, x -> x IN ('table','join','batch','window'))) AS s_de,
+             len(list_filter(w, x -> x IN ('stream','sort','merge','line'))) AS s_fr
+      FROM t
+    ),
+    pred AS (
+      SELECT lang AS actual,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS predicted
+      FROM s
+    ),
+    cell AS (
+      SELECT actual, predicted, count(*) AS c FROM pred GROUP BY 1, 2
+    )
+"""
+
+
+def _langid_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(actual, predicted, c): the lang-ID confusion contingency —
+    the shared bounded rollup (|langs|² cells) both agreement audits
+    aggregate; prediction logic identical to :func:`q_lang_id`."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scores = {lang: _count_in(words, m) for lang, m in LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        F.col("lang").alias("actual"), predicted.alias("predicted")
+    ).groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("c"))
+
+
+@query(
+    "q_cohen_kappa",
+    oracle=_LANGID_PRED_SQL
+    + """
+    , tot AS (SELECT sum(c) AS n FROM cell),
+    rows_ AS (SELECT actual, sum(c) AS rc FROM cell GROUP BY actual),
+    cols_ AS (SELECT predicted, sum(c) AS cc FROM cell GROUP BY predicted),
+    agg AS (
+      SELECT (SELECT sum(c) FROM cell WHERE actual = predicted) * 1.0
+               / (SELECT n FROM tot) AS po,
+             (SELECT sum(r.rc * c.cc)
+              FROM rows_ r JOIN cols_ c ON r.actual = c.predicted) * 1.0
+               / ((SELECT n FROM tot) * (SELECT n FROM tot)) AS pe,
+             (SELECT n FROM tot) AS n
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round(po, 6) AS observed_agreement,
+           round(pe, 6) AS chance_agreement,
+           round((po - pe) / (1 - pe), 6) AS kappa
+    FROM agg
+    """,
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the marker-lexicon lang-ID
+    prediction and the true language label: chance-corrected
+    agreement κ = (p_o − p_e)/(1 − p_e), where p_e is the agreement
+    two raters with these marginals would reach by luck. THE metric
+    for "is this cheap classifier actually better than its base
+    rates" — raw accuracy flatters any predictor that just says 'en'
+    on an en-heavy corpus, which is exactly the failure mode of the
+    zh class this heuristic cannot emit.
+
+    Scale: the contingency is a |langs|²-cell map-side-combined
+    rollup; everything after is arithmetic over ≤25 cells.
+    """
+    cell = _langid_contingency(spark, sf_dir)
+    tot = cell.agg(F.sum("c").alias("n"))
+    diag = cell.filter(F.col("actual") == F.col("predicted")).agg(
+        F.sum("c").alias("d")
+    )
+    marg = (
+        cell.groupBy("actual")
+        .agg(F.sum("c").alias("rc"))
+        .join(
+            cell.groupBy("predicted").agg(F.sum("c").alias("cc")),
+            F.col("actual") == F.col("predicted"),
+        )
+        .agg(F.sum(F.col("rc") * F.col("cc")).alias("rxc"))
+    )
+    po = F.col("d") / F.col("n")
+    pe = F.col("rxc") / (F.col("n") * F.col("n"))
+    return (
+        tot.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(po, 6).alias("observed_agreement"),
+            F.round(pe, 6).alias("chance_agreement"),
+            F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        )
+    )
+
+
+@query(
+    "q_v_measure",
+    oracle=_LANGID_PRED_SQL
+    + """
+    , tot AS (SELECT sum(c) AS n FROM cell),
+    hck AS (
+      -- H(class|cluster): entropy of actual within each predicted group
+      SELECT -sum(c * ln(c * 1.0 / cc)) / max(n) AS h_ck
+      FROM (SELECT actual, predicted, c,
+                   sum(c) OVER (PARTITION BY predicted) AS cc
+            FROM cell), tot
+    ),
+    hc AS (
+      SELECT -sum(rc * ln(rc * 1.0 / n)) / max(n) AS h_c
+      FROM (SELECT actual, sum(c) AS rc FROM cell GROUP BY actual), tot
+    ),
+    hkc AS (
+      SELECT -sum(c * ln(c * 1.0 / rc)) / max(n) AS h_kc
+      FROM (SELECT actual, predicted, c,
+                   sum(c) OVER (PARTITION BY actual) AS rc
+            FROM cell), tot
+    ),
+    hk AS (
+      SELECT -sum(cc * ln(cc * 1.0 / n)) / max(n) AS h_k
+      FROM (SELECT predicted, sum(c) AS cc FROM cell GROUP BY predicted), tot
+    )
+    SELECT round(1 - h_ck / h_c, 6) AS homogeneity,
+           round(1 - h_kc / h_k, 6) AS completeness,
+           round(2 * (1 - h_ck / h_c) * (1 - h_kc / h_k)
+                 / ((1 - h_ck / h_c) + (1 - h_kc / h_k)), 6) AS v_measure
+    FROM hck, hc, hkc, hk
+    """,
+)
+def q_v_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-measure (Rosenberg & Hirschberg 2007): homogeneity h =
+    1 − H(class|cluster)/H(class), completeness c = 1 −
+    H(cluster|class)/H(cluster), V = their harmonic mean — here
+    scoring the lang-ID prediction AS a clustering of the corpus
+    against the true language classes. The entropy-based external
+    cluster metric that, unlike accuracy or kappa, needs no
+    cluster↔class correspondence — which is what makes it THE
+    evaluation for unsupervised groupings (k-means cells, SemDeDup
+    clusters, LPA communities) whenever any ground-truth class
+    exists; this query is the recipe, wired to the one labeled
+    grouping in the corpus.
+
+    Scale: same |langs|²-cell contingency as ``q_cohen_kappa``; the
+    entropy windows partition over ≤|langs| rows.
+    """
+    cell = _langid_contingency(spark, sf_dir).persist()
+    tot = cell.agg(F.sum("c").alias("n"))
+    w_pred = Window.partitionBy("predicted")
+    w_act = Window.partitionBy("actual")
+    h_ck = (
+        cell.withColumn("cc", F.sum("c").over(w_pred))
+        .crossJoin(F.broadcast(tot))
+        .agg((-F.sum(F.col("c") * F.log(F.col("c") / F.col("cc"))) / F.max("n")).alias("h_ck"))
+    )
+    h_kc = (
+        cell.withColumn("rc", F.sum("c").over(w_act))
+        .crossJoin(F.broadcast(tot))
+        .agg((-F.sum(F.col("c") * F.log(F.col("c") / F.col("rc"))) / F.max("n")).alias("h_kc"))
+    )
+    h_c = (
+        cell.groupBy("actual")
+        .agg(F.sum("c").alias("rc"))
+        .crossJoin(F.broadcast(tot))
+        .agg((-F.sum(F.col("rc") * F.log(F.col("rc") / F.col("n"))) / F.max("n")).alias("h_c"))
+    )
+    h_k = (
+        cell.groupBy("predicted")
+        .agg(F.sum("c").alias("cc"))
+        .crossJoin(F.broadcast(tot))
+        .agg((-F.sum(F.col("cc") * F.log(F.col("cc") / F.col("n"))) / F.max("n")).alias("h_k"))
+    )
+    hom = 1 - F.col("h_ck") / F.col("h_c")
+    com = 1 - F.col("h_kc") / F.col("h_k")
+    return (
+        h_ck.crossJoin(F.broadcast(h_c))
+        .crossJoin(F.broadcast(h_kc))
+        .crossJoin(F.broadcast(h_k))
+        .select(
+            F.round(hom, 6).alias("homogeneity"),
+            F.round(com, 6).alias("completeness"),
+            F.round(2 * hom * com / (hom + com), 6).alias("v_measure"),
+        )
+    )
+
+
+@query(
+    "q_precision_recall_at_k",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+      SELECT qid, tok, df FROM (
+        SELECT t.doc_id AS qid, t.tok, d.df,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+                 AS rk
+        FROM tf t JOIN df d USING (tok)
+        WHERE t.doc_id < {MRR_N_QUERIES}
+      ) WHERE rk <= {MRR_TERMS_PER_QUERY}
+    ),
+    scored AS (
+      SELECT q.qid, t.doc_id,
+             CAST(count(*) AS BIGINT) AS grade,
+             sum(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+      FROM qterms q
+        JOIN tf t ON t.tok = q.tok
+        JOIN dl l ON l.doc_id = t.doc_id, stats s
+      GROUP BY q.qid, t.doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id, grade,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT qid,
+           CAST(count(*) FILTER (grade >= {MRR_TERMS_PER_QUERY}) AS BIGINT)
+             AS n_relevant,
+           CAST(count(*) FILTER (grade >= {MRR_TERMS_PER_QUERY}
+                                 AND rank <= {NDCG_K}) AS BIGINT) AS hits,
+           round(count(*) FILTER (grade >= {MRR_TERMS_PER_QUERY}
+                                  AND rank <= {NDCG_K}) / {NDCG_K}.0, 6)
+             AS p_at_{NDCG_K},
+           round(count(*) FILTER (grade >= {MRR_TERMS_PER_QUERY}
+                                  AND rank <= {NDCG_K}) * 1.0
+                 / count(*) FILTER (grade >= {MRR_TERMS_PER_QUERY}), 6)
+             AS r_at_{NDCG_K}
+    FROM ranked GROUP BY qid ORDER BY qid
+    """,
+)
+def q_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@{NDCG_K} / Recall@{NDCG_K} of the BM25 known-item
+    benchmark with BINARY relevance = "contains ALL
+    {MRR_TERMS_PER_QUERY} query terms" — the set-based pair of
+    retrieval metrics next to the rank-based MRR (first hit), RBO
+    (list agreement) and nDCG (graded gain): P@k is what the result
+    page looks like, R@k is how much of the relevant set the page
+    surfaced. The query doc itself always qualifies, so n_relevant ≥ 1
+    and recall is well-defined per query.
+
+    Scale: identical candidate shape to q_ndcg_eval — per-query
+    posting-list pools, rank windows partitioned by qid over the
+    bounded pool, rounded-score determinism.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    tf = (
+        d.select("doc_id", tok)
+        .filter(keep)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_q = Window.partitionBy("qid").orderBy("df", "tok")
+    qterms = (
+        tf.filter(F.col("doc_id") < MRR_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .join(df, "tok")
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= MRR_TERMS_PER_QUERY)
+        .select("qid", "tok", "df")
+    )
+    scored = (
+        qterms.join(tf, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("grade"), F.sum("part").alias("score"))
+    )
+    w_r = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 6)), "doc_id")
+    ranked = scored.select(
+        "qid", "grade", F.row_number().over(w_r).alias("rank")
+    )
+    rel = F.col("grade") >= MRR_TERMS_PER_QUERY
+    hit = rel & (F.col("rank") <= NDCG_K)
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count_if(rel).alias("n_relevant"),
+            F.count_if(hit).alias("hits"),
+            F.round(F.count_if(hit) / float(NDCG_K), 6).alias(f"p_at_{NDCG_K}"),
+            F.round(
+                F.count_if(hit) / F.count_if(rel).cast("double"), 6
+            ).alias(f"r_at_{NDCG_K}"),
+        )
+        .orderBy("qid")
+    )

@@ -479,3 +479,50 @@ def test_chapman_replays_in_python(spark, sf_dir):
     )
     assert abs(got["chapman_estimate"] - est) < 1e-4
     assert got["exact_population"] == len(s1 | s2)
+
+
+def test_kappa_and_v_measure_replay_in_python(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.text import (
+        _langid_contingency,
+        q_cohen_kappa,
+        q_v_measure,
+    )
+
+    cells = {(r["actual"], r["predicted"]): r["c"]
+             for r in _langid_contingency(spark, sf_dir).collect()}
+    n = sum(cells.values())
+    po = sum(c for (a, p), c in cells.items() if a == p) / n
+    rows = {}
+    cols = {}
+    for (a, p), c in cells.items():
+        rows[a] = rows.get(a, 0) + c
+        cols[p] = cols.get(p, 0) + c
+    pe = sum(rows.get(x, 0) * cols.get(x, 0) for x in set(rows) | set(cols)) / n**2
+    got = q_cohen_kappa(spark, sf_dir).first()
+    assert got["n_docs"] == n
+    assert abs(got["kappa"] - (po - pe) / (1 - pe)) < 1e-5
+
+    h_ck = -sum(c * math.log(c / cols[p]) for (a, p), c in cells.items()) / n
+    h_kc = -sum(c * math.log(c / rows[a]) for (a, p), c in cells.items()) / n
+    h_c = -sum(rc * math.log(rc / n) for rc in rows.values()) / n
+    h_k = -sum(cc * math.log(cc / n) for cc in cols.values()) / n
+    hom, com = 1 - h_ck / h_c, 1 - h_kc / h_k
+    gv = q_v_measure(spark, sf_dir).first()
+    assert abs(gv["homogeneity"] - hom) < 1e-5
+    assert abs(gv["completeness"] - com) < 1e-5
+    assert abs(gv["v_measure"] - 2 * hom * com / (hom + com)) < 1e-5
+
+
+def test_precision_recall_at_k_invariants(spark, sf_dir):
+    from mi_inbound_pulsar_spark.operators.text import (
+        NDCG_K,
+        q_precision_recall_at_k,
+    )
+
+    rows = q_precision_recall_at_k(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_relevant"] >= 1  # the query doc itself qualifies
+        assert 0 <= r["hits"] <= min(NDCG_K, r["n_relevant"])
+        assert abs(r[f"p_at_{NDCG_K}"] - r["hits"] / NDCG_K) < 1e-6
+        assert abs(r[f"r_at_{NDCG_K}"] - r["hits"] / r["n_relevant"]) < 1e-6
