@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.graph",
     "mi_inbound_pulsar_spark.operators.funnel",
     "mi_inbound_pulsar_spark.operators.auditstats",
+    "mi_inbound_pulsar_spark.operators.tsstats",
 )
 
 
@@ -70,79 +71,67 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-8 ROTATION: the driver samples the FIRST 50 entries.
-    # Rounds 1-7 covered 294 distinct names (all green); this head is
-    # the eighth DISJOINT never-driver-checked set — exactly the 50
-    # names VERDICT.md round 7 asked for (newest code first: the
-    # round-7 causal/streaming-replay/graph additions plus the
-    # remaining statistics leftovers). After this round 45 never-
-    # driver-checked names remain for round 9: the 24 round-8
-    # additions (q_streaming_composed_replay plus the auditstats
-    # family: q_levene_test, q_mood_median, q_mcnemar_test,
-    # q_grubbs_outlier, q_theil_sen, q_logrank_test, q_ljung_box,
-    # q_gumbel_maxima, q_cochran_armitage, q_countmin_heavy_hitters,
-    # q_bloom_decontaminate, q_hyperloglog_portable, q_ams_f2_moment,
-    # q_fightin_words, q_permutation_test, q_overdispersion_check,
-    # q_holt_linear, q_rmst_difference, q_kendalls_w,
-    # q_chapman_estimator, q_cohen_kappa, q_v_measure,
-    # q_precision_recall_at_k) and these 21 leftovers:
-    # q_table_profile, q_term_burstiness, q_timeseries_similarity,
-    # q_token_entropy, q_tokenizer_fertility, q_topic_throughput,
-    # q_tumbling_ohlc, q_twap, q_ucb1_bandit,
-    # q_udf_surface, q_unigram_kl_drift, q_union_distinct,
-    # q_variant_extract, q_vocab_overlap, q_wasserstein_distance,
-    # q_weighted_sample, q_welch_ttest, q_window_distribution,
-    # q_window_ignore_nulls, q_woe_iv, q_zipf_slope.
-    "q_decision_stump",
-    "q_degree_assortativity",
-    "q_doremi_reweight",
-    "q_event_trigram_mining",
-    "q_geometric_adstock",
-    "q_hill_tail_index",
-    "q_interrupted_time_series",
-    "q_ips_policy_eval",
-    "q_isotonic_calibration",
-    "q_katz_centrality",
-    "q_kcenter_coreset",
-    "q_matching_att",
-    "q_naive_bayes_confusion",
-    "q_page_hinkley",
-    "q_pca_top_component",
-    "q_permutation_entropy",
-    "q_personalized_pagerank",
-    "q_poisson_bootstrap_ci",
-    "q_pseudonymize",
-    "q_psi_drift",
-    "q_qini_uplift",
-    "q_quality_logit",
-    "q_quantile_normalize",
-    "q_quantile_treatment_effect",
-    "q_query_likelihood",
-    "q_random_projection",
-    "q_rank_biased_overlap",
-    "q_rare_token_filter",
-    "q_regression_diagnostics",
-    "q_regression_discontinuity",
-    "q_repetition_filter",
-    "q_sample_ratio_mismatch",
-    "q_sax_symbolic",
-    "q_seasonal_baseline",
-    "q_self_bleu",
-    "q_sequential_obrien_fleming",
-    "q_session_gap_calibration",
-    "q_shapley_attribution",
-    "q_simplified_silhouette",
-    "q_simpson_audit",
-    "q_skipgram_pairs",
-    "q_skyline_dominance",
-    "q_sorted_neighborhood",
-    "q_source_diversity",
-    "q_spearman_corr",
-    "q_stl_decompose",
-    "q_stratified_split_check",
-    "q_streaming_curation_replay",
-    "q_streaming_privacy_replay",
-    "q_t_closeness",
+    # ROUND-9 ROTATION: the driver samples the FIRST 50 entries.
+    # Rounds 1-8 covered 344 distinct names (all green, zero overlap);
+    # this head is the ninth DISJOINT set — ALL 45 remaining never-
+    # driver-checked names (the 24 round-8 additions plus the 21
+    # alphabet-tail leftovers), which closes the registry: after this
+    # round every pre-round-9 query is driver-hard. The final slots
+    # (up to 50) are reserved for round-9 additions so new code gets
+    # driver-checked in the round it lands.
+    "q_ams_f2_moment",
+    "q_bloom_decontaminate",
+    "q_chapman_estimator",
+    "q_cochran_armitage",
+    "q_cohen_kappa",
+    "q_countmin_heavy_hitters",
+    "q_fightin_words",
+    "q_grubbs_outlier",
+    "q_gumbel_maxima",
+    "q_holt_linear",
+    "q_hyperloglog_portable",
+    "q_kendalls_w",
+    "q_levene_test",
+    "q_ljung_box",
+    "q_logrank_test",
+    "q_mcnemar_test",
+    "q_mood_median",
+    "q_overdispersion_check",
+    "q_permutation_test",
+    "q_precision_recall_at_k",
+    "q_rmst_difference",
+    "q_streaming_composed_replay",
+    "q_table_profile",
+    "q_term_burstiness",
+    "q_theil_sen",
+    "q_timeseries_similarity",
+    "q_token_entropy",
+    "q_tokenizer_fertility",
+    "q_topic_throughput",
+    "q_tumbling_ohlc",
+    "q_twap",
+    "q_ucb1_bandit",
+    "q_udf_surface",
+    "q_unigram_kl_drift",
+    "q_union_distinct",
+    "q_v_measure",
+    "q_variant_extract",
+    "q_vocab_overlap",
+    "q_wasserstein_distance",
+    "q_weighted_sample",
+    "q_welch_ttest",
+    "q_window_distribution",
+    "q_window_ignore_nulls",
+    "q_woe_iv",
+    "q_zipf_slope",
+    # -- round-9 additions (driver-checked same round) --
+    "q_moments_sketch",
+    "q_kmv_distinct_sketch",
+    "q_croston_intermittent",
+    "q_kalman_local_level",
+    "q_matrix_profile_topk",
+    "q_granger_lag1",
+    "q_breusch_pagan",
 )
 
 

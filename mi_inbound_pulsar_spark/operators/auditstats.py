@@ -404,7 +404,11 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     task's work. Both medians are exact interpolated percentiles over
     that bounded frame.
     """
-    d = _daily_purchase_cents(spark, sf_dir).persist()
+    # localCheckpoint, not persist: a persisted plan is pinned by the
+    # CacheManager until an explicit unpersist, which library callers
+    # never issue (ADVICE r8); checkpoint blocks are GC-cleaned with
+    # the frame. One job materializes the day-domain rollup once.
+    d = _daily_purchase_cents(spark, sf_dir).localCheckpoint(eager=True)
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         F.broadcast(b), F.col("b.day") > F.col("a.day")
@@ -623,7 +627,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.count(F.lit(1)).over(w_all).alias("n"),
         F.avg("cents").over(w_all).alias("m"),
-    ).persist()
+    ).localCheckpoint(eager=True)  # GC-cleaned, unlike persist (ADVICE r8)
     den = idx.agg(
         F.sum(F.pow(F.col("cents") - F.col("m"), F.lit(2.0))).alias("s0"),
         F.max("n").alias("lb_n"),
@@ -1086,7 +1090,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable HyperLogLog: cardinality sketch with oracle-hashed registers
 # --------------------------------------------------------------------------
 HLL_M = 64  # registers
-HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# canonical alpha_64 from Flajolet et al. 2007 §4 ("Practical
+# considerations"); the large-m approximation 0.7213/(1+1.079/m)
+# used through round 8 carries a small avoidable bias at m=64
+# (ADVICE r8). Oracle parity holds by construction: both engines
+# interpolate this one constant.
+HLL_ALPHA = 0.709
 HLL_W_BITS = 24
 
 
@@ -2005,4 +2014,324 @@ def q_chapman_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(est - F.col("truth")) / F.col("truth"), 6).alias(
             "rel_error"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Moments sketch: mergeable power sums -> skewness / kurtosis per group
+# --------------------------------------------------------------------------
+@query(
+    "q_moments_sketch",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+             CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+             CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+      FROM documents GROUP BY ROLLUP(source)
+    ),
+    d AS (
+      SELECT coalesce(source, '__ALL__') AS source, n, s1, s2, s3, s4,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM m
+    )
+    SELECT source, n, s1, s2, s3, s4,
+           round(mu, 6) AS mean,
+           round(r2 - mu * mu, 6) AS variance,
+           round((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                 / pow(r2 - mu * mu, 1.5), 6) AS skewness,
+           round((r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu)
+                 / pow(r2 - mu * mu, 2.0) - 3, 6) AS kurtosis_excess
+    FROM d ORDER BY source
+    """,
+)
+def q_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch (the estimator core of Gan et al. 2018, VLDB
+    "Moment-based quantile sketches"): per-source EXACT integer power
+    sums (n, Σx, Σx², Σx³, Σx⁴) over document length, with
+    method-of-moments skewness and excess kurtosis derived from them —
+    and the ``__ALL__`` row produced by ROLLUP is the sketch MERGE:
+    five added integers per group combine partial sketches into the
+    corpus sketch with zero information loss, the property that makes
+    this the cheapest distribution-shape monitor a 100 TB curation
+    tier can ship per (source, day) cell.
+
+    Hash-exactness: the power sums are integer arithmetic (bit-equal
+    in both engines); the shape statistics are the same double
+    expression over them, 6dp-rounded.
+
+    Scale: one map-side-combined rollup to |sources|+1 rows; nothing
+    else. Overflow bound: Σx⁴ < 2⁶³ holds through ~10⁹ rows/group at
+    x≤550 — beyond that, promote the sums to DECIMAL(38,0) (DuckDB
+    already aggregates in 128-bit) or band x first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    m = d.rollup("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    return (
+        m.select(
+            F.coalesce("source", F.lit("__ALL__")).alias("source"),
+            F.col("n").cast("long").alias("n"),
+            "s1", "s2", "s3", "s4",
+            F.round(mu, 6).alias("mean"),
+            F.round(m2, 6).alias("variance"),
+            F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+            F.round(m4 / F.pow(m2, F.lit(2.0)) - 3, 6).alias(
+                "kurtosis_excess"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: cardinality, union, intersection
+# --------------------------------------------------------------------------
+KMV_K = 256
+KMV_HASH_HEX = 12
+KMV_M = 16 ** KMV_HASH_HEX  # hash domain size
+KMV_BUCKETS = 4096
+KMV_BUCKET_W = KMV_M // KMV_BUCKETS
+
+def _hexval_big_sql(md5_expr: str, n_chars: int) -> str:
+    """``_hexval_sql`` with BIGINT-cast terms: beyond ~7 hex chars the
+    per-digit products exceed int32 and Spark's ANSI mode overflows
+    (DuckDB silently widens) — casting each digit keeps both engines
+    in 64-bit arithmetic."""
+    terms = [
+        f"CAST(instr('0123456789abcdef', substring({md5_expr}, {i + 1}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (n_chars - 1 - i)}"
+        for i in range(n_chars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_KMV_U = _hexval_big_sql("md5(concat('kmv:', sh))", KMV_HASH_HEX)
+
+
+@query(
+    "q_kmv_distinct_sketch",
+    oracle=f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT CASE WHEN CAST(substring(source, 4) AS INT) < 10
+                  THEN 'A' ELSE 'B' END AS half,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS sh
+      FROM t, unnest(generate_series(1, len(w) - 4)) g(i)
+      WHERE len(w) >= 5
+    ),
+    hu AS (SELECT DISTINCT half, {_KMV_U} AS u FROM sh),
+    ranked AS (
+      SELECT half, u,
+             row_number() OVER (PARTITION BY half ORDER BY u) AS rn,
+             count(*) OVER (PARTITION BY half) AS n_half
+      FROM hu
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn <= {KMV_K}),
+    hs AS (
+      SELECT half, max(n_half) AS n, max(u) AS u_k FROM kept GROUP BY half
+    ),
+    he AS (
+      SELECT half, n,
+             CASE WHEN n <= {KMV_K} THEN CAST(n AS DOUBLE)
+                  ELSE {KMV_K - 1} * CAST({KMV_M} AS DOUBLE) / u_k
+             END AS est
+      FROM hs
+    ),
+    uni AS (
+      SELECT u, bool_or(half = 'A') AS in_a, bool_or(half = 'B') AS in_b
+      FROM kept GROUP BY u
+    ),
+    uranked AS (
+      SELECT u, in_a, in_b, row_number() OVER (ORDER BY u) AS rn FROM uni
+    ),
+    uk AS (SELECT * FROM uranked WHERE rn <= {KMV_K}),
+    us AS (
+      SELECT count(*) AS ku, max(u) AS u_ku,
+             count(*) FILTER (in_a AND in_b) AS nboth
+      FROM uk
+    ),
+    tu AS (SELECT count(DISTINCT u) AS n_union FROM hu),
+    onerow AS (
+      SELECT max(CASE WHEN half = 'A' THEN n END) AS n_a,
+             max(CASE WHEN half = 'A' THEN est END) AS est_a,
+             max(CASE WHEN half = 'B' THEN n END) AS n_b,
+             max(CASE WHEN half = 'B' THEN est END) AS est_b
+      FROM he
+    ),
+    fin AS (
+      SELECT o.*, s.ku, s.nboth, t.n_union,
+             CASE WHEN s.ku < {KMV_K} THEN CAST(s.ku AS DOUBLE)
+                  ELSE {KMV_K - 1} * CAST({KMV_M} AS DOUBLE) / s.u_ku
+             END AS est_u
+      FROM onerow o, us s, tu t
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           CAST(n_a AS BIGINT) AS n_a, round(est_a, 6) AS est_a,
+           CAST(n_b AS BIGINT) AS n_b, round(est_b, 6) AS est_b,
+           CAST(n_union AS BIGINT) AS n_union,
+           round(est_u, 6) AS est_union,
+           round(CAST(nboth AS DOUBLE) / ku, 6) AS kmv_jaccard,
+           CAST(n_a + n_b - n_union AS BIGINT) AS n_intersection,
+           round(CAST(nboth AS DOUBLE) / ku * est_u, 6) AS est_intersection,
+           round(abs(est_u - n_union) / n_union, 6) AS union_rel_error
+    FROM fin
+    """,
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-value sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 "On synopses for distinct-value estimation"):
+    keep the k={KMV_K} smallest md5-derived hash values of each
+    half's 5-gram shingle set; D̂ = (k−1)·M/u_(k). The merge theorem —
+    the k smallest of (KMV_A ∪ KMV_B) ARE the k smallest of A∪B, and
+    any member of the merged sketch that belongs to A is necessarily
+    inside KMV_A — gives union and intersection estimates from the
+    SAME two fixed-size sketches (ρ = matched fraction of the merged
+    sketch, |A∩B|̂ = ρ·Û), the composition HLL alone cannot do without
+    inclusion-exclusion blow-up. Every hash is the portable md5-digit
+    arithmetic, so sketch contents AND estimates hash-match DuckDB
+    exactly; the true cardinalities ride along as the accuracy oracle
+    (the q_countmin pattern — a real deployment keeps only sketches).
+
+    Scale: the Spark plan never globally ranks the shingle domain —
+    stage 1 rolls the distinct hashes into a {KMV_BUCKETS}-cell
+    histogram (map-side combined), stage 2 ranks only the ≤ k + one
+    bucket's worth of candidate hashes below the histogram-derived
+    threshold. The per-(half,u) distinct is the one corpus-scale
+    hash aggregate, shared with the exact-truth columns; a pure
+    deployment replaces it with per-partition bottom-k + merge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(w) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+                F.element_at(w, i + 4),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    half = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") < 10, F.lit("A")
+    ).otherwise(F.lit("B"))
+    hu = (
+        d.select(half.alias("half"), F.explode(sh).alias("sh"))
+        .select("half", F.expr(_KMV_U).cast("long").alias("u"))
+        .distinct()
+    )
+    # stage 1: bounded histogram of the distinct hash values
+    hist = hu.groupBy(
+        "half", F.expr(f"u DIV {KMV_BUCKET_W}").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("half")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("half", "b", F.sum("c").over(wcum).alias("cum"))
+    thr = (
+        hist.groupBy("half")
+        .agg(F.sum("c").alias("n_half"))
+        .join(
+            cum.filter(F.col("cum") >= KMV_K)
+            .groupBy("half")
+            .agg(F.min("b").alias("thr_b")),
+            "half",
+            "left",
+        )
+        .select(
+            "half",
+            "n_half",
+            F.coalesce("thr_b", F.lit(KMV_BUCKETS)).alias("thr_b"),
+        )
+    )
+    # stage 2: rank only the candidates below the threshold bucket
+    cand = hu.join(F.broadcast(thr), "half").filter(
+        F.expr(f"u DIV {KMV_BUCKET_W}") <= F.col("thr_b")
+    )
+    wr = Window.partitionBy("half").orderBy("u")
+    kept = cand.select(
+        "half", "u", "n_half", F.row_number().over(wr).alias("rn")
+    ).filter(F.col("rn") <= KMV_K)
+    he = kept.groupBy("half").agg(
+        F.max("n_half").alias("n"), F.max("u").alias("u_k")
+    )
+    est = F.when(
+        F.col("n") <= KMV_K, F.col("n").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * KMV_M / F.col("u_k"))
+    he = he.select("half", "n", est.alias("est"))
+    uni = kept.groupBy("u").agg(
+        F.bool_or(F.col("half") == "A").alias("in_a"),
+        F.bool_or(F.col("half") == "B").alias("in_b"),
+    )
+    uni = bounded_window_input(uni, label="q_kmv merged sketch")
+    uk = uni.select(
+        "u", "in_a", "in_b", F.row_number().over(Window.orderBy("u")).alias("rn")
+    ).filter(F.col("rn") <= KMV_K)
+    us = uk.agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.max("u").alias("u_ku"),
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("nboth"),
+    )
+    tu = hu.agg(F.count_distinct("u").alias("n_union"))
+    onerow = he.agg(
+        F.max(F.when(F.col("half") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("half") == "A", F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("half") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("half") == "B", F.col("est"))).alias("est_b"),
+    )
+    est_u = F.when(
+        F.col("ku") < KMV_K, F.col("ku").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * KMV_M / F.col("u_ku"))
+    fin = (
+        onerow.crossJoin(F.broadcast(us))
+        .crossJoin(F.broadcast(tu))
+        .withColumn("est_u", est_u)
+    )
+    return fin.select(
+        F.lit(KMV_K).cast("long").alias("k"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round("est_a", 6).alias("est_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("est_b", 6).alias("est_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.round("est_u", 6).alias("est_union"),
+        F.round(F.col("nboth").cast("double") / F.col("ku"), 6).alias(
+            "kmv_jaccard"
+        ),
+        (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+        .cast("long")
+        .alias("n_intersection"),
+        F.round(
+            F.col("nboth").cast("double") / F.col("ku") * F.col("est_u"), 6
+        ).alias("est_intersection"),
+        F.round(
+            F.abs(F.col("est_u") - F.col("n_union")) / F.col("n_union"), 6
+        ).alias("union_rel_error"),
     )

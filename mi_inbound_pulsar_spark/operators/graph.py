@@ -1303,10 +1303,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select("n").distinct().withColumn("lab", F.col("n")).localCheckpoint(
         eager=True
     )
-    # the state's key domain is customers, so the cached base-table
-    # row count bounds every round's (node, label) frame — no per-
-    # invocation count action just to pick the join shape
-    node_bound = table_row_bound(spark, sf_dir, "customer")
+    # the state's key domain is fixed across rounds (LPA relabels, it
+    # never adds nodes), so ONE measured count over the just-
+    # checkpointed node set — nearly free, it scans materialized
+    # blocks — tightens the coarse customer-table bound: on a corpus
+    # with many customers but a small co-purchase node set the
+    # broadcast hint still fires (ADVICE r8, graph.py:1309)
+    node_bound = min(
+        table_row_bound(spark, sf_dir, "customer"), labels.count()
+    )
     for _ in range(LPA_ROUNDS):
         lab_side = labels.selectExpr("n AS m", "lab")
         nbr = und.join(

@@ -8,6 +8,11 @@ inline via this CTE and checks the operator's semantics exactly.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +25,31 @@ from mi_inbound_pulsar_spark.streaming.chunking import reassemble_batch
 from mi_inbound_pulsar_spark.streaming.delivery import dlq_split
 
 CHUNK_SIZE = 200
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _replay_scratch(name: str) -> str:
+    """Deterministic scratch dir for a replay query's parquet state.
+
+    ``mkdtemp`` per invocation accumulated orphan state families across
+    bench passes and verify sweeps (ADVICE r8, ingestion.py:664): each
+    query now reuses ONE ``<tmp>/mi_pulsar_replay_<pid>/<name>`` dir,
+    wiped at the START of the next invocation (the returned DataFrame
+    reads the dir lazily, so deleting at the end of the builder would
+    race the caller's collect), and an ``atexit`` hook removes the
+    whole per-process root — at most one copy per query ever persists.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = os.path.join(
+            tempfile.gettempdir(), f"mi_pulsar_replay_{os.getpid()}"
+        )
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 
 def chunked_document_frame(spark: SparkSession, sf_dir: str, chunk_size: int = CHUNK_SIZE) -> DataFrame:
@@ -317,7 +347,6 @@ def q_retry_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     DLQ hold exactly the poison set, each after exactly
     ``max_redeliveries`` deliveries — which is the closed-form oracle.
     """
-    import tempfile
 
     from mi_inbound_pulsar_spark.streaming.delivery import KeyedRetryPipeline
 
@@ -332,7 +361,7 @@ def q_retry_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = KeyedRetryPipeline(
         process,
         DeadLetterPolicy(max_redeliveries=3),
-        state_dir=tempfile.mkdtemp(prefix="retry_audit_"),
+        state_dir=_replay_scratch("retry_audit"),
         nack_delay_ms=0,
         num_partitions=8,
         clock=lambda: 0.0,
@@ -411,7 +440,6 @@ def q_streaming_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash/source, so a 1000-executor deployment shards it like any
     other table.
     """
-    import tempfile
 
     from mi_inbound_pulsar_spark.streaming.curation import (
         StreamingCurationPipeline,
@@ -419,8 +447,8 @@ def q_streaming_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     pipe = StreamingCurationPipeline(
-        state_dir=tempfile.mkdtemp(prefix="curation_state_"),
-        out_dir=tempfile.mkdtemp(prefix="curation_out_"),
+        state_dir=_replay_scratch("curation_state"),
+        out_dir=_replay_scratch("curation_out"),
         num_partitions=8,
     )
     hi = d.agg(F.max("doc_id")).first()[0] or 0
@@ -505,7 +533,6 @@ def q_streaming_privacy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded stats snapshot; the safe-class frame is broadcast by
     construction (QI domain).
     """
-    import tempfile
 
     from mi_inbound_pulsar_spark.streaming.privacy import (
         StreamingPrivacyPipeline,
@@ -526,8 +553,8 @@ def q_streaming_privacy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contact"),
     )
     pipe = StreamingPrivacyPipeline(
-        state_dir=tempfile.mkdtemp(prefix="privacy_state_"),
-        out_dir=tempfile.mkdtemp(prefix="privacy_out_"),
+        state_dir=_replay_scratch("privacy_state"),
+        out_dir=_replay_scratch("privacy_out"),
         qi_cols=["nat", "seg"],
         band_col="band",
         id_col="ck",
@@ -643,7 +670,6 @@ def q_streaming_composed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     family's 100 TB bound is tabulated in SCALE.md's round-8 sizing
     appendix.
     """
-    import tempfile
 
     from mi_inbound_pulsar_spark.streaming.composed import ComposedGatesPipeline
 
@@ -661,8 +687,8 @@ def q_streaming_composed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     pipe = ComposedGatesPipeline(
-        state_dir=tempfile.mkdtemp(prefix="composed_state_"),
-        out_dir=tempfile.mkdtemp(prefix="composed_out_"),
+        state_dir=_replay_scratch("composed_state"),
+        out_dir=_replay_scratch("composed_out"),
         qi_cols=["lang"],
         band_col="band",
         num_partitions=8,

@@ -5030,7 +5030,10 @@ def q_v_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same |langs|²-cell contingency as ``q_cohen_kappa``; the
     entropy windows partition over ≤|langs| rows.
     """
-    cell = _langid_contingency(spark, sf_dir).persist()
+    # localCheckpoint, not persist: persisted plans leak in the
+    # CacheManager for library callers (ADVICE r8); the |langs|^2
+    # contingency materializes once and its blocks are GC-cleaned.
+    cell = _langid_contingency(spark, sf_dir).localCheckpoint(eager=True)
     tot = cell.agg(F.sum("c").alias("n"))
     w_pred = Window.partitionBy("predicted")
     w_act = Window.partitionBy("actual")

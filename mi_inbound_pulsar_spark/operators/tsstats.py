@@ -1,0 +1,665 @@
+"""Time-series model operators (round 9): the forecasting and
+diagnostic models a pipeline's metrics tier runs on its daily rollups —
+intermittent-demand forecasting (Croston), state-space smoothing
+(Kalman local level), motif discovery (matrix profile), lead-lag
+causality screening (Granger), and heteroskedasticity screening
+(Breusch-Pagan). Reference scope: the engine delegates all processing
+to its injected pipeline (PulsarMessageConsumer.java:535-545) — this IS
+that processing layer.
+
+Every model here consumes the day-domain-bounded rollup from
+``auditstats._daily_purchase_cents`` (or its per-type twin), never raw
+events, so each query is one map-side-combined rollup shuffle plus
+arithmetic on a ≤|days|-row frame regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.operators.auditstats import (
+    _DAILY_SQL,
+    _daily_purchase_cents,
+    US_PER_DAY,
+)
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Croston's method: intermittent-demand forecasting
+# --------------------------------------------------------------------------
+CROSTON_ALPHA = 0.2
+CROSTON_CENTS_MIN = 15_000  # demand event: purchase of >= $150
+
+
+@query(
+    "q_croston_intermittent",
+    oracle=f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    d0 AS (SELECT min(day) AS d0 FROM ev),
+    dem AS (
+      SELECT ev.day - d0.d0 + 1 AS pos,
+             CAST(sum(cents) AS BIGINT) AS z
+      FROM ev, d0 WHERE cents >= {CROSTON_CENTS_MIN}
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT pos, CAST(z AS DOUBLE) AS z,
+             CAST(pos - coalesce(lag(pos) OVER (ORDER BY pos), 0)
+                  AS DOUBLE) AS p,
+             row_number() OVER (ORDER BY pos) AS i,
+             count(*) OVER () AS n
+      FROM dem
+    ),
+    ses AS (
+      SELECT max(n) AS n_demand,
+             sum(CASE WHEN i = 1
+                      THEN pow({1 - CROSTON_ALPHA}, n - 1) * z
+                      ELSE {CROSTON_ALPHA}
+                           * pow({1 - CROSTON_ALPHA}, n - i) * z END)
+               AS z_hat,
+             sum(CASE WHEN i = 1
+                      THEN pow({1 - CROSTON_ALPHA}, n - 1) * p
+                      ELSE {CROSTON_ALPHA}
+                           * pow({1 - CROSTON_ALPHA}, n - i) * p END)
+               AS p_hat,
+             avg(z) AS mean_size, avg(p) AS mean_interval
+      FROM seq
+    )
+    SELECT CAST(n_demand AS BIGINT) AS n_demand_days,
+           round(mean_size, 6) AS mean_size,
+           round(mean_interval, 6) AS mean_interval,
+           round(z_hat, 6) AS z_hat,
+           round(p_hat, 6) AS p_hat,
+           round(z_hat / p_hat, 6) AS croston_forecast,
+           round((1 - {CROSTON_ALPHA} / 2) * z_hat / p_hat, 6)
+             AS sba_forecast
+    FROM ses
+    """,
+)
+def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972) for intermittent demand — the
+    forecaster for series that are mostly zeros (large-ticket
+    purchases of >= $150): smooth the nonzero demand SIZES z_i and the
+    INTER-DEMAND intervals p_i with separate SES recurrences, forecast
+    demand-per-period ẑ/p̂, plus the Syntetos-Boylan approximation
+    (1−α/2)·ẑ/p̂ that removes Croston's inversion bias. SES on a
+    bounded series needs no fold at all: the recurrence is linear, so
+    ẑ_n = Σ_i w_i·z_i with w_1=(1−α)^{{n−1}}, w_i=α(1−α)^{{n−i}} —
+    one order-insensitive weighted aggregate per smoother, identical
+    in both engines (the closed form the q_holt_linear docstring
+    reserves for UNcoupled recurrences).
+
+    Scale: the demand extraction is one filtered map-side-combined
+    rollup; everything after lives on the ≤|days|-row demand frame.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ev = e.select(
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    dem = (
+        ev.filter(F.col("cents") >= CROSTON_CENTS_MIN)
+        .crossJoin(F.broadcast(d0))
+        .groupBy((F.col("day") - F.col("d0") + 1).alias("pos"))
+        .agg(F.sum("cents").alias("z"))
+    )
+    dem = bounded_window_input(dem, label="q_croston demand days")
+    wo = Window.orderBy("pos")
+    seq = dem.select(
+        F.col("z").cast("double").alias("z"),
+        (F.col("pos") - F.coalesce(F.lag("pos").over(wo), F.lit(0)))
+        .cast("double")
+        .alias("p"),
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    a = CROSTON_ALPHA
+    w_i = F.when(
+        F.col("i") == 1, F.pow(F.lit(1 - a), F.col("n") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("n") - F.col("i")))
+    ses = seq.agg(
+        F.max("n").alias("n_demand"),
+        F.sum(w_i * F.col("z")).alias("z_hat"),
+        F.sum(w_i * F.col("p")).alias("p_hat"),
+        F.avg("z").alias("mean_size"),
+        F.avg("p").alias("mean_interval"),
+    )
+    return ses.select(
+        F.col("n_demand").cast("long").alias("n_demand_days"),
+        F.round("mean_size", 6).alias("mean_size"),
+        F.round("mean_interval", 6).alias("mean_interval"),
+        F.round("z_hat", 6).alias("z_hat"),
+        F.round("p_hat", 6).alias("p_hat"),
+        F.round(F.col("z_hat") / F.col("p_hat"), 6).alias(
+            "croston_forecast"
+        ),
+        F.round(
+            (1 - a / 2) * F.col("z_hat") / F.col("p_hat"), 6
+        ).alias("sba_forecast"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kalman filter, local-level model (coupled level/variance recurrence)
+# --------------------------------------------------------------------------
+KALMAN_Q = 500.0  # state noise variance (dollars^2 / day)
+KALMAN_R = 2000.0  # observation noise variance (dollars^2)
+KALMAN_P0 = 10000.0  # diffuse-ish initial state variance
+
+
+@query(
+    "q_kalman_local_level",
+    oracle=f"""
+    WITH RECURSIVE d AS ({_DAILY_SQL}),
+    s AS (
+      SELECT list(CAST(cents AS DOUBLE) / 100 ORDER BY day) AS vals,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM d
+    ),
+    step AS (
+      SELECT 1 AS t, vals[1] AS l, CAST({KALMAN_P0} AS DOUBLE) AS pv,
+             CAST(0.0 AS DOUBLE) AS gain, CAST(0.0 AS DOUBLE) AS e
+      FROM s
+      UNION ALL
+      SELECT step.t + 1,
+             step.l + (step.pv + {KALMAN_Q})
+                      / (step.pv + {KALMAN_Q} + {KALMAN_R})
+                      * (s.vals[step.t + 1] - step.l),
+             (1 - (step.pv + {KALMAN_Q})
+                  / (step.pv + {KALMAN_Q} + {KALMAN_R}))
+               * (step.pv + {KALMAN_Q}),
+             (step.pv + {KALMAN_Q}) / (step.pv + {KALMAN_Q} + {KALMAN_R}),
+             step.e + abs(s.vals[step.t + 1] - step.l)
+      FROM step, s WHERE step.t < s.n_days
+    )
+    SELECT s.n_days,
+           round(step.l, 6) AS level,
+           round(step.pv, 6) AS state_var,
+           round(step.gain, 6) AS kalman_gain,
+           round(step.e / (s.n_days - 1), 6) AS mae_one_step,
+           round(step.l, 6) AS forecast_1d
+    FROM step, s WHERE step.t = s.n_days
+    """,
+)
+def q_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman filter for the local-level state-space model (Harvey
+    1989 §4; Durbin & Koopman 2012 ch.2) over daily revenue in
+    dollars: predict P⁻=P+q, gain K=P⁻/(P⁻+r), update l+=K(x−l),
+    P=(1−K)P⁻ — the optimal linear filter whose steady-state gain the
+    EWMA only approximates, and the base case for every structural
+    time-series model. Level and variance are a COUPLED recurrence, so
+    the oracle is a recursive CTE (the q_holt_linear recipe — NOT
+    list_reduce, whose sequential struct-field rebinding diverges) and
+    Spark runs the same IEEE op sequence as one ``aggregate`` HOF fold
+    with a struct accumulator; q={KALMAN_Q}, r={KALMAN_R},
+    P₀={KALMAN_P0}, init l₁=x₁.
+
+    Scale: the fold runs once over the |days|-value list in one task —
+    the only correct plan for a sequential recurrence; a per-key fleet
+    folds inside groupBy exactly like q_ewma_smoothing.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    s = d.agg(
+        F.expr(
+            "array_sort(collect_list(struct(day,"
+            " CAST(cents AS DOUBLE) / 100 AS v)))"
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).select(F.expr("transform(seq, s -> s.v)").alias("vals"), "n_days")
+    q, r, p0 = KALMAN_Q, KALMAN_R, KALMAN_P0
+    fold = (
+        "aggregate("
+        " slice(vals, 2, size(vals) - 1),"
+        f" named_struct('l', vals[0], 'pv', CAST({p0} AS DOUBLE),"
+        "   'gain', CAST(0.0 AS DOUBLE), 'e', CAST(0.0 AS DOUBLE)),"
+        " (acc, x) -> named_struct("
+        f"   'l', acc.l + (acc.pv + {q}) / (acc.pv + {q} + {r})"
+        "         * (x - acc.l),"
+        f"   'pv', (1 - (acc.pv + {q}) / (acc.pv + {q} + {r}))"
+        f"         * (acc.pv + {q}),"
+        f"   'gain', (acc.pv + {q}) / (acc.pv + {q} + {r}),"
+        "   'e', acc.e + abs(x - acc.l)))"
+    )
+    return s.select(
+        "n_days",
+        F.round(F.expr(fold + ".l"), 6).alias("level"),
+        F.round(F.expr(fold + ".pv"), 6).alias("state_var"),
+        F.round(F.expr(fold + ".gain"), 6).alias("kalman_gain"),
+        F.round(
+            F.expr(fold + ".e") / (F.col("n_days") - 1), 6
+        ).alias("mae_one_step"),
+        F.round(F.expr(fold + ".l"), 6).alias("forecast_1d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Matrix profile (top-k motifs): z-normalized window distances
+# --------------------------------------------------------------------------
+MP_M = 7  # motif window length (days)
+MP_TOPK = 5
+
+
+@query(
+    "q_matrix_profile_topk",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             CAST(cents AS DOUBLE) / 100 AS x
+      FROM d
+    ),
+    e AS (
+      SELECT idx.t - k AS s, k, x
+      FROM idx, unnest(generate_series(0, {MP_M - 1})) g(k)
+      WHERE idx.t - k >= 1
+    ),
+    n AS (SELECT count(*) AS n FROM idx),
+    ws AS (
+      SELECT s, sum(x) AS sm, sum(x * x) AS ss
+      FROM e, n
+      WHERE s <= n.n - {MP_M - 1}
+      GROUP BY s HAVING count(*) = {MP_M}
+    ),
+    st AS (
+      SELECT s, sm / {MP_M} AS mu,
+             sqrt(ss / {MP_M} - (sm / {MP_M}) * (sm / {MP_M})) AS sd
+      FROM ws
+    ),
+    dots AS (
+      SELECT a.s AS s1, b.s AS s2, sum(a.x * b.x) AS dot
+      FROM e a JOIN e b ON a.k = b.k AND b.s >= a.s + {MP_M}
+      GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT d.s1, d.s2,
+             sqrt(greatest(0.0, 2 * {MP_M} * (1 -
+               (d.dot - {MP_M} * p.mu * q.mu)
+               / ({MP_M} * p.sd * q.sd)))) AS dist
+      FROM dots d
+        JOIN st p ON p.s = d.s1
+        JOIN st q ON q.s = d.s2
+      WHERE p.sd > 0 AND q.sd > 0
+    )
+    SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           round(dist, 6) AS znorm_dist
+    FROM dist
+    ORDER BY round(dist, 6), s1, s2 LIMIT {MP_TOPK}
+    """,
+)
+def q_matrix_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile motif discovery (Yeh et al. 2016, ICDM): the
+    top-{MP_TOPK} most similar NON-overlapping pairs of {MP_M}-day
+    windows of the daily revenue series under z-normalized Euclidean
+    distance dist² = 2m(1 − corr) — the shape-based "does this week
+    repeat?" primitive behind motif/discord mining, computed exactly
+    from window dot products and per-window moments (no FFT needed on
+    a bounded series). Overlapping pairs (|i−j| < m) are excluded as
+    trivial matches, flat windows (σ=0) are dropped, and the distance
+    is clamped at 0 before the sqrt against negative round-off.
+
+    Scale: the series is the day-domain rollup, so the pair join is
+    O(n²m) on a ≤|days|·m frame — never raw events; at a 10-year
+    horizon that is ~9M product rows, one task's work. The oracle
+    mirrors the same exploded-offset join.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_matrix_profile day series")
+    idx = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        (F.col("cents").cast("double") / 100).alias("x"),
+    )
+    e = (
+        idx.select(
+            F.explode(F.sequence(F.lit(0), F.lit(MP_M - 1))).alias("k"),
+            "t",
+            "x",
+        )
+        .select((F.col("t") - F.col("k")).alias("s"), "k", "x")
+        .filter(F.col("s") >= 1)
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("n"))
+    ws = (
+        e.crossJoin(F.broadcast(n))
+        .filter(F.col("s") <= F.col("n") - (MP_M - 1))
+        .groupBy("s")
+        .agg(
+            F.sum("x").alias("sm"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == MP_M)
+    )
+    mu = F.col("sm") / MP_M
+    st = ws.select(
+        "s",
+        mu.alias("mu"),
+        F.sqrt(F.col("ss") / MP_M - mu * mu).alias("sd"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("b.s") >= F.col("a.s") + MP_M),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    p, qst = st.alias("p"), st.alias("q")
+    dist = (
+        dots.join(F.broadcast(p), F.col("p.s") == F.col("s1"))
+        .join(F.broadcast(qst), F.col("q.s") == F.col("s2"))
+        .filter((F.col("p.sd") > 0) & (F.col("q.sd") > 0))
+        .select(
+            "s1",
+            "s2",
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    2
+                    * MP_M
+                    * (
+                        1
+                        - (F.col("dot") - MP_M * F.col("p.mu") * F.col("q.mu"))
+                        / (MP_M * F.col("p.sd") * F.col("q.sd"))
+                    ),
+                )
+            ).alias("dist"),
+        )
+    )
+    return (
+        dist.orderBy(F.round("dist", 6), "s1", "s2")
+        .limit(MP_TOPK)
+        .select(
+            F.col("s1").cast("long").alias("s1"),
+            F.col("s2").cast("long").alias("s2"),
+            F.round("dist", 6).alias("znorm_dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Granger causality (lag 1): do views lead revenue?
+# --------------------------------------------------------------------------
+@query(
+    "q_granger_lag1",
+    oracle="""
+    WITH ev AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS cents,
+             count(*) FILTER (event_type = 'view') AS views
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT a.cents AS y, b.cents AS yl, b.views AS xl
+      FROM ev a JOIN ev b ON b.day = a.day - 1
+    ),
+    m AS (
+      -- exact integer cross-moments: accumulation order cannot move
+      -- a single bit, so the doubles derived below are bit-identical
+      -- in both engines (a 6dp-boundary ulp flip was observed with
+      -- double sums here)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(yl) AS BIGINT) AS syl,
+             CAST(sum(xl) AS BIGINT) AS sxl,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(y * yl) AS BIGINT) AS syyl,
+             CAST(sum(y * xl) AS BIGINT) AS syxl,
+             CAST(sum(yl * yl) AS BIGINT) AS sylyl,
+             CAST(sum(xl * xl) AS BIGINT) AS sxlxl,
+             CAST(sum(yl * xl) AS BIGINT) AS sylxl
+      FROM lagged
+    ),
+    c AS (
+      SELECT n,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+             CAST(syyl AS DOUBLE) - CAST(sy AS DOUBLE) * syl / n AS cyyl,
+             CAST(syxl AS DOUBLE) - CAST(sy AS DOUBLE) * sxl / n AS cyxl,
+             CAST(sylyl AS DOUBLE) - CAST(syl AS DOUBLE) * syl / n AS cylyl,
+             CAST(sxlxl AS DOUBLE) - CAST(sxl AS DOUBLE) * sxl / n AS cxlxl,
+             CAST(sylxl AS DOUBLE) - CAST(syl AS DOUBLE) * sxl / n AS cylxl
+      FROM m
+    ),
+    fit AS (
+      SELECT n, cyy,
+             cyy - cyyl * cyyl / cylyl AS rss_r,
+             (cyyl * cxlxl - cyxl * cylxl)
+               / (cylyl * cxlxl - cylxl * cylxl) AS b_u,
+             (cylyl * cyxl - cylxl * cyyl)
+               / (cylyl * cxlxl - cylxl * cylxl) AS c_u
+      FROM c
+    ),
+    r AS (
+      SELECT f.n, f.rss_r,
+             f.cyy - f.b_u * c.cyyl - f.c_u * c.cyxl AS rss_u,
+             f.b_u, f.c_u
+      FROM fit f, c
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(b_u, 6) AS beta_ylag,
+           round(c_u, 6) AS beta_xlag,
+           round(rss_r, 6) AS rss_restricted,
+           round(rss_u, 6) AS rss_unrestricted,
+           round((rss_r - rss_u) * (n - 3) / rss_u, 6) AS f_stat
+    FROM r
+    """,
+)
+def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen at lag 1 (Granger 1969): does
+    yesterday's VIEW volume improve today's revenue forecast beyond
+    yesterday's revenue? Restricted model y_t = a + b·y_{t−1};
+    unrestricted adds c·x_{t−1}; F = (RSS_r − RSS_u)(n−3)/RSS_u with
+    the 2-regressor OLS solved in closed form from centered
+    cross-moments (2×2 normal equations — no iteration, no matrix
+    library). The lead-lag screen a marketing/metrics tier runs before
+    trusting an attribution story.
+
+    Scale: ONE map-side-combined daily rollup over events computes
+    both series in the same pass; the lag join and all moments live on
+    the |days|-row frame. Cross-moments are EXACT integer sums over
+    cents/counts (double accumulation order flipped a 6dp round
+    boundary here), converted to doubles only in the closed form —
+    bit-identical in both engines. Σy² < 2⁶³ holds to ~$300M/day over
+    a 10-year spine; past that promote the sums to DECIMAL(38,0).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.groupBy(
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("cents"),
+        F.count_if(F.col("event_type") == "view").alias("views"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    lagged = a.join(
+        F.broadcast(b), F.col("b.day") == F.col("a.day") - 1
+    ).select(
+        F.col("a.cents").alias("y"),
+        F.col("b.cents").alias("yl"),
+        F.col("b.views").alias("xl"),
+    )
+    # exact integer cross-moments (cents / counts): partial-aggregation
+    # order cannot move a bit, so the derived doubles are bit-identical
+    # in both engines — double sums here flipped a 6dp round boundary
+    m = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("yl").alias("syl"),
+        F.sum("xl").alias("sxl"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y") * F.col("yl")).alias("syyl"),
+        F.sum(F.col("y") * F.col("xl")).alias("syxl"),
+        F.sum(F.col("yl") * F.col("yl")).alias("sylyl"),
+        F.sum(F.col("xl") * F.col("xl")).alias("sxlxl"),
+        F.sum(F.col("yl") * F.col("xl")).alias("sylxl"),
+    )
+    nn = F.col("n")
+
+    def _cmom(sab: str, sa: str, sb: str):
+        return F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ) / nn
+
+    c = m.select(
+        "n",
+        _cmom("syy", "sy", "sy").alias("cyy"),
+        _cmom("syyl", "sy", "syl").alias("cyyl"),
+        _cmom("syxl", "sy", "sxl").alias("cyxl"),
+        _cmom("sylyl", "syl", "syl").alias("cylyl"),
+        _cmom("sxlxl", "sxl", "sxl").alias("cxlxl"),
+        _cmom("sylxl", "syl", "sxl").alias("cylxl"),
+    )
+    det = F.col("cylyl") * F.col("cxlxl") - F.col("cylxl") * F.col("cylxl")
+    b_u = (F.col("cyyl") * F.col("cxlxl") - F.col("cyxl") * F.col("cylxl")) / det
+    c_u = (F.col("cylyl") * F.col("cyxl") - F.col("cylxl") * F.col("cyyl")) / det
+    fit = c.select(
+        "n",
+        "cyy",
+        "cyyl",
+        "cyxl",
+        (F.col("cyy") - F.col("cyyl") * F.col("cyyl") / F.col("cylyl")).alias(
+            "rss_r"
+        ),
+        b_u.alias("b_u"),
+        c_u.alias("c_u"),
+    )
+    rss_u = F.col("cyy") - F.col("b_u") * F.col("cyyl") - F.col("c_u") * F.col(
+        "cyxl"
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("b_u", 6).alias("beta_ylag"),
+        F.round("c_u", 6).alias("beta_xlag"),
+        F.round("rss_r", 6).alias("rss_restricted"),
+        F.round(rss_u, 6).alias("rss_unrestricted"),
+        F.round(
+            (F.col("rss_r") - rss_u) * (F.col("n") - 3) / rss_u, 6
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Breusch-Pagan heteroskedasticity test on the daily trend fit
+# --------------------------------------------------------------------------
+@query(
+    "q_breusch_pagan",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    xy AS (
+      SELECT CAST(day - min(day) OVER () AS DOUBLE) AS t,
+             CAST(cents AS DOUBLE) / 100 AS y
+      FROM d
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy,
+             sum(t * y) AS sty, sum(t * t) AS stt
+      FROM xy
+    ),
+    fit AS (
+      SELECT n,
+             (sty - st * sy / n) / (stt - st * st / n) AS b,
+             sy / n - (sty - st * sy / n) / (stt - st * st / n) * st / n
+               AS a
+      FROM m
+    ),
+    res AS (
+      SELECT xy.t, pow(xy.y - fit.a - fit.b * xy.t, 2) AS e2, fit.n
+      FROM xy, fit
+    ),
+    aux AS (
+      SELECT max(n) AS n, count(*) AS cnt, sum(t) AS st, sum(e2) AS se,
+             sum(t * e2) AS ste, sum(t * t) AS stt, sum(e2 * e2) AS see
+      FROM res
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round((SELECT b FROM fit), 6) AS trend_slope,
+           round(se / n, 6) AS mean_sq_resid,
+           round(pow(ste - st * se / n, 2)
+                 / ((stt - st * st / n) * (see - se * se / n)), 6)
+             AS aux_r2,
+           round(n * pow(ste - st * se / n, 2)
+                 / ((stt - st * st / n) * (see - se * se / n)), 6)
+             AS bp_stat
+    FROM aux
+    """,
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan / Koenker heteroskedasticity test (Breusch &
+    Pagan 1979; Koenker 1981 studentized form): fit the daily revenue
+    trend y = a + b·t by OLS, regress the SQUARED residuals on t, and
+    report n·R² of that auxiliary regression — χ²(1) under
+    homoskedasticity. The variance-stability screen that decides
+    whether the q_control_chart / q_ab_power_mde machinery can assume
+    one noise level across the window, or must model variance growth.
+
+    Scale: two passes over the |days|-row rollup (coefficients, then
+    residual moments), both map-side-combined; centered moments from
+    raw sums keep every aggregate order-insensitive and hash-exact.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    dmin = d.agg(F.min("day").alias("dmin"))
+    xy = d.crossJoin(F.broadcast(dmin)).select(
+        (F.col("day") - F.col("dmin")).cast("double").alias("t"),
+        (F.col("cents").cast("double") / 100).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    nn = F.col("n")
+    bcoef = (F.col("sty") - F.col("st") * F.col("sy") / nn) / (
+        F.col("stt") - F.col("st") * F.col("st") / nn
+    )
+    fit = m.select(
+        "n", bcoef.alias("b"), (F.col("sy") / nn - bcoef * F.col("st") / nn).alias("a")
+    )
+    res = xy.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.pow(
+            F.col("y") - F.col("a") - F.col("b") * F.col("t"), F.lit(2.0)
+        ).alias("e2"),
+        "n",
+        "b",
+    )
+    aux = res.agg(
+        F.max("n").alias("n"),
+        F.max("b").alias("b"),
+        F.sum("t").alias("st"),
+        F.sum("e2").alias("se"),
+        F.sum(F.col("t") * F.col("e2")).alias("ste"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("e2") * F.col("e2")).alias("see"),
+    )
+    nn2 = F.col("n")
+    cov = F.col("ste") - F.col("st") * F.col("se") / nn2
+    r2 = F.pow(cov, F.lit(2.0)) / (
+        (F.col("stt") - F.col("st") * F.col("st") / nn2)
+        * (F.col("see") - F.col("se") * F.col("se") / nn2)
+    )
+    return aux.select(
+        nn2.cast("long").alias("n_days"),
+        F.round("b", 6).alias("trend_slope"),
+        F.round(F.col("se") / nn2, 6).alias("mean_sq_resid"),
+        F.round(r2, 6).alias("aux_r2"),
+        F.round(nn2 * r2, 6).alias("bp_stat"),
+    )

@@ -312,6 +312,17 @@ class KeyedRetryPipeline:
     stream) on a 1-column key; the due-row scan is a filter over a
     hash-partitioned parquet read; the union into the next batch adds
     no extra shuffle beyond the per-batch plan.
+
+    Epoch-ordering contract: Structured Streaming's ``foreachBatch``
+    delivers epochs sequentially per query — epoch N is retried until
+    committed before N+1 starts, so at most the SINGLE newest epoch can
+    ever be in-flight (torn). Readers must not rely on "epoch ≤ newest
+    marker" alone for visibility (an out-of-order replay of an old
+    epoch inside the GC retention window would briefly expose its torn
+    rewrite); ``dead_letters_df`` therefore intersects with marker
+    membership for epochs whose markers still exist, and admits older
+    epochs only below the oldest surviving marker (a marker is GC'd
+    only after newer commits, so everything below it was committed).
     """
 
     _META = ("_retry_count", "_retry_last", "_retry_pending_ack")
@@ -444,21 +455,25 @@ class KeyedRetryPipeline:
         between the DLQ write and the state write leaves a dlq
         ``v<epoch>`` with no marker — those rows must stay invisible
         until the epoch's replay completes, or a reader double-counts
-        them (found by the torn-epoch injection test). Markers older
-        than the keep-2 GC window are gone but were committed by
-        construction (a marker is only GC'd after newer commits), so
-        the filter is "epoch ≤ newest marker", not marker membership.
+        them (found by the torn-epoch injection test). Visibility is
+        marker MEMBERSHIP for epochs inside the GC retention window,
+        plus everything below the oldest surviving marker (GC'd markers
+        were committed by construction — a marker is only removed after
+        newer commits). "epoch ≤ newest marker" alone would briefly
+        expose the torn rewrite of an out-of-order replayed old epoch
+        (ADVICE r8, delivery.py:455); the class contract states the
+        sequential-epoch invariant this guards.
         """
         committed = self._committed_epochs()
         if not committed or not os.path.isdir(self.dlq_dir):
             return None
-        hi = committed[-1]
+        marked, lo = set(committed), committed[0]
         versions = [
             os.path.join(self.dlq_dir, d)
             for d in sorted(os.listdir(self.dlq_dir))
             if d.startswith("v")
             and d[1:].isdigit()
-            and int(d[1:]) <= hi
+            and (int(d[1:]) in marked or int(d[1:]) < lo)
             and os.path.isdir(os.path.join(self.dlq_dir, d))
         ]
         if not versions:
