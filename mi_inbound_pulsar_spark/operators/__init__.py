@@ -132,6 +132,12 @@ _PRIORITY = (
     "q_matrix_profile_topk",
     "q_granger_lag1",
     "q_breusch_pagan",
+    "q_kruskal_wallis",
+    "q_bartlett_test",
+    "q_cochran_q",
+    "q_fisher_exact",
+    "q_landmark_harmonic",
+    "q_err_eval",
 )
 
 

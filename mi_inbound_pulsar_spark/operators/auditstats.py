@@ -2335,3 +2335,518 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_u") - F.col("n_union")) / F.col("n_union"), 6
         ).alias("union_rel_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis rank ANOVA across market segments
+# --------------------------------------------------------------------------
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH vs AS (
+      SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v,
+             c_mktsegment AS seg, count(*) AS cg
+      FROM customer GROUP BY 1, 2
+    ),
+    vc AS (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM vs GROUP BY v),
+    ranked AS (
+      SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM vc
+    ),
+    g AS (
+      SELECT vs.seg, CAST(sum(vs.cg) AS BIGINT) AS ng,
+             sum(vs.cg * (r.cum_before + (r.c + 1.0) / 2)) AS rg
+      FROM vs JOIN ranked r ON r.v = vs.v
+      GROUP BY vs.seg
+    ),
+    t AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term
+      FROM vc
+    ),
+    s AS (
+      SELECT t.n, CAST(count(*) AS BIGINT) AS k, t.tie_term,
+             12.0 / (t.n * (t.n + 1.0)) * sum(rg * rg / ng)
+               - 3 * (t.n + 1.0) AS h_raw
+      FROM g, t GROUP BY t.n, t.tie_term
+    )
+    SELECT n, k,
+           round(h_raw, 6) AS h_uncorrected,
+           round(1 - tie_term / (CAST(n AS DOUBLE) * n * n - n), 6)
+             AS tie_correction,
+           round(h_raw / (1 - tie_term / (CAST(n AS DOUBLE) * n * n - n)),
+                 6) AS h_stat
+    FROM s
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA (Kruskal & Wallis 1952): the k-group
+    generalization of ``q_mann_whitney`` — do account balances differ
+    in location across the five market segments, judged on average
+    ranks with the tie-corrected H statistic (χ²(k−1) under the
+    null)? The k-sample screen that q_levene_test's variance question
+    complements: location vs spread.
+
+    Scale: the q_mann_whitney distributed-rank recipe — ranks are
+    never assigned per row; the corpus collapses to the per-DISTINCT-
+    value (cents) rollup, the average rank of a value is cumulative
+    predecessor count + (c+1)/2 from one running sum over that
+    bounded value domain, and per-group rank sums come from the
+    (value, segment) rollup joined to it. Integer cents make every
+    aggregate exact; doubles appear only in the closed form.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    vs = c.groupBy(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("cg"))
+    vc = vs.groupBy("v").agg(F.sum("cg").alias("c"))
+    vc = bounded_window_input(vc, label="q_kruskal_wallis value domain")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    g = (
+        vs.join(ranked, "v")
+        .groupBy("seg")
+        .agg(
+            F.sum("cg").alias("ng"),
+            F.sum(
+                F.col("cg")
+                * (F.col("cum_before") + (F.col("c") + 1.0) / 2)
+            ).alias("rg"),
+        )
+    )
+    t = vc.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    s = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("n", "tie_term")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            (
+                12.0
+                / (F.col("n") * (F.col("n") + 1.0))
+                * F.sum(F.col("rg") * F.col("rg") / F.col("ng"))
+                - 3 * (F.col("n") + 1.0)
+            ).alias("h_raw"),
+        )
+    )
+    corr = 1 - F.col("tie_term") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("h_raw", 6).alias("h_uncorrected"),
+        F.round(corr, 6).alias("tie_correction"),
+        F.round(F.col("h_raw") / corr, 6).alias("h_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bartlett's test: the parametric twin of q_levene_test
+# --------------------------------------------------------------------------
+@query(
+    "q_bartlett_test",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                      * CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                  AS BIGINT) AS ss
+      FROM customer GROUP BY 1
+    ),
+    v AS (
+      SELECT seg, n,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+               / 10000 AS s2
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+             sum((n - 1) * s2) AS pooled_num,
+             sum((n - 1) * ln(s2)) AS sum_ln,
+             sum(1.0 / (n - 1)) AS sum_inv
+      FROM v
+    )
+    SELECT nn AS n, k,
+           round(pooled_num / (nn - k), 6) AS pooled_var,
+           round(((nn - k) * ln(pooled_num / (nn - k)) - sum_ln)
+                 / (1 + (sum_inv - 1.0 / (nn - k)) / (3 * (k - 1))), 6)
+             AS bartlett_chi2
+    FROM t
+    """,
+)
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test (Bartlett 1937) for variance homogeneity across
+    market segments — the PARAMETRIC twin of ``q_levene_test``: more
+    powerful under normality, famously fragile off it (which is why
+    both screens ship; disagreement between them is itself the
+    non-normality signal). χ²(k−1) statistic with the Bartlett
+    correction factor.
+
+    Scale: one map-side-combined rollup to k rows of exact integer
+    (cents) power sums — double accumulation order can't perturb a
+    bit; group variances in dollars² via the /10000 rescale; the k-row
+    final aggregate does the logs.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    s2 = (
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / 10000
+    )
+    v = g.select("seg", "n", s2.alias("s2"))
+    t = v.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("pooled_num"),
+        F.sum((F.col("n") - 1) * F.log(F.col("s2"))).alias("sum_ln"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    pooled = F.col("pooled_num") / (F.col("nn") - F.col("k"))
+    chi2 = (
+        (F.col("nn") - F.col("k")) * F.log(pooled) - F.col("sum_ln")
+    ) / (
+        1
+        + (F.col("sum_inv") - 1.0 / (F.col("nn") - F.col("k")))
+        / (3 * (F.col("k") - 1))
+    )
+    return t.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(pooled, 6).alias("pooled_var"),
+        F.round(chi2, 6).alias("bartlett_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q: k matched binary treatments per user block
+# --------------------------------------------------------------------------
+@query(
+    "q_cochran_q",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    d0 AS (SELECT min(day) AS d0 FROM ev),
+    u AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN day - d0 < 10 AND cents >= 10000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+             CAST(max(CASE WHEN day - d0 >= 10 AND day - d0 < 20
+                           AND cents >= 10000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t2,
+             CAST(max(CASE WHEN day - d0 >= 20 AND cents >= 10000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS t3
+      FROM ev, d0 GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(t1) AS BIGINT) AS c1,
+             CAST(sum(t2) AS BIGINT) AS c2,
+             CAST(sum(t3) AS BIGINT) AS c3,
+             CAST(sum(t1 + t2 + t3) AS BIGINT) AS sr,
+             CAST(sum((t1 + t2 + t3) * (t1 + t2 + t3)) AS BIGINT) AS sr2
+      FROM u
+    )
+    SELECT n_users, c1 AS n_period1, c2 AS n_period2, c3 AS n_period3,
+           round(2.0 * (3 * (CAST(c1 AS DOUBLE) * c1
+                             + CAST(c2 AS DOUBLE) * c2
+                             + CAST(c3 AS DOUBLE) * c3)
+                        - CAST(sr AS DOUBLE) * sr)
+                 / nullif(3.0 * sr - sr2, 0), 6) AS q_stat
+    FROM s
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (Cochran 1950): the k-treatment extension of
+    McNemar — with each purchasing user as a matched block and "made
+    a big-ticket (>= $100) purchase in period i" over three 10-day
+    periods as k=3 binary treatments, does the success probability
+    shift across periods? Q = (k−1)(kΣC_j² − (ΣR)²)/(kΣR − ΣR_i²),
+    χ²(k−1) under exchangeable blocks; the within-subject screen
+    q_mcnemar_test handles at k=2. Blocks whose treatments all agree
+    contribute nothing — the saturated "reached view/click/purchase"
+    framing made the denominator exactly 0, so the treatments are the
+    rarer big-ticket indicator and nullif guards the degenerate case
+    identically in both engines.
+
+    Scale: one per-user map-side-combined rollup to 3 bits per user,
+    then a single exact-integer aggregate to one row; doubles touch
+    only the closed form.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ev = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    big = F.col("cents") >= 10000
+    rel = F.col("day") - F.col("d0")
+    u = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when((rel < 10) & big, 1).otherwise(0)).alias("t1"),
+            F.max(
+                F.when((rel >= 10) & (rel < 20) & big, 1).otherwise(0)
+            ).alias("t2"),
+            F.max(F.when((rel >= 20) & big, 1).otherwise(0)).alias("t3"),
+        )
+    )
+    r = F.col("t1") + F.col("t2") + F.col("t3")
+    s = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("t1").alias("c1"),
+        F.sum("t2").alias("c2"),
+        F.sum("t3").alias("c3"),
+        F.sum(r).alias("sr"),
+        F.sum(r * r).alias("sr2"),
+    )
+    csq = (
+        F.col("c1").cast("double") * F.col("c1")
+        + F.col("c2").cast("double") * F.col("c2")
+        + F.col("c3").cast("double") * F.col("c3")
+    )
+    q_stat = (
+        2.0
+        * (3 * csq - F.col("sr").cast("double") * F.col("sr"))
+        / F.nullif(
+            3.0 * F.col("sr") - F.col("sr2").cast("double"), F.lit(0.0)
+        )
+    )
+    return s.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("c1").cast("long").alias("n_period1"),
+        F.col("c2").cast("long").alias("n_period2"),
+        F.col("c3").cast("long").alias("n_period3"),
+        F.round(q_stat, 6).alias("q_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fisher's exact test on a deterministic bottom-k document sample
+# --------------------------------------------------------------------------
+FISHER_N = 200
+
+
+@query(
+    "q_fisher_exact",
+    oracle=f"""
+    WITH samp AS (
+      SELECT lang, CAST(substring(source, 4) AS INT) < 10 AS in_a
+      FROM documents
+      ORDER BY md5('fx:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT {FISHER_N}
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS r1,
+             CAST(count(*) FILTER (in_a) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (lang = 'en' AND in_a) AS BIGINT) AS a
+      FROM samp
+    ),
+    lf AS (
+      SELECT i,
+             sum(CASE WHEN i = 0 THEN 0.0 ELSE ln(CAST(i AS DOUBLE)) END)
+               OVER (ORDER BY i) AS lf
+      FROM unnest(generate_series(0, {FISHER_N})) g(i)
+    ),
+    kk AS (
+      SELECT m.*,
+             f1.lf + f2.lf + f3.lf + f4.lf - f5.lf AS k_const
+      FROM m
+        JOIN lf f1 ON f1.i = m.r1
+        JOIN lf f2 ON f2.i = m.n - m.r1
+        JOIN lf f3 ON f3.i = m.c1
+        JOIN lf f4 ON f4.i = m.n - m.c1
+        JOIN lf f5 ON f5.i = m.n
+    ),
+    xs AS (
+      SELECT kk.*, g.x
+      FROM kk, unnest(generate_series(0, {FISHER_N})) g(x)
+      WHERE g.x >= greatest(0, kk.r1 + kk.c1 - kk.n)
+        AND g.x <= least(kk.r1, kk.c1)
+    ),
+    pmf AS (
+      SELECT xs.x, xs.a, xs.n, xs.r1, xs.c1,
+             round(exp(xs.k_const - fx.lf - f1.lf - f2.lf - f3.lf), 10)
+               AS p
+      FROM xs
+        JOIN lf fx ON fx.i = xs.x
+        JOIN lf f1 ON f1.i = xs.r1 - xs.x
+        JOIN lf f2 ON f2.i = xs.c1 - xs.x
+        JOIN lf f3 ON f3.i = xs.n - xs.r1 - xs.c1 + xs.x
+    ),
+    obs AS (SELECT p AS p_obs FROM pmf WHERE x = a)
+    SELECT max(pmf.n) AS n, max(pmf.r1) AS n_en, max(pmf.c1) AS n_src_a,
+           max(pmf.a) AS a_cell,
+           round(sum(p) FILTER (x <= a), 6) AS p_left,
+           round(sum(p) FILTER (x >= a), 6) AS p_right,
+           round(sum(p) FILTER (p <= o.p_obs * (1 + 1e-7)), 6) AS p_two_sided
+    FROM pmf, obs o GROUP BY o.p_obs
+    """,
+)
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (Fisher 1935) for lang='en' × source-half
+    independence on a DETERMINISTIC bottom-{FISHER_N} md5-hash sample
+    of the corpus: hypergeometric tail probabilities summed over every
+    table as extreme as the observed one (two-sided by the standard
+    "pmf ≤ observed" rule with the 1e-7 tolerance scipy uses). Exact
+    tests are small-sample instruments, so the bounded sample IS the
+    contract — on a 100 TB corpus you test a fixed-k sample or a
+    single shard, never the population (where everything is
+    "significant"); the bottom-k-by-hash sample is reproducible across
+    engines and rounds.
+
+    Hash-exactness: log-factorials come from ONE cumulative sum over
+    the 0..{FISHER_N} integer spine (identical fold order in both
+    engines), each pmf is rounded to 10dp before any reordering sum,
+    and the comparison runs on those rounded values — so the inclusion
+    set and the 6dp tails are engine-identical.
+
+    Scale: the sample is a TakeOrdered top-k by hash (no shuffle of
+    the corpus); everything after lives on a ≤{FISHER_N}-row frame
+    plus the {FISHER_N}+1-row spine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    samp = (
+        d.select(
+            "lang",
+            (F.expr("CAST(substring(source, 4) AS INT)") < 10).alias("in_a"),
+            F.md5(
+                F.concat(F.lit("fx:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+            "doc_id",
+        )
+        .orderBy("h", "doc_id")
+        .limit(FISHER_N)
+    )
+    m = samp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("lang") == "en").alias("r1"),
+        F.count_if("in_a").alias("c1"),
+        F.count_if((F.col("lang") == "en") & F.col("in_a")).alias("a"),
+    )
+    spine = spark.range(0, FISHER_N + 1).select(F.col("id").alias("i"))
+    spine = bounded_window_input(spine, label="q_fisher_exact lfact spine")
+    lf = spine.select(
+        "i",
+        F.sum(
+            F.when(F.col("i") == 0, 0.0).otherwise(
+                F.log(F.col("i").cast("double"))
+            )
+        )
+        .over(Window.orderBy("i"))
+        .alias("lf"),
+    )
+    lfb = F.broadcast(lf)
+    f1, f2, f3, f4, f5 = (lfb.alias(f"f{i}") for i in range(1, 6))
+    kk = (
+        m.join(f1, F.col("f1.i") == F.col("r1"))
+        .join(f2, F.col("f2.i") == F.col("n") - F.col("r1"))
+        .join(f3, F.col("f3.i") == F.col("c1"))
+        .join(f4, F.col("f4.i") == F.col("n") - F.col("c1"))
+        .join(f5, F.col("f5.i") == F.col("n"))
+        .select(
+            "n", "r1", "c1", "a",
+            (
+                F.col("f1.lf")
+                + F.col("f2.lf")
+                + F.col("f3.lf")
+                + F.col("f4.lf")
+                - F.col("f5.lf")
+            ).alias("k_const"),
+        )
+    )
+    xs = (
+        kk.crossJoin(
+            F.broadcast(
+                spark.range(0, FISHER_N + 1).select(F.col("id").alias("x"))
+            )
+        )
+        .filter(
+            (F.col("x") >= F.greatest(F.lit(0), F.col("r1") + F.col("c1") - F.col("n")))
+            & (F.col("x") <= F.least(F.col("r1"), F.col("c1")))
+        )
+    )
+    fx, g1, g2, g3 = (lfb.alias(f"g{i}") for i in range(0, 4))
+    pmf = (
+        xs.join(fx, F.col("g0.i") == F.col("x"))
+        .join(g1, F.col("g1.i") == F.col("r1") - F.col("x"))
+        .join(g2, F.col("g2.i") == F.col("c1") - F.col("x"))
+        .join(
+            g3,
+            F.col("g3.i")
+            == F.col("n") - F.col("r1") - F.col("c1") + F.col("x"),
+        )
+        .select(
+            "x", "a", "n", "r1", "c1",
+            F.round(
+                F.exp(
+                    F.col("k_const")
+                    - F.col("g0.lf")
+                    - F.col("g1.lf")
+                    - F.col("g2.lf")
+                    - F.col("g3.lf")
+                ),
+                10,
+            ).alias("p"),
+        )
+    )
+    obs = pmf.filter(F.col("x") == F.col("a")).select(
+        F.col("p").alias("p_obs")
+    )
+    return (
+        pmf.crossJoin(F.broadcast(obs))
+        .groupBy("p_obs")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("r1").alias("n_en"),
+            F.max("c1").alias("n_src_a"),
+            F.max("a").alias("a_cell"),
+            F.round(
+                F.sum(F.when(F.col("x") <= F.col("a"), F.col("p"))), 6
+            ).alias("p_left"),
+            F.round(
+                F.sum(F.when(F.col("x") >= F.col("a"), F.col("p"))), 6
+            ).alias("p_right"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("p") <= F.col("p_obs") * (1 + 1e-7), F.col("p")
+                    )
+                ),
+                6,
+            ).alias("p_two_sided"),
+        )
+        .select(
+            "n", "n_en", "n_src_a", "a_cell",
+            "p_left", "p_right", "p_two_sided",
+        )
+    )

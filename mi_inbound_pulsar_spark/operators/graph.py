@@ -2085,3 +2085,148 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "m", F.round(cov / F.sqrt(var_j * var_k), 6).alias("assortativity")
     )
+
+
+# --------------------------------------------------------------------------
+# Landmark harmonic centrality (BFS from L pivots, Eppstein-Wang style)
+# --------------------------------------------------------------------------
+HARMONIC_LANDMARKS = 8
+
+
+@query(
+    "q_landmark_harmonic",
+    oracle=f"""
+    WITH basket AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pf AS MATERIALIZED (SELECT part, count(*) AS df FROM basket GROUP BY part),
+    capped AS MATERIALIZED (
+      SELECT b.cust, b.part FROM basket b JOIN pf USING (part)
+      WHERE pf.df <= {COPURCHASE_MAX_DF}
+    ),
+    e AS MATERIALIZED (
+      SELECT a.cust AS ca, b.cust AS cb
+      FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_COMMON}
+    ),
+    und AS MATERIALIZED (
+      SELECT ca AS n, cb AS m FROM e UNION ALL SELECT cb, ca FROM e
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT n AS node FROM und),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM verts),
+    d0 AS MATERIALIZED (
+      SELECT node AS l, node FROM verts
+      ORDER BY node LIMIT {HARMONIC_LANDMARKS}
+    ),
+    d1 AS MATERIALIZED (
+      SELECT DISTINCT d0.l, u.m AS node
+      FROM und u JOIN d0 ON u.n = d0.node
+      WHERE NOT EXISTS (SELECT 1 FROM d0 x
+                        WHERE x.l = d0.l AND x.node = u.m)
+    ),
+    d2 AS MATERIALIZED (
+      SELECT DISTINCT d1.l, u.m AS node
+      FROM und u JOIN d1 ON u.n = d1.node
+      WHERE NOT EXISTS (SELECT 1 FROM d0 x
+                        WHERE x.l = d1.l AND x.node = u.m)
+        AND NOT EXISTS (SELECT 1 FROM d1 x
+                        WHERE x.l = d1.l AND x.node = u.m)
+    ),
+    d3 AS MATERIALIZED (
+      SELECT DISTINCT d2.l, u.m AS node
+      FROM und u JOIN d2 ON u.n = d2.node
+      WHERE NOT EXISTS (SELECT 1 FROM d0 x
+                        WHERE x.l = d2.l AND x.node = u.m)
+        AND NOT EXISTS (SELECT 1 FROM d1 x
+                        WHERE x.l = d2.l AND x.node = u.m)
+        AND NOT EXISTS (SELECT 1 FROM d2 x
+                        WHERE x.l = d2.l AND x.node = u.m)
+    ),
+    reach AS (
+      SELECT l, node, 1 AS dist FROM d1
+      UNION ALL SELECT l, node, 2 FROM d2
+      UNION ALL SELECT l, node, 3 FROM d3
+    ),
+    h AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_landmarks_reached,
+             sum(1.0 / dist) AS hsum
+      FROM reach GROUP BY node
+    )
+    SELECT h.node, h.n_landmarks_reached,
+           round((nv.nn - 1.0) / {HARMONIC_LANDMARKS} * h.hsum, 6)
+             AS harmonic_est
+    FROM h, nv
+    ORDER BY round((nv.nn - 1.0) / {HARMONIC_LANDMARKS} * h.hsum, 6) DESC,
+             h.node
+    LIMIT 15
+    """,
+)
+def q_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark (pivot) harmonic centrality (Eppstein & Wang 2004's
+    pivot estimator applied to Boldi & Vigna 2014's harmonic
+    centrality): BFS to depth 3 from L={HARMONIC_LANDMARKS}
+    deterministic landmarks (smallest node ids) of the co-purchase
+    graph, then ĥ(v) = (N−1)/L · Σ_l 1/d(l,v) — the top-15 most
+    central customers. THE 100 TB centrality recipe: exact
+    all-pairs harmonic is O(N·E) BFS rounds, while the pivot
+    estimator is L multi-source BFS frontiers carried in ONE frame
+    keyed by (landmark, node), so adding landmarks widens rows, never
+    adds passes (accuracy ∝ 1/√L by Hoeffding, per Eppstein-Wang).
+
+    The multi-source frontier join is the q_bfs_distances
+    level-synchronous step with a landmark column along for the ride;
+    the visited-set subtraction anti-joins on (landmark, node).
+    """
+    pl = part_posting_lists(spark, sf_dir)
+    e = copurchase_pairs(pl, COPURCHASE_MIN_COMMON).select("cust_a", "cust_b")
+    und = (
+        e.selectExpr("cust_a AS n", "cust_b AS m")
+        .unionByName(e.selectExpr("cust_b AS n", "cust_a AS m"))
+        .localCheckpoint(eager=True)
+    )
+    verts = und.select(F.col("n").alias("node")).distinct()
+    nv = verts.agg(F.count(F.lit(1)).alias("nn"))
+    seeds = (
+        verts.orderBy("node")
+        .limit(HARMONIC_LANDMARKS)
+        .select(F.col("node").alias("l"), "node")
+        .localCheckpoint(eager=True)
+    )
+    levels = [seeds]
+    for _ in range(3):
+        visited = levels[0]
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv)
+        frontier = levels[-1]
+        nxt = (
+            und.join(frontier.withColumnRenamed("node", "n"), "n")
+            .select("l", F.col("m").alias("node"))
+            .distinct()
+            .join(visited, ["l", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+    reach = None
+    for dist, lv in enumerate(levels[1:], start=1):
+        tagged = lv.select("l", "node", F.lit(dist).alias("dist"))
+        reach = tagged if reach is None else reach.unionByName(tagged)
+    h = reach.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_landmarks_reached"),
+        F.sum(1.0 / F.col("dist")).alias("hsum"),
+    )
+    est = F.round(
+        (F.col("nn") - 1.0) / HARMONIC_LANDMARKS * F.col("hsum"), 6
+    )
+    return (
+        h.crossJoin(F.broadcast(nv))
+        .select(
+            "node",
+            F.col("n_landmarks_reached").cast("long").alias(
+                "n_landmarks_reached"
+            ),
+            est.alias("harmonic_est"),
+        )
+        .orderBy(F.desc("harmonic_est"), "node")
+        .limit(15)
+    )

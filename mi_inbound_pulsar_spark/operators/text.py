@@ -5192,3 +5192,172 @@ def q_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Expected Reciprocal Rank over the BM25 benchmark ranking
+# --------------------------------------------------------------------------
+@query(
+    "q_err_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+      SELECT qid, tok, df FROM (
+        SELECT t.doc_id AS qid, t.tok, d.df,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+                 AS rk
+        FROM tf t JOIN df d USING (tok)
+        WHERE t.doc_id < {MRR_N_QUERIES}
+      ) WHERE rk <= {MRR_TERMS_PER_QUERY}
+    ),
+    scored AS (
+      SELECT q.qid, t.doc_id,
+             CAST(count(*) AS BIGINT) AS grade,
+             sum(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+      FROM qterms q
+        JOIN tf t ON t.tok = q.tok
+        JOIN dl l ON l.doc_id = t.doc_id, stats s
+      GROUP BY q.qid, t.doc_id
+    ),
+    ranked AS (
+      SELECT qid, grade,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id)
+               AS rank
+      FROM scored
+    ),
+    terms AS (
+      SELECT qid, rank, grade,
+             (pow(2.0, grade) - 1)
+               / pow(2.0, {MRR_TERMS_PER_QUERY + 1}) AS r,
+             coalesce(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY qid ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS c1,
+             coalesce(sum(CASE WHEN grade = {MRR_TERMS_PER_QUERY}
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY qid ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS c2
+      FROM ranked WHERE rank <= {NDCG_K}
+    )
+    SELECT qid,
+           CAST(count(*) AS BIGINT) AS n_ranked,
+           round(sum(r / rank
+                     * pow(1 - (pow(2.0, 1) - 1)
+                           / pow(2.0, {MRR_TERMS_PER_QUERY + 1}), c1)
+                     * pow(1 - (pow(2.0, {MRR_TERMS_PER_QUERY}) - 1)
+                           / pow(2.0, {MRR_TERMS_PER_QUERY + 1}), c2)),
+                 6) AS err_at_{NDCG_K}
+    FROM terms GROUP BY qid ORDER BY qid
+    """,
+)
+def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank (Chapelle et al. 2009, CIKM) of the
+    BM25 known-item benchmark: the cascade-model metric ERR@k =
+    Σ_i (1/i)·R_i·Π_(j<i)(1−R_j) with R = (2^g − 1)/2^(g_max+1) —
+    unlike nDCG's position discount, ERR discounts a hit by the
+    probability the user was already satisfied ABOVE it, so one
+    perfect early hit suppresses everything below (the metric of
+    choice for known-item/navigational evaluation next to q_ndcg_eval
+    and q_retrieval_mrr). R is scaled by 2^(g_max+1) (not 2^g_max) so
+    R<1 strictly and the cascade never hard-zeroes.
+
+    Hash-exactness: grades take {MRR_TERMS_PER_QUERY} values, so the
+    cascade product is pow(1−R_1, c1)·pow(1−R_2, c2) with c = window
+    COUNTS of prior hits — integer-exponent pow on exact dyadic
+    rationals, fully order-insensitive (no sequential log-sum fold to
+    diverge between engines).
+
+    Scale: identical candidate shape to q_ndcg_eval — per-query
+    posting-list pools, rank windows partitioned by qid over the
+    bounded pool, rounded-score determinism.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    tf = (
+        d.select("doc_id", tok)
+        .filter(keep)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_q = Window.partitionBy("qid").orderBy("df", "tok")
+    qterms = (
+        tf.filter(F.col("doc_id") < MRR_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .join(df, "tok")
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= MRR_TERMS_PER_QUERY)
+        .select("qid", "tok", "df")
+    )
+    scored = (
+        qterms.join(tf, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("grade"), F.sum("part").alias("score"))
+    )
+    w_r = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 6)), "doc_id")
+    ranked = scored.select(
+        "qid", "grade", F.row_number().over(w_r).alias("rank")
+    ).filter(F.col("rank") <= NDCG_K)
+    denom = float(2 ** (MRR_TERMS_PER_QUERY + 1))
+    r = (F.pow(F.lit(2.0), F.col("grade")) - 1) / denom
+    w_prev = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = ranked.select(
+        "qid",
+        "rank",
+        r.alias("r"),
+        F.coalesce(
+            F.sum(F.when(F.col("grade") == 1, 1).otherwise(0)).over(w_prev),
+            F.lit(0),
+        ).alias("c1"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("grade") == MRR_TERMS_PER_QUERY, 1).otherwise(0)
+            ).over(w_prev),
+            F.lit(0),
+        ).alias("c2"),
+    )
+    r1 = 1.0 - (2.0**1 - 1) / denom
+    r2 = 1.0 - (2.0**MRR_TERMS_PER_QUERY - 1) / denom
+    return (
+        terms.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranked"),
+            F.round(
+                F.sum(
+                    F.col("r")
+                    / F.col("rank")
+                    * F.pow(F.lit(r1), F.col("c1"))
+                    * F.pow(F.lit(r2), F.col("c2"))
+                ),
+                6,
+            ).alias(f"err_at_{NDCG_K}"),
+        )
+        .orderBy("qid")
+    )

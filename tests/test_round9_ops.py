@@ -1,0 +1,513 @@
+"""Pure-Python third opinions for the round-9 operators: replays built
+straight from the parquet files (pyarrow + stdlib — no Spark, no
+DuckDB), so agreement is evidence about the ALGORITHM, not about two
+engines sharing one author's mistake (the tests/test_third_opinions_*
+tier; see FLAGSHIPS.md). Where noted, the replay deliberately takes a
+DIFFERENT computational path than the production query (recurrence vs
+closed form, direct z-norm vs dot-product identity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+US_PER_DAY = 86_400_000_000
+
+
+def _events(sf: str):
+    t = pq.read_table(
+        f"{sf}/events.parquet", columns=["ts", "user_id", "event_type", "value"]
+    )
+    ts = [v.value for v in t["ts"]]  # micros
+    return (
+        ts,
+        t["user_id"].to_pylist(),
+        t["event_type"].to_pylist(),
+        t["value"].to_pylist(),
+    )
+
+
+def _daily_cents(sf: str) -> dict[int, int]:
+    ts, _, et, val = _events(sf)
+    out: dict[int, int] = defaultdict(int)
+    for t, e, v in zip(ts, et, val):
+        if e == "purchase":
+            out[t // US_PER_DAY] += int(round(v * 100))
+    return dict(out)
+
+
+def _row(df) -> dict:
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+# --------------------------------------------------------------------------
+# Kalman local level: straight-line Python recurrence replay
+# --------------------------------------------------------------------------
+def test_kalman_local_level_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        KALMAN_P0,
+        KALMAN_Q,
+        KALMAN_R,
+        q_kalman_local_level,
+    )
+
+    got = _row(q_kalman_local_level(spark, SF))
+    xs = [c / 100 for _, c in sorted(_daily_cents(SF).items())]
+    l, pv, gain, err = xs[0], KALMAN_P0, 0.0, 0.0
+    for x in xs[1:]:
+        pm = pv + KALMAN_Q
+        gain = pm / (pm + KALMAN_R)
+        err += abs(x - l)
+        l = l + gain * (x - l)
+        pv = (1 - gain) * pm
+    assert got["n_days"] == len(xs)
+    assert got["level"] == round(l, 6)
+    assert got["state_var"] == round(pv, 6)
+    assert got["kalman_gain"] == round(gain, 6)
+    assert got["mae_one_step"] == round(err / (len(xs) - 1), 6)
+
+
+# --------------------------------------------------------------------------
+# Croston: replay with the SES RECURRENCE (production uses closed form)
+# --------------------------------------------------------------------------
+def test_croston_matches_recurrence_replay(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        CROSTON_ALPHA,
+        CROSTON_CENTS_MIN,
+        q_croston_intermittent,
+    )
+
+    got = _row(q_croston_intermittent(spark, SF))
+    ts, _, et, val = _events(SF)
+    d0 = min(
+        t // US_PER_DAY for t, e in zip(ts, et) if e == "purchase"
+    )
+    dem: dict[int, int] = defaultdict(int)
+    for t, e, v in zip(ts, et, val):
+        c = int(round(v * 100))
+        if e == "purchase" and c >= CROSTON_CENTS_MIN:
+            dem[t // US_PER_DAY - d0 + 1] += c
+    pos = sorted(dem)
+    assert pos, "demand series empty — cutoff too high for this SF"
+    z_hat, p_hat = float(dem[pos[0]]), float(pos[0])
+    prev = pos[0]
+    for p in pos[1:]:
+        z_hat = CROSTON_ALPHA * dem[p] + (1 - CROSTON_ALPHA) * z_hat
+        p_hat = CROSTON_ALPHA * (p - prev) + (1 - CROSTON_ALPHA) * p_hat
+        prev = p
+    assert got["n_demand_days"] == len(pos)
+    assert abs(got["z_hat"] - z_hat) < 1e-5
+    assert abs(got["p_hat"] - p_hat) < 1e-5
+    assert abs(got["croston_forecast"] - z_hat / p_hat) < 1e-5
+    assert got["sba_forecast"] < got["croston_forecast"]
+
+
+# --------------------------------------------------------------------------
+# Matrix profile: direct z-normalized vectors (not the dot identity)
+# --------------------------------------------------------------------------
+def test_matrix_profile_matches_direct_znorm(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        MP_M,
+        MP_TOPK,
+        q_matrix_profile_topk,
+    )
+
+    got = [r.asDict() for r in q_matrix_profile_topk(spark, SF).collect()]
+    xs = [c / 100 for _, c in sorted(_daily_cents(SF).items())]
+    n = len(xs)
+
+    def znorm(i):  # window starting at 1-based index i
+        w = xs[i - 1 : i - 1 + MP_M]
+        mu = sum(w) / MP_M
+        sd = math.sqrt(sum(v * v for v in w) / MP_M - mu * mu)
+        if sd == 0:
+            return None
+        return [(v - mu) / sd for v in w]
+
+    cand = []
+    for i in range(1, n - MP_M + 2):
+        for j in range(i + MP_M, n - MP_M + 2):
+            a, b = znorm(i), znorm(j)
+            if a is None or b is None:
+                continue
+            dist = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+            cand.append((round(dist, 6), i, j))
+    cand.sort()
+    expect = cand[:MP_TOPK]
+    assert len(got) == len(expect)
+    for row, (dist, s1, s2) in zip(got, expect):
+        assert (row["s1"], row["s2"]) == (s1, s2)
+        assert abs(row["znorm_dist"] - dist) < 2e-6  # identity vs direct
+
+
+# --------------------------------------------------------------------------
+# Granger lag-1: numpy-free closed-form replay from exact int sums
+# --------------------------------------------------------------------------
+def test_granger_lag1_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import q_granger_lag1
+
+    got = _row(q_granger_lag1(spark, SF))
+    ts, _, et, val = _events(SF)
+    cents: dict[int, int] = defaultdict(int)
+    views: dict[int, int] = defaultdict(int)
+    for t, e, v in zip(ts, et, val):
+        day = t // US_PER_DAY
+        if e == "purchase":
+            cents[day] += int(round(v * 100))
+        cents.setdefault(day, cents[day])
+        if e == "view":
+            views[day] += 1
+    days = sorted(cents)
+    pairs = [
+        (cents[d], cents[d - 1], views.get(d - 1, 0))
+        for d in days
+        if d - 1 in cents
+    ]
+    n = len(pairs)
+    sy = sum(p[0] for p in pairs)
+    syl = sum(p[1] for p in pairs)
+    sxl = sum(p[2] for p in pairs)
+    cyy = sum(p[0] ** 2 for p in pairs) - sy * sy / n
+    cyyl = sum(p[0] * p[1] for p in pairs) - sy * syl / n
+    cyxl = sum(p[0] * p[2] for p in pairs) - sy * sxl / n
+    cylyl = sum(p[1] ** 2 for p in pairs) - syl * syl / n
+    cxlxl = sum(p[2] ** 2 for p in pairs) - sxl * sxl / n
+    cylxl = sum(p[1] * p[2] for p in pairs) - syl * sxl / n
+    det = cylyl * cxlxl - cylxl * cylxl
+    b_u = (cyyl * cxlxl - cyxl * cylxl) / det
+    c_u = (cylyl * cyxl - cylxl * cyyl) / det
+    rss_r = cyy - cyyl * cyyl / cylyl
+    rss_u = cyy - b_u * cyyl - c_u * cyxl
+    assert got["n_pairs"] == n
+    assert abs(got["beta_ylag"] - b_u) < 1e-6
+    assert abs(got["beta_xlag"] - c_u) < 1e-6
+    f = (rss_r - rss_u) * (n - 3) / rss_u
+    assert abs(got["f_stat"] - f) < 1e-4
+    assert rss_u <= rss_r + 1e-9  # adding a regressor can't hurt RSS
+
+
+# --------------------------------------------------------------------------
+# Breusch-Pagan: python two-pass replay + the R^2 in [0,1] invariant
+# --------------------------------------------------------------------------
+def test_breusch_pagan_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import q_breusch_pagan
+
+    got = _row(q_breusch_pagan(spark, SF))
+    daily = sorted(_daily_cents(SF).items())
+    dmin = daily[0][0]
+    pts = [(float(d - dmin), c / 100) for d, c in daily]
+    n = len(pts)
+    st = sum(t for t, _ in pts)
+    sy = sum(y for _, y in pts)
+    b = (sum(t * y for t, y in pts) - st * sy / n) / (
+        sum(t * t for t, _ in pts) - st * st / n
+    )
+    a = sy / n - b * st / n
+    e2 = [(t, (y - a - b * t) ** 2) for t, y in pts]
+    se = sum(v for _, v in e2)
+    cov = sum(t * v for t, v in e2) - st * se / n
+    r2 = cov * cov / (
+        (sum(t * t for t, _ in pts) - st * st / n)
+        * (sum(v * v for _, v in e2) - se * se / n)
+    )
+    assert got["n_days"] == n
+    assert abs(got["trend_slope"] - b) < 1e-6
+    assert abs(got["aux_r2"] - r2) < 1e-6
+    assert abs(got["bp_stat"] - n * r2) < 1e-4
+    assert 0 <= got["aux_r2"] <= 1
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis: explicit average ranks over the sorted sample
+# --------------------------------------------------------------------------
+def test_kruskal_wallis_matches_explicit_ranks(spark):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_kruskal_wallis
+
+    got = _row(q_kruskal_wallis(spark, SF))
+    t = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_acctbal", "c_mktsegment"]
+    )
+    vals = [
+        (int(round(b * 100)), s)
+        for b, s in zip(t["c_acctbal"].to_pylist(), t["c_mktsegment"].to_pylist())
+    ]
+    vals.sort()
+    n = len(vals)
+    # average ranks with ties
+    ranks: dict[int, float] = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        ranks[vals[i][0]] = (i + 1 + j) / 2  # avg of ranks i+1..j
+        i = j
+    rg: dict[str, float] = defaultdict(float)
+    ng: Counter = Counter()
+    for v, s in vals:
+        rg[s] += ranks[v]
+        ng[s] += 1
+    h = 12 / (n * (n + 1)) * sum(
+        rg[s] ** 2 / ng[s] for s in rg
+    ) - 3 * (n + 1)
+    tie = sum(
+        c**3 - c for c in Counter(v for v, _ in vals).values()
+    )
+    h_corr = h / (1 - tie / (n**3 - n))
+    assert got["n"] == n and got["k"] == len(rg)
+    assert abs(got["h_stat"] - h_corr) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# Bartlett: python variance pooling replay
+# --------------------------------------------------------------------------
+def test_bartlett_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_bartlett_test
+
+    got = _row(q_bartlett_test(spark, SF))
+    t = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_acctbal", "c_mktsegment"]
+    )
+    groups: dict[str, list[int]] = defaultdict(list)
+    for b, s in zip(t["c_acctbal"].to_pylist(), t["c_mktsegment"].to_pylist()):
+        groups[s].append(int(round(b * 100)))
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    s2 = {}
+    for s, v in groups.items():
+        m = sum(v) / len(v)
+        s2[s] = sum((x - m) ** 2 for x in v) / (len(v) - 1) / 10000
+    pooled = sum((len(groups[s]) - 1) * s2[s] for s in groups) / (nn - k)
+    num = (nn - k) * math.log(pooled) - sum(
+        (len(groups[s]) - 1) * math.log(s2[s]) for s in groups
+    )
+    c = 1 + (
+        sum(1 / (len(groups[s]) - 1) for s in groups) - 1 / (nn - k)
+    ) / (3 * (k - 1))
+    assert got["n"] == nn and got["k"] == k
+    assert abs(got["pooled_var"] - pooled) < 1e-4
+    assert abs(got["bartlett_chi2"] - num / c) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q: per-user period bits replay
+# --------------------------------------------------------------------------
+def test_cochran_q_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_cochran_q
+
+    got = _row(q_cochran_q(spark, SF))
+    ts, uid, et, val = _events(SF)
+    pur = [
+        (u, t // US_PER_DAY, int(round(v * 100)))
+        for t, u, e, v in zip(ts, uid, et, val)
+        if e == "purchase"
+    ]
+    d0 = min(d for _, d, _ in pur)
+    bits: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for u, d, c in pur:
+        if c >= 10000:
+            p = 0 if d - d0 < 10 else (1 if d - d0 < 20 else 2)
+            bits[u][p] = 1
+        bits.setdefault(u, bits[u])
+    cj = [sum(b[i] for b in bits.values()) for i in range(3)]
+    sr = sum(sum(b) for b in bits.values())
+    sr2 = sum(sum(b) ** 2 for b in bits.values())
+    q = 2 * (3 * sum(c * c for c in cj) - sr * sr) / (3 * sr - sr2)
+    assert got["n_users"] == len(bits)
+    assert [got["n_period1"], got["n_period2"], got["n_period3"]] == cj
+    assert abs(got["q_stat"] - q) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# Fisher exact: math.lgamma hypergeometric replay
+# --------------------------------------------------------------------------
+def test_fisher_exact_matches_lgamma_replay(spark):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        FISHER_N,
+        q_fisher_exact,
+    )
+
+    got = _row(q_fisher_exact(spark, SF))
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    rows = sorted(
+        zip(t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["source"].to_pylist()),
+        key=lambda r: (hashlib.md5(f"fx:{r[0]}".encode()).hexdigest(), r[0]),
+    )[:FISHER_N]
+    n = len(rows)
+    r1 = sum(1 for _, lang, _ in rows if lang == "en")
+    c1 = sum(1 for _, _, src in rows if int(src[3:]) < 10)
+    a = sum(
+        1 for _, lang, src in rows if lang == "en" and int(src[3:]) < 10
+    )
+
+    def lf(x):
+        return math.lgamma(x + 1)
+
+    k_const = lf(r1) + lf(n - r1) + lf(c1) + lf(n - c1) - lf(n)
+
+    def pmf(x):
+        return round(
+            math.exp(k_const - lf(x) - lf(r1 - x) - lf(c1 - x) - lf(n - r1 - c1 + x)),
+            10,
+        )
+
+    xs = range(max(0, r1 + c1 - n), min(r1, c1) + 1)
+    p_obs = pmf(a)
+    p_left = sum(pmf(x) for x in xs if x <= a)
+    p_right = sum(pmf(x) for x in xs if x >= a)
+    p_two = sum(pmf(x) for x in xs if pmf(x) <= p_obs * (1 + 1e-7))
+    assert (got["n"], got["n_en"], got["n_src_a"], got["a_cell"]) == (n, r1, c1, a)
+    assert abs(got["p_left"] - p_left) < 1e-5
+    assert abs(got["p_right"] - p_right) < 1e-5
+    assert abs(got["p_two_sided"] - p_two) < 1e-5
+    assert abs((p_left + p_right - p_obs) - 1) < 1e-6  # tails overlap at x=a
+
+
+# --------------------------------------------------------------------------
+# Moments sketch: mergeability is EXACT (integer sums), shape replay
+# --------------------------------------------------------------------------
+def test_moments_sketch_merge_is_exact(spark):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_moments_sketch
+
+    rows = {r["source"]: r.asDict() for r in q_moments_sketch(spark, SF).collect()}
+    allrow = rows.pop("__ALL__")
+    for c in ("n", "s1", "s2", "s3", "s4"):
+        assert allrow[c] == sum(r[c] for r in rows.values()), c
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
+    xs = t["n_chars"].to_pylist()
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum(x * x for x in xs) / n - mu * mu
+    m3 = sum(x**3 for x in xs) / n - 3 * mu * sum(x * x for x in xs) / n + 2 * mu**3
+    assert allrow["n"] == n
+    assert abs(allrow["mean"] - mu) < 1e-6
+    assert abs(allrow["skewness"] - m3 / m2**1.5) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# KMV sketch: full deterministic Python replay (hashes included)
+# --------------------------------------------------------------------------
+def test_kmv_sketch_matches_python_replay(spark):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        KMV_K,
+        KMV_M,
+        q_kmv_distinct_sketch,
+    )
+
+    got = _row(q_kmv_distinct_sketch(spark, SF))
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"])
+    sets: dict[str, set[int]] = {"A": set(), "B": set()}
+    for text, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+        half = "A" if int(src[3:]) < 10 else "B"
+        w = text.split(" ")
+        for i in range(len(w) - 4):
+            sh = " ".join(w[i : i + 5])
+            u = int(hashlib.md5(f"kmv:{sh}".encode()).hexdigest()[:12], 16)
+            sets[half].add(u)
+    kept = {h: sorted(s)[:KMV_K] for h, s in sets.items()}
+
+    def est(s, ks):
+        return float(len(s)) if len(s) <= KMV_K else (KMV_K - 1) * KMV_M / ks[-1]
+
+    assert got["n_a"] == len(sets["A"]) and got["n_b"] == len(sets["B"])
+    assert abs(got["est_a"] - est(sets["A"], kept["A"])) < 1e-4
+    assert abs(got["est_b"] - est(sets["B"], kept["B"])) < 1e-4
+    uni = sorted(set(kept["A"]) | set(kept["B"]))[:KMV_K]
+    e_u = float(len(uni)) if len(uni) < KMV_K else (KMV_K - 1) * KMV_M / uni[-1]
+    nboth = sum(1 for u in uni if u in sets["A"] and u in sets["B"])
+    assert got["n_union"] == len(sets["A"] | sets["B"])
+    assert abs(got["est_union"] - e_u) < 1e-4
+    assert abs(got["kmv_jaccard"] - nboth / len(uni)) < 1e-6
+    # estimator sanity: within 5 standard errors (se ~ 1/sqrt(k))
+    assert got["union_rel_error"] < 5 / math.sqrt(KMV_K)
+
+
+# --------------------------------------------------------------------------
+# Landmark harmonic: python multi-source BFS replay (sf0.01 graph)
+# --------------------------------------------------------------------------
+def test_landmark_harmonic_matches_python_bfs(spark):
+    from mi_inbound_pulsar_spark.operators.graph import (
+        COPURCHASE_MAX_DF,
+        COPURCHASE_MIN_COMMON,
+        HARMONIC_LANDMARKS,
+        q_landmark_harmonic,
+    )
+
+    got = [r.asDict() for r in q_landmark_harmonic(spark, SF01).collect()]
+    o = pq.read_table(f"{SF01}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pq.read_table(f"{SF01}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    cust_of = dict(zip(o["o_orderkey"].to_pylist(), o["o_custkey"].to_pylist()))
+    by_part: dict[int, set[int]] = defaultdict(set)
+    for ok, part in zip(li["l_orderkey"].to_pylist(), li["l_partkey"].to_pylist()):
+        by_part[part].add(cust_of[ok])
+    common: Counter = Counter()
+    for custs in by_part.values():
+        if len(custs) > COPURCHASE_MAX_DF:
+            continue
+        cs = sorted(custs)
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                common[(cs[i], cs[j])] += 1
+    adj: dict[int, set[int]] = defaultdict(set)
+    for (x, y), c in common.items():
+        if c >= COPURCHASE_MIN_COMMON:
+            adj[x].add(y)
+            adj[y].add(x)
+    verts = sorted(adj)
+    nn = len(verts)
+    hsum: dict[int, float] = defaultdict(float)
+    nreach: Counter = Counter()
+    for l in verts[:HARMONIC_LANDMARKS]:
+        dist = {l: 0}
+        frontier = [l]
+        for d in (1, 2, 3):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in dist.items():
+            if d > 0:
+                hsum[v] += 1 / d
+                nreach[v] += 1
+    expect = sorted(
+        (
+            (round((nn - 1) / HARMONIC_LANDMARKS * hsum[v], 6), v, nreach[v])
+            for v in hsum
+        ),
+        key=lambda r: (-r[0], r[1]),
+    )[:15]
+    assert len(got) == len(expect)
+    for row, (est, v, nr) in zip(got, expect):
+        assert row["node"] == v
+        assert row["n_landmarks_reached"] == nr
+        assert abs(row["harmonic_est"] - est) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# ERR: range + cascade-dominance invariants
+# --------------------------------------------------------------------------
+def test_err_eval_invariants(spark):
+    from mi_inbound_pulsar_spark.operators.text import NDCG_K, q_err_eval
+
+    rows = [r.asDict() for r in q_err_eval(spark, SF).collect()]
+    assert rows, "benchmark produced no queries"
+    # upper bound: all K slots graded max (R=3/8), cascade discount applied
+    ub = sum(
+        (3 / 8) * (5 / 8) ** (i - 1) / i for i in range(1, NDCG_K + 1)
+    )
+    for r in rows:
+        assert 0 < r[f"err_at_{NDCG_K}"] <= round(ub, 6) + 1e-9
+        assert 1 <= r["n_ranked"] <= NDCG_K
