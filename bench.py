@@ -160,6 +160,20 @@ HEADLINE = [
     "q_chapman_estimator",
     "q_holt_linear",
     "q_ams_f2_moment",
+    # round-9 additions: sketches, time-series models, screening tests
+    "q_kmv_distinct_sketch",
+    "q_moments_sketch",
+    "q_kalman_local_level",
+    "q_matrix_profile_topk",
+    "q_croston_intermittent",
+    "q_granger_lag1",
+    "q_kruskal_wallis",
+    "q_fisher_exact",
+    "q_landmark_harmonic",
+    "q_err_eval",
+    "q_theta_forecast",
+    "q_hierarchical_reconciliation",
+    "q_dp_quantile_exponential",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

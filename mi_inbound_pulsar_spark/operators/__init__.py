@@ -138,6 +138,9 @@ _PRIORITY = (
     "q_fisher_exact",
     "q_landmark_harmonic",
     "q_err_eval",
+    "q_theta_forecast",
+    "q_hierarchical_reconciliation",
+    "q_dp_quantile_exponential",
 )
 
 

@@ -2222,28 +2222,32 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment replaces it with per-partition bottom-k + merge.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+    half = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") < 10, F.lit("A")
+    ).otherwise(F.lit("B"))
+    # materialize the word array BEFORE the shingle lambda: expressions
+    # referenced inside a higher-order function are INLINED into it, so
+    # split(text) would re-evaluate per element_at per index (~125
+    # splits/row — measured 8.3 s just to explode 250k shingles)
+    words = d.select(
+        half.alias("half"), F.split(F.col("text"), " ").alias("w")
+    )
+    w = F.col("w")
     sh = F.when(
         F.size(w) >= 5,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - 4),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-                F.element_at(w, i + 3),
-                F.element_at(w, i + 4),
-            ),
+            lambda i: F.array_join(F.slice(w, i, 5), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    half = F.when(
-        F.expr("CAST(substring(source, 4) AS INT)") < 10, F.lit("A")
-    ).otherwise(F.lit("B"))
+    # hu feeds THREE consumers (histogram, candidate filter, exact
+    # union count) — materialize the corpus-scale explode+md5+distinct
+    # once (measured 11.0 s -> one scan at sf0.1); GC-cleaned blocks
     hu = (
-        d.select(half.alias("half"), F.explode(sh).alias("sh"))
+        words.select("half", F.explode(sh).alias("sh"))
         .select("half", F.expr(_KMV_U).cast("long").alias("u"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # stage 1: bounded histogram of the distinct hash values
     hist = hu.groupBy(

@@ -1493,13 +1493,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth-stable: adding documents only grows the DF table.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # materialize the split once per row: expressions referenced inside
+    # a HOF lambda are inlined, so split(text) would re-run per segment
+    wd = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    words = F.col("_w")
     w = LINE_SEG_WORDS
     segs = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size(words) / w).cast("int") - 1),
         lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
     )
-    e = d.select("doc_id", segs.alias("_segs")).select(
+    e = wd.select("doc_id", segs.alias("_segs")).select(
         "doc_id",
         F.posexplode("_segs").alias("seg_idx", "segment"),
     ).withColumn("seg_h", F.xxhash64("segment"))

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.operators.text import TOKEN_REGEX
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
@@ -1597,4 +1598,124 @@ def q_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mixture_weight"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# DP median via the exponential mechanism (deterministic Gumbel trick)
+# --------------------------------------------------------------------------
+DPQ_EPSILON = 1.0
+
+
+@query(
+    "q_dp_quantile_exponential",
+    oracle=f"""
+    WITH vc AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum_le,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM vc
+    ),
+    scored AS (
+      SELECT v, cum_le, n,
+             -abs(cum_le - n / 2.0) AS u,
+             (CAST('0x' || substr(md5('dpq:' || CAST(v AS VARCHAR)), 1, 13)
+                   AS BIGINT) + 0.5) / 4503599627370496.0 AS unif
+      FROM cum
+    ),
+    keyed AS (
+      SELECT v, cum_le, n,
+             {DPQ_EPSILON} / 2 * u + (-ln(-ln(unif))) AS gumbel_key
+      FROM scored
+    ),
+    true_med AS (SELECT min(v) AS tm FROM cum WHERE cum_le * 2 >= n),
+    win AS (
+      SELECT v, cum_le, n FROM keyed
+      ORDER BY round(gumbel_key, 9) DESC, v LIMIT 1
+    )
+    SELECT w.n, t.tm AS true_median, w.v AS dp_median,
+           CAST(abs(w.cum_le - (SELECT cum_le FROM cum WHERE v = t.tm))
+                AS BIGINT) AS rank_error,
+           CAST({DPQ_EPSILON} AS DOUBLE) AS epsilon
+    FROM win w, true_med t
+    """,
+)
+def q_dp_quantile_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP median of document length via the exponential mechanism
+    (McSherry & Talwar 2007) with utility u(v) = −|#{{x ≤ v}} − n/2|
+    (sensitivity 1) over the candidate value domain, sampled with the
+    Gumbel-max trick: argmax(εu/2 + Gumbel(0,1)) IS an exponential-
+    mechanism draw, and the Gumbel comes from the repo's portable
+    md5 dyadic uniform (−ln(−ln U)) so the release is reproducible
+    across engines — the q_dp_noisy_histogram determinism pattern
+    extended from Laplace counts to selection queries. The companion
+    the DP family needed: histograms release COUNTS, the exponential
+    mechanism releases a VALUE (median, mode, best split) without
+    touching count magnitudes.
+
+    Scale: candidates are the value domain (one map-side-combined
+    rollup), cumulative ranks are one bounded running sum, and the
+    argmax is a TakeOrdered(1) — no corpus-scale sort. The true
+    median rides along as the accuracy oracle (rank_error is the
+    realized utility loss a DP release would not publish).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vc = bounded_window_input(vc, label="q_dp_quantile value domain")
+    cum = vc.select(
+        "v",
+        F.sum("c")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_le"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dpq:"), F.col("v").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4503599627370496.0
+    keyed = cum.select(
+        "v",
+        "cum_le",
+        "n",
+        (
+            DPQ_EPSILON / 2 * (-F.abs(F.col("cum_le") - F.col("n") / 2.0))
+            + (-F.log(-F.log(unif)))
+        ).alias("gumbel_key"),
+    )
+    true_med = (
+        cum.filter(F.col("cum_le") * 2 >= F.col("n"))
+        .agg(F.min("v").alias("tm"))
+    )
+    win = (
+        keyed.orderBy(F.desc(F.round("gumbel_key", 9)), "v")
+        .limit(1)
+        .select("v", "cum_le", "n")
+    )
+    tm_rank = cum.select(F.col("v").alias("tm_v"), F.col("cum_le").alias("tm_cum"))
+    return (
+        win.crossJoin(F.broadcast(true_med))
+        .join(F.broadcast(tm_rank), F.col("tm_v") == F.col("tm"))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("tm").alias("true_median"),
+            F.col("v").alias("dp_median"),
+            F.abs(F.col("cum_le") - F.col("tm_cum"))
+            .cast("long")
+            .alias("rank_error"),
+            F.lit(float(DPQ_EPSILON)).alias("epsilon"),
+        )
     )

@@ -663,3 +663,258 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r2, 6).alias("aux_r2"),
         F.round(nn2 * r2, 6).alias("bp_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theta method forecast (SES + drift decomposition)
+# --------------------------------------------------------------------------
+THETA_ALPHA = 0.3
+
+
+@query(
+    "q_theta_forecast",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    xy AS (
+      SELECT row_number() OVER (ORDER BY day) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(cents AS DOUBLE) / 100 AS y
+      FROM d
+    ),
+    m AS (
+      SELECT max(n) AS n, sum(i) AS si, sum(y) AS sy,
+             sum(i * y) AS siy, sum(CAST(i AS DOUBLE) * i) AS sii
+      FROM xy
+    ),
+    fit AS (
+      SELECT n,
+             (siy - si * sy / n) / (sii - si * si / n) AS b,
+             sy / n - (siy - si * sy / n) / (sii - si * si / n) * si / n
+               AS a
+      FROM m
+    ),
+    ses AS (
+      SELECT max(fit.n) AS n, max(fit.a) AS a, max(fit.b) AS b,
+             sum(CASE WHEN xy.i = 1
+                      THEN pow({1 - THETA_ALPHA}, xy.n - 1)
+                           * (2 * xy.y - (fit.a + fit.b * xy.i))
+                      ELSE {THETA_ALPHA}
+                           * pow({1 - THETA_ALPHA}, xy.n - xy.i)
+                           * (2 * xy.y - (fit.a + fit.b * xy.i)) END)
+               AS l2
+      FROM xy, fit
+    )
+    SELECT n AS n_days,
+           round(b, 6) AS trend_slope,
+           round(l2, 6) AS theta2_level,
+           round(0.5 * (a + b * (n + 1)) + 0.5 * l2, 6) AS forecast_1d,
+           round(0.5 * (a + b * (n + 7)) + 0.5 * l2, 6) AS forecast_7d
+    FROM ses
+    """,
+)
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner; Hyndman & Billah 2003 show it is SES with
+    drift): decompose the daily revenue series into the θ=0 line (the
+    OLS trend, pure long-run signal) and the θ=2 line (2y − trend,
+    doubled curvature), SES-smooth the θ=2 line, and forecast the
+    equal-weight combination 0.5·trend(T+h) + 0.5·SES-level. SES uses
+    the same closed-form weight expansion as q_croston_intermittent
+    (uncoupled recurrence ⇒ one order-insensitive weighted aggregate),
+    so no fold and no recursive CTE are needed.
+
+    Scale: OLS moments and the weighted SES aggregate are two
+    map-side-combined passes over the |days|-row rollup.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_theta day series")
+    w_all = Window.partitionBy()
+    xy = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        (F.col("cents").cast("double") / 100).alias("y"),
+    )
+    m = xy.agg(
+        F.max("n").alias("n"),
+        F.sum("i").alias("si"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).alias("siy"),
+        F.sum(F.col("i").cast("double") * F.col("i")).alias("sii"),
+    )
+    nn = F.col("n")
+    b = (F.col("siy") - F.col("si") * F.col("sy") / nn) / (
+        F.col("sii") - F.col("si") * F.col("si") / nn
+    )
+    # no "n" in fit: xy already carries it and the crossJoin below
+    # would make the reference ambiguous
+    fit = m.select(
+        b.alias("b"), (F.col("sy") / nn - b * F.col("si") / nn).alias("a")
+    )
+    al = THETA_ALPHA
+    theta2 = 2 * F.col("y") - (F.col("a") + F.col("b") * F.col("i"))
+    w_i = F.when(
+        F.col("i") == 1, F.pow(F.lit(1 - al), F.col("n") - 1)
+    ).otherwise(F.lit(al) * F.pow(F.lit(1 - al), F.col("n") - F.col("i")))
+    ses = xy.crossJoin(F.broadcast(fit)).agg(
+        F.max("n").alias("n"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.sum(w_i * theta2).alias("l2"),
+    )
+    return ses.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("b", 6).alias("trend_slope"),
+        F.round("l2", 6).alias("theta2_level"),
+        F.round(
+            0.5 * (F.col("a") + F.col("b") * (F.col("n") + 1))
+            + 0.5 * F.col("l2"),
+            6,
+        ).alias("forecast_1d"),
+        F.round(
+            0.5 * (F.col("a") + F.col("b") * (F.col("n") + 7))
+            + 0.5 * F.col("l2"),
+            6,
+        ).alias("forecast_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical forecast reconciliation: bottom-up vs top-down coherence
+# --------------------------------------------------------------------------
+HIER_ALPHA = 0.3
+HIER_TOP_ALPHA = 0.5  # the top level runs its OWN model (see docstring)
+HIER_SHARE_DAYS = 7
+
+
+@query(
+    "q_hierarchical_reconciliation",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT k, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY k ORDER BY day) AS i,
+             count(*) OVER (PARTITION BY k) AS n,
+             max(day) OVER () - day AS days_from_end
+      FROM ev
+    ),
+    bottom AS (
+      SELECT k,
+             sum(CASE WHEN i = 1 THEN pow({1 - HIER_ALPHA}, n - 1) * y
+                      ELSE {HIER_ALPHA} * pow({1 - HIER_ALPHA}, n - i) * y
+                 END) AS ses,
+             sum(y) FILTER (days_from_end < {HIER_SHARE_DAYS})
+               AS recent
+      FROM idx GROUP BY k
+    ),
+    tot AS (
+      SELECT day, CAST(sum(y) AS DOUBLE) AS y FROM ev GROUP BY day
+    ),
+    tidx AS (
+      SELECT y, row_number() OVER (ORDER BY day) AS i,
+             count(*) OVER () AS n
+      FROM tot
+    ),
+    top AS (
+      SELECT sum(CASE WHEN i = 1 THEN pow({1 - HIER_TOP_ALPHA}, n - 1) * y
+                      ELSE {HIER_TOP_ALPHA}
+                           * pow({1 - HIER_TOP_ALPHA}, n - i) * y
+                 END) AS ses
+      FROM tidx
+    ),
+    shares AS (
+      SELECT b.k, b.ses, b.recent,
+             b.recent / sum(b.recent) OVER () AS share
+      FROM bottom b
+    )
+    SELECT k AS series,
+           round(ses, 6) AS bu_forecast,
+           round(share, 6) AS td_share,
+           round(share * (SELECT ses FROM top), 6) AS td_forecast,
+           round(sum(ses) OVER (), 6) AS bu_total,
+           round((SELECT ses FROM top), 6) AS top_forecast
+    FROM shares ORDER BY k
+    """,
+)
+def q_hierarchical_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation (Hyndman et al. 2011's
+    coherence problem, in its two classical solutions): per-event-type
+    daily-count SES forecasts (bottom-up — coherent by summation, but
+    noisy leaves) vs one SES on the aggregate split top-down by
+    {HIER_SHARE_DAYS}-day historical shares (stable, but blind to
+    leaf-level trend shifts). Emitting both per series — plus the
+    bu_total / top_forecast pair whose gap IS the incoherence a MinT-
+    style reconciler would distribute — is the diagnostic a metrics
+    tier runs before trusting ANY per-segment forecast roll-up.
+
+    SES again via the closed-form weight expansion, here per key: the
+    same aggregate folded inside groupBy (the q_ewma_smoothing fleet
+    pattern, without the fold). The top level deliberately runs its
+    OWN smoother (α={HIER_TOP_ALPHA} vs the leaves' {HIER_ALPHA}), as
+    hierarchical practice does — with identical models everywhere SES
+    linearity makes bu_total ≡ top_forecast and the coherence gap
+    degenerates to 0 (observed before this split).
+
+    Scale: everything lives on the (event_type × day) rollup —
+    map-side-combined from the corpus, ≤ |types|·|days| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    ev = bounded_window_input(ev, label="q_hier (type, day) rollup")
+    al = HIER_ALPHA
+    idx = ev.select(
+        "k",
+        F.col("y").cast("double").alias("y"),
+        F.row_number()
+        .over(Window.partitionBy("k").orderBy("day"))
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n"),
+        (F.max("day").over(Window.partitionBy()) - F.col("day")).alias(
+            "days_from_end"
+        ),
+    )
+    w_i = F.when(
+        F.col("i") == 1, F.pow(F.lit(1 - al), F.col("n") - 1)
+    ).otherwise(F.lit(al) * F.pow(F.lit(1 - al), F.col("n") - F.col("i")))
+    bottom = idx.groupBy("k").agg(
+        F.sum(w_i * F.col("y")).alias("ses"),
+        F.sum(
+            F.when(F.col("days_from_end") < HIER_SHARE_DAYS, F.col("y"))
+        ).alias("recent"),
+    )
+    tot = ev.groupBy("day").agg(F.sum("y").cast("double").alias("y"))
+    tot = bounded_window_input(tot, label="q_hier total series")
+    tidx = tot.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    at = HIER_TOP_ALPHA
+    w_top = F.when(
+        F.col("i") == 1, F.pow(F.lit(1 - at), F.col("n") - 1)
+    ).otherwise(F.lit(at) * F.pow(F.lit(1 - at), F.col("n") - F.col("i")))
+    top = tidx.agg(F.sum(w_top * F.col("y")).alias("top_ses"))
+    shares = bottom.crossJoin(F.broadcast(top))
+    shares = bounded_window_input(shares, label="q_hier share frame")
+    w_all = Window.partitionBy()
+    return shares.select(
+        F.col("k").alias("series"),
+        F.round("ses", 6).alias("bu_forecast"),
+        F.round(
+            F.col("recent") / F.sum("recent").over(w_all), 6
+        ).alias("td_share"),
+        F.round(
+            F.col("recent")
+            / F.sum("recent").over(w_all)
+            * F.col("top_ses"),
+            6,
+        ).alias("td_forecast"),
+        F.round(F.sum("ses").over(w_all), 6).alias("bu_total"),
+        F.round("top_ses", 6).alias("top_forecast"),
+    ).orderBy("series")

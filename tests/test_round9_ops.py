@@ -511,3 +511,113 @@ def test_err_eval_invariants(spark):
     for r in rows:
         assert 0 < r[f"err_at_{NDCG_K}"] <= round(ub, 6) + 1e-9
         assert 1 <= r["n_ranked"] <= NDCG_K
+
+
+# --------------------------------------------------------------------------
+# Theta forecast: python replay (trend OLS + SES recurrence on theta2)
+# --------------------------------------------------------------------------
+def test_theta_forecast_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        THETA_ALPHA,
+        q_theta_forecast,
+    )
+
+    got = _row(q_theta_forecast(spark, SF))
+    ys = [c / 100 for _, c in sorted(_daily_cents(SF).items())]
+    n = len(ys)
+    si = n * (n + 1) / 2
+    sii = sum((i + 1) ** 2 for i in range(n))
+    sy = sum(ys)
+    siy = sum((i + 1) * y for i, y in enumerate(ys))
+    b = (siy - si * sy / n) / (sii - si * si / n)
+    a = sy / n - b * si / n
+    th2 = [2 * y - (a + b * (i + 1)) for i, y in enumerate(ys)]
+    l2 = th2[0]
+    for v in th2[1:]:  # recurrence, vs the production closed form
+        l2 = THETA_ALPHA * v + (1 - THETA_ALPHA) * l2
+    assert got["n_days"] == n
+    assert abs(got["trend_slope"] - b) < 1e-6
+    assert abs(got["theta2_level"] - l2) < 1e-5
+    assert abs(got["forecast_1d"] - (0.5 * (a + b * (n + 1)) + 0.5 * l2)) < 1e-5
+    assert abs(got["forecast_7d"] - (0.5 * (a + b * (n + 7)) + 0.5 * l2)) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# Hierarchical reconciliation: python replay + coherence identities
+# --------------------------------------------------------------------------
+def test_hierarchical_reconciliation_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        HIER_ALPHA,
+        HIER_SHARE_DAYS,
+        HIER_TOP_ALPHA,
+        q_hierarchical_reconciliation,
+    )
+
+    rows = {
+        r["series"]: r.asDict()
+        for r in q_hierarchical_reconciliation(spark, SF).collect()
+    }
+    ts, _, et, _ = _events(SF)
+    per: dict[str, Counter] = defaultdict(Counter)
+    for t, e in zip(ts, et):
+        per[e][t // US_PER_DAY] += 1
+
+    def ses(vals, alpha):
+        l = float(vals[0])
+        for v in vals[1:]:
+            l = alpha * v + (1 - alpha) * l
+        return l
+
+    dmax = max(d for c in per.values() for d in c)
+    bu, recent = {}, {}
+    for k, c in per.items():
+        days = sorted(c)
+        bu[k] = ses([c[d] for d in days], HIER_ALPHA)
+        recent[k] = sum(v for d, v in c.items() if dmax - d < HIER_SHARE_DAYS)
+    tot = Counter()
+    for c in per.values():
+        tot.update(c)
+    top = ses([tot[d] for d in sorted(tot)], HIER_TOP_ALPHA)
+    rsum = sum(recent.values())
+    for k in per:
+        assert abs(rows[k]["bu_forecast"] - bu[k]) < 1e-5, k
+        assert abs(rows[k]["td_forecast"] - recent[k] / rsum * top) < 1e-5, k
+        assert abs(rows[k]["top_forecast"] - top) < 1e-5
+        assert abs(rows[k]["bu_total"] - sum(bu.values())) < 1e-5
+    # td forecasts are coherent by construction: they sum to the top
+    assert abs(sum(r["td_forecast"] for r in rows.values()) - top) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# DP quantile: full deterministic replay incl. the Gumbel keys
+# --------------------------------------------------------------------------
+def test_dp_quantile_matches_python_replay(spark):
+    from mi_inbound_pulsar_spark.operators.sampling import (
+        DPQ_EPSILON,
+        q_dp_quantile_exponential,
+    )
+
+    got = _row(q_dp_quantile_exponential(spark, SF))
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
+    xs = Counter(t["n_chars"].to_pylist())
+    n = sum(xs.values())
+    vals = sorted(xs)
+    cum, cum_le = 0, {}
+    for v in vals:
+        cum += xs[v]
+        cum_le[v] = cum
+    true_med = min(v for v in vals if cum_le[v] * 2 >= n)
+    best = None
+    for v in vals:
+        u = -abs(cum_le[v] - n / 2)
+        unif = (
+            int(hashlib.md5(f"dpq:{v}".encode()).hexdigest()[:13], 16) + 0.5
+        ) / 4503599627370496.0
+        key = DPQ_EPSILON / 2 * u + (-math.log(-math.log(unif)))
+        cand = (round(key, 9), -v)
+        if best is None or cand > best:
+            best, win = cand, v
+    assert got["n"] == n
+    assert got["true_median"] == true_med
+    assert got["dp_median"] == win
+    assert got["rank_error"] == abs(cum_le[win] - cum_le[true_med])
