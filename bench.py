@@ -174,6 +174,9 @@ HEADLINE = [
     "q_theta_forecast",
     "q_hierarchical_reconciliation",
     "q_dp_quantile_exponential",
+    "q_event_study",
+    "q_fairness_audit",
+    "q_rouge_overlap",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

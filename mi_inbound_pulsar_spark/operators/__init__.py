@@ -141,6 +141,9 @@ _PRIORITY = (
     "q_theta_forecast",
     "q_hierarchical_reconciliation",
     "q_dp_quantile_exponential",
+    "q_event_study",
+    "q_fairness_audit",
+    "q_rouge_overlap",
 )
 
 

@@ -5561,3 +5561,147 @@ def q_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             "att",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Event study: per-period DiD coefficients with leads as the
+# parallel-trends diagnostic
+# --------------------------------------------------------------------------
+ES_PERIOD_DAYS = 5
+ES_BASE_PERIOD = 2  # last pre-treatment period; treatment at period 3
+US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "q_event_study",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CASE WHEN substring(md5('exp7:' || CAST(user_id AS VARCHAR)),
+                                 1, 1) < '8' THEN 'A' ELSE 'B' END AS arm,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    d0 AS (SELECT min(day) AS d0 FROM ev),
+    users AS (
+      SELECT arm, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM ev GROUP BY arm
+    ),
+    cell AS (
+      SELECT ev.arm, (ev.day - d0.d0) // {ES_PERIOD_DAYS} AS period,
+             CAST(sum(ev.cents) AS BIGINT) AS total_cents
+      FROM ev, d0 GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.period,
+             sum(CASE WHEN c.arm = 'A'
+                      THEN CAST(c.total_cents AS DOUBLE) / u.n_users / 100
+                 END) AS mean_a,
+             sum(CASE WHEN c.arm = 'B'
+                      THEN CAST(c.total_cents AS DOUBLE) / u.n_users / 100
+                 END) AS mean_b
+      FROM cell c JOIN users u ON u.arm = c.arm
+      GROUP BY c.period
+    ),
+    base AS (
+      SELECT mean_b - mean_a AS base_gap FROM m
+      WHERE period = {ES_BASE_PERIOD}
+    )
+    SELECT CAST(m.period AS BIGINT) AS period,
+           period > {ES_BASE_PERIOD} AS is_post,
+           round(m.mean_a, 6) AS mean_a,
+           round(m.mean_b, 6) AS mean_b,
+           round(m.mean_b - m.mean_a, 6) AS gap,
+           round(m.mean_b - m.mean_a - b.base_gap, 6) AS effect
+    FROM m, base b ORDER BY period
+    """,
+)
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study / dynamic DiD (the leads-and-lags regression of
+    Jacobson, LaLonde & Sullivan 1993, in its cell-means form): per-
+    {ES_PERIOD_DAYS}-day-period treated-vs-control gaps normalized to
+    the last pre-period — the lead coefficients (periods <
+    {ES_BASE_PERIOD}) ARE the parallel-trends diagnostic the single
+    2×2 q_diff_in_diff must assume, and the lag coefficients trace
+    the effect's dynamics instead of averaging them. Same 'exp7' hash
+    arms as q_ab_lift / q_cuped_adjustment / q_diff_in_diff, so the
+    experimentation shelf reads off one design (with a hash split the
+    true effects are ~0; the leads hovering near zero is the point).
+
+    Per-period means carry implicit zeros correctly: cell totals over
+    the arm's FULL purchaser count, not over period-active users.
+
+    Scale: one per-(arm, period) rollup with map-side combine, one
+    per-arm distinct-user count, a |periods|-row join. Nothing else
+    touches raw events.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    ev = e.select(
+        "user_id",
+        arm.alias("arm"),
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    users = ev.groupBy("arm").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    cell = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(
+            "arm",
+            F.expr(f"(day - d0) DIV {ES_PERIOD_DAYS}").alias("period"),
+        )
+        .agg(F.sum("cents").alias("total_cents"))
+    )
+    m = (
+        cell.join(F.broadcast(users), "arm")
+        .groupBy("period")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("arm") == "A",
+                    F.col("total_cents").cast("double")
+                    / F.col("n_users")
+                    / 100,
+                )
+            ).alias("mean_a"),
+            F.sum(
+                F.when(
+                    F.col("arm") == "B",
+                    F.col("total_cents").cast("double")
+                    / F.col("n_users")
+                    / 100,
+                )
+            ).alias("mean_b"),
+        )
+    )
+    base = m.filter(F.col("period") == ES_BASE_PERIOD).select(
+        (F.col("mean_b") - F.col("mean_a")).alias("base_gap")
+    )
+    return (
+        m.crossJoin(F.broadcast(base))
+        .select(
+            F.col("period").cast("long").alias("period"),
+            (F.col("period") > ES_BASE_PERIOD).alias("is_post"),
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("gap"),
+            F.round(
+                F.col("mean_b") - F.col("mean_a") - F.col("base_gap"), 6
+            ).alias("effect"),
+        )
+        .orderBy("period")
+    )

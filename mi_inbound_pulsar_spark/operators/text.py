@@ -3028,8 +3028,8 @@ _QL_SCORE_SQL = """
              * 1.0 / len(w)) >= {minalpha}
         AND len(list_intersect(list_distinct(w),
             ['the','a','of','and','in','to','is'])) >= {minstop}
-        THEN 1 ELSE 0 END AS y
-      FROM (SELECT string_split(text, ' ') AS w, text FROM documents)
+        THEN 1 ELSE 0 END AS y, lang
+      FROM (SELECT string_split(text, ' ') AS w, text, lang FROM documents)
 """
 
 
@@ -3046,9 +3046,10 @@ def _ql_score_sql() -> str:
 
 
 def _ql_scored(d: DataFrame) -> DataFrame:
-    """(score, y) per document: the 6dp-rounded quality logit and the
-    exact-integer Gopher conjunction — the shared input of the AUC,
-    gains-curve, and ECE audits."""
+    """(lang, score, y) per document: the 6dp-rounded quality logit
+    and the exact-integer Gopher conjunction — the shared input of the
+    AUC, gains-curve, ECE, and fairness audits (lang rides along as
+    the protected attribute; score-keyed consumers ignore it)."""
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     n_types = F.size(F.array_distinct(toks))
@@ -3082,7 +3083,9 @@ def _ql_scored(d: DataFrame) -> DataFrame:
             >= GOPHER_MIN_STOP_HITS
         )
     )
-    return d.select(score.alias("score"), F.when(label, 1).otherwise(0).alias("y"))
+    return d.select(
+        "lang", score.alias("score"), F.when(label, 1).otherwise(0).alias("y")
+    )
 
 
 @query(
@@ -5360,4 +5363,253 @@ def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"err_at_{NDCG_K}"),
         )
         .orderBy("qid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fairness audit of the quality-filter classifier across languages
+# --------------------------------------------------------------------------
+QL_FAIR_THRESHOLD = 0.0  # logit >= 0 <=> predicted "keep"
+
+
+@query(
+    "q_fairness_audit",
+    oracle=f"""
+    WITH scored AS ({{_QL}}),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) FILTER (score >= {QL_FAIR_THRESHOLD})
+                  AS BIGINT) AS n_pred,
+             CAST(count(*) FILTER (score >= {QL_FAIR_THRESHOLD} AND y = 1)
+                  AS BIGINT) AS n_tp,
+             CAST(count(*) FILTER (score >= {QL_FAIR_THRESHOLD} AND y = 0)
+                  AS BIGINT) AS n_fp
+      FROM scored GROUP BY lang
+    ),
+    o AS (
+      SELECT sum(n_pred) * 1.0 / sum(n) AS all_rate,
+             sum(n_tp) * 1.0 / nullif(sum(n_pos), 0) AS all_tpr
+      FROM g
+    )
+    SELECT g.lang, g.n, g.n_pos,
+           round(g.n_pred * 1.0 / g.n, 6) AS pred_rate,
+           round(g.n_tp * 1.0 / nullif(g.n_pos, 0), 6) AS tpr,
+           round(g.n_fp * 1.0 / nullif(g.n - g.n_pos, 0), 6) AS fpr,
+           round(g.n_pred * 1.0 / g.n - o.all_rate, 6) AS dp_gap,
+           round(g.n_tp * 1.0 / nullif(g.n_pos, 0) - o.all_tpr, 6)
+             AS eo_gap
+    FROM g, o ORDER BY g.lang
+    """.replace("{_QL}", _ql_score_sql()),
+)
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit (Hardt, Price & Srebro 2016's equalized
+    odds; Feldman et al. 2015's disparate impact) of the Gopher-style
+    quality filter, with language as the protected attribute: per-lang
+    selection rate (demographic parity), TPR and FPR at the fixed
+    keep-threshold logit ≥ {QL_FAIR_THRESHOLD}, plus each group's gap
+    against the corpus-wide rate — THE governance readout for a
+    training-data curation gate, where a quality filter that silently
+    under-selects one language's positives (eo_gap < 0) reshapes the
+    corpus mixture in ways q_corpus_mixture only detects after the
+    fact. Groups with no positives report NULL TPR (nullif, both
+    engines) rather than a fake 0.
+
+    Scale: one map-side-combined rollup to |langs| rows over the
+    shared _ql_scored frame, one 1-row overall aggregate broadcast
+    back. Nothing touches raw documents twice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pred = F.col("score") >= QL_FAIR_THRESHOLD
+    g = (
+        _ql_scored(d)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.count_if(pred).alias("n_pred"),
+            F.count_if(pred & (F.col("y") == 1)).alias("n_tp"),
+            F.count_if(pred & (F.col("y") == 0)).alias("n_fp"),
+        )
+    )
+    o = g.agg(
+        (F.sum("n_pred") * 1.0 / F.sum("n")).alias("all_rate"),
+        (
+            F.sum("n_tp") * 1.0 / F.nullif(F.sum("n_pos"), F.lit(0))
+        ).alias("all_tpr"),
+    )
+    tpr = F.col("n_tp") * 1.0 / F.nullif(F.col("n_pos"), F.lit(0))
+    return (
+        g.crossJoin(F.broadcast(o))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(F.col("n_pred") * 1.0 / F.col("n"), 6).alias(
+                "pred_rate"
+            ),
+            F.round(tpr, 6).alias("tpr"),
+            F.round(
+                F.col("n_fp")
+                * 1.0
+                / F.nullif(F.col("n") - F.col("n_pos"), F.lit(0)),
+                6,
+            ).alias("fpr"),
+            F.round(
+                F.col("n_pred") * 1.0 / F.col("n") - F.col("all_rate"), 6
+            ).alias("dp_gap"),
+            F.round(tpr - F.col("all_tpr"), 6).alias("eo_gap"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-1/2 on a deterministic paired eval set
+# --------------------------------------------------------------------------
+ROUGE_PAIRS = 10  # pairs (cand, ref) = (doc 2k, doc 2k+1), k < 10
+
+
+@query(
+    "q_rouge_overlap",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id // 2 AS pair, doc_id % 2 = 0 AS is_cand,
+             string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < {2 * ROUGE_PAIRS}
+    ),
+    uni AS (
+      SELECT pair, is_cand, unnest(w) AS g FROM docs
+    ),
+    bi AS (
+      SELECT pair, is_cand, w[i] || ' ' || w[i + 1] AS g
+      FROM docs, unnest(generate_series(1, len(w) - 1)) t(i)
+    ),
+    grams AS (
+      SELECT 1 AS n, pair, is_cand, g, count(*) AS c FROM uni
+      GROUP BY 2, 3, 4
+      UNION ALL
+      SELECT 2, pair, is_cand, g, count(*) FROM bi GROUP BY 2, 3, 4
+    ),
+    ov AS (
+      SELECT a.n, a.pair,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+      FROM grams a JOIN grams b
+        ON a.n = b.n AND a.pair = b.pair AND a.g = b.g
+       AND a.is_cand AND NOT b.is_cand
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT n, pair,
+             CAST(sum(CASE WHEN is_cand THEN c END) AS BIGINT) AS n_cand,
+             CAST(sum(CASE WHEN NOT is_cand THEN c END) AS BIGINT) AS n_ref
+      FROM grams GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT t.n, t.pair, coalesce(o.overlap, 0) AS ov, t.n_cand, t.n_ref,
+             coalesce(o.overlap, 0) * 1.0 / t.n_cand AS p,
+             coalesce(o.overlap, 0) * 1.0 / t.n_ref AS r
+      FROM tot t LEFT JOIN ov o ON o.n = t.n AND o.pair = t.pair
+    )
+    SELECT pair,
+           max(CASE WHEN n = 1 THEN round(p, 6) END) AS rouge1_p,
+           max(CASE WHEN n = 1 THEN round(r, 6) END) AS rouge1_r,
+           max(CASE WHEN n = 1
+                    THEN round(2 * p * r / nullif(p + r, 0), 6) END)
+             AS rouge1_f,
+           max(CASE WHEN n = 2 THEN round(p, 6) END) AS rouge2_p,
+           max(CASE WHEN n = 2 THEN round(r, 6) END) AS rouge2_r,
+           max(CASE WHEN n = 2
+                    THEN round(2 * p * r / nullif(p + r, 0), 6) END)
+             AS rouge2_f
+    FROM m GROUP BY pair ORDER BY pair
+    """,
+)
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 (Lin 2004) with CLIPPED n-gram counts over a
+    deterministic paired eval set (candidate doc 2k vs reference doc
+    2k+1, k < {ROUGE_PAIRS}): precision, recall and F per pair for
+    unigrams and bigrams — the summarization/reference-overlap metric
+    the eval shelf lacked next to self-BLEU (corpus diversity) and
+    the retrieval metrics (rank quality). Clipping (min of the two
+    counts per gram) is what separates ROUGE from raw token overlap:
+    a candidate repeating one reference word cannot farm recall.
+
+    Hash-exactness: all counts are exact integers; P/R/F are single
+    rounded ratios; zero-overlap pairs report F=NULL via nullif
+    identically in both engines.
+
+    Scale: the eval set is id-bounded, but the plan is the general
+    one — per-(pair, side, gram) counts, a gram-keyed join, one
+    rollup per pair — and at a million pairs nothing changes: every
+    shuffle is keyed by (pair, gram), never corpus-wide.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2 * ROUGE_PAIRS
+    )
+    docs = d.select(
+        (F.col("doc_id") / 2).cast("long").alias("pair"),
+        (F.col("doc_id") % 2 == 0).alias("is_cand"),
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    w = F.col("w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = docs.select(
+        F.lit(1).alias("n"), "pair", "is_cand", F.explode(w).alias("g")
+    )
+    bi = docs.select(
+        F.lit(2).alias("n"), "pair", "is_cand", F.explode(bigrams).alias("g")
+    )
+    grams = (
+        uni.unionByName(bi)
+        .groupBy("n", "pair", "is_cand", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = grams.filter("is_cand").select(
+        "n", "pair", "g", F.col("c").alias("ca")
+    )
+    b = grams.filter(~F.col("is_cand")).select(
+        "n", "pair", "g", F.col("c").alias("cb")
+    )
+    ov = (
+        a.join(b, ["n", "pair", "g"])
+        .groupBy("n", "pair")
+        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+    )
+    tot = grams.groupBy("n", "pair").agg(
+        F.sum(F.when(F.col("is_cand"), F.col("c"))).alias("n_cand"),
+        F.sum(F.when(~F.col("is_cand"), F.col("c"))).alias("n_ref"),
+    )
+    m = tot.join(ov, ["n", "pair"], "left").select(
+        "n",
+        "pair",
+        (F.coalesce("overlap", F.lit(0)) * 1.0 / F.col("n_cand")).alias("p"),
+        (F.coalesce("overlap", F.lit(0)) * 1.0 / F.col("n_ref")).alias("r"),
+    )
+
+    def cell(n: int, col, name: str):
+        return F.max(F.when(F.col("n") == n, col)).alias(name)
+
+    f_col = 2 * F.col("p") * F.col("r") / F.nullif(
+        F.col("p") + F.col("r"), F.lit(0.0)
+    )
+    return (
+        m.groupBy("pair")
+        .agg(
+            cell(1, F.round("p", 6), "rouge1_p"),
+            cell(1, F.round("r", 6), "rouge1_r"),
+            cell(1, F.round(f_col, 6), "rouge1_f"),
+            cell(2, F.round("p", 6), "rouge2_p"),
+            cell(2, F.round("r", 6), "rouge2_r"),
+            cell(2, F.round(f_col, 6), "rouge2_f"),
+        )
+        .orderBy("pair")
     )

@@ -621,3 +621,131 @@ def test_dp_quantile_matches_python_replay(spark):
     assert got["true_median"] == true_med
     assert got["dp_median"] == win
     assert got["rank_error"] == abs(cum_le[win] - cum_le[true_med])
+
+
+# --------------------------------------------------------------------------
+# Event study: python replay + the DiD-consistency identity
+# --------------------------------------------------------------------------
+def test_event_study_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.aggstats import (
+        ES_BASE_PERIOD,
+        ES_PERIOD_DAYS,
+        q_event_study,
+    )
+
+    rows = {r["period"]: r.asDict() for r in q_event_study(spark, SF).collect()}
+    ts, uid, et, val = _events(SF)
+    pur = [
+        (u, t // US_PER_DAY, int(round(v * 100)))
+        for t, u, e, v in zip(ts, uid, et, val)
+        if e == "purchase"
+    ]
+    d0 = min(d for _, d, _ in pur)
+    arm_of = lambda u: (
+        "A" if hashlib.md5(f"exp7:{u}".encode()).hexdigest()[0] < "8" else "B"
+    )
+    users = {"A": set(), "B": set()}
+    cell: dict[tuple[str, int], int] = defaultdict(int)
+    for u, d, c in pur:
+        a = arm_of(u)
+        users[a].add(u)
+        cell[(a, (d - d0) // ES_PERIOD_DAYS)] += c
+    periods = sorted({p for _, p in cell})
+    means = {
+        (a, p): cell[(a, p)] / len(users[a]) / 100
+        for a in ("A", "B")
+        for p in periods
+    }
+    base = means[("B", ES_BASE_PERIOD)] - means[("A", ES_BASE_PERIOD)]
+    for p in periods:
+        eff = means[("B", p)] - means[("A", p)] - base
+        assert abs(rows[p]["effect"] - eff) < 1e-5, p
+        assert rows[p]["is_post"] == (p > ES_BASE_PERIOD)
+    assert rows[ES_BASE_PERIOD]["effect"] == 0.0  # normalization anchor
+
+
+# --------------------------------------------------------------------------
+# Fairness audit: python replay + the rate-mixture identity
+# --------------------------------------------------------------------------
+def test_fairness_audit_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.text import (
+        QL_FAIR_THRESHOLD,
+        q_fairness_audit,
+        _ql_scored,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    rows = {r["lang"]: r.asDict() for r in q_fairness_audit(spark, SF).collect()}
+    # replay from the Spark-side scored frame (the scorer itself is
+    # oracle-verified by q_auc_roc/q_calibration_ece); this test pins
+    # the fairness ARITHMETIC on top of it
+    scored = [
+        r.asDict()
+        for r in _ql_scored(load_table(spark, SF, "documents")).collect()
+    ]
+    groups: dict[str, list[dict]] = defaultdict(list)
+    for r in scored:
+        groups[r["lang"]].append(r)
+    all_pred = sum(1 for r in scored if r["score"] >= QL_FAIR_THRESHOLD)
+    all_pos = sum(r["y"] for r in scored)
+    all_tp = sum(
+        1 for r in scored if r["score"] >= QL_FAIR_THRESHOLD and r["y"] == 1
+    )
+    for lang, g in groups.items():
+        n = len(g)
+        n_pos = sum(r["y"] for r in g)
+        n_pred = sum(1 for r in g if r["score"] >= QL_FAIR_THRESHOLD)
+        n_tp = sum(
+            1 for r in g if r["score"] >= QL_FAIR_THRESHOLD and r["y"] == 1
+        )
+        got = rows[lang]
+        assert got["n"] == n and got["n_pos"] == n_pos
+        assert abs(got["pred_rate"] - n_pred / n) < 1e-6
+        if n_pos:
+            assert abs(got["tpr"] - n_tp / n_pos) < 1e-6
+            assert abs(
+                got["eo_gap"] - (n_tp / n_pos - all_tp / all_pos)
+            ) < 1e-6
+        assert abs(
+            got["dp_gap"] - (n_pred / n - all_pred / len(scored))
+        ) < 1e-6
+    # group rates mix back to the overall rate
+    mix = sum(r["n"] * r["pred_rate"] for r in rows.values()) / sum(
+        r["n"] for r in rows.values()
+    )
+    assert abs(mix - all_pred / len(scored)) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# ROUGE: python clipped-count replay
+# --------------------------------------------------------------------------
+def test_rouge_overlap_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.text import (
+        ROUGE_PAIRS,
+        q_rouge_overlap,
+    )
+
+    rows = {r["pair"]: r.asDict() for r in q_rouge_overlap(spark, SF).collect()}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def grams(doc_id, n):
+        w = texts[doc_id].split(" ")
+        return Counter(
+            " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+        )
+
+    for k in range(ROUGE_PAIRS):
+        for n, tag in ((1, "rouge1"), (2, "rouge2")):
+            c, r = grams(2 * k, n), grams(2 * k + 1, n)
+            ov = sum(min(c[g], r[g]) for g in c.keys() & r.keys())
+            p = ov / sum(c.values())
+            rr = ov / sum(r.values())
+            got = rows[k]
+            assert abs(got[f"{tag}_p"] - p) < 1e-6, (k, n)
+            assert abs(got[f"{tag}_r"] - rr) < 1e-6, (k, n)
+            if p + rr:
+                f = 2 * p * rr / (p + rr)
+                assert abs(got[f"{tag}_f"] - f) < 1e-6, (k, n)
+            else:
+                assert got[f"{tag}_f"] is None
