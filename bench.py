@@ -177,6 +177,9 @@ HEADLINE = [
     "q_event_study",
     "q_fairness_audit",
     "q_rouge_overlap",
+    "q_weibull_plot_fit",
+    "q_good_turing",
+    "q_price_elasticity",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

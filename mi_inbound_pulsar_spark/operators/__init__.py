@@ -144,6 +144,9 @@ _PRIORITY = (
     "q_event_study",
     "q_fairness_audit",
     "q_rouge_overlap",
+    "q_weibull_plot_fit",
+    "q_good_turing",
+    "q_price_elasticity",
 )
 
 

@@ -5705,3 +5705,107 @@ def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-sectional price elasticity (log-log OLS over parts)
+# --------------------------------------------------------------------------
+@query(
+    "q_price_elasticity",
+    oracle="""
+    WITH per_part AS (
+      SELECT l.l_partkey AS part,
+             CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS qty,
+             CAST(round(max(p.p_retailprice) * 100, 0) AS BIGINT)
+               AS price_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT ln(CAST(price_cents AS DOUBLE) / 100) AS x,
+             ln(CAST(qty AS DOUBLE)) AS y
+      FROM per_part WHERE qty > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts
+    )
+    SELECT n AS n_parts,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+             AS elasticity,
+           round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * sx / n, 6) AS intercept,
+           round(pow(sxy - sx * sy / n, 2)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+    FROM m
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional price elasticity of demand (the log-log
+    regression of Marshall's constant-elasticity model): OLS of
+    ln(total quantity sold) on ln(retail price) across parts — the
+    slope IS the elasticity (−1 = unit elastic; TPC-H's uniform
+    demand generator should show ≈0, which is itself the calibration
+    check). Joins the q_agg_regression family as the economics
+    reading of the same closed-form machinery.
+
+    Hash-exactness: per-part quantity and price collapse to exact
+    integers before the logs, so both engines fit identical points;
+    the OLS moments are sums of ~|ln| magnitude doubles (no 1e10
+    cancellation — the q_granger_lag1 hazard class doesn't apply).
+
+    Scale: one join keyed by partkey (broadcastable dim at any
+    realistic |part|), one map-side-combined per-part rollup, one
+    closed-form aggregate. Never touches raw lineitem twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("q"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    per_part = (
+        li.join(F.broadcast(p), "part")
+        .groupBy("part")
+        .agg(
+            F.sum("q").alias("qty"),
+            F.max("price_cents").alias("price_cents"),
+        )
+    )
+    pts = per_part.filter(F.col("qty") > 0).select(
+        F.log(F.col("price_cents").cast("double") / 100).alias("x"),
+        F.log(F.col("qty").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nn = F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    )
+    return m.select(
+        nn.cast("long").alias("n_parts"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round(F.col("sy") / nn - slope * F.col("sx") / nn, 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("sxy") - F.col("sx") * F.col("sy") / nn, F.lit(2.0))
+            / (
+                (F.col("sxx") - F.col("sx") * F.col("sx") / nn)
+                * (F.col("syy") - F.col("sy") * F.col("sy") / nn)
+            ),
+            6,
+        ).alias("r2"),
+    )

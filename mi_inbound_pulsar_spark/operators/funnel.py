@@ -2125,3 +2125,103 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_week")
     )
+
+
+# --------------------------------------------------------------------------
+# Weibull plot fit over the Kaplan-Meier curve
+# --------------------------------------------------------------------------
+# reuse the registered KM oracle verbatim as a CTE body so the two
+# queries can never drift apart (package-internal registry access,
+# resolved at import time after q_survival_curve's decorator ran)
+from mi_inbound_pulsar_spark.operators import _ORACLES as _REGISTERED_ORACLES
+
+_SURV_SQL = _REGISTERED_ORACLES["q_survival_curve"]
+
+
+@query(
+    "q_weibull_plot_fit",
+    oracle=f"""
+    WITH surv AS ({_SURV_SQL}),
+    pts AS (
+      SELECT ln(CAST(day AS DOUBLE)) AS x, ln(-ln(survival)) AS y
+      FROM surv WHERE day >= 1 AND survival > 0 AND survival < 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts
+    ),
+    fit AS (
+      SELECT n,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS k,
+             sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n
+               AS icept,
+             pow(sxy - sx * sy / n, 2)
+               / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+      FROM m
+    )
+    SELECT n AS n_points,
+           round(k, 6) AS shape_k,
+           round(exp(-icept / k), 6) AS scale_lambda,
+           round(r2, 6) AS r2,
+           round(exp(-icept / k) * pow(ln(2.0), 1 / k), 6)
+             AS median_days
+    FROM fit
+    """,
+)
+def q_weibull_plot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull probability-plot fit (the classical graphical estimator,
+    Nelson 1982 ch.3) over the signup→purchase Kaplan-Meier curve:
+    S(t) = exp(−(t/λ)^k) linearizes to ln(−ln S) = k·ln t − k·ln λ, so
+    one closed-form OLS on the (ln day, ln(−ln S)) points gives the
+    shape k (k<1 = conversion hazard FALLS with tenure — convert-fast-
+    or-never; k>1 = wear-in), the scale λ, and the parametric median
+    time-to-convert λ·ln2^(1/k) — the smooth summary the stepwise KM
+    curve can't extrapolate from. Consumes the 6dp-rounded KM output,
+    so both engines fit IDENTICAL points (the oracle embeds the
+    registered q_survival_curve SQL verbatim — they cannot drift).
+
+    Scale: the KM rollup is the work (see q_survival_curve); the fit
+    adds one aggregate over ≤{SURVIVAL_WINDOW_DAYS} points.
+    """
+    surv = q_survival_curve(spark, sf_dir)
+    pts = surv.filter(
+        (F.col("day") >= 1) & (F.col("survival") > 0) & (F.col("survival") < 1)
+    ).select(
+        F.log(F.col("day").cast("double")).alias("x"),
+        F.log(-F.log("survival")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nn = F.col("n")
+    k = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    )
+    fit = m.select(
+        "n",
+        k.alias("k"),
+        (F.col("sy") / nn - k * F.col("sx") / nn).alias("icept"),
+        (
+            F.pow(F.col("sxy") - F.col("sx") * F.col("sy") / nn, F.lit(2.0))
+            / (
+                (F.col("sxx") - F.col("sx") * F.col("sx") / nn)
+                * (F.col("syy") - F.col("sy") * F.col("sy") / nn)
+            )
+        ).alias("r2"),
+    )
+    lam = F.exp(-F.col("icept") / F.col("k"))
+    return fit.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round("k", 6).alias("shape_k"),
+        F.round(lam, 6).alias("scale_lambda"),
+        F.round("r2", 6).alias("r2"),
+        F.round(
+            lam * F.pow(F.log(F.lit(2.0)), 1 / F.col("k")), 6
+        ).alias("median_days"),
+    )

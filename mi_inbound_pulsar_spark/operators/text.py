@@ -5613,3 +5613,151 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# --------------------------------------------------------------------------
+# Simple Good-Turing frequency smoothing over the shingle vocabulary
+# --------------------------------------------------------------------------
+GT_MAX_R = 10
+
+
+@query(
+    "q_good_turing",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               || ' ' || w[i+4] AS sh
+      FROM t, unnest(generate_series(1, len(w) - 4)) g(i)
+      WHERE len(w) >= 5
+    ),
+    cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+    fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS nr FROM cnt GROUP BY c),
+    z AS (
+      SELECT r, nr,
+             nr / (0.5 * (coalesce(lead(r) OVER (ORDER BY r),
+                                   2 * r - coalesce(lag(r) OVER (ORDER BY r), 0))
+                          - coalesce(lag(r) OVER (ORDER BY r), 0))) AS zr,
+             lead(r) OVER (ORDER BY r) AS next_r,
+             lead(nr) OVER (ORDER BY r) AS next_nr
+      FROM fof
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(ln(CAST(r AS DOUBLE))) AS sx,
+             sum(ln(zr)) AS sy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(zr)) AS sxy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+      FROM z
+    ),
+    fit AS (
+      SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b FROM m
+    ),
+    tot AS (SELECT sum(CAST(r AS BIGINT) * nr) AS big_n,
+                   sum(CASE WHEN r = 1 THEN nr ELSE 0 END) AS n1
+            FROM fof)
+    SELECT z.r, z.nr,
+           round(z.zr, 6) AS z_r,
+           round(CASE WHEN z.next_r = z.r + 1
+                      THEN (z.r + 1.0) * z.next_nr / z.nr END, 6)
+             AS turing_rstar,
+           round((z.r + 1.0) * pow((z.r + 1.0) / z.r, f.b), 6) AS sgt_rstar,
+           round(f.b, 6) AS sgt_slope,
+           round(t.n1 * 1.0 / t.big_n, 6) AS p_unseen
+    FROM z, fit f, tot t
+    WHERE z.r <= {GT_MAX_R}
+    ORDER BY z.r
+    """,
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing frequency smoothing (Good 1953; Gale &
+    Sampson 1995) over the 5-gram shingle vocabulary: the
+    frequency-of-frequencies table, the Gale-Sampson neighbor-averaged
+    Z_r, the raw Turing estimate r* = (r+1)·n_(r+1)/n_r (NULL where
+    the next count class is absent — exactly the gap SGT exists to
+    fill), the smoothed r* from the log-log regression, and the
+    unseen-mass estimate P₀ = n₁/N — the estimator beneath Katz
+    backoff and the n-gram LM shelf (q_kneser_ney_bigram's absolute
+    discount is its fixed-discount cousin). The sgt_slope b < −1
+    sanity condition is asserted in pytest.
+
+    Scale: the corpus collapses to shingle counts (one hash
+    aggregate), then to the count-of-counts table — a frame bounded by
+    the number of DISTINCT frequencies (≤ hundreds at any corpus
+    size); the regression is closed-form over it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
+    sh = F.when(
+        F.size(w) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 4),
+            lambda i: F.array_join(F.slice(w, i, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        words.select(F.explode(sh).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = cnt.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    fof = bounded_window_input(fof, label="q_good_turing count classes")
+    wo = Window.orderBy("r")
+    lag_r = F.coalesce(F.lag("r").over(wo), F.lit(0))
+    lead_r = F.lead("r").over(wo)
+    z = fof.select(
+        "r",
+        "nr",
+        (
+            F.col("nr")
+            / (0.5 * (F.coalesce(lead_r, 2 * F.col("r") - lag_r) - lag_r))
+        ).alias("zr"),
+        lead_r.alias("next_r"),
+        F.lead("nr").over(wo).alias("next_nr"),
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log("zr")
+    m = z.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    fit = m.select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("b")
+    )
+    tot = fof.agg(
+        F.sum(F.col("r").cast("long") * F.col("nr")).alias("big_n"),
+        F.sum(F.when(F.col("r") == 1, F.col("nr")).otherwise(0)).alias("n1"),
+    )
+    return (
+        z.filter(F.col("r") <= GT_MAX_R)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "nr",
+            F.round("zr", 6).alias("z_r"),
+            F.round(
+                F.when(
+                    F.col("next_r") == F.col("r") + 1,
+                    (F.col("r") + 1.0) * F.col("next_nr") / F.col("nr"),
+                ),
+                6,
+            ).alias("turing_rstar"),
+            F.round(
+                (F.col("r") + 1.0)
+                * F.pow((F.col("r") + 1.0) / F.col("r"), F.col("b")),
+                6,
+            ).alias("sgt_rstar"),
+            F.round("b", 6).alias("sgt_slope"),
+            F.round(F.col("n1") * 1.0 / F.col("big_n"), 6).alias("p_unseen"),
+        )
+        .orderBy("r")
+    )

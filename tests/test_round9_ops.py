@@ -749,3 +749,114 @@ def test_rouge_overlap_matches_python(spark):
                 assert abs(got[f"{tag}_f"] - f) < 1e-6, (k, n)
             else:
                 assert got[f"{tag}_f"] is None
+
+
+# --------------------------------------------------------------------------
+# Weibull plot fit: python replay over the Spark-side KM points
+# --------------------------------------------------------------------------
+def test_weibull_plot_fit_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.funnel import (
+        q_survival_curve,
+        q_weibull_plot_fit,
+    )
+
+    got = _row(q_weibull_plot_fit(spark, SF))
+    surv = [r.asDict() for r in q_survival_curve(spark, SF).collect()]
+    pts = [
+        (math.log(r["day"]), math.log(-math.log(r["survival"])))
+        for r in surv
+        if r["day"] >= 1 and 0 < r["survival"] < 1
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    k = (sum(x * y for x, y in pts) - sx * sy / n) / (
+        sum(x * x for x, _ in pts) - sx * sx / n
+    )
+    icept = sy / n - k * sx / n
+    lam = math.exp(-icept / k)
+    assert got["n_points"] == n
+    assert abs(got["shape_k"] - k) < 1e-5
+    assert abs(got["scale_lambda"] - lam) < 1e-4
+    assert abs(got["median_days"] - lam * math.log(2) ** (1 / k)) < 1e-4
+    assert 0 <= got["r2"] <= 1
+
+
+# --------------------------------------------------------------------------
+# Good-Turing: python replay + probability-mass sanity
+# --------------------------------------------------------------------------
+def test_good_turing_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.text import GT_MAX_R, q_good_turing
+
+    rows = {r["r"]: r.asDict() for r in q_good_turing(spark, SF).collect()}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    cnt: Counter = Counter()
+    for text in t["text"].to_pylist():
+        w = text.split(" ")
+        for i in range(len(w) - 4):
+            cnt[" ".join(w[i : i + 5])] += 1
+    fof = Counter(cnt.values())
+    rs = sorted(fof)
+    big_n = sum(r * fof[r] for r in rs)
+    # Gale-Sampson Z and the log-log slope
+    zs = {}
+    for j, r in enumerate(rs):
+        q = rs[j - 1] if j else 0
+        tt = rs[j + 1] if j + 1 < len(rs) else 2 * r - q
+        zs[r] = fof[r] / (0.5 * (tt - q))
+    n = len(rs)
+    sx = sum(math.log(r) for r in rs)
+    sy = sum(math.log(zs[r]) for r in rs)
+    b = (
+        sum(math.log(r) * math.log(zs[r]) for r in rs) - sx * sy / n
+    ) / (sum(math.log(r) ** 2 for r in rs) - sx * sx / n)
+    for r in rs:
+        if r > GT_MAX_R:
+            continue
+        got = rows[r]
+        assert got["nr"] == fof[r]
+        assert abs(got["z_r"] - zs[r]) < 1e-5
+        assert abs(got["sgt_rstar"] - (r + 1) * ((r + 1) / r) ** b) < 1e-4
+        assert abs(got["sgt_slope"] - b) < 1e-5
+        assert abs(got["p_unseen"] - fof.get(1, 0) / big_n) < 1e-6
+        if r + 1 in fof:
+            assert abs(got["turing_rstar"] - (r + 1) * fof[r + 1] / fof[r]) < 1e-5
+        else:
+            assert got["turing_rstar"] is None
+    assert b < 0  # Zipf-shaped vocabulary: Z falls in r
+
+
+# --------------------------------------------------------------------------
+# Price elasticity: python replay
+# --------------------------------------------------------------------------
+def test_price_elasticity_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.aggstats import q_price_elasticity
+
+    got = _row(q_price_elasticity(spark, SF))
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+    pt = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+    price = {
+        k: int(round(v * 100))
+        for k, v in zip(pt["p_partkey"].to_pylist(), pt["p_retailprice"].to_pylist())
+    }
+    qty: Counter = Counter()
+    for k, q in zip(li["l_partkey"].to_pylist(), li["l_quantity"].to_pylist()):
+        qty[k] += int(round(q))
+    pts = [
+        (math.log(price[k] / 100), math.log(v))
+        for k, v in qty.items()
+        if v > 0 and k in price
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    slope = (sum(x * y for x, y in pts) - sx * sy / n) / (
+        sum(x * x for x, _ in pts) - sx * sx / n
+    )
+    assert got["n_parts"] == n
+    assert abs(got["elasticity"] - slope) < 1e-5
+    assert 0 <= got["r2"] <= 1
