@@ -180,6 +180,9 @@ HEADLINE = [
     "q_weibull_plot_fit",
     "q_good_turing",
     "q_price_elasticity",
+    "q_hurst_exponent",
+    "q_periodogram",
+    "q_negbinomial_fit",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

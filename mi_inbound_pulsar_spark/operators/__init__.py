@@ -147,6 +147,9 @@ _PRIORITY = (
     "q_weibull_plot_fit",
     "q_good_turing",
     "q_price_elasticity",
+    "q_hurst_exponent",
+    "q_periodogram",
+    "q_negbinomial_fit",
 )
 
 

@@ -2854,3 +2854,98 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_left", "p_right", "p_two_sided",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Negative-binomial method-of-moments fit for overdispersed counts
+# --------------------------------------------------------------------------
+@query(
+    "q_negbinomial_fit",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sk,
+             CAST(sum(k * k) AS BIGINT) AS skk,
+             CAST(count(*) FILTER (k = 0) AS BIGINT) AS zeros
+      FROM pu
+    ),
+    fit AS (
+      SELECT n, zeros,
+             CAST(sk AS DOUBLE) / n AS mean,
+             (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n) / (n - 1)
+               AS var
+      FROM m
+    )
+    SELECT n AS n_users, round(mean, 6) AS mean, round(var, 6) AS var,
+           round(mean * mean / nullif(var - mean, 0), 6) AS nb_r,
+           round(mean / var, 6) AS nb_p,
+           round(zeros * 1.0 / n, 6) AS obs_zero_share,
+           round(pow((mean * mean / nullif(var - mean, 0))
+                     / (mean * mean / nullif(var - mean, 0) + mean),
+                     mean * mean / nullif(var - mean, 0)), 6)
+             AS nb_zero_share,
+           round(exp(-mean), 6) AS poisson_zero_share
+    FROM fit
+    """,
+)
+def q_negbinomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit (Greenwood & Yule 1920;
+    the gamma-Poisson mixture) of per-user purchase counts: r =
+    m²/(v−m), p = m/v — the parameters q_overdispersion_check's
+    verdict points at but doesn't estimate — plus the zero-share
+    three-way readout: observed vs NB-predicted (r/(r+m))^r vs the
+    Poisson e^(−m) that overdispersed data always undershoots. THE
+    count model for user activity, purchase frequency, token
+    occurrences — anything where rates vary across units.
+
+    Hash-exactness: counts and their squares aggregate as exact
+    integers; the fit is one rounded closed form; nullif guards the
+    equidispersed degenerate case identically in both engines.
+
+    Scale: one per-user map-side-combined rollup, one 1-row exact
+    aggregate. The zero class requires counting users from the full
+    event frame, not just purchasers — hence the unfiltered groupBy
+    with a conditional count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("k")
+    )
+    m = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.count_if(F.col("k") == 0).alias("zeros"),
+    )
+    mean = F.col("sk").cast("double") / F.col("n")
+    var = (
+        F.col("skk").cast("double")
+        - F.col("sk").cast("double") * F.col("sk") / F.col("n")
+    ) / (F.col("n") - 1)
+    fit = m.select(
+        "n", "zeros", mean.alias("mean"), var.alias("var")
+    )
+    r = (
+        F.col("mean")
+        * F.col("mean")
+        / F.nullif(F.col("var") - F.col("mean"), F.lit(0.0))
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("var"),
+        F.round(r, 6).alias("nb_r"),
+        F.round(F.col("mean") / F.col("var"), 6).alias("nb_p"),
+        F.round(F.col("zeros") * 1.0 / F.col("n"), 6).alias(
+            "obs_zero_share"
+        ),
+        F.round(
+            F.pow(r / (r + F.col("mean")), r), 6
+        ).alias("nb_zero_share"),
+        F.round(F.exp(-F.col("mean")), 6).alias("poisson_zero_share"),
+    )

@@ -918,3 +918,245 @@ def q_hierarchical_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("ses").over(w_all), 6).alias("bu_total"),
         F.round("top_ses", 6).alias("top_forecast"),
     ).orderBy("series")
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# --------------------------------------------------------------------------
+HURST_BLOCKS = (5, 10, 15, 30)
+
+
+@query(
+    "q_hurst_exponent",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) - 1 AS t,
+             CAST(cents AS DOUBLE) / 100 AS x
+      FROM d
+    ),
+    n AS (SELECT count(*) AS n FROM idx),
+    blocks AS (
+      {" UNION ALL ".join(
+        f"SELECT {m} AS m, t // {m} AS blk, t, x FROM idx, n"
+        f" WHERE t < (n.n // {m}) * {m}"
+        for m in HURST_BLOCKS)}
+    ),
+    bstat AS (
+      SELECT m, blk, avg(x) AS mu,
+             sqrt(avg(x * x) - avg(x) * avg(x)) AS s
+      FROM blocks GROUP BY 1, 2
+    ),
+    dev AS (
+      SELECT b.m, b.blk,
+             sum(b.x - st.mu) OVER (PARTITION BY b.m, b.blk ORDER BY b.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+      FROM blocks b JOIN bstat st ON st.m = b.m AND st.blk = b.blk
+    ),
+    rs AS (
+      SELECT d.m, d.blk, max(d.z) - min(d.z) AS r, max(st.s) AS s
+      FROM dev d JOIN bstat st ON st.m = d.m AND st.blk = d.blk
+      GROUP BY 1, 2
+    ),
+    per_m AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+             avg(r / s) AS mean_rs
+      FROM rs WHERE s > 0 GROUP BY m
+    ),
+    fit AS (
+      SELECT (sum(ln(CAST(m AS DOUBLE)) * ln(mean_rs))
+              - sum(ln(CAST(m AS DOUBLE))) * sum(ln(mean_rs)) / count(*))
+             / (sum(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE)))
+                - sum(ln(CAST(m AS DOUBLE))) * sum(ln(CAST(m AS DOUBLE)))
+                  / count(*)) AS h
+      FROM per_m
+    )
+    SELECT p.m, p.n_blocks, round(p.mean_rs, 6) AS mean_rs,
+           round(f.h, 6) AS hurst_h
+    FROM per_m p, fit f ORDER BY p.m
+    """,
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969): per block size m ∈ {HURST_BLOCKS},
+    split the daily revenue series into ⌊n/m⌋ blocks, compute R/S =
+    (range of cumulative mean-deviations) / (population std) per
+    block, and fit ln E[R/S] ~ H·ln m — H≈0.5 is a memoryless walk,
+    H>0.5 long-range persistence (trending days cluster), H<0.5
+    mean-reversion: the long-memory diagnostic the lag-limited
+    q_ljung_box / q_autocorrelation pair cannot see.
+
+    Scale: the series is the day-domain rollup; blocks are index
+    arithmetic over it, the cumulative deviation is a window
+    partitioned by (m, block), and the H fit is a closed-form OLS
+    over ≤|{HURST_BLOCKS}| points.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_hurst day series")
+    idx = d.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        (F.col("cents").cast("double") / 100).alias("x"),
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("n"))
+    blocks = None
+    for m in HURST_BLOCKS:
+        b = (
+            idx.crossJoin(F.broadcast(n))
+            .filter(F.col("t") < (F.col("n") / m).cast("long") * m)
+            .select(
+                F.lit(m).alias("m"),
+                F.expr(f"t DIV {m}").alias("blk"),
+                "t",
+                "x",
+            )
+        )
+        blocks = b if blocks is None else blocks.unionByName(b)
+    bstat = blocks.groupBy("m", "blk").agg(
+        F.avg("x").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")
+        ).alias("s"),
+    )
+    wz = (
+        Window.partitionBy("m", "blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = blocks.join(F.broadcast(bstat), ["m", "blk"]).select(
+        "m", "blk", F.sum(F.col("x") - F.col("mu")).over(wz).alias("z")
+    )
+    rs = (
+        dev.groupBy("m", "blk")
+        .agg((F.max("z") - F.min("z")).alias("r"))
+        .join(F.broadcast(bstat), ["m", "blk"])
+        .filter(F.col("s") > 0)
+        .select("m", "blk", (F.col("r") / F.col("s")).alias("rs"))
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_blocks"), F.avg("rs").alias("mean_rs")
+    )
+    lx = F.log(F.col("m").cast("double"))
+    ly = F.log("mean_rs")
+    fit = per_m.agg(
+        (
+            (F.sum(lx * ly) - F.sum(lx) * F.sum(ly) / F.count(F.lit(1)))
+            / (
+                F.sum(lx * lx)
+                - F.sum(lx) * F.sum(lx) / F.count(F.lit(1))
+            )
+        ).alias("h")
+    )
+    return (
+        per_m.crossJoin(F.broadcast(fit))
+        .select(
+            "m",
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.round("mean_rs", 6).alias("mean_rs"),
+            F.round("h", 6).alias("hurst_h"),
+        )
+        .orderBy("m")
+    )
+
+
+# --------------------------------------------------------------------------
+# Periodogram at candidate periods (exact DFT sums)
+# --------------------------------------------------------------------------
+PERIODOGRAM_MAX_P = 15
+_TWO_PI = "6.283185307179586"
+
+
+@query(
+    "q_periodogram",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) - 1 AS t,
+             CAST(cents AS DOUBLE) / 100 AS x
+      FROM d
+    ),
+    mu AS (SELECT avg(x) AS mu, count(*) AS n FROM idx),
+    terms AS (
+      SELECT p.p,
+             sum((i.x - mu.mu) * cos({_TWO_PI} * i.t / p.p)) AS a,
+             sum((i.x - mu.mu) * sin({_TWO_PI} * i.t / p.p)) AS b,
+             max(mu.n) AS n
+      FROM idx i, mu, unnest(generate_series(2, {PERIODOGRAM_MAX_P})) p(p)
+      GROUP BY p.p
+    ),
+    pw AS MATERIALIZED (
+      SELECT p, 2.0 * (a * a + b * b) / n AS power FROM terms
+    ),
+    tot AS (SELECT sum(power) AS tp, max(round(power, 6)) AS mx FROM pw)
+    SELECT CAST(p AS BIGINT) AS period,
+           round(power, 6) AS power,
+           round(power / t.tp, 6) AS power_share,
+           -- 6dp-rounded comparison: raw float equality against a
+           -- recomputed max can miss by an ulp
+           round(power, 6) = t.mx AS is_dominant
+    FROM pw, tot t ORDER BY period
+    """,
+)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram at candidate periods 2..{PERIODOGRAM_MAX_P} days
+    (Schuster 1898): power I(p) = 2(a² + b²)/n with a,b the exact
+    cosine/sine projections of the demeaned daily series — the
+    frequency-domain seasonality detector beside the time-domain
+    q_autocorrelation and the decomposition q_stl_decompose (whose
+    7-day choice this query justifies or indicts). The DFT sums are
+    plain order-insensitive aggregates — no FFT recursion, no
+    sequential anything — so the whole spectrum is one grouped
+    aggregate over (period × day) rows.
+
+    Scale: the series is the day-domain rollup; the period fan-out
+    multiplies it by |candidate periods| (~14×|days| rows), one
+    map-side-combined groupBy.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_periodogram day series")
+    idx = d.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        (F.col("cents").cast("double") / 100).alias("x"),
+    )
+    mu = idx.agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+    ps = spark.range(2, PERIODOGRAM_MAX_P + 1).select(
+        F.col("id").alias("p")
+    )
+    two_pi = float(_TWO_PI)
+    terms = (
+        idx.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(ps))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.cos(F.lit(two_pi) * F.col("t") / F.col("p"))
+            ).alias("a"),
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.sin(F.lit(two_pi) * F.col("t") / F.col("p"))
+            ).alias("b"),
+            F.max("n").alias("n"),
+        )
+    )
+    pw = terms.select(
+        "p",
+        (
+            2.0
+            * (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+            / F.col("n")
+        ).alias("power"),
+    )
+    tot = pw.agg(
+        F.sum("power").alias("tp"),
+        F.max(F.round("power", 6)).alias("mx"),
+    )
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").cast("long").alias("period"),
+            F.round("power", 6).alias("power"),
+            F.round(F.col("power") / F.col("tp"), 6).alias("power_share"),
+            (F.round("power", 6) == F.col("mx")).alias("is_dominant"),
+        )
+        .orderBy("period")
+    )

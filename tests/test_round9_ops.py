@@ -860,3 +860,99 @@ def test_price_elasticity_matches_python(spark):
     assert got["n_parts"] == n
     assert abs(got["elasticity"] - slope) < 1e-5
     assert 0 <= got["r2"] <= 1
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent: python R/S replay
+# --------------------------------------------------------------------------
+def test_hurst_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        HURST_BLOCKS,
+        q_hurst_exponent,
+    )
+
+    rows = {r["m"]: r.asDict() for r in q_hurst_exponent(spark, SF).collect()}
+    xs = [c / 100 for _, c in sorted(_daily_cents(SF).items())]
+    n = len(xs)
+    pts = []
+    for m in HURST_BLOCKS:
+        rss = []
+        for b in range(n // m):
+            blk = xs[b * m : (b + 1) * m]
+            mu = sum(blk) / m
+            s = math.sqrt(sum(v * v for v in blk) / m - mu * mu)
+            if s == 0:
+                continue
+            z, lo, hi = 0.0, 0.0, 0.0
+            for v in blk:
+                z += v - mu
+                lo, hi = min(lo, z), max(hi, z)
+            rss.append((hi - lo) / s)
+        if rss:
+            mean_rs = sum(rss) / len(rss)
+            pts.append((math.log(m), math.log(mean_rs)))
+            assert rows[m]["n_blocks"] == len(rss)
+            assert abs(rows[m]["mean_rs"] - mean_rs) < 1e-5, m
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    h = (sum(x * y for x, y in pts) - sx * sy / k) / (
+        sum(x * x for x, _ in pts) - sx * sx / k
+    )
+    for m in rows:
+        assert abs(rows[m]["hurst_h"] - h) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# Periodogram: python DFT replay + Parseval-flavored share check
+# --------------------------------------------------------------------------
+def test_periodogram_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        PERIODOGRAM_MAX_P,
+        q_periodogram,
+    )
+
+    rows = {r["period"]: r.asDict() for r in q_periodogram(spark, SF).collect()}
+    xs = [c / 100 for _, c in sorted(_daily_cents(SF).items())]
+    n = len(xs)
+    mu = sum(xs) / n
+    powers = {}
+    for p in range(2, PERIODOGRAM_MAX_P + 1):
+        a = sum((x - mu) * math.cos(2 * math.pi * t / p) for t, x in enumerate(xs))
+        b = sum((x - mu) * math.sin(2 * math.pi * t / p) for t, x in enumerate(xs))
+        powers[p] = 2 * (a * a + b * b) / n
+    dom = max(powers, key=lambda p: (round(powers[p], 6), -p))
+    for p, pw in powers.items():
+        assert abs(rows[p]["power"] - pw) < 1e-3 * max(1, abs(pw))
+        assert rows[p]["is_dominant"] == (round(powers[p], 6) == round(powers[dom], 6))
+    assert abs(sum(r["power_share"] for r in rows.values()) - 1) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# Negative binomial: python MoM replay + overdispersion direction
+# --------------------------------------------------------------------------
+def test_negbinomial_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.auditstats import q_negbinomial_fit
+
+    got = _row(q_negbinomial_fit(spark, SF))
+    ts, uid, et, _ = _events(SF)
+    k: Counter = Counter()
+    users = set()
+    for u, e in zip(uid, et):
+        users.add(u)
+        if e == "purchase":
+            k[u] += 1
+    ks = [k.get(u, 0) for u in users]
+    n = len(ks)
+    mean = sum(ks) / n
+    var = (sum(v * v for v in ks) - sum(ks) ** 2 / n) / (n - 1)
+    assert got["n_users"] == n
+    assert abs(got["mean"] - mean) < 1e-6
+    assert abs(got["var"] - var) < 1e-5
+    if var > mean:
+        r = mean * mean / (var - mean)
+        assert abs(got["nb_r"] - r) < 1e-4
+        assert abs(got["nb_zero_share"] - (r / (r + mean)) ** r) < 1e-5
+        # overdispersion: NB predicts MORE zeros than Poisson
+        assert got["nb_zero_share"] >= got["poisson_zero_share"]
+    assert abs(got["obs_zero_share"] - ks.count(0) / n) < 1e-6
