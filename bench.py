@@ -183,6 +183,8 @@ HEADLINE = [
     "q_hurst_exponent",
     "q_periodogram",
     "q_negbinomial_fit",
+    "q_cronbach_alpha",
+    "q_ipf_raking",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

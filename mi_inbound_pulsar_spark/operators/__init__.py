@@ -150,6 +150,8 @@ _PRIORITY = (
     "q_hurst_exponent",
     "q_periodogram",
     "q_negbinomial_fit",
+    "q_cronbach_alpha",
+    "q_ipf_raking",
 )
 
 

@@ -2949,3 +2949,111 @@ def q_negbinomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb_zero_share"),
         F.round(F.exp(-F.col("mean")), 6).alias("poisson_zero_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cronbach's alpha: internal consistency of the per-user activity items
+# --------------------------------------------------------------------------
+_CRONBACH_ITEMS = ("view", "click", "purchase", "signup", "error")
+
+
+@query(
+    "q_cronbach_alpha",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             {", ".join(
+               f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS i{j}"
+               for j, t in enumerate(_CRONBACH_ITEMS))}
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {", ".join(
+               f"CAST(sum(i{j}) AS BIGINT) AS s{j},"
+               f" CAST(sum(i{j} * i{j}) AS BIGINT) AS ss{j}"
+               for j in range(len(_CRONBACH_ITEMS)))},
+             CAST(sum({' + '.join(f'i{j}' for j in range(len(_CRONBACH_ITEMS)))})
+                  AS BIGINT) AS st,
+             CAST(sum(({' + '.join(f'i{j}' for j in range(len(_CRONBACH_ITEMS)))})
+                      * ({' + '.join(f'i{j}' for j in range(len(_CRONBACH_ITEMS)))}))
+                  AS BIGINT) AS sst
+      FROM pu
+    ),
+    v AS (
+      SELECT n,
+             {" + ".join(
+               f"(CAST(ss{j} AS DOUBLE) - CAST(s{j} AS DOUBLE) * s{j} / n)"
+               f" / (n - 1)"
+               for j in range(len(_CRONBACH_ITEMS)))} AS sum_item_var,
+             (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / n) / (n - 1)
+               AS total_var
+      FROM m
+    )
+    SELECT n AS n_users,
+           CAST({len(_CRONBACH_ITEMS)} AS BIGINT) AS k,
+           round(sum_item_var, 6) AS sum_item_var,
+           round(total_var, 6) AS total_var,
+           round({len(_CRONBACH_ITEMS)} / ({len(_CRONBACH_ITEMS)} - 1.0)
+                 * (1 - sum_item_var / total_var), 6) AS cronbach_alpha
+    FROM v
+    """,
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951): internal consistency of the
+    k={len(_CRONBACH_ITEMS)} per-user activity counts treated as scale
+    items — α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total), the reliability
+    coefficient that says whether the event types co-vary enough to
+    justify a single "activity" score (the implicit assumption behind
+    q_rfm_segmentation's summed engagement features). Joins Cohen's κ
+    and Kendall's W in the agreement family: κ rates two raters, W
+    rates rankings, α rates a composite scale.
+
+    Hash-exactness: all item sums and cross-moments are exact
+    integers; the variances and α are one rounded closed form.
+
+    Scale: one per-user map-side-combined rollup to k counts, one
+    1-row exact aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        *[
+            F.count_if(F.col("event_type") == t).alias(f"i{j}")
+            for j, t in enumerate(_CRONBACH_ITEMS)
+        ]
+    )
+    k = len(_CRONBACH_ITEMS)
+    tot = sum((F.col(f"i{j}") for j in range(1, k)), F.col("i0"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(k):
+        aggs.append(F.sum(f"i{j}").alias(f"s{j}"))
+        aggs.append(F.sum(F.col(f"i{j}") * F.col(f"i{j}")).alias(f"ss{j}"))
+    aggs.append(F.sum(tot).alias("st"))
+    aggs.append(F.sum(tot * tot).alias("sst"))
+    m = pu.agg(*aggs)
+    nn = F.col("n")
+
+    def _var(s: str, ss: str):
+        return (
+            F.col(ss).cast("double") - F.col(s).cast("double") * F.col(s) / nn
+        ) / (nn - 1)
+
+    sum_item_var = sum(
+        (_var(f"s{j}", f"ss{j}") for j in range(1, k)), _var("s0", "ss0")
+    )
+    total_var = _var("st", "sst")
+    v = m.select(
+        "n",
+        sum_item_var.alias("sum_item_var"),
+        total_var.alias("total_var"),
+    )
+    return v.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.lit(k).cast("long").alias("k"),
+        F.round("sum_item_var", 6).alias("sum_item_var"),
+        F.round("total_var", 6).alias("total_var"),
+        F.round(
+            k / (k - 1.0) * (1 - F.col("sum_item_var") / F.col("total_var")),
+            6,
+        ).alias("cronbach_alpha"),
+    )

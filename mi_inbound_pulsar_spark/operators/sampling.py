@@ -1719,3 +1719,114 @@ def q_dp_quantile_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(DPQ_EPSILON)).alias("epsilon"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative proportional fitting (raking) to target corpus margins
+# --------------------------------------------------------------------------
+IPF_ITERS = 2  # unrolled row-scale/col-scale sweeps
+
+
+@query(
+    "q_ipf_raking",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, CAST(substring(source, 4) AS INT) < 10 AS half_a,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+                  CAST(sum(n) AS BIGINT) AS big_n FROM cell),
+    w0 AS (
+      SELECT lang, half_a, n, CAST(n AS DOUBLE) / t.big_n AS w
+      FROM cell, tl t
+    ),
+    r1 AS (
+      SELECT lang, half_a, n,
+             w * (1.0 / (SELECT n_lang FROM tl))
+               / (sum(w) OVER (PARTITION BY lang)) AS w
+      FROM w0
+    ),
+    c1 AS (
+      SELECT lang, half_a, n,
+             w * 0.5 / (sum(w) OVER (PARTITION BY half_a)) AS w
+      FROM r1
+    ),
+    r2 AS (
+      SELECT lang, half_a, n,
+             w * (1.0 / (SELECT n_lang FROM tl))
+               / (sum(w) OVER (PARTITION BY lang)) AS w
+      FROM c1
+    ),
+    c2 AS (
+      SELECT lang, half_a, n,
+             w * 0.5 / (sum(w) OVER (PARTITION BY half_a)) AS w
+      FROM r2
+    )
+    SELECT c.lang, c.half_a, c.n,
+           round(CAST(c.n AS DOUBLE) / t.big_n, 6) AS w_raw,
+           round(c.w, 6) AS w_raked,
+           round(c.w * t.big_n / c.n, 6) AS upweight,
+           round(abs(sum(c.w) OVER (PARTITION BY c.lang)
+                     - 1.0 / t.n_lang), 6) AS lang_margin_err
+    FROM c2 c, tl t ORDER BY c.lang, c.half_a
+    """,
+)
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting / raking (Deming & Stephan
+    1940): reweight the (lang × source-half) corpus cells to UNIFORM
+    target margins with {IPF_ITERS} unrolled row-scale/col-scale
+    sweeps — the survey-statistics workhorse that, applied to a
+    training corpus, yields per-cell sampling weights hitting a target
+    language mixture AND a target source mixture simultaneously
+    (q_doremi_reweight optimizes a loss-driven mixture; raking hits
+    exact margin constraints — the two canonical reweighting recipes).
+    The ``upweight`` column is the per-document multiplier a sampler
+    would apply; the residual ``lang_margin_err`` after the final
+    column sweep is the classic IPF convergence readout.
+
+    Scale: everything after the one corpus rollup lives on the
+    |langs|×2 cell table; each sweep is a partitioned window over it.
+    The sweeps are inherently sequential (each normalizes the other
+    dimension's distortion) — unrolling a FIXED iteration count keeps
+    the plan static and oracle-checkable, the q_bfs_distances
+    pattern.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy(
+        "lang",
+        (F.expr("CAST(substring(source, 4) AS INT)") < 10).alias("half_a"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cell = bounded_window_input(cell, label="q_ipf cell table")
+    tl = cell.agg(
+        F.count_distinct("lang").alias("n_lang"),
+        F.sum("n").alias("big_n"),
+    )
+    w = cell.crossJoin(F.broadcast(tl)).select(
+        "lang",
+        "half_a",
+        "n",
+        "n_lang",
+        "big_n",
+        (F.col("n").cast("double") / F.col("big_n")).alias("w"),
+    )
+    wl = Window.partitionBy("lang")
+    wh = Window.partitionBy("half_a")
+    for _ in range(IPF_ITERS):
+        w = w.withColumn(
+            "w", F.col("w") * (1.0 / F.col("n_lang")) / F.sum("w").over(wl)
+        )
+        w = w.withColumn("w", F.col("w") * 0.5 / F.sum("w").over(wh))
+    return w.select(
+        "lang",
+        "half_a",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("big_n"), 6).alias("w_raw"),
+        F.round("w", 6).alias("w_raked"),
+        F.round(F.col("w") * F.col("big_n") / F.col("n"), 6).alias(
+            "upweight"
+        ),
+        F.round(
+            F.abs(F.sum("w").over(wl) - 1.0 / F.col("n_lang")), 6
+        ).alias("lang_margin_err"),
+    ).orderBy("lang", "half_a")

@@ -956,3 +956,77 @@ def test_negbinomial_matches_python(spark):
         # overdispersion: NB predicts MORE zeros than Poisson
         assert got["nb_zero_share"] >= got["poisson_zero_share"]
     assert abs(got["obs_zero_share"] - ks.count(0) / n) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# Cronbach's alpha: python replay
+# --------------------------------------------------------------------------
+def test_cronbach_alpha_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.auditstats import (
+        _CRONBACH_ITEMS,
+        q_cronbach_alpha,
+    )
+
+    got = _row(q_cronbach_alpha(spark, SF))
+    ts, uid, et, _ = _events(SF)
+    per: dict[int, Counter] = defaultdict(Counter)
+    for u, e in zip(uid, et):
+        per[u][e] += 1
+    n = len(per)
+    k = len(_CRONBACH_ITEMS)
+    items = [[c.get(t, 0) for c in per.values()] for t in _CRONBACH_ITEMS]
+
+    def var(xs):
+        m = sum(xs) / n
+        return (sum(x * x for x in xs) - n * m * m) / (n - 1)
+
+    sum_iv = sum(var(xs) for xs in items)
+    totals = [sum(col) for col in zip(*items)]
+    tv = var(totals)
+    alpha = k / (k - 1) * (1 - sum_iv / tv)
+    assert got["n_users"] == n and got["k"] == k
+    assert abs(got["sum_item_var"] - sum_iv) < 1e-4
+    assert abs(got["total_var"] - tv) < 1e-4
+    assert abs(got["cronbach_alpha"] - alpha) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# IPF raking: python replay + margin-convergence invariants
+# --------------------------------------------------------------------------
+def test_ipf_raking_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.sampling import (
+        IPF_ITERS,
+        q_ipf_raking,
+    )
+
+    rows = {
+        (r["lang"], r["half_a"]): r.asDict()
+        for r in q_ipf_raking(spark, SF).collect()
+    }
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "source"])
+    cnt: Counter = Counter()
+    for lang, src in zip(t["lang"].to_pylist(), t["source"].to_pylist()):
+        cnt[(lang, int(src[3:]) < 10)] += 1
+    big_n = sum(cnt.values())
+    langs = sorted({l for l, _ in cnt})
+    w = {c: v / big_n for c, v in cnt.items()}
+    for _ in range(IPF_ITERS):
+        for l in langs:
+            s = sum(v for (cl, _), v in w.items() if cl == l)
+            for c in list(w):
+                if c[0] == l:
+                    w[c] *= (1 / len(langs)) / s
+        for h in (True, False):
+            s = sum(v for (_, ch), v in w.items() if ch == h)
+            for c in list(w):
+                if c[1] == h:
+                    w[c] *= 0.5 / s
+    for c, v in w.items():
+        assert abs(rows[c]["w_raked"] - v) < 1e-5, c
+        assert abs(rows[c]["upweight"] - v * big_n / cnt[c]) < 1e-4
+    # column margins are exact after the final column sweep
+    for h in (True, False):
+        s = sum(r["w_raked"] for (_, ch), r in rows.items() if ch == h)
+        assert abs(s - 0.5) < 1e-4
+    # row margins nearly converged (the reported residual is small)
+    assert all(r["lang_margin_err"] < 0.02 for r in rows.values())
