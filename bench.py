@@ -185,6 +185,9 @@ HEADLINE = [
     "q_negbinomial_fit",
     "q_cronbach_alpha",
     "q_ipf_raking",
+    "q_chi2_feature_selection",
+    "q_classifier_threshold_sweep",
+    "q_word2vec_subsample",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

@@ -152,6 +152,9 @@ _PRIORITY = (
     "q_negbinomial_fit",
     "q_cronbach_alpha",
     "q_ipf_raking",
+    "q_chi2_feature_selection",
+    "q_classifier_threshold_sweep",
+    "q_word2vec_subsample",
 )
 
 

@@ -5761,3 +5761,280 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square feature selection: tokens vs the source-half class
+# --------------------------------------------------------------------------
+CHI2_TOP = 20
+
+
+@query(
+    "q_chi2_feature_selection",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, CAST(substring(source, 4) AS INT) < 10 AS cls,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    pres AS (
+      SELECT DISTINCT doc_id, cls, unnest(w) AS tok FROM docs
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (cls) AS BIGINT) AS n_pos
+      FROM docs
+    ),
+    cnt AS (
+      SELECT tok,
+             CAST(count(*) FILTER (cls) AS BIGINT) AS a,
+             CAST(count(*) FILTER (NOT cls) AS BIGINT) AS b
+      FROM pres GROUP BY tok
+    ),
+    chi AS (
+      SELECT c.tok, c.a, c.b, t.n_pos - c.a AS c_cell,
+             t.n - t.n_pos - c.b AS d_cell,
+             t.n * pow(CAST(c.a AS DOUBLE) * (t.n - t.n_pos - c.b)
+                       - CAST(c.b AS DOUBLE) * (t.n_pos - c.a), 2)
+               / (CAST(c.a + c.b AS DOUBLE)
+                  * (t.n - c.a - c.b)
+                  * t.n_pos * (t.n - t.n_pos)) AS chi2
+      FROM cnt c, tot t
+      WHERE c.a + c.b < t.n  -- a token in EVERY doc carries no signal
+    )
+    SELECT tok, a AS df_pos, b AS df_neg, round(chi2, 6) AS chi2
+    FROM chi
+    ORDER BY round(chi2, 6) DESC, tok LIMIT {CHI2_TOP}
+    """,
+)
+def q_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection (Yang & Pedersen 1997's CHI, the
+    standard text-classification filter): per-token 2×2 document-
+    presence table against the source-half class, scored with the
+    closed-form χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-{CHI2_TOP}
+    — the frequency-based counterpart of q_fightin_words' regularized
+    log-odds (χ² ranks by dependence strength, Fightin' Words by
+    direction + shrinkage; a feature pipeline wants both). Tokens
+    present in every document are excluded (zero signal, zero
+    denominator).
+
+    Hash-exactness: all four cells are exact integers from one
+    distinct-presence rollup; χ² is one rounded closed form; the
+    top-k orders by the ROUNDED score with the token tie-break.
+
+    Scale: presence dedup and the per-token rollup are vocabulary-
+    keyed hash aggregates; the top-k is a TakeOrdered.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        (F.expr("CAST(substring(source, 4) AS INT)") < 10).alias("cls"),
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    pres = docs.select(
+        "doc_id", "cls", F.explode("w").alias("tok")
+    ).distinct()
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.count_if("cls").alias("n_pos")
+    )
+    cnt = pres.groupBy("tok").agg(
+        F.count_if("cls").alias("a"),
+        F.count_if(~F.col("cls")).alias("b"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot)).filter(
+        F.col("a") + F.col("b") < F.col("n")
+    )
+    ad_bc = F.col("a").cast("double") * (
+        F.col("n") - F.col("n_pos") - F.col("b")
+    ) - F.col("b").cast("double") * (F.col("n_pos") - F.col("a"))
+    chi2 = (
+        F.col("n")
+        * F.pow(ad_bc, F.lit(2.0))
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("n") - F.col("a") - F.col("b"))
+            * F.col("n_pos")
+            * (F.col("n") - F.col("n_pos"))
+        )
+    )
+    return (
+        j.select(
+            "tok",
+            F.col("a").cast("long").alias("df_pos"),
+            F.col("b").cast("long").alias("df_neg"),
+            F.round(chi2, 6).alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "tok")
+        .limit(CHI2_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Classifier threshold sweep: P/R/F1/MCC of the quality filter
+# --------------------------------------------------------------------------
+QL_SWEEP_THRESHOLDS = (-1.0, -0.5, 0.0, 0.5, 1.0)
+
+
+@query(
+    "q_classifier_threshold_sweep",
+    oracle=f"""
+    WITH scored AS ({{_QL}}),
+    thr AS (
+      {" UNION ALL ".join(f"SELECT CAST({t} AS DOUBLE) AS thr"
+                          for t in QL_SWEEP_THRESHOLDS)}
+    ),
+    m AS (
+      SELECT thr.thr,
+             CAST(count(*) FILTER (score >= thr.thr AND y = 1) AS BIGINT)
+               AS tp,
+             CAST(count(*) FILTER (score >= thr.thr AND y = 0) AS BIGINT)
+               AS fp,
+             CAST(count(*) FILTER (score < thr.thr AND y = 1) AS BIGINT)
+               AS fn,
+             CAST(count(*) FILTER (score < thr.thr AND y = 0) AS BIGINT)
+               AS tn
+      FROM scored, thr GROUP BY thr.thr
+    )
+    SELECT thr AS threshold, tp, fp, fn, tn,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+           round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / nullif(sqrt((tp + fp) * 1.0) * sqrt((tp + fn) * 1.0)
+                          * sqrt((tn + fp) * 1.0) * sqrt((tn + fn) * 1.0),
+                          0), 6) AS mcc
+    FROM m ORDER BY threshold
+    """.replace("{_QL}", _ql_score_sql()),
+)
+def q_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix sweep of the quality-filter logit at
+    {len(QL_SWEEP_THRESHOLDS)} operating points: precision, recall,
+    F1 and Matthews correlation (the balanced single-number summary
+    robust to class skew — Chicco & Jurman 2020) per threshold — the
+    operating-point table that turns q_auc_roc's ranking verdict into
+    a deployable cutoff choice, on the same shared scored frame as
+    ECE/gains/fairness. MCC's denominator is factored into four
+    sqrt's so the product stays in double range at any corpus size;
+    degenerate margins report NULL via nullif in both engines.
+
+    Scale: one pass over the scored frame fanned out by the constant
+    threshold list — a |thresholds|-way conditional aggregate,
+    map-side combined.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = _ql_scored(d)
+    thr = None
+    for t in QL_SWEEP_THRESHOLDS:
+        row = spark.range(1).select(F.lit(float(t)).alias("thr"))
+        thr = row if thr is None else thr.unionByName(row)
+    pred = F.col("score") >= F.col("thr")
+    m = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.count_if(pred & (F.col("y") == 1)).alias("tp"),
+            F.count_if(pred & (F.col("y") == 0)).alias("fp"),
+            F.count_if(~pred & (F.col("y") == 1)).alias("fn"),
+            F.count_if(~pred & (F.col("y") == 0)).alias("tn"),
+        )
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    mcc_den = (
+        F.sqrt((tp + fp) * 1.0)
+        * F.sqrt((tp + fn) * 1.0)
+        * F.sqrt((tn + fp) * 1.0)
+        * F.sqrt((tn + fn) * 1.0)
+    )
+    return (
+        m.select(
+            F.col("thr").alias("threshold"),
+            tp.cast("long").alias("tp"),
+            fp.cast("long").alias("fp"),
+            fn.cast("long").alias("fn"),
+            tn.cast("long").alias("tn"),
+            F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias(
+                "precision"
+            ),
+            F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias(
+                "recall"
+            ),
+            F.round(
+                2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6
+            ).alias("f1"),
+            F.round(
+                (tp.cast("double") * tn - fp.cast("double") * fn)
+                / F.nullif(mcc_den, F.lit(0.0)),
+                6,
+            ).alias("mcc"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# word2vec-style frequent-token subsampling weights
+# --------------------------------------------------------------------------
+W2V_SUBSAMPLE_T = 1e-3
+
+
+@query(
+    "q_word2vec_subsample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    w AS (
+      SELECT cnt.tok, cnt.c,
+             CAST(cnt.c AS DOUBLE) / t.n AS f,
+             least(1.0, sqrt({W2V_SUBSAMPLE_T} / (CAST(cnt.c AS DOUBLE) / t.n))
+                        + {W2V_SUBSAMPLE_T} / (CAST(cnt.c AS DOUBLE) / t.n))
+               AS p_keep
+      FROM cnt, tot t
+    )
+    SELECT tok, c, round(f, 6) AS freq,
+           round(p_keep, 6) AS p_keep,
+           CAST(round(c * p_keep, 0) AS BIGINT) AS expected_kept
+    FROM w ORDER BY c DESC, tok LIMIT 25
+    """,
+)
+def q_word2vec_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token subsampling weights (Mikolov et al. 2013 §2.3,
+    the exact formula word2vec's C code ships: P(keep) = √(t/f) +
+    t/f, clamped at 1, t={W2V_SUBSAMPLE_T}): per-token keep
+    probability and the expected surviving count for the 25 most
+    frequent tokens — the corpus-thinning weight every embedding /
+    skip-gram pipeline (q_skipgram_pairs, q_glove_cooccurrence)
+    applies before pair generation, where the head of the Zipf curve
+    otherwise dominates the training signal.
+
+    Scale: one vocabulary-keyed count aggregate; the weight is a
+    row-local expression over it; top-25 is a TakeOrdered.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").alias("n"))
+    f = F.col("c").cast("double") / F.col("n")
+    p_keep = F.least(
+        F.lit(1.0),
+        F.sqrt(F.lit(W2V_SUBSAMPLE_T) / f) + F.lit(W2V_SUBSAMPLE_T) / f,
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "c",
+            F.round(f, 6).alias("freq"),
+            F.round(p_keep, 6).alias("p_keep"),
+            F.round(F.col("c") * p_keep, 0).cast("long").alias(
+                "expected_kept"
+            ),
+        )
+        .orderBy(F.desc("c"), "tok")
+        .limit(25)
+    )

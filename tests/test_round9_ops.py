@@ -1030,3 +1030,106 @@ def test_ipf_raking_matches_python(spark):
         assert abs(s - 0.5) < 1e-4
     # row margins nearly converged (the reported residual is small)
     assert all(r["lang_margin_err"] < 0.02 for r in rows.values())
+
+
+# --------------------------------------------------------------------------
+# Chi-square feature selection: python replay
+# --------------------------------------------------------------------------
+def test_chi2_feature_selection_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.text import (
+        CHI2_TOP,
+        q_chi2_feature_selection,
+    )
+
+    got = [r.asDict() for r in q_chi2_feature_selection(spark, SF).collect()]
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "source", "text"])
+    docs = [
+        (int(src[3:]) < 10, set(text.split(" ")))
+        for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist())
+    ]
+    n = len(docs)
+    n_pos = sum(1 for cls, _ in docs if cls)
+    df_pos: Counter = Counter()
+    df_neg: Counter = Counter()
+    for cls, toks in docs:
+        (df_pos if cls else df_neg).update(toks)
+    cand = []
+    for tok in set(df_pos) | set(df_neg):
+        a, b = df_pos[tok], df_neg[tok]
+        if a + b >= n:
+            continue
+        c, dd = n_pos - a, n - n_pos - b
+        chi2 = n * (a * dd - b * c) ** 2 / ((a + b) * (c + dd) * n_pos * (n - n_pos))
+        cand.append((round(chi2, 6), tok, a, b))
+    cand.sort(key=lambda r: (-r[0], r[1]))
+    expect = cand[:CHI2_TOP]
+    assert len(got) == len(expect)
+    for row, (chi2, tok, a, b) in zip(got, expect):
+        assert row["tok"] == tok
+        assert (row["df_pos"], row["df_neg"]) == (a, b)
+        assert abs(row["chi2"] - chi2) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# Threshold sweep: replay from the scored frame + monotonic recall
+# --------------------------------------------------------------------------
+def test_threshold_sweep_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.text import (
+        QL_SWEEP_THRESHOLDS,
+        q_classifier_threshold_sweep,
+        _ql_scored,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    rows = {
+        r["threshold"]: r.asDict()
+        for r in q_classifier_threshold_sweep(spark, SF).collect()
+    }
+    scored = [
+        r.asDict()
+        for r in _ql_scored(load_table(spark, SF, "documents")).collect()
+    ]
+    prev_recall = 2.0
+    for t in QL_SWEEP_THRESHOLDS:
+        tp = sum(1 for r in scored if r["score"] >= t and r["y"] == 1)
+        fp = sum(1 for r in scored if r["score"] >= t and r["y"] == 0)
+        fn = sum(1 for r in scored if r["score"] < t and r["y"] == 1)
+        tn = sum(1 for r in scored if r["score"] < t and r["y"] == 0)
+        got = rows[t]
+        assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+        if tp + fn:
+            rec = tp / (tp + fn)
+            assert abs(got["recall"] - rec) < 1e-6
+            assert rec <= prev_recall + 1e-12  # recall falls as thr rises
+            prev_recall = rec
+        if tp + fp and tn + fn and tp + fn and tn + fp:
+            mcc = (tp * tn - fp * fn) / math.sqrt(
+                float((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+            )
+            assert abs(got["mcc"] - mcc) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# word2vec subsampling: python replay + clamp/head invariants
+# --------------------------------------------------------------------------
+def test_word2vec_subsample_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.text import (
+        W2V_SUBSAMPLE_T,
+        q_word2vec_subsample,
+    )
+
+    got = [r.asDict() for r in q_word2vec_subsample(spark, SF).collect()]
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    cnt: Counter = Counter()
+    for text in t["text"].to_pylist():
+        cnt.update(text.split(" "))
+    n = sum(cnt.values())
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert len(got) == len(expect)
+    for row, (tok, c) in zip(got, expect):
+        f = c / n
+        p = min(1.0, math.sqrt(W2V_SUBSAMPLE_T / f) + W2V_SUBSAMPLE_T / f)
+        assert row["tok"] == tok and row["c"] == c
+        assert abs(row["p_keep"] - p) < 1e-6
+        assert row["expected_kept"] == round(c * p)
+        assert 0 < row["p_keep"] <= 1
