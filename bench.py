@@ -188,6 +188,9 @@ HEADLINE = [
     "q_chi2_feature_selection",
     "q_classifier_threshold_sweep",
     "q_word2vec_subsample",
+    "q_local_outlier_factor",
+    "q_seasonal_mann_kendall",
+    "q_feature_drift_report",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

@@ -155,6 +155,9 @@ _PRIORITY = (
     "q_chi2_feature_selection",
     "q_classifier_threshold_sweep",
     "q_word2vec_subsample",
+    "q_local_outlier_factor",
+    "q_seasonal_mann_kendall",
+    "q_feature_drift_report",
 )
 
 

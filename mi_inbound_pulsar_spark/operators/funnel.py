@@ -2225,3 +2225,117 @@ def q_weibull_plot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lam * F.pow(F.log(F.lit(2.0)), 1 / F.col("k")), 6
         ).alias("median_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-feature drift report: PSI + JS per feature between corpus halves
+# --------------------------------------------------------------------------
+DRIFT_PSI_FLAG = 0.1  # the industry "investigate" threshold
+
+
+@query(
+    "q_feature_drift_report",
+    oracle=f"""
+    WITH long AS (
+      SELECT doc_id % 2 AS split, 'lang' AS feature, lang AS value
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 2, 'source', source FROM documents
+      UNION ALL
+      SELECT doc_id % 2, 'len_band', CAST(n_chars // 100 AS VARCHAR)
+      FROM documents
+    ),
+    cell AS (
+      SELECT feature, value,
+             CAST(count(*) FILTER (split = 0) AS BIGINT) AS c0,
+             CAST(count(*) FILTER (split = 1) AS BIGINT) AS c1
+      FROM long GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT feature, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1
+      FROM cell GROUP BY feature
+    ),
+    sm AS (
+      SELECT c.feature,
+             (c.c0 + 0.5) / (t.n0 + 0.5 * t.k) AS p,
+             (c.c1 + 0.5) / (t.n1 + 0.5 * t.k) AS q,
+             t.k
+      FROM cell c JOIN tot t ON t.feature = c.feature
+    )
+    SELECT feature, CAST(max(k) AS BIGINT) AS n_values,
+           round(sum((p - q) * ln(p / q)), 6) AS psi,
+           round(sum(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2))), 6)
+             AS js_divergence,
+           sum((p - q) * ln(p / q)) >= {DRIFT_PSI_FLAG} AS drift_flag
+    FROM sm GROUP BY feature ORDER BY feature
+    """,
+)
+def q_feature_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature drift report: PSI and Jensen-Shannon divergence
+    per feature (lang, source, 100-char length band) between the two
+    doc_id-parity corpus halves, with the industry PSI ≥
+    {DRIFT_PSI_FLAG} investigate flag — the TABLE-level monitoring
+    sweep that generalizes q_psi_drift's single-metric check to every
+    schema column at once, which is what a nightly curation pipeline
+    actually schedules (one report row per feature, not one query per
+    feature). Laplace-0.5 smoothing keeps empty cells finite in both
+    engines identically.
+
+    Scale: each feature contributes one map-side-combined rollup to
+    its value domain; the union is |features| such rollups — the
+    report costs one corpus pass per feature column regardless of
+    corpus size, and the final aggregate runs on Σ|domains| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split = (F.col("doc_id") % 2).alias("split")
+    long = (
+        d.select(split, F.lit("lang").alias("feature"), F.col("lang").alias("value"))
+        .unionByName(
+            d.select(
+                split, F.lit("source").alias("feature"),
+                F.col("source").alias("value"),
+            )
+        )
+        .unionByName(
+            d.select(
+                split,
+                F.lit("len_band").alias("feature"),
+                F.expr("CAST(n_chars DIV 100 AS STRING)").alias("value"),
+            )
+        )
+    )
+    cell = long.groupBy("feature", "value").agg(
+        F.count_if(F.col("split") == 0).alias("c0"),
+        F.count_if(F.col("split") == 1).alias("c1"),
+    )
+    tot = cell.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+    )
+    sm = cell.join(F.broadcast(tot), "feature").select(
+        "feature",
+        ((F.col("c0") + 0.5) / (F.col("n0") + 0.5 * F.col("k"))).alias("p"),
+        ((F.col("c1") + 0.5) / (F.col("n1") + 0.5 * F.col("k"))).alias("q"),
+        "k",
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    psi = F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    return (
+        sm.groupBy("feature")
+        .agg(
+            F.max("k").cast("long").alias("n_values"),
+            F.round(psi, 6).alias("psi"),
+            F.round(
+                F.sum(
+                    0.5 * F.col("p") * F.log(F.col("p") / m)
+                    + 0.5 * F.col("q") * F.log(F.col("q") / m)
+                ),
+                6,
+            ).alias("js_divergence"),
+            (psi >= DRIFT_PSI_FLAG).alias("drift_flag"),
+        )
+        .orderBy("feature")
+    )

@@ -2196,3 +2196,100 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "sel_order int, vec_id bigint, sep_distance double"
     ).orderBy("sel_order")
+
+
+# --------------------------------------------------------------------------
+# Local Outlier Factor over the verified kNN kernel
+# --------------------------------------------------------------------------
+@query(
+    "q_local_outlier_factor",
+    oracle=f"""
+    WITH {_MUTUAL_KNN_CTE},
+    core AS MATERIALIZED (
+      SELECT ia AS vec_id, 1 - round(sim, 6) AS k_dist
+      FROM knn WHERE rk = {CORE_K}
+    ),
+    reach AS (
+      SELECT t.ia, t.ib,
+             greatest(c.k_dist, 1 - round(t.sim, 6)) AS reach
+      FROM topk t JOIN core c ON c.vec_id = t.ib
+    ),
+    lrd AS MATERIALIZED (
+      SELECT ia AS vec_id, count(*) / sum(reach) AS lrd
+      FROM reach GROUP BY ia
+    ),
+    lof AS (
+      SELECT t.ia AS vec_id, avg(lb.lrd) / max(la.lrd) AS lof
+      FROM topk t
+        JOIN lrd la ON la.vec_id = t.ia
+        JOIN lrd lb ON lb.vec_id = t.ib
+      GROUP BY t.ia
+    )
+    SELECT l.vec_id, round(c.k_dist, 6) AS k_dist,
+           round(r.lrd, 6) AS lrd, round(l.lof, 6) AS lof
+    FROM lof l
+      JOIN core c ON c.vec_id = l.vec_id
+      JOIN lrd r ON r.vec_id = l.vec_id
+    ORDER BY round(l.lof, 6) DESC, l.vec_id LIMIT 15
+    """,
+)
+def q_local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) at k={CORE_K} over
+    the embedding corpus: reach-dist(a→b) = max(k-dist(b), d(a,b)),
+    local reachability density lrd(a) = k/Σreach, LOF(a) = mean
+    neighbor-lrd / own-lrd — the DENSITY-RELATIVE outlier score that
+    flags points sparse relative to THEIR OWN neighborhood, which a
+    global distance cutoff (q_anomaly_trailing's z-scores, the ANN
+    recall gates) cannot: a point at the edge of a tight cluster
+    outranks one deep inside a diffuse cluster. Top-15 by LOF —
+    completes the density chain q_core_distance → q_density_clusters
+    with its outlier reading.
+
+    Hash-exactness: built on the verified exact-kNN kernel (same
+    6dp-rounded ranking as q_mutual_knn); lrd/LOF are ratios of
+    k-bounded sums of already-rounded values.
+
+    Scale: the kNN self-join is the block-cogrouped kernel; all three
+    derived tables are (k·n)-edge-bounded joins keyed by vec_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = knn_self_join(e, k=CORE_K)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round("sim", 6)), "neighbor_id"
+    )
+    ranked = knn.withColumn("rk", F.row_number().over(w))
+    core = ranked.filter(F.col("rk") == CORE_K).select(
+        "vec_id", (1 - F.round("sim", 6)).alias("k_dist")
+    )
+    reach = knn.join(
+        core.withColumnsRenamed({"vec_id": "neighbor_id", "k_dist": "kd_b"}),
+        "neighbor_id",
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        F.greatest(F.col("kd_b"), 1 - F.round("sim", 6)).alias("reach"),
+    )
+    lrd = reach.groupBy("vec_id").agg(
+        (F.count(F.lit(1)) / F.sum("reach")).alias("lrd")
+    )
+    la = lrd.withColumnsRenamed({"lrd": "lrd_a"})
+    lb = lrd.withColumnsRenamed({"vec_id": "neighbor_id", "lrd": "lrd_b"})
+    lof = (
+        knn.select("vec_id", "neighbor_id")
+        .join(la, "vec_id")
+        .join(lb, "neighbor_id")
+        .groupBy("vec_id")
+        .agg((F.avg("lrd_b") / F.max("lrd_a")).alias("lof"))
+    )
+    return (
+        lof.join(core, "vec_id")
+        .join(lrd, "vec_id")
+        .select(
+            "vec_id",
+            F.round("k_dist", 6).alias("k_dist"),
+            F.round("lrd", 6).alias("lrd"),
+            F.round("lof", 6).alias("lof"),
+        )
+        .orderBy(F.desc(F.round("lof", 6)), "vec_id")
+        .limit(15)
+    )

@@ -1160,3 +1160,109 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test (weekday-stratified)
+# --------------------------------------------------------------------------
+@query(
+    "q_seasonal_mann_kendall",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    obs AS (SELECT day % 7 AS season, day, cents FROM d),
+    pairs AS (
+      SELECT a.season,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM obs a JOIN obs b ON b.season = a.season AND b.day > a.day
+      GROUP BY a.season
+    ),
+    per AS (
+      SELECT o.season, CAST(count(*) AS BIGINT) AS n,
+             coalesce(max(p.s), 0) AS s,
+             count(*) * (count(*) - 1.0) * (2 * count(*) + 5) / 18
+               AS var_s
+      FROM obs o LEFT JOIN pairs p ON p.season = o.season
+      GROUP BY o.season
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(s) AS BIGINT) AS s_total,
+             sum(var_s) AS var_total
+      FROM per
+    )
+    SELECT n_seasons, s_total, round(var_total, 6) AS var_total,
+           round(CASE WHEN s_total > 0 THEN (s_total - 1) / sqrt(var_total)
+                      WHEN s_total < 0 THEN (s_total + 1) / sqrt(var_total)
+                      ELSE 0.0 END, 6) AS z
+    FROM tot
+    """,
+)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984): the MK
+    S statistic computed WITHIN each weekday stratum (day mod 7 — an
+    engine-identical integer, no locale-dependent dayofweek) and
+    summed across seasons, with the summed null variance and the
+    continuity-corrected Z — the trend test that a weekly cycle
+    cannot fool, where the plain q_mann_kendall mixes Mondays against
+    Saturdays and reads seasonality as trend. No-tie variance form
+    (exact integer cents make ties measure-zero; a tie contributes
+    sign 0 and mildly overstates the variance — conservative).
+
+    Scale: the pair join is per-season over the day-domain rollup
+    (O((n/7)²·7) on a bounded frame); everything else is two tiny
+    aggregates.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    obs = d.select((F.col("day") % 7).alias("season"), "day", "cents")
+    a, b = obs.alias("a"), obs.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.season") == F.col("a.season"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .groupBy(F.col("a.season").alias("season"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    per = (
+        obs.groupBy("season")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(pairs, "season", "left")
+        .select(
+            "season",
+            F.coalesce("s", F.lit(0)).alias("s"),
+            (
+                F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) / 18
+            ).alias("var_s"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_seasons"),
+        F.sum("s").alias("s_total"),
+        F.sum("var_s").alias("var_total"),
+    )
+    z = (
+        F.when(
+            F.col("s_total") > 0,
+            (F.col("s_total") - 1) / F.sqrt("var_total"),
+        )
+        .when(
+            F.col("s_total") < 0,
+            (F.col("s_total") + 1) / F.sqrt("var_total"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return tot.select(
+        F.col("n_seasons").cast("long").alias("n_seasons"),
+        F.col("s_total").cast("long").alias("s_total"),
+        F.round("var_total", 6).alias("var_total"),
+        F.round(z, 6).alias("z"),
+    )

@@ -1133,3 +1133,126 @@ def test_word2vec_subsample_matches_python(spark):
         assert abs(row["p_keep"] - p) < 1e-6
         assert row["expected_kept"] == round(c * p)
         assert 0 < row["p_keep"] <= 1
+
+
+# --------------------------------------------------------------------------
+# LOF: python replay from raw embeddings (own cosine, own kNN)
+# --------------------------------------------------------------------------
+def test_local_outlier_factor_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.similarity import (
+        CORE_K,
+        q_local_outlier_factor,
+    )
+
+    got = [r.asDict() for r in q_local_outlier_factor(spark, SF).collect()]
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        vid: emb
+        for vid, emb in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    ids = sorted(vecs)
+    knn = {}
+    for a in ids:
+        sims = sorted(
+            ((round(cos(vecs[a], vecs[b]), 6), -b) for b in ids if b != a),
+            reverse=True,
+        )[:CORE_K]
+        knn[a] = [(-nb, 1 - s) for s, nb in sims]  # (neighbor, dist)
+    kdist = {a: knn[a][-1][1] for a in ids}
+    lrd = {
+        a: len(knn[a]) / sum(max(kdist[b], d) for b, d in knn[a])
+        for a in ids
+    }
+    lof = {a: sum(lrd[b] for b, _ in knn[a]) / len(knn[a]) / lrd[a] for a in ids}
+    expect = sorted(
+        ((round(lof[a], 6), a) for a in ids), key=lambda r: (-r[0], r[1])
+    )[:15]
+    assert len(got) == len(expect)
+    for row, (score, a) in zip(got, expect):
+        assert row["vec_id"] == a
+        assert abs(row["lof"] - score) < 2e-5
+        assert abs(row["k_dist"] - kdist[a]) < 2e-6
+        assert abs(row["lrd"] - lrd[a]) < 2e-4
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann-Kendall: python replay + plain-MK relationship
+# --------------------------------------------------------------------------
+def test_seasonal_mann_kendall_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        q_seasonal_mann_kendall,
+    )
+
+    got = _row(q_seasonal_mann_kendall(spark, SF))
+    daily = sorted(_daily_cents(SF).items())
+    seasons: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for d, c in daily:
+        seasons[d % 7].append((d, c))
+    s_tot, var_tot = 0, 0.0
+    for obs in seasons.values():
+        obs.sort()
+        n = len(obs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                s_tot += (obs[j][1] > obs[i][1]) - (obs[j][1] < obs[i][1])
+        var_tot += n * (n - 1) * (2 * n + 5) / 18
+    z = (
+        (s_tot - 1) / math.sqrt(var_tot)
+        if s_tot > 0
+        else ((s_tot + 1) / math.sqrt(var_tot) if s_tot < 0 else 0.0)
+    )
+    assert got["n_seasons"] == len(seasons)
+    assert got["s_total"] == s_tot
+    assert abs(got["var_total"] - var_tot) < 1e-4
+    assert abs(got["z"] - z) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# Feature drift report: python replay + PSI/JS relationship
+# --------------------------------------------------------------------------
+def test_feature_drift_report_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.funnel import (
+        q_feature_drift_report,
+    )
+
+    rows = {
+        r["feature"]: r.asDict()
+        for r in q_feature_drift_report(spark, SF).collect()
+    }
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    feats = {
+        "lang": t["lang"].to_pylist(),
+        "source": t["source"].to_pylist(),
+        "len_band": [str(v // 100) for v in t["n_chars"].to_pylist()],
+    }
+    ids = t["doc_id"].to_pylist()
+    for name, vals in feats.items():
+        c0: Counter = Counter()
+        c1: Counter = Counter()
+        for i, v in zip(ids, vals):
+            (c0 if i % 2 == 0 else c1)[v] += 1
+        dom = set(c0) | set(c1)
+        k = len(dom)
+        n0, n1 = sum(c0.values()), sum(c1.values())
+        psi = js = 0.0
+        for v in dom:
+            p = (c0[v] + 0.5) / (n0 + 0.5 * k)
+            q = (c1[v] + 0.5) / (n1 + 0.5 * k)
+            m = (p + q) / 2
+            psi += (p - q) * math.log(p / q)
+            js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        got = rows[name]
+        assert got["n_values"] == k, name
+        assert abs(got["psi"] - psi) < 1e-5
+        assert abs(got["js_divergence"] - js) < 1e-5
+        assert got["drift_flag"] == (psi >= 0.1)
+        assert got["js_divergence"] >= 0
