@@ -75,10 +75,14 @@ _PRIORITY = (
     # Rounds 1-8 covered 344 distinct names (all green, zero overlap);
     # this head is the ninth DISJOINT set — ALL 45 remaining never-
     # driver-checked names (the 24 round-8 additions plus the 21
-    # alphabet-tail leftovers), which closes the registry: after this
-    # round every pre-round-9 query is driver-hard. The final slots
-    # (up to 50) are reserved for round-9 additions so new code gets
-    # driver-checked in the round it lands.
+    # alphabet-tail leftovers), which closes the pre-round-9 registry,
+    # followed by the 33 round-9 additions in landing order (slots
+    # 46-50 get driver-checked this round: q_moments_sketch,
+    # q_kmv_distinct_sketch, q_croston_intermittent,
+    # q_kalman_local_level, q_matrix_profile_topk). ROUND-10 NOTE:
+    # after this round the never-driver-checked pool is exactly the
+    # 28 round-9 additions from q_granger_lag1 onward in the list
+    # below — head them next round, then new round-10 code.
     "q_ams_f2_moment",
     "q_bloom_decontaminate",
     "q_chapman_estimator",
