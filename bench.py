@@ -191,6 +191,9 @@ HEADLINE = [
     "q_local_outlier_factor",
     "q_seasonal_mann_kendall",
     "q_feature_drift_report",
+    "q_mantel_haenszel",
+    "q_bradley_terry",
+    "q_spiegelhalter_z",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

@@ -162,6 +162,9 @@ _PRIORITY = (
     "q_local_outlier_factor",
     "q_seasonal_mann_kendall",
     "q_feature_drift_report",
+    "q_mantel_haenszel",
+    "q_bradley_terry",
+    "q_spiegelhalter_z",
 )
 
 

@@ -5809,3 +5809,138 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mantel-Haenszel stratified common odds ratio + CMH test
+# --------------------------------------------------------------------------
+@query(
+    "q_mantel_haenszel",
+    oracle="""
+    WITH ret AS (
+      SELECT l_orderkey AS ok,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    obs AS (
+      SELECT o.o_orderpriority AS stratum,
+             substring(md5('exp7:' || CAST(o.o_custkey AS VARCHAR)), 1, 1)
+               < '8' AS exposed,
+             coalesce(ret.r, 0) AS ret
+      FROM orders o LEFT JOIN ret ON ret.ok = o.o_orderkey
+    ),
+    cell AS (
+      SELECT stratum,
+             CAST(count(*) FILTER (exposed AND ret = 1) AS BIGINT) AS a,
+             CAST(count(*) FILTER (exposed AND ret = 0) AS BIGINT) AS b,
+             CAST(count(*) FILTER (NOT exposed AND ret = 1) AS BIGINT) AS c,
+             CAST(count(*) FILTER (NOT exposed AND ret = 0) AS BIGINT) AS d
+      FROM obs GROUP BY stratum
+    ),
+    terms AS (
+      SELECT stratum, a, b, c, d,
+             CAST(a + b + c + d AS DOUBLE) AS n
+      FROM cell
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(a * CAST(d AS DOUBLE) / n) AS rd,
+             sum(b * CAST(c AS DOUBLE) / n) AS bc,
+             CAST(sum(a) AS BIGINT) AS sa,
+             sum((a + b) * CAST(a + c AS DOUBLE) / n) AS e,
+             sum((a + b) * CAST(c + d AS DOUBLE) * (a + c) * (b + d)
+                 / (n * n * (n - 1))) AS v,
+             CAST(sum(a + b + c + d) AS BIGINT) AS n_tot,
+             CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+             CAST(sum(c) AS BIGINT) AS tc, CAST(sum(d) AS BIGINT) AS td
+      FROM terms
+    )
+    SELECT k AS n_strata, n_tot AS n_orders,
+           round(rd / bc, 6) AS mh_odds_ratio,
+           round((CAST(ta AS DOUBLE) * td) / (CAST(tb AS DOUBLE) * tc), 6)
+             AS crude_odds_ratio,
+           round(pow(abs(sa - e) - 0.5, 2) / v, 6) AS cmh_chi2
+    FROM s
+    """,
+)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio + the continuity-corrected
+    Cochran-Mantel-Haenszel χ² (Mantel & Haenszel 1959), stratified by
+    order priority: does the exp7 hash arm shift the order-return rate
+    AFTER controlling for priority? THE remedy for the aggregation
+    reversal q_simpson_audit detects — the crude odds ratio rides
+    along so the two readouts can disagree visibly when strata are
+    confounded (with a hash arm they should agree ≈1, the A/A
+    calibration). Uses the q_logrank_test hypergeometric moments per
+    stratum.
+
+    Scale: one per-order rollup (returned flag), one stratum×2×2
+    conditional aggregate, one k-row closed form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("r")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    exposed = (
+        F.substring(
+            F.md5(F.concat(F.lit("exp7:"), F.col("o_custkey").cast("string"))),
+            1,
+            1,
+        )
+        < "8"
+    )
+    obs = o.join(ret, o.o_orderkey == ret.ok, "left").select(
+        F.col("o_orderpriority").alias("stratum"),
+        exposed.alias("exposed"),
+        F.coalesce("r", F.lit(0)).alias("ret"),
+    )
+    cell = obs.groupBy("stratum").agg(
+        F.count_if(F.col("exposed") & (F.col("ret") == 1)).alias("a"),
+        F.count_if(F.col("exposed") & (F.col("ret") == 0)).alias("b"),
+        F.count_if(~F.col("exposed") & (F.col("ret") == 1)).alias("c"),
+        F.count_if(~F.col("exposed") & (F.col("ret") == 0)).alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    s = cell.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("a") * F.col("d").cast("double") / n).alias("rd"),
+        F.sum(F.col("b") * F.col("c").cast("double") / n).alias("bc"),
+        F.sum("a").alias("sa"),
+        F.sum(
+            (F.col("a") + F.col("b"))
+            * (F.col("a") + F.col("c")).cast("double")
+            / n
+        ).alias("e"),
+        F.sum(
+            (F.col("a") + F.col("b"))
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (n * n * (n - 1))
+        ).alias("v"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias(
+            "n_tot"
+        ),
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.sum("c").alias("tc"),
+        F.sum("d").alias("td"),
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_strata"),
+        F.col("n_tot").cast("long").alias("n_orders"),
+        F.round(F.col("rd") / F.col("bc"), 6).alias("mh_odds_ratio"),
+        F.round(
+            (F.col("ta").cast("double") * F.col("td"))
+            / (F.col("tb").cast("double") * F.col("tc")),
+            6,
+        ).alias("crude_odds_ratio"),
+        F.round(
+            F.pow(F.abs(F.col("sa") - F.col("e")) - 0.5, F.lit(2.0))
+            / F.col("v"),
+            6,
+        ).alias("cmh_chi2"),
+    )

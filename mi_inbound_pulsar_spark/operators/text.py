@@ -6038,3 +6038,65 @@ def q_word2vec_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "tok")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Spiegelhalter's calibration Z on the quality-logit probabilities
+# --------------------------------------------------------------------------
+@query(
+    "q_spiegelhalter_z",
+    oracle=f"""
+    WITH scored AS ({{_QL}}),
+    pr AS (
+      SELECT y, 1.0 / (1.0 + exp(-score)) AS p FROM scored
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(pow(y - p, 2)) AS brier_sum,
+             sum((y - p) * (1 - 2 * p)) AS num,
+             sum(pow(1 - 2 * p, 2) * p * (1 - p)) AS den
+      FROM pr
+    )
+    SELECT n,
+           round(brier_sum / n, 6) AS brier,
+           round(num / sqrt(den), 6) AS spiegelhalter_z
+    FROM s
+    """.replace("{_QL}", _ql_score_sql()),
+)
+def q_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's Z test of calibration (Spiegelhalter 1986): the
+    standardized excess of the Brier score over its expectation UNDER
+    the forecast's own probabilities, Z = Σ(y−p)(1−2p) /
+    √Σ(1−2p)²p(1−p) with p = σ(logit) — the significance test the
+    descriptive calibration pair lacks (q_calibration_ece bins the
+    miscalibration, q_brier_decomposition attributes it; this says
+    whether it exceeds chance). |Z| > 2 means the quality filter's
+    probabilities cannot be taken at face value regardless of how
+    well it RANKS (q_auc_roc).
+
+    Scale: one pass over the shared scored frame — three
+    map-side-combined sums and a 1-row closed form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pr = _ql_scored(d).select(
+        "y", (1.0 / (1.0 + F.exp(-F.col("score")))).alias("p")
+    )
+    s = pr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pow(F.col("y") - F.col("p"), F.lit(2.0))).alias(
+            "brier_sum"
+        ),
+        F.sum((F.col("y") - F.col("p")) * (1 - 2 * F.col("p"))).alias(
+            "num"
+        ),
+        F.sum(
+            F.pow(1 - 2 * F.col("p"), F.lit(2.0))
+            * F.col("p")
+            * (1 - F.col("p"))
+        ).alias("den"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("brier_sum") / F.col("n"), 6).alias("brier"),
+        F.round(F.col("num") / F.sqrt("den"), 6).alias("spiegelhalter_z"),
+    )

@@ -1266,3 +1266,146 @@ def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_total", 6).alias("var_total"),
         F.round(z, 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry strengths from daily pairwise comparisons
+# --------------------------------------------------------------------------
+BT_ITERS = 3
+
+
+@query(
+    "q_bradley_terry",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    duel AS (
+      SELECT a.k AS i, b.k AS j,
+             CAST(count(*) FILTER (a.y > b.y) AS BIGINT) AS w
+      FROM ev a JOIN ev b ON a.day = b.day AND a.k != b.k
+      GROUP BY 1, 2
+    ),
+    nmat AS (
+      SELECT d.i, d.j, d.w, d.w + r.w AS n
+      FROM duel d JOIN duel r ON r.i = d.j AND r.j = d.i
+    ),
+    wins AS (SELECT i, CAST(sum(w) AS BIGINT) AS wi FROM nmat GROUP BY i),
+    p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wins),
+    it1 AS (
+      SELECT w.i, w.wi / sum(m.n / (pi.p + pj.p)) AS p
+      FROM wins w
+        JOIN nmat m ON m.i = w.i
+        JOIN p0 pi ON pi.i = m.i
+        JOIN p0 pj ON pj.i = m.j
+      GROUP BY w.i, w.wi
+    ),
+    it2 AS (
+      SELECT w.i, w.wi / sum(m.n / (pi.p + pj.p)) AS p
+      FROM wins w
+        JOIN nmat m ON m.i = w.i
+        JOIN it1 pi ON pi.i = m.i
+        JOIN it1 pj ON pj.i = m.j
+      GROUP BY w.i, w.wi
+    ),
+    it3 AS (
+      SELECT w.i, w.wi / sum(m.n / (pi.p + pj.p)) AS p
+      FROM wins w
+        JOIN nmat m ON m.i = w.i
+        JOIN it2 pi ON pi.i = m.i
+        JOIN it2 pj ON pj.i = m.j
+      GROUP BY w.i, w.wi
+    ),
+    norm AS (SELECT sum(p) AS z FROM it3)
+    SELECT t.i AS event_type, w.wi AS wins,
+           round(t.p / n.z, 6) AS strength,
+           CAST(row_number() OVER (ORDER BY round(t.p / n.z, 6) DESC, t.i)
+                AS BIGINT) AS rank
+    FROM it3 t, norm n JOIN wins w ON w.i = t.i
+    ORDER BY rank
+    """,
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry paired-comparison strengths (Bradley & Terry
+    1952) fit with {BT_ITERS} unrolled Zermelo/MM iterations
+    (Hunter 2004): each day is a tournament round where event type i
+    "beats" j if its daily count is higher; p_i ← W_i / Σ_j
+    n_ij/(p_i+p_j), normalized to a probability vector — the model
+    that turns win/loss tallies into calibrated strengths with
+    P(i beats j) = p_i/(p_i+p_j), the LLM-eval pairwise-preference
+    aggregation (arena-style ratings) in miniature. Fixed unrolled
+    iterations keep the plan static and oracle-checkable (the
+    q_ipf_raking pattern); ties contribute to neither side.
+
+    Scale: comparisons live on the (type × day) rollup self-joined by
+    day; every MM step is a join over the |types|²-row duel matrix —
+    bounded by the item domain, never the corpus.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = ev.alias("a"), ev.alias("b")
+    duel = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.k") != F.col("b.k")),
+        )
+        .groupBy(F.col("a.k").alias("i"), F.col("b.k").alias("j"))
+        .agg(F.count_if(F.col("a.y") > F.col("b.y")).alias("w"))
+    )
+    rev = duel.select(
+        F.col("j").alias("i"), F.col("i").alias("j"), F.col("w").alias("wr")
+    )
+    nmat = duel.join(rev, ["i", "j"]).select(
+        "i", "j", "w", (F.col("w") + F.col("wr")).alias("n")
+    )
+    # checkpoint the shared matrices and each MM round: 3 nested
+    # iterations of 4 joins otherwise compound the logical plan (the
+    # q_kcore_peel lineage lesson); the frames are |types|-bounded
+    nmat = nmat.localCheckpoint(eager=True)
+    wins = nmat.groupBy("i").agg(F.sum("w").alias("wi")).localCheckpoint(
+        eager=True
+    )
+    p = wins.select("i", F.lit(1.0).alias("p"))
+    for _ in range(BT_ITERS):
+        pi = p.withColumnsRenamed({"p": "p_i"})
+        pj = p.withColumnsRenamed({"i": "j", "p": "p_j"})
+        p = (
+            nmat.join(pi, "i")
+            .join(pj, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("n") / (F.col("p_i") + F.col("p_j"))).alias(
+                    "den"
+                )
+            )
+            .join(wins, "i")
+            .select("i", (F.col("wi") / F.col("den")).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    z = p.agg(F.sum("p").alias("z"))
+    strength = F.round(F.col("p") / F.col("z"), 6)
+    out = (
+        p.crossJoin(F.broadcast(z))
+        .join(wins, "i")
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("wi").cast("long").alias("wins"),
+            strength.alias("strength"),
+        )
+    )
+    out = bounded_window_input(out, label="q_bradley_terry item table")
+    return out.select(
+        "event_type",
+        "wins",
+        "strength",
+        F.row_number()
+        .over(Window.orderBy(F.desc("strength"), "event_type"))
+        .cast("long")
+        .alias("rank"),
+    ).orderBy("rank")

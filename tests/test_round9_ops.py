@@ -1256,3 +1256,120 @@ def test_feature_drift_report_matches_python(spark):
         assert abs(got["js_divergence"] - js) < 1e-5
         assert got["drift_flag"] == (psi >= 0.1)
         assert got["js_divergence"] >= 0
+
+
+# --------------------------------------------------------------------------
+# Mantel-Haenszel: python replay + A/A plausibility
+# --------------------------------------------------------------------------
+def test_mantel_haenszel_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.aggstats import q_mantel_haenszel
+
+    got = _row(q_mantel_haenszel(spark, SF))
+    o = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    ret = defaultdict(int)
+    for ok, rf in zip(li["l_orderkey"].to_pylist(), li["l_returnflag"].to_pylist()):
+        if rf == "R":
+            ret[ok] = 1
+    cells: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for ok, ck, pr in zip(
+        o["o_orderkey"].to_pylist(),
+        o["o_custkey"].to_pylist(),
+        o["o_orderpriority"].to_pylist(),
+    ):
+        exp = hashlib.md5(f"exp7:{ck}".encode()).hexdigest()[0] < "8"
+        r = ret.get(ok, 0)
+        idx = (0 if r else 1) if exp else (2 if r else 3)
+        cells[pr][idx] += 1
+    rd = bc = e = v = 0.0
+    sa = 0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        rd += a * d / n
+        bc += b * c / n
+        sa += a
+        e += (a + b) * (a + c) / n
+        v += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    assert got["n_strata"] == len(cells)
+    assert abs(got["mh_odds_ratio"] - rd / bc) < 1e-5
+    assert abs(got["cmh_chi2"] - (abs(sa - e) - 0.5) ** 2 / v) < 1e-4
+    # A/A hash split: the common odds ratio should sit near 1
+    assert 0.5 < got["mh_odds_ratio"] < 2.0
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry: python Zermelo replay + probability-vector invariant
+# --------------------------------------------------------------------------
+def test_bradley_terry_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        BT_ITERS,
+        q_bradley_terry,
+    )
+
+    rows = {
+        r["event_type"]: r.asDict() for r in q_bradley_terry(spark, SF).collect()
+    }
+    ts, _, et, _ = _events(SF)
+    daily: dict[str, Counter] = defaultdict(Counter)
+    for t, e in zip(ts, et):
+        daily[e][t // US_PER_DAY] += 1
+    types = sorted(daily)
+    w: Counter = Counter()
+    for i in types:
+        for j in types:
+            if i == j:
+                continue
+            w[(i, j)] = sum(
+                1
+                for d in set(daily[i]) & set(daily[j])
+                if daily[i][d] > daily[j][d]
+            )
+    nmat = {(i, j): w[(i, j)] + w[(j, i)] for (i, j) in w}
+    wins = {i: sum(w[(i, j)] for j in types if j != i) for i in types}
+    p = {i: 1.0 for i in types}
+    for _ in range(BT_ITERS):
+        p = {
+            i: wins[i]
+            / sum(nmat[(i, j)] / (p[i] + p[j]) for j in types if j != i)
+            for i in types
+        }
+    z = sum(p.values())
+    for i in types:
+        assert rows[i]["wins"] == wins[i]
+        assert abs(rows[i]["strength"] - p[i] / z) < 1e-5
+    assert abs(sum(r["strength"] for r in rows.values()) - 1) < 1e-4
+    ranks = sorted(rows.values(), key=lambda r: r["rank"])
+    assert all(
+        ranks[i]["strength"] >= ranks[i + 1]["strength"] - 1e-9
+        for i in range(len(ranks) - 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Spiegelhalter Z: replay from the scored frame
+# --------------------------------------------------------------------------
+def test_spiegelhalter_z_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.text import (
+        q_spiegelhalter_z,
+        _ql_scored,
+    )
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+
+    got = _row(q_spiegelhalter_z(spark, SF))
+    scored = [
+        r.asDict()
+        for r in _ql_scored(load_table(spark, SF, "documents")).collect()
+    ]
+    pr = [(r["y"], 1 / (1 + math.exp(-r["score"]))) for r in scored]
+    n = len(pr)
+    brier = sum((y - p) ** 2 for y, p in pr) / n
+    num = sum((y - p) * (1 - 2 * p) for y, p in pr)
+    den = sum((1 - 2 * p) ** 2 * p * (1 - p) for y, p in pr)
+    assert got["n"] == n
+    assert abs(got["brier"] - brier) < 1e-6
+    assert abs(got["spiegelhalter_z"] - num / math.sqrt(den)) < 1e-4
