@@ -81,7 +81,7 @@ _PRIORITY = (
     # q_kmv_distinct_sketch, q_croston_intermittent,
     # q_kalman_local_level, q_matrix_profile_topk). ROUND-10 NOTE:
     # after this round the never-driver-checked pool is exactly the
-    # 28 round-9 additions from q_granger_lag1 onward in the list
+    # 31 round-9 additions from q_granger_lag1 onward in the list
     # below — head them next round, then new round-10 code.
     "q_ams_f2_moment",
     "q_bloom_decontaminate",
