@@ -1,0 +1,316 @@
+"""Rank-based two-sample tests (round 9, continuation): the
+distribution-comparison tier beyond location (``q_mann_whitney``) and
+max-gap (``q_ks_test``) — integrated ECDF distance (Cramér-von Mises),
+tail-weighted ECDF distance (Anderson-Darling k-sample), and the
+heteroskedasticity-robust stochastic-superiority test (Brunner-Munzel).
+Reference scope: the engine delegates all processing to its injected
+pipeline (PulsarMessageConsumer.java:535-545) — this IS that layer.
+
+All three compare finished ('F') vs open ('O') order totals. Ranks are
+NEVER assigned per row: the corpus collapses to one per-DISTINCT-VALUE
+rollup (exact integer cents), every rank/ECDF quantity is a running sum
+over that rollup, and the single global window is guarded by
+``bounded_window_input`` (the q_zipf_slope waiver class — window input
+is the value domain, not the order stream; at 100 TB you would coarsen
+the cent grid to bound the domain explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+# Shared rollup: one row per distinct order-total (integer cents),
+# with per-status counts. c1 = sample 1 ('F'), c2 = sample 2 ('O').
+_ROLLUP_SQL = """
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS c1,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS c2,
+             count(*) AS c
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+"""
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    vc = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+            "o_orderstatus",
+        )
+        .groupBy("v")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("c1"),
+            F.count_if(F.col("o_orderstatus") == "O").alias("c2"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    return bounded_window_input(vc, label="ranktests value domain")
+
+
+# --------------------------------------------------------------------------
+# Two-sample Cramér-von Mises
+# --------------------------------------------------------------------------
+@query(
+    "q_cramer_von_mises",
+    oracle=f"""
+    WITH vc AS ({_ROLLUP_SQL}),
+    cum AS (
+      SELECT c,
+             sum(c1) OVER (ORDER BY v) AS f1,
+             sum(c2) OVER (ORDER BY v) AS f2,
+             sum(c1) OVER () AS n, sum(c2) OVER () AS m
+      FROM vc
+    ),
+    s AS (
+      SELECT max(n) AS n, max(m) AS m,
+             sum(c * pow(CAST(f1 AS DOUBLE) / n
+                         - CAST(f2 AS DOUBLE) / m, 2)) AS gap2
+      FROM cum
+    ),
+    t AS (
+      SELECT CAST(n AS BIGINT) AS n_f, CAST(m AS BIGINT) AS n_o,
+             n * m / pow(n + m, 2) * gap2 AS t_stat,
+             n + m AS nn, CAST(n AS DOUBLE) AS n, CAST(m AS DOUBLE) AS m
+      FROM s
+    )
+    SELECT n_f, n_o, round(t_stat, 6) AS t_stat,
+           round((t_stat - (1 + 1 / nn) / 6)
+                 / sqrt((1 + 1 / nn)
+                        * (4 * n * m * nn - 3 * (n * n + m * m) - 2 * n * m)
+                        / (4 * n * m * nn * nn) / 45), 6) AS t_standardized
+    FROM t
+    """,
+)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion (Anderson 1962) between
+    finished and open order totals: T = nm/N² · Σ_k (F₁(z_k)−F₂(z_k))²
+    summed over every pooled observation z_k — the INTEGRATED squared
+    ECDF gap, the whole-distribution companion to ``q_ks_test``'s
+    single largest gap. Reported standardized by Anderson's exact
+    finite-sample mean (1+1/N)/6 and variance, which depend only on
+    (n, m) — no resampling. The ECDF-sum form is tie-safe as written
+    (each distinct value contributes its multiplicity × squared gap).
+
+    Scale: one map-side-combined rollup to the distinct-cents domain,
+    one guarded running sum over it, one final aggregate.
+    """
+    cum = _rollup(spark, sf_dir)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = cum.select(
+        "c",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.sum("c1").over(wt).alias("n"),
+        F.sum("c2").over(wt).alias("m"),
+    )
+    s = cum.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(
+            F.col("c")
+            * F.pow(
+                F.col("f1").cast("double") / F.col("n")
+                - F.col("f2").cast("double") / F.col("m"),
+                2,
+            )
+        ).alias("gap2"),
+    )
+    n, m = F.col("n").cast("double"), F.col("m").cast("double")
+    nn = n + m
+    t_stat = n * m / F.pow(nn, 2) * F.col("gap2")
+    mean = (1 + 1 / nn) / 6
+    var = (
+        (1 + 1 / nn)
+        * (4 * n * m * nn - 3 * (n * n + m * m) - 2 * n * m)
+        / (4 * n * m * nn * nn)
+        / 45
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_f"),
+        F.col("m").cast("long").alias("n_o"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round((t_stat - mean) / F.sqrt(var), 6).alias("t_standardized"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Anderson-Darling k-sample (k = 2), ties allowed
+# --------------------------------------------------------------------------
+@query(
+    "q_anderson_darling_2sample",
+    oracle=f"""
+    WITH vc AS ({_ROLLUP_SQL}),
+    cum AS (
+      SELECT c, c1, c2,
+             sum(c)  OVER (ORDER BY v) AS b,
+             sum(c1) OVER (ORDER BY v) AS m1,
+             sum(c2) OVER (ORDER BY v) AS m2,
+             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2,
+             sum(c)  OVER () AS nn
+      FROM vc
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n_f, CAST(max(n2) AS BIGINT) AS n_o,
+           round(sum(CASE WHEN b < nn THEN
+               CAST(c AS DOUBLE) / n1
+                 * pow(nn * m1 - n1 * b, 2) / (nn * b * (nn - b))
+             + CAST(c AS DOUBLE) / n2
+                 * pow(nn * m2 - n2 * b, 2) / (nn * b * (nn - b))
+             ELSE 0 END), 6) AS a2_stat
+    FROM cum
+    """,
+)
+def q_anderson_darling_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample Anderson-Darling statistic (Scholz & Stephens 1987,
+    eq. 3, k=2) between finished and open order totals — the
+    TAIL-WEIGHTED ECDF distance: each pooled position's squared gap is
+    divided by B(N−B), so discrepancies in the distribution tails count
+    far more than around the median (where Cramér-von Mises is most
+    sensitive). Written over distinct values with multiplicities l_j,
+    exactly Scholz-Stephens' ties form:
+    A² = Σ_i 1/n_i · Σ_{{j<L}} l_j (N·M_ij − n_i·B_j)² / (N B_j (N−B_j)).
+    Under H₀ its mean is k−1 = 1.
+
+    Scale: identical shape to ``q_cramer_von_mises`` — one rollup, one
+    guarded running sum, one aggregate.
+    """
+    cum = _rollup(spark, sf_dir)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = cum.select(
+        "c",
+        F.sum("c").over(w).alias("b"),
+        F.sum("c1").over(w).alias("m1"),
+        F.sum("c2").over(w).alias("m2"),
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+        F.sum("c").over(wt).alias("nn"),
+    )
+    c = F.col("c").cast("double")
+    nn, b = F.col("nn"), F.col("b")
+    inner = F.when(
+        b < nn,
+        c
+        / F.col("n1")
+        * F.pow(nn * F.col("m1") - F.col("n1") * b, 2)
+        / (nn * b * (nn - b))
+        + c
+        / F.col("n2")
+        * F.pow(nn * F.col("m2") - F.col("n2") * b, 2)
+        / (nn * b * (nn - b)),
+    ).otherwise(F.lit(0.0))
+    return cum.agg(
+        F.max("n1").cast("long").alias("n_f"),
+        F.max("n2").cast("long").alias("n_o"),
+        F.round(F.sum(inner), 6).alias("a2_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brunner-Munzel test (heteroskedasticity-robust rank test, ties via
+# midranks)
+# --------------------------------------------------------------------------
+@query(
+    "q_brunner_munzel",
+    oracle=f"""
+    WITH vc AS ({_ROLLUP_SQL}),
+    cum AS (
+      SELECT c1, c2,
+             coalesce(sum(c)  OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1.0) / 2 AS r,
+             coalesce(sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c1 + 1.0) / 2 AS r1w,
+             coalesce(sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c2 + 1.0) / 2 AS r2w
+      FROM vc
+    ),
+    s AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2,
+             sum(c1 * r) / sum(c1) AS m1, sum(c2 * r) / sum(c2) AS m2,
+             sum(c1 * pow(r - r1w, 2)) AS q1, sum(c2 * pow(r - r2w, 2)) AS q2
+      FROM cum
+    ),
+    v AS (
+      SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+             n1, n2, m1, m2,
+             (q1 - n1 * pow(m1 - (n1 + 1.0) / 2, 2)) / (n1 - 1) AS v1,
+             (q2 - n2 * pow(m2 - (n2 + 1.0) / 2, 2)) / (n2 - 1) AS v2
+      FROM s
+    )
+    SELECT n_f, n_o,
+           round((m2 - (n2 + 1.0) / 2) / n1, 6) AS p_hat,
+           round(n1 * n2 * (m2 - m1)
+                 / ((n1 + n2) * sqrt(n1 * v1 + n2 * v2)), 6) AS w_stat,
+           round(pow(n1 * v1 + n2 * v2, 2)
+                 / (pow(n1 * v1, 2) / (n1 - 1)
+                    + pow(n2 * v2, 2) / (n2 - 1)), 6) AS df
+    FROM v
+    """,
+)
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test (Brunner & Munzel 2000) for stochastic
+    superiority P(X<Y) + ½P(X=Y) between finished and open order
+    totals — the rank test that, unlike Mann-Whitney, stays valid when
+    the two samples have DIFFERENT variances/shapes (the
+    Behrens-Fisher situation). Ties handled by midranks throughout.
+    Reports the p̂ estimator, the studentized W statistic, and the
+    Welch-Satterthwaite degrees of freedom (lawstat's
+    ``brunner.munzel.test`` parametrization).
+
+    Scale: pooled AND within-sample midranks both come from running
+    sums over the same distinct-cents rollup — the variance terms use
+    Σc·(R−R_within)² with the mean correction applied in closed form
+    (Σc₁(R−R₁w) = n₁(m₁−(n₁+1)/2) exactly), so one guarded window and
+    one aggregate cover everything.
+    """
+    vc = _rollup(spark, sf_dir)
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vc.select(
+        "c1",
+        "c2",
+        (F.coalesce(F.sum("c").over(wb), F.lit(0)) + (F.col("c") + 1.0) / 2).alias(
+            "r"
+        ),
+        (
+            F.coalesce(F.sum("c1").over(wb), F.lit(0)) + (F.col("c1") + 1.0) / 2
+        ).alias("r1w"),
+        (
+            F.coalesce(F.sum("c2").over(wb), F.lit(0)) + (F.col("c2") + 1.0) / 2
+        ).alias("r2w"),
+    )
+    s = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        (F.sum(F.col("c1") * F.col("r")) / F.sum("c1")).alias("m1"),
+        (F.sum(F.col("c2") * F.col("r")) / F.sum("c2")).alias("m2"),
+        F.sum(F.col("c1") * F.pow(F.col("r") - F.col("r1w"), 2)).alias("q1"),
+        F.sum(F.col("c2") * F.pow(F.col("r") - F.col("r2w"), 2)).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("m1"), F.col("m2")
+    v1 = (F.col("q1") - n1 * F.pow(m1 - (n1 + 1.0) / 2, 2)) / (n1 - 1)
+    v2 = (F.col("q2") - n2 * F.pow(m2 - (n2 + 1.0) / 2, 2)) / (n2 - 1)
+    return s.select(
+        n1.cast("long").alias("n_f"),
+        n2.cast("long").alias("n_o"),
+        F.round((m2 - (n2 + 1.0) / 2) / n1, 6).alias("p_hat"),
+        F.round(
+            n1 * n2 * (m2 - m1) / ((n1 + n2) * F.sqrt(n1 * v1 + n2 * v2)), 6
+        ).alias("w_stat"),
+        F.round(
+            F.pow(n1 * v1 + n2 * v2, 2)
+            / (F.pow(n1 * v1, 2) / (n1 - 1) + F.pow(n2 * v2, 2) / (n2 - 1)),
+            6,
+        ).alias("df"),
+    )

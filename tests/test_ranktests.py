@@ -1,0 +1,128 @@
+"""Pure-Python third opinions for the rank-test operators (the
+tests/test_third_opinions_* tier; see FLAGSHIPS.md): replays built
+straight from the parquet files with per-OBSERVATION loops — a
+deliberately different computational path from the production queries'
+distinct-value rollups, so agreement is evidence about the algorithm,
+not about two engines sharing one author's rollup algebra.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _samples():
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_totalprice", "o_orderstatus"]
+    )
+    price = t["o_totalprice"].to_pylist()
+    status = t["o_orderstatus"].to_pylist()
+    x = [int(round(p * 100)) for p, s in zip(price, status) if s == "F"]
+    y = [int(round(p * 100)) for p, s in zip(price, status) if s == "O"]
+    return x, y
+
+
+def _row(df) -> dict:
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def test_cramer_von_mises_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.ranktests import q_cramer_von_mises
+
+    got = _row(q_cramer_von_mises(spark, SF))
+    x, y = _samples()
+    n, m = len(x), len(y)
+    nn = n + m
+    xs, ys = sorted(x), sorted(y)
+    pooled = sorted(x + y)
+
+    def ecdf(sorted_vals, v):  # count <= v via bisect-free scan cache
+        import bisect
+
+        return bisect.bisect_right(sorted_vals, v)
+
+    gap2 = sum(
+        (ecdf(xs, z) / n - ecdf(ys, z) / m) ** 2 for z in pooled
+    )
+    t_stat = n * m / nn**2 * gap2
+    mean = (1 + 1 / nn) / 6
+    var = (
+        (1 + 1 / nn)
+        * (4 * n * m * nn - 3 * (n**2 + m**2) - 2 * n * m)
+        / (4 * n * m * nn * nn)
+        / 45
+    )
+    assert got["n_f"] == n and got["n_o"] == m
+    assert got["t_stat"] == round(t_stat, 6)
+    assert got["t_standardized"] == round((t_stat - mean) / math.sqrt(var), 6)
+
+
+def test_anderson_darling_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.ranktests import (
+        q_anderson_darling_2sample,
+    )
+
+    got = _row(q_anderson_darling_2sample(spark, SF))
+    x, y = _samples()
+    n1, n2 = len(x), len(y)
+    nn = n1 + n2
+    cx, cy = Counter(x), Counter(y)
+    a2 = 0.0
+    b = m1 = m2 = 0
+    for v in sorted(set(x) | set(y)):
+        l = cx[v] + cy[v]
+        b += l
+        m1 += cx[v]
+        m2 += cy[v]
+        if b < nn:
+            a2 += l / n1 * (nn * m1 - n1 * b) ** 2 / (nn * b * (nn - b))
+            a2 += l / n2 * (nn * m2 - n2 * b) ** 2 / (nn * b * (nn - b))
+    assert got["n_f"] == n1 and got["n_o"] == n2
+    assert got["a2_stat"] == round(a2, 6)
+
+
+def test_brunner_munzel_matches_python(spark):
+    from mi_inbound_pulsar_spark.operators.ranktests import q_brunner_munzel
+
+    got = _row(q_brunner_munzel(spark, SF))
+    x, y = _samples()
+    n1, n2 = len(x), len(y)
+    nn = n1 + n2
+
+    def midranks(vals, universe):
+        """midrank within `universe` for each element of `vals`."""
+        su = sorted(universe)
+        import bisect
+
+        return [
+            (bisect.bisect_left(su, v) + bisect.bisect_right(su, v) + 1) / 2
+            for v in vals
+        ]
+
+    r1 = midranks(x, x + y)
+    r2 = midranks(y, x + y)
+    r1w = midranks(x, x)
+    r2w = midranks(y, y)
+    m1, m2 = sum(r1) / n1, sum(r2) / n2
+    v1 = sum(
+        (a - b - m1 + (n1 + 1) / 2) ** 2 for a, b in zip(r1, r1w)
+    ) / (n1 - 1)
+    v2 = sum(
+        (a - b - m2 + (n2 + 1) / 2) ** 2 for a, b in zip(r2, r2w)
+    ) / (n2 - 1)
+    w = n1 * n2 * (m2 - m1) / (nn * math.sqrt(n1 * v1 + n2 * v2))
+    df = (n1 * v1 + n2 * v2) ** 2 / (
+        (n1 * v1) ** 2 / (n1 - 1) + (n2 * v2) ** 2 / (n2 - 1)
+    )
+    p_hat = (m2 - (n2 + 1) / 2) / n1
+    assert got["n_f"] == n1 and got["n_o"] == n2
+    assert got["p_hat"] == round(p_hat, 6)
+    assert got["w_stat"] == round(w, 6)
+    assert got["df"] == round(df, 6)
