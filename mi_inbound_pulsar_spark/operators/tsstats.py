@@ -1409,3 +1409,206 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Randomness diagnostics on the daily purchase series: runs test,
+# turning-point test, von Neumann ratio
+# --------------------------------------------------------------------------
+@query(
+    "q_runs_test",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    med AS (SELECT median(cents) AS med FROM d),
+    s AS (
+      SELECT day, cents > med AS above,
+             lag(cents > med) OVER (ORDER BY day) AS prev
+      FROM d, med WHERE cents <> med
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE above) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE NOT above) AS BIGINT) AS n2,
+             CAST(1 + count(*) FILTER (WHERE prev IS NOT NULL
+                                         AND above <> prev) AS BIGINT) AS runs
+      FROM s
+    )
+    SELECT n, n1, n2, runs,
+           round(2.0 * n1 * n2 / n + 1, 6) AS mean_runs,
+           round((runs - (2.0 * n1 * n2 / n + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z
+    FROM agg
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily purchase series: code
+    each day above/below the series median (days exactly AT the median
+    dropped, the textbook treatment), count maximal same-sign runs,
+    and standardize against the exact conditional mean 2n₁n₂/N + 1
+    and variance — too FEW runs means positive serial dependence, too
+    many means oscillation; either falsifies the i.i.d. hypothesis
+    metrics dashboards quietly assume.
+
+    Scale: corpus → one map-side-combined daily rollup; the median,
+    lag and counts all live on the ≤|days|-row frame (guarded window).
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    med = d.agg(F.expr("median(cents)").alias("med"))
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med"))
+        .select("day", (F.col("cents") > F.col("med")).alias("above"))
+    )
+    s = bounded_window_input(s, label="q_runs_test day spine")
+    s = s.withColumn("prev", F.lag("above").over(Window.orderBy("day")))
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("above")).cast("long").alias("n1"),
+        F.count_if(~F.col("above")).cast("long").alias("n2"),
+        (
+            1
+            + F.count_if(
+                F.col("prev").isNotNull() & (F.col("above") != F.col("prev"))
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n, n1, n2 = (F.col(c).cast("double") for c in ("n", "n1", "n2"))
+    mean = 2.0 * n1 * n2 / n + 1
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1))
+    return agg.select(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        F.round(mean, 6).alias("mean_runs"),
+        F.round((F.col("runs") - mean) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "q_turning_points",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    s AS (
+      SELECT cents,
+             lag(cents)  OVER (ORDER BY day) AS prev,
+             lead(cents) OVER (ORDER BY day) AS next
+      FROM d
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE (cents > prev AND cents > next)
+                                      OR (cents < prev AND cents < next))
+               AS BIGINT) AS turning_points
+      FROM s
+    )
+    SELECT n, turning_points,
+           round(2.0 * (n - 2) / 3, 6) AS expected_tp,
+           round((turning_points - 2.0 * (n - 2) / 3)
+                 / sqrt((16.0 * n - 29) / 90), 6) AS z
+    FROM agg
+    """,
+)
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test (Kendall's classic randomness check) on the
+    daily purchase series: count strict local maxima/minima; an i.i.d.
+    series has E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90 — markedly
+    fewer turning points betray trend, markedly more betray
+    negative-lag-1 oscillation. The cheap first look before the
+    heavier ``q_ljung_box`` / ``q_autocorrelation`` machinery.
+
+    Scale: daily rollup, one guarded lag/lead window, one aggregate.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_turning_points day spine")
+    w = Window.orderBy("day")
+    s = d.select(
+        "cents",
+        F.lag("cents").over(w).alias("prev"),
+        F.lead("cents").over(w).alias("next"),
+    )
+    is_tp = ((F.col("cents") > F.col("prev")) & (F.col("cents") > F.col("next"))) | (
+        (F.col("cents") < F.col("prev")) & (F.col("cents") < F.col("next"))
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(is_tp).cast("long").alias("turning_points"),
+    )
+    n = F.col("n").cast("double")
+    exp_tp = 2.0 * (n - 2) / 3
+    return agg.select(
+        "n",
+        "turning_points",
+        F.round(exp_tp, 6).alias("expected_tp"),
+        F.round(
+            (F.col("turning_points") - exp_tp)
+            / F.sqrt((16.0 * n - 29) / 90),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "q_von_neumann_ratio",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    s AS (
+      SELECT CAST(cents AS DOUBLE) / 100 AS x,
+             lag(CAST(cents AS DOUBLE) / 100) OVER (ORDER BY day) AS prev
+      FROM d
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(pow(x - prev, 2)) FILTER (WHERE prev IS NOT NULL) AS ssd,
+             var_pop(x) * count(*) AS css
+      FROM s
+    )
+    SELECT n,
+           round(ssd / (n - 1), 6) AS mssd,
+           round((ssd / (n - 1)) / (css / n) / 2, 6) AS vn_half,
+           round(((ssd / (n - 1)) / (css / n) - 2)
+                 / sqrt(4.0 * (n - 2) / (CAST(n AS DOUBLE) * n - 1)), 6)
+             AS z
+    FROM agg
+    """,
+)
+def q_von_neumann_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Neumann ratio (1941) on daily purchase dollars: the mean
+    square SUCCESSIVE difference Σ(xₜ₊₁−xₜ)²/(n−1) over the population
+    variance — the oldest serial-correlation diagnostic (VN ≈ 2 for
+    white noise, < 2 under positive autocorrelation; VN/2 is
+    1 − lag-1 autocorrelation to first order, and the same statistic
+    underlies the regression-residual Durbin-Watson). Standardized with
+    the asymptotic variance 4(n−2)/(n²−1).
+
+    Scale: daily rollup, one guarded lag window, one aggregate — the
+    variance comes from var_pop's sufficient statistics, not a
+    centering join.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_von_neumann day spine")
+    s = (
+        d.select("day", (F.col("cents").cast("double") / 100).alias("x"))
+        .withColumn("prev", F.lag("x").over(Window.orderBy("day")))
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull(), F.pow(F.col("x") - F.col("prev"), 2)
+            )
+        ).alias("ssd"),
+        (F.var_pop("x") * F.count(F.lit(1))).alias("css"),
+    )
+    n = F.col("n").cast("double")
+    mssd = F.col("ssd") / (n - 1)
+    vn = mssd / (F.col("css") / n)
+    return agg.select(
+        "n",
+        F.round(mssd, 6).alias("mssd"),
+        F.round(vn / 2, 6).alias("vn_half"),
+        F.round((vn - 2) / F.sqrt(4.0 * (n - 2) / (n * n - 1)), 6).alias("z"),
+    )
