@@ -44,6 +44,7 @@ _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.ranktests",
     "mi_inbound_pulsar_spark.operators.agreement",
     "mi_inbound_pulsar_spark.operators.divergences",
+    "mi_inbound_pulsar_spark.operators.mregression",
 )
 
 

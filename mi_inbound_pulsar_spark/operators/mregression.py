@@ -1,0 +1,322 @@
+"""Multiple-regression operators (round 9, continuation): the
+cross-metric modeling tier over the daily rollup — two-regressor OLS by
+normal equations (closed form, no iterative solver), partial
+correlation (the confounder-adjusted association), and the Chow
+structural-break F test. Reference scope: the engine delegates all
+processing to its injected pipeline
+(PulsarMessageConsumer.java:535-545) — this IS that processing layer.
+
+Everything here reduces the corpus to the per-(event_type, day) rollup
+once (one map-side-combined shuffle), pivots it to a ≤|days|-row daily
+frame of exact integer columns, and solves in a single aggregate:
+raw moments of integer cents/counts are exactly representable in
+doubles at any realistic day count, so both engines produce
+bit-identical sufficient statistics before the final divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+# daily pivot: y = purchase cents, x1 = clicks, x2 = views
+_PIVOT_SQL = """
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS DOUBLE) AS y,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE)
+               AS x1,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               AS x2
+      FROM events GROUP BY 1
+"""
+
+
+def _daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.groupBy(day).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("double")
+        .alias("y"),
+        F.count_if(F.col("event_type") == "click").cast("double").alias("x1"),
+        F.count_if(F.col("event_type") == "view").cast("double").alias("x2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-regressor OLS via normal equations (Cramer's rule)
+# --------------------------------------------------------------------------
+@query(
+    "q_ols_two_factor",
+    oracle=f"""
+    WITH d AS ({_PIVOT_SQL}),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(x1) AS mx1, avg(x2) AS mx2, avg(y) AS my,
+             sum(x1 * x1) AS rx1x1, sum(x2 * x2) AS rx2x2,
+             sum(x1 * x2) AS rx1x2, sum(x1 * y) AS rx1y,
+             sum(x2 * y) AS rx2y, sum(y * y) AS ryy
+      FROM d
+    ),
+    c AS (
+      SELECT n, mx1, mx2, my,
+             rx1x1 - n * mx1 * mx1 AS s11, rx2x2 - n * mx2 * mx2 AS s22,
+             rx1x2 - n * mx1 * mx2 AS s12, rx1y - n * mx1 * my AS s1y,
+             rx2y - n * mx2 * my AS s2y, ryy - n * my * my AS syy
+      FROM m
+    ),
+    b AS (
+      SELECT n, syy,
+             (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+             (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2,
+             s1y, s2y, my, mx1, mx2
+      FROM c
+    ),
+    fit AS (
+      SELECT n, b1, b2, my - b1 * mx1 - b2 * mx2 AS b0,
+             1 - (syy - b1 * s1y - b2 * s2y) / syy AS r2
+      FROM b
+    )
+    SELECT n AS n_days,
+           round(b0 / 100, 6) AS intercept_dollars,
+           round(b1 / 100, 6) AS beta_clicks,
+           round(b2 / 100, 6) AS beta_views,
+           round(r2, 6) AS r2,
+           round(1 - (1 - r2) * (n - 1) / (n - 3), 6) AS adj_r2,
+           round(r2 / 2 / ((1 - r2) / (n - 3)), 6) AS f_stat
+    FROM fit
+    """,
+)
+def q_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS by normal equations: daily purchase dollars on
+    daily click and view counts, solved in closed form with Cramer's
+    rule on the centered 2×2 moment matrix — multiple regression
+    without an iterative solver, the minimal "does engagement predict
+    revenue after controlling for traffic?" model. Reports both slopes
+    (dollars per click / per view), R², adjusted R², and the overall
+    F statistic with (2, n−3) degrees of freedom.
+
+    Scale: the corpus collapses to the day pivot in one conditional
+    aggregate; the normal equations consume TEN raw moments from a
+    single reduce — no per-observation residual pass (contrast
+    ``q_regression_diagnostics``, which deliberately materializes one).
+    """
+    d = _daily_pivot(spark, sf_dir)
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x1").alias("mx1"),
+        F.avg("x2").alias("mx2"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x1") * F.col("x1")).alias("rx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("rx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("rx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("rx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("rx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("ryy"),
+    )
+    n = F.col("n")
+    s11 = F.col("rx1x1") - n * F.col("mx1") * F.col("mx1")
+    s22 = F.col("rx2x2") - n * F.col("mx2") * F.col("mx2")
+    s12 = F.col("rx1x2") - n * F.col("mx1") * F.col("mx2")
+    s1y = F.col("rx1y") - n * F.col("mx1") * F.col("my")
+    s2y = F.col("rx2y") - n * F.col("mx2") * F.col("my")
+    syy = F.col("ryy") - n * F.col("my") * F.col("my")
+    det = s11 * s22 - s12 * s12
+    b1 = (s1y * s22 - s2y * s12) / det
+    b2 = (s2y * s11 - s1y * s12) / det
+    b0 = F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2")
+    r2 = 1 - (syy - b1 * s1y - b2 * s2y) / syy
+    return m.select(
+        n.alias("n_days"),
+        F.round(b0 / 100, 6).alias("intercept_dollars"),
+        F.round(b1 / 100, 6).alias("beta_clicks"),
+        F.round(b2 / 100, 6).alias("beta_views"),
+        F.round(r2, 6).alias("r2"),
+        F.round(1 - (1 - r2) * (n - 1) / (n - 3), 6).alias("adj_r2"),
+        F.round(r2 / 2 / ((1 - r2) / (n - 3)), 6).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial correlation r(y, x1 | x2)
+# --------------------------------------------------------------------------
+@query(
+    "q_partial_correlation",
+    oracle=f"""
+    WITH d AS ({_PIVOT_SQL}),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             corr(y, x1) AS r_y1, corr(y, x2) AS r_y2, corr(x1, x2) AS r_12
+      FROM d
+    )
+    SELECT n AS n_days,
+           round(r_y1, 6) AS corr_spend_clicks,
+           round(r_y2, 6) AS corr_spend_views,
+           round(r_12, 6) AS corr_clicks_views,
+           round((r_y1 - r_y2 * r_12)
+                 / sqrt((1 - r_y2 * r_y2) * (1 - r_12 * r_12)), 6)
+             AS partial_corr,
+           round((r_y1 - r_y2 * r_12)
+                 / sqrt((1 - r_y2 * r_y2) * (1 - r_12 * r_12))
+                 * sqrt((n - 3)
+                        / (1 - pow((r_y1 - r_y2 * r_12)
+                           / sqrt((1 - r_y2 * r_y2) * (1 - r_12 * r_12)), 2))),
+                 6) AS t_stat
+    FROM r
+    """,
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation r(spend, clicks | views) on the
+    daily pivot: the click-spend association with the shared traffic
+    driver partialled out, via the closed form
+    (r_y1 − r_y2·r_12)/√((1−r_y2²)(1−r_12²)) — the one-line answer to
+    "is the raw correlation just both riding daily volume?". The t
+    statistic uses n−3 degrees of freedom (one partialled variable).
+
+    Scale: three ``corr`` aggregates over the day-domain pivot — all
+    sufficient statistics, one reduce.
+    """
+    d = _daily_pivot(spark, sf_dir)
+    r = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.corr("y", "x1").alias("r_y1"),
+        F.corr("y", "x2").alias("r_y2"),
+        F.corr("x1", "x2").alias("r_12"),
+    )
+    pc = (F.col("r_y1") - F.col("r_y2") * F.col("r_12")) / F.sqrt(
+        (1 - F.col("r_y2") * F.col("r_y2"))
+        * (1 - F.col("r_12") * F.col("r_12"))
+    )
+    n = F.col("n")
+    return r.select(
+        n.alias("n_days"),
+        F.round("r_y1", 6).alias("corr_spend_clicks"),
+        F.round("r_y2", 6).alias("corr_spend_views"),
+        F.round("r_12", 6).alias("corr_clicks_views"),
+        F.round(pc, 6).alias("partial_corr"),
+        F.round(pc * F.sqrt((n - 3) / (1 - pc * pc)), 6).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chow structural-break test on the daily trend fit
+# --------------------------------------------------------------------------
+@query(
+    "q_chow_test",
+    oracle=f"""
+    WITH d AS ({_PIVOT_SQL}),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY day) AS x,
+             count(*) OVER () AS n
+      FROM d
+    ),
+    seg AS (
+      SELECT y, CAST(x AS DOUBLE) AS x,
+             CASE WHEN x <= n // 2 THEN 1 ELSE 2 END AS regime
+      FROM idx
+    ),
+    moms AS (
+      SELECT regime, count(*) AS k, avg(x) AS mx, avg(y) AS my,
+             sum(x * x) AS rxx, sum(x * y) AS rxy, sum(y * y) AS ryy
+      FROM seg GROUP BY regime
+      UNION ALL
+      SELECT 0, count(*), avg(x), avg(y),
+             sum(x * x), sum(x * y), sum(y * y)
+      FROM seg
+    ),
+    ssr AS (
+      SELECT regime, k,
+             (ryy - k * my * my)
+               - pow(rxy - k * mx * my, 2) / (rxx - k * mx * mx) AS ssr
+      FROM moms
+    ),
+    parts AS (
+      SELECT CAST(sum(CASE WHEN regime > 0 THEN k END) AS BIGINT) AS n,
+             sum(CASE WHEN regime = 0 THEN ssr END) AS ssr_pooled,
+             sum(CASE WHEN regime > 0 THEN ssr END) AS ssr_split
+      FROM ssr
+    )
+    SELECT n AS n_days,
+           round(ssr_pooled / 1e10, 6) AS ssr_pooled_e10,
+           round(ssr_split / 1e10, 6) AS ssr_split_e10,
+           round((ssr_pooled - ssr_split) / 2 / (ssr_split / (n - 4)), 6)
+             AS chow_f
+    FROM parts
+    """,
+)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test (Chow 1960) for a structural break in the daily-spend
+    trend at the series midpoint: fit y = a + b·t separately to each
+    half and pooled, then F = ((SSR_p − SSR₁ − SSR₂)/k) /
+    ((SSR₁+SSR₂)/(n−2k)) with k = 2 parameters — "did the trend's
+    level or slope CHANGE?", the confirmatory companion to
+    ``q_changepoint_binary``'s exploratory split search. SSRs come
+    from the closed form Syy − Sxy²/Sxx per regime, no residual pass.
+
+    Scale: day-domain pivot, one guarded index window, one grouped
+    moment aggregate over three regimes (two halves + pooled via a
+    duplicate-free union of the same rollup).
+    """
+    d = _daily_pivot(spark, sf_dir)
+    d = bounded_window_input(d, label="q_chow_test day spine")
+    idx = d.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("x"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    seg = idx.select(
+        "y",
+        F.col("x").cast("double").alias("x"),
+        F.when(F.col("x") <= F.floor(F.col("n") / 2), 1)
+        .otherwise(2)
+        .alias("regime"),
+    )
+    pooled = seg.select("y", "x", F.lit(0).alias("regime"))
+    moms = (
+        seg.unionByName(pooled)
+        .groupBy("regime")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.avg("x").alias("mx"),
+            F.avg("y").alias("my"),
+            F.sum(F.col("x") * F.col("x")).alias("rxx"),
+            F.sum(F.col("x") * F.col("y")).alias("rxy"),
+            F.sum(F.col("y") * F.col("y")).alias("ryy"),
+        )
+    )
+    k = F.col("k")
+    ssr = moms.select(
+        "regime",
+        "k",
+        (
+            (F.col("ryy") - k * F.col("my") * F.col("my"))
+            - F.pow(F.col("rxy") - k * F.col("mx") * F.col("my"), 2)
+            / (F.col("rxx") - k * F.col("mx") * F.col("mx"))
+        ).alias("ssr"),
+    )
+    parts = ssr.agg(
+        F.sum(F.when(F.col("regime") > 0, F.col("k")))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(F.col("regime") == 0, F.col("ssr"))).alias("ssr_pooled"),
+        F.sum(F.when(F.col("regime") > 0, F.col("ssr"))).alias("ssr_split"),
+    )
+    n = F.col("n")
+    return parts.select(
+        n.alias("n_days"),
+        F.round(F.col("ssr_pooled") / 1e10, 6).alias("ssr_pooled_e10"),
+        F.round(F.col("ssr_split") / 1e10, 6).alias("ssr_split_e10"),
+        F.round(
+            (F.col("ssr_pooled") - F.col("ssr_split"))
+            / 2
+            / (F.col("ssr_split") / (n - 4)),
+            6,
+        ).alias("chow_f"),
+    )
