@@ -1,0 +1,278 @@
+"""Post-hoc multiple-comparison operators (round 9, continuation):
+what an analyst runs AFTER ``q_anova_dow`` / ``q_kruskal_wallis``
+reject — all-pairs studentized comparisons (Tukey-Kramer HSD), their
+unequal-variance form (Games-Howell), and the trend-across-ordered-
+groups test (Jonckheere-Terpstra). Reference scope: the engine
+delegates all processing to its injected pipeline
+(PulsarMessageConsumer.java:535-545) — this IS that processing layer.
+
+The group domain is tiny by construction (market segments, priority
+classes), so every query is one map-side-combined rollup plus
+arithmetic on a ≤k²-row pair frame; nothing enumerates observation
+pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
+from mi_inbound_pulsar_spark.sources.tables import load_table
+
+_SEG_MOMENTS_SQL = """
+      SELECT c_mktsegment AS seg, count(*) AS n,
+             avg(c_acctbal) AS m, var_samp(c_acctbal) AS v
+      FROM customer GROUP BY 1
+"""
+
+
+def _segment_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("c_acctbal").alias("m"),
+        F.var_samp("c_acctbal").alias("v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tukey-Kramer HSD (honest significant difference, unbalanced)
+# --------------------------------------------------------------------------
+@query(
+    "q_tukey_hsd",
+    oracle=f"""
+    WITH g AS ({_SEG_MOMENTS_SQL}),
+    mse AS (
+      SELECT sum((n - 1) * v) / sum(n - 1) AS mse,
+             CAST(sum(n) - count(*) AS BIGINT) AS df_w
+      FROM g
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m)
+                 / sqrt(mse.mse / 2 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat,
+           mse.df_w AS df_within
+    FROM g a JOIN g b ON a.seg < b.seg, mse
+    ORDER BY seg_a, seg_b
+    """,
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer honest-significant-difference grid over the five
+    market segments' account balances: every pair's studentized range
+    statistic q = (m_a − m_b)/√(MSE/2·(1/n_a + 1/n_b)) against the
+    pooled one-way-ANOVA MSE — the all-pairs follow-up that keeps the
+    FAMILY-wise error rate where per-pair t tests would inflate it.
+    Emits the q statistic and within-group df; the caller thresholds
+    against the studentized-range quantile for (k, df).
+
+    Scale: per-group sufficient statistics (one rollup), then a k×k
+    self-join on the 5-row group frame with the MSE broadcast — pair
+    enumeration is over GROUPS, never observations.
+    """
+    g = _segment_moments(spark, sf_dir)
+    mse = g.agg(
+        (
+            F.sum((F.col("n") - 1) * F.col("v")) / F.sum(F.col("n") - 1)
+        ).alias("mse"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("df_w"),
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(b, F.col("a.seg") < F.col("b.seg"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.col("a.n").cast("long").alias("n_a"),
+            F.col("b.n").cast("long").alias("n_b"),
+            F.round(F.col("a.m") - F.col("b.m"), 6).alias("mean_diff"),
+            F.round(
+                (F.col("a.m") - F.col("b.m"))
+                / F.sqrt(
+                    F.col("mse") / 2 * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+                ),
+                6,
+            ).alias("q_stat"),
+            F.col("df_w").alias("df_within"),
+        )
+    )
+    return pairs.orderBy("seg_a", "seg_b")
+
+
+# --------------------------------------------------------------------------
+# Games-Howell (unequal-variance post-hoc)
+# --------------------------------------------------------------------------
+@query(
+    "q_games_howell",
+    oracle=f"""
+    WITH g AS ({_SEG_MOMENTS_SQL})
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1)
+                    + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df_welch
+    FROM g a JOIN g b ON a.seg < b.seg
+    ORDER BY seg_a, seg_b
+    """,
+)
+def q_games_howell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Games-Howell post-hoc grid over the same segment pairs as
+    ``q_tukey_hsd`` but WITHOUT the homogeneity-of-variance assumption
+    Tukey inherits from the pooled MSE: each pair gets its own Welch
+    standard error √(v_a/n_a + v_b/n_b) and Welch-Satterthwaite df —
+    the pairing Levene's test (``q_levene_test``) says you need when
+    it rejects. Same studentized-range reference distribution, per-pair
+    df.
+
+    Scale: identical to ``q_tukey_hsd`` minus the MSE reduce — one
+    rollup, one group-pair self-join.
+    """
+    g = _segment_moments(spark, sf_dir)
+    a = g.alias("a")
+    b = g.alias("b")
+    se2 = F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    pairs = (
+        a.join(b, F.col("a.seg") < F.col("b.seg"))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.round(F.col("a.m") - F.col("b.m"), 6).alias("mean_diff"),
+            F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6).alias(
+                "t_stat"
+            ),
+            F.round(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("a.v") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+                    + F.pow(F.col("b.v") / F.col("b.n"), 2)
+                    / (F.col("b.n") - 1)
+                ),
+                6,
+            ).alias("df_welch"),
+        )
+    )
+    return pairs.orderBy("seg_a", "seg_b")
+
+
+# --------------------------------------------------------------------------
+# Jonckheere-Terpstra trend test across ordered priority classes
+# --------------------------------------------------------------------------
+@query(
+    "q_jonckheere_terpstra",
+    oracle="""
+    WITH raw AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS grp,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+    ),
+    vc AS (
+      SELECT v,
+             count(*) FILTER (WHERE grp = 1) AS c1,
+             count(*) FILTER (WHERE grp = 3) AS c2,
+             count(*) FILTER (WHERE grp = 5) AS c3
+      FROM raw GROUP BY 1
+    ),
+    cum AS (
+      SELECT c1, c2, c3,
+             coalesce(sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b1,
+             coalesce(sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b2
+      FROM vc
+    ),
+    s AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c3) AS n3,
+             sum(c2 * (b1 + c1 / 2.0))
+               + sum(c3 * (b1 + c1 / 2.0))
+               + sum(c3 * (b2 + c2 / 2.0)) AS u
+      FROM cum
+    ),
+    t AS (
+      SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_medium,
+             CAST(n3 AS BIGINT) AS n_low, u,
+             n1 + n2 + n3 AS nn,
+             n1 * n1 + n2 * n2 + n3 * n3 AS sq,
+             n1 * n1 * (2 * n1 + 3) + n2 * n2 * (2 * n2 + 3)
+               + n3 * n3 * (2 * n3 + 3) AS sq3
+      FROM s
+    )
+    SELECT n_urgent, n_medium, n_low,
+           round(u, 6) AS jt_stat,
+           round((nn * nn - sq) / 4.0, 6) AS jt_mean,
+           round((u - (nn * nn - sq) / 4.0)
+                 / sqrt((CAST(nn AS DOUBLE) * nn * (2 * nn + 3) - sq3)
+                        / 72), 6) AS z
+    FROM t
+    """,
+)
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for a MONOTONE trend in order totals
+    across the ordered priority classes URGENT < MEDIUM < LOW:
+    JT = Σ_{i<j} U_ij, the sum of pairwise Mann-Whitney counts taken
+    only in the hypothesized direction — strictly more powerful than
+    Kruskal-Wallis when the alternative is ordered rather than "any
+    difference". Ties count half. Standardized with the null mean
+    (N²−Σn_i²)/4 and the no-ties variance (N²(2N+3)−Σn_i²(2n_i+3))/72
+    (tie correction is negligible on a cents-valued domain and both
+    engines apply the identical formula).
+
+    Scale: the three-group pairwise counts all come from ONE cumulative
+    pass over the distinct-cents rollup — U_ij = Σ_v c_j(v)·(B_i(v) +
+    c_i(v)/2) needs only each group's running predecessor count, so no
+    group pair is ever joined, let alone observation pairs.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM", "5-LOW")
+    )
+    raw = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    vc = raw.groupBy("v").agg(
+        F.count_if(F.col("grp") == 1).alias("c1"),
+        F.count_if(F.col("grp") == 3).alias("c2"),
+        F.count_if(F.col("grp") == 5).alias("c3"),
+    )
+    vc = bounded_window_input(vc, label="q_jonckheere value domain")
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vc.select(
+        "c1",
+        "c2",
+        "c3",
+        F.coalesce(F.sum("c1").over(wb), F.lit(0)).alias("b1"),
+        F.coalesce(F.sum("c2").over(wb), F.lit(0)).alias("b2"),
+    )
+    s = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum("c3").alias("n3"),
+        (
+            F.sum(F.col("c2") * (F.col("b1") + F.col("c1") / 2.0))
+            + F.sum(F.col("c3") * (F.col("b1") + F.col("c1") / 2.0))
+            + F.sum(F.col("c3") * (F.col("b2") + F.col("c2") / 2.0))
+        ).alias("u"),
+    )
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+    nn = n1 + n2 + n3
+    sq = n1 * n1 + n2 * n2 + n3 * n3
+    sq3 = (
+        n1 * n1 * (2 * n1 + 3)
+        + n2 * n2 * (2 * n2 + 3)
+        + n3 * n3 * (2 * n3 + 3)
+    )
+    mean = (nn * nn - sq) / 4.0
+    var = (nn.cast("double") * nn * (2 * nn + 3) - sq3) / 72
+    return s.select(
+        n1.cast("long").alias("n_urgent"),
+        n2.cast("long").alias("n_medium"),
+        n3.cast("long").alias("n_low"),
+        F.round(F.col("u"), 6).alias("jt_stat"),
+        F.round(mean, 6).alias("jt_mean"),
+        F.round((F.col("u") - mean) / F.sqrt(var), 6).alias("z"),
+    )
