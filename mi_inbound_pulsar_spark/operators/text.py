@@ -6100,3 +6100,75 @@ def q_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("brier_sum") / F.col("n"), 6).alias("brier"),
         F.round(F.col("num") / F.sqrt("den"), 6).alias("spiegelhalter_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lexical richness profile (Yule / Herdan / Guiraud / Simpson / Sichel)
+# --------------------------------------------------------------------------
+@query(
+    "q_lexical_richness",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c * c) AS DOUBLE) AS sum_c2,
+             CAST(sum(CAST(c AS DOUBLE) * (c - 1)) AS DOUBLE) AS sum_pairs,
+             CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS v1,
+             CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS v2
+      FROM freq
+    )
+    SELECT n AS n_tokens, v AS vocab, v1 AS hapax, v2 AS dis_legomena,
+           round(1e4 * (sum_c2 - n) / (CAST(n AS DOUBLE) * n), 6) AS yule_k,
+           round(ln(v) / ln(n), 6) AS herdan_c,
+           round(v / sqrt(CAST(n AS DOUBLE)), 6) AS guiraud_r,
+           round(sum_pairs / (CAST(n AS DOUBLE) * (n - 1)), 6) AS simpson_d,
+           round(CAST(v2 AS DOUBLE) / v, 6) AS sichel_s
+    FROM s
+    """,
+)
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness panel over the corpus unigram distribution:
+    Yule's K = 10⁴(Σc²−N)/N² (repeat-rate, length-invariant), Herdan's
+    C = ln V/ln N (the log-log type-token slope ``q_heaps_law`` fits
+    per-document), Guiraud's R = V/√N, Simpson's D = Σc(c−1)/(N(N−1))
+    (probability two random tokens coincide — the α=2 companion of
+    ``q_renyi_entropy``'s collision entropy), and Sichel's S = V₂/V
+    (dis-legomena share, stable under corpus growth). The standard
+    stylometry battery, all from one frequency table.
+
+    Scale: one tokenize+groupBy to the vocabulary domain, one
+    aggregate — Σc² in DOUBLE (exactly representable far past any
+    realistic token count; hapax-heavy corpora keep c small anyway).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    s = freq.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("c").cast("double") * F.col("c")).alias("sum_c2"),
+        F.sum(F.col("c").cast("double") * (F.col("c") - 1)).alias(
+            "sum_pairs"
+        ),
+        F.count_if(F.col("c") == 1).cast("long").alias("v1"),
+        F.count_if(F.col("c") == 2).cast("long").alias("v2"),
+    )
+    n = F.col("n").cast("double")
+    v = F.col("v").cast("double")
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.col("v1").alias("hapax"),
+        F.col("v2").alias("dis_legomena"),
+        F.round(1e4 * (F.col("sum_c2") - n) / (n * n), 6).alias("yule_k"),
+        F.round(F.log(v) / F.log(n), 6).alias("herdan_c"),
+        F.round(v / F.sqrt(n), 6).alias("guiraud_r"),
+        F.round(F.col("sum_pairs") / (n * (n - 1)), 6).alias("simpson_d"),
+        F.round(F.col("v2").cast("double") / v, 6).alias("sichel_s"),
+    )

@@ -1612,3 +1612,231 @@ def q_von_neumann_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vn / 2, 6).alias("vn_half"),
         F.round((vn - 2) / F.sqrt(4.0 * (n - 2) / (n * n - 1)), 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spectral entropy over the full Fourier frequency grid
+# --------------------------------------------------------------------------
+@query(
+    "q_spectral_entropy",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) - 1 AS t,
+             CAST(cents AS DOUBLE) / 100 AS x
+      FROM d
+    ),
+    mu AS (SELECT avg(x) AS mu, count(*) AS n FROM idx),
+    terms AS (
+      SELECT k.k,
+             sum((i.x - mu.mu) * cos({_TWO_PI} * i.t * k.k / mu.n)) AS a,
+             sum((i.x - mu.mu) * sin({_TWO_PI} * i.t * k.k / mu.n)) AS b
+      FROM idx i, mu,
+           unnest(generate_series(1, (SELECT n // 2 FROM mu))) k(k)
+      GROUP BY k.k
+    ),
+    pw AS (
+      SELECT a * a + b * b AS power FROM terms
+    ),
+    p AS (
+      SELECT power / sum(power) OVER () AS p, count(*) OVER () AS m
+      FROM pw
+    )
+    SELECT CAST(max(m) AS BIGINT) AS n_freqs,
+           round(-sum(CASE WHEN p > 0 THEN p * ln(p) END), 6) AS h_spectral,
+           round(-sum(CASE WHEN p > 0 THEN p * ln(p) END) / ln(max(m)), 6)
+             AS h_normalized,
+           round(max(p), 6) AS max_share
+    FROM p
+    """,
+)
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of the daily purchase series: Shannon entropy
+    of the NORMALIZED periodogram over the full Fourier grid
+    f_k = k/n, k = 1..⌊n/2⌋ — near 0 when one frequency carries all
+    the power (pure seasonality), near 1 (normalized) for white noise.
+    The single-scalar "how forecastable is this series?" feature
+    (Goerg 2013; the `forecastability` column of every ts feature
+    library), complementing ``q_periodogram``'s per-period powers.
+
+    Scale: same shape as ``q_periodogram`` — DFT projections as plain
+    grouped aggregates over the (frequency × day) fan-out of the
+    day-domain rollup, ~n²/2 tiny rows, no FFT recursion.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_spectral_entropy day series")
+    idx = d.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        (F.col("cents").cast("double") / 100).alias("x"),
+    )
+    mu = idx.agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+    n_val = mu  # broadcast twice below
+    ks = (
+        idx.crossJoin(F.broadcast(mu))
+        .select((F.col("t") + 1).alias("k"), F.col("n"))
+        .filter(F.col("k") <= F.floor(F.col("n") / 2))
+        .select("k")
+    )
+    two_pi = 6.283185307179586
+    terms = (
+        idx.crossJoin(F.broadcast(n_val))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.cos(F.lit(two_pi) * F.col("t") * F.col("k") / F.col("n"))
+            ).alias("a"),
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.sin(F.lit(two_pi) * F.col("t") * F.col("k") / F.col("n"))
+            ).alias("b"),
+        )
+    )
+    pw = terms.select(
+        (F.col("a") * F.col("a") + F.col("b") * F.col("b")).alias("power")
+    )
+    pw = bounded_window_input(pw, label="q_spectral_entropy freq grid")
+    wt = Window.partitionBy()
+    p = pw.select(
+        (F.col("power") / F.sum("power").over(wt)).alias("p"),
+        F.count(F.lit(1)).over(wt).alias("m"),
+    )
+    h = -F.sum(F.when(F.col("p") > 0, F.col("p") * F.log("p")))
+    return p.agg(
+        F.max("m").cast("long").alias("n_freqs"),
+        F.round(h, 6).alias("h_spectral"),
+        F.round(h / F.log(F.max("m").cast("double")), 6).alias(
+            "h_normalized"
+        ),
+        F.round(F.max("p"), 6).alias("max_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson closed form, lags 1..3)
+# --------------------------------------------------------------------------
+@query(
+    "q_pacf_durbin_levinson",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             CAST(cents AS DOUBLE) / 100 AS x
+      FROM d
+    ),
+    mu AS (SELECT avg(x) AS mu, count(*) AS n FROM idx),
+    rho AS (
+      SELECT
+        sum((a.x - mu) * (a.x - mu)) AS c0,
+        sum(CASE WHEN a.t > 1 THEN (a.x - mu) * (l1.x - mu) END) AS c1r,
+        sum(CASE WHEN a.t > 2 THEN (a.x - mu) * (l2.x - mu) END) AS c2r,
+        sum(CASE WHEN a.t > 3 THEN (a.x - mu) * (l3.x - mu) END) AS c3r
+      FROM idx a
+      LEFT JOIN idx l1 ON l1.t = a.t - 1
+      LEFT JOIN idx l2 ON l2.t = a.t - 2
+      LEFT JOIN idx l3 ON l3.t = a.t - 3
+      CROSS JOIN mu
+    ),
+    r AS (
+      SELECT c1r / c0 AS r1, c2r / c0 AS r2, c3r / c0 AS r3 FROM rho
+    ),
+    dl AS (
+      SELECT r1, r2, r3,
+             r1 AS p1,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS p2
+      FROM r
+    ),
+    dl2 AS (
+      SELECT r1, r2, r3, p1, p2, r1 * (1 - p2) AS phi21 FROM dl
+    )
+    SELECT lag, round(acf, 6) AS acf, round(pacf, 6) AS pacf
+    FROM (
+      SELECT 1 AS lag, r1 AS acf, p1 AS pacf FROM dl2
+      UNION ALL SELECT 2, r2, p2 FROM dl2
+      UNION ALL SELECT 3, r3,
+        (r3 - phi21 * r2 - p2 * r1) / (1 - phi21 * r1 - p2 * r2) FROM dl2
+    ) ORDER BY lag
+    """,
+)
+def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily purchase series at lags
+    1..3 via the Durbin-Levinson recursion in CLOSED FORM: φ₁₁ = ρ₁,
+    φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²), and φ₃₃ from the level-2 coefficients —
+    the AR-order selector (an AR(p) series has φ_kk ≈ 0 beyond p) that
+    ``q_autocorrelation`` alone cannot provide because trailing ACF
+    lags inherit earlier ones. ACF here is the standard BIASED
+    estimator ρ_k = Σ_{{t>k}}(x_t−x̄)(x_{{t−k}}−x̄)/Σ(x_t−x̄)² (full-series
+    denominator, the statsmodels default), unlike
+    ``q_autocorrelation``'s per-pair Pearson convention — both
+    documented, deliberately different estimators.
+
+    Scale: day-domain rollup; the three lag alignments are
+    row-number self-joins on the ≤|days| frame; PACF itself is scalar
+    arithmetic on the three ρ̂'s.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_pacf day series")
+    idx = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        (F.col("cents").cast("double") / 100).alias("x"),
+    )
+    mu = idx.agg(F.avg("x").alias("mu"))
+    a = idx.crossJoin(F.broadcast(mu))
+    for k in (1, 2, 3):
+        lk = idx.select(
+            (F.col("t") + k).alias("t"), F.col("x").alias(f"x{k}")
+        )
+        a = a.join(lk, "t", "left")
+    xm = F.col("x") - F.col("mu")
+    rho = a.agg(
+        F.sum(xm * xm).alias("c0"),
+        F.sum(xm * (F.col("x1") - F.col("mu"))).alias("c1r"),
+        F.sum(xm * (F.col("x2") - F.col("mu"))).alias("c2r"),
+        F.sum(xm * (F.col("x3") - F.col("mu"))).alias("c3r"),
+    )
+    r = rho.select(
+        (F.col("c1r") / F.col("c0")).alias("r1"),
+        (F.col("c2r") / F.col("c0")).alias("r2"),
+        (F.col("c3r") / F.col("c0")).alias("r3"),
+    )
+    p2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    dl = r.select(
+        "r1",
+        "r2",
+        "r3",
+        F.col("r1").alias("p1"),
+        p2.alias("p2"),
+        (F.col("r1") * (1 - p2)).alias("phi21"),
+    )
+    p3 = (
+        F.col("r3") - F.col("phi21") * F.col("r2") - F.col("p2") * F.col("r1")
+    ) / (1 - F.col("phi21") * F.col("r1") - F.col("p2") * F.col("r2"))
+    out = dl.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("lag"),
+                    F.col("r1").alias("acf"),
+                    F.col("p1").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).alias("lag"),
+                    F.col("r2").alias("acf"),
+                    F.col("p2").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).alias("lag"),
+                    F.col("r3").alias("acf"),
+                    p3.alias("pacf"),
+                ),
+            )
+        ).alias("s")
+    )
+    return out.select(
+        F.col("s.lag").alias("lag"),
+        F.round("s.acf", 6).alias("acf"),
+        F.round("s.pacf", 6).alias("pacf"),
+    ).orderBy("lag")
