@@ -3057,3 +3057,228 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cronbach_alpha"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Sketch (signed): unbiased heavy-hitter estimates via the
+# median-of-rows readout
+# --------------------------------------------------------------------------
+CS_DEPTH = 5
+CS_WIDTH = 64
+
+
+def _cs_bucket_sql(value_sql: str, seed: int) -> str:
+    return (
+        _hexval_sql(f"md5(concat('csb{seed}:', {value_sql}))", 4)
+        + f" % {CS_WIDTH}"
+    )
+
+
+def _cs_sign_sql(value_sql: str, seed: int) -> str:
+    return (
+        "(CASE WHEN "
+        + _hexval_sql(f"md5(concat('css{seed}:', {value_sql}))", 1)
+        + " % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+
+
+@query(
+    "q_count_sketch_audit",
+    oracle=f"""
+    WITH hashed AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j,"
+        f" {_cs_bucket_sql('CAST(user_id AS VARCHAR)', j)} AS bucket,"
+        f" {_cs_sign_sql('CAST(user_id AS VARCHAR)', j)} AS sgn"
+        " FROM events"
+        for j in range(1, CS_DEPTH + 1))}
+    ),
+    cells AS (
+      SELECT j, bucket, CAST(sum(sgn) AS BIGINT) AS c
+      FROM hashed GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT CAST(user_id AS VARCHAR) AS uid, count(*) AS true_n
+      FROM events GROUP BY 1
+      ORDER BY true_n DESC, uid LIMIT 10
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT uid, true_n, {j} AS j,"
+        f" {_cs_bucket_sql('uid', j)} AS bucket,"
+        f" {_cs_sign_sql('uid', j)} AS sgn"
+        " FROM top"
+        for j in range(1, CS_DEPTH + 1))}
+    )
+    SELECT p.uid AS user_id,
+           CAST(max(p.true_n) AS BIGINT) AS true_n,
+           round(median(p.sgn * cells.c), 6) AS cs_estimate,
+           round(median(p.sgn * cells.c) - max(p.true_n), 6) AS error
+    FROM probes p JOIN cells ON p.j = cells.j AND p.bucket = cells.bucket
+    GROUP BY p.uid
+    ORDER BY user_id
+    """,
+)
+def q_count_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch (Charikar, Chen & Farach-Colton 2002): the SIGNED
+    cousin of ``q_countmin_heavy_hitters`` — each of d={CS_DEPTH}
+    portable md5 hash rows adds ±1 per occurrence into w={CS_WIDTH}
+    buckets, and a key's estimate is the MEDIAN over rows of
+    sign·cell. Collisions cancel in expectation instead of
+    accumulating, so the error is two-sided and unbiased with
+    magnitude ~‖f‖₂/√w (vs Count-Min's one-sided ~‖f‖₁/w) — the
+    sketch of choice when a few heavy keys would otherwise poison
+    every bucket they touch. Read back at the true top-10 users, the
+    same audit protocol as the CMS query.
+
+    Scale: sketch build is one map-side-combined groupBy to
+    d·w = {CS_DEPTH * CS_WIDTH} signed cells; probing joins the
+    10-row heavy-hitter frame against the broadcast cell table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    probes_expr = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.expr(_cs_bucket_sql("CAST(user_id AS STRING)", j))
+            .cast("long")
+            .alias("bucket"),
+            F.expr(_cs_sign_sql("CAST(user_id AS STRING)", j))
+            .cast("long")
+            .alias("sgn"),
+        )
+        for j in range(1, CS_DEPTH + 1)
+    ]
+    cells = (
+        e.select(F.explode(F.array(*probes_expr)).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .agg(F.sum("h.sgn").alias("c"))
+    )
+    top = (
+        e.groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id", "true_n", F.explode(F.array(*probes_expr)).alias("h")
+    ).select(
+        "user_id",
+        "true_n",
+        F.col("h.j").alias("j"),
+        F.col("h.bucket").alias("bucket"),
+        F.col("h.sgn").alias("sgn"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("true_n").alias("true_n"),
+            F.round(F.expr("median(sgn * c)"), 6).alias("cs_estimate"),
+            F.round(
+                F.expr("median(sgn * c)") - F.max("true_n"), 6
+            ).alias("error"),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            "true_n",
+            "cs_estimate",
+            "error",
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# E-value sensitivity analysis (VanderWeele & Ding 2017)
+# --------------------------------------------------------------------------
+EVALUE_HIGH_CENTS = 10_000  # "high-value purchase" outcome: >= $100
+# ($100 keeps every 2x2 cell populated down to sf0.001; $200 empties the
+# exposed-high cell there and the risk ratio degenerates to 0)
+
+
+@query(
+    "q_e_value_sensitivity",
+    oracle=f"""
+    WITH p AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS exposed,
+             CAST(round(value * 100, 0) AS BIGINT)
+               >= {EVALUE_HIGH_CENTS} AS outcome
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT CAST(count(*) FILTER (WHERE exposed AND outcome) AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE exposed AND NOT outcome) AS BIGINT) AS b,
+             CAST(count(*) FILTER (WHERE NOT exposed AND outcome) AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE NOT exposed AND NOT outcome) AS BIGINT) AS d
+      FROM p
+    ),
+    rr AS (
+      SELECT a, b, c, d,
+             (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))
+               AS rr
+      FROM cells
+    ),
+    ev AS (
+      SELECT a, b, c, d, rr,
+             CASE WHEN rr >= 1 THEN rr ELSE 1 / rr END AS rr_star
+      FROM rr
+    )
+    SELECT a AS n_exposed_hi, b AS n_exposed_lo,
+           c AS n_unexposed_hi, d AS n_unexposed_lo,
+           round(rr, 6) AS risk_ratio,
+           round(rr_star + sqrt(rr_star * (rr_star - 1)), 6) AS e_value
+    FROM ev
+    """,
+)
+def q_e_value_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-value (VanderWeele & Ding 2017) for the weekend → high-value-
+    purchase risk ratio: the MINIMUM strength of association an
+    unmeasured confounder would need with BOTH exposure and outcome to
+    fully explain away the observed RR — E = RR* + √(RR*(RR*−1)) on
+    the ≥1 orientation. The one-number sensitivity analysis that
+    belongs next to every observational estimate the causal suite
+    (``q_ipw_ate``, ``q_diff_in_diff``, ``q_matching_att``) produces:
+    an RR of 1.5 needs a confounder with twin RRs ≈ 2.37 to nullify,
+    and no p-value can say that.
+
+    Scale: one conditional aggregate to the 2×2 table; everything
+    after is scalar arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000)
+    p = e.select(
+        (day % 7).isin(2, 3).alias("exposed"),
+        (
+            F.round(F.col("value") * 100, 0).cast("long")
+            >= EVALUE_HIGH_CENTS
+        ).alias("outcome"),
+    )
+    cells = p.agg(
+        F.count_if(F.col("exposed") & F.col("outcome"))
+        .cast("long")
+        .alias("a"),
+        F.count_if(F.col("exposed") & ~F.col("outcome"))
+        .cast("long")
+        .alias("b"),
+        F.count_if(~F.col("exposed") & F.col("outcome"))
+        .cast("long")
+        .alias("c"),
+        F.count_if(~F.col("exposed") & ~F.col("outcome"))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    rr = (a / (a + b)) / (c / (c + d))
+    rr_star = F.when(rr >= 1, rr).otherwise(1 / rr)
+    return cells.select(
+        F.col("a").alias("n_exposed_hi"),
+        F.col("b").alias("n_exposed_lo"),
+        F.col("c").alias("n_unexposed_hi"),
+        F.col("d").alias("n_unexposed_lo"),
+        F.round(rr, 6).alias("risk_ratio"),
+        F.round(rr_star + F.sqrt(rr_star * (rr_star - 1)), 6).alias(
+            "e_value"
+        ),
+    )

@@ -1840,3 +1840,139 @@ def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s.acf", 6).alias("acf"),
         F.round("s.pacf", 6).alias("pacf"),
     ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive with classical-decomposition seasonal indices
+# --------------------------------------------------------------------------
+HW_ALPHA = 0.3
+HW_BETA = 0.1
+HW_PERIOD = 7
+
+
+@query(
+    "q_holt_winters_fixed_season",
+    oracle=f"""
+    WITH RECURSIVE d AS ({_DAILY_SQL}),
+    dow AS (
+      SELECT day % {HW_PERIOD} AS dow,
+             avg(CAST(cents AS DOUBLE)) AS m_dow
+      FROM d GROUP BY 1
+    ),
+    g AS (SELECT avg(CAST(cents AS DOUBLE)) AS m_all FROM d),
+    adj AS (
+      SELECT d.day, CAST(d.cents AS DOUBLE) - (dow.m_dow - g.m_all) AS a,
+             dow.m_dow - g.m_all AS s
+      FROM d JOIN dow ON d.day % {HW_PERIOD} = dow.dow, g
+    ),
+    s AS (
+      SELECT list(a ORDER BY day) AS vals,
+             CAST(count(*) AS BIGINT) AS n_days,
+             max(day) AS last_day
+      FROM adj
+    ),
+    step AS (
+      SELECT 2 AS t, vals[2] AS l, vals[2] - vals[1] AS b,
+             CAST(0.0 AS DOUBLE) AS e
+      FROM s
+      UNION ALL
+      SELECT step.t + 1,
+             {HW_ALPHA} * s.vals[step.t + 1]
+               + {1 - HW_ALPHA} * (step.l + step.b),
+             {HW_BETA} * ({HW_ALPHA} * s.vals[step.t + 1]
+                 + {1 - HW_ALPHA} * (step.l + step.b) - step.l)
+               + {1 - HW_BETA} * step.b,
+             step.e + abs(s.vals[step.t + 1] - (step.l + step.b))
+      FROM step, s WHERE step.t < s.n_days
+    ),
+    fc AS (
+      SELECT s.n_days, step.l, step.b, step.e, s.last_day
+      FROM step, s WHERE step.t = s.n_days
+    )
+    SELECT fc.n_days,
+           round(fc.l / 100, 6) AS level_dollars,
+           round(fc.b / 100, 6) AS trend_dollars,
+           round(fc.e / (fc.n_days - 2) / 100, 6) AS mae_deseason,
+           round((fc.l + fc.b
+                  + (SELECT dow.m_dow - g.m_all FROM dow, g
+                     WHERE dow.dow = (fc.last_day + 1) % {HW_PERIOD}))
+                 / 100, 6) AS forecast_1d,
+           round((fc.l + 7 * fc.b
+                  + (SELECT dow.m_dow - g.m_all FROM dow, g
+                     WHERE dow.dow = (fc.last_day + 7) % {HW_PERIOD}))
+                 / 100, 6) AS forecast_7d
+    FROM fc
+    """,
+)
+def q_holt_winters_fixed_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive smoothing with the seasonal indices FROZEN
+    at their classical-decomposition estimates (day-of-week mean minus
+    grand mean): deseasonalize, run Holt's level/trend recurrence
+    (α={HW_ALPHA}, β={HW_BETA}, the ``q_holt_linear`` fold verbatim)
+    on the adjusted series, and re-seasonalize the forecasts — the
+    standard practical variant when the seasonal pattern is stable and
+    you want the recurrence state to stay 2 scalars instead of 2+m
+    (full HW's coupled seasonal updates add m array slots to the fold
+    state for marginal gain on a stable weekly cycle). Day-of-week is
+    epoch_day % 7 — convention-free in both engines.
+
+    Scale: seasonal indices are one order-insensitive groupBy over the
+    day rollup; the fold runs once on |days| values in one task (the
+    only correct plan for a sequential recurrence; see
+    ``q_holt_linear``).
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    dow = d.groupBy((F.col("day") % HW_PERIOD).alias("dow")).agg(
+        F.avg(F.col("cents").cast("double")).alias("m_dow")
+    )
+    g = d.agg(F.avg(F.col("cents").cast("double")).alias("m_all"))
+    dow = dow.crossJoin(F.broadcast(g)).select(
+        "dow", (F.col("m_dow") - F.col("m_all")).alias("s")
+    )
+    adj = d.join(
+        F.broadcast(dow), d["day"] % HW_PERIOD == dow["dow"]
+    ).select(
+        "day", (F.col("cents").cast("double") - F.col("s")).alias("a")
+    )
+    s = adj.agg(
+        F.expr("array_sort(collect_list(struct(day, a)))").alias("seq"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+    ).select(F.expr("transform(seq, x -> x.a)").alias("vals"), "n_days", "last_day")
+    al, be = HW_ALPHA, HW_BETA
+    fold = (
+        "aggregate("
+        " slice(vals, 3, size(vals) - 2),"
+        " named_struct('l', vals[1], 'b', vals[1] - vals[0], 'e', 0.0D),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {al} * x + {1 - al} * (acc.l + acc.b),"
+        f"   'b', {be} * ({al} * x + {1 - al} * (acc.l + acc.b) - acc.l)"
+        f"        + {1 - be} * acc.b,"
+        f"   'e', acc.e + abs(x - (acc.l + acc.b))))"
+    )
+    out = s.select(
+        "n_days",
+        "last_day",
+        F.expr(fold + ".l").alias("l"),
+        F.expr(fold + ".b").alias("b"),
+        F.expr(fold + ".e").alias("e"),
+    )
+    s1 = dow.select(F.col("dow").alias("d1"), F.col("s").alias("s1"))
+    s7 = dow.select(F.col("dow").alias("d7"), F.col("s").alias("s7"))
+    out = out.join(
+        F.broadcast(s1), (F.col("last_day") + 1) % HW_PERIOD == F.col("d1")
+    ).join(F.broadcast(s7), (F.col("last_day") + 7) % HW_PERIOD == F.col("d7"))
+    return out.select(
+        "n_days",
+        F.round(F.col("l") / 100, 6).alias("level_dollars"),
+        F.round(F.col("b") / 100, 6).alias("trend_dollars"),
+        F.round(F.col("e") / (F.col("n_days") - 2) / 100, 6).alias(
+            "mae_deseason"
+        ),
+        F.round((F.col("l") + F.col("b") + F.col("s1")) / 100, 6).alias(
+            "forecast_1d"
+        ),
+        F.round((F.col("l") + 7 * F.col("b") + F.col("s7")) / 100, 6).alias(
+            "forecast_7d"
+        ),
+    )
