@@ -295,3 +295,112 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_exp, 6).alias("d_exp"),
         F.round(1 - d_obs / d_exp, 6).alias("kripp_alpha"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gwet's AC1 (paradox-resistant chance correction, same Fleiss panel)
+# --------------------------------------------------------------------------
+@query(
+    "q_gwet_ac1",
+    oracle=f"""
+    WITH panel AS (
+      SELECT l_orderkey AS item, l_returnflag AS cat
+      FROM (
+        SELECT l_orderkey, l_returnflag,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_returnflag,
+                                           l_extendedprice) AS rater
+        FROM lineitem
+      ) WHERE rater <= {FLEISS_RATERS}
+      QUALIFY count(*) OVER (PARTITION BY item) = {FLEISS_RATERS}
+    ),
+    cell AS (
+      SELECT item, cat, count(*) AS n_ij FROM panel GROUP BY 1, 2
+    ),
+    p_obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             avg((sq - {FLEISS_RATERS})
+                 / ({FLEISS_RATERS} * ({FLEISS_RATERS} - 1.0))) AS p_a
+      FROM (SELECT item, sum(n_ij * n_ij) AS sq FROM cell GROUP BY 1)
+    ),
+    pi AS (
+      SELECT cat,
+             sum(n_ij) / ({FLEISS_RATERS}
+               * (SELECT CAST(n_items AS DOUBLE) FROM p_obs)) AS pi_c
+      FROM cell GROUP BY cat
+    ),
+    p_exp AS (
+      SELECT sum(pi_c * (1 - pi_c)) / (count(*) - 1.0) AS p_e,
+             CAST(count(*) AS BIGINT) AS n_cats
+      FROM pi
+    )
+    SELECT n_items, n_cats,
+           round(p_a, 6) AS p_a, round(p_e, 6) AS p_e_ac1,
+           round((p_a - p_e) / (1 - p_e), 6) AS gwet_ac1
+    FROM p_obs, p_exp
+    """,
+)
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 (Gwet 2008) over the identical 3-rater panel as
+    ``q_fleiss_kappa`` — the chance correction that fixes the kappa
+    PARADOX: when one category dominates, Fleiss' P̄_e ≈ 1 and kappa
+    collapses toward 0 despite near-perfect raw agreement; AC1's
+    chance term Σπ_c(1−π_c)/(C−1) instead models only ACCIDENTAL
+    agreement and stays calibrated. Publishing both (same P_a, two
+    corrections) is the recommended practice for skewed label
+    distributions — exactly what dominant-class training labels are.
+
+    Scale: identical shape to ``q_fleiss_kappa`` — per-order panel
+    window, per-item cells, category-domain reduction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    panel = (
+        li.select(
+            F.col("l_orderkey").alias("item"),
+            F.col("l_returnflag").alias("cat"),
+            F.row_number().over(w).alias("rater"),
+        )
+        .filter(F.col("rater") <= FLEISS_RATERS)
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("item")))
+        .filter(F.col("sz") == FLEISS_RATERS)
+    )
+    cell = panel.groupBy("item", "cat").agg(F.count(F.lit(1)).alias("n_ij"))
+    k = float(FLEISS_RATERS)
+    p_obs = (
+        cell.groupBy("item")
+        .agg(F.sum(F.col("n_ij") * F.col("n_ij")).alias("sq"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.avg((F.col("sq") - k) / (k * (k - 1.0))).alias("p_a"),
+        )
+    )
+    pi = (
+        cell.groupBy("cat")
+        .agg(F.sum("n_ij").alias("cnt"))
+        .crossJoin(F.broadcast(p_obs.select("n_items")))
+        .select(
+            (
+                F.col("cnt") / (k * F.col("n_items").cast("double"))
+            ).alias("pi_c")
+        )
+    )
+    p_exp = pi.agg(
+        (
+            F.sum(F.col("pi_c") * (1 - F.col("pi_c")))
+            / (F.count(F.lit(1)) - 1.0)
+        ).alias("p_e"),
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+    )
+    out = p_obs.crossJoin(F.broadcast(p_exp))
+    return out.select(
+        "n_items",
+        "n_cats",
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_e", 6).alias("p_e_ac1"),
+        F.round((F.col("p_a") - F.col("p_e")) / (1 - F.col("p_e")), 6).alias(
+            "gwet_ac1"
+        ),
+    )

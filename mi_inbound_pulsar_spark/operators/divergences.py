@@ -286,3 +286,69 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d / 100, 6).alias("energy_dist_dollars"),
         F.round(n * m / (n + m) * d / 100, 6).alias("e_statistic"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inequality indices: Atkinson and Theil over per-customer spend
+# --------------------------------------------------------------------------
+@query(
+    "q_atkinson_theil",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s
+      FROM orders GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(CAST(s AS DOUBLE)) AS mu,
+             avg(sqrt(CAST(s AS DOUBLE))) AS m_half,
+             exp(avg(ln(CAST(s AS DOUBLE)))) AS geo,
+             avg(CAST(s AS DOUBLE) * ln(CAST(s AS DOUBLE))) AS m_xlnx
+      FROM spend WHERE s > 0
+    )
+    SELECT n AS n_customers,
+           round(mu / 100, 6) AS mean_spend_dollars,
+           round(1 - m_half * m_half / mu, 6) AS atkinson_05,
+           round(1 - geo / mu, 6) AS atkinson_1,
+           round(m_xlnx / mu - ln(mu), 6) AS theil_t,
+           round(ln(mu) - ln(geo), 6) AS theil_l
+    FROM agg
+    """,
+)
+def q_atkinson_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welfare-grounded inequality indices over per-customer total
+    spend (integer cents), beside ``q_gini_spend`` / ``q_lorenz_curve``:
+    Atkinson A(ε) = 1 − (E[x^{1−ε}])^{1/(1−ε)}/μ at ε = 0.5 and its
+    ε→1 limit 1 − geomean/μ, plus both Theil indices — T = E[(x/μ)·
+    ln(x/μ)] (top-sensitive) and L = ln μ − ln geomean (bottom-
+    sensitive, the mean log deviation). Unlike Gini, Theil decomposes
+    additively across subgroups, which is why drift dashboards carry
+    it. All four are functions of FOUR order-insensitive moments
+    (μ, E√x, E ln x, E x·ln x) — identities the oracle mirrors exactly:
+    A(0.5) = 1 − (E√x)²/μ, T = E[x ln x]/μ − ln μ.
+
+    Scale: one groupBy to the customer domain, one moment aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("s")
+    )
+    x = F.col("s").cast("double")
+    agg = spend.filter(F.col("s") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(x).alias("mu"),
+        F.avg(F.sqrt(x)).alias("m_half"),
+        F.exp(F.avg(F.log(x))).alias("geo"),
+        F.avg(x * F.log(x)).alias("m_xlnx"),
+    )
+    mu = F.col("mu")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(mu / 100, 6).alias("mean_spend_dollars"),
+        F.round(1 - F.col("m_half") * F.col("m_half") / mu, 6).alias(
+            "atkinson_05"
+        ),
+        F.round(1 - F.col("geo") / mu, 6).alias("atkinson_1"),
+        F.round(F.col("m_xlnx") / mu - F.log(mu), 6).alias("theil_t"),
+        F.round(F.log(mu) - F.log(F.col("geo")), 6).alias("theil_l"),
+    )

@@ -2339,3 +2339,172 @@ def q_feature_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------------
+# A-priori association rules: brand-level 3-itemsets with pair-pruned
+# candidate generation
+# --------------------------------------------------------------------------
+RULES_MIN_SUPPORT = 0.002  # triple must appear in >= 0.2% of baskets
+RULES_TOP_K = 15
+
+
+@query(
+    "q_association_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    brand AS (SELECT p_brand, count(*) AS n_c FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS p1, b.p_brand AS p2, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    freq_pairs AS (
+      SELECT p1, p2, n_ab FROM pairs, n
+      WHERE n_ab >= {RULES_MIN_SUPPORT} * n.n_orders
+    ),
+    triples AS (
+      SELECT fp.p1, fp.p2, c.p_brand AS p3, count(*) AS n_abc,
+             max(fp.n_ab) AS n_ab
+      FROM freq_pairs fp
+      JOIN items a ON a.p_brand = fp.p1
+      JOIN items b ON b.l_orderkey = a.l_orderkey AND b.p_brand = fp.p2
+      JOIN items c ON c.l_orderkey = a.l_orderkey AND c.p_brand > fp.p2
+      GROUP BY 1, 2, 3
+    ),
+    rules AS (
+      SELECT t.p1, t.p2, t.p3,
+             CAST(t.n_abc AS BIGINT) AS n_abc,
+             CAST(t.n_abc AS DOUBLE) / n.n_orders AS support,
+             CAST(t.n_abc AS DOUBLE) / t.n_ab AS confidence,
+             CAST(t.n_abc AS DOUBLE) * n.n_orders / (t.n_ab * br.n_c)
+               AS lift
+      FROM triples t JOIN brand br ON br.p_brand = t.p3, n
+      WHERE t.n_abc >= {RULES_MIN_SUPPORT} * n.n_orders
+    )
+    SELECT p1 AS antecedent_1, p2 AS antecedent_2, p3 AS consequent,
+           n_abc, round(support, 6) AS support,
+           round(confidence, 6) AS confidence, round(lift, 6) AS lift
+    FROM rules
+    ORDER BY lift DESC, p1, p2, p3 LIMIT {RULES_TOP_K}
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori association rules (Agrawal & Srikant 1994) at the
+    BRAND level: rules {{b₁,b₂}} → b₃ with support, confidence and
+    lift, where candidate 3-itemsets are generated ONLY by extending
+    pairs that already cleared the support floor — the a-priori
+    downward-closure prune that keeps candidate generation from
+    enumerating the k-itemset lattice. Brand (25 values) rather than
+    partkey keeps the itemset domain scale-invariant, the reason
+    ``q_basket_lift``'s partkey pairs go sparse at sf0.1 while these
+    rules stay populated.
+
+    Scale: baskets collapse to distinct (order, brand) once (part dim
+    broadcast); pair counts are a basket-keyed self-join (fan-out
+    bounded by per-basket brand count); the triple extension joins the
+    FREQUENT-pair list back to baskets, so its fan-out is
+    |frequent pairs| × basket size, not brands³. Top-k by lift is a
+    sort over the ≤C(25,3) rule table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    brand = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("p1"), F.col("b.p_brand").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    freq_pairs = pairs.crossJoin(F.broadcast(n)).filter(
+        F.col("n_ab") >= RULES_MIN_SUPPORT * F.col("n_orders")
+    )
+    ia, ib, ic = items.alias("ia"), items.alias("ib"), items.alias("ic")
+    triples = (
+        F.broadcast(freq_pairs.alias("fp"))
+        .join(ia, F.col("ia.p_brand") == F.col("fp.p1"))
+        .join(
+            ib,
+            (F.col("ib.l_orderkey") == F.col("ia.l_orderkey"))
+            & (F.col("ib.p_brand") == F.col("fp.p2")),
+        )
+        .join(
+            ic,
+            (F.col("ic.l_orderkey") == F.col("ia.l_orderkey"))
+            & (F.col("ic.p_brand") > F.col("fp.p2")),
+        )
+        .groupBy(
+            F.col("fp.p1").alias("p1"),
+            F.col("fp.p2").alias("p2"),
+            F.col("ic.p_brand").alias("p3"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_abc"), F.max("fp.n_ab").alias("n_ab")
+        )
+    )
+    rules = (
+        triples.crossJoin(F.broadcast(n))
+        .filter(F.col("n_abc") >= RULES_MIN_SUPPORT * F.col("n_orders"))
+        .join(
+            F.broadcast(brand.select(F.col("p_brand").alias("p3"), "n_c")),
+            "p3",
+        )
+        .select(
+            F.col("p1").alias("antecedent_1"),
+            F.col("p2").alias("antecedent_2"),
+            F.col("p3").alias("consequent"),
+            F.col("n_abc").cast("long").alias("n_abc"),
+            F.round(
+                F.col("n_abc").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(F.col("n_abc").cast("double") / F.col("n_ab"), 6).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_abc").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_ab") * F.col("n_c"))
+            ).alias("lift_raw"),
+        )
+    )
+    rules = bounded_window_input(rules, label="q_association_rules rule table")
+    return (
+        rules.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc("lift_raw"),
+                    "antecedent_1",
+                    "antecedent_2",
+                    "consequent",
+                )
+            ),
+        )
+        .filter(F.col("rk") <= RULES_TOP_K)
+        .select(
+            "antecedent_1",
+            "antecedent_2",
+            "consequent",
+            "n_abc",
+            "support",
+            "confidence",
+            F.round("lift_raw", 6).alias("lift"),
+        )
+    )
