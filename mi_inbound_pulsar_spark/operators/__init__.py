@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "mi_inbound_pulsar_spark.operators.divergences",
     "mi_inbound_pulsar_spark.operators.mregression",
     "mi_inbound_pulsar_spark.operators.posthoc",
+    "mi_inbound_pulsar_spark.operators.clusterval",
 )
 
 
