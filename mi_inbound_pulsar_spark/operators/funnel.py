@@ -2508,3 +2508,155 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lift_raw", 6).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Aalen-Johansen cumulative incidence under competing risks
+# --------------------------------------------------------------------------
+@query(
+    "q_cumulative_incidence",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS t0,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+               AS tp,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'error') AS te,
+             max(epoch_us(ts)) AS t_last
+      FROM events GROUP BY 1
+    ),
+    obs AS (
+      SELECT CASE
+               WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                 THEN (tp - t0) // 86400000000
+               WHEN te IS NOT NULL THEN (te - t0) // 86400000000
+               ELSE (t_last - t0) // 86400000000 END AS time,
+             CASE
+               WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                 THEN 'purchase'
+               WHEN te IS NOT NULL THEN 'error'
+               ELSE 'censored' END AS cause
+      FROM per_user
+    ),
+    roll AS (
+      SELECT time,
+             count(*) FILTER (WHERE cause = 'purchase') AS d_p,
+             count(*) FILTER (WHERE cause = 'error') AS d_e,
+             count(*) AS leave_cnt
+      FROM obs GROUP BY 1
+    ),
+    cum AS (
+      SELECT time, d_p, d_e,
+             sum(leave_cnt) OVER () 
+               - coalesce(sum(leave_cnt) OVER (ORDER BY time
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM roll
+    ),
+    surv AS (
+      SELECT time, d_p, d_e, n_risk,
+             exp(coalesce(sum(ln(greatest(
+                   CAST(n_risk - d_p - d_e AS DOUBLE) / n_risk, 1e-300)))
+                 OVER (ORDER BY time
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)) AS s_minus
+      FROM cum
+    )
+    SELECT CAST(time AS BIGINT) AS day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_p AS BIGINT) AS d_purchase,
+           CAST(d_e AS BIGINT) AS d_error,
+           round(sum(s_minus * d_p / n_risk)
+                 OVER (ORDER BY time), 6) AS cif_purchase,
+           round(sum(s_minus * d_e / n_risk)
+                 OVER (ORDER BY time), 6) AS cif_error
+    FROM surv ORDER BY day
+    """,
+)
+def q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions under COMPETING
+    risks: per user, the first purchase and the first error race from
+    the user's first event; CIF_k(t) = Σ_{s≤t} Ŝ(s−)·d_k(s)/n(s) with
+    Ŝ the all-cause Kaplan-Meier — the estimator that 1−KM-per-cause
+    gets WRONG (it over-counts by treating the competing event as
+    independent censoring; the two CIFs here sum to at most 1−Ŝ by
+    construction). Completes the survival shelf next to
+    ``q_survival_curve`` / ``q_nelson_aalen`` / ``q_logrank_test``.
+
+    Hash-exactness: Ŝ(s−) is exp(running sum of ln terms) — both
+    engines accumulate the SAME ordered left-to-right window sum, so
+    the float sequence is identical; the (n−d)/n ratio is clamped at
+    1e-300 so a final time that exhausts the risk set cannot produce
+    an engine-specific ln(0).
+
+    Scale: the corpus collapses to one per-user aggregate (first/last
+    event times), then to the day-domain rollup; the KM product and
+    both CIFs are guarded ordered windows over that rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+        F.max(us).alias("t_last"),
+    )
+    us_day = 86_400_000_000
+    is_p = F.col("tp").isNotNull() & (
+        F.col("te").isNull() | (F.col("tp") <= F.col("te"))
+    )
+    obs = per_user.select(
+        F.when(is_p, F.floor((F.col("tp") - F.col("t0")) / us_day))
+        .when(
+            F.col("te").isNotNull(),
+            F.floor((F.col("te") - F.col("t0")) / us_day),
+        )
+        .otherwise(F.floor((F.col("t_last") - F.col("t0")) / us_day))
+        .alias("time"),
+        F.when(is_p, F.lit("purchase"))
+        .when(F.col("te").isNotNull(), F.lit("error"))
+        .otherwise(F.lit("censored"))
+        .alias("cause"),
+    )
+    roll = obs.groupBy("time").agg(
+        F.count_if(F.col("cause") == "purchase").alias("d_p"),
+        F.count_if(F.col("cause") == "error").alias("d_e"),
+        F.count(F.lit(1)).alias("leave_cnt"),
+    )
+    roll = bounded_window_input(roll, label="q_cif day rollup")
+    wb = Window.orderBy("time").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("time").rowsBetween(Window.unboundedPreceding, 0)
+    cum = roll.select(
+        "time",
+        "d_p",
+        "d_e",
+        (
+            F.sum("leave_cnt").over(Window.partitionBy())
+            - F.coalesce(F.sum("leave_cnt").over(wb), F.lit(0))
+        ).alias("n_risk"),
+    )
+    log_term = F.log(
+        F.greatest(
+            (F.col("n_risk") - F.col("d_p") - F.col("d_e")).cast("double")
+            / F.col("n_risk"),
+            F.lit(1e-300),
+        )
+    )
+    surv = cum.withColumn(
+        "s_minus",
+        F.exp(F.coalesce(F.sum(log_term).over(wb), F.lit(0.0))),
+    )
+    return surv.select(
+        F.col("time").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_p").cast("long").alias("d_purchase"),
+        F.col("d_e").cast("long").alias("d_error"),
+        F.round(
+            F.sum(F.col("s_minus") * F.col("d_p") / F.col("n_risk")).over(wc),
+            6,
+        ).alias("cif_purchase"),
+        F.round(
+            F.sum(F.col("s_minus") * F.col("d_e") / F.col("n_risk")).over(wc),
+            6,
+        ).alias("cif_error"),
+    ).orderBy("day")

@@ -276,3 +276,182 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("jt_mean"),
         F.round((F.col("u") - mean) / F.sqrt(var), 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Friedman test + Page's trend test (rank blocks = days, treatments =
+# event types)
+# --------------------------------------------------------------------------
+_DAY_TYPE_RANKS_SQL = """
+      SELECT day, event_type,
+             rank() OVER (PARTITION BY day ORDER BY cents) AS r_lo,
+             count(*) OVER (PARTITION BY day, cents) AS n_tied
+      FROM (
+        SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+      )
+      QUALIFY count(*) OVER (PARTITION BY day) = 5
+"""
+
+
+def _day_type_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """midrank of each event type's daily cents within its day, only
+    for complete blocks (all 5 types present)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day"),
+        "event_type",
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    daily = daily.withColumn(
+        "blk", F.count(F.lit(1)).over(Window.partitionBy("day"))
+    ).filter(F.col("blk") == 5)
+    return daily.select(
+        "day",
+        "event_type",
+        F.rank().over(Window.partitionBy("day").orderBy("cents")).alias("r_lo"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("day", "cents"))
+        .alias("n_tied"),
+    )
+
+
+@query(
+    "q_friedman_test",
+    oracle=f"""
+    WITH ranks AS ({_DAY_TYPE_RANKS_SQL}),
+    mid AS (
+      SELECT day, event_type, r_lo + (n_tied - 1) / 2.0 AS r,
+             CAST(n_tied AS DOUBLE) AS t
+      FROM ranks
+    ),
+    per_t AS (
+      SELECT event_type, sum(r) AS r_j, count(*) AS n
+      FROM mid GROUP BY 1
+    ),
+    ties AS (
+      -- Σ(t³ − t) per block, each tie GROUP counted once (the rows
+      -- carry the group size, so divide the group's contribution by
+      -- its size)
+      SELECT sum((t * t * t - t) / t) AS tsum FROM mid WHERE t > 1
+    ),
+    s AS (
+      SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(r_j * r_j) AS sr2
+      FROM per_t
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks, k AS n_treatments,
+           round((12.0 / (n * k * (k + 1)) * sr2 - 3.0 * n * (k + 1))
+                 / (1 - coalesce((SELECT tsum FROM ties), 0)
+                        / (CAST(n AS DOUBLE) * k * (k * k - 1))), 6)
+             AS friedman_q
+    FROM s
+    """,
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (1937) with days as blocks and the five event
+    types as treatments: midrank each type's daily revenue within its
+    day, then Q = [12/(nk(k+1))]ΣR_j² − 3n(k+1), tie-corrected by
+    1 − ΣT/(nk(k²−1)) with T = Σ(t³−t) over tie groups — the
+    nonparametric repeated-measures ANOVA asking "do the types keep a
+    consistent revenue ORDERING day after day?" where
+    ``q_kruskal_wallis`` would wrongly pool days. Only complete blocks
+    (all 5 types present) enter, the standard treatment.
+
+    Scale: events collapse to the (day × type) rollup once; ranking is
+    per-day windows (partitioned by the block key — never global);
+    the reduction is over the 5-treatment domain.
+    """
+    mid = _day_type_ranks(spark, sf_dir).select(
+        "event_type",
+        (F.col("r_lo") + (F.col("n_tied") - 1) / 2.0).alias("r"),
+        F.col("n_tied").cast("double").alias("t"),
+    )
+    per_t = mid.groupBy("event_type").agg(
+        F.sum("r").alias("r_j"), F.count(F.lit(1)).alias("n")
+    )
+    ties = mid.filter(F.col("t") > 1).agg(
+        F.sum((F.col("t") * F.col("t") * F.col("t") - F.col("t")) / F.col("t")).alias(
+            "tsum"
+        )
+    )
+    s = per_t.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r_j") * F.col("r_j")).alias("sr2"),
+    ).crossJoin(F.broadcast(ties))
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    q_raw = 12.0 / (n * k * (k + 1)) * F.col("sr2") - 3.0 * n * (k + 1)
+    corr = 1 - F.coalesce(F.col("tsum"), F.lit(0.0)) / (n * k * (k * k - 1))
+    return s.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.round(q_raw / corr, 6).alias("friedman_q"),
+    )
+
+
+@query(
+    "q_page_trend_test",
+    oracle=f"""
+    WITH ranks AS ({_DAY_TYPE_RANKS_SQL}),
+    mid AS (
+      SELECT day, event_type, r_lo + (n_tied - 1) / 2.0 AS r FROM ranks
+    ),
+    per_t AS (
+      SELECT event_type, sum(r) AS r_j, count(*) AS n,
+             row_number() OVER (ORDER BY event_type) AS j
+      FROM mid GROUP BY 1
+    ),
+    s AS (
+      SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(j * r_j) AS l
+      FROM per_t
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks, k AS n_treatments,
+           round(l, 6) AS page_l,
+           round(CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4, 6)
+             AS l_mean,
+           round((l - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1)
+                        * (k * k - 1) / 144), 6) AS z
+    FROM s
+    """,
+)
+def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (1963) on the same day-blocked type ranks as
+    ``q_friedman_test``, against the ORDERED alternative that revenue
+    rank increases along the alphabetical treatment order: L = Σ j·R_j
+    with E[L] = nk(k+1)²/4 and Var[L] = nk²(k+1)(k²−1)/144 — the
+    blocked-design counterpart of ``q_jonckheere_terpstra`` (which
+    orders independent groups). A significant Friedman with an
+    insignificant Page means types differ but not monotonically.
+
+    Scale: identical shape to ``q_friedman_test`` — the extra j·R_j
+    weighting is free at the 5-treatment reduction.
+    """
+    mid = _day_type_ranks(spark, sf_dir).select(
+        "event_type",
+        (F.col("r_lo") + (F.col("n_tied") - 1) / 2.0).alias("r"),
+    )
+    per_t = mid.groupBy("event_type").agg(
+        F.sum("r").alias("r_j"), F.count(F.lit(1)).alias("n")
+    )
+    per_t = bounded_window_input(per_t, label="q_page treatment table")
+    per_t = per_t.withColumn(
+        "j", F.row_number().over(Window.orderBy("event_type"))
+    )
+    s = per_t.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("j") * F.col("r_j")).alias("l"),
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    mean = n * k * (k + 1) * (k + 1) / 4
+    var = n * k * k * (k + 1) * (k * k - 1) / 144
+    return s.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.round(F.col("l"), 6).alias("page_l"),
+        F.round(mean, 6).alias("l_mean"),
+        F.round((F.col("l") - mean) / F.sqrt(var), 6).alias("z"),
+    )
