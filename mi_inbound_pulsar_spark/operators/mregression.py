@@ -320,3 +320,73 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chow_f"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-type market beta (CAPM-style decomposition vs the all-type total)
+# --------------------------------------------------------------------------
+@query(
+    "q_market_beta",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               AS y
+      FROM events GROUP BY 1, 2
+    ),
+    market AS (
+      SELECT day, sum(y) AS m FROM daily GROUP BY 1
+    ),
+    j AS (
+      SELECT d.event_type, d.y, mk.m
+      FROM daily d JOIN market mk ON d.day = mk.day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(covar_pop(y, m) / var_pop(m), 6) AS beta,
+           round((avg(y) - covar_pop(y, m) / var_pop(m) * avg(m)) / 100, 6)
+             AS alpha_dollars,
+           round(pow(corr(y, m), 2), 6) AS r2
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM-style decomposition of each event type's daily value
+    series against the all-type daily total ("the market"): β =
+    cov(y,m)/var(m) — how much a type amplifies or dampens platform-
+    wide swings — with the residual intercept α (dollars/day of
+    type-specific value independent of the market) and R² (share of
+    the type's variance the market explains). The portfolio view of
+    the per-type series that ``q_autocorrelation`` and
+    ``q_market``-free regressions treat in isolation: Σ(β·share) = 1
+    by construction, so betas localize which type carries systemic
+    volatility.
+
+    Scale: one (day × type) rollup, a day-keyed self-aggregate for
+    the market total, and per-type covar/var sufficient statistics —
+    the join key is the bounded day domain.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day"),
+        "event_type",
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("double")
+        .alias("y")
+    )
+    market = daily.groupBy("day").agg(F.sum("y").alias("m"))
+    j = daily.join(market, "day")
+    beta = F.covar_pop("y", "m") / F.var_pop("m")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(beta, 6).alias("beta"),
+            F.round((F.avg("y") - beta * F.avg("m")) / 100, 6).alias(
+                "alpha_dollars"
+            ),
+            F.round(F.pow(F.corr("y", "m"), 2), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )

@@ -6172,3 +6172,178 @@ def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_pairs") / (n * (n - 1)), 6).alias("simpson_d"),
         F.round(F.col("v2").cast("double") / v, 6).alias("sichel_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# bpref: judgment-incompleteness-robust retrieval eval over the BM25
+# known-item pool
+# --------------------------------------------------------------------------
+@query(
+    "q_bpref_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+      SELECT qid, tok, df FROM (
+        SELECT t.doc_id AS qid, t.tok, d.df,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+                 AS rk
+        FROM tf t JOIN df d USING (tok)
+        WHERE t.doc_id < {MRR_N_QUERIES}
+      ) WHERE rk <= {MRR_TERMS_PER_QUERY}
+    ),
+    scored AS (
+      SELECT q.qid, t.doc_id,
+             CAST(count(*) AS BIGINT) AS grade,
+             sum(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+      FROM qterms q
+        JOIN tf t ON t.tok = q.tok
+        JOIN dl l ON l.doc_id = t.doc_id, stats s
+      GROUP BY q.qid, t.doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id, grade,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id)
+               AS rank
+      FROM scored
+    ),
+    counts AS (
+      SELECT qid,
+             count(*) FILTER (WHERE grade >= {MRR_TERMS_PER_QUERY}) AS r,
+             count(*) FILTER (WHERE grade < {MRR_TERMS_PER_QUERY}) AS nn
+      FROM ranked GROUP BY qid
+    ),
+    contrib AS (
+      SELECT k.qid, c.r, c.nn,
+             1.0 - least(
+               coalesce(sum(CASE WHEN k2.grade < {MRR_TERMS_PER_QUERY}
+                                 THEN 1 END), 0),
+               least(c.r, c.nn)) / CAST(least(c.r, c.nn) AS DOUBLE)
+               AS term
+      FROM ranked k
+        JOIN counts c ON c.qid = k.qid
+        LEFT JOIN ranked k2 ON k2.qid = k.qid AND k2.rank < k.rank
+      WHERE k.grade >= {MRR_TERMS_PER_QUERY}
+        AND c.r > 0 AND c.nn > 0
+      GROUP BY k.qid, k.doc_id, c.r, c.nn
+    )
+    SELECT qid, CAST(max(r) AS BIGINT) AS n_relevant,
+           CAST(max(nn) AS BIGINT) AS n_nonrelevant,
+           round(sum(term) / max(r), 6) AS bpref
+    FROM contrib GROUP BY qid ORDER BY qid
+    """,
+)
+def q_bpref_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpref (Buckley & Voorhees 2004) over the BM25 known-item pool:
+    judged-relevant = docs matching BOTH rare query terms (grade 2),
+    judged-non-relevant = grade-1 docs; bpref = (1/R)·Σ_r (1 −
+    min(#non-rel above r, min(R,N))/min(R,N)) — the retrieval metric
+    that, unlike MAP/nDCG, only compares JUDGED documents against each
+    other, so it stays stable when the judgment pool is a sliver of
+    the corpus (every real-world eval of a web-scale index). Fourth
+    leg of the eval stool after ``q_retrieval_mrr`` / ``q_ndcg_eval``
+    / ``q_err_eval``, same candidate machinery, same rounded-score
+    rank determinism.
+
+    Scale: per-query posting-list pools; the non-rel-above counts are
+    a per-(qid, relevant-doc) aggregate over the qid-partitioned pool
+    (pools are term-df-bounded, never corpus-scale).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
+    tf = (
+        d.select("doc_id", tok)
+        .filter(keep)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        tf.filter(F.col("doc_id") < MRR_N_QUERIES)
+        .join(df, "tok")
+        .select(F.col("doc_id").alias("qid"), "tok", "df")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("df", "tok")
+            ),
+        )
+        .filter(F.col("rk") <= MRR_TERMS_PER_QUERY)
+        .drop("rk")
+    )
+    scored = (
+        qterms.join(tf.select(F.col("doc_id"), "tok", "tf"), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("grade"),
+            F.sum(
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.desc(F.round("score", 6)), "doc_id"
+            )
+        ),
+    )
+    counts = ranked.groupBy("qid").agg(
+        F.count_if(F.col("grade") >= MRR_TERMS_PER_QUERY).alias("r"),
+        F.count_if(F.col("grade") < MRR_TERMS_PER_QUERY).alias("nn"),
+    )
+    wnr = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_above = ranked.withColumn(
+        "nonrel_above",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("grade") < MRR_TERMS_PER_QUERY, 1).otherwise(0)
+            ).over(wnr),
+            F.lit(0),
+        ),
+    )
+    rel = (
+        with_above.filter(F.col("grade") >= MRR_TERMS_PER_QUERY)
+        .join(counts, "qid")
+        .filter((F.col("r") > 0) & (F.col("nn") > 0))
+    )
+    cap = F.least(F.col("r"), F.col("nn"))
+    term = 1.0 - F.least(F.col("nonrel_above"), cap) / cap.cast("double")
+    return (
+        rel.groupBy("qid")
+        .agg(
+            F.max("r").cast("long").alias("n_relevant"),
+            F.max("nn").cast("long").alias("n_nonrelevant"),
+            F.round(F.sum(term) / F.max("r"), 6).alias("bpref"),
+        )
+        .orderBy("qid")
+    )
