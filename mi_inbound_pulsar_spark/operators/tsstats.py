@@ -1976,3 +1976,245 @@ def q_holt_winters_fixed_season(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality + forecast-evaluation pair (Mincer-Zarnowitz,
+# Diebold-Mariano) on the daily series
+# --------------------------------------------------------------------------
+@query(
+    "q_jarque_bera",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    x AS (SELECT CAST(cents AS DOUBLE) / 100 AS x FROM d),
+    mu AS (SELECT avg(x) AS mu FROM x),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(pow(x.x - mu.mu, 2)) AS m2,
+             avg(pow(x.x - mu.mu, 3)) AS m3,
+             avg(pow(x.x - mu.mu, 4)) AS m4
+      FROM x, mu
+    )
+    SELECT n AS n_days,
+           round(m3 / pow(m2, 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+           round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3, 2) / 4), 6) AS jarque_bera
+    FROM c
+    """,
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test (1980) on daily purchase dollars:
+    JB = n/6·(S² + K²/4) from the sample skewness and excess kurtosis
+    — the moment-based omnibus that every regression-residual
+    diagnostic panel carries (χ²₂ under normality). Moments are
+    computed DEMEANED-FIRST (one tiny mean pass, then central-moment
+    aggregates): raw third/fourth moments of ~10⁸-cent daily totals
+    would live at 10²⁴-10³² where double cancellation destroys the
+    statistic; centered values are O(stddev) and safe at any scale.
+
+    Scale: two aggregates over the day-domain rollup (mean, then
+    central moments with the mean broadcast).
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    x = d.select((F.col("cents").cast("double") / 100).alias("x"))
+    mu = x.agg(F.avg("x").alias("mu"))
+    xc = x.crossJoin(F.broadcast(mu)).select(
+        (F.col("x") - F.col("mu")).alias("e")
+    )
+    c = xc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.pow("e", 2)).alias("m2"),
+        F.avg(F.pow("e", 3)).alias("m3"),
+        F.avg(F.pow("e", 4)).alias("m4"),
+    )
+    skew = F.col("m3") / F.pow("m2", 1.5)
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    return c.select(
+        F.col("n").alias("n_days"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4), 6
+        ).alias("jarque_bera"),
+    )
+
+
+_LAGGED_PAIRS_SQL = f"""
+      SELECT a.x AS y, l7.x AS f7, l1.x AS f1
+      FROM (
+        SELECT row_number() OVER (ORDER BY day) AS t,
+               CAST(cents AS DOUBLE) / 100 AS x
+        FROM ({_DAILY_SQL})
+      ) a
+      JOIN (
+        SELECT row_number() OVER (ORDER BY day) AS t,
+               CAST(cents AS DOUBLE) / 100 AS x
+        FROM ({_DAILY_SQL})
+      ) l7 ON l7.t = a.t - 7
+      JOIN (
+        SELECT row_number() OVER (ORDER BY day) AS t,
+               CAST(cents AS DOUBLE) / 100 AS x
+        FROM ({_DAILY_SQL})
+      ) l1 ON l1.t = a.t - 1
+"""
+
+
+def _lagged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, f7, f1): actual vs seasonal-naive (t−7) and naive (t−1)
+    forecasts, for every day where both lags exist."""
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="tsstats forecast-pair day spine")
+    idx = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        (F.col("cents").cast("double") / 100).alias("x"),
+    )
+    l7 = idx.select((F.col("t") + 7).alias("t"), F.col("x").alias("f7"))
+    l1 = idx.select((F.col("t") + 1).alias("t"), F.col("x").alias("f1"))
+    return (
+        idx.join(l7, "t")
+        .join(l1, "t")
+        .select(F.col("x").alias("y"), "f7", "f1")
+    )
+
+
+@query(
+    "q_mincer_zarnowitz",
+    oracle=f"""
+    WITH p AS ({_LAGGED_PAIRS_SQL}),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(y) AS my, avg(f7) AS mf,
+             sum(f7 * f7) AS rff, sum(f7 * y) AS rfy,
+             sum(pow(y - f7, 2)) AS ssr_restricted
+      FROM p
+    ),
+    fit AS (
+      SELECT n, my, mf, ssr_restricted,
+             (rfy - n * mf * my) / (rff - n * mf * mf) AS b
+      FROM m
+    ),
+    sse AS (
+      SELECT fit.n, fit.b, fit.my - fit.b * fit.mf AS a,
+             fit.ssr_restricted,
+             sum(pow(p.y - (fit.my - fit.b * fit.mf) - fit.b * p.f7, 2))
+               AS sse
+      FROM p, fit
+      GROUP BY fit.n, fit.b, fit.my, fit.mf, fit.ssr_restricted
+    )
+    SELECT n AS n_days,
+           round(a, 6) AS intercept,
+           round(b, 6) AS slope,
+           round((ssr_restricted - sse) / 2 / (sse / (n - 2)), 6)
+             AS f_joint
+    FROM sse
+    """,
+)
+def q_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mincer-Zarnowitz forecast-rationality regression (1969):
+    actuals on the seasonal-naive forecast y_{{t-7}} — an UNBIASED,
+    efficient forecast must give intercept 0 and slope 1, and the
+    joint F = ((SSR_restricted − SSE)/2)/(SSE/(n−2)) tests exactly
+    that (SSR_restricted = Σ(y−f)², the errors under (0,1)). Slope < 1
+    reads "forecasts overshoot swings; shrink them" — the calibration
+    verdict ``q_forecast_backtest``'s raw MAE cannot give.
+
+    Scale: lag alignment is a row-number self-join on the day spine;
+    the regression is closed-form from one moment aggregate plus one
+    residual pass with the 2-scalar fit broadcast.
+    """
+    p = _lagged_pairs(spark, sf_dir)
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("f7").alias("mf"),
+        F.sum(F.col("f7") * F.col("f7")).alias("rff"),
+        F.sum(F.col("f7") * F.col("y")).alias("rfy"),
+        F.sum(F.pow(F.col("y") - F.col("f7"), 2)).alias("ssr_restricted"),
+    )
+    fit = m.select(
+        "n",
+        "my",
+        "mf",
+        "ssr_restricted",
+        (
+            (F.col("rfy") - F.col("n") * F.col("mf") * F.col("my"))
+            / (F.col("rff") - F.col("n") * F.col("mf") * F.col("mf"))
+        ).alias("b"),
+    ).withColumn("a", F.col("my") - F.col("b") * F.col("mf"))
+    sse = (
+        p.crossJoin(F.broadcast(fit))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("a").alias("a"),
+            F.max("b").alias("b"),
+            F.max("ssr_restricted").alias("ssr_restricted"),
+            F.sum(
+                F.pow(
+                    F.col("y") - F.col("a") - F.col("b") * F.col("f7"), 2
+                )
+            ).alias("sse"),
+        )
+    )
+    n = F.col("n")
+    return sse.select(
+        n.alias("n_days"),
+        F.round(F.col("a"), 6).alias("intercept"),
+        F.round(F.col("b"), 6).alias("slope"),
+        F.round(
+            (F.col("ssr_restricted") - F.col("sse"))
+            / 2
+            / (F.col("sse") / (n - 2)),
+            6,
+        ).alias("f_joint"),
+    )
+
+
+@query(
+    "q_diebold_mariano",
+    oracle=f"""
+    WITH p AS ({_LAGGED_PAIRS_SQL}),
+    d AS (
+      SELECT pow(y - f7, 2) - pow(y - f1, 2) AS d,
+             pow(y - f7, 2) AS l7, pow(y - f1, 2) AS l1
+      FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(l7), 6) AS mse_seasonal_naive,
+           round(avg(l1), 6) AS mse_naive,
+           round(avg(d), 6) AS mean_loss_diff,
+           round(avg(d) / sqrt(var_pop(d) / count(*)), 6) AS dm_stat
+    FROM d
+    """,
+)
+def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano equal-predictive-accuracy test (1995): squared-
+    error loss differentials d_t between the seasonal-naive (t−7) and
+    naive (t−1) one-step forecasts of daily revenue, DM =
+    d̄/√(var(d)/n) — the test that turns "model A's MSE looks lower"
+    into a statistic (negative here = seasonal-naive better). One-step
+    losses carry no moving-average overlap, so the lag-0 variance is
+    the textbook h=1 form (longer horizons would need the HAC sum —
+    stated as the contract, not silently assumed).
+
+    Scale: the same lag-aligned pair frame as ``q_mincer_zarnowitz``;
+    the test is one aggregate over it.
+    """
+    p = _lagged_pairs(spark, sf_dir)
+    d = p.select(
+        (
+            F.pow(F.col("y") - F.col("f7"), 2)
+            - F.pow(F.col("y") - F.col("f1"), 2)
+        ).alias("d"),
+        F.pow(F.col("y") - F.col("f7"), 2).alias("l7"),
+        F.pow(F.col("y") - F.col("f1"), 2).alias("l1"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg("l7"), 6).alias("mse_seasonal_naive"),
+        F.round(F.avg("l1"), 6).alias("mse_naive"),
+        F.round(F.avg("d"), 6).alias("mean_loss_diff"),
+        F.round(
+            F.avg("d") / F.sqrt(F.var_pop("d") / F.count(F.lit(1))), 6
+        ).alias("dm_stat"),
+    )
