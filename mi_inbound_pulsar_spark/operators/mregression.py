@@ -390,3 +390,322 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Multivariate trio on the daily pivot: canonical correlation,
+# Mahalanobis outlier days, Hotelling two-sample T²
+# --------------------------------------------------------------------------
+_PIVOT4_SQL = """
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE)
+               AS x1,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               AS x2,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS DOUBLE) AS y1,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE)
+               AS y2
+      FROM events GROUP BY 1
+"""
+
+
+def _daily_pivot4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.groupBy(day).agg(
+        F.count_if(F.col("event_type") == "click").cast("double").alias("x1"),
+        F.count_if(F.col("event_type") == "view").cast("double").alias("x2"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("double")
+        .alias("y1"),
+        F.count_if(F.col("event_type") == "error").cast("double").alias("y2"),
+    )
+
+
+@query(
+    "q_canonical_correlation",
+    oracle=f"""
+    WITH d AS ({_PIVOT4_SQL}),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             corr(x1, x2) AS rxx, corr(y1, y2) AS ryy,
+             corr(x1, y1) AS a11, corr(x1, y2) AS a12,
+             corr(x2, y1) AS a21, corr(x2, y2) AS a22
+      FROM d
+    ),
+    m AS (
+      -- M = Rxx^-1 Rxy Ryy^-1 Ryx via closed-form 2x2 inverses:
+      -- Rxx^-1 = [[1,-rxx],[-rxx,1]]/(1-rxx^2), same for Ryy
+      SELECT n, rxx, ryy, a11, a12, a21, a22,
+             (a11 - ryy * a12) AS b11, (a12 - ryy * a11) AS b12,
+             (a21 - ryy * a22) AS b21, (a22 - ryy * a21) AS b22,
+             (1 - rxx * rxx) * (1 - ryy * ryy) AS denom
+      FROM r
+    ),
+    mm AS (
+      SELECT n, rxx, ryy,
+             ((b11 - rxx * b21) * a11 + (b12 - rxx * b22) * a12) / denom
+               AS m11,
+             ((b11 - rxx * b21) * a21 + (b12 - rxx * b22) * a22) / denom
+               AS m12,
+             ((b21 - rxx * b11) * a11 + (b22 - rxx * b12) * a12) / denom
+               AS m21,
+             ((b21 - rxx * b11) * a21 + (b22 - rxx * b12) * a22) / denom
+               AS m22
+      FROM m
+    )
+    SELECT n AS n_days,
+           round(sqrt(greatest(
+             (m11 + m22) / 2
+               + sqrt(pow((m11 - m22) / 2, 2) + m12 * m21), 0)), 6)
+             AS canonical_corr_1,
+           round(sqrt(greatest(
+             (m11 + m22) / 2
+               - sqrt(pow((m11 - m22) / 2, 2) + m12 * m21), 0)), 6)
+             AS canonical_corr_2,
+           round(-(n - 1 - (2 + 2 + 1) / 2.0)
+                 * ln((1 - ((m11 + m22) / 2
+                       + sqrt(pow((m11 - m22) / 2, 2) + m12 * m21)))
+                      * (1 - ((m11 + m22) / 2
+                         - sqrt(pow((m11 - m22) / 2, 2) + m12 * m21)))),
+                 6) AS bartlett_chi2
+    FROM mm
+    """,
+)
+def q_canonical_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and second canonical correlations between the daily
+    TRAFFIC block (clicks, views) and the daily OUTCOME block
+    (purchase revenue, error count): the singular values of
+    R_xx^{{-1/2}} R_xy R_yy^{{-1/2}}, computed as the eigenvalue
+    closed form of the 2×2 matrix M = R_xx⁻¹R_xy R_yy⁻¹R_yx (trace ±
+    √(tr²/4 − det), every inverse written out by Cramer) — "what
+    combination of traffic best predicts what combination of
+    outcomes", the block-level generalization of
+    ``q_partial_correlation``. Bartlett's −(n−1−(p+q+1)/2)·ln Λ
+    statistic tests whether ANY canonical link exists.
+
+    Scale: seven corr sufficient statistics over the day pivot, then
+    scalar 2×2 algebra — no iteration, no eigensolver.
+    """
+    d = _daily_pivot4(spark, sf_dir)
+    r = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.corr("x1", "x2").alias("rxx"),
+        F.corr("y1", "y2").alias("ryy"),
+        F.corr("x1", "y1").alias("a11"),
+        F.corr("x1", "y2").alias("a12"),
+        F.corr("x2", "y1").alias("a21"),
+        F.corr("x2", "y2").alias("a22"),
+    )
+    rxx, ryy = F.col("rxx"), F.col("ryy")
+    a11, a12 = F.col("a11"), F.col("a12")
+    a21, a22 = F.col("a21"), F.col("a22")
+    b11 = a11 - ryy * a12
+    b12 = a12 - ryy * a11
+    b21 = a21 - ryy * a22
+    b22 = a22 - ryy * a21
+    denom = (1 - rxx * rxx) * (1 - ryy * ryy)
+    m11 = ((b11 - rxx * b21) * a11 + (b12 - rxx * b22) * a12) / denom
+    m12 = ((b11 - rxx * b21) * a21 + (b12 - rxx * b22) * a22) / denom
+    m21 = ((b21 - rxx * b11) * a11 + (b22 - rxx * b12) * a12) / denom
+    m22 = ((b21 - rxx * b11) * a21 + (b22 - rxx * b12) * a22) / denom
+    half_tr = (m11 + m22) / 2
+    disc = F.sqrt(F.pow((m11 - m22) / 2, 2) + m12 * m21)
+    lam1 = half_tr + disc
+    lam2 = half_tr - disc
+    n = F.col("n")
+    return r.select(
+        n.alias("n_days"),
+        F.round(F.sqrt(F.greatest(lam1, F.lit(0.0))), 6).alias(
+            "canonical_corr_1"
+        ),
+        F.round(F.sqrt(F.greatest(lam2, F.lit(0.0))), 6).alias(
+            "canonical_corr_2"
+        ),
+        F.round(
+            -(n - 1 - (2 + 2 + 1) / 2.0) * F.log((1 - lam1) * (1 - lam2)),
+            6,
+        ).alias("bartlett_chi2"),
+    )
+
+
+MAHAL_CHI2_95_DF2 = 5.991465  # chi-square 0.95 quantile, 2 df
+
+
+@query(
+    "q_mahalanobis_outliers",
+    oracle=f"""
+    WITH d AS ({_PIVOT4_SQL}),
+    m AS (
+      SELECT avg(x1) AS m1, avg(y1) AS m2,
+             var_pop(x1) AS s11, var_pop(y1) AS s22,
+             covar_pop(x1, y1) AS s12
+      FROM d
+    ),
+    dist AS (
+      SELECT d.day,
+             (pow(d.x1 - m.m1, 2) * m.s22
+              - 2 * (d.x1 - m.m1) * (d.y1 - m.m2) * m.s12
+              + pow(d.y1 - m.m2, 2) * m.s11)
+             / (m.s11 * m.s22 - m.s12 * m.s12) AS d2
+      FROM d, m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) FILTER (WHERE d2 > {MAHAL_CHI2_95_DF2}) AS BIGINT)
+             AS n_outliers,
+           round(max(d2), 6) AS max_d2,
+           round(avg(d2), 6) AS mean_d2
+    FROM dist
+    """,
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen on daily (clicks, purchase
+    revenue): D² = (x−μ)ᵀΣ⁻¹(x−μ) with the 2×2 inverse written in
+    closed form — the CORRELATION-AWARE anomaly gate: a day with high
+    clicks AND proportionally high revenue is normal where a
+    per-column z-score (``q_robust_zscore_mad``) would flag both;
+    a day with high clicks but FLAT revenue lights up here and
+    nowhere else. Days beyond the χ²₂ 95% quantile
+    ({MAHAL_CHI2_95_DF2}) are counted as outliers; E[D̄²] = 2 exactly
+    (population moments), a free calibration check the pytest
+    asserts.
+
+    Scale: one moment aggregate (means/variances/covariance), one
+    broadcast join back over the day frame.
+    """
+    d = _daily_pivot4(spark, sf_dir)
+    m = d.agg(
+        F.avg("x1").alias("m1"),
+        F.avg("y1").alias("m2"),
+        F.var_pop("x1").alias("s11"),
+        F.var_pop("y1").alias("s22"),
+        F.covar_pop("x1", "y1").alias("s12"),
+    )
+    j = d.crossJoin(F.broadcast(m))
+    dx = F.col("x1") - F.col("m1")
+    dy = F.col("y1") - F.col("m2")
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    d2 = (
+        F.pow(dx, 2) * F.col("s22")
+        - 2 * dx * dy * F.col("s12")
+        + F.pow(dy, 2) * F.col("s11")
+    ) / det
+    dist = j.select(d2.alias("d2"))
+    return dist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count_if(F.col("d2") > MAHAL_CHI2_95_DF2)
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+        F.round(F.avg("d2"), 6).alias("mean_d2"),
+    )
+
+
+@query(
+    "q_hotelling_t2",
+    oracle=f"""
+    WITH d AS ({_PIVOT4_SQL}),
+    g AS (
+      SELECT day % 7 IN (2, 3) AS weekend, x1, y1 FROM d
+    ),
+    mm AS (
+      SELECT weekend, CAST(count(*) AS BIGINT) AS n,
+             avg(x1) AS m1, avg(y1) AS m2,
+             var_samp(x1) * (count(*) - 1) AS ss11,
+             var_samp(y1) * (count(*) - 1) AS ss22,
+             covar_samp(x1, y1) * (count(*) - 1) AS ss12
+      FROM g GROUP BY weekend
+    ),
+    pool AS (
+      SELECT sum(n) AS n_tot,
+             max(CASE WHEN weekend THEN n END) AS n_we,
+             max(CASE WHEN NOT weekend THEN n END) AS n_wd,
+             max(CASE WHEN weekend THEN m1 END)
+               - max(CASE WHEN NOT weekend THEN m1 END) AS d1,
+             max(CASE WHEN weekend THEN m2 END)
+               - max(CASE WHEN NOT weekend THEN m2 END) AS d2,
+             sum(ss11) / (sum(n) - 2) AS s11,
+             sum(ss22) / (sum(n) - 2) AS s22,
+             sum(ss12) / (sum(n) - 2) AS s12
+      FROM mm
+    )
+    SELECT CAST(n_wd AS BIGINT) AS n_weekday,
+           CAST(n_we AS BIGINT) AS n_weekend,
+           round(CAST(n_wd AS DOUBLE) * n_we / (n_wd + n_we)
+                 * (d1 * d1 * s22 - 2 * d1 * d2 * s12 + d2 * d2 * s11)
+                 / (s11 * s22 - s12 * s12), 6) AS t2,
+           round(CAST(n_wd AS DOUBLE) * n_we / (n_wd + n_we)
+                 * (d1 * d1 * s22 - 2 * d1 * d2 * s12 + d2 * d2 * s11)
+                 / (s11 * s22 - s12 * s12)
+                 * (n_wd + n_we - 3) / (2.0 * (n_wd + n_we - 2)), 6)
+             AS f_stat
+    FROM pool
+    """,
+)
+def q_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotelling two-sample T² (1931) comparing the weekday vs weekend
+    MEAN VECTOR of daily (clicks, purchase revenue): T² =
+    (n₁n₂/N)·dᵀS_pooled⁻¹d with the pooled 2×2 covariance inverted in
+    closed form, and the exact F conversion (N−p−1)/(p(N−2))·T² with
+    p = 2 — the multivariate Welch-free generalization of running two
+    t tests, correct precisely because clicks and revenue CORRELATE
+    (two marginal t's double-count the shared direction). The
+    multivariate member of the weekday/weekend family
+    (``q_hellinger_tv_distance``, ``q_energy_distance``).
+
+    Scale: per-group sufficient statistics (one aggregate over the
+    day pivot), then scalar 2×2 algebra.
+    """
+    d = _daily_pivot4(spark, sf_dir)
+    g = d.select(
+        (F.col("day") % 7).isin(2, 3).alias("weekend"), "x1", "y1"
+    )
+    mm = g.groupBy("weekend").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x1").alias("m1"),
+        F.avg("y1").alias("m2"),
+        (F.var_samp("x1") * (F.count(F.lit(1)) - 1)).alias("ss11"),
+        (F.var_samp("y1") * (F.count(F.lit(1)) - 1)).alias("ss22"),
+        (F.covar_samp("x1", "y1") * (F.count(F.lit(1)) - 1)).alias("ss12"),
+    )
+    pool = mm.agg(
+        F.sum("n").alias("n_tot"),
+        F.max(F.when(F.col("weekend"), F.col("n"))).alias("n_we"),
+        F.max(F.when(~F.col("weekend"), F.col("n"))).alias("n_wd"),
+        (
+            F.max(F.when(F.col("weekend"), F.col("m1")))
+            - F.max(F.when(~F.col("weekend"), F.col("m1")))
+        ).alias("d1"),
+        (
+            F.max(F.when(F.col("weekend"), F.col("m2")))
+            - F.max(F.when(~F.col("weekend"), F.col("m2")))
+        ).alias("d2"),
+        (F.sum("ss11") / (F.sum("n") - 2)).alias("s11"),
+        (F.sum("ss22") / (F.sum("n") - 2)).alias("s22"),
+        (F.sum("ss12") / (F.sum("n") - 2)).alias("s12"),
+    )
+    n_wd, n_we = F.col("n_wd").cast("double"), F.col("n_we").cast("double")
+    d1, d2 = F.col("d1"), F.col("d2")
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    t2 = (
+        n_wd
+        * n_we
+        / (n_wd + n_we)
+        * (
+            d1 * d1 * F.col("s22")
+            - 2 * d1 * d2 * F.col("s12")
+            + d2 * d2 * F.col("s11")
+        )
+        / det
+    )
+    return pool.select(
+        F.col("n_wd").cast("long").alias("n_weekday"),
+        F.col("n_we").cast("long").alias("n_weekend"),
+        F.round(t2, 6).alias("t2"),
+        F.round(
+            t2 * (n_wd + n_we - 3) / (2.0 * (n_wd + n_we - 2)), 6
+        ).alias("f_stat"),
+    )
