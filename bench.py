@@ -194,6 +194,24 @@ HEADLINE = [
     "q_mantel_haenszel",
     "q_bradley_terry",
     "q_spiegelhalter_z",
+    # late-round-9 additions: two-sample/rank tier, agreement,
+    # clustering validity, a-priori rules, forecast eval, multivariate
+    "q_cramer_von_mises",
+    "q_brunner_munzel",
+    "q_energy_distance",
+    "q_fleiss_kappa",
+    "q_krippendorff_alpha",
+    "q_association_rules",
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_count_sketch_audit",
+    "q_friedman_test",
+    "q_cumulative_incidence",
+    "q_bpref_eval",
+    "q_holt_winters_fixed_season",
+    "q_market_beta",
+    "q_canonical_correlation",
+    "q_jonckheere_terpstra",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run

@@ -15,6 +15,8 @@ arithmetic on a ≤|days|-row frame regardless of corpus size.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2217,4 +2219,287 @@ def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg("d") / F.sqrt(F.var_pop("d") / F.count(F.lit(1))), 6
         ).alias("dm_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pettitt change-point, Durbin-Watson, Kupiec POF backtest
+# --------------------------------------------------------------------------
+@query(
+    "q_pettitt_test",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    vc AS (
+      SELECT cents, count(*) AS c FROM d GROUP BY 1
+    ),
+    mr AS (
+      SELECT cents,
+             coalesce(sum(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1.0) / 2 AS r
+      FROM vc
+    ),
+    seq AS (
+      SELECT row_number() OVER (ORDER BY d.day) AS t,
+             count(*) OVER () AS n,
+             mr.r
+      FROM d JOIN mr ON d.cents = mr.cents
+    ),
+    u AS (
+      SELECT t, n,
+             2 * sum(r) OVER (ORDER BY t) - t * (n + 1.0) AS u_t
+      FROM seq
+    ),
+    k AS (
+      SELECT max(abs(u_t)) AS k_stat, max(n) AS n FROM u WHERE t < n
+    ),
+    arg AS (
+      SELECT min(t) AS t_break FROM u, k
+      WHERE abs(u_t) = k.k_stat AND t < u.n
+    )
+    SELECT CAST(k.n AS BIGINT) AS n_days,
+           CAST(arg.t_break AS BIGINT) AS break_at,
+           round(k.k_stat, 6) AS k_stat,
+           round(2 * exp(-6 * k.k_stat * k.k_stat
+                         / (pow(CAST(k.n AS DOUBLE), 3)
+                            + pow(CAST(k.n AS DOUBLE), 2))), 6)
+             AS p_approx
+    FROM k, arg
+    """,
+)
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test (1979) on the daily revenue series:
+    U_t = Σ_{{i≤t}}Σ_{{j>t}} sgn(x_j − x_i), maximized over t — the
+    rank-based (outlier-immune) single-change-point locator, with the
+    identity U_t = 2Σ_{{i≤t}}R_i − t(N+1) turning the double sum into
+    ONE cumulative pass over per-day midranks; K = max|U_t| carries
+    Pettitt's closed-form approximate p ≈ 2exp(−6K²/(N³+N²)). The
+    nonparametric confirmatory cousin of ``q_changepoint_binary``'s
+    variance-split search and ``q_chow_test``'s fixed-midpoint F.
+
+    Scale: midranks from the distinct-value rollup, the U walk from a
+    guarded day-spine window — no i×j pair enumeration anywhere.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    vc = d.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    vc = bounded_window_input(vc, label="q_pettitt value domain")
+    wb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    mr = vc.select(
+        "cents",
+        (
+            F.coalesce(F.sum("c").over(wb), F.lit(0)) + (F.col("c") + 1.0) / 2
+        ).alias("r"),
+    )
+    d = bounded_window_input(d, label="q_pettitt day spine")
+    seq = (
+        d.join(mr, "cents")
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+            "r",
+        )
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    u = seq.select(
+        "t",
+        "n",
+        (2 * F.sum("r").over(wc) - F.col("t") * (F.col("n") + 1.0)).alias(
+            "u_t"
+        ),
+    )
+    k = u.filter(F.col("t") < F.col("n")).agg(
+        F.max(F.abs("u_t")).alias("k_stat"), F.max("n").alias("n")
+    )
+    arg = (
+        u.crossJoin(F.broadcast(k.select(F.col("k_stat").alias("kk"))))
+        .filter((F.abs("u_t") == F.col("kk")) & (F.col("t") < F.col("n")))
+        .agg(F.min("t").alias("t_break"))
+    )
+    out = k.crossJoin(F.broadcast(arg))
+    n = F.col("n").cast("double")
+    return out.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t_break").cast("long").alias("break_at"),
+        F.round(F.col("k_stat"), 6).alias("k_stat"),
+        F.round(
+            2
+            * F.exp(
+                -6 * F.col("k_stat") * F.col("k_stat") / (F.pow(n, 3) + F.pow(n, 2))
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+@query(
+    "q_durbin_watson",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             CAST(cents AS DOUBLE) / 100 AS y
+      FROM d
+    ),
+    m AS (
+      SELECT count(*) AS n, avg(t) AS mt, avg(y) AS my,
+             sum(CAST(t AS DOUBLE) * t) AS rtt, sum(t * y) AS rty
+      FROM idx
+    ),
+    fit AS (
+      SELECT (rty - n * mt * my) / (rtt - n * mt * mt) AS b,
+             my - (rty - n * mt * my) / (rtt - n * mt * mt) * mt AS a
+      FROM m
+    ),
+    e AS (
+      SELECT idx.t, idx.y - fit.a - fit.b * idx.t AS e FROM idx, fit
+    ),
+    lagged AS (
+      SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM e
+    )
+    SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days,
+           round(sum(pow(e - ep, 2)) FILTER (WHERE ep IS NOT NULL)
+                 / sum(e * e), 6) AS dw_stat,
+           round(1 - (sum(pow(e - ep, 2)) FILTER (WHERE ep IS NOT NULL)
+                      / sum(e * e)) / 2, 6) AS rho1_implied
+    FROM lagged
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (1950) on the residuals of the daily
+    trend fit y = a + b·t: DW = Σ(e_t − e_{{t−1}})²/Σe_t² ≈ 2(1−ρ₁) —
+    THE regression-residual serial-correlation gate (DW ≪ 2 means the
+    trend line is systematically over/under-shooting in runs, so its
+    reported standard errors are fiction). Completes the residual
+    panel beside ``q_breusch_pagan`` (heteroskedasticity) and
+    ``q_regression_diagnostics`` (influence); the raw-series analogue
+    is ``q_von_neumann_ratio``.
+
+    Scale: closed-form OLS from one moment aggregate (day-index x
+    moments are exact), residuals via the broadcast 2-scalar fit, one
+    guarded lag window.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_durbin_watson day spine")
+    idx = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        (F.col("cents").cast("double") / 100).alias("y"),
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("t").alias("mt"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("t").cast("double") * F.col("t")).alias("rtt"),
+        F.sum(F.col("t") * F.col("y")).alias("rty"),
+    )
+    b = (F.col("rty") - F.col("n") * F.col("mt") * F.col("my")) / (
+        F.col("rtt") - F.col("n") * F.col("mt") * F.col("mt")
+    )
+    fit = m.select(
+        F.col("n").cast("long").alias("n"),
+        b.alias("b"),
+        (F.col("my") - b * F.col("mt")).alias("a"),
+    )
+    e = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+    )
+    lagged = e.withColumn("ep", F.lag("e").over(Window.orderBy("t")))
+    dw = F.sum(
+        F.when(F.col("ep").isNotNull(), F.pow(F.col("e") - F.col("ep"), 2))
+    ) / F.sum(F.col("e") * F.col("e"))
+    return lagged.agg(
+        F.max("n").alias("n_days"),
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(1 - dw / 2, 6).alias("rho1_implied"),
+    )
+
+
+KUPIEC_VAR_LEVEL = 0.10  # daily revenue VaR at the 10% tail
+
+
+@query(
+    "q_kupiec_pof",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             count(*) OVER () AS n,
+             CAST(cents AS DOUBLE) / 100 AS y
+      FROM d
+    ),
+    var_est AS (
+      SELECT quantile_cont(y, {KUPIEC_VAR_LEVEL}) AS var_q
+      FROM idx WHERE t <= n // 2
+    ),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(count(*) FILTER (WHERE y < var_q) AS BIGINT) AS x
+      FROM idx, var_est WHERE t > n // 2
+    )
+    SELECT n_test, x AS n_exceedances,
+           round((SELECT var_q FROM var_est), 6) AS var_threshold,
+           round(CAST(x AS DOUBLE) / n_test, 6) AS realized_rate,
+           round(-2 * ((n_test - x) * ln(1 - {KUPIEC_VAR_LEVEL})
+                       + x * ln({KUPIEC_VAR_LEVEL})
+                       - CASE WHEN x = n_test THEN 0
+                              ELSE (n_test - x)
+                                   * ln(1 - CAST(x AS DOUBLE) / n_test) END
+                       - CASE WHEN x = 0 THEN 0
+                              ELSE x * ln(CAST(x AS DOUBLE) / n_test) END),
+                 6) AS lr_pof
+    FROM test
+    """,
+)
+def q_kupiec_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec proportion-of-failures backtest (1995) of a revenue
+    value-at-risk threshold: calibrate the {KUPIEC_VAR_LEVEL:.0%}
+    lower quantile on the FIRST half of the daily series, count
+    exceedances (days below it) in the held-out second half, and test
+    the realized rate against the nominal with the likelihood ratio
+    LR = −2[(n−x)ln(1−p) + x·ln p − (n−x)ln(1−x/n) − x·ln(x/n)]
+    (χ²₁ under correct coverage) — the validation every quantile
+    forecaster (``q_dp_quantile_exponential``'s release thresholds,
+    ``q_conformal_interval``'s bands) owes its consumers. Train/test
+    split by time, never random — coverage drifts are the point.
+
+    Scale: day rollup, one quantile on the first half, one counting
+    aggregate on the second.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_kupiec day spine")
+    idx = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        (F.col("cents").cast("double") / 100).alias("y"),
+    )
+    var_est = idx.filter(F.col("t") <= F.floor(F.col("n") / 2)).agg(
+        F.expr(f"percentile(y, {KUPIEC_VAR_LEVEL})").alias("var_q")
+    )
+    test = (
+        idx.filter(F.col("t") > F.floor(F.col("n") / 2))
+        .crossJoin(F.broadcast(var_est))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count_if(F.col("y") < F.col("var_q")).cast("long").alias("x"),
+            F.max("var_q").alias("var_q"),
+        )
+    )
+    n, x = F.col("n_test").cast("double"), F.col("x").cast("double")
+    p = KUPIEC_VAR_LEVEL
+    # x·ln(x/n) → 0 as x → 0 (and symmetrically at x = n): the
+    # standard limit convention keeps the LR finite when a half has
+    # zero exceedances (it does at sf0.001)
+    lr = -2 * (
+        (n - x) * F.lit(math.log(1 - p))
+        + x * F.lit(math.log(p))
+        - F.when(x == n, F.lit(0.0)).otherwise((n - x) * F.log(1 - x / n))
+        - F.when(x == 0, F.lit(0.0)).otherwise(x * F.log(x / n))
+    )
+    return test.select(
+        "n_test",
+        F.col("x").alias("n_exceedances"),
+        F.round(F.col("var_q"), 6).alias("var_threshold"),
+        F.round(x / n, 6).alias("realized_rate"),
+        F.round(lr, 6).alias("lr_pof"),
     )
