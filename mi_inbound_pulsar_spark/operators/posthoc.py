@@ -455,3 +455,108 @@ def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("l_mean"),
         F.round((F.col("l") - mean) / F.sqrt(var), 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quade test: range-weighted blocked ranks (Friedman's sharper cousin)
+# --------------------------------------------------------------------------
+@query(
+    "q_quade_test",
+    oracle=f"""
+    WITH ranks AS ({_DAY_TYPE_RANKS_SQL}),
+    mid AS (
+      SELECT day, event_type, r_lo + (n_tied - 1) / 2.0 AS r FROM ranks
+    ),
+    rng AS (
+      SELECT day, max(cents) - min(cents) AS range_c FROM (
+        SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+        QUALIFY count(*) OVER (PARTITION BY day) = 5
+      ) GROUP BY day
+    ),
+    qr AS (
+      SELECT day,
+             rank() OVER (ORDER BY range_c) 
+               + (count(*) OVER (PARTITION BY range_c) - 1) / 2.0 AS q
+      FROM rng
+    ),
+    s_ij AS (
+      SELECT mid.event_type, qr.q * (mid.r - 3.0) AS s
+      FROM mid JOIN qr ON mid.day = qr.day
+    ),
+    per_t AS (
+      SELECT event_type, sum(s) AS s_j FROM s_ij GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM qr) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM per_t) AS k,
+             (SELECT sum(s * s) FROM s_ij) AS a,
+             (SELECT sum(s_j * s_j) FROM per_t) AS b2
+    )
+    SELECT n AS n_blocks, k AS n_treatments,
+           round(a, 6) AS a_total,
+           round(b2 / n, 6) AS b_total,
+           round((n - 1) * (b2 / n) / (a - b2 / n), 6) AS quade_f
+    FROM tot
+    """,
+)
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test (1979) on the day-blocked event-type revenue ranks:
+    like ``q_friedman_test`` but each block is WEIGHTED by the midrank
+    of its within-block range, so days where the types actually
+    diverged count more than days where they all moved together —
+    strictly more powerful than Friedman at small k. S_ij =
+    Q_i·(r_ij − (k+1)/2), F = (n−1)·B/(A−B) with B = ΣS_j²/n,
+    A = ΣΣS_ij², F(k−1, (n−1)(k−1)) under H₀.
+
+    Scale: the only addition over Friedman is the per-day range rollup
+    and ONE guarded window ranking the |days|-row range frame.
+    """
+    mid = _day_type_ranks(spark, sf_dir).select(
+        "day",
+        "event_type",
+        (F.col("r_lo") + (F.col("n_tied") - 1) / 2.0).alias("r"),
+    )
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("day"),
+        "event_type",
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    daily = daily.withColumn(
+        "blk", F.count(F.lit(1)).over(Window.partitionBy("day"))
+    ).filter(F.col("blk") == 5)
+    rng = daily.groupBy("day").agg(
+        (F.max("cents") - F.min("cents")).alias("range_c")
+    )
+    rng = bounded_window_input(rng, label="q_quade range frame")
+    qr = rng.select(
+        "day",
+        (
+            F.rank().over(Window.orderBy("range_c"))
+            + (
+                F.count(F.lit(1)).over(Window.partitionBy("range_c")) - 1
+            )
+            / 2.0
+        ).alias("q"),
+    )
+    s_ij = mid.join(qr, "day").select(
+        "event_type", (F.col("q") * (F.col("r") - 3.0)).alias("s")
+    )
+    per_t = s_ij.groupBy("event_type").agg(F.sum("s").alias("s_j"))
+    n_df = qr.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a_df = s_ij.agg(F.sum(F.col("s") * F.col("s")).alias("a"))
+    b_df = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("s_j") * F.col("s_j")).alias("b2"),
+    )
+    tot = n_df.crossJoin(F.broadcast(a_df)).crossJoin(F.broadcast(b_df))
+    n = F.col("n")
+    b = F.col("b2") / n
+    return tot.select(
+        n.alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.round(F.col("a"), 6).alias("a_total"),
+        F.round(b, 6).alias("b_total"),
+        F.round((n - 1) * b / (F.col("a") - b), 6).alias("quade_f"),
+    )

@@ -314,3 +314,223 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-based SCALE tests: Ansari-Bradley and Mood — same F/O samples,
+# exact tie-block score averaging in closed form
+# --------------------------------------------------------------------------
+# A tie block occupying pooled positions l..r gets the AVERAGE of the
+# position scores over the block (the exact midrank convention).
+# Ansari-Bradley score(i) = min(i, N+1-i): the block average is
+# piecewise — pure-ascending below the fold m = (N+1)/2, pure-
+# descending above, straddling blocks split at m. Mood score(i) =
+# (i-(N+1)/2)^2: the block average comes from the Σi, Σi² prefix
+# identities. Both are exact integer/half-integer arithmetic.
+
+
+@query(
+    "q_ansari_bradley",
+    oracle=f"""
+    WITH vc AS ({_ROLLUP_SQL}),
+    pos AS (
+      SELECT c1, c2,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+               AS r_lo,
+             sum(c) OVER (ORDER BY v) AS r_hi,
+             sum(c) OVER () AS nn,
+             (sum(c) OVER () + 1) // 2 AS m
+      FROM vc
+    ),
+    scored AS (
+      SELECT c1, c2, nn,
+             CASE WHEN 2 * r_hi <= nn + 1 THEN (r_lo + r_hi) / 2.0
+                  WHEN 2 * r_lo >= nn + 1 THEN nn + 1 - (r_lo + r_hi) / 2.0
+                  ELSE (
+                    (m * (m + 1) - r_lo * (r_lo - 1)) / 2.0
+                    + (nn + 1.0) * (r_hi - m)
+                    - (r_hi * (r_hi + 1) - m * (m + 1)) / 2.0
+                  ) / (r_hi - r_lo + 1)
+             END AS a
+      FROM pos
+    ),
+    s AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 + c2) AS BIGINT) AS nn,
+             sum(c1 * a) AS ab
+      FROM scored
+    )
+    SELECT n1 AS n_f, n2 AS n_o,
+           round(ab, 6) AS ab_stat,
+           round(CASE WHEN nn % 2 = 0
+                      THEN n1 * (nn + 2.0) / 4
+                      ELSE n1 * (nn + 1.0) * (nn + 1.0) / (4.0 * nn) END,
+                 6) AS ab_mean,
+           round((ab - CASE WHEN nn % 2 = 0
+                            THEN n1 * (nn + 2.0) / 4
+                            ELSE n1 * (nn + 1.0) * (nn + 1.0)
+                                 / (4.0 * nn) END)
+                 / sqrt(CASE WHEN nn % 2 = 0
+                        THEN CAST(n1 AS DOUBLE) * n2 * (nn + 2) * (nn - 2)
+                             / (48.0 * (nn - 1))
+                        ELSE CAST(n1 AS DOUBLE) * n2 * (nn + 1)
+                             * (3 + nn * nn) / (48.0 * nn * nn) END), 6)
+             AS z
+    FROM s
+    """,
+)
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley test for a SCALE difference between finished and
+    open order totals: pooled positions are scored min(i, N+1−i) —
+    large at the middle, small at both extremes — so a sample whose
+    values crowd the tails scores LOW; the rank test for "same center,
+    different spread" that ``q_mann_whitney`` (location) cannot see.
+    Tie blocks get the exact average of their position scores via the
+    closed-form piecewise prefix identity (not min of the midrank,
+    which is wrong for blocks straddling the fold). Standardized with
+    the exact even/odd-N null moments.
+
+    Scale: one cumulative pass over the distinct-cents rollup — block
+    endpoints (l, r) come from the same running sum the other rank
+    tests use.
+    """
+    vc = _rollup(spark, sf_dir)
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wi = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    pos = vc.select(
+        "c1",
+        "c2",
+        (F.coalesce(F.sum("c").over(wb), F.lit(0)) + 1).alias("r_lo"),
+        F.sum("c").over(wi).alias("r_hi"),
+        F.sum("c").over(wt).alias("nn"),
+    )
+    nn = F.col("nn")
+    r_lo, r_hi = F.col("r_lo"), F.col("r_hi")
+    m = F.floor((nn + 1) / 2)
+    straddle = (
+        (m * (m + 1) - r_lo * (r_lo - 1)) / 2.0
+        + (nn + 1.0) * (r_hi - m)
+        - (r_hi * (r_hi + 1) - m * (m + 1)) / 2.0
+    ) / (r_hi - r_lo + 1)
+    a = (
+        F.when(2 * r_hi <= nn + 1, (r_lo + r_hi) / 2.0)
+        .when(2 * r_lo >= nn + 1, nn + 1 - (r_lo + r_hi) / 2.0)
+        .otherwise(straddle)
+    )
+    s = pos.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).cast("long").alias("nn"),
+        F.sum(F.col("c1") * a).alias("ab"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nt = F.col("nn").cast("double")
+    even = F.col("nn") % 2 == 0
+    mean = F.when(even, n1 * (nt + 2.0) / 4).otherwise(
+        n1 * (nt + 1.0) * (nt + 1.0) / (4.0 * nt)
+    )
+    var = F.when(
+        even, n1 * n2 * (nt + 2) * (nt - 2) / (48.0 * (nt - 1))
+    ).otherwise(n1 * n2 * (nt + 1) * (3 + nt * nt) / (48.0 * nt * nt))
+    return s.select(
+        F.col("n1").alias("n_f"),
+        F.col("n2").alias("n_o"),
+        F.round(F.col("ab"), 6).alias("ab_stat"),
+        F.round(mean, 6).alias("ab_mean"),
+        F.round((F.col("ab") - mean) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "q_mood_scale_test",
+    oracle=f"""
+    WITH vc AS ({_ROLLUP_SQL}),
+    pos AS (
+      SELECT c1, c2,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+               AS r_lo,
+             sum(c) OVER (ORDER BY v) AS r_hi,
+             sum(c) OVER () AS nn
+      FROM vc
+    ),
+    scored AS (
+      -- average of (i - (N+1)/2)^2 over the tie block l..r, via the
+      -- prefix identities Σi = r(r+1)/2, Σi² = r(r+1)(2r+1)/6
+      SELECT c1, c2, nn,
+             ((r_hi * (r_hi + 1) * (2 * r_hi + 1)
+               - (r_lo - 1) * r_lo * (2 * r_lo - 1)) / 6.0
+              - (nn + 1.0)
+                * (r_hi * (r_hi + 1) - (r_lo - 1) * r_lo) / 2.0
+              + (r_hi - r_lo + 1) * (nn + 1.0) * (nn + 1.0) / 4.0)
+             / (r_hi - r_lo + 1) AS sc
+      FROM pos
+    ),
+    s AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 + c2) AS BIGINT) AS nn,
+             sum(c1 * sc) AS t_stat
+      FROM scored
+    )
+    SELECT n1 AS n_f, n2 AS n_o,
+           round(t_stat, 6) AS mood_t,
+           round(n1 * (CAST(nn AS DOUBLE) * nn - 1) / 12.0, 6) AS t_mean,
+           round((t_stat - n1 * (CAST(nn AS DOUBLE) * nn - 1) / 12.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 * (nn + 1)
+                        * (CAST(nn AS DOUBLE) * nn - 4) / 180.0), 6) AS z
+    FROM s
+    """,
+)
+def q_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's scale test on the same samples as ``q_ansari_bradley``:
+    scores (i − (N+1)/2)² weight positions by squared distance from
+    the pooled center, so it reads dispersion with a quadratic lens
+    where Ansari-Bradley's triangular min(i, N+1−i) reads it linearly
+    (Mood has higher asymptotic efficiency under normality, AB is
+    less tail-sensitive — the classic pairing). Tie blocks average
+    their exact position scores through the Σi/Σi² prefix identities.
+    Null moments E[T] = n₁(N²−1)/12, Var[T] = n₁n₂(N+1)(N²−4)/180.
+
+    Scale: identical single-pass shape to every rank test here.
+    """
+    vc = _rollup(spark, sf_dir)
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wi = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    pos = vc.select(
+        "c1",
+        "c2",
+        (F.coalesce(F.sum("c").over(wb), F.lit(0)) + 1).alias("r_lo"),
+        F.sum("c").over(wi).alias("r_hi"),
+        F.sum("c").over(wt).alias("nn"),
+    )
+    nn = F.col("nn").cast("double")
+    r_lo, r_hi = F.col("r_lo"), F.col("r_hi")
+    cnt = r_hi - r_lo + 1
+    sum_i = (r_hi * (r_hi + 1) - (r_lo - 1) * r_lo) / 2.0
+    sum_i2 = (
+        r_hi * (r_hi + 1) * (2 * r_hi + 1)
+        - (r_lo - 1) * r_lo * (2 * r_lo - 1)
+    ) / 6.0
+    sc = (
+        sum_i2 - (nn + 1.0) * sum_i + cnt * (nn + 1.0) * (nn + 1.0) / 4.0
+    ) / cnt
+    s = pos.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).cast("long").alias("nn"),
+        F.sum(F.col("c1") * sc).alias("t_stat"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nt = F.col("nn").cast("double")
+    mean = n1 * (nt * nt - 1) / 12.0
+    var = n1 * n2 * (nt + 1) * (nt * nt - 4) / 180.0
+    return s.select(
+        F.col("n1").alias("n_f"),
+        F.col("n2").alias("n_o"),
+        F.round(F.col("t_stat"), 6).alias("mood_t"),
+        F.round(mean, 6).alias("t_mean"),
+        F.round((F.col("t_stat") - mean) / F.sqrt(var), 6).alias("z"),
+    )
