@@ -3282,3 +3282,163 @@ def q_e_value_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted log-rank family: log-rank / Gehan / Tarone-Ware in one table
+# --------------------------------------------------------------------------
+@query(
+    "q_weighted_logrank",
+    oracle=f"""
+    WITH horizon AS (SELECT max(epoch_us(ts)) AS h FROM events),
+    signup AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.s_us, min(epoch_us(e.ts)) AS p_us
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) > s.s_us
+      GROUP BY s.user_id, s.s_us
+    ),
+    obs AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN p_us IS NOT NULL
+                  THEN CAST((p_us - s_us) // 86400000000 AS BIGINT)
+                  ELSE CAST((h - s_us) // 86400000000 AS BIGINT) END AS e_day,
+             p_us IS NOT NULL AS is_event
+      FROM conv, horizon
+    ),
+    spine AS (SELECT unnest(range(0, {SURVIVAL_WINDOW_DAYS})) AS day),
+    tab AS (
+      SELECT spine.day,
+             count(*) FILTER (o.e_day >= spine.day) AS n_t,
+             count(*) FILTER (o.e_day >= spine.day AND o.grp = 0) AS n1_t,
+             count(*) FILTER (o.is_event AND o.e_day = spine.day) AS d_t,
+             count(*) FILTER (o.is_event AND o.e_day = spine.day
+                              AND o.grp = 0) AS d1_t
+      FROM spine CROSS JOIN obs o GROUP BY spine.day
+      HAVING count(*) FILTER (o.e_day >= spine.day) > 0
+    ),
+    w AS (
+      SELECT weighting, day, n_t, n1_t, d_t, d1_t,
+             CASE weighting WHEN 'logrank' THEN 1.0
+                            WHEN 'gehan' THEN CAST(n_t AS DOUBLE)
+                            ELSE sqrt(CAST(n_t AS DOUBLE)) END AS wt
+      FROM tab,
+           unnest(['logrank', 'gehan', 'tarone_ware']) AS u(weighting)
+    )
+    SELECT weighting,
+           round(sum(wt * (d1_t - d_t * n1_t * 1.0 / n_t)), 6) AS o_minus_e,
+           round(sum(CASE WHEN n_t > 1
+                     THEN wt * wt * d_t * (n1_t * 1.0 / n_t)
+                          * (1 - n1_t * 1.0 / n_t)
+                          * (n_t - d_t) * 1.0 / (n_t - 1) END), 6)
+             AS variance,
+           round(sum(wt * (d1_t - d_t * n1_t * 1.0 / n_t))
+                 / sqrt(sum(CASE WHEN n_t > 1
+                        THEN wt * wt * d_t * (n1_t * 1.0 / n_t)
+                             * (1 - n1_t * 1.0 / n_t)
+                             * (n_t - d_t) * 1.0 / (n_t - 1) END)), 6) AS z
+    FROM w GROUP BY weighting ORDER BY weighting
+    """,
+)
+def q_weighted_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted log-rank family (Fleming & Harrington) on the
+    signup→purchase survival split of ``q_logrank_test``: the same
+    per-day (O − E) increments under three weightings — w = 1
+    (log-rank, equal weight, optimal under proportional hazards),
+    w = n_t (Gehan-Wilcoxon, front-loads EARLY differences where the
+    risk set is large), w = √n_t (Tarone-Ware, the compromise).
+    Divergence between the three z's is itself the diagnostic: it
+    means the hazard curves CROSS, and no single test summarizes them
+    honestly.
+
+    Scale: one survival table build (identical plan to
+    ``q_logrank_test``), fanned ×3 by a literal weighting spine —
+    the added cost over the single test is three extra columns on a
+    {SURVIVAL_WINDOW_DAYS}-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    horizon = e.agg(F.max(us).alias("h"))
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (signup.user_id == purchases.user_id)
+            & (F.col("p_us") > F.col("s_us")),
+            "left",
+        )
+        .groupBy(signup.user_id, "s_us")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    obs = conv.crossJoin(F.broadcast(horizon)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.col("p_us").isNotNull(),
+            F.floor((F.col("p_us") - F.col("s_us")) / US_PER_DAY),
+        )
+        .otherwise(F.floor((F.col("h") - F.col("s_us")) / US_PER_DAY))
+        .cast("long")
+        .alias("e_day"),
+        F.col("p_us").isNotNull().alias("is_event"),
+    )
+    spine = spark.range(0, SURVIVAL_WINDOW_DAYS).select(
+        F.col("id").alias("day")
+    )
+    at_risk = F.col("e_day") >= F.col("day")
+    died = F.col("is_event") & (F.col("e_day") == F.col("day"))
+    tab = (
+        F.broadcast(spine)
+        .crossJoin(obs)
+        .groupBy("day")
+        .agg(
+            F.count_if(at_risk).alias("n_t"),
+            F.count_if(at_risk & (F.col("grp") == 0)).alias("n1_t"),
+            F.count_if(died).alias("d_t"),
+            F.count_if(died & (F.col("grp") == 0)).alias("d1_t"),
+        )
+        .filter(F.col("n_t") > 0)
+    )
+    w = tab.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [("logrank",), ("gehan",), ("tarone_ware",)], ["weighting"]
+            )
+        )
+    ).withColumn(
+        "wt",
+        F.when(F.col("weighting") == "logrank", F.lit(1.0))
+        .when(F.col("weighting") == "gehan", F.col("n_t").cast("double"))
+        .otherwise(F.sqrt(F.col("n_t").cast("double"))),
+    )
+    p1 = F.col("n1_t") / F.col("n_t")
+    o_e = F.col("wt") * (F.col("d1_t") - F.col("d_t") * p1)
+    vterm = F.when(
+        F.col("n_t") > 1,
+        F.col("wt")
+        * F.col("wt")
+        * F.col("d_t")
+        * p1
+        * (1 - p1)
+        * (F.col("n_t") - F.col("d_t"))
+        / (F.col("n_t") - 1),
+    )
+    return (
+        w.groupBy("weighting")
+        .agg(
+            F.round(F.sum(o_e), 6).alias("o_minus_e"),
+            F.round(F.sum(vterm), 6).alias("variance"),
+            F.round(F.sum(o_e) / F.sqrt(F.sum(vterm)), 6).alias("z"),
+        )
+        .orderBy("weighting")
+    )

@@ -534,3 +534,290 @@ def q_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("t_mean"),
         F.round((F.col("t_stat") - mean) / F.sqrt(var), 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lepage combined location-scale test
+# --------------------------------------------------------------------------
+@query(
+    "q_lepage_test",
+    oracle=f"""
+    WITH vc AS ({_ROLLUP_SQL}),
+    pos AS (
+      SELECT c1, c2, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+               AS r_lo,
+             sum(c) OVER (ORDER BY v) AS r_hi,
+             sum(c) OVER () AS nn,
+             (sum(c) OVER () + 1) // 2 AS m
+      FROM vc
+    ),
+    scored AS (
+      SELECT c1, c2, c, nn,
+             (r_lo + r_hi) / 2.0 AS r_mid,
+             CASE WHEN 2 * r_hi <= nn + 1 THEN (r_lo + r_hi) / 2.0
+                  WHEN 2 * r_lo >= nn + 1 THEN nn + 1 - (r_lo + r_hi) / 2.0
+                  ELSE (
+                    (m * (m + 1) - r_lo * (r_lo - 1)) / 2.0
+                    + (nn + 1.0) * (r_hi - m)
+                    - (r_hi * (r_hi + 1) - m * (m + 1)) / 2.0
+                  ) / (r_hi - r_lo + 1)
+             END AS a
+      FROM pos
+    ),
+    s AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2, max(nn) AS nn,
+             sum(c1 * r_mid) AS w_stat,
+             sum(c1 * a) AS ab_stat,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term
+      FROM scored
+    ),
+    z AS (
+      SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+             (w_stat - n1 * (nn + 1.0) / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((nn + 1) - tie_term / (CAST(nn AS DOUBLE)
+                                              * (nn - 1)))) AS z_w,
+             (ab_stat - CASE WHEN nn % 2 = 0
+                             THEN n1 * (nn + 2.0) / 4
+                             ELSE n1 * (nn + 1.0) * (nn + 1.0)
+                                  / (4.0 * nn) END)
+             / sqrt(CASE WHEN nn % 2 = 0
+                    THEN CAST(n1 AS DOUBLE) * n2 * (nn + 2) * (nn - 2)
+                         / (48.0 * (nn - 1))
+                    ELSE CAST(n1 AS DOUBLE) * n2 * (nn + 1)
+                         * (3 + CAST(nn AS DOUBLE) * nn)
+                         / (48.0 * nn * nn) END) AS z_ab
+      FROM s
+    )
+    SELECT n_f, n_o,
+           round(z_w, 6) AS z_location,
+           round(z_ab, 6) AS z_scale,
+           round(z_w * z_w + z_ab * z_ab, 6) AS lepage_l
+    FROM z
+    """,
+)
+def q_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage test (1971): the combined location-AND-scale omnibus
+    L = z²_Wilcoxon + z²_Ansari-Bradley on the finished/open order
+    totals — χ²₂ under H₀, catching the shift-plus-spread
+    alternatives that each component test alone under-rejects (the
+    rank analogue of testing mean and variance jointly). Components
+    use the exact same machinery as ``q_mann_whitney`` (tie-corrected
+    Wilcoxon variance) and ``q_ansari_bradley`` (exact tie-block
+    score averages, exact even/odd moments); both z's are reported so
+    the rejecting dimension is identifiable.
+
+    Scale: ONE cumulative pass over the shared distinct-cents rollup
+    computes both statistics — the combination is free.
+    """
+    vc = _rollup(spark, sf_dir)
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wi = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    pos = vc.select(
+        "c1",
+        "c2",
+        "c",
+        (F.coalesce(F.sum("c").over(wb), F.lit(0)) + 1).alias("r_lo"),
+        F.sum("c").over(wi).alias("r_hi"),
+        F.sum("c").over(wt).alias("nn"),
+    )
+    nn = F.col("nn")
+    r_lo, r_hi = F.col("r_lo"), F.col("r_hi")
+    m = F.floor((nn + 1) / 2)
+    r_mid = (r_lo + r_hi) / 2.0
+    straddle = (
+        (m * (m + 1) - r_lo * (r_lo - 1)) / 2.0
+        + (nn + 1.0) * (r_hi - m)
+        - (r_hi * (r_hi + 1) - m * (m + 1)) / 2.0
+    ) / (r_hi - r_lo + 1)
+    a = (
+        F.when(2 * r_hi <= nn + 1, r_mid)
+        .when(2 * r_lo >= nn + 1, nn + 1 - r_mid)
+        .otherwise(straddle)
+    )
+    s = pos.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.max("nn").alias("nn"),
+        F.sum(F.col("c1") * r_mid).alias("w_stat"),
+        F.sum(F.col("c1") * a).alias("ab_stat"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nt = F.col("nn").cast("double")
+    z_w = (F.col("w_stat") - n1 * (nt + 1.0) / 2) / F.sqrt(
+        n1 * n2 / 12.0 * ((nt + 1) - F.col("tie_term") / (nt * (nt - 1)))
+    )
+    even = F.col("nn") % 2 == 0
+    ab_mean = F.when(even, n1 * (nt + 2.0) / 4).otherwise(
+        n1 * (nt + 1.0) * (nt + 1.0) / (4.0 * nt)
+    )
+    ab_var = F.when(
+        even, n1 * n2 * (nt + 2) * (nt - 2) / (48.0 * (nt - 1))
+    ).otherwise(n1 * n2 * (nt + 1) * (3 + nt * nt) / (48.0 * nt * nt))
+    z_ab = (F.col("ab_stat") - ab_mean) / F.sqrt(ab_var)
+    return s.select(
+        F.col("n1").cast("long").alias("n_f"),
+        F.col("n2").cast("long").alias("n_o"),
+        F.round(z_w, 6).alias("z_location"),
+        F.round(z_ab, 6).alias("z_scale"),
+        F.round(z_w * z_w + z_ab * z_ab, 6).alias("lepage_l"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Baumgartner-Weiß-Schindler test
+# --------------------------------------------------------------------------
+@query(
+    "q_baumgartner_weiss",
+    oracle=f"""
+    WITH vc AS ({_ROLLUP_SQL}),
+    pos AS (
+      SELECT c1, c2,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1.0) / 2 AS r_mid,
+             coalesce(sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum1_before,
+             coalesce(sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum2_before,
+             sum(c1) OVER () AS n, sum(c2) OVER () AS m
+      FROM vc
+    ),
+    ex AS (
+      SELECT r_mid, cum1_before + u.i AS i, 1 AS which, n, m
+      FROM pos, unnest(range(1, CAST(c1 AS BIGINT) + 1)) AS u(i)
+      WHERE c1 > 0
+      UNION ALL
+      SELECT r_mid, cum2_before + u.i AS i, 2 AS which, n, m
+      FROM pos, unnest(range(1, CAST(c2 AS BIGINT) + 1)) AS u(i)
+      WHERE c2 > 0
+    ),
+    b AS (
+      SELECT which,
+             CASE WHEN which = 1
+                  THEN avg(pow(r_mid - (n + m) * 1.0 / n * i, 2)
+                           / ((i / (n + 1.0)) * (1 - i / (n + 1.0))
+                              * m * (n + m) * 1.0 / n))
+                  ELSE avg(pow(r_mid - (n + m) * 1.0 / m * i, 2)
+                           / ((i / (m + 1.0)) * (1 - i / (m + 1.0))
+                              * n * (n + m) * 1.0 / m))
+             END AS b_part,
+             max(n) AS n, max(m) AS m
+      FROM ex GROUP BY which
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_f, CAST(max(m) AS BIGINT) AS n_o,
+           round(max(CASE WHEN which = 1 THEN b_part END), 6) AS b_x,
+           round(max(CASE WHEN which = 2 THEN b_part END), 6) AS b_y,
+           round((max(CASE WHEN which = 1 THEN b_part END)
+                  + max(CASE WHEN which = 2 THEN b_part END)) / 2, 6)
+             AS bws_b
+    FROM b
+    """,
+)
+def q_baumgartner_weiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baumgartner-Weiß-Schindler test (1998) on the finished/open
+    order totals: B = (B_X + B_Y)/2 with each B a VARIANCE-NORMALIZED
+    integrated squared rank discrepancy — weighting each within-sample
+    position i by 1/(ψ(1−ψ)) where ψ = i/(n+1), so the TAILS count
+    fully instead of being damped the way Cramér-von Mises damps them
+    — the test shown to dominate KS/CvM/Wilcoxon across shift, scale
+    and shape alternatives in the authors' power study. Midranks for
+    ties.
+
+    Scale: the rollup is expanded back to one row per OBSERVATION
+    (flat sequence explode — a map, not a window) because the BWS
+    weight depends on the within-sample index i, not just the value
+    block; everything else is one aggregate. Expansion is the sample
+    size, the same cardinality every other rank test already scanned.
+    """
+    vc = _rollup(spark, sf_dir)
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy()
+    pos = vc.select(
+        "c1",
+        "c2",
+        (
+            F.coalesce(F.sum("c").over(wb), F.lit(0)) + (F.col("c") + 1.0) / 2
+        ).alias("r_mid"),
+        F.coalesce(F.sum("c1").over(wb), F.lit(0)).alias("cum1_before"),
+        F.coalesce(F.sum("c2").over(wb), F.lit(0)).alias("cum2_before"),
+        F.sum("c1").over(wt).alias("n"),
+        F.sum("c2").over(wt).alias("m"),
+    )
+    ex1 = (
+        pos.filter(F.col("c1") > 0)
+        .select(
+            "r_mid",
+            "n",
+            "m",
+            F.explode(F.sequence(F.lit(1), F.col("c1"))).alias("k"),
+            F.col("cum1_before"),
+        )
+        .select(
+            "r_mid",
+            "n",
+            "m",
+            (F.col("cum1_before") + F.col("k")).alias("i"),
+            F.lit(1).alias("which"),
+        )
+    )
+    ex2 = (
+        pos.filter(F.col("c2") > 0)
+        .select(
+            "r_mid",
+            "n",
+            "m",
+            F.explode(F.sequence(F.lit(1), F.col("c2"))).alias("k"),
+            F.col("cum2_before"),
+        )
+        .select(
+            "r_mid",
+            "n",
+            "m",
+            (F.col("cum2_before") + F.col("k")).alias("i"),
+            F.lit(2).alias("which"),
+        )
+    )
+    ex = ex1.unionByName(ex2)
+    n, m = F.col("n"), F.col("m")
+    i = F.col("i")
+    term1 = F.pow(F.col("r_mid") - (n + m) * 1.0 / n * i, 2) / (
+        (i / (n + 1.0)) * (1 - i / (n + 1.0)) * m * (n + m) * 1.0 / n
+    )
+    term2 = F.pow(F.col("r_mid") - (n + m) * 1.0 / m * i, 2) / (
+        (i / (m + 1.0)) * (1 - i / (m + 1.0)) * n * (n + m) * 1.0 / m
+    )
+    b = ex.groupBy("which").agg(
+        F.avg(
+            F.when(F.col("which") == 1, term1).otherwise(term2)
+        ).alias("b_part"),
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+    )
+    out = b.agg(
+        F.max("n").cast("long").alias("n_f"),
+        F.max("m").cast("long").alias("n_o"),
+        F.round(
+            F.max(F.when(F.col("which") == 1, F.col("b_part"))), 6
+        ).alias("b_x"),
+        F.round(
+            F.max(F.when(F.col("which") == 2, F.col("b_part"))), 6
+        ).alias("b_y"),
+        F.round(
+            (
+                F.max(F.when(F.col("which") == 1, F.col("b_part")))
+                + F.max(F.when(F.col("which") == 2, F.col("b_part")))
+            )
+            / 2,
+            6,
+        ).alias("bws_b"),
+    )
+    return out
