@@ -3442,3 +3442,368 @@ def q_weighted_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weighting")
     )
+
+
+# --------------------------------------------------------------------------
+# TOST equivalence, exact Bayesian A/B, beta-binomial overdispersion fit
+# --------------------------------------------------------------------------
+TOST_MARGIN_FRAC = 0.05  # equivalence margin: ±5% of the pooled mean
+
+
+@query(
+    "q_tost_equivalence",
+    oracle=f"""
+    WITH p AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS weekend,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT weekend, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS m, var_samp(value) AS v
+      FROM p GROUP BY 1
+    ),
+    s AS (
+      SELECT max(CASE WHEN weekend THEN n END) AS n2,
+             max(CASE WHEN NOT weekend THEN n END) AS n1,
+             max(CASE WHEN weekend THEN m END) AS m2,
+             max(CASE WHEN NOT weekend THEN m END) AS m1,
+             max(CASE WHEN weekend THEN v END) AS v2,
+             max(CASE WHEN NOT weekend THEN v END) AS v1,
+             (sum(n * m) / sum(n)) * {TOST_MARGIN_FRAC} AS delta
+      FROM g
+    ),
+    t AS (
+      SELECT n1, n2, m2 - m1 AS d, delta,
+             sqrt(v1 / n1 + v2 / n2) AS se,
+             pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1)
+                + pow(v2 / n2, 2) / (n2 - 1)) AS df
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+           round(d, 6) AS mean_diff,
+           round(delta, 6) AS margin,
+           round((d + delta) / se, 6) AS t_lower,
+           round((delta - d) / se, 6) AS t_upper,
+           round(df, 6) AS df_welch,
+           round(least((d + delta) / se, (delta - d) / se), 6) AS t_min
+    FROM t
+    """,
+)
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-one-sided-tests equivalence procedure (Schuirmann 1987) on
+    weekday vs weekend purchase sizes: H₀ is that the means DIFFER by
+    more than ±{TOST_MARGIN_FRAC:.0%} of the pooled mean, and
+    equivalence is declared only when BOTH one-sided Welch t's reject
+    — the statistically honest version of "no significant difference"
+    (which merely fails to reject and proves nothing). Emits both t's,
+    the Welch-Satterthwaite df and min(t₁, t₂); the caller thresholds
+    against t₍₁₋α₎(df).
+
+    Scale: one conditional aggregate to the two-group moment frame;
+    everything else is scalar Welch arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.floor(F.unix_micros("ts") / US_PER_DAY)
+    g = (
+        e.select((day % 7).isin(2, 3).alias("weekend"), "value")
+        .groupBy("weekend")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    s = g.agg(
+        F.max(F.when(F.col("weekend"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("weekend"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("weekend"), F.col("m"))).alias("m2"),
+        F.max(F.when(~F.col("weekend"), F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("weekend"), F.col("v"))).alias("v2"),
+        F.max(F.when(~F.col("weekend"), F.col("v"))).alias("v1"),
+        (
+            (F.sum(F.col("n") * F.col("m")) / F.sum("n"))
+            * TOST_MARGIN_FRAC
+        ).alias("delta"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    d = F.col("m2") - F.col("m1")
+    se = F.sqrt(F.col("v1") / n1 + F.col("v2") / n2)
+    df = F.pow(F.col("v1") / n1 + F.col("v2") / n2, 2) / (
+        F.pow(F.col("v1") / n1, 2) / (n1 - 1)
+        + F.pow(F.col("v2") / n2, 2) / (n2 - 1)
+    )
+    t_lo = (d + F.col("delta")) / se
+    t_hi = (F.col("delta") - d) / se
+    return s.select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        F.round(d, 6).alias("mean_diff"),
+        F.round(F.col("delta"), 6).alias("margin"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        F.round(df, 6).alias("df_welch"),
+        F.round(F.least(t_lo, t_hi), 6).alias("t_min"),
+    )
+
+
+@query(
+    "q_bayesian_ab_exact",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             substring(md5('exp7:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               AS arm_a,
+             count(*) FILTER (WHERE event_type = 'purchase') > 0 AS conv
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) FILTER (arm_a AND conv) AS BIGINT) AS sa,
+             CAST(count(*) FILTER (arm_a AND NOT conv) AS BIGINT) AS fa,
+             CAST(count(*) FILTER (NOT arm_a AND conv) AS BIGINT) AS sb,
+             CAST(count(*) FILTER (NOT arm_a AND NOT conv) AS BIGINT) AS fb
+      FROM users
+    ),
+    post AS (
+      SELECT sa + 1 AS aa, fa + 1 AS ba, sb + 1 AS ab, fb + 1 AS bb,
+             sa, fa, sb, fb
+      FROM m
+    ),
+    lf AS (
+      SELECT i,
+             sum(CASE WHEN i = 0 THEN 0.0 ELSE ln(CAST(i AS DOUBLE)) END)
+               OVER (ORDER BY i) AS lf
+      FROM unnest(generate_series(
+        0, (SELECT CAST(aa + ba + ab + bb AS BIGINT) FROM post))) g(i)
+    ),
+    terms AS (
+      -- P(p_B > p_A) = sum_{i=0}^{ab-1}
+      --   B(aa+i, ba+bb) / ((bb+i) B(1+i, bb) B(aa, ba))
+      -- with ln B(x,y) = lf(x-1)+lf(y-1)-lf(x+y-1), all integer args
+      SELECT exp(
+               (f1.lf + f2.lf - f3.lf)          -- ln B(aa+i, ba+bb)
+               - ln(CAST(p.bb + g.i AS DOUBLE))
+               - (f4.lf + f5.lf - f6.lf)        -- ln B(1+i, bb)
+               - (f7.lf + f8.lf - f9.lf)        -- ln B(aa, ba)
+             ) AS term
+      FROM post p
+        JOIN lateral (SELECT unnest(generate_series(0,
+             CAST(p.ab - 1 AS BIGINT))) AS i) g ON true
+        JOIN lf f1 ON f1.i = p.aa + g.i - 1
+        JOIN lf f2 ON f2.i = p.ba + p.bb - 1
+        JOIN lf f3 ON f3.i = p.aa + g.i + p.ba + p.bb - 1
+        JOIN lf f4 ON f4.i = g.i
+        JOIN lf f5 ON f5.i = p.bb - 1
+        JOIN lf f6 ON f6.i = g.i + p.bb
+        JOIN lf f7 ON f7.i = p.aa - 1
+        JOIN lf f8 ON f8.i = p.ba - 1
+        JOIN lf f9 ON f9.i = p.aa + p.ba - 1
+    )
+    SELECT (SELECT sa FROM post) AS conv_a,
+           (SELECT sa + fa FROM post) AS n_a,
+           (SELECT sb FROM post) AS conv_b,
+           (SELECT sb + fb FROM post) AS n_b,
+           round((SELECT CAST(aa AS DOUBLE) / (aa + ba) FROM post), 6)
+             AS post_mean_a,
+           round((SELECT CAST(ab AS DOUBLE) / (ab + bb) FROM post), 6)
+             AS post_mean_b,
+           round(sum(term), 6) AS p_b_beats_a
+    FROM terms
+    """,
+)
+def q_bayesian_ab_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Bayesian A/B readout on the exp7 user split (uniform
+    Beta(1,1) priors, conversion = any purchase): P(p_B > p_A) by the
+    closed-form sum Σ_{i<α_B} B(α_A+i, β_A+β_B)/((β_B+i)·B(1+i,β_B)·
+    B(α_A,β_A)) — no Monte Carlo, no normal approximation, evaluated
+    through the same cumulative log-factorial spine as
+    ``q_fisher_exact`` (every Beta argument is an integer, so lgamma
+    IS a log-factorial lookup). The decision-ready companion to the
+    frequentist ``q_ab_lift``/``q_welch_ttest`` pair: a probability a
+    stakeholder can act on, not a p-value. Term count = α_B
+    (conversions), spine = total users — both bounded by the user
+    domain; at genuinely huge counts you'd switch to the normal
+    approximation this number converges to.
+
+    Scale: per-user rollup → four integers; the sum is one aggregate
+    over a conversions-sized spine with nine broadcast-joined
+    log-factorial lookups.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8"
+        ).alias("arm_a"),
+        (F.count_if(F.col("event_type") == "purchase") > 0).alias("conv"),
+    )
+    m = users.agg(
+        F.count_if(F.col("arm_a") & F.col("conv")).cast("long").alias("sa"),
+        F.count_if(F.col("arm_a") & ~F.col("conv")).cast("long").alias("fa"),
+        F.count_if(~F.col("arm_a") & F.col("conv")).cast("long").alias("sb"),
+        F.count_if(~F.col("arm_a") & ~F.col("conv")).cast("long").alias("fb"),
+    )
+    post = m.select(
+        "sa",
+        "fa",
+        "sb",
+        "fb",
+        (F.col("sa") + 1).alias("aa"),
+        (F.col("fa") + 1).alias("ba"),
+        (F.col("sb") + 1).alias("ab"),
+        (F.col("fb") + 1).alias("bb"),
+    )
+    prow = post.collect()[0]
+    total = int(prow["aa"] + prow["ba"] + prow["ab"] + prow["bb"])
+    lf = (
+        spark.range(0, total + 1)
+        .select(F.col("id").alias("i"))
+        .withColumn(
+            "lf",
+            F.sum(
+                F.when(F.col("i") == 0, 0.0).otherwise(
+                    F.log(F.col("i").cast("double"))
+                )
+            ).over(
+                Window.orderBy("i").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    # the spine is the user domain — bounded; fine to window over
+    lf = lf.localCheckpoint(eager=True)
+
+    def lfj(alias_, expr):
+        j = lf.select(
+            F.col("i").alias(f"i_{alias_}"), F.col("lf").alias(alias_)
+        )
+        return j, expr
+
+    spine = (
+        post.crossJoin(
+            spark.range(0, int(prow["ab"])).select(F.col("id").alias("i"))
+        )
+    )
+    joins = {
+        "f1": F.col("aa") + F.col("i") - 1,
+        "f2": F.col("ba") + F.col("bb") - 1,
+        "f3": F.col("aa") + F.col("i") + F.col("ba") + F.col("bb") - 1,
+        "f4": F.col("i"),
+        "f5": F.col("bb") - 1,
+        "f6": F.col("i") + F.col("bb"),
+        "f7": F.col("aa") - 1,
+        "f8": F.col("ba") - 1,
+        "f9": F.col("aa") + F.col("ba") - 1,
+    }
+    cur = spine
+    for name, expr in joins.items():
+        j, e_ = lfj(name, expr)
+        cur = cur.join(F.broadcast(j), e_ == F.col(f"i_{name}")).drop(
+            f"i_{name}"
+        )
+    term = F.exp(
+        (F.col("f1") + F.col("f2") - F.col("f3"))
+        - F.log((F.col("bb") + F.col("i")).cast("double"))
+        - (F.col("f4") + F.col("f5") - F.col("f6"))
+        - (F.col("f7") + F.col("f8") - F.col("f9"))
+    )
+    out = cur.agg(
+        F.max("sa").alias("conv_a"),
+        (F.max("sa") + F.max("fa")).alias("n_a"),
+        F.max("sb").alias("conv_b"),
+        (F.max("sb") + F.max("fb")).alias("n_b"),
+        F.round(
+            F.max(F.col("aa").cast("double") / (F.col("aa") + F.col("ba"))),
+            6,
+        ).alias("post_mean_a"),
+        F.round(
+            F.max(F.col("ab").cast("double") / (F.col("ab") + F.col("bb"))),
+            6,
+        ).alias("post_mean_b"),
+        F.round(F.sum(term), 6).alias("p_b_beats_a"),
+    )
+    return out
+
+
+@query(
+    "q_beta_binomial_fit",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+               AS BIGINT) AS k
+      FROM events GROUP BY 1 HAVING count(*) >= 5
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             avg(CAST(k AS DOUBLE) / n) AS p_bar,
+             var_samp(CAST(k AS DOUBLE) / n) AS s2,
+             avg(CAST(n AS DOUBLE)) AS n_bar
+      FROM u
+    ),
+    fit AS (
+      SELECT n_users, p_bar, s2, n_bar,
+             (p_bar * (1 - p_bar) / s2 - 1)
+             / (n_bar - p_bar * (1 - p_bar) / s2)
+               * (n_bar - 1) AS m_shape
+      FROM m
+    )
+    SELECT n_users,
+           round(p_bar, 6) AS mean_rate,
+           round(s2, 6) AS rate_variance,
+           round(greatest(m_shape, 0.1) * p_bar, 6) AS alpha_mom,
+           round(greatest(m_shape, 0.1) * (1 - p_bar), 6) AS beta_mom,
+           round(1 / (greatest(m_shape, 0.1) + 1), 6) AS icc_rho
+    FROM fit
+    """,
+)
+def q_beta_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial method-of-moments fit to per-user purchase rates
+    (users with ≥5 events): users don't share one conversion
+    probability — p varies user-to-user — and the MoM shape
+    M = α+β recovered from the rate mean/variance quantifies exactly
+    how much (ρ = 1/(M+1) is the over-dispersion intraclass
+    correlation; ρ→0 collapses to plain binomial). The model behind
+    every "empirical Bayes smooth the per-user rate" step
+    (``q_eb_shrinkage`` uses this family's posterior mean) and the
+    right sanity gate before treating ``q_bayesian_ab_exact``'s pooled
+    Beta as the whole story.
+
+    Scale: per-user rollup, one moment aggregate, scalar algebra
+    (the M estimate is floored at 0.1 so a near-zero variance cannot
+    flip the shape negative — stated convention, both engines).
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("event_type") == "purchase").alias("k"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.avg(F.col("k").cast("double") / F.col("n")).alias("p_bar"),
+        F.var_samp(F.col("k").cast("double") / F.col("n")).alias("s2"),
+        F.avg(F.col("n").cast("double")).alias("n_bar"),
+    )
+    q = F.col("p_bar") * (1 - F.col("p_bar")) / F.col("s2")
+    m_shape = (q - 1) / (F.col("n_bar") - q) * (F.col("n_bar") - 1)
+    m_cl = F.greatest(m_shape, F.lit(0.1))
+    return m.select(
+        "n_users",
+        F.round(F.col("p_bar"), 6).alias("mean_rate"),
+        F.round(F.col("s2"), 6).alias("rate_variance"),
+        F.round(m_cl * F.col("p_bar"), 6).alias("alpha_mom"),
+        F.round(m_cl * (1 - F.col("p_bar")), 6).alias("beta_mom"),
+        F.round(1 / (m_cl + 1), 6).alias("icc_rho"),
+    )
