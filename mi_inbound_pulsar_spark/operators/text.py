@@ -6347,3 +6347,301 @@ def q_bpref_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints, content-defined chunking, mean segmental TTR
+# --------------------------------------------------------------------------
+WINNOW_K = 3  # k-gram size
+WINNOW_W = 4  # winnowing window (guarantee: every W consecutive
+#               k-grams contribute >= 1 fingerprint)
+CDC_MOD = 8  # content-defined boundary: gram hash % 8 == 0 (~8-token
+#              expected chunk length)
+MSTTR_SEG = 50  # segment length for mean segmental TTR
+
+
+_GRAM_HASH_SQL = f"""
+      SELECT doc_id, pos,
+             {{h}} AS gh
+      FROM (
+        SELECT doc_id, t.pos,
+               md5(toks[t.pos + 1] || ' ' || toks[t.pos + 2] || ' '
+                   || toks[t.pos + 3]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             unnest(range(0, len(toks) - {WINNOW_K} + 1)) AS t(pos)
+        WHERE len(toks) >= {WINNOW_K}
+      )
+"""
+
+
+def _gram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gh): portable integer hash of each 3-token gram,
+    from the SAME md5 text both engines evaluate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= WINNOW_K
+    )
+    pos_col, keep = explode_computed(
+        F.sequence(F.lit(0), F.size("toks") - WINNOW_K), "pos"
+    )
+    g = toks.select("doc_id", "toks", pos_col).filter(keep)
+    gram = F.concat_ws(
+        " ",
+        F.element_at("toks", F.col("pos") + 1),
+        F.element_at("toks", F.col("pos") + 2),
+        F.element_at("toks", F.col("pos") + 3),
+    )
+    hexval = "(" + " + ".join(
+        f"CAST(instr('0123456789abcdef', substring(g, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+    return g.select(
+        "doc_id", "pos", F.md5(gram).alias("g")
+    ).select("doc_id", "pos", F.expr(hexval).cast("long").alias("gh"))
+
+
+_HEXVAL8 = "(" + " + ".join(
+    f"CAST(instr('0123456789abcdef', substring(g, {i + 1}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+
+@query(
+    "q_winnowing_fingerprint",
+    oracle=f"""
+    WITH gh AS ({_GRAM_HASH_SQL.format(h=_HEXVAL8)}),
+    wmin AS (
+      SELECT doc_id, pos,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {WINNOW_W - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS wsz
+      FROM gh
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wmin WHERE wsz = {WINNOW_W}
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1
+    ),
+    share AS (
+      SELECT fp, count(*) AS n_docs FROM fps GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM per_doc) AS BIGINT) AS n_docs,
+           CAST((SELECT sum(n_fp) FROM per_doc) AS BIGINT)
+             AS total_fingerprints,
+           CAST((SELECT count(*) FROM share) AS BIGINT)
+             AS distinct_fingerprints,
+           round((SELECT avg(n_fp) FROM per_doc), 6) AS mean_fp_per_doc,
+           CAST((SELECT max(n_docs) FROM share) AS BIGINT)
+             AS max_docs_sharing_fp
+    """,
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every {WINNOW_K}-gram, slide a
+    window of {WINNOW_W} hashes, keep each window's MINIMUM — the
+    selection with the guarantee that any match of length ≥
+    w+k−1 tokens between two documents shares at least one
+    fingerprint, at ~2/(w+1) storage density. The value-distinct
+    variant (fingerprints deduped per document by hash value) —
+    position-distinct winnowing adds the rightmost-argmin rule. The
+    local-min selection is what ``q_doc_fingerprint``'s plain rolling
+    hash lacks: robust alignment under insertion/deletion shifts.
+
+    Scale: grams and window minima are doc-partitioned (never global);
+    the corpus-level report is two groupBys over the fingerprint set.
+    """
+    gh = _gram_hashes(spark, sf_dir)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    wmin = gh.select(
+        "doc_id",
+        F.min("gh").over(w).alias("fp"),
+        F.count(F.lit(1)).over(w).alias("wsz"),
+    ).filter(F.col("wsz") == WINNOW_W)
+    fps = wmin.select("doc_id", "fp").distinct()
+    per_doc = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    share = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    a = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_fp").cast("long").alias("total_fingerprints"),
+        F.round(F.avg("n_fp"), 6).alias("mean_fp_per_doc"),
+    )
+    b = share.agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_fingerprints"),
+        F.max("n_docs").cast("long").alias("max_docs_sharing_fp"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_docs",
+        "total_fingerprints",
+        "distinct_fingerprints",
+        "mean_fp_per_doc",
+        "max_docs_sharing_fp",
+    )
+
+
+@query(
+    "q_content_defined_chunking",
+    oracle=f"""
+    WITH gh AS ({_GRAM_HASH_SQL.format(h=_HEXVAL8)}),
+    marked AS (
+      SELECT doc_id, pos, gh, gh % {CDC_MOD} = 0 AS boundary
+      FROM gh
+    ),
+    chunked AS (
+      SELECT doc_id, pos,
+             coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS chunk_id,
+             gh
+      FROM marked
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS chunk_len,
+             CAST(sum(gh) AS BIGINT) AS chunk_sig
+      FROM chunked GROUP BY 1, 2
+    ),
+    sig AS (SELECT chunk_sig, count(*) AS occ FROM chunks GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM chunks) AS BIGINT) AS n_chunks,
+           round((SELECT avg(chunk_len) FROM chunks), 6)
+             AS mean_chunk_grams,
+           CAST((SELECT max(chunk_len) FROM chunks) AS BIGINT)
+             AS max_chunk_grams,
+           CAST((SELECT count(*) FROM sig) AS BIGINT) AS distinct_chunks,
+           round(1 - (SELECT count(*) FROM sig) * 1.0
+                     / (SELECT count(*) FROM chunks), 6) AS dedup_ratio
+    """,
+)
+def q_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al. 2001, LBFS —
+    the rsync/FastCDC family): cut each document's gram stream where
+    the rolling hash ≡ 0 (mod {CDC_MOD}), so chunk boundaries are
+    determined by CONTENT, not offsets — an insertion shifts one
+    chunk, not every chunk after it (the property fixed-size blocks
+    lack and the reason every dedup store chunks this way). Chunk
+    identity = the order-insensitive sum of member gram hashes;
+    `dedup_ratio` is the fraction of chunks that are byte-identical
+    repeats — the storage the chunker would save.
+
+    Scale: boundaries and chunk ids are doc-partitioned running sums;
+    chunk signatures one groupBy. Expected chunk length is the
+    modulus — tune it, not the partitioning.
+    """
+    gh = _gram_hashes(spark, sf_dir)
+    wb = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = gh.select(
+        "doc_id",
+        "gh",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("gh") % CDC_MOD == 0, 1).otherwise(0)
+            ).over(wb),
+            F.lit(0),
+        ).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("chunk_len"),
+        F.sum("gh").cast("long").alias("chunk_sig"),
+    )
+    sig = chunks.groupBy("chunk_sig").agg(F.count(F.lit(1)).alias("occ"))
+    a = chunks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.round(F.avg("chunk_len"), 6).alias("mean_chunk_grams"),
+        F.max("chunk_len").cast("long").alias("max_chunk_grams"),
+    )
+    b = sig.agg(F.count(F.lit(1)).cast("long").alias("distinct_chunks"))
+    out = a.crossJoin(F.broadcast(b))
+    return out.select(
+        "n_chunks",
+        "mean_chunk_grams",
+        "max_chunk_grams",
+        "distinct_chunks",
+        F.round(
+            1 - F.col("distinct_chunks") * 1.0 / F.col("n_chunks"), 6
+        ).alias("dedup_ratio"),
+    )
+
+
+@query(
+    "q_msttr_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.pos // {MSTTR_SEG} AS seg, toks[t.pos + 1] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+           unnest(range(0, len(toks))) AS t(pos)
+      WHERE toks[t.pos + 1] <> ''
+    ),
+    segs AS (
+      SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_type
+      FROM tok GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT CAST(n_type AS DOUBLE) / n_tok AS ttr
+      FROM segs WHERE n_tok = {MSTTR_SEG}
+    )
+    SELECT CAST((SELECT count(*) FROM complete) AS BIGINT) AS n_segments,
+           round((SELECT avg(ttr) FROM complete), 6) AS msttr,
+           round((SELECT stddev_samp(ttr) FROM complete), 6) AS ttr_sd,
+           round((SELECT min(ttr) FROM complete), 6) AS min_ttr
+    """,
+)
+def q_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio (Johnson 1944; the MSTTR-50 of
+    the lexical-diversity literature): chop every document into
+    consecutive {MSTTR_SEG}-token segments, take each COMPLETE
+    segment's type/token ratio, and average — the length-controlled
+    diversity measure raw TTR cannot be (TTR falls mechanically with
+    document length, so corpus-level TTR comparisons are length
+    comparisons in disguise; segmenting fixes the denominator).
+    Partial trailing segments are dropped, the standard convention.
+    Beside ``q_lexical_richness``'s corpus-level panel this is the
+    per-segment distribution, with spread and worst segment.
+
+    Scale: tokenization fan-out with (doc, segment) grouping — the
+    count_distinct is within 50-token segments, embarrassingly
+    parallel; the final reduce is over segment TTRs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    pos_col, keep = explode_computed(
+        F.sequence(F.lit(0), F.size("toks") - 1), "pos"
+    )
+    tok = (
+        toks.select("doc_id", "toks", pos_col)
+        .filter(keep)
+        .select(
+            "doc_id",
+            F.floor(F.col("pos") / MSTTR_SEG).alias("seg"),
+            F.element_at("toks", F.col("pos") + 1).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    segs = tok.groupBy("doc_id", "seg").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct("w").alias("n_type"),
+    )
+    complete = segs.filter(F.col("n_tok") == MSTTR_SEG).select(
+        (F.col("n_type").cast("double") / F.col("n_tok")).alias("ttr")
+    )
+    return complete.agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.round(F.avg("ttr"), 6).alias("msttr"),
+        F.round(F.stddev_samp("ttr"), 6).alias("ttr_sd"),
+        F.round(F.min("ttr"), 6).alias("min_ttr"),
+    )
