@@ -2230,3 +2230,205 @@ def q_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("harmonic_est"), "node")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Link-prediction panel: resource allocation / preferential attachment /
+# Salton cosine on the co-purchase candidate pairs
+# --------------------------------------------------------------------------
+LINKPRED_TOP_K = 15
+
+
+@query(
+    "q_link_prediction_panel",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pf AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
+    capped AS (SELECT b.cust, b.part, pf.df FROM basket b JOIN pf USING (part)
+               WHERE pf.df BETWEEN 2 AND {COPURCHASE_MAX_DF}),
+    deg AS (SELECT cust, count(*) AS d FROM capped GROUP BY cust),
+    pairs AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b,
+             CAST(count(*) AS BIGINT) AS common_parts,
+             sum(1.0 / a.df) AS ra
+      FROM capped a JOIN capped b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_COMMON}
+    ),
+    scored AS (
+      SELECT p.cust_a, p.cust_b, p.common_parts,
+             round(p.ra, 6) AS ra_index,
+             CAST(da.d * db.d AS BIGINT) AS pref_attach,
+             round(p.common_parts / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)
+               AS salton_cosine
+      FROM pairs p JOIN deg da ON da.cust = p.cust_a
+                   JOIN deg db ON db.cust = p.cust_b
+    )
+    SELECT * FROM scored
+    ORDER BY ra_index DESC, cust_a, cust_b LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def q_link_prediction_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction index panel (Zhou, Lü & Zhang 2009) on the
+    co-purchase candidate pairs: resource allocation Σ 1/df (the
+    Adamic-Adar variant that discounts popular neighbors HARDER —
+    1/df vs 1/ln df — and won the authors' benchmark), preferential
+    attachment d_a·d_b (the null model: hubs link to hubs no matter
+    what they share), and the Salton cosine common/√(d_a·d_b)
+    (degree-normalized overlap). Publishing RA next to its null PA is
+    the point: a pair can top RA merely by being two hubs, and the
+    panel shows it. Top-{LINKPRED_TOP_K} by RA, deterministic
+    tie-break.
+
+    Scale: the identical posting-list kernel as ``q_adamic_adar``
+    (DF cap bounds the d² fan-out); degrees are one groupBy over the
+    capped basket joined back at PAIR level (already pruned to the
+    support floor), and the top-k ranks the pruned pair table only.
+    """
+    pl = part_posting_lists(spark, sf_dir).filter(F.size("custs") >= 2)
+    capped = pl.select(
+        F.explode("custs").alias("cust"), "part", F.size("custs").alias("df")
+    )
+    deg = capped.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        pl.select(
+            F.explode("custs").alias("cust_a"),
+            "custs",
+            (1.0 / F.size("custs")).alias("ra_wt"),
+        )
+        .select("cust_a", F.explode("custs").alias("cust_b"), "ra_wt")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_parts"),
+            F.sum("ra_wt").alias("ra"),
+        )
+        .filter(F.col("common_parts") >= COPURCHASE_MIN_COMMON)
+    )
+    da = deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("d_b"))
+    scored = (
+        pairs.join(da, "cust_a")
+        .join(db, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "common_parts",
+            F.round("ra", 6).alias("ra_index"),
+            (F.col("d_a") * F.col("d_b")).cast("long").alias("pref_attach"),
+            F.round(
+                F.col("common_parts")
+                / F.sqrt(F.col("d_a").cast("double") * F.col("d_b")),
+                6,
+            ).alias("salton_cosine"),
+        )
+    )
+    scored = bounded_window_input(scored, label="q_linkpred pruned pairs")
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("ra_index"), "cust_a", "cust_b")
+            ),
+        )
+        .filter(F.col("rk") <= LINKPRED_TOP_K)
+        .drop("rk")
+        .orderBy(F.desc("ra_index"), "cust_a", "cust_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficient over the purchase graph
+# --------------------------------------------------------------------------
+RICH_CLUB_KS = (4, 8, 16, 32)
+
+
+@query(
+    "q_rich_club",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      UNION
+      SELECT DISTINCT l.l_suppkey + 1000000000 AS src, o.o_custkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in RICH_CLUB_KS)}]) AS k),
+    club AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_club
+      FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ),
+    within AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS directed_edges
+      FROM ks, edges e
+        JOIN deg da ON da.node = e.src
+        JOIN deg db ON db.node = e.dst
+      WHERE da.d > ks.k AND db.d > ks.k
+      GROUP BY ks.k
+    )
+    SELECT club.k,
+           club.n_club,
+           CAST(coalesce(within.directed_edges, 0) // 2 AS BIGINT)
+             AS edges_within,
+           round(coalesce(within.directed_edges, 0) * 1.0
+                 / (club.n_club * (club.n_club - 1)), 6) AS phi
+    FROM club LEFT JOIN within ON club.k = within.k
+    ORDER BY club.k
+    """,
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient (Colizza et al. 2004) of the
+    customer↔supplier purchase graph: φ(k) = E_{{>k}} / C(N_{{>k}}, 2),
+    the realized edge density among nodes of degree > k — rising φ(k)
+    means the high-degree core is disproportionately interconnected (a
+    "rich club" of big buyers and big suppliers transacting with each
+    other), the mesoscale structure degree distributions
+    (``q_degree_powerlaw_mle``) and assortativity
+    (``q_degree_assortativity``, which is this curve's slope sign in
+    one number) both summarize away. Evaluated at k ∈
+    {RICH_CLUB_KS}.
+
+    Scale: degrees are one groupBy over the shared edge list; the
+    within-club edge count joins the edge list to the degree table
+    twice (src and dst sides) and crosses only the 4-row k spine.
+    """
+    edges = purchase_graph_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in RICH_CLUB_KS], ["k"]
+    )
+    club = (
+        F.broadcast(ks)
+        .join(deg, deg["d"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_club"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
+    within = (
+        edges.join(da, "src")
+        .join(db, "dst")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("d_src") > F.col("k")) & (F.col("d_dst") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("directed_edges"))
+    )
+    out = club.join(within, "k", "left").select(
+        "k",
+        "n_club",
+        (F.floor(F.coalesce(F.col("directed_edges"), F.lit(0)) / 2))
+        .cast("long")
+        .alias("edges_within"),
+        F.round(
+            F.coalesce(F.col("directed_edges"), F.lit(0))
+            * 1.0
+            / (F.col("n_club") * (F.col("n_club") - 1)),
+            6,
+        ).alias("phi"),
+    )
+    return out.orderBy("k")

@@ -2293,3 +2293,123 @@ def q_local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round("lof", 6)), "vec_id")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding anisotropy: EXACT all-pairs mean cosine via the sum-vector
+# identity (no pair enumeration)
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_anisotropy",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id, label,
+             list_transform(emb, x -> x / sqrt(list_reduce(
+               list_transform(emb, y -> y * y), (a, b) -> a + b))) AS u
+      FROM e
+    ),
+    dims AS (
+      SELECT label, i AS dim, sum(u[i]) AS s, count(*) AS n_l
+      FROM unit, unnest(range(1, 65)) AS t(i)
+      GROUP BY label, i
+    ),
+    per_label AS (
+      SELECT label, max(n_l) AS n_l,
+             sum(s * s) AS norm2
+      FROM dims GROUP BY label
+    ),
+    within AS (
+      SELECT sum(CAST(n_l AS DOUBLE) * (norm2 - n_l)
+                 / (n_l * (n_l - 1.0))) / sum(n_l) AS mean_cos_within
+      FROM per_label
+    ),
+    overall_dims AS (
+      SELECT dim, sum(s) AS s_all FROM dims GROUP BY dim
+    ),
+    overall AS (
+      SELECT (SELECT sum(s_all * s_all) FROM overall_dims) AS norm2,
+             (SELECT CAST(sum(n_l) AS BIGINT) FROM per_label) AS n
+    )
+    SELECT n AS n_vecs,
+           round((norm2 - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+             AS mean_cosine_all,
+           round((SELECT mean_cos_within FROM within), 6)
+             AS mean_cosine_within,
+           round((SELECT mean_cos_within FROM within)
+                 - (norm2 - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+             AS label_separation
+    FROM overall
+    """,
+)
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit of the embedding space (Ethayarajh 2019): the
+    EXACT mean pairwise cosine over all n(n−1)/2 pairs via the
+    identity Σ_{i≠j} cos(u_i, u_j) = ‖Σu‖² − n on unit-normalized
+    vectors — the quadratic pair sum collapses to one vector addition,
+    so "average cosine between random embeddings" (the anisotropy
+    score; ≫0 means the space points in a cone and cosine similarities
+    are inflated across the board) costs one pass. The same identity
+    per label gives the within-class mean cosine; their gap is the
+    separation margin semantic search actually lives on.
+
+    Scale: normalization is a per-row 64-dim fold; the only shuffle is
+    the (label × 64)-row dimension rollup. NOTHING enumerates pairs —
+    the pytest third opinion does (O(n²) over a slice) to prove the
+    identity.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    norm = (
+        "sqrt(aggregate(transform(emb, y -> y * y), 0D, (a, x) -> a + x))"
+    )
+    unit = e.select(
+        "label",
+        F.expr(f"transform(emb, x -> x / {norm})").alias("u"),
+    )
+    dims = (
+        unit.select("label", F.posexplode("u").alias("dim0", "x"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n_l"))
+    )
+    per_label = dims.groupBy("label").agg(
+        F.max("n_l").alias("n_l"),
+        F.sum(F.col("s") * F.col("s")).alias("norm2"),
+    )
+    within = per_label.agg(
+        (
+            F.sum(
+                F.col("n_l").cast("double")
+                * (F.col("norm2") - F.col("n_l"))
+                / (F.col("n_l") * (F.col("n_l") - 1.0))
+            )
+            / F.sum("n_l")
+        ).alias("mean_cos_within")
+    )
+    overall = (
+        dims.groupBy("dim")
+        .agg(F.sum("s").alias("s_all"))
+        .agg(F.sum(F.col("s_all") * F.col("s_all")).alias("norm2"))
+        .crossJoin(
+            F.broadcast(
+                per_label.agg(F.sum("n_l").cast("long").alias("n"))
+            )
+        )
+    )
+    out = overall.crossJoin(F.broadcast(within))
+    n = F.col("n").cast("double")
+    mean_all = (F.col("norm2") - n) / (n * (n - 1))
+    return out.select(
+        F.col("n").alias("n_vecs"),
+        F.round(mean_all, 6).alias("mean_cosine_all"),
+        F.round(F.col("mean_cos_within"), 6).alias("mean_cosine_within"),
+        F.round(F.col("mean_cos_within") - mean_all, 6).alias(
+            "label_separation"
+        ),
+    )
