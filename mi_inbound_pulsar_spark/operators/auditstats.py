@@ -3098,9 +3098,12 @@ def _cs_sign_sql(value_sql: str, seed: int) -> str:
       FROM hashed GROUP BY 1, 2
     ),
     top AS (
+      -- tie-break must be NUMERIC: ordering the VARCHAR uid ranks
+      -- '1176' before '586' and diverges from Spark's long ordering
+      -- exactly when the 10th place is tied (it is at sf0.1)
       SELECT CAST(user_id AS VARCHAR) AS uid, count(*) AS true_n
       FROM events GROUP BY 1
-      ORDER BY true_n DESC, uid LIMIT 10
+      ORDER BY true_n DESC, CAST(uid AS BIGINT) LIMIT 10
     ),
     probes AS (
       {" UNION ALL ".join(

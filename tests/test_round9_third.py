@@ -101,7 +101,7 @@ def test_count_sketch_matches_hashlib_matrix(spark):
             bkt = _hexval(f"csb{j}:{uid}", 4) % CS_WIDTH
             sgn = 1 if _hexval(f"css{j}:{uid}", 1) % 2 == 0 else -1
             cells[j][bkt] += sgn * c
-    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], int(kv[0])))[:10]
     assert set(rows) == {u for u, _ in top}
     errors = []
     for uid, true_n in top:
