@@ -3810,3 +3810,153 @@ def q_beta_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m_cl * (1 - F.col("p_bar")), 6).alias("beta_mom"),
         F.round(1 / (m_cl + 1), 6).alias("icc_rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact two-sample Poisson rate test (conditional binomial)
+# --------------------------------------------------------------------------
+@query(
+    "q_poisson_2sample_exact",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    expo AS (
+      SELECT CAST(count(*) FILTER (day % 7 NOT IN (2, 3)) AS BIGINT) AS t1,
+             CAST(count(*) FILTER (day % 7 IN (2, 3)) AS BIGINT) AS t2
+      FROM days
+    ),
+    errs AS (
+      SELECT CAST(count(*) FILTER ((epoch_us(ts) // 86400000000) % 7
+                                   NOT IN (2, 3)) AS BIGINT) AS x1,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error'
+    ),
+    lf AS (
+      SELECT i,
+             sum(CASE WHEN i = 0 THEN 0.0 ELSE ln(CAST(i AS DOUBLE)) END)
+               OVER (ORDER BY i) AS lf
+      FROM unnest(generate_series(0, (SELECT n FROM errs))) g(i)
+    ),
+    pmf AS (
+      SELECT g.x,
+             round(exp(fn.lf - fx.lf - fnx.lf
+                       + g.x * ln(CAST(e.t1 AS DOUBLE) / (e.t1 + e.t2))
+                       + (r.n - g.x)
+                         * ln(CAST(e.t2 AS DOUBLE) / (e.t1 + e.t2))),
+                   10) AS p
+      FROM errs r, expo e,
+           unnest(generate_series(0, (SELECT n FROM errs))) g(x)
+        JOIN lf fn ON fn.i = (SELECT n FROM errs)
+        JOIN lf fx ON fx.i = g.x
+        JOIN lf fnx ON fnx.i = (SELECT n FROM errs) - g.x
+    )
+    SELECT (SELECT x1 FROM errs) AS errors_weekday,
+           (SELECT n - x1 FROM errs) AS errors_weekend,
+           (SELECT t1 FROM expo) AS days_weekday,
+           (SELECT t2 FROM expo) AS days_weekend,
+           round((SELECT CAST(x1 AS DOUBLE) / t1
+                  / ((n - x1 + 0.5) / t2) FROM errs, expo), 6)
+             AS rate_ratio,
+           round(sum(p) FILTER (x <= (SELECT x1 FROM errs)), 6) AS p_left,
+           round(sum(p) FILTER (x >= (SELECT x1 FROM errs)), 6) AS p_right
+    FROM pmf
+    """,
+)
+def q_poisson_2sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Poisson rate comparison (Przyborowski & 
+    Wilenski 1940, the conditional "C-test") of weekday vs weekend
+    ERROR rates: conditional on the total count n, the weekday count
+    is Binomial(n, t₁/(t₁+t₂)) with t = day exposures, so the test
+    reduces to exact binomial tails — no normal approximation, valid
+    at any count including the small ones where the z-test lies.
+    Tails evaluated through the ``q_fisher_exact`` log-factorial
+    spine; each pmf is rounded to 10dp before the tail sums so both
+    engines add identical quantized terms (the Fisher recipe). The
+    0.5 continuity guard in the rate ratio keeps a zero weekend count
+    finite.
+
+    Scale: two counting aggregates plus an n-row spine — n is the
+    error count, and at truly huge n the binomial tail IS the normal
+    z-test this query exists to outdo.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / US_PER_DAY)
+    days = e.select(day.alias("day")).distinct()
+    expo = days.agg(
+        F.count_if(~(F.col("day") % 7).isin(2, 3)).cast("long").alias("t1"),
+        F.count_if((F.col("day") % 7).isin(2, 3)).cast("long").alias("t2"),
+    )
+    errs = e.filter(F.col("event_type") == "error").agg(
+        F.count_if(~(day % 7).isin(2, 3)).cast("long").alias("x1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    er = errs.collect()[0]
+    n_tot, x1 = int(er["n"]), int(er["x1"])
+    lf = (
+        spark.range(0, n_tot + 1)
+        .select(F.col("id").alias("i"))
+        .withColumn(
+            "lf",
+            F.sum(
+                F.when(F.col("i") == 0, 0.0).otherwise(
+                    F.log(F.col("i").cast("double"))
+                )
+            ).over(
+                Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spine = (
+        spark.range(0, n_tot + 1)
+        .select(F.col("id").alias("x"))
+        .crossJoin(F.broadcast(expo))
+        .crossJoin(F.broadcast(errs))
+    )
+    fn = lf.filter(F.col("i") == n_tot).select(
+        F.col("lf").alias("lfn")
+    )
+    cur = (
+        spine.crossJoin(F.broadcast(fn))
+        .join(
+            F.broadcast(lf.select(F.col("i").alias("ix"), F.col("lf").alias("lfx"))),
+            F.col("x") == F.col("ix"),
+        )
+        .drop("ix")
+        .join(
+            F.broadcast(
+                lf.select(F.col("i").alias("inx"), F.col("lf").alias("lfnx"))
+            ),
+            (F.col("n") - F.col("x")) == F.col("inx"),
+        )
+        .drop("inx")
+    )
+    p0 = F.col("t1").cast("double") / (F.col("t1") + F.col("t2"))
+    pmf = F.round(
+        F.exp(
+            F.col("lfn")
+            - F.col("lfx")
+            - F.col("lfnx")
+            + F.col("x") * F.log(p0)
+            + (F.col("n") - F.col("x")) * F.log(1 - p0)
+        ),
+        10,
+    )
+    out = cur.agg(
+        F.max("x1").alias("errors_weekday"),
+        (F.max("n") - F.max("x1")).alias("errors_weekend"),
+        F.max("t1").alias("days_weekday"),
+        F.max("t2").alias("days_weekend"),
+        F.round(
+            F.max(
+                F.col("x1").cast("double")
+                / F.col("t1")
+                / ((F.col("n") - F.col("x1") + 0.5) / F.col("t2"))
+            ),
+            6,
+        ).alias("rate_ratio"),
+        F.round(F.sum(F.when(F.col("x") <= x1, pmf)), 6).alias("p_left"),
+        F.round(F.sum(F.when(F.col("x") >= x1, pmf)), 6).alias("p_right"),
+    )
+    return out

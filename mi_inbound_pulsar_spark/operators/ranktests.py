@@ -821,3 +821,189 @@ def q_baumgartner_weiss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bws_b"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Paired tests: sign test and Wilcoxon signed-rank on per-part
+# finished-vs-open price differences
+# --------------------------------------------------------------------------
+# pairing: for every part bought under both statuses, the difference
+# of its average extended price between 'F' and 'O' baskets — a
+# natural paired design (each part is its own control).
+_PAIRED_DIFF_SQL = """
+      SELECT l.l_partkey AS part,
+             CAST(round(avg(CASE WHEN o.o_orderstatus = 'F'
+                       THEN l.l_extendedprice END) * 100, 0) AS BIGINT)
+             - CAST(round(avg(CASE WHEN o.o_orderstatus = 'O'
+                       THEN l.l_extendedprice END) * 100, 0) AS BIGINT)
+               AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+      HAVING count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) > 0
+         AND count(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) > 0
+"""
+
+
+def _paired_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    g = j.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("o_orderstatus") == "F", F.col("l_extendedprice")
+                )
+            )
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("f_cents"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("o_orderstatus") == "O", F.col("l_extendedprice")
+                )
+            )
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("o_cents"),
+    )
+    return g.filter(
+        F.col("f_cents").isNotNull() & F.col("o_cents").isNotNull()
+    ).select("part", (F.col("f_cents") - F.col("o_cents")).alias("d"))
+
+
+@query(
+    "q_sign_test",
+    oracle=f"""
+    WITH d AS ({_PAIRED_DIFF_SQL}),
+    s AS (
+      SELECT CAST(count(*) FILTER (d > 0) AS BIGINT) AS n_pos,
+             CAST(count(*) FILTER (d < 0) AS BIGINT) AS n_neg,
+             CAST(count(*) FILTER (d = 0) AS BIGINT) AS n_zero
+      FROM d
+    )
+    SELECT n_pos, n_neg, n_zero,
+           round((n_pos - (n_pos + n_neg) / 2.0)
+                 / sqrt((n_pos + n_neg) / 4.0), 6) AS z,
+           round((abs(n_pos - (n_pos + n_neg) / 2.0) - 0.5)
+                 / sqrt((n_pos + n_neg) / 4.0), 6) AS z_continuity
+    FROM s
+    """,
+)
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on per-part price differences between finished
+    and open orders (each part its own control): counts of positive /
+    negative differences against Binomial(n, ½), normal-approximated
+    with and without continuity correction, exact zeros dropped (the
+    textbook convention). The assumption-free floor of the paired
+    family — it reads only SIGNS, so one monster difference cannot
+    move it, the property ``q_wilcoxon_signed_rank`` trades away for
+    power.
+
+    Scale: one join-groupBy to the part domain, one counting
+    aggregate. Integer cents make d = 0 exact, not a float accident.
+    """
+    d = _paired_diffs(spark, sf_dir)
+    s = d.agg(
+        F.count_if(F.col("d") > 0).cast("long").alias("n_pos"),
+        F.count_if(F.col("d") < 0).cast("long").alias("n_neg"),
+        F.count_if(F.col("d") == 0).cast("long").alias("n_zero"),
+    )
+    n_pos, n_neg = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    n = n_pos + n_neg
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "n_zero",
+        F.round((n_pos - n / 2) / F.sqrt(n / 4), 6).alias("z"),
+        F.round(
+            (F.abs(n_pos - n / 2) - 0.5) / F.sqrt(n / 4), 6
+        ).alias("z_continuity"),
+    )
+
+
+@query(
+    "q_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH d AS ({_PAIRED_DIFF_SQL}),
+    nz AS (SELECT d, abs(d) AS ad FROM d WHERE d <> 0),
+    vc AS (
+      SELECT ad, count(*) AS c,
+             count(*) FILTER (d > 0) AS c_pos
+      FROM nz GROUP BY ad
+    ),
+    mr AS (
+      SELECT ad, c, c_pos,
+             coalesce(sum(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1.0) / 2 AS r
+      FROM vc
+    ),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             sum(c_pos * r) AS w_plus,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term
+      FROM mr
+    )
+    SELECT n AS n_pairs,
+           round(w_plus, 6) AS w_plus,
+           round(n * (n + 1.0) / 4, 6) AS w_mean,
+           round((w_plus - n * (n + 1.0) / 4)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24
+                        - tie_term / 48), 6) AS z
+    FROM s
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the same per-part paired
+    differences as ``q_sign_test``: rank the |d| (midranks for ties,
+    zeros dropped), sum the ranks of the positive differences, and
+    standardize with E[W⁺] = n(n+1)/4 and the tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48 — uses magnitude ORDER information
+    the sign test discards, the standard power upgrade when
+    differences are roughly symmetric.
+
+    Scale: the paired rollup collapses to the distinct-|d| domain;
+    midranks are the usual single guarded cumulative pass.
+    """
+    d = _paired_diffs(spark, sf_dir)
+    nz = d.filter(F.col("d") != 0).select(
+        "d", F.abs("d").alias("ad")
+    )
+    vc = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_if(F.col("d") > 0).alias("c_pos"),
+    )
+    vc = bounded_window_input(vc, label="q_signed_rank |d| domain")
+    wb = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    mr = vc.select(
+        "c",
+        "c_pos",
+        (
+            F.coalesce(F.sum("c").over(wb), F.lit(0)) + (F.col("c") + 1.0) / 2
+        ).alias("r"),
+    )
+    s = mr.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c_pos") * F.col("r")).alias("w_plus"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    n = F.col("n").cast("double")
+    mean = n * (n + 1.0) / 4
+    var = n * (n + 1.0) * (2 * n + 1) / 24 - F.col("tie_term") / 48
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("w_plus"), 6).alias("w_plus"),
+        F.round(mean, 6).alias("w_mean"),
+        F.round((F.col("w_plus") - mean) / F.sqrt(var), 6).alias("z"),
+    )
