@@ -2660,3 +2660,101 @@ def q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cif_error"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Markov entropy rate of the per-user event-type process
+# --------------------------------------------------------------------------
+@query(
+    "q_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    bi AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c) AS n FROM bi),
+    h12 AS (
+      SELECT -sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) AS h
+      FROM bi, tot
+    ),
+    m1 AS (
+      SELECT cur, sum(c) AS c1 FROM bi GROUP BY cur
+    ),
+    h1 AS (
+      SELECT -sum((CAST(c1 AS DOUBLE) / n) * ln(CAST(c1 AS DOUBLE) / n)) AS h
+      FROM m1, tot
+    ),
+    m2 AS (
+      SELECT nxt, sum(c) AS c2 FROM bi GROUP BY nxt
+    ),
+    h2 AS (
+      SELECT -sum((CAST(c2 AS DOUBLE) / n) * ln(CAST(c2 AS DOUBLE) / n)) AS h
+      FROM m2, tot
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_transitions,
+           round((SELECT h FROM h1), 6) AS h_marginal,
+           round((SELECT h FROM h12), 6) AS h_joint,
+           round((SELECT h FROM h12) - (SELECT h FROM h1), 6)
+             AS entropy_rate,
+           round((SELECT h FROM h1) + (SELECT h FROM h2)
+                 - (SELECT h FROM h12), 6) AS mutual_information
+    """,
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type process: H(X₂|X₁) =
+    H(X₁,X₂) − H(X₁) over consecutive-event bigrams — how many nats of
+    surprise the NEXT action carries once you know the current one —
+    plus the mutual information I(X₁;X₂) (its complement: how much the
+    current action predicts). The information-theoretic summary of the
+    transition matrix ``q_markov_transitions`` materializes row by
+    row: I ≈ 0 says the chain is near-i.i.d. and Markov attribution
+    models are fitting noise.
+
+    Scale: bigrams are user-partitioned lead windows (never global);
+    all three entropies reduce over the 5×5 type-pair domain.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    bi = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    tot = bi.agg(F.sum("c").alias("n"))
+    bi_n = bi.crossJoin(F.broadcast(tot))
+    p = F.col("c").cast("double") / F.col("n")
+    h12 = bi_n.agg((-F.sum(p * F.log(p))).alias("h12"))
+    m1 = (
+        bi.groupBy("cur")
+        .agg(F.sum("c").alias("c1"))
+        .crossJoin(F.broadcast(tot))
+    )
+    p1 = F.col("c1").cast("double") / F.col("n")
+    h1 = m1.agg((-F.sum(p1 * F.log(p1))).alias("h1"))
+    m2 = (
+        bi.groupBy("nxt")
+        .agg(F.sum("c").alias("c2"))
+        .crossJoin(F.broadcast(tot))
+    )
+    p2 = F.col("c2").cast("double") / F.col("n")
+    h2 = m2.agg((-F.sum(p2 * F.log(p2))).alias("h2"))
+    out = (
+        tot.crossJoin(F.broadcast(h12))
+        .crossJoin(F.broadcast(h1))
+        .crossJoin(F.broadcast(h2))
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("h1"), 6).alias("h_marginal"),
+        F.round(F.col("h12"), 6).alias("h_joint"),
+        F.round(F.col("h12") - F.col("h1"), 6).alias("entropy_rate"),
+        F.round(
+            F.col("h1") + F.col("h2") - F.col("h12"), 6
+        ).alias("mutual_information"),
+    )

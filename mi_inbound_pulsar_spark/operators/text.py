@@ -3871,7 +3871,7 @@ def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_woe_iv",
     oracle=f"""
-    WITH scored AS ({{ql}}),
+    WITH scored AS ({_ql_score_sql()}),
     binned AS (
       SELECT least(CAST(floor((1.0 / (1.0 + exp(-score))) * {ECE_BINS})
                      AS BIGINT), {ECE_BINS - 1}) AS bin, y
@@ -4332,7 +4332,7 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_brier_decomposition",
     oracle=f"""
-    WITH scored AS ({{ql}}),
+    WITH scored AS ({_ql_score_sql()}),
     binned AS (
       SELECT least(CAST(floor((1.0 / (1.0 + exp(-score))) * {ECE_BINS})
                      AS BIGINT), {ECE_BINS - 1}) AS bin,
@@ -6645,3 +6645,218 @@ def q_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("ttr"), 6).alias("ttr_sd"),
         F.round(F.min("ttr"), 6).alias("min_ttr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Burrows' delta (stylometric source distance) + KS model separation
+# --------------------------------------------------------------------------
+BURROWS_TOP_WORDS = 20
+BURROWS_TOP_PAIRS = 15
+
+
+@query(
+    "q_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tok_nz AS (SELECT source, w FROM tok WHERE w <> ''),
+    topw AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+        FROM tok_nz GROUP BY w
+      ) WHERE rk <= {BURROWS_TOP_WORDS}
+    ),
+    src_tot AS (
+      SELECT source, count(*) AS n FROM tok_nz GROUP BY source
+    ),
+    freq AS (
+      SELECT st.source, topw.w,
+             coalesce(f.c, 0) * 1.0 / st.n AS rel
+      FROM src_tot st CROSS JOIN topw
+      LEFT JOIN (
+        SELECT source, w, count(*) AS c FROM tok_nz GROUP BY 1, 2
+      ) f ON f.source = st.source AND f.w = topw.w
+    ),
+    z AS (
+      SELECT source, w,
+             (rel - avg(rel) OVER (PARTITION BY w))
+             / stddev_pop(rel) OVER (PARTITION BY w) AS z
+      FROM freq
+    ),
+    delta AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             round(avg(abs(a.z - b.z)), 6) AS burrows_delta
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, burrows_delta
+    FROM delta
+    ORDER BY burrows_delta DESC, src_a, src_b LIMIT {BURROWS_TOP_PAIRS}
+    """,
+)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' delta (Burrows 2002) between document sources: the
+    stylometric distance of record — z-score each source's relative
+    frequency of the corpus's {BURROWS_TOP_WORDS} most common words
+    (function words carry authorial signal precisely because no one
+    chooses them consciously), then Δ(a,b) = mean |z_a − z_b|. The
+    top-{BURROWS_TOP_PAIRS} most DISTANT source pairs are the ones a
+    mixture-balancing step (``q_corpus_mixture``) should treat as
+    distinct registers rather than interchangeable shards.
+
+    Scale: vocabulary rollup → top-w spine (broadcast); the z-score
+    windows partition by WORD over the (source × word) grid (≤ 20·20
+    rows); the pair join is over that same tiny grid.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok, keep = explode_computed(F.split(F.col("text"), " "), "w")
+    tok_nz = (
+        d.select("source", tok).filter(keep).filter(F.col("w") != "")
+    )
+    wfreq = tok_nz.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wfreq = bounded_window_input(wfreq, label="q_burrows vocab")
+    topw = (
+        wfreq.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), "w")),
+        )
+        .filter(F.col("rk") <= BURROWS_TOP_WORDS)
+        .select("w")
+    )
+    src_tot = tok_nz.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sf_counts = (
+        tok_nz.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(topw))
+        .join(sf_counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("n")).alias(
+                "rel"
+            ),
+        )
+    )
+    wz = Window.partitionBy("w")
+    z = freq.select(
+        "source",
+        "w",
+        (
+            (F.col("rel") - F.avg("rel").over(wz))
+            / F.stddev_pop("rel").over(wz)
+        ).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "w", F.col("z").alias("z_a")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "w", F.col("z").alias("z_b")
+    )
+    delta = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.avg(F.abs(F.col("z_a") - F.col("z_b"))), 6).alias(
+            "burrows_delta"
+        ))
+    )
+    delta = bounded_window_input(delta, label="q_burrows pair grid")
+    return (
+        delta.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("burrows_delta"), "src_a", "src_b")
+            ),
+        )
+        .filter(F.col("rk") <= BURROWS_TOP_PAIRS)
+        .drop("rk")
+        .orderBy(F.desc("burrows_delta"), "src_a", "src_b")
+    )
+
+
+@query(
+    "q_ks_model_separation",
+    oracle=f"""
+    WITH scored AS ({_ql_score_sql()}),
+    vc AS (
+      SELECT score, sum(y) AS np, count(*) AS c FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score,
+             sum(np) OVER (ORDER BY score) AS cp,
+             sum(c - np) OVER (ORDER BY score) AS cn,
+             sum(np) OVER () AS n_pos,
+             sum(c - np) OVER () AS n_neg
+      FROM vc
+    ),
+    gaps AS (
+      SELECT score,
+             abs(CAST(cp AS DOUBLE) / n_pos - CAST(cn AS DOUBLE) / n_neg)
+               AS gap,
+             n_pos, n_neg
+      FROM cum
+    ),
+    best AS (SELECT max(round(gap, 6)) AS ks FROM gaps)
+    SELECT CAST(max(g.n_pos) AS BIGINT) AS n_pos,
+           CAST(max(g.n_neg) AS BIGINT) AS n_neg,
+           (SELECT ks FROM best) AS ks_stat,
+           round(min(g.score) FILTER (round(g.gap, 6) = (SELECT ks FROM best)),
+                 6) AS ks_threshold
+    FROM gaps g
+    """,
+)
+def q_ks_model_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov model-separation statistic of the quality
+    logit against the Gopher label — max |CDF_pos(s) − CDF_neg(s)|
+    over score thresholds, THE credit-scoring discrimination metric
+    beside AUC (``q_auc_roc`` integrates separation over all
+    thresholds; KS reports the single best one AND where it is, which
+    is the cutoff a one-threshold filter should actually use). Gap
+    rounded to 6dp before the argmax so both engines agree on ties;
+    threshold reported at the smallest argmax score.
+
+    Scale: the same per-distinct-score rollup as the AUC — one
+    guarded cumulative window, one aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = _ql_scored(d)
+    vc = scored.groupBy("score").agg(
+        F.sum("y").alias("np"), F.count(F.lit(1)).alias("c")
+    )
+    vc = bounded_window_input(vc, label="q_ks_model score domain")
+    wi = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = vc.select(
+        "score",
+        F.sum("np").over(wi).alias("cp"),
+        F.sum(F.col("c") - F.col("np")).over(wi).alias("cn"),
+        F.sum("np").over(wt).alias("n_pos"),
+        F.sum(F.col("c") - F.col("np")).over(wt).alias("n_neg"),
+    )
+    gaps = cum.select(
+        "score",
+        F.round(
+            F.abs(
+                F.col("cp").cast("double") / F.col("n_pos")
+                - F.col("cn").cast("double") / F.col("n_neg")
+            ),
+            6,
+        ).alias("gap"),
+        "n_pos",
+        "n_neg",
+    )
+    best = gaps.agg(F.max("gap").alias("ks"))
+    out = gaps.crossJoin(F.broadcast(best)).agg(
+        F.max("n_pos").cast("long").alias("n_pos"),
+        F.max("n_neg").cast("long").alias("n_neg"),
+        F.max("ks").alias("ks_stat"),
+        F.round(
+            F.min(F.when(F.col("gap") == F.col("ks"), F.col("score"))), 6
+        ).alias("ks_threshold"),
+    )
+    return out
