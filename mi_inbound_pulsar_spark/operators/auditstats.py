@@ -3960,3 +3960,298 @@ def q_poisson_2sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("x") >= x1, pmf)), 6).alias("p_right"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Effect-measure shelf: propensity-strata ATT, risk difference / NNT,
+# population attributable fraction
+# --------------------------------------------------------------------------
+PROP_STRATA = 5
+
+
+@query(
+    "q_propensity_stratification",
+    oracle=f"""
+    WITH u0 AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) FILTER (WHERE event_type = 'error')
+               AS BIGINT) AS n_err,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE) / 100 AS spend
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT median(n_err) AS me FROM u0),
+    users AS (
+      SELECT user_id, n_events, n_err > me AS treated, spend
+      FROM u0, med
+    ),
+    strat AS (
+      SELECT treated, spend,
+             ntile({PROP_STRATA}) OVER (ORDER BY n_events, user_id)
+               AS stratum
+      FROM users
+    ),
+    cell AS (
+      SELECT stratum,
+             count(*) FILTER (treated) AS n_t,
+             count(*) FILTER (NOT treated) AS n_c,
+             avg(spend) FILTER (treated) AS y_t,
+             avg(spend) FILTER (NOT treated) AS y_c
+      FROM strat GROUP BY stratum
+    ),
+    ok AS (SELECT * FROM cell WHERE n_t > 0 AND n_c > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+           CAST(sum(n_t) AS BIGINT) AS n_treated,
+           CAST(sum(n_c) AS BIGINT) AS n_control,
+           round(sum(n_t * (y_t - y_c)) / sum(n_t), 6) AS att_stratified,
+           round(sum((n_t + n_c) * (y_t - y_c)) / sum(n_t + n_c), 6)
+             AS ate_stratified
+    FROM ok
+    """,
+)
+def q_propensity_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subclassification on the propensity surrogate (Rosenbaum &
+    Rubin 1984): treatment = "above-median
+    error count" (a behavioral exposure), outcome = total spend,
+    strata = activity quintiles (event count — the confounder that
+    drives BOTH error volume and spending, so the raw gap is badly
+    inflated and the stratified one is the honest read). Within-stratum
+    treated-minus-control gaps are weighted by n_t for the ATT and by
+    stratum size for the ATE; five subclasses remove ~90% of the bias
+    a raw comparison carries (the classic result the paper is cited
+    for). Strata that lose common support (no treated or no control)
+    are dropped and COUNTED — silent support loss is how
+    stratification estimates lie. The coarse-but-robust sibling of
+    ``q_ipw_ate`` / ``q_matching_att``.
+
+    Scale: per-user rollup; ntile is a guarded window over the user
+    frame (quantile binning at 100 TB would swap in
+    approx_percentile edges); the estimate reduces over
+    {PROP_STRATA} strata.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u0 = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "error").alias("n_err"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            ).cast("double")
+            / 100
+        ).alias("spend"),
+    )
+    med = u0.agg(F.expr("median(n_err)").alias("me"))
+    users = u0.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "n_events",
+        (F.col("n_err") > F.col("me")).alias("treated"),
+        "spend",
+    )
+    users = bounded_window_input(users, label="q_propensity user frame")
+    strat = users.select(
+        "treated",
+        "spend",
+        F.ntile(PROP_STRATA)
+        .over(Window.orderBy("n_events", "user_id"))
+        .alias("stratum"),
+    )
+    cell = strat.groupBy("stratum").agg(
+        F.count_if(F.col("treated")).alias("n_t"),
+        F.count_if(~F.col("treated")).alias("n_c"),
+        F.avg(F.when(F.col("treated"), F.col("spend"))).alias("y_t"),
+        F.avg(F.when(~F.col("treated"), F.col("spend"))).alias("y_c"),
+    )
+    ok = cell.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    gap = F.col("y_t") - F.col("y_c")
+    return ok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_used"),
+        F.sum("n_t").cast("long").alias("n_treated"),
+        F.sum("n_c").cast("long").alias("n_control"),
+        F.round(F.sum(F.col("n_t") * gap) / F.sum("n_t"), 6).alias(
+            "att_stratified"
+        ),
+        F.round(
+            F.sum((F.col("n_t") + F.col("n_c")) * gap)
+            / F.sum(F.col("n_t") + F.col("n_c")),
+            6,
+        ).alias("ate_stratified"),
+    )
+
+
+@query(
+    "q_risk_difference_nnt",
+    oracle=f"""
+    WITH p AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS exposed,
+             CAST(round(value * 100, 0) AS BIGINT)
+               >= {EVALUE_HIGH_CENTS} AS outcome
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT CAST(count(*) FILTER (exposed AND outcome) AS BIGINT) AS a,
+             CAST(count(*) FILTER (exposed) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (NOT exposed AND outcome) AS BIGINT) AS c_,
+             CAST(count(*) FILTER (NOT exposed) AS BIGINT) AS n0
+      FROM p
+    ),
+    r AS (
+      SELECT a, n1, c_, n0,
+             CAST(a AS DOUBLE) / n1 AS p1, CAST(c_ AS DOUBLE) / n0 AS p0
+      FROM c
+    )
+    SELECT n1 AS n_exposed, n0 AS n_unexposed,
+           round(p1, 6) AS risk_exposed,
+           round(p0, 6) AS risk_unexposed,
+           round(p1 - p0, 6) AS risk_difference,
+           round((p1 - p0)
+                 - 1.959964 * sqrt(p1 * (1 - p1) / n1
+                                   + p0 * (1 - p0) / n0), 6) AS rd_lo95,
+           round((p1 - p0)
+                 + 1.959964 * sqrt(p1 * (1 - p1) / n1
+                                   + p0 * (1 - p0) / n0), 6) AS rd_hi95,
+           round(1 / (p1 - p0), 6) AS nnt
+    FROM r
+    """,
+)
+def q_risk_difference_nnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk difference with Wald 95% CI and the number needed to
+    treat, on the same weekend/high-value 2×2 as
+    ``q_e_value_sensitivity``: the ABSOLUTE effect scale every
+    relative measure (RR, OR) hides — a doubled risk can be 2-in-a-
+    million, and NNT = 1/RD is the stakeholder-readable version ("how
+    many exposures per extra outcome"). Completes the 2×2 shelf:
+    RR + E-value (relative, sensitivity), OR (``q_mantel_haenszel``),
+    RD + NNT (absolute).
+
+    Scale: one conditional aggregate, scalar arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.floor(F.unix_micros("ts") / US_PER_DAY)
+    p = e.select(
+        (day % 7).isin(2, 3).alias("exposed"),
+        (
+            F.round(F.col("value") * 100, 0).cast("long")
+            >= EVALUE_HIGH_CENTS
+        ).alias("outcome"),
+    )
+    c = p.agg(
+        F.count_if(F.col("exposed") & F.col("outcome"))
+        .cast("long")
+        .alias("a"),
+        F.count_if(F.col("exposed")).cast("long").alias("n1"),
+        F.count_if(~F.col("exposed") & F.col("outcome"))
+        .cast("long")
+        .alias("c_"),
+        F.count_if(~F.col("exposed")).cast("long").alias("n0"),
+    )
+    p1 = F.col("a").cast("double") / F.col("n1")
+    p0 = F.col("c_").cast("double") / F.col("n0")
+    rd = p1 - p0
+    se = F.sqrt(
+        p1 * (1 - p1) / F.col("n1") + p0 * (1 - p0) / F.col("n0")
+    )
+    zc = 1.959964
+    return c.select(
+        F.col("n1").alias("n_exposed"),
+        F.col("n0").alias("n_unexposed"),
+        F.round(p1, 6).alias("risk_exposed"),
+        F.round(p0, 6).alias("risk_unexposed"),
+        F.round(rd, 6).alias("risk_difference"),
+        F.round(rd - zc * se, 6).alias("rd_lo95"),
+        F.round(rd + zc * se, 6).alias("rd_hi95"),
+        F.round(1 / rd, 6).alias("nnt"),
+    )
+
+
+@query(
+    "q_attributable_fraction",
+    oracle=f"""
+    WITH p AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS exposed,
+             CAST(round(value * 100, 0) AS BIGINT)
+               >= {EVALUE_HIGH_CENTS} AS outcome
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT CAST(count(*) FILTER (exposed AND outcome) AS BIGINT) AS a,
+             CAST(count(*) FILTER (exposed) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (NOT exposed AND outcome) AS BIGINT) AS b,
+             CAST(count(*) FILTER (NOT exposed) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (outcome) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM p
+    ),
+    r AS (
+      SELECT a, n1, b, n0, m, n,
+             CAST(a AS DOUBLE) / n1 AS p1,
+             CAST(b AS DOUBLE) / n0 AS p0,
+             CAST(m AS DOUBLE) / n AS pt,
+             CAST(n1 AS DOUBLE) / n AS prev
+      FROM c
+    )
+    SELECT n1 AS n_exposed, n0 AS n_unexposed, m AS n_outcomes,
+           round(prev, 6) AS exposure_prevalence,
+           round((p1 - p0) / p1, 6) AS af_exposed,
+           round((pt - p0) / pt, 6) AS paf,
+           round(prev * (p1 / p0 - 1) / (prev * (p1 / p0 - 1) + 1), 6)
+             AS paf_levin
+    FROM r
+    """,
+)
+def q_attributable_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attributable fractions for the weekend/high-value association:
+    AF_e = (p1-p0)/p1 (the share of exposed cases the exposure itself
+    accounts for) and the population attributable fraction
+    PAF = (p_t-p0)/p_t - "if weekends purchased like weekdays, what
+    share of all high-value purchases disappears?" - computed both
+    directly and through Levin's prevalence x (RR-1) formula, whose
+    agreement with the direct form is an internal identity check the
+    pytest replay asserts exactly. The public-health-style readout
+    that turns the 2x2 shelf's ratios into head counts.
+
+    Scale: one conditional aggregate, scalar arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.floor(F.unix_micros("ts") / US_PER_DAY)
+    p = e.select(
+        (day % 7).isin(2, 3).alias("exposed"),
+        (
+            F.round(F.col("value") * 100, 0).cast("long")
+            >= EVALUE_HIGH_CENTS
+        ).alias("outcome"),
+    )
+    c = p.agg(
+        F.count_if(F.col("exposed") & F.col("outcome"))
+        .cast("long")
+        .alias("a"),
+        F.count_if(F.col("exposed")).cast("long").alias("n1"),
+        F.count_if(~F.col("exposed") & F.col("outcome"))
+        .cast("long")
+        .alias("b"),
+        F.count_if(~F.col("exposed")).cast("long").alias("n0"),
+        F.count_if(F.col("outcome")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    p1 = F.col("a").cast("double") / F.col("n1")
+    p0 = F.col("b").cast("double") / F.col("n0")
+    pt = F.col("m").cast("double") / F.col("n")
+    prev = F.col("n1").cast("double") / F.col("n")
+    rr = p1 / p0
+    return c.select(
+        F.col("n1").alias("n_exposed"),
+        F.col("n0").alias("n_unexposed"),
+        F.col("m").alias("n_outcomes"),
+        F.round(prev, 6).alias("exposure_prevalence"),
+        F.round((p1 - p0) / p1, 6).alias("af_exposed"),
+        F.round((pt - p0) / pt, 6).alias("paf"),
+        F.round(
+            prev * (rr - 1) / (prev * (rr - 1) + 1), 6
+        ).alias("paf_levin"),
+    )
