@@ -404,3 +404,126 @@ def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gwet_ac1"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Quadratic-weighted Cohen's kappa (ordinal agreement)
+# --------------------------------------------------------------------------
+QWK_BANDS = 5
+
+
+@query(
+    "q_weighted_kappa",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT item, max(CASE WHEN rater = 1 THEN band END) AS b1,
+             max(CASE WHEN rater = 2 THEN band END) AS b2
+      FROM (
+        SELECT l_orderkey AS item,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_quantity,
+                                           l_extendedprice, l_partkey)
+                 AS rater,
+               least(CAST(l_quantity AS BIGINT) * {QWK_BANDS} // 50 + 1,
+                     {QWK_BANDS}) AS band
+        FROM lineitem
+      ) WHERE rater <= 2
+      GROUP BY item HAVING count(*) = 2
+    ),
+    cell AS (
+      SELECT b1, b2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c) AS n FROM cell),
+    m1 AS (SELECT b1, sum(c) AS c1 FROM cell GROUP BY b1),
+    m2 AS (SELECT b2, sum(c) AS c2 FROM cell GROUP BY b2),
+    o AS (
+      SELECT sum(c * pow(b1 - b2, 2)) / (SELECT n FROM tot) AS d_obs
+      FROM cell
+    ),
+    e AS (
+      SELECT sum(CAST(m1.c1 AS DOUBLE) * m2.c2 * pow(m1.b1 - m2.b2, 2))
+             / ((SELECT n FROM tot) * (SELECT n FROM tot)) AS d_exp
+      FROM m1 CROSS JOIN m2
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_items,
+           round((SELECT d_obs FROM o), 6) AS d_obs,
+           round((SELECT d_exp FROM e), 6) AS d_exp,
+           round(1 - (SELECT d_obs FROM o) / (SELECT d_exp FROM e), 6)
+             AS weighted_kappa
+    FROM tot
+    """,
+)
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa (Cohen 1968) on an ORDINAL
+    scale: the first two lineitems of every 2+-item order rate it
+    with a quantity band (1..{QWK_BANDS}), and disagreement is
+    penalized by the SQUARED band distance — off-by-one costs 1,
+    off-by-four costs 16 — the agreement coefficient for graded
+    labels (quality tiers, star ratings, toxicity severity) where
+    plain kappa (``q_cohen_kappa``) treats near-misses as total
+    misses. κ_w = 1 − D_obs/D_exp with expected disagreement from the
+    marginal products.
+
+    Scale: per-order rater panel (partitioned window), cell counts
+    over the {QWK_BANDS}×{QWK_BANDS} grid, and the expectation is a
+    marginal×marginal cross join on that grid — nothing leaves the
+    band domain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.least(
+        (F.col("l_quantity").cast("long") * QWK_BANDS / F.lit(50)).cast(
+            "long"
+        )
+        + 1,
+        F.lit(QWK_BANDS),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
+    )
+    rated = li.select(
+        F.col("l_orderkey").alias("item"),
+        F.row_number().over(w).alias("rater"),
+        band.alias("band"),
+    ).filter(F.col("rater") <= 2)
+    pairs = (
+        rated.groupBy("item")
+        .agg(
+            F.max(F.when(F.col("rater") == 1, F.col("band"))).alias("b1"),
+            F.max(F.when(F.col("rater") == 2, F.col("band"))).alias("b2"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") == 2)
+    )
+    cell = pairs.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c"))
+    tot = cell.agg(F.sum("c").alias("n"))
+    o = cell.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(F.col("c") * F.pow(F.col("b1") - F.col("b2"), 2))
+            / F.max("n")
+        ).alias("d_obs")
+    )
+    m1 = cell.groupBy("b1").agg(F.sum("c").alias("c1"))
+    m2 = cell.groupBy("b2").agg(F.sum("c").alias("c2"))
+    e_ = (
+        m1.crossJoin(m2)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    F.col("c1").cast("double")
+                    * F.col("c2")
+                    * F.pow(F.col("b1") - F.col("b2"), 2)
+                )
+                / (F.max("n") * F.max("n"))
+            ).alias("d_exp")
+        )
+    )
+    out = tot.crossJoin(F.broadcast(o)).crossJoin(F.broadcast(e_))
+    return out.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.round(F.col("d_obs"), 6).alias("d_obs"),
+        F.round(F.col("d_exp"), 6).alias("d_exp"),
+        F.round(1 - F.col("d_obs") / F.col("d_exp"), 6).alias(
+            "weighted_kappa"
+        ),
+    )

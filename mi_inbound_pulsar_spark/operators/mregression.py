@@ -709,3 +709,74 @@ def q_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
             t2 * (n_wd + n_we - 3) / (2.0 * (n_wd + n_we - 2)), 6
         ).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fisher z: are two correlations different?
+# --------------------------------------------------------------------------
+@query(
+    "q_fisher_z_corr_diff",
+    oracle=f"""
+    WITH d AS ({_PIVOT4_SQL}),
+    g AS (
+      SELECT day % 7 IN (2, 3) AS weekend,
+             CAST(count(*) AS BIGINT) AS n,
+             corr(x1, y1) AS r
+      FROM d GROUP BY 1
+    ),
+    s AS (
+      SELECT max(CASE WHEN weekend THEN r END) AS r_we,
+             max(CASE WHEN NOT weekend THEN r END) AS r_wd,
+             max(CASE WHEN weekend THEN n END) AS n_we,
+             max(CASE WHEN NOT weekend THEN n END) AS n_wd
+      FROM g
+    )
+    SELECT CAST(n_wd AS BIGINT) AS n_weekday_days,
+           CAST(n_we AS BIGINT) AS n_weekend_days,
+           round(r_wd, 6) AS corr_weekday,
+           round(r_we, 6) AS corr_weekend,
+           round(0.5 * ln((1 + r_wd) / (1 - r_wd))
+                 - 0.5 * ln((1 + r_we) / (1 - r_we)), 6) AS z_diff,
+           round((0.5 * ln((1 + r_wd) / (1 - r_wd))
+                  - 0.5 * ln((1 + r_we) / (1 - r_we)))
+                 / sqrt(1.0 / (n_wd - 3) + 1.0 / (n_we - 3)), 6) AS z_stat
+    FROM s
+    """,
+)
+def q_fisher_z_corr_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher z test for EQUALITY OF CORRELATIONS: is the daily
+    click-revenue correlation the same on weekdays and weekends?
+    Each r maps through atanh (variance-stabilizing, ≈N(·, 1/(n−3)))
+    and the difference is a plain z — the question "did the
+    relationship CHANGE?" that comparing two ``q_partial_correlation``
+    runs by eye cannot answer (two significant correlations can be
+    significantly different from each other, and two insignificant
+    ones need not be).
+
+    Scale: one grouped corr aggregate over the day pivot, scalar
+    atanh algebra.
+    """
+    d = _daily_pivot4(spark, sf_dir)
+    g = d.groupBy((F.col("day") % 7).isin(2, 3).alias("weekend")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.corr("x1", "y1").alias("r"),
+    )
+    s = g.agg(
+        F.max(F.when(F.col("weekend"), F.col("r"))).alias("r_we"),
+        F.max(F.when(~F.col("weekend"), F.col("r"))).alias("r_wd"),
+        F.max(F.when(F.col("weekend"), F.col("n"))).alias("n_we"),
+        F.max(F.when(~F.col("weekend"), F.col("n"))).alias("n_wd"),
+    )
+    z = lambda r: 0.5 * F.log((1 + r) / (1 - r))  # noqa: E731
+    zd = z(F.col("r_wd")) - z(F.col("r_we"))
+    se = F.sqrt(
+        1.0 / (F.col("n_wd") - 3) + 1.0 / (F.col("n_we") - 3)
+    )
+    return s.select(
+        F.col("n_wd").alias("n_weekday_days"),
+        F.col("n_we").alias("n_weekend_days"),
+        F.round(F.col("r_wd"), 6).alias("corr_weekday"),
+        F.round(F.col("r_we"), 6).alias("corr_weekend"),
+        F.round(zd, 6).alias("z_diff"),
+        F.round(zd / se, 6).alias("z_stat"),
+    )

@@ -6860,3 +6860,75 @@ def q_ks_model_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_threshold"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# PR-AUC (average precision) of the quality logit
+# --------------------------------------------------------------------------
+@query(
+    "q_pr_auc_average_precision",
+    oracle=f"""
+    WITH scored AS ({_ql_score_sql()}),
+    vc AS (
+      SELECT score, sum(y) AS np, count(*) AS c FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, np, c,
+             sum(np) OVER (ORDER BY score DESC) AS cum_tp,
+             sum(c) OVER (ORDER BY score DESC) AS cum_all,
+             sum(np) OVER () AS n_pos, sum(c) OVER () AS n_all
+      FROM vc
+    )
+    SELECT CAST(max(n_pos) AS BIGINT) AS n_pos,
+           CAST(max(n_all) - max(n_pos) AS BIGINT) AS n_neg,
+           round(max(CAST(n_pos AS DOUBLE) / n_all), 6) AS prevalence,
+           round(sum((CAST(np AS DOUBLE) / n_pos)
+                     * (CAST(cum_tp AS DOUBLE) / cum_all)), 6)
+             AS average_precision
+    FROM cum
+    """,
+)
+def q_pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the quality logit against the
+    Gopher label: AP = Σ_thresholds ΔRecall × Precision, sweeping
+    distinct scores DESCENDING (each tie group is one threshold — the
+    step-function definition sklearn's `average_precision_score`
+    uses, no interpolation). The metric that matters when the
+    positive class is the minority: ROC-AUC (``q_auc_roc``) is
+    blind to prevalence, while AP is anchored to it (random scoring
+    gives AP = prevalence, reported alongside as the floor).
+
+    Scale: the same per-distinct-score rollup as the AUC/KS — one
+    guarded descending cumulative window, one aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = _ql_scored(d)
+    vc = scored.groupBy("score").agg(
+        F.sum("y").alias("np"), F.count(F.lit(1)).alias("c")
+    )
+    vc = bounded_window_input(vc, label="q_pr_auc score domain")
+    wd = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    cum = vc.select(
+        "np",
+        F.sum("np").over(wd).alias("cum_tp"),
+        F.sum("c").over(wd).alias("cum_all"),
+        F.sum("np").over(wt).alias("n_pos"),
+        F.sum("c").over(wt).alias("n_all"),
+    )
+    return cum.agg(
+        F.max("n_pos").cast("long").alias("n_pos"),
+        (F.max("n_all") - F.max("n_pos")).cast("long").alias("n_neg"),
+        F.round(
+            F.max(F.col("n_pos").cast("double") / F.col("n_all")), 6
+        ).alias("prevalence"),
+        F.round(
+            F.sum(
+                (F.col("np").cast("double") / F.col("n_pos"))
+                * (F.col("cum_tp").cast("double") / F.col("cum_all"))
+            ),
+            6,
+        ).alias("average_precision"),
+    )
