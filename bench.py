@@ -212,6 +212,14 @@ HEADLINE = [
     "q_market_beta",
     "q_canonical_correlation",
     "q_jonckheere_terpstra",
+    "q_pettitt_test",
+    "q_weighted_logrank",
+    "q_bayesian_ab_exact",
+    "q_winnowing_fingerprint",
+    "q_content_defined_chunking",
+    "q_burrows_delta",
+    "q_link_prediction_panel",
+    "q_embedding_anisotropy",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
