@@ -5944,3 +5944,154 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cmh_chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Yekutieli: FDR under arbitrary dependence
+# --------------------------------------------------------------------------
+@query(
+    "q_benjamini_yekutieli",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 30 THEN 'lo'
+                  WHEN value < 70 THEN 'mid' ELSE 'hi' END AS bucket
+      FROM events
+    ),
+    obs AS (SELECT event_type, bucket, count(*) AS o FROM b GROUP BY 1, 2),
+    gt AS (SELECT event_type, sum(o) AS ng FROM obs GROUP BY event_type),
+    bt AS (SELECT bucket, sum(o) AS nb FROM obs GROUP BY bucket),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    chi AS (
+      SELECT o.event_type,
+             sum((o.o - CAST(gt.ng * bt.nb AS DOUBLE) / tot.n)
+                 * (o.o - CAST(gt.ng * bt.nb AS DOUBLE) / tot.n)
+                 / (CAST(gt.ng * bt.nb AS DOUBLE) / tot.n)) AS chi2
+      FROM obs o JOIN gt USING (event_type) JOIN bt USING (bucket)
+      CROSS JOIN tot
+      GROUP BY o.event_type
+    ),
+    p AS (
+      SELECT event_type, chi2, exp(-chi2 / 2) AS pval,
+             row_number() OVER (ORDER BY exp(-chi2 / 2), event_type) AS i,
+             count(*) OVER () AS m
+      FROM chi
+    ),
+    cm AS (
+      SELECT sum(1.0 / g.j) AS c_m
+      FROM (SELECT unnest(generate_series(1,
+            (SELECT CAST(count(*) AS BIGINT) FROM chi))) AS j) g
+    ),
+    kb AS (
+      SELECT coalesce(max(i) FILTER (WHERE pval <= i * {BH_FDR_Q} / m), 0)
+        AS k_bh FROM p
+    ),
+    ky AS (
+      SELECT coalesce(max(i) FILTER (
+        WHERE pval <= i * {BH_FDR_Q} / (m * (SELECT c_m FROM cm))), 0)
+        AS k_by FROM p
+    )
+    SELECT p.event_type, round(p.pval, 6) AS pval,
+           CAST(p.i AS BIGINT) AS rank,
+           p.i <= (SELECT k_bh FROM kb) AS bh_reject,
+           p.i <= (SELECT k_by FROM ky) AS by_reject,
+           round((SELECT c_m FROM cm), 6) AS c_m
+    FROM p ORDER BY rank
+    """,
+)
+def q_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR control (2001) on the same per-type
+    chi-square battery as ``q_benjamini_hochberg``: the step-up
+    threshold shrinks by the harmonic factor c(m) = Σ1/j, buying
+    validity under ARBITRARY p-value dependence — the correction you
+    owe when the hypotheses share data (these five do: every test
+    reads the same bucket marginals). Both decisions are emitted per
+    hypothesis, so the rows BH rejects and BY declines are exactly
+    the dependence-fragile ones.
+
+    Scale: identical plan to BH — contingency rollups, a 5-row
+    p-value frame, one harmonic spine of length m.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.when(F.col("value") < 30, "lo")
+        .when(F.col("value") < 70, "mid")
+        .otherwise("hi")
+        .alias("bucket"),
+    )
+    obs = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    gt = obs.groupBy("event_type").agg(F.sum("o").alias("ng"))
+    bt = obs.groupBy("bucket").agg(F.sum("o").alias("nb"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    chi = (
+        obs.join(gt, "event_type")
+        .join(F.broadcast(bt), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "exp_", F.col("ng").cast("double") * F.col("nb") / F.col("n")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("o") - F.col("exp_"))
+                * (F.col("o") - F.col("exp_"))
+                / F.col("exp_")
+            ).alias("chi2")
+        )
+    )
+    chi = bounded_window_input(chi, label="q_by hypothesis frame")
+    p = chi.select(
+        "event_type",
+        F.exp(-F.col("chi2") / 2).alias("pval"),
+    ).withColumn(
+        "i",
+        F.row_number().over(Window.orderBy("pval", "event_type")),
+    ).withColumn("m", F.count(F.lit(1)).over(Window.partitionBy()))
+    m_val = p.agg(F.max("m").alias("mm"))
+    cm = (
+        m_val.select(
+            F.explode(F.sequence(F.lit(1), F.col("mm"))).alias("j")
+        )
+        .agg(F.sum(1.0 / F.col("j")).alias("c_m"))
+    )
+    pw = p.crossJoin(F.broadcast(cm))
+    kb = pw.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval") <= F.col("i") * BH_FDR_Q / F.col("m"),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k_bh")
+    )
+    ky = pw.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval")
+                    <= F.col("i") * BH_FDR_Q / (F.col("m") * F.col("c_m")),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k_by")
+    )
+    out = (
+        pw.crossJoin(F.broadcast(kb))
+        .crossJoin(F.broadcast(ky))
+        .select(
+            "event_type",
+            F.round("pval", 6).alias("pval"),
+            F.col("i").cast("long").alias("rank"),
+            (F.col("i") <= F.col("k_bh")).alias("bh_reject"),
+            (F.col("i") <= F.col("k_by")).alias("by_reject"),
+            F.round("c_m", 6).alias("c_m"),
+        )
+        .orderBy("rank")
+    )
+    return out

@@ -2503,3 +2503,121 @@ def q_kupiec_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x / n, 6).alias("realized_rate"),
         F.round(lr, 6).alias("lr_pof"),
     )
+
+
+# --------------------------------------------------------------------------
+# Extreme-value tail: GPD peaks-over-threshold + expected shortfall
+# --------------------------------------------------------------------------
+POT_QUANTILE = 0.90  # threshold: 90th percentile of purchase values
+
+
+@query(
+    "q_gpd_peaks_over_threshold",
+    oracle=f"""
+    WITH v AS (
+      SELECT value FROM events WHERE event_type = 'purchase'
+    ),
+    thr AS (SELECT quantile_cont(value, {POT_QUANTILE}) AS u FROM v),
+    exc AS (
+      SELECT value - thr.u AS y FROM v, thr WHERE value > thr.u
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exc,
+             avg(y) AS mean_y, var_samp(y) AS var_y
+      FROM exc
+    )
+    SELECT n_exc,
+           round((SELECT u FROM thr), 6) AS threshold,
+           round(mean_y, 6) AS mean_excess,
+           round(0.5 * (1 - mean_y * mean_y / var_y), 6) AS xi_shape,
+           round(0.5 * mean_y * (mean_y * mean_y / var_y + 1), 6)
+             AS beta_scale
+    FROM m
+    """,
+)
+def q_gpd_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized Pareto fit to the purchase-value tail by
+    peaks-over-threshold (Pickands-Balkema-de Haan: excesses over a
+    high threshold converge to GPD regardless of the body), with the
+    method-of-moments closed form ξ = ½(1 − m²/s²), β = ½m(m²/s² + 1)
+    on excesses above the {POT_QUANTILE:.0%} quantile. ξ > 0 reads
+    heavy (Pareto-class) tail, ξ ≈ 0 exponential, ξ < 0 bounded —
+    THE block-free member of the EVT shelf beside ``q_gumbel_maxima``
+    (block maxima) and ``q_hill_tail_index`` (log-rank slope, valid
+    only when ξ > 0; the GPD ξ here is its model-agnostic check).
+
+    Scale: one quantile, one filtered moment aggregate over the
+    exceedances — the tail set is (1−q)·n rows by construction.
+    """
+    v = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    thr = v.agg(F.expr(f"percentile(value, {POT_QUANTILE})").alias("u"))
+    exc = v.crossJoin(F.broadcast(thr)).filter(
+        F.col("value") > F.col("u")
+    ).select((F.col("value") - F.col("u")).alias("y"), "u")
+    m = exc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+        F.max("u").alias("u"),
+        F.avg("y").alias("mean_y"),
+        F.var_samp("y").alias("var_y"),
+    )
+    ratio = F.col("mean_y") * F.col("mean_y") / F.col("var_y")
+    return m.select(
+        "n_exc",
+        F.round(F.col("u"), 6).alias("threshold"),
+        F.round(F.col("mean_y"), 6).alias("mean_excess"),
+        F.round(0.5 * (1 - ratio), 6).alias("xi_shape"),
+        F.round(0.5 * F.col("mean_y") * (ratio + 1), 6).alias("beta_scale"),
+    )
+
+
+ES_LEVEL = 0.10  # expected shortfall of the WORST 10% revenue days
+
+
+@query(
+    "q_expected_shortfall",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    x AS (SELECT CAST(cents AS DOUBLE) / 100 AS y FROM d),
+    v AS (SELECT quantile_cont(y, {ES_LEVEL}) AS var_q FROM x),
+    tail AS (SELECT y FROM x, v WHERE y <= v.var_q)
+    SELECT CAST((SELECT count(*) FROM x) AS BIGINT) AS n_days,
+           CAST((SELECT count(*) FROM tail) AS BIGINT) AS n_tail,
+           round((SELECT var_q FROM v), 6) AS var_10pct,
+           round((SELECT avg(y) FROM tail), 6) AS expected_shortfall,
+           round((SELECT var_q FROM v) - (SELECT avg(y) FROM tail), 6)
+             AS tail_gap
+    """,
+)
+def q_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR) of daily revenue at the
+    {ES_LEVEL:.0%} level: the MEAN of the days at or below the VaR
+    quantile — the coherent risk measure (subadditive, unlike VaR)
+    that answers "how bad is a bad day ON AVERAGE once the threshold
+    is breached?", which the bare quantile ``q_kupiec_pof`` backtests
+    cannot: two series with identical VaR can hide arbitrarily
+    different tail mass below it (the `tail_gap` column is exactly
+    that hidden spread).
+
+    Scale: day rollup, one quantile, one filtered mean.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    x = d.select((F.col("cents").cast("double") / 100).alias("y"))
+    v = x.agg(F.expr(f"percentile(y, {ES_LEVEL})").alias("var_q"))
+    xt = x.crossJoin(F.broadcast(v))
+    tail = xt.filter(F.col("y") <= F.col("var_q"))
+    a = x.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    t = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.max("var_q").alias("var_q"),
+        F.avg("y").alias("es"),
+    )
+    out = a.crossJoin(F.broadcast(t))
+    return out.select(
+        "n_days",
+        "n_tail",
+        F.round(F.col("var_q"), 6).alias("var_10pct"),
+        F.round(F.col("es"), 6).alias("expected_shortfall"),
+        F.round(F.col("var_q") - F.col("es"), 6).alias("tail_gap"),
+    )
