@@ -2621,3 +2621,116 @@ def q_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("es"), 6).alias("expected_shortfall"),
         F.round(F.col("var_q") - F.col("es"), 6).alias("tail_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tukey median polish of the (day-of-week × event-type) revenue table
+# --------------------------------------------------------------------------
+@query(
+    "q_median_polish",
+    oracle=f"""
+    WITH cell AS (
+      SELECT epoch_us(ts) // 86400000000 % 7 AS dow, event_type,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS y
+      FROM events GROUP BY 1, 2
+    ),
+    -- sweep 1: remove row medians, then column medians
+    r1 AS (
+      SELECT dow, event_type,
+             y - median(y) OVER (PARTITION BY dow) AS resid,
+             median(y) OVER (PARTITION BY dow) AS row_eff
+      FROM cell
+    ),
+    c1 AS (
+      SELECT dow, event_type, row_eff,
+             resid - median(resid) OVER (PARTITION BY event_type) AS resid,
+             median(resid) OVER (PARTITION BY event_type) AS col_eff
+      FROM r1
+    ),
+    -- sweep 2
+    r2 AS (
+      SELECT dow, event_type, col_eff,
+             row_eff + median(resid) OVER (PARTITION BY dow) AS row_eff,
+             resid - median(resid) OVER (PARTITION BY dow) AS resid
+      FROM c1
+    ),
+    c2 AS (
+      SELECT dow, event_type, row_eff,
+             col_eff + median(resid) OVER (PARTITION BY event_type)
+               AS col_eff,
+             resid - median(resid) OVER (PARTITION BY event_type) AS resid
+      FROM r2
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, event_type,
+           round(row_eff, 6) AS row_effect,
+           round(col_eff, 6) AS col_effect,
+           round(resid, 6) AS residual
+    FROM c2 ORDER BY dow, event_type
+    """,
+)
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's median polish (1977) of the day-of-week × event-type
+    revenue table: alternately sweep out row and column MEDIANS (two
+    full sweeps — the convergence horizon for a 7×5 grid) leaving
+    additive row/column effects plus outlier-resistant residuals —
+    the robust two-way decomposition where a mean-based ANOVA table
+    lets one anomalous cell drag its whole row AND column effect. The
+    large-residual cells are the (weekday, type) combinations that
+    genuinely deviate from "this day is big × this type is big" —
+    the robust companion of ``q_anova_dow``.
+
+    Scale: the corpus collapses to the 35-cell grid first; every
+    median is a window over ≤7 cells partitioned by row/column key.
+    The sweep sequence is fixed (unrolled), so both engines execute
+    the identical median sequence.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        (F.floor(F.unix_micros("ts") / 86_400_000_000) % 7).alias("dow"),
+        "event_type",
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("y")
+    )
+    wr = Window.partitionBy("dow")
+    wc = Window.partitionBy("event_type")
+    med = lambda c, w: F.expr(f"median({c})").over(w)  # noqa: E731
+    r1 = cell.select(
+        "dow",
+        "event_type",
+        (F.col("y") - med("y", wr)).alias("resid"),
+        med("y", wr).alias("row_eff"),
+    )
+    c1 = r1.select(
+        "dow",
+        "event_type",
+        "row_eff",
+        (F.col("resid") - med("resid", wc)).alias("resid"),
+        med("resid", wc).alias("col_eff"),
+    )
+    r2 = c1.select(
+        "dow",
+        "event_type",
+        "col_eff",
+        (F.col("row_eff") + med("resid", wr)).alias("row_eff"),
+        (F.col("resid") - med("resid", wr)).alias("resid"),
+    )
+    c2 = r2.select(
+        "dow",
+        "event_type",
+        "row_eff",
+        (F.col("col_eff") + med("resid", wc)).alias("col_eff"),
+        (F.col("resid") - med("resid", wc)).alias("resid"),
+    )
+    return c2.select(
+        F.col("dow").cast("long").alias("dow"),
+        "event_type",
+        F.round("row_eff", 6).alias("row_effect"),
+        F.round("col_eff", 6).alias("col_effect"),
+        F.round("resid", 6).alias("residual"),
+    ).orderBy("dow", "event_type")

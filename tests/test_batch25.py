@@ -102,3 +102,51 @@ def test_benjamini_yekutieli_conservative_vs_bh(spark):
             assert r["bh_reject"]
     # ranks are a permutation
     assert sorted(r["rank"] for r in rows) == list(range(1, m + 1))
+
+
+def test_median_polish_matches_python_and_reconstructs(spark):
+    from mi_inbound_pulsar_spark.operators.tsstats import q_median_polish
+
+    rows = {
+        (r["dow"], r["event_type"]): r.asDict()
+        for r in q_median_polish(spark, SF).collect()
+    }
+    import statistics
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    cell = defaultdict(int)
+    for ts, et, v in zip(
+        (x.value for x in t["ts"]),
+        t["event_type"].to_pylist(),
+        t["value"].to_pylist(),
+    ):
+        cell[((ts // US_PER_DAY) % 7, et)] += int(round(v * 100))
+    y = {k: c / 100 for k, c in cell.items()}
+    dows = sorted({d for d, _ in y})
+    ets = sorted({e for _, e in y})
+    row_eff = {d: 0.0 for d in dows}
+    col_eff = {e: 0.0 for e in ets}
+    resid = dict(y)
+    for _ in range(2):  # two full sweeps, same as production
+        for d in dows:
+            m = statistics.median(resid[(d, e)] for e in ets if (d, e) in resid)
+            row_eff[d] += m
+            for e in ets:
+                if (d, e) in resid:
+                    resid[(d, e)] -= m
+        for e in ets:
+            m = statistics.median(resid[(d, e)] for d in dows if (d, e) in resid)
+            col_eff[e] += m
+            for d in dows:
+                if (d, e) in resid:
+                    resid[(d, e)] -= m
+    for (d, e), r in rows.items():
+        assert abs(r["row_effect"] - row_eff[d]) < 1e-6
+        assert abs(r["col_effect"] - col_eff[e]) < 1e-6
+        assert abs(r["residual"] - resid[(d, e)]) < 1e-6
+        # additive reconstruction: effects + residual return the cell
+        # (up to the overall constant median polish leaves in the
+        # effects — here absorbed into row effects, so exact)
+        assert abs((r["row_effect"] + r["col_effect"] + r["residual"]) - y[(d, e)]) < 1e-6
