@@ -220,6 +220,10 @@ HEADLINE = [
     "q_burrows_delta",
     "q_link_prediction_panel",
     "q_embedding_anisotropy",
+    "q_gpd_peaks_over_threshold",
+    "q_expected_shortfall",
+    "q_benjamini_yekutieli",
+    "q_median_polish",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
