@@ -2271,8 +2271,11 @@ def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pettitt change-point test (1979) on the daily revenue series:
     U_t = Σ_{{i≤t}}Σ_{{j>t}} sgn(x_j − x_i), maximized over t — the
     rank-based (outlier-immune) single-change-point locator, with the
-    identity U_t = 2Σ_{{i≤t}}R_i − t(N+1) turning the double sum into
-    ONE cumulative pass over per-day midranks; K = max|U_t| carries
+    identity |U_t| = |2Σ_{{i≤t}}R_i − t(N+1)| turning the double sum
+    into ONE cumulative pass over per-day midranks (the rank form
+    carries the opposite SIGN orientation — a hypothesis property
+    test pinned this down — and K maximizes the absolute value, so
+    the statistic is identical); K = max|U_t| carries
     Pettitt's closed-form approximate p ≈ 2exp(−6K²/(N³+N²)). The
     nonparametric confirmatory cousin of ``q_changepoint_binary``'s
     variance-split search and ``q_chow_test``'s fixed-midpoint F.
