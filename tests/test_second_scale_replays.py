@@ -1,0 +1,162 @@
+"""Second-scale third opinions: re-run the cheap pure-Python replays
+at sf0.01 (10× the rows of the sf0.001 tier the per-batch tests use).
+Motivation: the Count-Sketch tie-break bug was INVISIBLE below sf0.1
+because no tie landed on the top-k boundary at smaller scales —
+replaying the tie-sensitive rank statistics at a second scale widens
+the set of tie configurations the pytest tier exercises. Only
+O(n log n) replays qualify here (bisect-based ranks; no pair
+enumeration).
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+
+
+def _row(df) -> dict:
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def _samples():
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_totalprice", "o_orderstatus"]
+    )
+    x, y = [], []
+    for p, s in zip(t["o_totalprice"].to_pylist(), t["o_orderstatus"].to_pylist()):
+        if s == "F":
+            x.append(int(round(p * 100)))
+        elif s == "O":
+            y.append(int(round(p * 100)))
+    return x, y
+
+
+def test_cramer_von_mises_sf001(spark):
+    from mi_inbound_pulsar_spark.operators.ranktests import q_cramer_von_mises
+
+    got = _row(q_cramer_von_mises(spark, SF))
+    x, y = _samples()
+    n, m = len(x), len(y)
+    nn = n + m
+    xs, ys = sorted(x), sorted(y)
+    gap2 = sum(
+        (
+            bisect.bisect_right(xs, z) / n
+            - bisect.bisect_right(ys, z) / m
+        )
+        ** 2
+        for z in xs + ys
+    )
+    t_stat = n * m / nn**2 * gap2
+    assert got["n_f"] == n and got["n_o"] == m
+    assert got["t_stat"] == round(t_stat, 6)
+
+
+def test_brunner_munzel_sf001(spark):
+    from mi_inbound_pulsar_spark.operators.ranktests import q_brunner_munzel
+
+    got = _row(q_brunner_munzel(spark, SF))
+    x, y = _samples()
+    n1, n2 = len(x), len(y)
+    nn = n1 + n2
+    su = sorted(x + y)
+    sx, sy = sorted(x), sorted(y)
+
+    def mid(sorted_vals, v):
+        return (
+            bisect.bisect_left(sorted_vals, v)
+            + bisect.bisect_right(sorted_vals, v)
+            + 1
+        ) / 2
+
+    r1 = [mid(su, v) for v in x]
+    r2 = [mid(su, v) for v in y]
+    r1w = [mid(sx, v) for v in x]
+    r2w = [mid(sy, v) for v in y]
+    m1, m2 = sum(r1) / n1, sum(r2) / n2
+    v1 = sum(
+        (a - b - m1 + (n1 + 1) / 2) ** 2 for a, b in zip(r1, r1w)
+    ) / (n1 - 1)
+    v2 = sum(
+        (a - b - m2 + (n2 + 1) / 2) ** 2 for a, b in zip(r2, r2w)
+    ) / (n2 - 1)
+    w = n1 * n2 * (m2 - m1) / (nn * math.sqrt(n1 * v1 + n2 * v2))
+    assert got["p_hat"] == round((m2 - (n2 + 1) / 2) / n1, 6)
+    assert abs(got["w_stat"] - w) < 1e-6
+
+
+def test_ansari_bradley_sf001(spark):
+    from mi_inbound_pulsar_spark.operators.ranktests import q_ansari_bradley
+
+    got = _row(q_ansari_bradley(spark, SF))
+    x, y = _samples()
+    pooled = sorted(x + y)
+    nn = len(pooled)
+    # tie-block-averaged AB scores via one pass
+    score_of = {}
+    i = 0
+    while i < nn:
+        j = i
+        while j < nn and pooled[j] == pooled[i]:
+            j += 1
+        score_of[pooled[i]] = sum(
+            min(p + 1, nn - p) for p in range(i, j)
+        ) / (j - i)
+        i = j
+    ab = sum(score_of[v] for v in x)
+    assert got["ab_stat"] == round(ab, 6)
+
+
+def test_wilcoxon_signed_rank_sf001(spark):
+    from mi_inbound_pulsar_spark.operators.ranktests import (
+        q_wilcoxon_signed_rank,
+    )
+    from collections import defaultdict
+
+    got = _row(q_wilcoxon_signed_rank(spark, SF))
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice"],
+    )
+    status = dict(
+        zip(o["o_orderkey"].to_pylist(), o["o_orderstatus"].to_pylist())
+    )
+    acc = defaultdict(lambda: [[], []])
+    for ok, pk, ep in zip(
+        li["l_orderkey"].to_pylist(),
+        li["l_partkey"].to_pylist(),
+        li["l_extendedprice"].to_pylist(),
+    ):
+        s = status.get(ok)
+        if s == "F":
+            acc[pk][0].append(ep)
+        elif s == "O":
+            acc[pk][1].append(ep)
+    diffs = []
+    for fs, os_ in acc.values():
+        if fs and os_:
+            d = int(round(sum(fs) / len(fs) * 100)) - int(
+                round(sum(os_) / len(os_) * 100)
+            )
+            if d != 0:
+                diffs.append(d)
+    n = len(diffs)
+    ads = sorted(abs(d) for d in diffs)
+
+    def mid(a):
+        return (
+            bisect.bisect_left(ads, a) + bisect.bisect_right(ads, a) + 1
+        ) / 2
+
+    w_plus = sum(mid(abs(d)) for d in diffs if d > 0)
+    assert got["n_pairs"] == n
+    assert got["w_plus"] == round(w_plus, 6)
