@@ -88,13 +88,13 @@ _PRIORITY = (
     # q_kalman_local_level, q_matrix_profile_topk). ROUND-10 NOTE:
     # after this round the never-driver-checked pool is the 31
     # round-9 additions from q_granger_lag1 onward in the list below
-    # PLUS the 75 late-round-9 additions that follow in registration
+    # PLUS the 78 late-round-9 additions that follow in registration
     # order (ranktests/agreement/divergences/mregression/posthoc/
     # clusterval modules and the tsstats/text/auditstats/funnel/graph/
     # similarity appends, q_cramer_von_mises .. q_pr_auc_average_
-    # precision, plus the EVT/FDR/median-polish tail through
-    # q_median_polish) — 106 total. Round 10 should head 50 of those
-    # (builder's choice, zero overlap with rounds 1-9), leaving 56 for
+    # precision, plus the EVT/FDR/median-polish/forecast-skill tail
+    # through q_decomposition_strength) — 109 total. Round 10 should head 50 of those
+    # (builder's choice, zero overlap with rounds 1-9), leaving 59 for
     # round 11, then new round-10 code.
     "q_ams_f2_moment",
     "q_bloom_decontaminate",

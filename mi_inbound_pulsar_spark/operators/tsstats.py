@@ -2737,3 +2737,225 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("col_eff", 6).alias("col_effect"),
         F.round("resid", 6).alias("residual"),
     ).orderBy("dow", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Forecast skill (MASE / Theil's U2), max drawdown, decomposition
+# strength
+# --------------------------------------------------------------------------
+@query(
+    "q_mase_theil_u",
+    oracle=f"""
+    WITH p AS ({_LAGGED_PAIRS_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(y - f7)) / avg(abs(y - f1)), 6) AS mase_vs_naive,
+           round(sqrt(avg(pow(y - f7, 2)) / avg(pow(y - f1, 2))), 6)
+             AS theil_u2,
+           round(avg(abs(y - f7)), 6) AS mae_seasonal,
+           round(avg(abs(y - f1)), 6) AS mae_naive
+    FROM p
+    """,
+)
+def q_mase_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free forecast skill of the seasonal-naive forecaster:
+    MASE (Hyndman & Koehler 2006) — MAE relative to the in-sample
+    naive MAE, the unit-free accuracy measure that made percentage
+    errors obsolete (< 1 = beats naive) — and Theil's U2, the same
+    ratio in RMSE space (squared-loss sensitivity). The skill-score
+    companions of ``q_diebold_mariano``'s significance test: DM says
+    whether the difference is real, MASE/U2 say how LARGE it is in
+    units a stakeholder can rank forecasters by.
+
+    Scale: the shared lag-aligned pair frame, one aggregate.
+    """
+    p = _lagged_pairs(spark, sf_dir)
+    ae7 = F.abs(F.col("y") - F.col("f7"))
+    ae1 = F.abs(F.col("y") - F.col("f1"))
+    se7 = F.pow(F.col("y") - F.col("f7"), 2)
+    se1 = F.pow(F.col("y") - F.col("f1"), 2)
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg(ae7) / F.avg(ae1), 6).alias("mase_vs_naive"),
+        F.round(F.sqrt(F.avg(se7) / F.avg(se1)), 6).alias("theil_u2"),
+        F.round(F.avg(ae7), 6).alias("mae_seasonal"),
+        F.round(F.avg(ae1), 6).alias("mae_naive"),
+    )
+
+
+@query(
+    "q_max_drawdown",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+      SELECT day,
+             sum(CAST(cents AS DOUBLE) / 100)
+               OVER (ORDER BY day) AS equity
+      FROM d
+    ),
+    dd AS (
+      SELECT day, equity,
+             max(equity) OVER (ORDER BY day) AS peak
+      FROM c
+    ),
+    w AS (
+      SELECT day, equity, peak, peak - equity AS drawdown FROM dd
+    ),
+    mx AS (SELECT max(round(drawdown, 6)) AS mdd FROM w)
+    SELECT CAST((SELECT count(*) FROM w) AS BIGINT) AS n_days,
+           round((SELECT max(equity) FROM w), 6) AS final_peak,
+           (SELECT mdd FROM mx) AS max_drawdown,
+           CAST((SELECT min(day) FILTER (round(drawdown, 6) = mx.mdd)
+                 FROM w, mx) AS BIGINT) AS trough_day,
+           round((SELECT mdd FROM mx)
+                 / (SELECT max(peak) FROM w), 6) AS mdd_fraction
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative revenue curve: running peak
+    minus current equity, maximized over time — the path-dependent
+    risk statistic no distributional summary can recover (two series
+    with identical daily histograms can have wildly different
+    drawdowns; order matters, which is exactly what ``q_von_neumann``
+    and friends quantify indirectly). Reports the trough day
+    (deterministic: the earliest argmax of the 6dp-rounded drawdown)
+    and the drawdown as a fraction of the peak.
+
+    Scale: the equity curve and its running peak are two guarded
+    cumulative windows over the day spine; the argmax is a
+    broadcast-rejoined scalar.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_max_drawdown day spine")
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        F.sum(F.col("cents").cast("double") / 100).over(wc).alias("equity"),
+    )
+    dd = c.withColumn("peak", F.max("equity").over(wc))
+    w = dd.withColumn(
+        "drawdown", F.round(F.col("peak") - F.col("equity"), 6)
+    )
+    mx = w.agg(F.max("drawdown").alias("mdd"))
+    stats = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("equity").alias("final_peak"),
+        F.max("peak").alias("max_peak"),
+    )
+    trough = (
+        w.crossJoin(F.broadcast(mx))
+        .filter(F.col("drawdown") == F.col("mdd"))
+        .agg(F.min("day").cast("long").alias("trough_day"))
+    )
+    out = stats.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(trough))
+    return out.select(
+        "n_days",
+        F.round(F.col("final_peak"), 6).alias("final_peak"),
+        F.col("mdd").alias("max_drawdown"),
+        "trough_day",
+        F.round(F.col("mdd") / F.col("max_peak"), 6).alias("mdd_fraction"),
+    )
+
+
+@query(
+    "q_decomposition_strength",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    x AS (
+      SELECT day, CAST(cents AS DOUBLE) / 100 AS y,
+             row_number() OVER (ORDER BY day) AS t,
+             count(*) OVER () AS n
+      FROM d
+    ),
+    tr AS (
+      SELECT day, y, t, n,
+             avg(y) OVER (ORDER BY t
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend,
+             count(*) OVER (ORDER BY t
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS wsz
+      FROM x
+    ),
+    det AS (
+      SELECT day, y, trend, y - trend AS detrended
+      FROM tr WHERE wsz = 7
+    ),
+    s AS (
+      SELECT day, y, trend, detrended,
+             avg(detrended) OVER (PARTITION BY day % 7) AS seasonal
+      FROM det
+    ),
+    r AS (
+      SELECT y, trend, seasonal, detrended,
+             detrended - seasonal AS remainder
+      FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(greatest(0, 1 - var_pop(remainder)
+                 / var_pop(detrended)), 6) AS seasonal_strength,
+           round(greatest(0, 1 - var_pop(remainder)
+                 / var_pop(trend + remainder)), 6) AS trend_strength
+    FROM r
+    """,
+)
+def q_decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's decomposition-strength features (the `trend` and
+    `seasonal_strength` columns of every ts-feature library): classical
+    decomposition of daily revenue — centered 7-day moving-average
+    trend (complete windows only), day-of-week means of the detrended
+    series as the seasonal, the rest remainder — then
+    F_S = max(0, 1 − Var(R)/Var(S+R)) and
+    F_T = max(0, 1 − Var(R)/Var(T+R)): unit-free [0,1] scores of how
+    much structure each component carries, the one-glance triage for
+    which forecaster family (``q_holt_linear`` vs
+    ``q_holt_winters_fixed_season``) a series deserves. Var(S+R) =
+    Var(detrended) exactly, the identity the oracle uses too.
+
+    Scale: day rollup, one centered-MA window, one dow-partitioned
+    mean, two variance aggregates.
+    """
+    d = _daily_purchase_cents(spark, sf_dir)
+    d = bounded_window_input(d, label="q_decomp_strength day spine")
+    x = d.select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("y"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    wma = Window.orderBy("t").rowsBetween(-3, 3)
+    tr = x.select(
+        "day",
+        "y",
+        F.avg("y").over(wma).alias("trend"),
+        F.count(F.lit(1)).over(wma).alias("wsz"),
+    ).filter(F.col("wsz") == 7)
+    det = tr.select(
+        "day", "y", "trend", (F.col("y") - F.col("trend")).alias("detrended")
+    )
+    s = det.withColumn(
+        "seasonal",
+        F.avg("detrended").over(Window.partitionBy(F.col("day") % 7)),
+    )
+    r = s.select(
+        "trend",
+        "detrended",
+        (F.col("detrended") - F.col("seasonal")).alias("remainder"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.var_pop("remainder") / F.var_pop("detrended"),
+            ),
+            6,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1
+                - F.var_pop("remainder")
+                / F.var_pop(F.col("trend") + F.col("remainder")),
+            ),
+            6,
+        ).alias("trend_strength"),
+    )
