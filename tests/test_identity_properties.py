@@ -200,3 +200,73 @@ def test_jonckheere_single_pass_identity(groups):
         cum[1] += c2
         cum[2] += c3
     assert abs(brute - single) < 1e-9
+
+
+@given(two_samples)
+@settings(max_examples=150, deadline=None)
+def test_brunner_munzel_mean_correction_identity(samples):
+    """Σ c₁(R − R₁w) = n₁(m₁ − (n₁+1)/2) — the closed-form mean
+    correction q_brunner_munzel applies to its variance terms —
+    holds for every tie configuration."""
+    x, y = samples
+    su = sorted(x + y)
+    sx = sorted(x)
+
+    def mid(s, v):
+        import bisect
+
+        return (
+            bisect.bisect_left(s, v) + bisect.bisect_right(s, v) + 1
+        ) / 2
+
+    n1 = len(x)
+    lhs = sum(mid(su, v) - mid(sx, v) for v in x)
+    m1 = sum(mid(su, v) for v in x) / n1
+    rhs = n1 * (m1 - (n1 + 1) / 2)
+    assert abs(lhs - rhs) < 1e-9
+
+
+@given(
+    st.tuples(
+        st.sets(st.integers(0, 10_000), min_size=3, max_size=30),
+        st.sets(st.integers(10_001, 20_000), min_size=3, max_size=30),
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_ad_ties_form_reduces_to_pettitt_continuous(samples):
+    """with NO ties, the Scholz-Stephens distinct-value form shipped
+    in q_anderson_darling_2sample equals Pettitt's continuous
+    A² = (1/nm)Σᵢ (MᵢN − n·i)²/(i(N−i)) — the ties machinery must
+    vanish exactly on tie-free data. (Disjoint integer ranges
+    guarantee tie-freedom.)"""
+    xs, ys = (sorted(samples[0]), sorted(samples[1]))
+    import random
+
+    pooled = sorted([(v, 0) for v in xs] + [(v, 1) for v in ys])
+    n1, n2 = len(xs), len(ys)
+    nn = n1 + n2
+    # Pettitt continuous: sum over pooled positions i = 1..N-1
+    m = 0
+    pett = 0.0
+    for i, (v, which) in enumerate(pooled[:-1], start=1):
+        if which == 0:
+            m += 1
+        pett += (m * nn - n1 * i) ** 2 / (i * (nn - i))
+    pett /= n1 * n2
+    # Scholz-Stephens eq. 3 (both samples' terms)
+    ss = 0.0
+    b = m1 = m2 = 0
+    for v, which in pooled:
+        b += 1
+        if which == 0:
+            m1 += 1
+        else:
+            m2 += 1
+        if b < nn:
+            ss += (
+                1 / n1 * (nn * m1 - n1 * b) ** 2 / (nn * b * (nn - b))
+            )
+            ss += (
+                1 / n2 * (nn * m2 - n2 * b) ** 2 / (nn * b * (nn - b))
+            )
+    assert abs(pett - ss) < 1e-9
