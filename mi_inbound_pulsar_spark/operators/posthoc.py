@@ -113,6 +113,8 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.seg AS seg_a, b.seg AS seg_b,
            round(a.m - b.m, 6) AS mean_diff,
            round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)
+                 * sqrt(2.0), 6) AS q_stat,
            round(pow(a.v / a.n + b.v / b.n, 2)
                  / (pow(a.v / a.n, 2) / (a.n - 1)
                     + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df_welch
@@ -126,8 +128,11 @@ def q_games_howell(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tukey inherits from the pooled MSE: each pair gets its own Welch
     standard error √(v_a/n_a + v_b/n_b) and Welch-Satterthwaite df —
     the pairing Levene's test (``q_levene_test``) says you need when
-    it rejects. Same studentized-range reference distribution, per-pair
-    df.
+    it rejects. Emits BOTH conventions explicitly (round-9 advice):
+    ``t_stat`` is the Welch t = diff/SE, and ``q_stat`` = t·√2 is the
+    studentized-range statistic the Games-Howell procedure thresholds
+    against q_{k,df} tables — matching ``q_tukey_hsd``'s q_stat
+    convention so the two grids are directly comparable.
 
     Scale: identical to ``q_tukey_hsd`` minus the MSE reduce — one
     rollup, one group-pair self-join.
@@ -145,6 +150,10 @@ def q_games_howell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6).alias(
                 "t_stat"
             ),
+            F.round(
+                (F.col("a.m") - F.col("b.m")) / F.sqrt(se2) * F.sqrt(F.lit(2.0)),
+                6,
+            ).alias("q_stat"),
             F.round(
                 F.pow(se2, 2)
                 / (
@@ -190,24 +199,37 @@ def q_games_howell(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c3) AS n3,
              sum(c2 * (b1 + c1 / 2.0))
                + sum(c3 * (b1 + c1 / 2.0))
-               + sum(c3 * (b2 + c2 / 2.0)) AS u
+               + sum(c3 * (b2 + c2 / 2.0)) AS u,
+             sum(CAST(c1 + c2 + c3 AS DOUBLE)
+                 * (c1 + c2 + c3 - 1)) AS t2,
+             sum(CAST(c1 + c2 + c3 AS DOUBLE)
+                 * (c1 + c2 + c3 - 1) * (c1 + c2 + c3 - 2)) AS t3,
+             sum(CAST(c1 + c2 + c3 AS DOUBLE) * (c1 + c2 + c3 - 1)
+                 * (2 * (c1 + c2 + c3) + 5)) AS t25
       FROM cum
     ),
     t AS (
       SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_medium,
-             CAST(n3 AS BIGINT) AS n_low, u,
-             n1 + n2 + n3 AS nn,
+             CAST(n3 AS BIGINT) AS n_low, u, t2, t3, t25,
+             CAST(n1 + n2 + n3 AS DOUBLE) AS nn,
              n1 * n1 + n2 * n2 + n3 * n3 AS sq,
-             n1 * n1 * (2 * n1 + 3) + n2 * n2 * (2 * n2 + 3)
-               + n3 * n3 * (2 * n3 + 3) AS sq3
+             CAST(n1 AS DOUBLE) * (n1 - 1) + CAST(n2 AS DOUBLE) * (n2 - 1)
+               + CAST(n3 AS DOUBLE) * (n3 - 1) AS g2,
+             CAST(n1 AS DOUBLE) * (n1 - 1) * (n1 - 2)
+               + CAST(n2 AS DOUBLE) * (n2 - 1) * (n2 - 2)
+               + CAST(n3 AS DOUBLE) * (n3 - 1) * (n3 - 2) AS g3,
+             CAST(n1 AS DOUBLE) * (n1 - 1) * (2 * n1 + 5)
+               + CAST(n2 AS DOUBLE) * (n2 - 1) * (2 * n2 + 5)
+               + CAST(n3 AS DOUBLE) * (n3 - 1) * (2 * n3 + 5) AS g25
       FROM s
     )
     SELECT n_urgent, n_medium, n_low,
            round(u, 6) AS jt_stat,
            round((nn * nn - sq) / 4.0, 6) AS jt_mean,
            round((u - (nn * nn - sq) / 4.0)
-                 / sqrt((CAST(nn AS DOUBLE) * nn * (2 * nn + 3) - sq3)
-                        / 72), 6) AS z
+                 / sqrt((nn * (nn - 1) * (2 * nn + 5) - g25 - t25) / 72
+                        + g3 * t3 / (36 * nn * (nn - 1) * (nn - 2))
+                        + g2 * t2 / (8 * nn * (nn - 1))), 6) AS z
     FROM t
     """,
 )
@@ -217,10 +239,16 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     JT = Σ_{i<j} U_ij, the sum of pairwise Mann-Whitney counts taken
     only in the hypothesized direction — strictly more powerful than
     Kruskal-Wallis when the alternative is ordered rather than "any
-    difference". Ties count half. Standardized with the null mean
-    (N²−Σn_i²)/4 and the no-ties variance (N²(2N+3)−Σn_i²(2n_i+3))/72
-    (tie correction is negligible on a cents-valued domain and both
-    engines apply the identical formula).
+    difference". Ties count half in the statistic AND in the null
+    variance: standardized with the null mean (N²−Σn_i²)/4 and the
+    tie-corrected variance of Hollander & Wolfe (1999, eq. 6.19),
+    Var = A/72 + B/(36N(N−1)(N−2)) + C/(8N(N−1)) with
+    A = N(N−1)(2N+5) − Σᵢnᵢ(nᵢ−1)(2nᵢ+5) − Σⱼtⱼ(tⱼ−1)(2tⱼ+5),
+    B = [Σᵢnᵢ(nᵢ−1)(nᵢ−2)]·[Σⱼtⱼ(tⱼ−1)(tⱼ−2)],
+    C = [Σᵢnᵢ(nᵢ−1)]·[Σⱼtⱼ(tⱼ−1)] — the tie-group sizes tⱼ are
+    exactly the rollup's per-value totals, so the correction costs no
+    extra pass (round-9 advice: the no-ties variance overstated Var on
+    this heavily tied cents domain, biasing z toward zero).
 
     Scale: the three-group pairwise counts all come from ONE cumulative
     pass over the distinct-cents rollup — U_ij = Σ_v c_j(v)·(B_i(v) +
@@ -248,6 +276,7 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("c1").over(wb), F.lit(0)).alias("b1"),
         F.coalesce(F.sum("c2").over(wb), F.lit(0)).alias("b2"),
     )
+    ct = (F.col("c1") + F.col("c2") + F.col("c3")).cast("double")
     s = cum.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
@@ -257,17 +286,29 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.sum(F.col("c3") * (F.col("b1") + F.col("c1") / 2.0))
             + F.sum(F.col("c3") * (F.col("b2") + F.col("c2") / 2.0))
         ).alias("u"),
+        F.sum(ct * (ct - 1)).alias("t2"),
+        F.sum(ct * (ct - 1) * (ct - 2)).alias("t3"),
+        F.sum(ct * (ct - 1) * (2 * ct + 5)).alias("t25"),
     )
     n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
     nn = n1 + n2 + n3
     sq = n1 * n1 + n2 * n2 + n3 * n3
-    sq3 = (
-        n1 * n1 * (2 * n1 + 3)
-        + n2 * n2 * (2 * n2 + 3)
-        + n3 * n3 * (2 * n3 + 3)
+    nnd = nn.cast("double")
+    g2 = sum(
+        x.cast("double") * (x - 1) for x in (n1, n2, n3)
+    )
+    g3 = sum(
+        x.cast("double") * (x - 1) * (x - 2) for x in (n1, n2, n3)
+    )
+    g25 = sum(
+        x.cast("double") * (x - 1) * (2 * x + 5) for x in (n1, n2, n3)
     )
     mean = (nn * nn - sq) / 4.0
-    var = (nn.cast("double") * nn * (2 * nn + 3) - sq3) / 72
+    var = (
+        (nnd * (nnd - 1) * (2 * nnd + 5) - g25 - F.col("t25")) / 72
+        + g3 * F.col("t3") / (36 * nnd * (nnd - 1) * (nnd - 2))
+        + g2 * F.col("t2") / (8 * nnd * (nnd - 1))
+    )
     return s.select(
         n1.cast("long").alias("n_urgent"),
         n2.cast("long").alias("n_medium"),

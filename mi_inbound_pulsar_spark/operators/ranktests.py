@@ -85,7 +85,7 @@ def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((t_stat - (1 + 1 / nn) / 6)
                  / sqrt((1 + 1 / nn)
                         * (4 * n * m * nn - 3 * (n * n + m * m) - 2 * n * m)
-                        / (4 * n * m * nn * nn) / 45), 6) AS t_standardized
+                        / (4 * n * m * nn) / 45), 6) AS t_standardized
     FROM t
     """,
 )
@@ -131,7 +131,7 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (
         (1 + 1 / nn)
         * (4 * n * m * nn - 3 * (n * n + m * m) - 2 * n * m)
-        / (4 * n * m * nn * nn)
+        / (4 * n * m * nn)
         / 45
     )
     return s.select(

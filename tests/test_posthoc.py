@@ -77,6 +77,7 @@ def test_games_howell_matches_python(spark):
                 (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
             )
             assert abs(row["t_stat"] - t) < 1e-6
+            assert abs(row["q_stat"] - t * math.sqrt(2)) < 1e-6
             assert abs(row["df_welch"] - df) < 1e-4
 
 
@@ -107,9 +108,23 @@ def test_jonckheere_matches_bruteforce_pairs(spark):
     ns = [len(g) for g in ordered]
     nn = sum(ns)
     mean = (nn * nn - sum(n * n for n in ns)) / 4
+    # Tie-corrected null variance, Hollander & Wolfe (1999) eq. 6.19,
+    # built from the pooled tie-group sizes — an independent path from
+    # the engine's rollup-column arithmetic.
+    from collections import Counter
+
+    ties = Counter(v for g in ordered for v in g)
+    t2 = sum(t * (t - 1) for t in ties.values())
+    t3 = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    t25 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    g2 = sum(n * (n - 1) for n in ns)
+    g3 = sum(n * (n - 1) * (n - 2) for n in ns)
+    g25 = sum(n * (n - 1) * (2 * n + 5) for n in ns)
     var = (
-        nn * nn * (2 * nn + 3) - sum(n * n * (2 * n + 3) for n in ns)
-    ) / 72
+        (nn * (nn - 1) * (2 * nn + 5) - g25 - t25) / 72
+        + g3 * t3 / (36 * nn * (nn - 1) * (nn - 2))
+        + g2 * t2 / (8 * nn * (nn - 1))
+    )
     assert got["n_urgent"] == ns[0]
     assert got["jt_stat"] == round(u, 6)
     assert got["jt_mean"] == round(mean, 6)
