@@ -4484,7 +4484,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
-    ).persist()
+    ).localCheckpoint(eager=True)
     totals = per_user.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
     ).collect()[0]
@@ -5111,7 +5111,7 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.sum("w").over(wnd).alias("cw"),
         F.sum("y").over(wnd).alias("cy"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     i = pref.select(
         F.col("bin").alias("i"),
         F.col("w").alias("iw"),
@@ -5504,7 +5504,7 @@ def q_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.cust == o.o_custkey, "left")
         .groupBy("cust", "x", "treated")
         .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("spend"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     t = y.filter("treated").select(
         F.col("cust").alias("t_cust"),

@@ -318,7 +318,7 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # persist the compact array frame; the self-join's two sides explode
     # from cache and the size column is a free F.size — no size shuffle
-    sharr = shingle_arrays(d, n=3).persist()
+    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     return jaccard_pairs(sh, 0.5, sizes=sizes).orderBy("doc_a", "doc_b")
@@ -362,7 +362,7 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew and shuffle bytes carries over unchanged.
     """
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).persist()
+    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
     sh = sharr.select("doc_id", F.explode("shingles").alias("sh_str")).select(
         "doc_id", F.xxhash64("sh_str").alias("shingle")
     )
@@ -497,18 +497,18 @@ def minhash_neardup(
     # the shingle frame feeds three consumers (signatures, candidate-doc
     # filter, exact verification) — persist it so the explode pipeline
     # runs once, not once per consumer
-    sh = shingles(docs, n=n).persist()
+    sh = shingles(docs, n=n).localCheckpoint(eager=True)
     # cands feeds the candidate-doc filter AND the final join; sh_cand
     # feeds both sides of the exact-Jaccard self-join and the size agg.
     # Without persist each consumer replays the full upstream pipeline
     # (signature groupBy / bucket join) — measured 10 s → 3 s at sf0.1.
-    cands = lsh_candidate_pairs(minhash_signatures(sh, k)).persist()
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k)).localCheckpoint(eager=True)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").persist()
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(eager=True)
     verified = jaccard_pairs(sh_cand, threshold)
     return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
@@ -943,26 +943,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     lengths. Together they converge in O(log diameter) rounds, so long
     near-dup chains (paths, not just cliques) stay cheap.
 
-    Two iterative-Spark disciplines, both load-bearing:
-    - ``localCheckpoint`` each round: ``persist`` caches *data* but the
+    Three iterative-Spark disciplines, all load-bearing:
+    - checkpoint each round: ``persist`` caches *data* but the
       logical plan keeps growing, and Catalyst re-analysis goes
       super-linear in round count (measured: ~3× slower per round, then
       a driver OOM on plan trees by round 6). Checkpointing truncates
       the lineage so every round plans against a flat scan.
+    - ``stats_reset_checkpoint``, not bare ``localCheckpoint``: Spark
+      copies the ORIGIN plan's size estimate into the checkpoint's
+      LogicalRDD, and this loop's step joins the previous round's
+      labels with itself 3×, so the carried estimate CUBES per round —
+      Catalyst's BigInt stats arithmetic alone cost 70-95 s/round by
+      round 17 at sf0.1 (130 s total vs 22 s fixed; see
+      plans/iterate.py for the jstack evidence).
     - fixpoint detection via a changed-count per round (one extra small
       join), stopping as soon as labels stabilize.
     """
-    edges = (
+    from mi_inbound_pulsar_spark.plans.iterate import stats_reset_checkpoint
+
+    edges = stats_reset_checkpoint(
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = stats_reset_checkpoint(
         edges.selectExpr("src AS doc_id")
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -978,13 +985,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         # pointer jump: component := component's component (path halving)
         ptr = stepped.selectExpr("doc_id AS p_id", "component AS p_comp")
-        new_labels = (
+        new_labels = stats_reset_checkpoint(
             stepped.join(ptr, stepped.component == F.col("p_id"), "left")
             .select(
                 "doc_id",
                 F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -1216,7 +1222,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = d.filter(F.col("doc_id") % 10 == 0)
     # each index has 2-3 consumers (sizes, hot set, join side) — persist
     matches = jaccard_matches_against(
-        shingles(delta).persist(), shingles(base).persist(), 0.5
+        shingles(delta).localCheckpoint(eager=True), shingles(base).localCheckpoint(eager=True), 0.5
     )
     agg = matches.groupBy("delta_id").agg(
         F.count(F.lit(1)).alias("n_matches"), F.max("jaccard").alias("best_jaccard")
@@ -1299,7 +1305,7 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tiny by construction, so the window partitions are too.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3).persist()
+    sh = shingles(d, n=3).localCheckpoint(eager=True)
     edges = jaccard_pairs(sh, 0.5).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
@@ -1383,7 +1389,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % 10 == 0
-    sh = shingles(d, n=3).persist()
+    sh = shingles(d, n=3).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, MINHASH_K)
     band_cols = F.array(
         *[
@@ -1402,7 +1408,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep_bb)
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .withColumn("is_delta", is_delta)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     probe = buckets.filter("is_delta")
     cands = (
@@ -1414,14 +1420,14 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").persist()
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(eager=True)
     verified = cands.join(jaccard_pairs(sh_cand, 0.8), ["doc_a", "doc_b"])
     delta_matches = (
         verified.filter(F.col("doc_a") % 10 == 0)
@@ -1744,7 +1750,7 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = 0.5
-    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0).persist()
+    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0).localCheckpoint(eager=True)
     # 8-byte hashed shingle keys, same trade as jaccard_pairs
     # (hash_keys): halves the DF-join and index shuffle bytes; a 64-bit
     # collision merges two shingles with p ~ n^2/2^65.
@@ -1984,7 +1990,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact-verified); recall is the live measurement.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3).persist()
+    sh = shingles(d, n=3).localCheckpoint(eager=True)
     # truth side of an audit: uncapped — the DF cap is a production
     # skew guard, but here it would silently diverge from the oracle's
     # truly-exact pair set once any shingle's df exceeds the cap

@@ -891,7 +891,7 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not events.
     """
     e = load_table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().persist()
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().localCheckpoint(eager=True)
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
     wau = (
@@ -1079,7 +1079,7 @@ def q_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     s = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("c")
-    ).persist()
+    ).localCheckpoint(eager=True)
     n_days = s.select(F.count_distinct("day")).first()[0]
     probe_u = e.select(F.min("user_id")).first()[0]
     stats = s.groupBy("user_id").agg(
@@ -2110,7 +2110,7 @@ def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             < "80"
         ).alias("is_log"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     wu = Window.partitionBy("user_id").orderBy(
         F.desc("c"), F.col("event_type")
     )

@@ -484,7 +484,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_micro",
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     scores = []
     for name, order in (

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.iterate import stats_reset_checkpoint
 from mi_inbound_pulsar_spark.plans.adaptive import (
     ADAPTIVE_BROADCAST_MAX_ROWS,
     adaptive_broadcast,
@@ -202,13 +203,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # persist the compact array frame; consumers explode from cache and
     # sizes come free from F.size — no per-doc count shuffle
-    sharr = shingle_arrays(d, n=3).persist()
+    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     edges = (
         jaccard_pairs(sh, 0.5, sizes=sizes)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # one shared degree table: the orientation inside
     # oriented_triangle_count and the wedge aggregate below both read
@@ -218,7 +219,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     tri = oriented_triangle_count(edges, deg=deg)
     degagg = deg.agg(
@@ -282,7 +283,7 @@ def oriented_triangle_nodes(edges: DataFrame, deg: DataFrame | None = None) -> D
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("du"),
         F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
         F.struct(F.col("e1.dv").alias("d"), F.col("e1.v").alias("n"))
@@ -356,7 +357,7 @@ def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
         )
         .repartition("src")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -423,9 +424,9 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-algorithm twin of the connected-components operator).
     """
     edges = purchase_graph_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    contrib_src = edges.join(outdeg, "src").persist()
+    contrib_src = edges.join(outdeg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         inflow = (
@@ -573,7 +574,7 @@ def q_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is over the *capped* universe, stated in the contract: hot
     products carry no similarity signal anyway (everyone buys them).
     """
-    pl = part_posting_lists(spark, sf_dir).persist()
+    pl = part_posting_lists(spark, sf_dir).localCheckpoint(eager=True)
     sizes = pl.select(F.explode("custs").alias("cust")).groupBy("cust").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -713,11 +714,10 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("dd"))
         )
-        deg = (
+        deg = stats_reset_checkpoint(
             deg.filter(F.col("d") >= KCORE_K)
             .join(adaptive_broadcast(delta, count_hint=node_bound), "n", "left")
             .select("n", (F.col("d") - F.coalesce("dd", F.lit(0))).alias("d"))
-            .localCheckpoint(eager=True)
         )
         n_new = deg.count()
         if n_new == n_prev:
@@ -817,7 +817,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
         F.substring("p_name", 1, 4).alias("blk"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     a = scoped.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "blk")
     b = scoped.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "blk")
     edges = (
@@ -1002,12 +1002,11 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lv in levels[1:]:
             visited = visited.unionByName(lv)
         frontier = levels[-1]
-        nxt = (
+        nxt = stats_reset_checkpoint(
             und.join(frontier.withColumnRenamed("node", "n"), "n")
             .select(F.col("m").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
         )
         levels.append(nxt)
     verts = und.select(F.col("n").alias("node")).distinct()
@@ -1324,12 +1323,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-node argmax as a hash aggregate, not a window: min_by on
         # the (-count, label) struct is the same (count DESC, label
         # ASC) tie-break with no per-partition sort
-        labels = (
+        labels = stats_reset_checkpoint(
             counts.groupBy("n")
             .agg(
                 F.min_by("lab", F.struct(-F.col("c"), F.col("lab"))).alias("lab")
             )
-            .localCheckpoint(eager=True)
         )
     return (
         labels.groupBy(F.col("lab").alias("community"))
@@ -1406,7 +1404,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     return (
         hits_authority_ppm(edges)
@@ -1500,7 +1498,7 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-keyed at any scale.
     """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < ER_SCOPE)
-    scoped = p.select("p_partkey", "p_name").persist()
+    scoped = p.select("p_partkey", "p_name").localCheckpoint(eager=True)
     a, b = scoped.alias("a"), scoped.alias("b")
     truth = a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey")).filter(
         F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= ER_MAX_DIST
@@ -1607,20 +1605,20 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
 
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).persist()
+    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     edges = (
         jaccard_pairs(sh, 0.5, sizes=sizes)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     corners = (
         oriented_triangle_nodes(edges, deg=deg)
@@ -1728,7 +1726,7 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
 
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).persist()
+    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     edges = jaccard_pairs(sh, 0.5, sizes=sizes).select(
@@ -1739,7 +1737,7 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     mle = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -1845,7 +1843,7 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scale story holds.
     """
     edges = purchase_graph_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     x = nodes.select("node", F.lit(1000000).cast("long").alias("x"))
     for _ in range(3):
         inflow = (
@@ -1962,7 +1960,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = purchase_graph_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    contrib_src = edges.join(outdeg, "src").persist()
+    contrib_src = edges.join(outdeg, "src").localCheckpoint(eager=True)
     seeds = cust.filter(F.col("c_nationkey") == 1).select(
         F.col("c_custkey").alias("node"), F.lit(1).alias("flag")
     )
@@ -1971,7 +1969,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(seeds, "node", "left")
         .select("node", F.coalesce("flag", F.lit(0)).alias("is_seed"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     x = ns.select(
         "node", (F.col("is_seed") * 1000000).cast("long").alias("x")
@@ -2199,12 +2197,11 @@ def q_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lv in levels[1:]:
             visited = visited.unionByName(lv)
         frontier = levels[-1]
-        nxt = (
+        nxt = stats_reset_checkpoint(
             und.join(frontier.withColumnRenamed("node", "n"), "n")
             .select("l", F.col("m").alias("node"))
             .distinct()
             .join(visited, ["l", "node"], "left_anti")
-            .localCheckpoint(eager=True)
         )
         levels.append(nxt)
     reach = None

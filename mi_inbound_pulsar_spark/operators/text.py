@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.functions.arrays import explode_computed
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.iterate import stats_reset_checkpoint
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
@@ -325,7 +326,7 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
         .filter(F.col("term").isin(*TFIDF_TERMS))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
@@ -1867,7 +1868,7 @@ def bpe_train(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> tuple[DataFrame, Dat
     )
     cur = wc.select(
         "word", F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("repr"), "c"
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     merges = []
     for i in range(1, iters + 1):
@@ -4213,7 +4214,7 @@ def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("qid", "doc_id", "rel", "mmr", F.lit(k).cast("long").alias("step"))
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        sel = stats_reset_checkpoint(sel.unionByName(pick))
     return sel.select(
         "qid", "step", "doc_id", "rel", F.round("mmr", 6).alias("mmr")
     ).orderBy("qid", "step")
@@ -4630,7 +4631,7 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     m1 = tc.groupBy("bg").agg(F.max("cnt").alias("max1"))
     st = (
@@ -4780,7 +4781,7 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             < "80"
         ).alias("is_train"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     tok_col, keep = explode_computed(
         F.regexp_extract_all(F.col("t"), F.lit("[a-z]+"), 0), "tok"
     )
@@ -4795,7 +4796,7 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc_base = (
         tr_tok.groupBy(F.col("source").alias("cl"), "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # vocab and per-class token totals derive from the ONE (class,
     # token) rollup — the train half is tokenized exactly once

@@ -62,8 +62,10 @@ def attach_global_order_stats(
     boundaries.
 
     Returns ``(df_with_columns, total_row_count)``. The input slice
-    is persisted (it is scanned once for the offset job and once by
-    the consumer); the offset job runs eagerly at plan-build time.
+    is localCheckpoint(eager=True)-materialized (scanned once for the
+    offset job and once by the consumer; checkpoint blocks are
+    GC-reclaimed, unlike a CacheManager persist entry a library caller
+    could never unpersist); the offset job runs at plan-build time.
     """
     spark = df.sparkSession
     cum_sums = cum_sums or {}
@@ -72,7 +74,7 @@ def attach_global_order_stats(
     ranged = (
         df.repartitionByRange(n_parts, *order_exprs)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.sum(src).alias(f"__s_{out}") for out, src in cum_sums.items()
