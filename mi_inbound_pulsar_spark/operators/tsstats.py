@@ -26,6 +26,7 @@ from mi_inbound_pulsar_spark.operators.auditstats import (
     _daily_purchase_cents,
     US_PER_DAY,
 )
+from mi_inbound_pulsar_spark.plans.iterate import stats_reset_checkpoint
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
@@ -1377,7 +1378,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(BT_ITERS):
         pi = p.withColumnsRenamed({"p": "p_i"})
         pj = p.withColumnsRenamed({"i": "j", "p": "p_j"})
-        p = (
+        p = stats_reset_checkpoint(
             nmat.join(pi, "i")
             .join(pj, "j")
             .groupBy("i")
@@ -1388,7 +1389,6 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(wins, "i")
             .select("i", (F.col("wi") / F.col("den")).alias("p"))
-            .localCheckpoint(eager=True)
         )
     z = p.agg(F.sum("p").alias("z"))
     strength = F.round(F.col("p") / F.col("z"), 6)
