@@ -77,25 +77,70 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-9 ROTATION: the driver samples the FIRST 50 entries.
-    # Rounds 1-8 covered 344 distinct names (all green, zero overlap);
-    # this head is the ninth DISJOINT set — ALL 45 remaining never-
-    # driver-checked names (the 24 round-8 additions plus the 21
-    # alphabet-tail leftovers), which closes the pre-round-9 registry,
-    # followed by the 33 round-9 additions in landing order (slots
-    # 46-50 get driver-checked this round: q_moments_sketch,
-    # q_kmv_distinct_sketch, q_croston_intermittent,
-    # q_kalman_local_level, q_matrix_profile_topk). ROUND-10 NOTE:
-    # after this round the never-driver-checked pool is the 31
-    # round-9 additions from q_granger_lag1 onward in the list below
-    # PLUS the 78 late-round-9 additions that follow in registration
-    # order (ranktests/agreement/divergences/mregression/posthoc/
-    # clusterval modules and the tsstats/text/auditstats/funnel/graph/
-    # similarity appends, q_cramer_von_mises .. q_pr_auc_average_
-    # precision, plus the EVT/FDR/median-polish/forecast-skill tail
-    # through q_decomposition_strength) — 109 total. Round 10 should head 50 of those
-    # (builder's choice, zero overlap with rounds 1-9), leaving 59 for
-    # round 11, then new round-10 code.
+    # ROUND-10 ROTATION: the driver samples the FIRST 50 entries.
+    # Rounds 1-9 covered 394 distinct names (all green, zero overlap
+    # across nine disjoint rotations). This head is the TENTH disjoint
+    # set: the first 50 of the 109-query never-driver-checked pool in
+    # registration order (round-9 verdict item #1) — the 31 mid-round-9
+    # additions from q_granger_lag1 onward plus the first 19 of the
+    # late-round-9 additions, ending at q_tost_equivalence. ROUND-11
+    # NOTE: the remaining 59 never-driver-checked names are the
+    # registry tail after q_tost_equivalence in registration order
+    # (the rest of the ranktests/agreement/divergences/mregression/
+    # posthoc/clusterval/EVT/forecast-skill families through
+    # q_decomposition_strength) — head those 59 next round to reach
+    # 503/503 cumulative driver-hard coverage.
+    "q_granger_lag1",
+    "q_breusch_pagan",
+    "q_kruskal_wallis",
+    "q_bartlett_test",
+    "q_cochran_q",
+    "q_fisher_exact",
+    "q_landmark_harmonic",
+    "q_err_eval",
+    "q_theta_forecast",
+    "q_hierarchical_reconciliation",
+    "q_dp_quantile_exponential",
+    "q_event_study",
+    "q_fairness_audit",
+    "q_rouge_overlap",
+    "q_weibull_plot_fit",
+    "q_good_turing",
+    "q_price_elasticity",
+    "q_hurst_exponent",
+    "q_periodogram",
+    "q_negbinomial_fit",
+    "q_cronbach_alpha",
+    "q_ipf_raking",
+    "q_chi2_feature_selection",
+    "q_classifier_threshold_sweep",
+    "q_word2vec_subsample",
+    "q_local_outlier_factor",
+    "q_seasonal_mann_kendall",
+    "q_feature_drift_report",
+    "q_mantel_haenszel",
+    "q_bradley_terry",
+    "q_spiegelhalter_z",
+    "q_benjamini_yekutieli",
+    "q_embedding_anisotropy",
+    "q_lexical_richness",
+    "q_bpref_eval",
+    "q_winnowing_fingerprint",
+    "q_content_defined_chunking",
+    "q_msttr_diversity",
+    "q_burrows_delta",
+    "q_ks_model_separation",
+    "q_pr_auc_average_precision",
+    "q_link_prediction_panel",
+    "q_rich_club",
+    "q_association_rules",
+    "q_cumulative_incidence",
+    "q_markov_entropy_rate",
+    "q_count_sketch_audit",
+    "q_e_value_sensitivity",
+    "q_weighted_logrank",
+    "q_tost_equivalence",
+    # -- prior rotations' heads, kept for stable ordering past slot 50 --
     "q_ams_f2_moment",
     "q_bloom_decontaminate",
     "q_chapman_estimator",
@@ -141,43 +186,11 @@ _PRIORITY = (
     "q_window_ignore_nulls",
     "q_woe_iv",
     "q_zipf_slope",
-    # -- round-9 additions (driver-checked same round) --
     "q_moments_sketch",
     "q_kmv_distinct_sketch",
     "q_croston_intermittent",
     "q_kalman_local_level",
     "q_matrix_profile_topk",
-    "q_granger_lag1",
-    "q_breusch_pagan",
-    "q_kruskal_wallis",
-    "q_bartlett_test",
-    "q_cochran_q",
-    "q_fisher_exact",
-    "q_landmark_harmonic",
-    "q_err_eval",
-    "q_theta_forecast",
-    "q_hierarchical_reconciliation",
-    "q_dp_quantile_exponential",
-    "q_event_study",
-    "q_fairness_audit",
-    "q_rouge_overlap",
-    "q_weibull_plot_fit",
-    "q_good_turing",
-    "q_price_elasticity",
-    "q_hurst_exponent",
-    "q_periodogram",
-    "q_negbinomial_fit",
-    "q_cronbach_alpha",
-    "q_ipf_raking",
-    "q_chi2_feature_selection",
-    "q_classifier_threshold_sweep",
-    "q_word2vec_subsample",
-    "q_local_outlier_factor",
-    "q_seasonal_mann_kendall",
-    "q_feature_drift_report",
-    "q_mantel_haenszel",
-    "q_bradley_terry",
-    "q_spiegelhalter_z",
 )
 
 
