@@ -160,3 +160,111 @@ def test_wilcoxon_signed_rank_sf001(spark):
     w_plus = sum(mid(abs(d)) for d in diffs if d > 0)
     assert got["n_pairs"] == n
     assert got["w_plus"] == round(w_plus, 6)
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def _percentile(sorted_vals, p):
+    """Spark `percentile` / DuckDB `quantile_cont`: linear
+    interpolation at index p*(n-1) of the sorted sample."""
+    n = len(sorted_vals)
+    idx = p * (n - 1)
+    lo = int(math.floor(idx))
+    hi = min(lo + 1, n - 1)
+    frac = idx - lo
+    return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+
+def _purchase_values():
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    return [
+        v
+        for et, v in zip(t["event_type"].to_pylist(), t["value"].to_pylist())
+        if et == "purchase"
+    ]
+
+
+def _daily_cents():
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    days = {}
+    for ts, et, v in zip(
+        (x.value for x in t["ts"]),
+        t["event_type"].to_pylist(),
+        t["value"].to_pylist(),
+    ):
+        if et == "purchase":
+            days[ts // US_PER_DAY] = days.get(ts // US_PER_DAY, 0) + int(
+                round(v * 100)
+            )
+    return days
+
+
+def test_gpd_peaks_over_threshold_sf001(spark):
+    """The POT threshold u = P90(values) is an sf-dependent cut: which
+    values satisfy `value > u` — and whether one lands EXACTLY on u —
+    changes with scale (the Count-Sketch lesson class). Replay the
+    whole fit at sf0.01."""
+    from mi_inbound_pulsar_spark.operators.tsstats import (
+        q_gpd_peaks_over_threshold,
+    )
+
+    got = _row(q_gpd_peaks_over_threshold(spark, SF))
+    vals = sorted(_purchase_values())
+    u = _percentile(vals, 0.90)
+    exc = [v - u for v in vals if v > u]
+    n = len(exc)
+    mean_y = sum(exc) / n
+    var_y = sum((y - mean_y) ** 2 for y in exc) / (n - 1)
+    ratio = mean_y * mean_y / var_y
+    assert got["n_exc"] == n
+    assert abs(got["threshold"] - u) < 1e-6
+    assert abs(got["mean_excess"] - mean_y) < 1e-6
+    assert abs(got["xi_shape"] - 0.5 * (1 - ratio)) < 1e-6
+    assert abs(got["beta_scale"] - 0.5 * mean_y * (ratio + 1)) < 1e-6
+
+
+def test_expected_shortfall_sf001(spark):
+    """The VaR cut `y <= var_q` is tie-sensitive when a day's revenue
+    equals the interpolated quantile exactly — replay the tail mean at
+    the second scale."""
+    from mi_inbound_pulsar_spark.operators.tsstats import q_expected_shortfall
+
+    got = _row(q_expected_shortfall(spark, SF))
+    ys = sorted(c / 100 for c in _daily_cents().values())
+    var_q = _percentile(ys, 0.10)
+    tail = [y for y in ys if y <= var_q]
+    es = sum(tail) / len(tail)
+    assert got["n_days"] == len(ys)
+    assert got["n_tail"] == len(tail)
+    assert abs(got["var_10pct"] - var_q) < 1e-6
+    assert abs(got["expected_shortfall"] - es) < 1e-6
+    assert abs(got["tail_gap"] - (var_q - es)) < 1e-6
+
+
+def test_max_drawdown_sf001(spark):
+    """The trough day is the argmin-day of the 6dp-ROUNDED drawdown —
+    a rank-cut tie class: two days can round to the same drawdown and
+    the engine must pick the earliest. Replay equity/peak/trough at
+    sf0.01."""
+    from mi_inbound_pulsar_spark.operators.tsstats import q_max_drawdown
+
+    got = _row(q_max_drawdown(spark, SF))
+    days = _daily_cents()
+    equity, peak, mdd = 0.0, float("-inf"), float("-inf")
+    trough_day = None
+    final_equity = 0.0
+    for day in sorted(days):
+        equity += days[day] / 100
+        peak = max(peak, equity)
+        dd = round(peak - equity, 6)
+        if dd > mdd:
+            mdd, trough_day = dd, day
+        final_equity = max(final_equity, equity)
+    assert got["n_days"] == len(days)
+    assert abs(got["final_peak"] - final_equity) < 1e-6
+    assert abs(got["max_drawdown"] - mdd) < 1e-6
+    assert got["trough_day"] == trough_day
+    assert abs(got["mdd_fraction"] - mdd / peak) < 1e-6

@@ -153,3 +153,127 @@ def test_crash_between_privacy_and_curation_replays_cleanly(spark):
         (r["doc_id"], r["stream_offset"]) for r in pipe.read_output(spark).collect()
     )
     assert got == want and got
+
+
+def test_crash_between_redaction_and_privacy_state_write(spark):
+    """Symmetric kill to the privacy↔curation test, one seam EARLIER:
+    the redacted arrivals exist in memory but the epoch dies while the
+    privacy families are landing — stats/v1 is on disk, pending/v1 and
+    released/v1 are not, no marker. The replay must REWRITE the
+    half-landed stats/v1 (idempotent epoch writes, not append) and
+    converge to the no-crash outcome; an append-style stats write
+    would double-count epoch 1's arrivals and release classes early."""
+    b0 = _frame(spark, [_doc(i, "en", i % 3) for i in range(0, 8)])
+    b1 = _frame(
+        spark,
+        [_doc(i, "en", i % 3) for i in range(8, 12)]
+        + [_doc(i, "fr", i % 3) for i in range(12, 18)],
+    )
+
+    ctl = _pipe()
+    ctl(b0, 0)
+    ctl(b1, 1)
+    want = sorted(
+        (r["doc_id"], r["stream_offset"]) for r in ctl.read_output(spark).collect()
+    )
+
+    pipe = _pipe()
+    pipe(b0, 0)
+    prv = pipe.privacy
+    real_write = prv._write
+
+    def torn_write(df, root, epoch_id, key):
+        real_write(df, root, epoch_id, key)
+        if os.path.basename(root) == "stats" and epoch_id == 1:
+            raise RuntimeError("injected crash after stats write")
+
+    prv._write = torn_write
+    with pytest.raises(RuntimeError, match="after stats write"):
+        pipe(b1, 1)
+    prv._write = real_write
+
+    # torn epoch: ONLY stats/v1 landed; no marker, readers blind
+    assert os.path.isdir(os.path.join(pipe.state_dir, "stats", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.state_dir, "pending", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.state_dir, "released", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
+    assert pipe._committed_epochs() == [0]
+
+    pipe(b1, 1)  # restart replay rewrites stats/v1 from the v0 snapshot
+    assert pipe._committed_epochs() == [0, 1]
+    got = sorted(
+        (r["doc_id"], r["stream_offset"]) for r in pipe.read_output(spark).collect()
+    )
+    assert got == want and got
+
+
+def test_same_epoch_torn_twice_replays_cleanly(spark):
+    """Double crash: epoch 1 dies once inside the privacy writes and —
+    after a restart — AGAIN between privacy and curation. Both torn
+    attempts leave different partial v1 layouts; the third attempt
+    must rewrite every family cleanly and converge. This is the
+    repeated-failure reality of a flaky executor: the replay contract
+    has to be idempotent under ARBITRARY prefixes of the epoch's
+    writes, not just the single prefix one injection exercises."""
+    b0 = _frame(spark, [_doc(i, "en", i % 3) for i in range(0, 8)])
+    b1 = _frame(
+        spark,
+        [_doc(i, "en", i % 3) for i in range(8, 12)]
+        + [_doc(i, "de", i % 3) for i in range(20, 26)],
+    )
+
+    ctl = _pipe()
+    ctl(b0, 0)
+    ctl(b1, 1)
+    want = sorted(
+        (r["doc_id"], r["stream_offset"]) for r in ctl.read_output(spark).collect()
+    )
+
+    pipe = _pipe()
+    pipe(b0, 0)
+
+    # crash #1: inside the privacy families (after pending, before
+    # released) — stats/v1 + pending/v1 exist, released/v1 doesn't
+    prv = pipe.privacy
+    real_write = prv._write
+
+    def torn_write(df, root, epoch_id, key):
+        real_write(df, root, epoch_id, key)
+        if os.path.basename(root) == "pending" and epoch_id == 1:
+            raise RuntimeError("injected crash one")
+
+    prv._write = torn_write
+    with pytest.raises(RuntimeError, match="crash one"):
+        pipe(b1, 1)
+    prv._write = real_write
+    assert os.path.isdir(os.path.join(pipe.state_dir, "pending", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.state_dir, "released", "v1"))
+    assert pipe._committed_epochs() == [0]
+
+    # crash #2 (same epoch): privacy fully lands this time, curation
+    # never runs — the OTHER seam
+    inner = pipe.curation
+
+    class Boom:
+        def __call__(self, df, epoch_id):
+            raise RuntimeError("injected crash two")
+
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+    pipe.curation = Boom()
+    with pytest.raises(RuntimeError, match="crash two"):
+        pipe(b1, 1)
+    pipe.curation = inner
+    assert os.path.isdir(os.path.join(pipe.state_dir, "released", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
+    assert pipe._committed_epochs() == [0]
+
+    pipe(b1, 1)  # third attempt: clean end-to-end rewrite of v1
+    assert pipe._committed_epochs() == [0, 1]
+    for fam in ("stats", "pending", "released", "hashes", "shingles", "offsets"):
+        assert os.path.isdir(os.path.join(pipe.state_dir, fam, "v1")), fam
+    got = sorted(
+        (r["doc_id"], r["stream_offset"]) for r in pipe.read_output(spark).collect()
+    )
+    assert got == want and got
