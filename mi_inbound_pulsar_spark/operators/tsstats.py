@@ -2786,15 +2786,16 @@ def q_mase_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_max_drawdown",
     oracle=f"""
     WITH d AS ({_DAILY_SQL}),
+    m AS (SELECT avg(CAST(cents AS DOUBLE) / 100) AS mu FROM d),
     c AS (
       SELECT day,
-             sum(CAST(cents AS DOUBLE) / 100)
+             sum(CAST(cents AS DOUBLE) / 100 - m.mu)
                OVER (ORDER BY day) AS equity
-      FROM d
+      FROM d, m
     ),
     dd AS (
       SELECT day, equity,
-             max(equity) OVER (ORDER BY day) AS peak
+             greatest(max(equity) OVER (ORDER BY day), 0) AS peak
       FROM c
     ),
     w AS (
@@ -2802,44 +2803,56 @@ def q_mase_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (SELECT max(round(drawdown, 6)) AS mdd FROM w)
     SELECT CAST((SELECT count(*) FROM w) AS BIGINT) AS n_days,
-           round((SELECT max(equity) FROM w), 6) AS final_peak,
+           round((SELECT max(peak) FROM w), 6) AS peak_excess,
            (SELECT mdd FROM mx) AS max_drawdown,
            CAST((SELECT min(day) FILTER (round(drawdown, 6) = mx.mdd)
                  FROM w, mx) AS BIGINT) AS trough_day,
            round((SELECT mdd FROM mx)
-                 / (SELECT max(peak) FROM w), 6) AS mdd_fraction
+                 / (SELECT max(abs(equity)) FROM w), 6) AS mdd_vs_range
     """,
 )
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum drawdown of the cumulative revenue curve: running peak
-    minus current equity, maximized over time — the path-dependent
-    risk statistic no distributional summary can recover (two series
-    with identical daily histograms can have wildly different
-    drawdowns; order matters, which is exactly what ``q_von_neumann``
-    and friends quantify indirectly). Reports the trough day
-    (deterministic: the earliest argmax of the 6dp-rounded drawdown)
-    and the drawdown as a fraction of the peak.
+    """Maximum drawdown of the cumulative DEMEANED revenue curve
+    (equity_t = Σ_{{s≤t}} (y_s − ȳ), the CUSUM / cumulative-abnormal-
+    revenue path, floored-at-zero running peak): running peak minus
+    current equity, maximized over time — the path-dependent risk
+    statistic no distributional summary can recover (two series with
+    identical daily histograms can have wildly different drawdowns;
+    order matters, which is what ``q_von_neumann`` and friends
+    quantify only indirectly). The raw cumulative-revenue curve is
+    monotone on an all-positive daily series and its drawdown is
+    identically zero — a degenerate statistic (round-10 fix); the
+    demeaned path measures the worst sustained run BELOW average,
+    which is the question a drawdown on a revenue stream actually
+    answers. Reports the trough day (deterministic: the earliest
+    argmax of the 6dp-rounded drawdown), the peak cumulative excess,
+    and the drawdown relative to the curve's absolute range.
 
-    Scale: the equity curve and its running peak are two guarded
-    cumulative windows over the day spine; the argmax is a
-    broadcast-rejoined scalar.
+    Scale: one scalar mean broadcast back, then the equity curve and
+    its running peak are two guarded cumulative windows over the day
+    spine; the argmax is a broadcast-rejoined scalar.
     """
     d = _daily_purchase_cents(spark, sf_dir)
     d = bounded_window_input(d, label="q_max_drawdown day spine")
+    mu = d.agg(F.avg(F.col("cents").cast("double") / 100).alias("mu"))
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.select(
+    c = d.crossJoin(F.broadcast(mu)).select(
         "day",
-        F.sum(F.col("cents").cast("double") / 100).over(wc).alias("equity"),
+        F.sum(F.col("cents").cast("double") / 100 - F.col("mu"))
+        .over(wc)
+        .alias("equity"),
     )
-    dd = c.withColumn("peak", F.max("equity").over(wc))
+    dd = c.withColumn(
+        "peak", F.greatest(F.max("equity").over(wc), F.lit(0.0))
+    )
     w = dd.withColumn(
         "drawdown", F.round(F.col("peak") - F.col("equity"), 6)
     )
     mx = w.agg(F.max("drawdown").alias("mdd"))
     stats = w.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.max("equity").alias("final_peak"),
         F.max("peak").alias("max_peak"),
+        F.max(F.abs(F.col("equity"))).alias("eq_range"),
     )
     trough = (
         w.crossJoin(F.broadcast(mx))
@@ -2849,10 +2862,10 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stats.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(trough))
     return out.select(
         "n_days",
-        F.round(F.col("final_peak"), 6).alias("final_peak"),
+        F.round(F.col("max_peak"), 6).alias("peak_excess"),
         F.col("mdd").alias("max_drawdown"),
         "trough_day",
-        F.round(F.col("mdd") / F.col("max_peak"), 6).alias("mdd_fraction"),
+        F.round(F.col("mdd") / F.col("eq_range"), 6).alias("mdd_vs_range"),
     )
 
 

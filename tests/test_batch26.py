@@ -52,25 +52,32 @@ def test_mase_theil_matches_python(spark):
 
 
 def test_max_drawdown_matches_sequential_walk(spark):
+    """Sequential walk over the DEMEANED cumulative path (the raw
+    cumulative revenue curve is monotone on all-positive days and its
+    drawdown degenerates to zero — the round-10 fix)."""
     from mi_inbound_pulsar_spark.operators.tsstats import q_max_drawdown
 
     got = _row(q_max_drawdown(spark, SF))
     daily = _daily()
+    mu = sum(daily.values()) / 100 / len(daily)
     equity = peak = 0.0
-    mdd, trough, max_peak = 0.0, None, 0.0
+    mdd, trough, max_peak, eq_range = 0.0, None, 0.0, 0.0
     for day, c in daily.items():
-        equity += c / 100
-        peak = max(peak, equity)
+        equity += c / 100 - mu
+        peak = max(peak, equity, 0.0)
         max_peak = max(max_peak, peak)
+        eq_range = max(eq_range, abs(equity))
         dd = round(peak - equity, 6)
         if dd > mdd:
             mdd, trough = dd, day
-    if trough is None:  # monotone curve: drawdown 0 at the first day
+    if trough is None:  # flat curve: drawdown 0 at the first day
         trough = min(daily)
     assert got["n_days"] == len(daily)
-    assert got["max_drawdown"] == mdd
+    assert abs(got["max_drawdown"] - mdd) < 1e-6
     assert got["trough_day"] == trough
-    assert abs(got["mdd_fraction"] - mdd / max_peak) < 1e-6
+    assert abs(got["peak_excess"] - max_peak) < 1e-6
+    assert abs(got["mdd_vs_range"] - mdd / eq_range) < 1e-6
+    assert mdd > 0  # non-degenerate on the demeaned path
 
 
 def test_decomposition_strength_matches_and_bounded(spark):

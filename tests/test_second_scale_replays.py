@@ -247,24 +247,30 @@ def test_expected_shortfall_sf001(spark):
 def test_max_drawdown_sf001(spark):
     """The trough day is the argmin-day of the 6dp-ROUNDED drawdown —
     a rank-cut tie class: two days can round to the same drawdown and
-    the engine must pick the earliest. Replay equity/peak/trough at
-    sf0.01."""
+    the engine must pick the earliest. Replays the DEMEANED cumulative
+    path (the raw cumulative revenue curve is monotone on all-positive
+    days and its drawdown degenerates to zero — the round-10 fix), and
+    asserts the statistic is non-degenerate on this data."""
     from mi_inbound_pulsar_spark.operators.tsstats import q_max_drawdown
 
     got = _row(q_max_drawdown(spark, SF))
     days = _daily_cents()
-    equity, peak, mdd = 0.0, float("-inf"), float("-inf")
+    ys = {d: c / 100 for d, c in days.items()}
+    mu = sum(ys.values()) / len(ys)
+    equity, peak, mdd = 0.0, 0.0, float("-inf")
     trough_day = None
-    final_equity = 0.0
-    for day in sorted(days):
-        equity += days[day] / 100
-        peak = max(peak, equity)
+    max_peak, eq_range = 0.0, 0.0
+    for day in sorted(ys):
+        equity += ys[day] - mu
+        peak = max(peak, equity, 0.0)
         dd = round(peak - equity, 6)
         if dd > mdd:
             mdd, trough_day = dd, day
-        final_equity = max(final_equity, equity)
+        max_peak = max(max_peak, peak)
+        eq_range = max(eq_range, abs(equity))
     assert got["n_days"] == len(days)
-    assert abs(got["final_peak"] - final_equity) < 1e-6
+    assert abs(got["peak_excess"] - max_peak) < 1e-6
     assert abs(got["max_drawdown"] - mdd) < 1e-6
     assert got["trough_day"] == trough_day
-    assert abs(got["mdd_fraction"] - mdd / peak) < 1e-6
+    assert abs(got["mdd_vs_range"] - mdd / eq_range) < 1e-6
+    assert mdd > 0  # the statistic actually exercises its path logic
