@@ -50,3 +50,54 @@ def stats_reset_checkpoint(df: DataFrame) -> DataFrame:
         jdf.queryExecution().toRdd(), jdf.schema(), False
     )
     return DataFrame(new_jdf, spark)
+
+
+def _unpersist_quiet(jdf) -> None:
+    try:
+        jdf.unpersist(False)
+    except Exception:
+        pass  # py4j gateway already closed at interpreter shutdown
+
+
+def scoped_persist(df: DataFrame, owner: DataFrame) -> DataFrame:
+    """``persist()`` with the cleanup obligation discharged by the
+    OWNER frame's lifetime: the cache entry is unpersisted when the
+    Python object for ``owner`` is garbage-collected.
+
+    Use when an intermediate is scanned multiple times INSIDE one
+    returned query plan. ``localCheckpoint(eager=True)`` is wrong for
+    that shape: it materializes the frame as a separate up-front job,
+    serializing what persist lets the main job compute once in-stream
+    (measured on q_copurchase_jaccard at sf0.1: persist 1.7 s, eager
+    checkpoint 3.5 s, no materialization 4.3 s). Plain ``persist`` is
+    the round-9 leak class — a library function returning a lazy frame
+    can never unpersist at the right time. This helper ties the cache
+    entry to the returned frame instead: while the caller holds the
+    result, the cache lives; when the result is collected and dropped,
+    a weakref finalizer unpersists the JVM-side entry. The finalizer
+    closure holds only the py4j Dataset handle, not the Python frame,
+    so it cannot keep the owner alive itself.
+
+    Usage: persist the intermediate, build the result plan over it,
+    then ``return retain(out, intermediate)``.
+    """
+    import weakref
+
+    lvl = df._jdf.storageLevel()
+    if not (lvl.useMemory() or lvl.useDisk()):
+        df.persist()
+    weakref.finalize(owner, _unpersist_quiet, df._jdf)
+    refs = getattr(owner, "_scoped_caches", None)
+    if refs is None:
+        refs = []
+        owner._scoped_caches = refs
+    refs.append(df)
+    return df
+
+
+def retain(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Persist (if not already) every frame in ``cached`` and tie each
+    cache entry to ``result``'s lifetime — see :func:`scoped_persist`."""
+    for df in cached:
+        scoped_persist(df, result)
+    return result

@@ -79,3 +79,27 @@ def test_reset_in_loop_matches_bare_loop_results(spark):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
+
+
+def test_scoped_persist_releases_on_owner_gc(spark):
+    import gc
+
+    from mi_inbound_pulsar_spark.plans.iterate import retain
+
+    # delta-based: earlier tests' localCheckpoint blocks also appear in
+    # RDD storage info, so assert on the CHANGE this cache causes, not
+    # on global emptiness
+    jsc = spark.sparkContext._jsc.sc()
+    gc.collect()
+    before = len(jsc.getRDDStorageInfo())
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    inner = base.groupBy("k").count()
+    out = retain(inner.join(inner.selectExpr("k", "count AS c2"), "k"), inner)
+    assert out.count() == 5  # action populates the scoped cache
+    assert len(jsc.getRDDStorageInfo()) > before  # cache entry live
+    del out, inner
+    gc.collect()
+    # finalizer unpersisted the JVM-side entry
+    assert len(jsc.getRDDStorageInfo()) <= before

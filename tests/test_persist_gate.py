@@ -28,8 +28,16 @@ from pathlib import Path
 PKG = Path(__file__).resolve().parent.parent / "mi_inbound_pulsar_spark"
 
 # Modules allowed to persist: they drain and unpersist within one
-# foreachBatch invocation (checked below: #persist <= #unpersist).
-LIFECYCLE_OWNERS = {"streaming/privacy.py", "streaming/curation.py"}
+# foreachBatch invocation (checked below: #persist <= #unpersist), or
+# implement the scoped-persist helper itself (plans/iterate.py: the
+# cache entry is tied to the result frame's lifetime via a weakref
+# finalizer that unpersists — the sanctioned way for an intermediate
+# scanned multiple times inside ONE returned plan).
+LIFECYCLE_OWNERS = {
+    "streaming/privacy.py",
+    "streaming/curation.py",
+    "plans/iterate.py",
+}
 
 _PERSIST = re.compile(r"\.persist\(")
 _UNPERSIST = re.compile(r"\.unpersist\(")
