@@ -224,6 +224,51 @@ HEADLINE = [
     "q_expected_shortfall",
     "q_benjamini_yekutieli",
     "q_median_polish",
+    # round-10 roll-forward (round-9 verdict item #2): every round-9
+    # registration that predated this file's last freeze and therefore
+    # shipped without a committed wall-time ledger entry — the
+    # ranktests/agreement/divergences/mregression/posthoc/clusterval
+    # tails plus the forecast-skill and early-round-9 leftovers. No
+    # new operators (registry growth is frozen this round); this is
+    # ledger coverage only.
+    "q_breusch_pagan",
+    "q_bartlett_test",
+    "q_cochran_q",
+    "q_lexical_richness",
+    "q_msttr_diversity",
+    "q_ks_model_separation",
+    "q_pr_auc_average_precision",
+    "q_rich_club",
+    "q_markov_entropy_rate",
+    "q_e_value_sensitivity",
+    "q_tost_equivalence",
+    "q_mase_theil_u",
+    "q_max_drawdown",
+    "q_decomposition_strength",
+    "q_anderson_darling_2sample",
+    "q_ansari_bradley",
+    "q_mood_scale_test",
+    "q_lepage_test",
+    "q_baumgartner_weiss",
+    "q_sign_test",
+    "q_wilcoxon_signed_rank",
+    "q_icc_oneway",
+    "q_gwet_ac1",
+    "q_weighted_kappa",
+    "q_hellinger_tv_distance",
+    "q_renyi_entropy",
+    "q_atkinson_theil",
+    "q_ols_two_factor",
+    "q_partial_correlation",
+    "q_chow_test",
+    "q_mahalanobis_outliers",
+    "q_hotelling_t2",
+    "q_fisher_z_corr_diff",
+    "q_tukey_hsd",
+    "q_games_howell",
+    "q_page_trend_test",
+    "q_quade_test",
+    "q_dunn_index",
 ]
 
 #: the round-3 headline set, frozen: summing these from the current run
@@ -360,6 +405,54 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def _composed_throughput(spark, sf_dir: str) -> float:
+    """End-to-end throughput of the COMPOSED gates pipeline (redact →
+    privacy park-and-release → curation, all state writes and commit
+    markers included): the documents table split into 3 epochs and
+    replayed through ComposedGatesPipeline. Returns input rows/s.
+    The single-stage streaming number above can't see regressions at
+    the composition seams (the released-frame re-read, the shared
+    marker protocol), so the composition gets its own gate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mi_inbound_pulsar_spark.sources.tables import load_table
+    from mi_inbound_pulsar_spark.streaming.composed import ComposedGatesPipeline
+
+    root = tempfile.mkdtemp(prefix="bench_composed_")
+    try:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr("n_chars DIV 150").alias("band"),
+            "text",
+        )
+        n_rows = d.count()
+        pipe = ComposedGatesPipeline(
+            state_dir=os.path.join(root, "state"),
+            out_dir=os.path.join(root, "out"),
+            qi_cols=["lang"],
+            band_col="band",
+            num_partitions=8,
+        )
+        hi = d.agg(F.max("doc_id")).first()[0] or 0
+        cuts = (hi // 3, 2 * hi // 3)
+        t0 = time.time()
+        pipe(d.filter(F.col("doc_id") <= cuts[0]), 0)
+        pipe(
+            d.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+            1,
+        )
+        pipe(d.filter(F.col("doc_id") > cuts[1]), 2)
+        elapsed = time.time() - t0
+        return round(n_rows / elapsed, 1) if elapsed > 0 else 0.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -428,6 +521,7 @@ def main() -> int:
     # rows/s end-to-end including micro-batch scheduling, the number
     # the reference's polling consumer would be measured by.
     streaming_rps = _streaming_throughput(spark, sf_dir)
+    composed_rps = _composed_throughput(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     # regression gate: any query >1.3x its previous round's best is a
@@ -466,6 +560,9 @@ def main() -> int:
                 "queries_full": "BENCH_FULL.json",
                 "regressions": regressions,
                 "streaming_rows_per_sec": streaming_rps,
+                # composed 3-gate pipeline (redact->privacy->curation),
+                # 3 epochs end-to-end incl. state writes + markers
+                "composed_gates_rows_per_sec": composed_rps,
                 "sf": sf,
                 # like-for-like round-over-round comparator: the frozen
                 # round-3 query set's total under this run

@@ -86,20 +86,19 @@ def test_scoped_persist_releases_on_owner_gc(spark):
 
     from mi_inbound_pulsar_spark.plans.iterate import retain
 
-    # delta-based: earlier tests' localCheckpoint blocks also appear in
-    # RDD storage info, so assert on the CHANGE this cache causes, not
-    # on global emptiness
-    jsc = spark.sparkContext._jsc.sc()
-    gc.collect()
-    before = len(jsc.getRDDStorageInfo())
+    # exact, not delta-based: global RDD-storage counts race with the
+    # async ContextCleaner reaping OTHER tests' checkpoint blocks, so
+    # ask the CacheManager about THIS plan specifically
+    cm = spark._jsparkSession.sharedState().cacheManager()
     base = spark.range(1000).select(
         F.col("id"), (F.col("id") % 5).alias("k")
     )
     inner = base.groupBy("k").count()
+    jdf = inner._jdf
     out = retain(inner.join(inner.selectExpr("k", "count AS c2"), "k"), inner)
     assert out.count() == 5  # action populates the scoped cache
-    assert len(jsc.getRDDStorageInfo()) > before  # cache entry live
+    assert cm.lookupCachedData(jdf).isDefined()  # cache entry live
     del out, inner
     gc.collect()
     # finalizer unpersisted the JVM-side entry
-    assert len(jsc.getRDDStorageInfo()) <= before
+    assert not cm.lookupCachedData(jdf).isDefined()

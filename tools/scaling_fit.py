@@ -54,6 +54,7 @@ FLAGSHIPS = [
     "q_dsir_selection",
     "q_doremi_reweight",
     "q_ann_ivf_topk",
+    "q_knn_graph_components",
     "q_kcore_peel",
     "q_landmark_harmonic",
     "q_link_prediction_panel",
