@@ -84,9 +84,26 @@ def exponent(times: dict[str, float]) -> float | None:
     return math.log10(t2 / t1)
 
 
+def latest_round() -> int:
+    """Highest N with a complete VERIFY_FULL_rNN tri-scale artifact set."""
+    import re
+
+    rounds: set[int] = set()
+    for p in ROOT.glob("VERIFY_FULL_r*_sf0.1.json"):
+        m = re.fullmatch(r"VERIFY_FULL_r(\d+)_sf0\.1\.json", p.name)
+        if m and all(
+            (ROOT / f"VERIFY_FULL_r{int(m.group(1)):02d}_{sf}.json").exists()
+            for sf in SFS
+        ):
+            rounds.add(int(m.group(1)))
+    if not rounds:
+        raise SystemExit("no complete VERIFY_FULL_rNN tri-scale artifact set")
+    return max(rounds)
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    round_no = int(args[0]) if args else 10
+    round_no = int(args[0]) if args else latest_round()
     show_all = "--all" in sys.argv
     data = load(round_no)
 
