@@ -274,3 +274,72 @@ def test_max_drawdown_sf001(spark):
     assert got["trough_day"] == trough_day
     assert abs(got["mdd_vs_range"] - mdd / eq_range) < 1e-6
     assert mdd > 0  # the statistic actually exercises its path logic
+
+
+def _paired_diffs_py():
+    """Per-part cents difference of avg extended price between 'F' and
+    'O' baskets — the q_sign_test / q_wilcoxon paired design."""
+    lt = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_extendedprice"]
+    )
+    ot = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    status = {
+        k: s
+        for k, s in zip(ot["o_orderkey"].to_pylist(), ot["o_orderstatus"].to_pylist())
+        if s in ("F", "O")
+    }
+    sums = {}
+    for ok, pk, px in zip(
+        lt["l_orderkey"].to_pylist(),
+        lt["l_partkey"].to_pylist(),
+        lt["l_extendedprice"].to_pylist(),
+    ):
+        s = status.get(ok)
+        if s is None:
+            continue
+        f, fn, o, on = sums.get(pk, (0.0, 0, 0.0, 0))
+        if s == "F":
+            f += px; fn += 1
+        else:
+            o += px; on += 1
+        sums[pk] = (f, fn, o, on)
+    out = []
+    for pk, (f, fn, o, on) in sums.items():
+        if fn and on:
+            out.append(int(round(f / fn * 100)) - int(round(o / on * 100)))
+    return out
+
+
+def test_sign_test_sf001(spark):
+    """d = 0 exact-zero drops are the tie class here: integer cents
+    make zero differences REAL, and how many land at exactly zero is
+    sf-dependent. Replay counts and both z forms at the second scale."""
+    from mi_inbound_pulsar_spark.operators.ranktests import q_sign_test
+
+    got = _row(q_sign_test(spark, SF))
+    ds = _paired_diffs_py()
+    n_pos = sum(1 for d in ds if d > 0)
+    n_neg = sum(1 for d in ds if d < 0)
+    n_zero = sum(1 for d in ds if d == 0)
+    n = n_pos + n_neg
+    assert got["n_pos"] == n_pos
+    assert got["n_neg"] == n_neg
+    assert got["n_zero"] == n_zero
+    assert abs(got["z"] - (n_pos - n / 2) / math.sqrt(n / 4)) < 1e-6
+    assert abs(
+        got["z_continuity"] - (abs(n_pos - n / 2) - 0.5) / math.sqrt(n / 4)
+    ) < 1e-6
+
+
+def test_wilcoxon_tie_term_nonzero_sf001():
+    """The Wilcoxon tie-correction term ΣT(t²−1)... is only exercised
+    when |d| values actually tie — assert the sf0.01 paired domain has
+    real |d| ties so the replay above (and the engine's tie term) is
+    not vacuously passing on a tie-free sample."""
+    from collections import Counter
+
+    ds = [abs(d) for d in _paired_diffs_py() if d != 0]
+    ties = Counter(ds)
+    assert any(c > 1 for c in ties.values()), "no |d| ties at sf0.01"

@@ -277,3 +277,55 @@ def test_same_epoch_torn_twice_replays_cleanly(spark):
         (r["doc_id"], r["stream_offset"]) for r in pipe.read_output(spark).collect()
     )
     assert got == want and got
+
+
+def test_crash_inside_curation_families_replays_cleanly(spark):
+    """The FOURTH seam: privacy fully lands and curation dies MID-WAY
+    through its own families — hashes/v1 and shingles/v1 on disk, the
+    packed output and offsets/v1 not. No marker, so the replay must
+    rewrite the half-landed dedup index from the epoch-0 snapshot; an
+    append-style index write would double-insert epoch 1's survivors
+    and the replay's dedup would then drop them as self-duplicates."""
+    b0 = _frame(spark, [_doc(i, "en", i % 3) for i in range(0, 8)])
+    b1 = _frame(
+        spark,
+        [_doc(i, "en", i % 3) for i in range(8, 12)]
+        + [_doc(i, "fr", i % 3) for i in range(12, 18)],
+    )
+
+    ctl = _pipe()
+    ctl(b0, 0)
+    ctl(b1, 1)
+    want = sorted(
+        (r["doc_id"], r["stream_offset"]) for r in ctl.read_output(spark).collect()
+    )
+
+    pipe = _pipe()
+    pipe(b0, 0)
+    cur = pipe.curation
+    real_write = cur._write
+
+    def torn_write(df, root, epoch_id, key):
+        real_write(df, root, epoch_id, key)
+        if os.path.basename(root) == "shingles" and epoch_id == 1:
+            raise RuntimeError("injected crash inside curation")
+
+    cur._write = torn_write
+    with pytest.raises(RuntimeError, match="inside curation"):
+        pipe(b1, 1)
+    cur._write = real_write
+
+    # torn epoch: privacy families + curation's index families landed,
+    # the packed output and offsets did not; no marker, readers blind
+    assert os.path.isdir(os.path.join(pipe.state_dir, "released", "v1"))
+    assert os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
+    assert os.path.isdir(os.path.join(pipe.state_dir, "shingles", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.state_dir, "offsets", "v1"))
+    assert pipe._committed_epochs() == [0]
+
+    pipe(b1, 1)  # replay rewrites every v1 family
+    assert pipe._committed_epochs() == [0, 1]
+    got = sorted(
+        (r["doc_id"], r["stream_offset"]) for r in pipe.read_output(spark).collect()
+    )
+    assert got == want and got
