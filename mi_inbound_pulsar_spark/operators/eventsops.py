@@ -523,16 +523,51 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WM_PARTITIONS = 8
+WM_JITTER_US = 3_600_000_000  # 0..1 h simulated transport delay
+
+
+def _wm_sqls():
+    import re
+
+    from mi_inbound_pulsar_spark.operators.auditstats import _hexval_sql
+
+    def wide(sql: str) -> str:
+        # 8 hex chars: term multipliers reach 16^7 — widen them to
+        # BIGINT or Spark's ANSI INT arithmetic overflows (DuckDB
+        # accepts the same CAST, so the oracle stays identical)
+        return re.sub(r"\* (\d+)", r"* CAST(\1 AS BIGINT)", sql)
+
+    part = (
+        _hexval_sql("md5(concat('wmpart:', CAST(user_id AS STRING)))", 2)
+        + f" % {WM_PARTITIONS}"
+    )
+    jitter = (
+        wide(_hexval_sql("md5(concat('wmjit:', CAST(event_id AS STRING)))", 8))
+        + f" % {WM_JITTER_US}"
+    )
+    return part, jitter
+
+
+_WM_PART_SQL, _WM_JITTER_SQL = _wm_sqls()
+
+
 @query(
     "q_watermark_calibration",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id,
-             epoch_us(ts) - max(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY event_id
+    oracle=f"""
+    WITH arr AS (
+      SELECT {_WM_PART_SQL} AS part_id,
+             event_id,
+             epoch_us(ts) AS ev_us,
+             epoch_us(ts) + {_WM_JITTER_SQL} AS arr_us
+      FROM events
+    ),
+    seq AS (
+      SELECT ev_us - max(ev_us) OVER (
+               PARTITION BY part_id ORDER BY arr_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS lead_us
-      FROM events
+      FROM arr
     ),
     lag_us AS (
       SELECT CASE WHEN lead_us < 0 THEN -lead_us ELSE 0 END AS disorder_us,
@@ -542,36 +577,52 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_arrivals,
            CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
            round(avg(CASE WHEN is_late THEN 1.0 ELSE 0.0 END), 6) AS late_fraction,
-           round(quantile_cont(disorder_us, 0.95), 6) AS p95_disorder_us,
-           round(quantile_cont(disorder_us, 0.99), 6) AS p99_disorder_us,
+           round(quantile_cont(disorder_us, 0.95), -3) AS p95_disorder_us,
+           round(quantile_cont(disorder_us, 0.99), -3) AS p99_disorder_us,
            max(disorder_us) AS max_disorder_us
     FROM lag_us
     """,
 )
 def q_watermark_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-orderness audit that *calibrates the watermark*: for each
-    per-key arrival (arrival order ≙ event_id), the lag behind the
-    running max event time seen so far. p99 of that disorder IS the
-    ``withWatermark`` delay that would keep ≤1% of late rows from being
-    dropped — this query turns the streaming knob into a measured
-    quantity instead of a guess.
+    """Out-of-orderness audit that *calibrates the watermark*: events
+    are routed to 8 simulated topic partitions by key hash (exactly
+    Pulsar's key_hash % N routing) and arrive with a deterministic
+    md5-derived transport jitter of 0..1 h; per partition, each
+    arrival's event time is compared with the running max event time
+    over ARRIVAL order. p99 of that disorder IS the ``withWatermark``
+    delay that would keep ≤1% of late rows from being dropped — the
+    streaming knob as a measured quantity instead of a guess.
 
-    Plan: one window over the (user_id, arrival-order) partitioning —
-    the same single-Exchange shape as the sessionizer — then one global
+    Why the simulated arrival clock (round-10 fix): the synthetic feed
+    records no separate arrival time and its event_id is monotone with
+    ts, so the previous arrival proxy made every disorder metric
+    IDENTICALLY ZERO at every scale factor — oracle-green but
+    degenerate, the q_max_drawdown lesson. The md5 jitter is evaluated
+    bit-identically by Spark SQL and DuckDB (the portable-sketch hash
+    idiom), so the whole calibration stays value-checked end to end.
+
+    Plan: one window per (partition, arrival-order) — the same
+    single-Exchange shape as the sessionizer — then one global
     aggregate. Exact integer-µs disorder; exact interpolated
     percentiles (``percentile`` ≙ DuckDB ``quantile_cont``). At 100 TB
-    the per-key window partitions by the stream's key space and the
+    the window partitions by the topic's real partition count and the
     final aggregate is a single small reduce.
     """
     e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    arr = e.select(
+        F.expr(_WM_PART_SQL).alias("part_id"),
+        "event_id",
+        us.alias("ev_us"),
+        (us + F.expr(_WM_JITTER_SQL)).alias("arr_us"),
+    )
     w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
+        Window.partitionBy("part_id")
+        .orderBy("arr_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    us = F.unix_micros("ts")
-    seq = e.select(
-        (us - F.max(us).over(w)).alias("lead_us"),
+    seq = arr.select(
+        (F.col("ev_us") - F.max("ev_us").over(w)).alias("lead_us"),
     ).filter(F.col("lead_us").isNotNull())
     lagged = seq.select(
         F.when(F.col("lead_us") < 0, -F.col("lead_us")).otherwise(F.lit(0)).alias("disorder_us"),
@@ -581,8 +632,11 @@ def q_watermark_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_arrivals"),
         F.sum(F.col("is_late").cast("long")).alias("n_out_of_order"),
         F.round(F.avg(F.col("is_late").cast("double")), 6).alias("late_fraction"),
-        F.round(F.percentile("disorder_us", F.lit(0.95)), 6).alias("p95_disorder_us"),
-        F.round(F.percentile("disorder_us", F.lit(0.99)), 6).alias("p99_disorder_us"),
+        # ms-precision rounding: interpolated percentiles of 1e9-scale
+        # integer us sit at the double-precision edge where 6dp rounding
+        # diverges across engines by 1e-6
+        F.round(F.percentile("disorder_us", F.lit(0.95)), -3).alias("p95_disorder_us"),
+        F.round(F.percentile("disorder_us", F.lit(0.99)), -3).alias("p99_disorder_us"),
         F.max("disorder_us").alias("max_disorder_us"),
     )
 

@@ -108,6 +108,11 @@ def test_watermark_calibration_percentiles_ordered(spark, sf_dir):
     assert 0.0 <= r["late_fraction"] <= 1.0
     assert r["p95_disorder_us"] <= r["p99_disorder_us"] <= r["max_disorder_us"]
     assert r["n_out_of_order"] <= r["n_arrivals"]
+    # non-degeneracy (round-10): the jittered arrival clock must
+    # actually produce out-of-order arrivals — the pre-fix proxy made
+    # every disorder metric identically zero at every scale factor
+    assert r["n_out_of_order"] > 0
+    assert r["max_disorder_us"] > 0
 
 
 def test_cluster_keeper_members_and_chars_consistent(spark, sf_dir):
