@@ -91,7 +91,13 @@ def _ref_semdedup(vecs: list[tuple[int, int]], eps: float, stride: int):
 
     cent_ids = ids[ids % stride == 0] // stride
     cents = units[ids % stride == 0]
-    sims = units @ cents.T
+    # 9dp quantization BEFORE the argmax, mirroring the engine's
+    # documented contract (similarity.py assign()): two centroids with
+    # the same direction but different magnitudes produce ulp-level
+    # cosine differences (u·u vs u·u' for bitwise-close u'), and an
+    # unquantized argmax picks whichever is an ulp larger — hypothesis
+    # found exactly that with centroids (-1,1) and (-3,3)
+    sims = np.round(units @ cents.T, 9)
     best = np.argmax(sims, axis=1)
     cell = cent_ids[best]
     cent_sim = np.round(sims[np.arange(len(ids)), best], 6)
@@ -145,3 +151,27 @@ def test_semdedup_groups_match_bruteforce(spark, vecs, eps_pct):
     vecs32 = [tuple(np.array(v, dtype=np.float32).astype(np.float64)) for v in vecs]
     want = sorted(_ref_semdedup(vecs32, eps, stride=2))
     assert got == want
+
+
+def test_semdedup_equal_direction_centroid_tie(spark):
+    """Regression pin for the hypothesis-found case: centroids (-1,1)
+    and (-3,3) have the same direction, so a document parallel to both
+    has cosine 1 to each up to an ulp. The engine quantizes to 9dp
+    before the argmax and must deterministically pick the LOWEST cell;
+    an unquantized reference flips to whichever centroid is an ulp
+    closer (the grp/cell cascade then disagrees everywhere)."""
+    from mi_inbound_pulsar_spark.operators.similarity import semdedup_groups
+
+    vecs = [(-1, 1), (0, 0), (0, 0), (0, 0), (-3, 3)]
+    e = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r.grp, r.cell, r.n_members, r.keeper_vec_id, r.n_pruned)
+        for r in semdedup_groups(e, eps=0.5, stride=2).collect()
+    )
+    vecs32 = [tuple(np.array(v, dtype=np.float32).astype(np.float64)) for v in vecs]
+    assert got == sorted(_ref_semdedup(vecs32, 0.5, stride=2))
+    # and the tie resolves to the LOWEST cell id
+    assert got == [(0, 0, 2, 0, 1)]
