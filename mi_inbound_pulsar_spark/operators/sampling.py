@@ -1604,7 +1604,15 @@ def q_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # DP median via the exponential mechanism (deterministic Gumbel trick)
 # --------------------------------------------------------------------------
-DPQ_EPSILON = 1.0
+# round-10 recalibration: at eps=1.0 the mechanism was effectively
+# deterministic on this domain (rank_error identically 0 at every
+# scale factor - the utility gaps dwarf Gumbel noise, so the noise
+# path was oracle-green dead code). eps=0.02 is a strong-privacy
+# regime where the perturbation genuinely flips the argmax at all
+# three scale factors (measured rank_error 41 / 33 / 76 doc-ranks),
+# while accuracy still visibly improves with n - the DP tradeoff the
+# rank_error column exists to show.
+DPQ_EPSILON = 0.02
 
 
 @query(

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.operators.text import QL_MU
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
@@ -1362,9 +1363,10 @@ RBO_P = 0.9
       FROM documents
     ),
     s AS (
-      SELECT count(*) AS n, avg(dl) AS avgdl,
+      SELECT count(*) AS n, avg(dl) AS avgdl, sum(dl) AS tt,
              count_if(tf1 > 0) AS df1, count_if(tf2 > 0) AS df2,
-             count_if(tf3 > 0) AS df3
+             count_if(tf3 > 0) AS df3,
+             sum(tf1) AS cf1, sum(tf2) AS cf2, sum(tf3) AS cf3
       FROM t
     ),
     lex AS (
@@ -1381,14 +1383,15 @@ RBO_P = 0.9
       WHERE tf1 + tf2 + tf3 > 0
       QUALIFY ra <= {RBO_DEPTH}
     ),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    probe AS (SELECT emb AS p_emb FROM e WHERE vec_id = 0),
     sem AS (
-      SELECT vec_id AS doc_id,
-             row_number() OVER (
-               ORDER BY round(list_cosine_similarity(emb, p_emb), 6) DESC, vec_id
-             ) AS rb
-      FROM e, probe WHERE vec_id != 0
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(
+               ln((tf1 + {QL_MU} * cf1 / tt) / (dl + {QL_MU}))
+             + ln((tf2 + {QL_MU} * cf2 / tt) / (dl + {QL_MU}))
+             + ln((tf3 + {QL_MU} * cf3 / tt) / (dl + {QL_MU})), 6)
+               DESC, doc_id) AS rb
+      FROM t, s
+      WHERE tf1 + tf2 + tf3 > 0
       QUALIFY rb <= {RBO_DEPTH}
     ),
     joined AS (
@@ -1413,13 +1416,18 @@ RBO_P = 0.9
 )
 def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-biased overlap (Webber et al. 2010, truncated at depth
-    {RBO_DEPTH}, p={RBO_P}) between the lexical BM25 ranking and the
-    semantic cosine ranking — the top-weighted agreement measure an
-    IR owner reads before deciding whether dense retrieval actually
-    changes the ranking (Kendall over full lists over-weights the
-    tail; RBO's geometric decay matches user attention). Same shared
-    id-space conceit as ``q_hybrid_search_rrf``, whose two ranking
-    arms this reuses verbatim.
+    {RBO_DEPTH}, p={RBO_P}) between the BM25 ranking and the Dirichlet
+    query-likelihood ranking of the SAME query terms over the same
+    documents — the top-weighted agreement an IR owner reads before
+    deciding whether a scorer swap actually changes the ranking
+    (Kendall over full lists over-weights the tail; RBO's geometric
+    decay matches user attention). Round-10 fix: the previous second
+    arm ranked EMBEDDINGS by cosine under a shared id-space conceit,
+    and the two top-{RBO_DEPTH} lists never intersected at any scale
+    factor — overlap and RBO were identically zero, so the geometric
+    machinery was oracle-green dead code (the degeneracy-audit class).
+    BM25-vs-QL is the textbook lexical model comparison and overlaps
+    roughly half the list here, so every RBO term is exercised.
 
     Hash-exactness: both rankings order by 6dp-rounded scores with id
     tie-breaks (integer ranks are engine-identical); the RBO sum is
@@ -1428,7 +1436,10 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both arms cut to depth via TakeOrderedAndProject; the
     overlap join and depth series are ≤{RBO_DEPTH}-row frames.
     """
-    from mi_inbound_pulsar_spark.operators.text import bm25_scored
+    from mi_inbound_pulsar_spark.operators.text import (
+        TFIDF_TERMS,
+        bm25_scored,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     lex = (
@@ -1441,25 +1452,45 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "ra")
     )
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    # Dirichlet query-likelihood arm over the SAME term set: corpus
+    # term masses (cf_i) and total tokens come from ALL documents,
+    # candidates are the >=1-match docs (mirroring the lex arm)
+    words = F.split(F.col("text"), " ")
+
+    def tf_col(term: str):
+        # NB: a two-parameter lambda here would bind (element, index)
+        return F.size(F.filter(words, lambda w: w == term))
+
+    t = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[tf_col(term).alias(f"tf{i+1}") for i, term in enumerate(TFIDF_TERMS)],
     )
-    probe = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("p_emb"))
-    dot = F.aggregate(
-        F.zip_with("emb", "p_emb", lambda a, b: a * b),
+    k = len(TFIDF_TERMS)
+    stats = t.agg(
+        F.sum("dl").alias("tt"),
+        *[F.sum(f"tf{i+1}").alias(f"cf{i+1}") for i in range(k)],
+    )
+    qls = sum(
+        (
+            F.log(
+                (F.col(f"tf{i+1}") + QL_MU * F.col(f"cf{i+1}") / F.col("tt"))
+                / (F.col("dl") + QL_MU)
+            )
+            for i in range(k)
+        ),
         F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("p_emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    any_tf = sum((F.col(f"tf{i+1}") for i in range(k)), F.lit(0))
     sem = (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(probe))
-        .select(F.col("vec_id").alias("doc_id"), F.round(dot / (na * nb), 6).alias("sim"))
-        .orderBy(F.desc("sim"), "doc_id")
+        t.join(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(qls, 6).alias("qlscore"))
+        .orderBy(F.desc("qlscore"), "doc_id")
         .limit(RBO_DEPTH)
         .withColumn(
-            "rb", F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id"))
+            "rb",
+            F.row_number().over(Window.orderBy(F.desc("qlscore"), "doc_id")),
         )
         .select("doc_id", "rb")
     )

@@ -447,49 +447,74 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
     tf AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
+    med AS (SELECT quantile_cont(cf, 0.5) AS m FROM tf),
     scored AS (
       SELECT t.doc_id,
              count(*) AS n_tokens,
-             count(*) FILTER (WHERE tf.cf < 20) AS n_rare
-      FROM tok t JOIN tf ON t.token = tf.token
+             count(*) FILTER (WHERE tf.cf * 5 < med.m) AS n_rare
+      FROM tok t JOIN tf ON t.token = tf.token, med
       GROUP BY t.doc_id
-    )
+    ),
+    ratios AS (
+      SELECT doc_id, n_tokens, n_rare,
+             n_rare * 1.0 / n_tokens AS ratio
+      FROM scored
+    ),
+    cut AS (SELECT quantile_cont(ratio, 0.95) AS p95 FROM ratios)
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_rare AS BIGINT) AS n_rare,
-           round(n_rare * 1.0 / n_tokens, 6) AS rare_ratio,
-           n_rare * 1.0 / n_tokens > 0.15 AS flagged
-    FROM scored ORDER BY doc_id
+           round(ratio, 6) AS rare_ratio,
+           (ratio >= cut.p95 AND ratio > 0) AS flagged
+    FROM ratios, cut ORDER BY doc_id
     """,
 )
 def q_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-token quality signal (the integer-exact core of CCNet-style
     LM filtering): fraction of a document's tokens whose corpus
-    frequency is below a threshold. High ratio ⇒ noise/garble/OCR
-    damage — a standard drop rule in corpus curation. Counting rare
-    tokens instead of averaging log-probabilities keeps every
-    intermediate an integer, so the oracle matches exactly (a float
-    logprob sum would be summation-order sensitive).
+    frequency is far below typical — rarity is RELATIVE (cf < 20% of
+    the median token frequency) and the drop flag is DISTRIBUTIONAL
+    (ratio ≥ the corpus p95, among docs with any rare token). High
+    ratio ⇒ noise/garble/OCR damage — a standard drop rule in corpus
+    curation.
 
-    Plan: one token-frequency aggregate (map-side partial), one join
-    back on the token key, one per-doc aggregate. The frequency table
-    is |vocab|-sized — broadcastable in practice.
+    Why relative (round-10 fix): the original absolute ``cf < 20``
+    rule could never fire — token frequencies scale with corpus size
+    (min cf is 29 at sf0.001 and grows 10× per sf step), so n_rare and
+    the flag were identically zero at every scale factor: oracle-green
+    dead code (the degeneracy-audit class). A median-relative cut is
+    scale-invariant — exactly the property an absolute count lacks at
+    100 TB — and the percentile flag fires on ~5% of docs at every sf
+    by construction. Counting rare tokens instead of averaging
+    log-probabilities keeps the per-doc numerator an integer.
+
+    Plan: one token-frequency aggregate (map-side partial), two scalar
+    quantiles broadcast back, one join on the token key, one per-doc
+    aggregate. The frequency table is |vocab|-sized — broadcastable.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
-    return (
-        tok.join(tf, "token")
+    med = tf.agg(F.percentile("cf", F.lit(0.5)).alias("m"))
+    ratios = (
+        tok.join(tf.crossJoin(F.broadcast(med)), "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.count_if(F.col("cf") < 20).alias("n_rare"),
+            F.count_if(F.col("cf") * 5 < F.col("m")).alias("n_rare"),
         )
+        .withColumn("ratio", F.col("n_rare") / F.col("n_tokens"))
+    )
+    cut = ratios.agg(F.percentile("ratio", F.lit(0.95)).alias("p95"))
+    return (
+        ratios.crossJoin(F.broadcast(cut))
         .select(
             "doc_id",
             "n_tokens",
             "n_rare",
-            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_ratio"),
-            (F.col("n_rare") / F.col("n_tokens") > 0.15).alias("flagged"),
+            F.round(F.col("ratio"), 6).alias("rare_ratio"),
+            (
+                (F.col("ratio") >= F.col("p95")) & (F.col("ratio") > 0)
+            ).alias("flagged"),
         )
         .orderBy("doc_id")
     )
@@ -982,11 +1007,16 @@ def q_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(-ln((lm.f + 1.0) / (tot.t + tot.v))) AS nll
       FROM tok JOIN lm USING (term) CROSS JOIN tot
       GROUP BY tok.doc_id
-    )
+    ),
+    ratios AS (
+      SELECT doc_id, n_tokens, round(nll / n_tokens, 6) AS mean_nll
+      FROM scored
+    ),
+    cut AS (SELECT quantile_cont(mean_nll, 0.95) AS p95 FROM ratios)
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           round(nll / n_tokens, 6) AS mean_nll,
-           (nll / n_tokens > 4.3) AS flagged
-    FROM scored
+           mean_nll,
+           (mean_nll >= cut.p95) AS flagged
+    FROM ratios, cut
     ORDER BY doc_id
     """,
 )
@@ -997,16 +1027,25 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     token mix is improbable under the corpus distribution (spam,
     boilerplate, wrong language) score high and get flagged.
 
+    The flag is DISTRIBUTIONAL (mean_nll ≥ the corpus p95) rather than
+    an absolute nats cut (round-10 fix): with a closed synthetic
+    vocabulary the mean NLL is bounded by ln|V| ≈ 3.4 nats, so the old
+    ``> 4.3`` flag was identically false at every scale factor —
+    oracle-green dead code. The cut compares the 6dp-ROUNDED mean_nll
+    (the exact value the hash already proves equal across engines), so
+    an ulp-level summation-order difference cannot flip a boundary doc.
+
     Plan: one vocabulary groupBy builds the LM, broadcast back onto the
     token stream (the LM is vocabulary-sized, inherently broadcastable),
-    one per-doc aggregate. At 100 TB the LM would be trained on a
-    sample slice with identical plan shape.
+    one per-doc aggregate plus one scalar quantile broadcast back. At
+    100 TB the LM would be trained on a sample slice with identical
+    plan shape.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
     tot = lm.agg(F.sum("f").alias("t"), F.count(F.lit(1)).alias("v"))
-    scored = (
+    ratios = (
         tok.join(F.broadcast(lm), "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
@@ -1014,13 +1053,23 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(-F.log((F.col("f") + F.lit(1.0)) / (F.col("t") + F.col("v")))).alias("nll"),
         )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("nll") / F.col("n_tokens"), 6).alias("mean_nll"),
+        )
     )
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.col("nll") / F.col("n_tokens"), 6).alias("mean_nll"),
-        (F.col("nll") / F.col("n_tokens") > 4.3).alias("flagged"),
-    ).orderBy("doc_id")
+    cut = ratios.agg(F.percentile("mean_nll", F.lit(0.95)).alias("p95"))
+    return (
+        ratios.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_nll",
+            (F.col("mean_nll") >= F.col("p95")).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -2369,11 +2418,17 @@ BIGRAM_LM_ADD_K = 0.5
                        / (uni.cu + {BIGRAM_LM_ADD_K} * vocab.v))) AS nll
       FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
       GROUP BY bg.doc_id
-    )
+    ),
+    ratios AS (
+      SELECT doc_id, n_bigrams,
+             round(nll / n_bigrams, 6) AS cross_entropy_bits
+      FROM scored
+    ),
+    cut AS (SELECT quantile_cont(cross_entropy_bits, 0.95) AS p95 FROM ratios)
     SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-           round(nll / n_bigrams, 6) AS cross_entropy_bits,
-           (nll / n_bigrams > 8.0) AS flagged
-    FROM scored ORDER BY doc_id
+           cross_entropy_bits,
+           (cross_entropy_bits >= cut.p95) AS flagged
+    FROM ratios, cut ORDER BY doc_id
     """,
 )
 def q_bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2384,8 +2439,12 @@ def q_bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     same statistic from a 5-gram model). P(w2|w1) = (c(w1,w2)+k) /
     (c(w1)+k·V); documents with improbable transition structure (word
     salad that unigram frequency cannot see) score high and get
-    flagged. The threshold compares the unrounded value identically on
-    both sides.
+    flagged. The flag is DISTRIBUTIONAL — cross-entropy ≥ the corpus
+    p95 of the 6dp-rounded value (round-10 fix: the old absolute
+    8-bits cut was identically false at every scale factor on the
+    closed synthetic vocabulary; comparing the ROUNDED value, which
+    the hash already proves equal across engines, keeps the boundary
+    ulp-safe).
 
     Plan: two vocabulary-bounded groupBys build the model (bigram and
     unigram tables); the per-doc bigram stream joins the model on its
@@ -2427,13 +2486,26 @@ def q_bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nll_term).alias("nll"),
         )
     )
-    ce = F.col("nll") / F.col("n_bigrams")
-    return scored.select(
+    ratios = scored.select(
         "doc_id",
         "n_bigrams",
-        F.round(ce, 6).alias("cross_entropy_bits"),
-        (ce > 8.0).alias("flagged"),
-    ).orderBy("doc_id")
+        F.round(F.col("nll") / F.col("n_bigrams"), 6).alias(
+            "cross_entropy_bits"
+        ),
+    )
+    cut = ratios.agg(
+        F.percentile("cross_entropy_bits", F.lit(0.95)).alias("p95")
+    )
+    return (
+        ratios.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "cross_entropy_bits",
+            (F.col("cross_entropy_bits") >= F.col("p95")).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1171,7 +1171,9 @@ SPC_MR_CONST = 2.6595  # 3/d2 for n=2 moving ranges (d2 = 1.128)
            round((l.center - {SPC_MR_CONST} * l.mrbar) / 100.0, 6) AS lcl,
            round((l.center + {SPC_MR_CONST} * l.mrbar) / 100.0, 6) AS ucl,
            m.y < l.center - {SPC_MR_CONST} * l.mrbar
-             OR m.y > l.center + {SPC_MR_CONST} * l.mrbar AS out_of_control
+             OR m.y > l.center + {SPC_MR_CONST} * l.mrbar AS out_of_control,
+           abs(m.y - l.center) > {SPC_MR_CONST} * l.mrbar * 2 / 3
+             AS warning
     FROM mr m JOIN lim l USING (event_type)
     ORDER BY m.event_type, m.day
     """,
@@ -1186,7 +1188,12 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitors here use). Completes the monitoring shelf: CUSUM
     accumulates small shifts, changepoint localizes retrospectively,
     the control chart is the classic per-point alarm with known
-    false-positive rate (~0.27%).
+    false-positive rate (~0.27%). Also emits the Western Electric zone
+    A ``warning`` (beyond the 2σ-equivalent, ⅔ of the control limit)
+    — on an in-control series the 3σ alarm correctly never fires
+    (~0.27% × 30 points/series), so the warning tier is what proves
+    the signal path live on this data (round-10 degeneracy audit:
+    4-5 warnings fire at every scale factor, 3σ none — both correct).
 
     Hash-exactness: daily totals and moving ranges are exact integer
     cents; center/M̄R/limits are deterministic doubles of those; the
@@ -1224,6 +1231,10 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lcl / 100.0, 6).alias("lcl"),
             F.round(ucl / 100.0, 6).alias("ucl"),
             ((F.col("y") < lcl) | (F.col("y") > ucl)).alias("out_of_control"),
+            (
+                F.abs(F.col("y") - F.col("center"))
+                > SPC_MR_CONST * F.col("mrbar") * 2 / 3
+            ).alias("warning"),
         )
         .orderBy("event_type", "day")
     )

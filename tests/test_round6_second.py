@@ -102,9 +102,15 @@ def test_bigram_lm_flag_consistency(spark, sf_dir):
     for r in rows:
         assert r["n_bigrams"] >= 1
         assert r["cross_entropy_bits"] > 0
-        assert r["flagged"] == (r["cross_entropy_bits"] > 8.0) or abs(
-            r["cross_entropy_bits"] - 8.0
-        ) < 1e-6
+    # distributional flag (round-10): the p95 cut fires on the high
+    # tail and ONLY there — non-degenerate and order-consistent
+    flagged = [r for r in rows if r["flagged"]]
+    kept = [r for r in rows if not r["flagged"]]
+    assert flagged and kept
+    assert min(r["cross_entropy_bits"] for r in flagged) >= max(
+        r["cross_entropy_bits"] for r in kept
+    )
+    assert len(flagged) <= max(1, int(0.10 * len(rows)))
 
 
 def test_heaps_law_sublinear(spark, sf_dir):

@@ -539,6 +539,12 @@ def test_control_chart_limits_and_flags(spark, sf_dir):
                 assert r["out_of_control"]
             elif r["lcl"] + 1e-6 < r["y"] < r["ucl"] - 1e-6:
                 assert not r["out_of_control"]
+            if r["out_of_control"]:
+                assert r["warning"]  # zone A contains the 3-sigma alarms
+    # non-degeneracy (round-10): the 3-sigma alarm correctly never
+    # fires on this in-control series, so the Western Electric 2-sigma
+    # warning tier is what proves the signal path live
+    assert any(r["warning"] for r in rows)
 
 
 def test_ngram_coverage_decays_with_order(spark, sf_dir):

@@ -621,6 +621,11 @@ def test_dp_quantile_matches_python_replay(spark):
     assert got["true_median"] == true_med
     assert got["dp_median"] == win
     assert got["rank_error"] == abs(cum_le[win] - cum_le[true_med])
+    # non-degeneracy (round-10): at eps=0.02 the Gumbel perturbation
+    # must actually flip the argmax away from the true median - at
+    # eps=1.0 rank_error was identically 0 at every scale factor and
+    # the noise path was dead code
+    assert got["rank_error"] > 0
 
 
 # --------------------------------------------------------------------------
