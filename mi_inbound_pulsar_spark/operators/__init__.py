@@ -77,19 +77,76 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-10 ROTATION: the driver samples the FIRST 50 entries.
-    # Rounds 1-9 covered 394 distinct names (all green, zero overlap
-    # across nine disjoint rotations). This head is the TENTH disjoint
-    # set: the first 50 of the 109-query never-driver-checked pool in
-    # registration order (round-9 verdict item #1) — the 31 mid-round-9
-    # additions from q_granger_lag1 onward plus the first 19 of the
-    # late-round-9 additions, ending at q_tost_equivalence. ROUND-11
-    # NOTE: the remaining 59 never-driver-checked names are the
-    # registry tail after q_tost_equivalence in registration order
-    # (the rest of the ranktests/agreement/divergences/mregression/
-    # posthoc/clusterval/EVT/forecast-skill families through
-    # q_decomposition_strength) — head those 59 next round to reach
-    # 503/503 cumulative driver-hard coverage.
+    # ROUND-11 ROTATION (final): the driver samples the FIRST 50 entries.
+    # Rounds 1-10 covered 444 distinct names (all green, zero overlap
+    # across ten disjoint rotations). This head is the ELEVENTH disjoint
+    # set: 50 of the 59 remaining never-driver-checked names in
+    # registration order (round-10 verdict item #1). The 9 overflow
+    # (q_tukey_hsd .. q_dunn_index, the registry tail) sit at slots
+    # 51-59 for round 12's window AND each carries a pure-Python
+    # second-scale property replay (tests/test_overflow_replays.py)
+    # so nothing ships driver-unchecked and replay-unchecked.
+    "q_bayesian_ab_exact",
+    "q_beta_binomial_fit",
+    "q_poisson_2sample_exact",
+    "q_propensity_stratification",
+    "q_risk_difference_nnt",
+    "q_attributable_fraction",
+    "q_runs_test",
+    "q_turning_points",
+    "q_von_neumann_ratio",
+    "q_spectral_entropy",
+    "q_pacf_durbin_levinson",
+    "q_holt_winters_fixed_season",
+    "q_jarque_bera",
+    "q_mincer_zarnowitz",
+    "q_diebold_mariano",
+    "q_pettitt_test",
+    "q_durbin_watson",
+    "q_kupiec_pof",
+    "q_gpd_peaks_over_threshold",
+    "q_expected_shortfall",
+    "q_median_polish",
+    "q_mase_theil_u",
+    "q_max_drawdown",
+    "q_decomposition_strength",
+    "q_cramer_von_mises",
+    "q_anderson_darling_2sample",
+    "q_brunner_munzel",
+    "q_ansari_bradley",
+    "q_mood_scale_test",
+    "q_lepage_test",
+    "q_baumgartner_weiss",
+    "q_sign_test",
+    "q_wilcoxon_signed_rank",
+    "q_fleiss_kappa",
+    "q_icc_oneway",
+    "q_krippendorff_alpha",
+    "q_gwet_ac1",
+    "q_weighted_kappa",
+    "q_hellinger_tv_distance",
+    "q_renyi_entropy",
+    "q_energy_distance",
+    "q_atkinson_theil",
+    "q_ols_two_factor",
+    "q_partial_correlation",
+    "q_chow_test",
+    "q_market_beta",
+    "q_canonical_correlation",
+    "q_mahalanobis_outliers",
+    "q_hotelling_t2",
+    "q_fisher_z_corr_diff",
+    # -- slots 51-59: round-12 window head (replay-tested this round) --
+    "q_tukey_hsd",
+    "q_games_howell",
+    "q_jonckheere_terpstra",
+    "q_friedman_test",
+    "q_page_trend_test",
+    "q_quade_test",
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_dunn_index",
+    # -- prior rotations' heads, kept for stable ordering past slot 59 --
     "q_granger_lag1",
     "q_breusch_pagan",
     "q_kruskal_wallis",
@@ -140,7 +197,7 @@ _PRIORITY = (
     "q_e_value_sensitivity",
     "q_weighted_logrank",
     "q_tost_equivalence",
-    # -- prior rotations' heads, kept for stable ordering past slot 50 --
+    # -- older rotations' heads --
     "q_ams_f2_moment",
     "q_bloom_decontaminate",
     "q_chapman_estimator",
