@@ -328,45 +328,17 @@ SHARED_SUBSET_R7 = frozenset(
 
 
 def prior_bench_times() -> dict[str, float]:
-    """Per-query times for the regression gate's baseline, merged
-    oldest→newest so the most recent measurement of each query wins:
+    """Regression-gate baseline: the committed-round MINIMUM per query
+    across every committed ledger (driver ``BENCH_r*.json``, builder
+    ``BENCH_FULL.json``, and the tri-scale sweep's sf0.1 artifacts).
+    Round-10 verdict item #2: the old "most recent measurement wins"
+    merge let one drifted session poison the next round's baseline;
+    the minimum cannot ratchet with session drift, and folding the
+    sweep ledgers in extends gate coverage to the full registry
+    (verdict item #7). See ``mi_inbound_pulsar_spark/benchbase.py``."""
+    from mi_inbound_pulsar_spark.benchbase import committed_min_times
 
-    - driver-committed ``BENCH_r*.json`` (the driver wraps our stdout:
-      the per-query map lives under ``parsed.queries``, and ``parsed``
-      is null when the JSON line outgrew the driver's 2000-char tail —
-      the round-6 case — so older rounds still contribute);
-    - ``BENCH_FULL.json``, the full per-query map this script commits
-      every run (read BEFORE this run overwrites it, i.e. it holds the
-      previous round's numbers).
-    """
-    import re
-
-    root = Path(__file__).resolve().parent
-    rounds: list[tuple[int, Path]] = []
-    for p in root.glob("BENCH_r*.json"):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
-        if m:
-            rounds.append((int(m.group(1)), p))
-    merged: dict[str, float] = {}
-    for _, p in sorted(rounds):
-        try:
-            data = json.loads(p.read_text())
-        except (OSError, ValueError):
-            continue
-        parsed = data.get("parsed") or data  # driver wrapper or raw line
-        merged.update(
-            (k, float(v)) for k, v in (parsed.get("queries") or {}).items()
-        )
-    full = root / "BENCH_FULL.json"
-    if full.exists():
-        try:
-            data = json.loads(full.read_text())
-            merged.update(
-                (k, float(v)) for k, v in data.get("queries", {}).items()
-            )
-        except (OSError, ValueError):
-            pass
-    return merged
+    return committed_min_times(Path(__file__).resolve().parent)
 
 
 def _streaming_throughput(spark, sf_dir: str) -> float:
@@ -473,6 +445,32 @@ def main() -> int:
         lambda it: it, schema="id long"
     ).count()
 
+    # Session drift factor (round-10 verdict item #2): min-of-2 the
+    # pinned probe set at run start and take the median ratio to the
+    # committed-round minima. Wall times on this machine drift by
+    # session (same tree, zero code change, 1.23x apart — adjudicated
+    # in SCALE.md round 10); normalizing every measurement by the
+    # probe ratio keeps the gate quiet in a loaded session while a
+    # genuine single-query regression still flags.
+    from mi_inbound_pulsar_spark.benchbase import (
+        PROBES,
+        drift_factor,
+        gate_regressions,
+    )
+
+    prior = prior_bench_times()
+    probe_times: dict[str, float] = {}
+    for _ in range(2):
+        for name in PROBES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            elapsed = round(time.time() - t0, 3)
+            if name not in probe_times or elapsed < probe_times[name]:
+                probe_times[name] = elapsed
+            spark.catalog.clearCache()
+    drift = drift_factor(probe_times, prior)
+    print(f"# session drift factor: {drift}x over probes {probe_times}", file=sys.stderr)
+
     # Two passes, per-query minimum: single-JVM local mode shows rare
     # 5-10x first-touch outliers (driver-side memory reclaim after the
     # previous JVM, not plan cost); min-of-2 reports the steady state
@@ -500,10 +498,8 @@ def main() -> int:
     # This is the measurement-discipline rule ("re-time a slow query
     # standalone before believing it") built into the harness; fast
     # queries still cost exactly two passes.
-    prior = prior_bench_times()
-
     def over_gate(q: str, t: float) -> bool:
-        return q in prior and t > max(1.3 * prior[q], prior[q] + 0.3)
+        return q in prior and t / drift > max(1.3 * prior[q], prior[q] + 0.3)
 
     for name in [q for q, t in times.items() if over_gate(q, t)]:
         fn = qs[name]
@@ -524,21 +520,25 @@ def main() -> int:
     composed_rps = _composed_throughput(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
-    # regression gate: any query >1.3x its previous round's best is a
-    # visible diff in the JSON line, not judge arithmetic (0.3 s floor
-    # keeps sub-second timer jitter out of the list)
-    regressions = sorted(
-        f"{q}: {prior[q]}s -> {t}s"
-        for q, t in times.items()
-        if over_gate(q, t)
-    )
+    # regression gate: any query whose DRIFT-NORMALIZED time is >1.3x
+    # the committed-round minimum is a visible diff in the JSON line,
+    # not judge arithmetic (0.3 s floor keeps sub-second timer jitter
+    # out of the list)
+    regressions = gate_regressions(times, prior, drift)
     # Full per-query map committed to the repo (the JSON line below
     # must fit the driver's 2000-char tail — 82+ queries no longer do,
     # which is exactly how round 6's line ended up with parsed=null in
     # BENCH_r06.json).
     Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
         json.dumps(
-            {"sf": sf, "value": total, "queries": times, "regressions": regressions},
+            {
+                "sf": sf,
+                "value": total,
+                "queries": times,
+                "regressions": regressions,
+                "drift_factor": drift,
+                "probe_times": probe_times,
+            },
             indent=1,
             sort_keys=True,
         )
@@ -559,6 +559,10 @@ def main() -> int:
                 "queries": top,
                 "queries_full": "BENCH_FULL.json",
                 "regressions": regressions,
+                # session drift vs committed-round minima, measured on
+                # the pinned probe set (benchbase.PROBES); every time
+                # in `regressions` was normalized by this before gating
+                "drift_factor": drift,
                 "streaming_rows_per_sec": streaming_rps,
                 # composed 3-gate pipeline (redact->privacy->curation),
                 # 3 epochs end-to-end incl. state writes + markers

@@ -1,0 +1,190 @@
+"""Drift-robust regression-gate baseline shared by ``bench.py`` and
+``tools/local_verify.py``.
+
+The problem (round-10 verdict item #2): single-JVM wall times on this
+machine drift by session — the same tree measured in two sessions came
+out 1.23x apart with zero code change (adjudicated by interleaved
+worktree A/B, SCALE.md round 10). The old gate baselined on "most
+recent committed measurement wins", so one drifted session poisoned
+the next round's baseline and the gate went blind, while round-over-
+round comparisons of committed absolutes stayed meaningless.
+
+The fix has two halves:
+
+1. **Baseline = committed-round minimum.** ``committed_min_times()``
+   merges every committed per-query ledger — driver ``BENCH_r*.json``,
+   builder ``BENCH_FULL.json``, and the tri-scale sweep's sf0.1
+   artifacts ``VERIFY_FULL_r*_sf0.1.json`` — taking the MINIMUM ever
+   committed per query. The minimum is the closest committed estimate
+   of the plan's true cost on this machine (drift only ever slows
+   things down); it cannot ratchet upward with a loaded session.
+   Folding the sweep ledgers in also widens gate coverage from the
+   ~212 headline queries to the full registry (verdict item #7).
+
+2. **Session drift factor.** Before gating, the harness times a pinned
+   ~10-query probe set (``PROBES`` — queries whose implementations have
+   been frozen since round 3/4 and span scan/agg, join, window, text,
+   graph, retrieval, interval-join shapes) and computes
+   ``drift = median(probe_time / committed_min)`` clamped to >= 1.0.
+   Every measured time is divided by ``drift`` before the per-query
+   gate applies. A uniformly loaded session inflates probes and
+   suspects alike, so the ratio cancels; a genuine single-query
+   regression moves only its own numerator and still flags.
+
+Noise floors (documented here, used by both consumers): bench times
+are min-of-2 with a retest pass, so the gate is
+``t/drift > max(1.3*base, base+0.3)``; the sweep times are single-pass
+(and measured through ``toArrow`` rather than ``count``), so its gate
+is looser — ``t/drift > max(1.5*base, base+0.5)`` — to keep one-shot
+GC/scheduler spikes out of the flag list.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import statistics
+from pathlib import Path
+
+#: Pinned probe queries for the session-drift estimate. Chosen for
+#: (a) implementation frozen for many rounds (no legitimate
+#: round-over-round movement to contaminate the ratio), (b) committed
+#: minima >= ~0.4 s at sf0.1 (above timer jitter), (c) shape diversity
+#: so the factor reflects the whole engine, not one executor pool.
+#: Do NOT add queries whose implementation changed in the current
+#: round — a real speedup/slowdown in a probe biases the factor
+#: (median limits the damage, but keep the set frozen).
+PROBES = (
+    "q05_regional_revenue",
+    "q09_product_profit",
+    "q_session_window",
+    "q_triangle_count",
+    "q_bm25_search",
+    "q_funnel_stages",
+    "q_scd2_dimension",
+    "q_interval_overlap_join",
+    "q_cosine_topk",
+    "q_simhash_signatures",
+)
+
+
+def committed_min_times(root: Path | None = None) -> dict[str, float]:
+    """Per-query committed-round MINIMUM wall time at sf0.1, merged from
+    every committed ledger:
+
+    - driver-committed ``BENCH_r*.json`` (the driver wraps our stdout:
+      the per-query map lives under ``parsed.queries``; ``parsed`` is
+      null when the JSON line outgrew the driver's 2000-char tail —
+      the round-6 case — so those rounds contribute nothing, fine);
+    - ``BENCH_FULL.json``, the full headline map committed every run;
+    - ``VERIFY_FULL_r*_sf0.1.json``, the tri-scale sweep's sf0.1 pass
+      (single-pass ``sec`` per query, full registry).
+
+    Times from a drifted session are simply higher and lose the min,
+    so the baseline is monotone non-increasing round over round.
+
+    Trimmed against flukes: a single lucky measurement must not
+    anchor a query's baseline forever (committed example:
+    ``q_triangle_count`` sweep times 3.6/3.6/4.2/**1.4**/4.4/7.0/2.7 —
+    the r07 1.4 s is a one-off). If the global minimum is below 0.6x
+    the MEDIAN of all committed samples, the second-lowest wins. A
+    genuine optimization is conservatively trimmed for exactly one
+    round — its next committed measurement is fast too, becomes the
+    second-lowest, and the baseline converges.
+    """
+    root = root or Path(__file__).resolve().parent.parent
+    samples: dict[str, list[float]] = {}
+
+    def take(name: str, sec: float) -> None:
+        if sec > 0:
+            samples.setdefault(name, []).append(sec)
+
+    # only sf0.1 ledgers contribute — a dev run at another scale factor
+    # (bench honors $SPARK_GRAFT_SF_DIR) must not poison the baseline
+    def sf_ok(d: dict) -> bool:
+        sf = d.get("sf")
+        return sf is None or abs(float(sf) - 0.1) < 1e-9
+
+    for p in root.glob("BENCH_r*.json"):
+        if not re.fullmatch(r"BENCH_r\d+\.json", p.name):
+            continue
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        parsed = data.get("parsed") or data
+        if not sf_ok(parsed):
+            continue
+        for k, v in (parsed.get("queries") or {}).items():
+            take(k, float(v))
+
+    full = root / "BENCH_FULL.json"
+    if full.exists():
+        try:
+            data = json.loads(full.read_text())
+            if sf_ok(data):
+                for k, v in data.get("queries", {}).items():
+                    take(k, float(v))
+        except (OSError, ValueError):
+            pass
+
+    for p in root.glob("VERIFY_FULL_r*_sf0.1.json"):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for k, rec in (data.get("queries") or {}).items():
+            if isinstance(rec, dict) and rec.get("status") != "fail":
+                take(k, float(rec.get("sec") or 0.0))
+
+    merged: dict[str, float] = {}
+    for name, vals in samples.items():
+        vals.sort()
+        if len(vals) >= 3 and vals[0] < 0.6 * statistics.median(vals):
+            merged[name] = vals[1]  # trimmed: the min was a fluke
+        else:
+            merged[name] = vals[0]
+    return merged
+
+
+def drift_factor(
+    probe_times: dict[str, float], baseline: dict[str, float]
+) -> float:
+    """Session drift = median over probes of measured/committed-min,
+    clamped to >= 1.0 (a faster-than-ever session must not LOOSEN the
+    gate by inflating normalized times). Probes missing from either
+    side are skipped; with no usable probe the factor is 1.0 (gate
+    degrades to the un-normalized behavior rather than dying)."""
+    ratios = [
+        probe_times[q] / baseline[q]
+        for q in PROBES
+        if probe_times.get(q) and baseline.get(q)
+    ]
+    if not ratios:
+        return 1.0
+    return max(1.0, round(statistics.median(ratios), 3))
+
+
+def gate_regressions(
+    times: dict[str, float],
+    baseline: dict[str, float],
+    drift: float,
+    *,
+    ratio: float = 1.3,
+    floor: float = 0.3,
+) -> list[str]:
+    """Queries whose drift-normalized time exceeds the gate vs the
+    committed-round minimum: ``t/drift > max(ratio*base, base+floor)``.
+    Returns human-readable ``"name: base -> t (norm tn, drift d)"``
+    strings, sorted."""
+    out = []
+    for q, t in times.items():
+        base = baseline.get(q)
+        if base is None:
+            continue
+        tn = t / drift
+        if tn > max(ratio * base, base + floor):
+            out.append(
+                f"{q}: {base}s -> {t}s (norm {round(tn, 3)}s, drift {drift}x)"
+            )
+    return sorted(out)

@@ -142,6 +142,40 @@ def main() -> int:
             print(f"PASS {name}: {stbl.num_rows} rows [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+
+    # Full-registry regression gate (round-10 verdict item #7): on a
+    # full sf0.1 sweep, gate every query's wall time against the
+    # committed-round minimum, drift-normalized on the pinned probe
+    # set exactly like bench.py. Sweep times are SINGLE-pass (and
+    # materialized through toArrow), so the noise floor is looser
+    # than bench's min-of-2 gate: 1.5x ratio + 0.5 s absolute floor
+    # (documented in benchbase.py). This makes gate coverage = the
+    # registry, not just the ~212 headline queries.
+    regressions: list[str] = []
+    drift = None
+    if not only and SF_DIR.rstrip("/").endswith("sf0.1"):
+        from mi_inbound_pulsar_spark.benchbase import (
+            PROBES,
+            committed_min_times,
+            drift_factor,
+            gate_regressions,
+        )
+
+        sweep_times = {
+            n: float(r["sec"])
+            for n, r in results.items()
+            if r.get("status") == "pass" and r.get("sec")
+        }
+        baseline = committed_min_times()
+        probe_times = {q: sweep_times[q] for q in PROBES if q in sweep_times}
+        drift = drift_factor(probe_times, baseline)
+        regressions = gate_regressions(
+            sweep_times, baseline, drift, ratio=1.5, floor=0.5
+        )
+        print(f"drift factor {drift}x; {len(regressions)} gate flags")
+        for line in regressions:
+            print(f"  REGRESSION {line}")
+
     out = os.environ.get("VERIFY_JSON")
     if out:
         import json
@@ -154,6 +188,11 @@ def main() -> int:
                     "n_fail": n_fail,
                     "n_rows_only": n_rows_only,
                     "queries": results,
+                    **(
+                        {"drift_factor": drift, "regressions": regressions}
+                        if drift is not None
+                        else {}
+                    ),
                 },
                 fh,
                 indent=1,
