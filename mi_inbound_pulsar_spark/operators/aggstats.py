@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from mi_inbound_pulsar_spark.operators import query
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
+from ..plans.iterate import eager_checkpoint
 
 
 @query(
@@ -4484,7 +4485,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     totals = per_user.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
     ).collect()[0]
@@ -5111,7 +5112,7 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.sum("w").over(wnd).alias("cw"),
         F.sum("y").over(wnd).alias("cy"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     i = pref.select(
         F.col("bin").alias("i"),
         F.col("w").alias("iw"),
@@ -5504,7 +5505,7 @@ def q_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.cust == o.o_custkey, "left")
         .groupBy("cust", "x", "treated")
         .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("spend"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     t = y.filter("treated").select(
         F.col("cust").alias("t_cust"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from mi_inbound_pulsar_spark.operators import query
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
+from ..plans.iterate import eager_checkpoint
 
 US_PER_DAY = 86_400_000_000
 US_PER_HOUR = 3_600_000_000
@@ -408,7 +409,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager until an explicit unpersist, which library callers
     # never issue (ADVICE r8); checkpoint blocks are GC-cleaned with
     # the frame. One job materializes the day-domain rollup once.
-    d = _daily_purchase_cents(spark, sf_dir).localCheckpoint(eager=True)
+    d = _daily_purchase_cents(spark, sf_dir).transform(eager_checkpoint)
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         F.broadcast(b), F.col("b.day") > F.col("a.day")
@@ -627,7 +628,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.count(F.lit(1)).over(w_all).alias("n"),
         F.avg("cents").over(w_all).alias("m"),
-    ).localCheckpoint(eager=True)  # GC-cleaned, unlike persist (ADVICE r8)
+    ).transform(eager_checkpoint)  # GC-cleaned, unlike persist (ADVICE r8)
     den = idx.agg(
         F.sum(F.pow(F.col("cents") - F.col("m"), F.lit(2.0))).alias("s0"),
         F.max("n").alias("lb_n"),
@@ -832,14 +833,27 @@ BLOOM_BITS = 4096
 BLOOM_K = 3
 
 
-def _hexval_sql(md5_expr: str, n_chars: int) -> str:
+def _hexval_sql(md5_expr: str, n_chars: int, wide: bool = False) -> str:
     """SQL computing the integer value of the first ``n_chars`` hex
     chars of ``md5_expr`` — only ``md5``/``substring``/``instr``
     arithmetic, evaluated bit-identically by Spark SQL and DuckDB, so
-    the sketch hash functions themselves are oracle-checkable."""
+    the sketch hash functions themselves are oracle-checkable.
+
+    ``wide=True`` emits the positional multipliers as explicit
+    ``CAST(... AS BIGINT)`` — required from ~8 hex chars up, where the
+    high-digit multiplier (16^7) pushes the term sum past INT range
+    and Spark's ANSI integer arithmetic would overflow (DuckDB accepts
+    the identical CAST, so one SQL string serves both engines).
+    Callers must NOT regex-rewrite the returned SQL instead
+    (round-10 ADVICE: a post-hoc rewrite silently breaks if this
+    helper's shape changes)."""
     terms = [
         f"(instr('0123456789abcdef', substring({md5_expr}, {i + 1}, 1)) - 1)"
-        f" * {16 ** (n_chars - 1 - i)}"
+        + (
+            f" * CAST({16 ** (n_chars - 1 - i)} AS BIGINT)"
+            if wide
+            else f" * {16 ** (n_chars - 1 - i)}"
+        )
         for i in range(n_chars)
     ]
     return "(" + " + ".join(terms) + ")"
@@ -2247,7 +2261,7 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.select("half", F.explode(sh).alias("sh"))
         .select("half", F.expr(_KMV_U).cast("long").alias("u"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     # stage 1: bounded histogram of the distinct hash values
     hist = hu.groupBy(
@@ -3682,7 +3696,7 @@ def q_bayesian_ab_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the spine is the user domain — bounded; fine to window over
-    lf = lf.localCheckpoint(eager=True)
+    lf = lf.transform(eager_checkpoint)
 
     def lfj(alias_, expr):
         j = lf.select(
@@ -3906,7 +3920,7 @@ def q_poisson_2sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     spine = (
         spark.range(0, n_tot + 1)

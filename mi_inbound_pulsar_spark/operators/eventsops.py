@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from mi_inbound_pulsar_spark.operators import query
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
+from ..plans.iterate import eager_checkpoint
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -945,7 +946,7 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not events.
     """
     e = load_table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().localCheckpoint(eager=True)
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().transform(eager_checkpoint)
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
     wau = (
@@ -1133,7 +1134,7 @@ def q_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     s = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     n_days = s.select(F.count_distinct("day")).first()[0]
     probe_u = e.select(F.min("user_id")).first()[0]
     stats = s.groupBy("user_id").agg(
@@ -2164,7 +2165,7 @@ def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             < "80"
         ).alias("is_log"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     wu = Window.partitionBy("user_id").orderBy(
         F.desc("c"), F.col("event_type")
     )

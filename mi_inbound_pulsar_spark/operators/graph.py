@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
-from mi_inbound_pulsar_spark.plans.iterate import retain, stats_reset_checkpoint
+from mi_inbound_pulsar_spark.plans.iterate import eager_checkpoint, retain, stats_reset_checkpoint
 from mi_inbound_pulsar_spark.plans.adaptive import (
     ADAPTIVE_BROADCAST_MAX_ROWS,
     adaptive_broadcast,
@@ -203,13 +203,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # persist the compact array frame; consumers explode from cache and
     # sizes come free from F.size — no per-doc count shuffle
-    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
+    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     edges = (
         jaccard_pairs(sh, 0.5, sizes=sizes)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     # one shared degree table: the orientation inside
     # oriented_triangle_count and the wedge aggregate below both read
@@ -219,7 +219,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     tri = oriented_triangle_count(edges, deg=deg)
     degagg = deg.agg(
@@ -283,7 +283,7 @@ def oriented_triangle_nodes(edges: DataFrame, deg: DataFrame | None = None) -> D
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(fwd, F.col("ds")).otherwise(F.col("dd")).alias("du"),
         F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
         F.struct(F.col("e1.dv").alias("d"), F.col("e1.v").alias("n"))
@@ -357,7 +357,7 @@ def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             cs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
         )
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
 
 
@@ -424,9 +424,9 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-algorithm twin of the connected-components operator).
     """
     edges = purchase_graph_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(eager_checkpoint)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    contrib_src = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    contrib_src = edges.join(outdeg, "src").transform(eager_checkpoint)
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         inflow = (
@@ -693,7 +693,7 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         copurchase_pairs(part_posting_lists(spark, sf_dir), KCORE_MIN_COMMON)
         .select("cust_a", "cust_b")
         .coalesce(8)
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     und = e.selectExpr("cust_a AS n", "cust_b AS m").unionByName(
         e.selectExpr("cust_b AS n", "cust_a AS m")
@@ -701,7 +701,7 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (
         und.groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     n_prev = deg.count()
     # removal sets and degree deltas are node-scale worst-case (round
@@ -825,7 +825,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
         F.substring("p_name", 1, 4).alias("blk"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     a = scoped.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "blk")
     b = scoped.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "blk")
     edges = (
@@ -999,12 +999,12 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.selectExpr("cust_a AS n", "cust_b AS m")
         .unionByName(e.selectExpr("cust_b AS n", "cust_a AS m"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     # empty graph -> agg still yields one NULL row; drop it so the
     # result is empty instead of a phantom dist=0 node
     seed = und.agg(F.min("n").alias("node")).filter(F.col("node").isNotNull())
-    levels = [seed.localCheckpoint(eager=True)]
+    levels = [seed.transform(eager_checkpoint)]
     for _ in range(3):
         visited = levels[0]
         for lv in levels[1:]:
@@ -1302,14 +1302,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         copurchase_pairs(part_posting_lists(spark, sf_dir), COPURCHASE_MIN_COMMON)
         .select("cust_a", "cust_b")
         .coalesce(8)
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     und = e.selectExpr("cust_a AS n", "cust_b AS m").unionByName(
         e.selectExpr("cust_b AS n", "cust_a AS m")
     )
-    labels = und.select("n").distinct().withColumn("lab", F.col("n")).localCheckpoint(
-        eager=True
-    )
+    labels = und.select("n").distinct().withColumn("lab", F.col("n")).transform(eager_checkpoint)
     # the state's key domain is fixed across rounds (LPA relabels, it
     # never adds nodes), so ONE measured count over the just-
     # checkpointed node set — nearly free, it scans materialized
@@ -1412,7 +1410,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     return (
         hits_authority_ppm(edges)
@@ -1506,7 +1504,7 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-keyed at any scale.
     """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < ER_SCOPE)
-    scoped = p.select("p_partkey", "p_name").localCheckpoint(eager=True)
+    scoped = p.select("p_partkey", "p_name").transform(eager_checkpoint)
     a, b = scoped.alias("a"), scoped.alias("b")
     truth = a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey")).filter(
         F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= ER_MAX_DIST
@@ -1613,20 +1611,20 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
 
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
+    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     edges = (
         jaccard_pairs(sh, 0.5, sizes=sizes)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     corners = (
         oriented_triangle_nodes(edges, deg=deg)
@@ -1734,7 +1732,7 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
 
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
+    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     edges = jaccard_pairs(sh, 0.5, sizes=sizes).select(
@@ -1745,7 +1743,7 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     mle = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -1851,7 +1849,7 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scale story holds.
     """
     edges = purchase_graph_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(eager_checkpoint)
     x = nodes.select("node", F.lit(1000000).cast("long").alias("x"))
     for _ in range(3):
         inflow = (
@@ -1968,7 +1966,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = purchase_graph_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    contrib_src = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    contrib_src = edges.join(outdeg, "src").transform(eager_checkpoint)
     seeds = cust.filter(F.col("c_nationkey") == 1).select(
         F.col("c_custkey").alias("node"), F.lit(1).alias("flag")
     )
@@ -1977,7 +1975,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(seeds, "node", "left")
         .select("node", F.coalesce("flag", F.lit(0)).alias("is_seed"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     x = ns.select(
         "node", (F.col("is_seed") * 1000000).cast("long").alias("x")
@@ -2189,7 +2187,7 @@ def q_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.selectExpr("cust_a AS n", "cust_b AS m")
         .unionByName(e.selectExpr("cust_b AS n", "cust_a AS m"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     verts = und.select(F.col("n").alias("node")).distinct()
     nv = verts.agg(F.count(F.lit(1)).alias("nn"))
@@ -2197,7 +2195,7 @@ def q_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         verts.orderBy("node")
         .limit(HARMONIC_LANDMARKS)
         .select(F.col("node").alias("l"), "node")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     levels = [seeds]
     for _ in range(3):

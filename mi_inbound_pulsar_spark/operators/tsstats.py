@@ -26,7 +26,7 @@ from mi_inbound_pulsar_spark.operators.auditstats import (
     _daily_purchase_cents,
     US_PER_DAY,
 )
-from mi_inbound_pulsar_spark.plans.iterate import stats_reset_checkpoint
+from mi_inbound_pulsar_spark.plans.iterate import eager_checkpoint, stats_reset_checkpoint
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
@@ -1370,10 +1370,8 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the shared matrices and each MM round: 3 nested
     # iterations of 4 joins otherwise compound the logical plan (the
     # q_kcore_peel lineage lesson); the frames are |types|-bounded
-    nmat = nmat.localCheckpoint(eager=True)
-    wins = nmat.groupBy("i").agg(F.sum("w").alias("wi")).localCheckpoint(
-        eager=True
-    )
+    nmat = nmat.transform(eager_checkpoint)
+    wins = nmat.groupBy("i").agg(F.sum("w").alias("wi")).transform(eager_checkpoint)
     p = wins.select("i", F.lit(1.0).alias("p"))
     for _ in range(BT_ITERS):
         pi = p.withColumnsRenamed({"p": "p_i"})

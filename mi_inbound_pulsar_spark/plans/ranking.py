@@ -38,6 +38,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .iterate import eager_checkpoint
 
 _PID = "__rank_pid"
 _OFF = "__rank_off"
@@ -74,7 +75,7 @@ def attach_global_order_stats(
     ranged = (
         df.repartitionByRange(n_parts, *order_exprs)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.sum(src).alias(f"__s_{out}") for out, src in cum_sums.items()

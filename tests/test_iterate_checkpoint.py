@@ -102,3 +102,77 @@ def test_scoped_persist_releases_on_owner_gc(spark):
     gc.collect()
     # finalizer unpersisted the JVM-side entry
     assert not cm.lookupCachedData(jdf).isDefined()
+
+
+def test_scoped_persist_skips_ownership_of_caller_persisted_frames(spark):
+    """Round-10 ADVICE: a frame the CALLER persisted must survive the
+    owner's GC — scoped_persist only registers the unpersist finalizer
+    for caches it created itself (double ownership would yank a cache
+    another consumer still needs)."""
+    import gc
+
+    from mi_inbound_pulsar_spark.plans.iterate import retain
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    caller_owned = spark.range(500).selectExpr("id", "id % 3 AS k").persist()
+    try:
+        out = retain(caller_owned.groupBy("k").count(), caller_owned)
+        assert out.count() == 3
+        jdf = caller_owned._jdf
+        assert cm.lookupCachedData(jdf).isDefined()
+        del out
+        gc.collect()
+        # still cached: retain did NOT take ownership
+        assert cm.lookupCachedData(jdf).isDefined()
+    finally:
+        caller_owned.unpersist()
+
+
+def test_eager_checkpoint_gating(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE (medium): localCheckpoint blocks live only in
+    executor storage, so on a cluster / under dynamic allocation the
+    materialization must fall back to a reliable checkpoint when a
+    checkpoint dir is configured. The env override exercises the
+    reliable path on a local master."""
+    import warnings
+
+    from mi_inbound_pulsar_spark.plans import iterate
+    from mi_inbound_pulsar_spark.plans.iterate import (
+        _needs_reliable,
+        eager_checkpoint,
+    )
+
+    # local master, no dynamic allocation -> local path
+    assert not _needs_reliable(spark)
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_RELIABLE_CKPT", "1")
+    assert _needs_reliable(spark)
+
+    # no checkpoint dir configured -> one-time warning + local fallback
+    monkeypatch.setattr(iterate, "_warned_unreliable", False)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = eager_checkpoint(df)
+        assert out.count() == 100
+    assert any("unrecoverable" in str(x.message) for x in w)
+
+    # checkpoint dir configured -> reliable checkpoint (blocks on disk)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        out2 = eager_checkpoint(df)
+        assert out2.count() == 100
+        # reliable-checkpoint evidence: blocks landed in the dir
+        # (df.rdd wraps a javaToPython conversion, so is_checkpointed
+        # on it can't see the underlying checkpoint)
+        assert any((tmp_path / "ckpt").rglob("part-*")), "no checkpoint files"
+        assert sorted(map(tuple, out2.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+    finally:
+        # a None reset isn't exposed in pyspark; point it at a scratch
+        # dir so later tests aren't affected by this one's tmp_path
+        sc.setCheckpointDir(str(tmp_path / "ckpt_rest"))
