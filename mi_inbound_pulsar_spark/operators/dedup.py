@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from mi_inbound_pulsar_spark.functions.arrays import explode_computed
 from mi_inbound_pulsar_spark.operators import query
 from mi_inbound_pulsar_spark.sources.tables import load_table
+from ..plans.iterate import eager_checkpoint
 
 MINHASH_K = 32
 LSH_BANDS = 8
@@ -318,7 +319,7 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # persist the compact array frame; the self-join's two sides explode
     # from cache and the size column is a free F.size — no size shuffle
-    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
+    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
     sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
     return jaccard_pairs(sh, 0.5, sizes=sizes).orderBy("doc_a", "doc_b")
@@ -362,7 +363,7 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew and shuffle bytes carries over unchanged.
     """
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).localCheckpoint(eager=True)
+    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
     sh = sharr.select("doc_id", F.explode("shingles").alias("sh_str")).select(
         "doc_id", F.xxhash64("sh_str").alias("shingle")
     )
@@ -497,18 +498,18 @@ def minhash_neardup(
     # the shingle frame feeds three consumers (signatures, candidate-doc
     # filter, exact verification) — persist it so the explode pipeline
     # runs once, not once per consumer
-    sh = shingles(docs, n=n).localCheckpoint(eager=True)
+    sh = shingles(docs, n=n).transform(eager_checkpoint)
     # cands feeds the candidate-doc filter AND the final join; sh_cand
     # feeds both sides of the exact-Jaccard self-join and the size agg.
     # Without persist each consumer replays the full upstream pipeline
     # (signature groupBy / bucket join) — measured 10 s → 3 s at sf0.1.
-    cands = lsh_candidate_pairs(minhash_signatures(sh, k)).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k)).transform(eager_checkpoint)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(eager=True)
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").transform(eager_checkpoint)
     verified = jaccard_pairs(sh_cand, threshold)
     return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
@@ -1222,7 +1223,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = d.filter(F.col("doc_id") % 10 == 0)
     # each index has 2-3 consumers (sizes, hot set, join side) — persist
     matches = jaccard_matches_against(
-        shingles(delta).localCheckpoint(eager=True), shingles(base).localCheckpoint(eager=True), 0.5
+        shingles(delta).transform(eager_checkpoint), shingles(base).transform(eager_checkpoint), 0.5
     )
     agg = matches.groupBy("delta_id").agg(
         F.count(F.lit(1)).alias("n_matches"), F.max("jaccard").alias("best_jaccard")
@@ -1305,7 +1306,7 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tiny by construction, so the window partitions are too.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3).localCheckpoint(eager=True)
+    sh = shingles(d, n=3).transform(eager_checkpoint)
     edges = jaccard_pairs(sh, 0.5).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
@@ -1389,7 +1390,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % 10 == 0
-    sh = shingles(d, n=3).localCheckpoint(eager=True)
+    sh = shingles(d, n=3).transform(eager_checkpoint)
     sig = minhash_signatures(sh, MINHASH_K)
     band_cols = F.array(
         *[
@@ -1408,7 +1409,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep_bb)
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .withColumn("is_delta", is_delta)
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     probe = buckets.filter("is_delta")
     cands = (
@@ -1420,14 +1421,14 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(eager=True)
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").transform(eager_checkpoint)
     verified = cands.join(jaccard_pairs(sh_cand, 0.8), ["doc_a", "doc_b"])
     delta_matches = (
         verified.filter(F.col("doc_a") % 10 == 0)
@@ -1750,7 +1751,7 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = 0.5
-    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0).localCheckpoint(eager=True)
+    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0).transform(eager_checkpoint)
     # 8-byte hashed shingle keys, same trade as jaccard_pairs
     # (hash_keys): halves the DF-join and index shuffle bytes; a 64-bit
     # collision merges two shingles with p ~ n^2/2^65.
@@ -1934,6 +1935,13 @@ def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         F.col("dot") / (F.col("x.nrm") * F.col("y.nrm")), 6
     )
+    # tf/w ARE scanned multiple times inside this one plan, but caching
+    # them measured SLOWER (interleaved A/B at sf0.1, round 11:
+    # 1.0-1.25 s uncached vs 1.47-1.61 s with retain(tf, w)) — the
+    # narrow recomputes of tokenize+groupBy pipeline in-stage, while
+    # the columnar cache costs a write plus three decompress reads.
+    # The q_copurchase shape does NOT transfer here. Measured, not
+    # assumed; re-measure before "fixing" this again.
     return (
         dots.join(nrm.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
         .join(nrm.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
@@ -1990,7 +1998,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact-verified); recall is the live measurement.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3).localCheckpoint(eager=True)
+    sh = shingles(d, n=3).transform(eager_checkpoint)
     # truth side of an audit: uncapped — the DF cap is a production
     # skew guard, but here it would silently diverge from the oracle's
     # truly-exact pair set once any shingle's df exceeds the cap

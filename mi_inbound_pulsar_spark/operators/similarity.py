@@ -39,6 +39,7 @@ from mi_inbound_pulsar_spark.operators import query
 from mi_inbound_pulsar_spark.operators.text import QL_MU
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
+from ..plans.iterate import eager_checkpoint
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -1580,6 +1581,13 @@ def q_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     lab = e.select("vec_id", "label")
+    # mutual is scanned three times inside the returned plan (the
+    # cogroup kernel appears 8x in the executed plan), but caching it
+    # measured SLOWER anyway (interleaved A/B at sf0.1, round 11:
+    # 2.89-3.30 s uncached vs 3.06-3.64 s with retain) — the repeated
+    # Arrow cogroup over block-bounded pairs is cheaper here than the
+    # columnar-cache write + three reads it would replace. Measured,
+    # not assumed; re-measure before "fixing" this again.
     mutual = (
         q_mutual_knn(spark, sf_dir)
         .filter(F.col("sim") >= SEMANTIC_EDGE_MIN_SIM)
@@ -2212,7 +2220,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = [(1, first["vec_id"], 0.0)]
     state = e.select(
         "vec_id", "emb", dist_to(first["emb"]).alias("mind")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     for j in range(2, KCENTER_K + 1):
         top = (
             state.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
@@ -2223,7 +2231,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "emb",
                 F.least("mind", dist_to(top["emb"])).alias("mind"),
-            ).localCheckpoint(eager=True)
+            ).transform(eager_checkpoint)
     return spark.createDataFrame(
         trace, "sel_order int, vec_id bigint, sep_distance double"
     ).orderBy("sel_order")

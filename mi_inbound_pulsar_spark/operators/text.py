@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.functions.arrays import explode_computed
 from mi_inbound_pulsar_spark.operators import query
-from mi_inbound_pulsar_spark.plans.iterate import stats_reset_checkpoint
+from mi_inbound_pulsar_spark.plans.iterate import eager_checkpoint
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 
@@ -326,7 +326,7 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
         .filter(F.col("term").isin(*TFIDF_TERMS))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
@@ -456,14 +456,18 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY t.doc_id
     ),
     ratios AS (
+      -- 6dp-round BEFORE the percentile and the >= comparison, same as
+      -- the perplexity/bigram filters: a boundary doc must see the
+      -- identical (ratio, p95) pair on both engines even if quantile
+      -- interpolation differs by an ulp (round-10 ADVICE)
       SELECT doc_id, n_tokens, n_rare,
-             n_rare * 1.0 / n_tokens AS ratio
+             round(n_rare * 1.0 / n_tokens, 6) AS ratio
       FROM scored
     ),
     cut AS (SELECT quantile_cont(ratio, 0.95) AS p95 FROM ratios)
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_rare AS BIGINT) AS n_rare,
-           round(ratio, 6) AS rare_ratio,
+           ratio AS rare_ratio,
            (ratio >= cut.p95 AND ratio > 0) AS flagged
     FROM ratios, cut ORDER BY doc_id
     """,
@@ -502,7 +506,10 @@ def q_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.count_if(F.col("cf") * 5 < F.col("m")).alias("n_rare"),
         )
-        .withColumn("ratio", F.col("n_rare") / F.col("n_tokens"))
+        # 6dp-round BEFORE the percentile and the >= comparison (the
+        # perplexity/bigram discipline): boundary docs must compare the
+        # identical pair on both engines (round-10 ADVICE)
+        .withColumn("ratio", F.round(F.col("n_rare") / F.col("n_tokens"), 6))
     )
     cut = ratios.agg(F.percentile("ratio", F.lit(0.95)).alias("p95"))
     return (
@@ -511,7 +518,7 @@ def q_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_rare",
-            F.round(F.col("ratio"), 6).alias("rare_ratio"),
+            F.col("ratio").alias("rare_ratio"),
             (
                 (F.col("ratio") >= F.col("p95")) & (F.col("ratio") > 0)
             ).alias("flagged"),
@@ -1917,7 +1924,7 @@ def bpe_train(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> tuple[DataFrame, Dat
     )
     cur = wc.select(
         "word", F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("repr"), "c"
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
 
     merges = []
     for i in range(1, iters + 1):
@@ -1939,7 +1946,7 @@ def bpe_train(d: DataFrame, iters: int = BPE_LOOP_ITERS) -> tuple[DataFrame, Dat
             .orderBy(F.desc("total"), "l", "r")
             .limit(1)
             .select(F.lit(i).cast("long").alias("iteration"), "l", "r", "total")
-            .localCheckpoint()  # 1 row; cuts the cross-round lineage
+            .transform(eager_checkpoint)  # 1 row; cuts the cross-round lineage
         )
         if best.isEmpty():
             # merges exhausted (no adjacent pair anywhere — e.g. a
@@ -4209,12 +4216,18 @@ def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel")
         )
     )
+    # cand and pairs are scanned by EVERY greedy round's checkpoint job
+    # below — eager checkpoint each once up front. (Round-11 A/B note:
+    # converting these to pinned persist measured 4.87-5.69 s vs
+    # 3.94-4.43 s checkpointed at sf0.1 — the loop's repeated reads of
+    # a deserialized checkpointed RDD beat repeated columnar-cache
+    # scans here. Measured, not assumed.)
     w_pool = Window.partitionBy("qid").orderBy(F.desc("rel"), "doc_id")
     cand = (
         scores.withColumn("rk", F.row_number().over(w_pool))
         .filter(F.col("rk") <= MMR_POOL)
         .select("qid", "doc_id", "rel")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     cdocs = cand.select("doc_id").distinct()
     dtok = (
@@ -4246,7 +4259,7 @@ def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
             (F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c"))).alias("sim"),
         )
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     w_pick = Window.partitionBy("qid")
     sel = (
@@ -4255,10 +4268,13 @@ def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") == 1)
         .select("qid", "doc_id", "rel", (lam * F.col("rel")).alias("mmr"), F.lit(1).cast("long").alias("step"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     for k in range(2, MMR_K + 1):
-        selu = sel.select("qid", "doc_id")
+        # sel is ≤ |queries|·k rows — broadcast it into both per-round
+        # joins explicitly (hints survive checkpointed-leaf default
+        # stats, so no AQE detour decides this each round)
+        selu = F.broadcast(sel.select("qid", "doc_id"))
         pen = (
             pairs.join(
                 selu.withColumnsRenamed({"doc_id": "d2"}), ["qid", "d2"]
@@ -4268,7 +4284,7 @@ def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         avail = (
             cand.join(selu, ["qid", "doc_id"], "left_anti")
-            .join(pen, ["qid", "doc_id"], "left")
+            .join(F.broadcast(pen), ["qid", "doc_id"], "left")
             .select(
                 "qid",
                 "doc_id",
@@ -4286,7 +4302,13 @@ def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("qid", "doc_id", "rel", "mmr", F.lit(k).cast("long").alias("step"))
         )
-        sel = stats_reset_checkpoint(sel.unionByName(pick))
+        # plain eager checkpoint, NOT stats_reset_checkpoint: this loop
+        # is union-recursive, not join-recursive — union stats ADD
+        # (they never compound to the k-th power, the pathology
+        # stats_reset exists for), and the reset costs a broadcast
+        # re-decision per round (round-10 A/B measured the conversion
+        # at 1.17-1.19x on exactly this query; reverted round 11)
+        sel = eager_checkpoint(sel.unionByName(pick))
     return sel.select(
         "qid", "step", "doc_id", "rel", F.round("mmr", 6).alias("mmr")
     ).orderBy("qid", "step")
@@ -4703,7 +4725,7 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     m1 = tc.groupBy("bg").agg(F.max("cnt").alias("max1"))
     st = (
@@ -4853,7 +4875,7 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             < "80"
         ).alias("is_train"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     tok_col, keep = explode_computed(
         F.regexp_extract_all(F.col("t"), F.lit("[a-z]+"), 0), "tok"
     )
@@ -4868,7 +4890,7 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc_base = (
         tr_tok.groupBy(F.col("source").alias("cl"), "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     # vocab and per-class token totals derive from the ONE (class,
     # token) rollup — the train half is tokenized exactly once
@@ -5109,7 +5131,7 @@ def q_v_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not persist: persisted plans leak in the
     # CacheManager for library callers (ADVICE r8); the |langs|^2
     # contingency materializes once and its blocks are GC-cleaned.
-    cell = _langid_contingency(spark, sf_dir).localCheckpoint(eager=True)
+    cell = _langid_contingency(spark, sf_dir).transform(eager_checkpoint)
     tot = cell.agg(F.sum("c").alias("n"))
     w_pred = Window.partitionBy("predicted")
     w_act = Window.partitionBy("actual")
