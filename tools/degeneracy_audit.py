@@ -51,8 +51,12 @@ TABLES = (
 COUNT_PREFIXES = ("n_", "num", "count")
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def scan(sf_dir: str) -> tuple[list[tuple[str, dict]], list[tuple[str, str]]]:
+    """DuckDB-only degeneracy scan: run every registered oracle at
+    ``sf_dir`` and return (flagged, errors) where flagged holds
+    single-row results whose every non-count numeric column is exactly
+    0 or NULL. Importable so the pytest gate
+    (tests/test_degeneracy_gate.py) and the CLI share one scanner."""
     import __spark_entry__ as e
 
     con = duckdb.connect()
@@ -82,6 +86,14 @@ def main() -> int:
             v is None or float(v) == 0.0 for v in numeric.values()
         ):
             flagged.append((name, row))
+    return flagged, errors
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as e
+
+    flagged, errors = scan(sf_dir)
 
     print(f"oracles audited: {len(e.oracle_sql())}  errors: {len(errors)}")
     for name, err in errors:
