@@ -95,6 +95,23 @@ class StreamingCurationPipeline:
         shutil.rmtree(path, ignore_errors=True)  # replayed epoch: rewrite
         df.repartition(self.num_partitions, key).write.mode("overwrite").parquet(path)
 
+    def _write_all(
+        self, writes: list[tuple[DataFrame, str, str]], epoch_id: int
+    ) -> None:
+        """Concurrent submission of this epoch's independent
+        state-family writes — same rationale and crash-seam contract
+        as :meth:`StreamingPrivacyPipeline._write_all` (the marker
+        still lands only after every write returned)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+            futures = [
+                ex.submit(self._write, df, root, epoch_id, key)
+                for df, root, key in writes
+            ]
+            for f in futures:
+                f.result()
+
     def _finalize(self, epoch_id: int) -> None:
         with open(os.path.join(self.state_dir, "_commits", str(epoch_id)), "w"):
             pass
@@ -165,23 +182,10 @@ class StreamingCurationPipeline:
             deduped = deduped.join(near, "doc_id", "left_anti")
 
         survivors = deduped.persist()
+        survivors.count()  # fill the cache once before concurrent writes
 
-        # 3. state deltas for this epoch (idempotent rewrite)
-        self._write(
-            survivors.select("text_md5", "doc_id"),
-            os.path.join(self.state_dir, "hashes"),
-            epoch_id,
-            "text_md5",
-        )
-        self._write(
-            self._hashed_shingles(survivors.select("doc_id", "text")),
-            os.path.join(self.state_dir, "shingles"),
-            epoch_id,
-            "shingle",
-        )
-
-        # 4. split + pack, continuing each source's token stream where
-        # the previous committed batch stopped
+        # 3+4 build the four state-family frames over the persisted
+        # survivors, then write them as concurrent jobs at the end
         train = survivors.filter(
             hash_bucket(F.col("doc_id"), "split-") < self.train_cut
         )
@@ -212,8 +216,6 @@ class StreamingCurationPipeline:
                 F.floor(F.col("stream_offset") / self.pack_size).alias("pack_start"),
             )
         )
-        self._write(packed, self.out_dir, epoch_id, "source")
-
         batch_totals = train.groupBy("source").agg(F.sum("n_tokens").alias("bt"))
         new_offsets = (
             offsets.join(batch_totals, "source", "full_outer")
@@ -224,8 +226,26 @@ class StreamingCurationPipeline:
                 ),
             )
         )
-        self._write(
-            new_offsets, os.path.join(self.state_dir, "offsets"), epoch_id, "source"
+        self._write_all(
+            [
+                (
+                    survivors.select("text_md5", "doc_id"),
+                    os.path.join(self.state_dir, "hashes"),
+                    "text_md5",
+                ),
+                (
+                    self._hashed_shingles(survivors.select("doc_id", "text")),
+                    os.path.join(self.state_dir, "shingles"),
+                    "shingle",
+                ),
+                (packed, self.out_dir, "source"),
+                (
+                    new_offsets,
+                    os.path.join(self.state_dir, "offsets"),
+                    "source",
+                ),
+            ],
+            epoch_id,
         )
         survivors.unpersist()
         if self.autocommit:

@@ -95,6 +95,33 @@ class StreamingPrivacyPipeline:
         shutil.rmtree(path, ignore_errors=True)  # replayed epoch: rewrite
         df.repartition(self.num_partitions, key).write.mode("overwrite").parquet(path)
 
+    def _write_all(
+        self, writes: list[tuple[DataFrame, str, str]], epoch_id: int
+    ) -> None:
+        """Submit this epoch's independent state-family writes as
+        CONCURRENT Spark jobs (one driver thread each — the documented
+        multi-threaded-submission pattern, cluster-safe) instead of
+        serializing them. The families are independent by construction
+        (each derives from a frame persisted before this call), so the
+        epoch's write wall-time drops from Σ(job) to ~max(job) — at
+        bench batch sizes the fixed per-job scheduling overhead was
+        70-80% of the whole epoch (round-10 verdict item #6 profile).
+        Crash-seam contract unchanged: this returns only after EVERY
+        write succeeded, and the caller lands the single commit marker
+        after that — a crash mid-call can leave more torn ``v<epoch>``
+        dirs than the sequential form, but un-markered epochs are
+        invisible to every reader and a replay rewrites all of them
+        (tests/test_streaming_composed.py's seam matrix)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+            futures = [
+                ex.submit(self._write, df, root, epoch_id, key)
+                for df, root, key in writes
+            ]
+            for f in futures:
+                f.result()
+
     def _finalize(self, epoch_id: int) -> None:
         with open(os.path.join(self.state_dir, "_commits", str(epoch_id)), "w"):
             pass
@@ -182,17 +209,24 @@ class StreamingPrivacyPipeline:
         )
         still_pending = candidates.join(F.broadcast(safe), qi, "left_anti")
 
-        # 4. idempotent epoch writes, then the commit marker
-        self._write(
-            stats, os.path.join(self.state_dir, "stats"), epoch_id, qi[0]
-        )
-        self._write(
-            still_pending,
-            os.path.join(self.state_dir, "pending"),
+        # 4. idempotent epoch writes (concurrent jobs — all three
+        # families derive from the persisted stats/candidates frames;
+        # fill both caches once first so the racing jobs don't each
+        # recompute the redaction pipeline), then the commit marker
+        stats.count()
+        candidates.count()
+        self._write_all(
+            [
+                (stats, os.path.join(self.state_dir, "stats"), qi[0]),
+                (
+                    still_pending,
+                    os.path.join(self.state_dir, "pending"),
+                    self.id_col,
+                ),
+                (released, self.out_dir, self.id_col),
+            ],
             epoch_id,
-            self.id_col,
         )
-        self._write(released, self.out_dir, epoch_id, self.id_col)
         candidates.unpersist()
         stats.unpersist()
         if self.autocommit:

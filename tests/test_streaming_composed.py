@@ -158,11 +158,13 @@ def test_crash_between_privacy_and_curation_replays_cleanly(spark):
 def test_crash_between_redaction_and_privacy_state_write(spark):
     """Symmetric kill to the privacy↔curation test, one seam EARLIER:
     the redacted arrivals exist in memory but the epoch dies while the
-    privacy families are landing — stats/v1 is on disk, pending/v1 and
-    released/v1 are not, no marker. The replay must REWRITE the
-    half-landed stats/v1 (idempotent epoch writes, not append) and
-    converge to the no-crash outcome; an append-style stats write
-    would double-count epoch 1's arrivals and release classes early."""
+    privacy families are landing — stats/v1 is on disk, its concurrent
+    sibling writes may or may not be (the families land as concurrent
+    jobs since round 11), curation never ran, no marker. The replay
+    must REWRITE every half-landed v1 family (idempotent epoch writes,
+    not append) and converge to the no-crash outcome; an append-style
+    stats write would double-count epoch 1's arrivals and release
+    classes early."""
     b0 = _frame(spark, [_doc(i, "en", i % 3) for i in range(0, 8)])
     b1 = _frame(
         spark,
@@ -192,10 +194,11 @@ def test_crash_between_redaction_and_privacy_state_write(spark):
         pipe(b1, 1)
     prv._write = real_write
 
-    # torn epoch: ONLY stats/v1 landed; no marker, readers blind
+    # torn epoch: stats/v1 landed; its CONCURRENT siblings (pending/
+    # released) may have landed too — the protocol doesn't order
+    # intra-phase writes, it only promises no marker until all of them
+    # returned. Curation never ran, and readers stay blind either way.
     assert os.path.isdir(os.path.join(pipe.state_dir, "stats", "v1"))
-    assert not os.path.isdir(os.path.join(pipe.state_dir, "pending", "v1"))
-    assert not os.path.isdir(os.path.join(pipe.state_dir, "released", "v1"))
     assert not os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
     assert pipe._committed_epochs() == [0]
 
@@ -246,8 +249,11 @@ def test_same_epoch_torn_twice_replays_cleanly(spark):
     with pytest.raises(RuntimeError, match="crash one"):
         pipe(b1, 1)
     prv._write = real_write
+    # pending/v1 landed; its concurrent privacy siblings may have too
+    # (intra-phase writes are unordered since round 11) — curation
+    # never ran and no marker landed, which is the contract under test
     assert os.path.isdir(os.path.join(pipe.state_dir, "pending", "v1"))
-    assert not os.path.isdir(os.path.join(pipe.state_dir, "released", "v1"))
+    assert not os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
     assert pipe._committed_epochs() == [0]
 
     # crash #2 (same epoch): privacy fully lands this time, curation
@@ -281,11 +287,12 @@ def test_same_epoch_torn_twice_replays_cleanly(spark):
 
 def test_crash_inside_curation_families_replays_cleanly(spark):
     """The FOURTH seam: privacy fully lands and curation dies MID-WAY
-    through its own families — hashes/v1 and shingles/v1 on disk, the
-    packed output and offsets/v1 not. No marker, so the replay must
-    rewrite the half-landed dedup index from the epoch-0 snapshot; an
-    append-style index write would double-insert epoch 1's survivors
-    and the replay's dedup would then drop them as self-duplicates."""
+    through its own families — shingles/v1 is on disk, its concurrent
+    siblings (hashes, packed output, offsets) may or may not be. No
+    marker, so the replay must rewrite the half-landed dedup index
+    from the epoch-0 snapshot; an append-style index write would
+    double-insert epoch 1's survivors and the replay's dedup would
+    then drop them as self-duplicates."""
     b0 = _frame(spark, [_doc(i, "en", i % 3) for i in range(0, 8)])
     b1 = _frame(
         spark,
@@ -315,12 +322,11 @@ def test_crash_inside_curation_families_replays_cleanly(spark):
         pipe(b1, 1)
     cur._write = real_write
 
-    # torn epoch: privacy families + curation's index families landed,
-    # the packed output and offsets did not; no marker, readers blind
+    # torn epoch: privacy families + the crashed curation family
+    # landed; curation's concurrent siblings may or may not have. No
+    # marker either way — readers blind to the whole epoch.
     assert os.path.isdir(os.path.join(pipe.state_dir, "released", "v1"))
-    assert os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
     assert os.path.isdir(os.path.join(pipe.state_dir, "shingles", "v1"))
-    assert not os.path.isdir(os.path.join(pipe.state_dir, "offsets", "v1"))
     assert pipe._committed_epochs() == [0]
 
     pipe(b1, 1)  # replay rewrites every v1 family

@@ -164,12 +164,10 @@ def test_crash_between_state_writes_replays_cleanly(spark):
     pipe(frame(0, 40), 0)
 
     orig_write = pipe._write
-    calls = {"n": 0}
 
     def torn_write(df, root, epoch_id, key):
         orig_write(df, root, epoch_id, key)
-        calls["n"] += 1
-        if calls["n"] == 2:  # hashes + shingles landed; kill before out/offsets
+        if os.path.basename(root) == "shingles" and epoch_id == 1:
             raise RuntimeError("injected crash mid-epoch")
 
     pipe._write = torn_write
@@ -177,8 +175,10 @@ def test_crash_between_state_writes_replays_cleanly(spark):
         pipe(frame(40, 80), 1)
     pipe._write = orig_write
 
-    assert os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
-    assert not os.path.isdir(os.path.join(pipe.out_dir, "v1"))
+    # shingles/v1 landed; its concurrent sibling families may or may
+    # not have (intra-epoch writes are unordered since round 11) — no
+    # marker landed, which is all the contract promises
+    assert os.path.isdir(os.path.join(pipe.state_dir, "shingles", "v1"))
     assert pipe._committed_epochs() == [0]
 
     pipe(frame(40, 80), 1)  # restart replay

@@ -157,12 +157,10 @@ def test_crash_between_state_writes_replays_cleanly(spark):
     pipe(b0, 0)
 
     orig_write = pipe._write
-    calls = {"n": 0}
 
     def torn_write(df, root, epoch_id, key):
         orig_write(df, root, epoch_id, key)
-        calls["n"] += 1
-        if calls["n"] == 1:  # stats landed; kill before pending/out
+        if os.path.basename(root) == "stats" and epoch_id == 1:
             raise RuntimeError("injected crash mid-epoch")
 
     pipe._write = torn_write
@@ -170,9 +168,10 @@ def test_crash_between_state_writes_replays_cleanly(spark):
         pipe(b1, 1)
     pipe._write = orig_write
 
-    # torn state on disk: stats/v1 exists, no marker, readers blind to it
+    # torn state on disk: stats/v1 exists (its concurrent siblings may
+    # too — intra-epoch writes are unordered since round 11), no
+    # marker, readers blind to the whole epoch
     assert os.path.isdir(os.path.join(pipe.state_dir, "stats", "v1"))
-    assert not os.path.isdir(os.path.join(pipe.state_dir, "pending", "v1"))
     assert pipe._committed_epochs() == [0]
     assert all(
         r["release_epoch"] == 0 for r in pipe.read_output(spark).collect()
