@@ -1,0 +1,97 @@
+"""Second-decade scaling measurement (round-10 verdict item #5).
+
+The committed tri-scale exponents stop at sf0.1; a super-linear term
+that only dominates past sf0.1 is invisible to them (exactly how the
+Catalyst BigInt-stats bug hid for four rounds). This tool times the
+SCALE.md flagship kernels at sf0.1 AND at the 10x replica set built by
+``tools/upscale_testdata.py`` (FK-consistent disjoint copies, closed
+vocab permuted per replica, embedding signs flipped per replica — so
+every kernel sees 10x cardinality with the original within-replica
+structure), in ONE session with min-of-2 per point, and reports the
+NEW decade's exponent e2 = log10(t(sf1.0)/t(sf0.1)) next to the
+committed last-decade e1.
+
+Same-session measurement makes the ratio drift-free (both points share
+whatever load the session carries). Writes ``SCALE_DECADE2_r{N}.json``
+and prints the SCALE.md-ready markdown table.
+
+Usage: python tools/scale_decade2.py [round_no] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
+
+from scaling_fit import FLAGSHIPS, exponent, latest_round, load  # noqa: E402
+
+SMALL = "/root/testdata/sf0.1"
+BIG = str(ROOT / ".testdata_up" / "sf1")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    round_no = int(args[0]) if args and args[0].isdigit() else latest_round()
+    only = set(args[1:]) if args and args[0].isdigit() else set(args)
+
+    import __spark_entry__ as e
+    from mi_inbound_pulsar_spark.session import get_spark
+
+    spark = get_spark("scale_decade2")
+    qs = e.queries()
+    committed = load(round_no)
+
+    spark.read.parquet(os.path.join(SMALL, "nation.parquet")).count()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    names = [q for q in FLAGSHIPS if not only or q in only]
+    times: dict[str, dict[str, float]] = {q: {} for q in names}
+    for pass_no in range(2):
+        for q in names:
+            for label, sf_dir in (("sf0.1", SMALL), ("sf1.0", BIG)):
+                t0 = time.time()
+                n = qs[q](spark, sf_dir).count()
+                el = round(time.time() - t0, 3)
+                if label not in times[q] or el < times[q][label]:
+                    times[q][label] = el
+                print(
+                    f"# pass{pass_no} {q}@{label}: {el}s ({n} rows)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                spark.catalog.clearCache()
+
+    rows = []
+    print("| query | sf0.1 s | sf1.0 s | e2 (this run) | e1 (committed) |")
+    print("|---|---|---|---|---|")
+    for q in names:
+        t1, t2 = times[q].get("sf0.1"), times[q].get("sf1.0")
+        e2 = round(math.log10(t2 / t1), 2) if t1 and t2 else None
+        e1 = exponent(committed.get(q, {}))
+        e1 = None if e1 is None else round(e1, 2)
+        rows.append({"query": q, "sf0.1": t1, "sf1.0": t2, "e2": e2, "e1": e1})
+        print(f"| `{q}` | {t1} | {t2} | {e2} | {e1} |")
+
+    out = ROOT / f"SCALE_DECADE2_r{round_no}.json"
+    out.write_text(json.dumps({"rows": rows}, indent=1) + "\n")
+    print(f"\nwrote {out}")
+    flags = [r for r in rows if r["e2"] is not None and r["e2"] > 1.2 and (r["sf1.0"] or 0) >= 5]
+    if flags:
+        print("FLAGGED (e2 > 1.2 with t(sf1.0) >= 5s):")
+        for r in flags:
+            print(f"  {r['query']}: e2={r['e2']} ({r['sf0.1']}s -> {r['sf1.0']}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
