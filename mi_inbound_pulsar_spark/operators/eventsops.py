@@ -529,22 +529,22 @@ WM_JITTER_US = 3_600_000_000  # 0..1 h simulated transport delay
 
 
 def _wm_sqls():
-    import re
-
     from mi_inbound_pulsar_spark.operators.auditstats import _hexval_sql
-
-    def wide(sql: str) -> str:
-        # 8 hex chars: term multipliers reach 16^7 — widen them to
-        # BIGINT or Spark's ANSI INT arithmetic overflows (DuckDB
-        # accepts the same CAST, so the oracle stays identical)
-        return re.sub(r"\* (\d+)", r"* CAST(\1 AS BIGINT)", sql)
 
     part = (
         _hexval_sql("md5(concat('wmpart:', CAST(user_id AS STRING)))", 2)
         + f" % {WM_PARTITIONS}"
     )
+    # 8 hex chars: term multipliers reach 16^7, so the helper emits
+    # CAST(... AS BIGINT) multipliers directly (wide=True) — Spark's
+    # ANSI INT arithmetic would overflow, DuckDB accepts the same CAST
+    # (round-10 ADVICE: no post-hoc regex rewriting of the helper's
+    # SQL). The `% 3_600_000_000` jitter is ~20% biased toward small
+    # delays (16^8 is not a multiple of the modulus) — acceptable for
+    # SYNTHETIC transport jitter: the calibration only needs out-of-
+    # order arrivals to exist, not a uniform delay distribution.
     jitter = (
-        wide(_hexval_sql("md5(concat('wmjit:', CAST(event_id AS STRING)))", 8))
+        _hexval_sql("md5(concat('wmjit:', CAST(event_id AS STRING)))", 8, wide=True)
         + f" % {WM_JITTER_US}"
     )
     return part, jitter
