@@ -360,7 +360,16 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical inverted-index shape as ``jaccard_pairs`` (shingle
     equi-join with the hot-shingle DF cap, sizes joined in) — only the
     final scoring expression differs, so everything said there about
-    skew and shuffle bytes carries over unchanged.
+    skew and shuffle bytes carries over unchanged. The pair fan-out is
+    Σ df² over surviving shingles, bounded by cap × postings (LINEAR in
+    corpus size) once dfs cross the cap. Round-11 second-decade audit
+    note (SCALE.md): on the closed-vocabulary synthetic corpus the
+    3-gram domain saturates at 31³, so df grows ∝ corpus instead of
+    the vocabulary growing (Heaps' law on real data) — measured
+    e2 = 1.87 over sf0.1→sf1.0 in that pre-cap transition regime,
+    adjudicated as a property of the toy vocabulary, not the kernel;
+    the 100 TB near-dup paths remain MinHash-LSH and the prefix
+    filter.
     """
     d = load_table(spark, sf_dir, "documents")
     sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
