@@ -68,7 +68,9 @@ PROBES = (
 )
 
 
-def committed_min_times(root: Path | None = None) -> dict[str, float]:
+def committed_min_times(
+    root: Path | None = None, sources: str = "all"
+) -> dict[str, float]:
     """Per-query committed-round MINIMUM wall time at sf0.1, merged from
     every committed ledger:
 
@@ -82,6 +84,17 @@ def committed_min_times(root: Path | None = None) -> dict[str, float]:
 
     Times from a drifted session are simply higher and lose the min,
     so the baseline is monotone non-increasing round over round.
+
+    ``sources`` restricts which ledgers contribute: ``"bench"`` (the
+    min-of-2 ``count()``-action BENCH ledgers), ``"sweep"`` (the
+    single-pass ``toArrow`` VERIFY ledgers), or ``"all"``. The two
+    methodologies measure different things for wide-output queries —
+    ``toArrow`` pays driver materialization that ``count()`` never
+    does (committed example: ``q_substring_dedup`` 0.35 s bench vs
+    5.3 s sweep, SAME plan) — so a gate must baseline against its OWN
+    methodology's ledgers: bench gates on "all" (sweep minima are
+    almost never lower, and the trim guard handles flukes), the sweep
+    gate on "sweep" only.
 
     Trimmed against flukes: a single lucky measurement must not
     anchor a query's baseline forever (committed example:
@@ -105,37 +118,39 @@ def committed_min_times(root: Path | None = None) -> dict[str, float]:
         sf = d.get("sf")
         return sf is None or abs(float(sf) - 0.1) < 1e-9
 
-    for p in root.glob("BENCH_r*.json"):
-        if not re.fullmatch(r"BENCH_r\d+\.json", p.name):
-            continue
-        try:
-            data = json.loads(p.read_text())
-        except (OSError, ValueError):
-            continue
-        parsed = data.get("parsed") or data
-        if not sf_ok(parsed):
-            continue
-        for k, v in (parsed.get("queries") or {}).items():
-            take(k, float(v))
+    if sources in ("all", "bench"):
+        for p in root.glob("BENCH_r*.json"):
+            if not re.fullmatch(r"BENCH_r\d+\.json", p.name):
+                continue
+            try:
+                data = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            parsed = data.get("parsed") or data
+            if not sf_ok(parsed):
+                continue
+            for k, v in (parsed.get("queries") or {}).items():
+                take(k, float(v))
 
-    full = root / "BENCH_FULL.json"
-    if full.exists():
-        try:
-            data = json.loads(full.read_text())
-            if sf_ok(data):
-                for k, v in data.get("queries", {}).items():
-                    take(k, float(v))
-        except (OSError, ValueError):
-            pass
+        full = root / "BENCH_FULL.json"
+        if full.exists():
+            try:
+                data = json.loads(full.read_text())
+                if sf_ok(data):
+                    for k, v in data.get("queries", {}).items():
+                        take(k, float(v))
+            except (OSError, ValueError):
+                pass
 
-    for p in root.glob("VERIFY_FULL_r*_sf0.1.json"):
-        try:
-            data = json.loads(p.read_text())
-        except (OSError, ValueError):
-            continue
-        for k, rec in (data.get("queries") or {}).items():
-            if isinstance(rec, dict) and rec.get("status") != "fail":
-                take(k, float(rec.get("sec") or 0.0))
+    if sources in ("all", "sweep"):
+        for p in root.glob("VERIFY_FULL_r*_sf0.1.json"):
+            try:
+                data = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            for k, rec in (data.get("queries") or {}).items():
+                if isinstance(rec, dict) and rec.get("status") != "fail":
+                    take(k, float(rec.get("sec") or 0.0))
 
     merged: dict[str, float] = {}
     for name, vals in samples.items():

@@ -166,7 +166,11 @@ def main() -> int:
             for n, r in results.items()
             if r.get("status") == "pass" and r.get("sec")
         }
-        baseline = committed_min_times()
+        # sweep-only baselines: sweep times are single-pass toArrow
+        # (driver materialization included), so gating them against
+        # bench's min-of-2 count() minima would flag every wide-output
+        # query on methodology alone (benchbase docstring)
+        baseline = committed_min_times(sources="sweep")
         probe_times = {q: sweep_times[q] for q in PROBES if q in sweep_times}
         drift = drift_factor(probe_times, baseline)
         regressions = gate_regressions(
