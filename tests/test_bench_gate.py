@@ -147,3 +147,18 @@ def test_drift_factor_is_median_not_mean():
 def test_drift_factor_degrades_to_one_without_probes():
     assert drift_factor({}, BASE) == 1.0
     assert drift_factor(_probe_times(1.2), {}) == 1.0
+
+
+def test_sources_split_keeps_methodologies_apart(tmp_path: Path):
+    # bench min-of-2 count() vs sweep single-pass toArrow measure
+    # different things for wide-output queries — each gate must
+    # baseline against its own ledger family
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_wide": 0.35}}})
+    )
+    (tmp_path / "VERIFY_FULL_r01_sf0.1.json").write_text(
+        json.dumps({"queries": {"q_wide": {"status": "pass", "sec": 5.3}}})
+    )
+    assert committed_min_times(tmp_path, sources="bench") == {"q_wide": 0.35}
+    assert committed_min_times(tmp_path, sources="sweep") == {"q_wide": 5.3}
+    assert committed_min_times(tmp_path, sources="all") == {"q_wide": 0.35}
