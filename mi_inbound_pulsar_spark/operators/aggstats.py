@@ -433,11 +433,28 @@ def q_salted_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_winsorized_stats",
     oracle="""
-    WITH b AS (
+    -- quantile_cont's position (n-1)*p is a FLOAT product inside each
+    -- engine; when it is mathematically integral, one engine can land
+    -- on the exact order statistic and the other interpolate (observed
+    -- at sf1.0, round-11 audit). Same definition, exact integer rank
+    -- arithmetic: k = ((n-1)*p_num) // p_den, weight = remainder/p_den.
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    b AS (
       SELECT event_type,
-             quantile_cont(value, 0.01) AS p01,
-             quantile_cont(value, 0.99) AS p99
-      FROM events GROUP BY event_type
+             max(CASE WHEN rn = (n - 1) // 100 + 1 THEN value END)
+               * (1 - max((n - 1) % 100) / 100.0)
+             + max(CASE WHEN rn = least((n - 1) // 100 + 2, n) THEN value END)
+               * (max((n - 1) % 100) / 100.0) AS p01,
+             max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN value END)
+               * (1 - max(((n - 1) * 99) % 100) / 100.0)
+             + max(CASE WHEN rn = least(((n - 1) * 99) // 100 + 2, n) THEN value END)
+               * (max(((n - 1) * 99) % 100) / 100.0) AS p99
+      FROM ranked GROUP BY event_type
     ),
     c AS (
       SELECT e.event_type,
@@ -470,9 +487,28 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape is unchanged — bounds stay a broadcast dimension.
     """
     e = load_table(spark, sf_dir, "events")
-    bounds = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.01)).alias("p01"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
+    # exact integer rank arithmetic for the quantile positions — same
+    # quantile_cont definition, no float (n-1)*p product (see oracle)
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def qc(num: int) -> F.Column:
+        k = F.expr(f"((n - 1) * {num}) div 100")
+        r = F.max(F.expr(f"((n - 1) * {num}) % 100"))  # constant per group
+        lo = F.max(F.when(F.col("rn") == k + 1, F.col("value")))
+        hi = F.max(
+            F.when(F.col("rn") == F.least(k + 2, F.col("n")), F.col("value"))
+        )
+        return lo * (1 - r / 100.0) + hi * (r / 100.0)
+
+    bounds = ranked.groupBy("event_type").agg(
+        qc(1).alias("p01"), qc(99).alias("p99")
     )
     w = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
     wmicro = F.round(w * 1000000, 0).cast("long")

@@ -229,9 +229,21 @@ def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(count(*)) OVER (PARTITION BY unit) AS m_u
       FROM ratings GROUP BY 1, 2
     ),
+    -- o_diag = Σ_u Σ_c n_uc(n_uc-1)/(m_u-1): group the EXACT integer
+    -- numerators by m_u (a tiny domain — lineitems per order), divide
+    -- once per group, and fold the ≤|m domain| quotients in sorted
+    -- order — deterministic across engines at any scale. The naive
+    -- per-cell float sum diverged by 1e-6 at sf1.0 (1.5M addends,
+    -- summation-order drift; round-11 second-decade parity audit).
+    agree_m AS (
+      SELECT m_u, CAST(sum(n_uc * (n_uc - 1)) AS BIGINT) AS num
+      FROM cell GROUP BY m_u
+    ),
     agree AS (
-      SELECT sum(CAST(n_uc AS DOUBLE) * (n_uc - 1) / (m_u - 1)) AS o_diag
-      FROM cell
+      SELECT list_reduce(
+               list(CAST(num AS DOUBLE) / (m_u - 1) ORDER BY m_u),
+               (a, b) -> a + b) AS o_diag
+      FROM agree_m
     ),
     marg AS (
       SELECT sum(pow(CAST(cnt AS DOUBLE), 2)) AS sum_sq,
@@ -271,12 +283,22 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = cell.withColumn(
         "m_u", F.sum("n_uc").over(Window.partitionBy("unit"))
     )
-    agree = cell.agg(
-        F.sum(
-            F.col("n_uc").cast("double")
-            * (F.col("n_uc") - 1)
-            / (F.col("m_u") - 1)
-        ).alias("o_diag")
+    # exact integer numerators grouped by the tiny m_u domain, one
+    # division per group, sorted fold — deterministic at any scale
+    # (the per-cell float sum diverged by 1e-6 at sf1.0; see oracle)
+    agree = (
+        cell.groupBy("m_u")
+        .agg(
+            F.sum(F.col("n_uc") * (F.col("n_uc") - 1))
+            .cast("long")
+            .alias("num")
+        )
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(m_u, num)))"
+                ", s -> CAST(s.num AS DOUBLE) / (s.m_u - 1)), 0D, (a, x) -> a + x)"
+            ).alias("o_diag")
+        )
     )
     marg = (
         cell.groupBy("cat")

@@ -60,32 +60,53 @@ _DAILY_SQL = """
 @query(
     "q_levene_test",
     oracle="""
-    WITH med AS (
-      SELECT c_mktsegment AS seg, median(c_acctbal) AS med
-      FROM customer GROUP BY 1
+    -- deterministic at any scale (round-11 second-decade audit): the
+    -- per-row deviations are EXACT half-cent integers (2dp balances;
+    -- the interpolated median is exact in half-cents), their sums are
+    -- exact HUGEINTs, and the k-row reductions fold in segment order
+    WITH cents AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cb
+      FROM customer
+    ),
+    med AS (
+      SELECT seg, CAST(2 * median(cb) AS BIGINT) AS med2
+      FROM cents GROUP BY 1
     ),
     z AS (
-      SELECT c.c_mktsegment AS seg, abs(c.c_acctbal - m.med) AS z
-      FROM customer c JOIN med m ON c.c_mktsegment = m.seg
+      SELECT c.seg, abs(2 * c.cb - m.med2) AS zh
+      FROM cents c JOIN med m ON c.seg = m.seg
     ),
     g AS (
-      SELECT seg, count(*) AS n, sum(z) AS s, sum(z * z) AS ss
+      SELECT seg, count(*) AS n,
+             CAST(sum(zh) AS HUGEINT) AS s_h,
+             sum(CAST(zh AS HUGEINT) * zh) AS ss_h
       FROM z GROUP BY seg
     ),
-    tot AS (
-      SELECT sum(n) AS nn, sum(s) AS gs, count(*) AS k,
-             sum(ss - s * s / n) AS ss_within
+    gd AS (
+      SELECT seg, n,
+             CAST(s_h AS DOUBLE) / 200 AS sd,
+             CAST(ss_h AS DOUBLE) / 40000 AS ssd
       FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k,
+             CAST(sum(CAST(s_h AS HUGEINT)) AS DOUBLE) / 200 AS gs
+      FROM g
+    ),
+    folds AS (
+      SELECT t.nn, t.k,
+             list_reduce(list(gd.ssd - gd.sd * gd.sd / gd.n ORDER BY gd.seg),
+                         (u, v) -> u + v) AS ssw,
+             list_reduce(list(gd.n * pow(gd.sd / gd.n - t.gs / t.nn, 2)
+                              ORDER BY gd.seg), (u, v) -> u + v) AS ssb
+      FROM gd, tot t GROUP BY t.nn, t.k, t.gs
     )
-    SELECT CAST(t.nn AS BIGINT) AS n,
-           CAST(t.k AS BIGINT) AS k,
-           round(sum(g.n * pow(g.s / g.n - t.gs / t.nn, 2)), 6)
-             AS ss_between,
-           round(t.ss_within, 6) AS ss_within,
-           round((t.nn - t.k) * 1.0 / (t.k - 1)
-                 * sum(g.n * pow(g.s / g.n - t.gs / t.nn, 2)) / t.ss_within,
-                 6) AS w_stat
-    FROM g, tot t GROUP BY t.nn, t.k, t.ss_within
+    SELECT nn AS n, CAST(k AS BIGINT) AS k,
+           round(ssb, 6) AS ss_between,
+           round(ssw, 6) AS ss_within,
+           round((nn - k) * 1.0 / (k - 1) * ssb / ssw, 6) AS w_stat
+    FROM folds
     """,
 )
 def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,46 +130,73 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents (the q_quantile_* pattern).
     """
     c = load_table(spark, sf_dir, "customer")
-    med = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
-        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+    # exact half-cent deviations, exact integer sums, seg-ordered
+    # folds — mirrors the oracle term-for-term (see oracle comment)
+    cents = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cb"),
     )
-    z = c.join(
-        F.broadcast(med), c.c_mktsegment == med.seg
-    ).select("seg", F.abs(F.col("c_acctbal") - F.col("med")).alias("z"))
+    med = cents.groupBy("seg").agg(
+        (2 * F.expr("percentile(cb, 0.5)")).cast("long").alias("med2")
+    )
+    z = cents.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(2 * F.col("cb") - F.col("med2")).alias("zh")
+    )
+    dec = "decimal(38,0)"
     g = z.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("z").alias("s"),
-        F.sum(F.col("z") * F.col("z")).alias("ss"),
+        F.sum("zh").cast(dec).alias("s_h"),
+        F.sum(F.col("zh").cast(dec) * F.col("zh")).cast(dec).alias("ss_h"),
+    )
+    gd = g.select(
+        "seg",
+        "n",
+        (F.col("s_h").cast("double") / 200).alias("sd"),
+        (F.col("ss_h").cast("double") / 40000).alias("ssd"),
     )
     tot = g.agg(
-        F.sum("n").alias("nn"),
-        F.sum("s").alias("gs"),
+        F.sum("n").cast("long").alias("nn"),
         F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias(
-            "ss_within"
-        ),
+        (F.sum("s_h").cast("double") / 200).alias("gs"),
     )
-    zbar = F.col("gs") / F.col("nn")
-    ss_between = F.sum(
-        F.col("n") * F.pow(F.col("s") / F.col("n") - zbar, F.lit(2.0))
-    )
-    return (
-        g.crossJoin(F.broadcast(tot))
-        .groupBy("nn", "k", "ss_within")
-        .agg(ss_between.alias("ssb"))
-        .select(
-            F.col("nn").cast("long").alias("n"),
-            F.col("k").cast("long").alias("k"),
-            F.round("ssb", 6).alias("ss_between"),
-            F.round("ss_within", 6).alias("ss_within"),
-            F.round(
-                (F.col("nn") - F.col("k"))
-                / (F.col("k") - 1)
-                * F.col("ssb")
-                / F.col("ss_within"),
-                6,
-            ).alias("w_stat"),
+
+    def seg_fold(term_col: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(array_sort(collect_list(struct(seg, {term_col} AS v))),"
+            " s -> s.v), 0D, (u, x) -> u + x)"
         )
+
+    folds = (
+        gd.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "w_term", F.col("ssd") - F.col("sd") * F.col("sd") / F.col("n")
+        )
+        .withColumn(
+            "b_term",
+            F.col("n")
+            * F.pow(
+                F.col("sd") / F.col("n") - F.col("gs") / F.col("nn"),
+                F.lit(2.0),
+            ),
+        )
+        .groupBy("nn", "k")
+        .agg(
+            seg_fold("w_term").alias("ss_within"),
+            seg_fold("b_term").alias("ssb"),
+        )
+    )
+    return folds.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("ssb", 6).alias("ss_between"),
+        F.round("ss_within", 6).alias("ss_within"),
+        F.round(
+            (F.col("nn") - F.col("k"))
+            / (F.col("k") - 1)
+            * F.col("ssb")
+            / F.col("ss_within"),
+            6,
+        ).alias("w_stat"),
     )
 
 

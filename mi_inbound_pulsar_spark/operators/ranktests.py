@@ -831,11 +831,23 @@ def q_baumgartner_weiss(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of its average extended price between 'F' and 'O' baskets — a
 # natural paired design (each part is its own control).
 _PAIRED_DIFF_SQL = """
+      -- exact-integer mean cents: per-row cents are exact (2dp prices),
+      -- sums are exact BIGINTs, and the half-up rounding of the mean is
+      -- pure integer arithmetic ((2s + c) // (2c)) — NO float aggregate
+      -- anywhere, so the value is bit-identical on both engines at ANY
+      -- scale. The previous round(avg(double)*100) flipped a .5
+      -- boundary at sf1.0 when 10x more addends moved the float sum by
+      -- an ulp (round-11 second-decade parity audit), which then
+      -- perturbed the signed-rank tie structure.
       SELECT l.l_partkey AS part,
-             CAST(round(avg(CASE WHEN o.o_orderstatus = 'F'
-                       THEN l.l_extendedprice END) * 100, 0) AS BIGINT)
-             - CAST(round(avg(CASE WHEN o.o_orderstatus = 'O'
-                       THEN l.l_extendedprice END) * 100, 0) AS BIGINT)
+             (2 * sum(CASE WHEN o.o_orderstatus = 'F'
+                      THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) END)
+                + count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END))
+               // (2 * count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END))
+             - (2 * sum(CASE WHEN o.o_orderstatus = 'O'
+                        THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) END)
+                  + count(CASE WHEN o.o_orderstatus = 'O' THEN 1 END))
+                 // (2 * count(CASE WHEN o.o_orderstatus = 'O' THEN 1 END))
                AS d
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_orderstatus IN ('F', 'O')
@@ -846,38 +858,35 @@ _PAIRED_DIFF_SQL = """
 
 
 def _paired_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part mean-cents difference between finished and open
+    orders, computed with NO float aggregate: per-row cents are exact
+    (2dp prices), sums are exact BIGINTs, and the half-up mean
+    rounding is integer arithmetic ``(2s + c) div (2c)`` — so the
+    value is bit-identical across engines at any scale (the previous
+    ``round(avg(double)*100)`` flipped a .5 boundary at sf1.0; see
+    SCALE.md round 11)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isin("F", "O")
     )
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     g = j.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.round(
-            F.avg(
-                F.when(
-                    F.col("o_orderstatus") == "F", F.col("l_extendedprice")
-                )
-            )
-            * 100,
-            0,
-        )
-        .cast("long")
-        .alias("f_cents"),
-        F.round(
-            F.avg(
-                F.when(
-                    F.col("o_orderstatus") == "O", F.col("l_extendedprice")
-                )
-            )
-            * 100,
-            0,
-        )
-        .cast("long")
-        .alias("o_cents"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", cents)).alias("f_sum"),
+        F.count(F.when(F.col("o_orderstatus") == "F", F.lit(1))).alias("f_cnt"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", cents)).alias("o_sum"),
+        F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("o_cnt"),
     )
-    return g.filter(
-        F.col("f_cents").isNotNull() & F.col("o_cents").isNotNull()
-    ).select("part", (F.col("f_cents") - F.col("o_cents")).alias("d"))
+    return (
+        g.filter((F.col("f_cnt") > 0) & (F.col("o_cnt") > 0))
+        .select(
+            "part",
+            (
+                F.expr("(2 * f_sum + f_cnt) div (2 * f_cnt)")
+                - F.expr("(2 * o_sum + o_cnt) div (2 * o_cnt)")
+            ).alias("d"),
+        )
+    )
 
 
 @query(

@@ -1071,17 +1071,31 @@ _TWO_PI = "6.283185307179586"
 @query(
     "q_periodogram",
     oracle=f"""
+    -- deterministic at any scale: the mean is exact (BIGINT cents sum,
+    -- one division) and the DFT projections fold in t order on both
+    -- engines — unordered float sums of ~1e9-magnitude terms flipped a
+    -- 6dp digit at sf1.0 (round-11 second-decade parity audit)
     WITH d AS ({_DAILY_SQL}),
     idx AS (
       SELECT row_number() OVER (ORDER BY day) - 1 AS t,
              CAST(cents AS DOUBLE) / 100 AS x
       FROM d
     ),
-    mu AS (SELECT avg(x) AS mu, count(*) AS n FROM idx),
+    mu AS (
+      SELECT CAST(sum(CAST(round(x * 100, 0) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*)) AS mu,
+             count(*) AS n
+      FROM idx
+    ),
     terms AS (
       SELECT p.p,
-             sum((i.x - mu.mu) * cos({_TWO_PI} * i.t / p.p)) AS a,
-             sum((i.x - mu.mu) * sin({_TWO_PI} * i.t / p.p)) AS b,
+             -- trig basis quantized to 8dp: JVM Math.cos and DuckDB
+             -- libm differ by 1 ulp for some arguments, which 1e7
+             -- magnitudes amplify past the 6dp grid (sf1.0 audit)
+             list_reduce(list((i.x - mu.mu) * round(cos({_TWO_PI} * i.t / p.p), 8)
+                              ORDER BY i.t), (u, v) -> u + v) AS a,
+             list_reduce(list((i.x - mu.mu) * round(sin({_TWO_PI} * i.t / p.p), 8)
+                              ORDER BY i.t), (u, v) -> u + v) AS b,
              max(mu.n) AS n
       FROM idx i, mu, unnest(generate_series(2, {PERIODOGRAM_MAX_P})) p(p)
       GROUP BY p.p
@@ -1120,24 +1134,44 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
         (F.col("cents").cast("double") / 100).alias("x"),
     )
-    mu = idx.agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+    # exact mean (BIGINT cents sum, one division) + t-ordered folds —
+    # mirrors the oracle term-for-term; see oracle comment
+    mu = idx.agg(
+        (
+            F.sum(F.round(F.col("x") * 100, 0).cast("long")).cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
     ps = spark.range(2, PERIODOGRAM_MAX_P + 1).select(
         F.col("id").alias("p")
     )
     two_pi = float(_TWO_PI)
+
+    def fold(term):
+        return F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(t, "
+            + term
+            + " AS v))), s -> s.v), 0D, (u, x) -> u + x)"
+        )
+
     terms = (
         idx.crossJoin(F.broadcast(mu))
         .crossJoin(F.broadcast(ps))
+        .withColumn(
+            "ca",
+            (F.col("x") - F.col("mu"))
+            * F.round(F.cos(F.lit(two_pi) * F.col("t") / F.col("p")), 8),
+        )
+        .withColumn(
+            "cb",
+            (F.col("x") - F.col("mu"))
+            * F.round(F.sin(F.lit(two_pi) * F.col("t") / F.col("p")), 8),
+        )
         .groupBy("p")
         .agg(
-            F.sum(
-                (F.col("x") - F.col("mu"))
-                * F.cos(F.lit(two_pi) * F.col("t") / F.col("p"))
-            ).alias("a"),
-            F.sum(
-                (F.col("x") - F.col("mu"))
-                * F.sin(F.lit(two_pi) * F.col("t") / F.col("p"))
-            ).alias("b"),
+            fold("ca").alias("a"),
+            fold("cb").alias("b"),
             F.max("n").alias("n"),
         )
     )
@@ -2081,32 +2115,49 @@ def _lagged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_mincer_zarnowitz",
     oracle=f"""
+    -- EXACT sufficient statistics in integer cents (HUGEINT sums),
+    -- then one fixed closed-form double expression — no per-row float
+    -- aggregate anywhere, so the regression is bit-identical across
+    -- engines at any scale (the float-moment form flipped a 6dp
+    -- boundary at sf1.0; round-11 second-decade parity audit).
     WITH p AS ({_LAGGED_PAIRS_SQL}),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             avg(y) AS my, avg(f7) AS mf,
-             sum(f7 * f7) AS rff, sum(f7 * y) AS rfy,
-             sum(pow(y - f7, 2)) AS ssr_restricted
+    c AS (
+      SELECT CAST(round(y * 100, 0) AS HUGEINT) AS cy,
+             CAST(round(f7 * 100, 0) AS HUGEINT) AS cf
       FROM p
     ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(cy) AS sy, sum(cf) AS sf,
+             sum(cy * cy) AS yy, sum(cf * cf) AS ff,
+             sum(cy * cf) AS pp,
+             sum((cy - cf) * (cy - cf)) AS ssr_c
+      FROM c
+    ),
     fit AS (
-      SELECT n, my, mf, ssr_restricted,
-             (rfy - n * mf * my) / (rff - n * mf * mf) AS b
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * pp - sf * sy AS DOUBLE)
+               / CAST(n * ff - sf * sf AS DOUBLE) AS b,
+             CAST(sy AS DOUBLE) AS syd, CAST(sf AS DOUBLE) AS sfd,
+             CAST(yy AS DOUBLE) AS yyd, CAST(ff AS DOUBLE) AS ffd,
+             CAST(pp AS DOUBLE) AS ppd, CAST(ssr_c AS DOUBLE) AS ssrd
       FROM m
     ),
+    ab AS (
+      SELECT n, b, syd, sfd, yyd, ffd, ppd, ssrd,
+             (syd - b * sfd) / n AS ac
+      FROM fit
+    ),
     sse AS (
-      SELECT fit.n, fit.b, fit.my - fit.b * fit.mf AS a,
-             fit.ssr_restricted,
-             sum(pow(p.y - (fit.my - fit.b * fit.mf) - fit.b * p.f7, 2))
-               AS sse
-      FROM p, fit
-      GROUP BY fit.n, fit.b, fit.my, fit.mf, fit.ssr_restricted
+      SELECT n, b, ac, ssrd,
+             yyd + n * ac * ac + b * b * ffd
+               - 2 * ac * syd - 2 * b * ppd + 2 * ac * b * sfd AS sse_c
+      FROM ab
     )
     SELECT n AS n_days,
-           round(a, 6) AS intercept,
+           round(ac / 100, 6) AS intercept,
            round(b, 6) AS slope,
-           round((ssr_restricted - sse) / 2 / (sse / (n - 2)), 6)
-             AS f_joint
+           round((ssrd - sse_c) / 2 / (sse_c / (n - 2)), 6) AS f_joint
     FROM sse
     """,
 )
@@ -2123,49 +2174,57 @@ def q_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
     the regression is closed-form from one moment aggregate plus one
     residual pass with the 2-scalar fit broadcast.
     """
+    # exact sufficient statistics in integer cents (decimal(38,0)
+    # sums), then one fixed closed-form double expression mirroring
+    # the oracle term-for-term — no per-row float aggregate, so the
+    # value is bit-identical across engines at any scale (the float
+    # moments flipped a 6dp boundary at sf1.0; see oracle comment)
     p = _lagged_pairs(spark, sf_dir)
-    m = p.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.avg("y").alias("my"),
-        F.avg("f7").alias("mf"),
-        F.sum(F.col("f7") * F.col("f7")).alias("rff"),
-        F.sum(F.col("f7") * F.col("y")).alias("rfy"),
-        F.sum(F.pow(F.col("y") - F.col("f7"), 2)).alias("ssr_restricted"),
+    dec = "decimal(38,0)"
+    c = p.select(
+        F.round(F.col("y") * 100, 0).cast(dec).alias("cy"),
+        F.round(F.col("f7") * 100, 0).cast(dec).alias("cf"),
     )
+    m = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cy").cast(dec).alias("sy"),
+        F.sum("cf").cast(dec).alias("sf"),
+        F.sum(F.col("cy") * F.col("cy")).cast(dec).alias("yy"),
+        F.sum(F.col("cf") * F.col("cf")).cast(dec).alias("ff"),
+        F.sum(F.col("cy") * F.col("cf")).cast(dec).alias("pp"),
+        F.sum((F.col("cy") - F.col("cf")) * (F.col("cy") - F.col("cf")))
+        .cast(dec)
+        .alias("ssr_c"),
+    )
+    nd = F.col("n").cast(dec)
     fit = m.select(
         "n",
-        "my",
-        "mf",
-        "ssr_restricted",
         (
-            (F.col("rfy") - F.col("n") * F.col("mf") * F.col("my"))
-            / (F.col("rff") - F.col("n") * F.col("mf") * F.col("mf"))
+            (nd * F.col("pp") - F.col("sf") * F.col("sy")).cast("double")
+            / (nd * F.col("ff") - F.col("sf") * F.col("sf")).cast("double")
         ).alias("b"),
-    ).withColumn("a", F.col("my") - F.col("b") * F.col("mf"))
-    sse = (
-        p.crossJoin(F.broadcast(fit))
-        .agg(
-            F.max("n").alias("n"),
-            F.max("a").alias("a"),
-            F.max("b").alias("b"),
-            F.max("ssr_restricted").alias("ssr_restricted"),
-            F.sum(
-                F.pow(
-                    F.col("y") - F.col("a") - F.col("b") * F.col("f7"), 2
-                )
-            ).alias("sse"),
-        )
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sf").cast("double").alias("sfd"),
+        F.col("yy").cast("double").alias("yyd"),
+        F.col("ff").cast("double").alias("ffd"),
+        F.col("pp").cast("double").alias("ppd"),
+        F.col("ssr_c").cast("double").alias("ssrd"),
+    ).withColumn("ac", (F.col("syd") - F.col("b") * F.col("sfd")) / F.col("n"))
+    n, b, ac = F.col("n"), F.col("b"), F.col("ac")
+    sse_c = (
+        F.col("yyd")
+        + n * ac * ac
+        + b * b * F.col("ffd")
+        - 2 * ac * F.col("syd")
+        - 2 * b * F.col("ppd")
+        + 2 * ac * b * F.col("sfd")
     )
-    n = F.col("n")
-    return sse.select(
+    return fit.select(
         n.alias("n_days"),
-        F.round(F.col("a"), 6).alias("intercept"),
-        F.round(F.col("b"), 6).alias("slope"),
+        F.round(ac / 100, 6).alias("intercept"),
+        F.round(b, 6).alias("slope"),
         F.round(
-            (F.col("ssr_restricted") - F.col("sse"))
-            / 2
-            / (F.col("sse") / (n - 2)),
-            6,
+            (F.col("ssrd") - sse_c) / 2 / (sse_c / (n - 2)), 6
         ).alias("f_joint"),
     )
 
