@@ -1855,8 +1855,10 @@ def q_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus collapses to the date-domain rollup immediately;
     the day-index window runs over that bounded spine (declared via
     ``bounded_window_input``); Σx² of whole-dollar daily totals is
-    int64-safe through sf10 — the 100 TB form swaps the raw sums for
-    Welford partials, noted here for the audit trail.
+    carried as DECIMAL(38,0) — the long form overflowed at sf1.0
+    (round-11 second-decade audit; the prior "int64-safe through sf10"
+    note was off by two orders), and DuckDB's HUGEINT sum was already
+    exact, so the decimal sums restore bit parity at any scale.
     """
     o = load_table(spark, sf_dir, "orders")
     daily = (
@@ -1864,10 +1866,11 @@ def q_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 0).cast("long").alias("rev"))
     )
     daily = bounded_window_input(daily, label="q_sax_symbolic date spine")
+    dec = "decimal(38,0)"
     stats = daily.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rev").alias("sx"),
-        F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+        F.sum("rev").cast(dec).alias("sx"),
+        F.sum(F.col("rev").cast(dec) * F.col("rev")).cast(dec).alias("sxx"),
     )
     idx = daily.select(
         "rev", (F.row_number().over(Window.orderBy("d")) - 1).alias("i")
