@@ -29,9 +29,9 @@ from mi_inbound_pulsar_spark.sources.tables import load_table
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)  AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)                AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2)  AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2)                AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) / 1000000.0, 2) AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -51,17 +51,18 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection push down to the parquet scan.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price_dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        1 - F.col("l_discount").cast("decimal(18,2)")
-    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc100 = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tax100 = F.round(F.col("l_tax") * 100, 0).cast("long")
+    disc_price_c = cents * (100 - disc100)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price_dec), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(disc_price_dec * (1 + F.col("l_tax").cast("decimal(18,2)"))), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price_c) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price_c * (100 + tax100)) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -76,7 +77,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 Q05_ORACLE = """
     SELECT n_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -115,7 +116,7 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (1 - F.col("l_discount").cast("decimal(18,2)"))), 2).cast("double").alias("revenue"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))) / 10000.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -489,7 +490,7 @@ def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -507,7 +508,7 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue
         FROM lineitem_sql
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

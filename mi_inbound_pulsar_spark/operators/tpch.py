@@ -25,7 +25,7 @@ from mi_inbound_pulsar_spark.sources.tables import load_table
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -52,7 +52,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (1 - F.col("l_discount").cast("decimal(18,2)"))), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))) / 10000.0, 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -100,7 +100,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_forecast_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -122,7 +122,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(18,2)")), 2).cast("double").alias("revenue"),
+        F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(F.col("l_discount") * 100, 0).cast("long")) / 10000.0, 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -131,7 +131,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
            n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -158,7 +158,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (1 - F.col("l_discount").cast("decimal(18,2)"))), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))) / 10000.0, 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -283,7 +283,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -312,7 +312,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond1 | cond2)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (1 - F.col("l_discount").cast("decimal(18,2)"))), 2).cast("double").alias("revenue"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))) / 10000.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -321,11 +321,11 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q07_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume) / 10000.0, 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS volume
       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
            JOIN orders   ON o_orderkey = l_orderkey
            JOIN customer ON c_custkey = o_custkey
@@ -365,9 +365,9 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.withColumn("l_year", F.year("l_shipdate"))
-        .withColumn("volume", F.col("l_extendedprice").cast("decimal(18,2)") * (1 - F.col("l_discount").cast("decimal(18,2)")))
+        .withColumn("volume", F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (100 - F.round(F.col("l_discount") * 100, 0).cast("long")))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum("volume") / 10000.0, 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -376,11 +376,11 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_market_share",
     oracle="""
     SELECT o_year,
-           CAST(round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS nation_volume,
-           CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume
+           round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) / 10000.0, 2) AS nation_volume,
+           round(sum(volume) / 10000.0, 2) AS total_volume
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS volume,
              n2.n_name AS nation
       FROM part JOIN lineitem ON p_partkey = l_partkey
            JOIN supplier ON s_suppkey = l_suppkey
@@ -417,15 +417,15 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
-    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        1 - F.col("l_discount").cast("decimal(18,2)")
+    vol = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
     )
     return (
         j.withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
-            F.round(F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0).cast("decimal(18,2)"))), 2).cast("double").alias("nation_volume"),
-            F.round(F.sum(vol), 2).cast("double").alias("total_volume"),
+            F.round(F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0))) / 10000.0, 2).alias("nation_volume"),
+            F.round(F.sum(vol) / 10000.0, 2).alias("total_volume"),
         )
         .orderBy("o_year")
     )
@@ -470,7 +470,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS total_revenue
+             round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -493,7 +493,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (1 - F.col("l_discount").cast("decimal(18,2)"))), 2).cast("double").alias("total_revenue")
+        F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))) / 10000.0, 2).alias("total_revenue")
     )
     max_rev = rev.agg(F.max("total_revenue").alias("mr"))
     return (
@@ -508,7 +508,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 700.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < (
@@ -532,7 +532,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_q, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cap"))
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2).cast("double").alias("avg_yearly"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 700.0, 2).alias("avg_yearly"))
     )
 
 
@@ -606,7 +606,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_nationkey IN (0, 1, 2, 3)
     )
     SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+           round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2) AS totacctbal
     FROM active
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM active WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -635,7 +635,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").alias("totacctbal"))
+        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")) / 100.0, 2).alias("totacctbal"))
         .orderBy("cntrycode")
     )
 
@@ -703,13 +703,13 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_volumes",
     oracle="""
     WITH v AS (
-      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS val
+      SELECT l_partkey, sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_quantity, 0) AS BIGINT)) AS val
       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                     JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_1'
       GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, CAST(round(val, 2) AS DOUBLE) AS value
+    SELECT l_partkey AS partkey, round(val / 100.0, 2) AS value
     FROM v
     WHERE val > (SELECT sum(val) * 0.001 FROM v)
     ORDER BY value DESC, partkey
@@ -730,13 +730,13 @@ def q11_important_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_quantity").cast("decimal(18,2)")).alias("val"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(F.col("l_quantity"), 0).cast("long")).alias("val"))
     )
     threshold = v.agg((F.sum("val") * 0.001).alias("cut"))
     return (
         v.join(F.broadcast(threshold))
         .filter(F.col("val") > F.col("cut"))
-        .select(F.col("l_partkey").alias("partkey"), F.round("val", 2).cast("double").alias("value"))
+        .select(F.col("l_partkey").alias("partkey"), F.round(F.col("val") / 100.0, 2).alias("value"))
         .orderBy(F.desc("value"), "partkey")
     )
 
