@@ -508,7 +508,10 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue
+               -- 10000.0D, not 10000.0: Spark SQL parses a bare decimal
+               -- literal as DECIMAL and the division would come out
+               -- decimal(24,2) instead of the oracle's DOUBLE
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0D, 2) AS revenue
         FROM lineitem_sql
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
