@@ -333,12 +333,17 @@ def prior_bench_times() -> dict[str, float]:
     ``BENCH_FULL.json``, and the tri-scale sweep's sf0.1 artifacts).
     Round-10 verdict item #2: the old "most recent measurement wins"
     merge let one drifted session poison the next round's baseline;
-    the minimum cannot ratchet with session drift, and folding the
-    sweep ledgers in extends gate coverage to the full registry
-    (verdict item #7). See ``mi_inbound_pulsar_spark/benchbase.py``."""
+    the minimum cannot ratchet with session drift. BENCH-ledger
+    sources ONLY: bench gates only queries it measures itself (all in
+    the bench ledgers), and pooling the sweep's single-pass toArrow
+    samples would invert the fluke-trim — the slower sweep samples
+    dominate the median, the genuine bench minimum gets classified as
+    the fluke, and the gate silently loosens 2-20x (round-11 review
+    finding, verified on the committed ledgers: 87 of 212 baselines
+    affected). See ``mi_inbound_pulsar_spark/benchbase.py``."""
     from mi_inbound_pulsar_spark.benchbase import committed_min_times
 
-    return committed_min_times(Path(__file__).resolve().parent)
+    return committed_min_times(Path(__file__).resolve().parent, sources="bench")
 
 
 def _streaming_throughput(spark, sf_dir: str) -> float:
@@ -458,18 +463,30 @@ def main() -> int:
         gate_regressions,
     )
 
-    prior = prior_bench_times()
+    # the gate (and its drift normalization) only makes sense against
+    # the sf0.1 ledgers the baselines come from — at any other scale
+    # factor the probe ratio would absorb the scale difference and
+    # silently blind the gate (round-11 review finding), so disable
+    # gating entirely and say so in-band
+    gate_active = abs(sf - 0.1) < 1e-9
+    prior = prior_bench_times() if gate_active else {}
     probe_times: dict[str, float] = {}
-    for _ in range(2):
-        for name in PROBES:
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            elapsed = round(time.time() - t0, 3)
-            if name not in probe_times or elapsed < probe_times[name]:
-                probe_times[name] = elapsed
-            spark.catalog.clearCache()
-    drift = drift_factor(probe_times, prior)
-    print(f"# session drift factor: {drift}x over probes {probe_times}", file=sys.stderr)
+    if gate_active:
+        for _ in range(2):
+            for name in PROBES:
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                elapsed = round(time.time() - t0, 3)
+                if name not in probe_times or elapsed < probe_times[name]:
+                    probe_times[name] = elapsed
+                spark.catalog.clearCache()
+    drift = drift_factor(probe_times, prior) if gate_active else None
+    print(
+        f"# session drift factor: {drift}x over probes {probe_times}"
+        if gate_active
+        else f"# sf={sf}: regression gate disabled (baselines are sf0.1)",
+        file=sys.stderr,
+    )
 
     # Two passes, per-query minimum: single-JVM local mode shows rare
     # 5-10x first-touch outliers (driver-side memory reclaim after the
@@ -499,6 +516,8 @@ def main() -> int:
     # standalone before believing it") built into the harness; fast
     # queries still cost exactly two passes.
     def over_gate(q: str, t: float) -> bool:
+        if not gate_active:
+            return False
         return q in prior and t / drift > max(1.3 * prior[q], prior[q] + 0.3)
 
     for name in [q for q, t in times.items() if over_gate(q, t)]:
@@ -524,7 +543,9 @@ def main() -> int:
     # the committed-round minimum is a visible diff in the JSON line,
     # not judge arithmetic (0.3 s floor keeps sub-second timer jitter
     # out of the list)
-    regressions = gate_regressions(times, prior, drift)
+    regressions = (
+        gate_regressions(times, prior, drift) if gate_active else []
+    )
     # Full per-query map committed to the repo (the JSON line below
     # must fit the driver's 2000-char tail — 82+ queries no longer do,
     # which is exactly how round 6's line ended up with parsed=null in

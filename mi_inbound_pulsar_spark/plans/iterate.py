@@ -75,6 +75,15 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
       not to configure durability, and silently persisting instead
       would reintroduce the round-9 cache-leak class.
 
+    Reliable-checkpoint cleanup: checkpoint files are only deleted by
+    the ContextCleaner when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (this
+    repo's ``session.get_spark`` sets it; Spark's default is false).
+    Without it, a long-lived session calling the ~60 library sites
+    that route through here would accumulate unbounded checkpoint
+    storage — set the conf in any external session that takes the
+    reliable path.
+
     Designed for ``.transform(eager_checkpoint)`` chaining at the ~60
     operator sites that previously called ``.localCheckpoint(eager=True)``
     directly.

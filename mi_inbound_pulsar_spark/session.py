@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # plans/iterate.eager_checkpoint falls back to RELIABLE
+        # checkpoints on cluster masters / under dynamic allocation;
+        # without this, those checkpoint files are never deleted and a
+        # long-lived session running the query library accumulates
+        # unbounded checkpoint storage. With it, the ContextCleaner
+        # removes a checkpoint's files when its RDD is GC'd — the same
+        # lifecycle localCheckpoint blocks already have.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         # Long-lived sessions run thousands of jobs (bench, sweeps); the
         # status store's retained execution/job/stage metadata otherwise

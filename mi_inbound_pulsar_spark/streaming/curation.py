@@ -45,6 +45,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mi_inbound_pulsar_spark.streaming.epochio import write_all
+
 MIN_TOKENS = 20
 TRAIN_CUT = "cd"
 PACK_SIZE = 512
@@ -95,22 +97,9 @@ class StreamingCurationPipeline:
         shutil.rmtree(path, ignore_errors=True)  # replayed epoch: rewrite
         df.repartition(self.num_partitions, key).write.mode("overwrite").parquet(path)
 
-    def _write_all(
-        self, writes: list[tuple[DataFrame, str, str]], epoch_id: int
-    ) -> None:
-        """Concurrent submission of this epoch's independent
-        state-family writes — same rationale and crash-seam contract
-        as :meth:`StreamingPrivacyPipeline._write_all` (the marker
-        still lands only after every write returned)."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
-            futures = [
-                ex.submit(self._write, df, root, epoch_id, key)
-                for df, root, key in writes
-            ]
-            for f in futures:
-                f.result()
+    # concurrent epoch-family writes; one shared implementation so the
+    # crash-seam contract cannot diverge between pipelines (epochio.py)
+    _write_all = write_all
 
     def _finalize(self, epoch_id: int) -> None:
         with open(os.path.join(self.state_dir, "_commits", str(epoch_id)), "w"):

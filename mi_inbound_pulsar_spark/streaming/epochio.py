@@ -1,0 +1,44 @@
+"""Shared epoch-write plumbing for the stateful pipelines.
+
+One implementation of the concurrent state-family write submission so
+the privacy and curation pipelines (and the composed protocol built on
+them) cannot silently diverge on the crash-seam contract.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame
+
+
+def write_all(
+    pipeline, writes: list[tuple[DataFrame, str, str]], epoch_id: int
+) -> None:
+    """Submit an epoch's independent state-family writes as CONCURRENT
+    Spark jobs (one driver thread each — the documented multi-threaded
+    submission pattern, cluster-safe) instead of serializing them. The
+    families must be independent by construction: each frame derives
+    from inputs persisted and materialized before this call, so the
+    racing jobs only read caches. The epoch's write wall-time drops
+    from Σ(job) to ~max(job) — at small batch sizes the fixed per-job
+    scheduling overhead was 70-80% of the whole epoch (round-11
+    composed-gates profile, SCALE.md).
+
+    Crash-seam contract: returns only after EVERY write succeeded, and
+    the caller lands the single commit marker after that — a crash
+    mid-call can leave any SUBSET of torn ``v<epoch>`` dirs (unordered,
+    unlike the old sequential form), but un-markered epochs are
+    invisible to every reader and a replay rewrites all of them
+    (tests/test_streaming_composed.py's seam matrix).
+
+    Bound as a method on the pipeline classes (``_write_all = write_all``);
+    ``pipeline`` supplies the idempotent per-family ``_write``.
+    """
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        futures = [
+            ex.submit(pipeline._write, df, root, epoch_id, key)
+            for df, root, key in writes
+        ]
+        for f in futures:
+            f.result()

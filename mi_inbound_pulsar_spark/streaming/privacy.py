@@ -40,6 +40,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mi_inbound_pulsar_spark.streaming.epochio import write_all
+
 K_ANON = 5
 L_DIVERSE = 3
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
@@ -95,32 +97,10 @@ class StreamingPrivacyPipeline:
         shutil.rmtree(path, ignore_errors=True)  # replayed epoch: rewrite
         df.repartition(self.num_partitions, key).write.mode("overwrite").parquet(path)
 
-    def _write_all(
-        self, writes: list[tuple[DataFrame, str, str]], epoch_id: int
-    ) -> None:
-        """Submit this epoch's independent state-family writes as
-        CONCURRENT Spark jobs (one driver thread each — the documented
-        multi-threaded-submission pattern, cluster-safe) instead of
-        serializing them. The families are independent by construction
-        (each derives from a frame persisted before this call), so the
-        epoch's write wall-time drops from Σ(job) to ~max(job) — at
-        bench batch sizes the fixed per-job scheduling overhead was
-        70-80% of the whole epoch (round-10 verdict item #6 profile).
-        Crash-seam contract unchanged: this returns only after EVERY
-        write succeeded, and the caller lands the single commit marker
-        after that — a crash mid-call can leave more torn ``v<epoch>``
-        dirs than the sequential form, but un-markered epochs are
-        invisible to every reader and a replay rewrites all of them
-        (tests/test_streaming_composed.py's seam matrix)."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
-            futures = [
-                ex.submit(self._write, df, root, epoch_id, key)
-                for df, root, key in writes
-            ]
-            for f in futures:
-                f.result()
+    # concurrent epoch-family writes; one shared implementation so the
+    # crash-seam contract cannot diverge between pipelines (epochio.py;
+    # plain class-level assignment binds it as a method, self=pipeline)
+    _write_all = write_all
 
     def _finalize(self, epoch_id: int) -> None:
         with open(os.path.join(self.state_dir, "_commits", str(epoch_id)), "w"):

@@ -84,6 +84,11 @@ def main() -> int:
     only = set(sys.argv[1:])
     spark = get_spark("local_verify")
     con = duckdb.connect()
+    # the 10x replica tier's pair-heavy oracles (triangle join, shingle
+    # self-joins) spill past the in-memory connection's default temp
+    # cap — allow real disk spill so oracle capacity, not parity,
+    # never fails a sweep
+    con.execute("SET max_temp_directory_size='60GB'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):

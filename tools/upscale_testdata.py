@@ -63,7 +63,12 @@ OFFSETS = {
         "l_partkey": "p_partkey",
         "l_suppkey": "s_suppkey",
     },
-    "events": {"event_id": "event_id", "user_id": "user_id"},
+    # user_id joins customer.c_custkey (q_stream_static_join et al.),
+    # so it must offset by the CUSTOMER key domain — offsetting by its
+    # own max (round-11 review) landed replica r's users on replica-0's
+    # customers, breaking the disjoint-copies invariant for
+    # events-customer joins
+    "events": {"event_id": "event_id", "user_id": "c_custkey"},
     "documents": {"doc_id": "doc_id"},
     "embeddings": {"vec_id": "vec_id"},
 }
@@ -88,8 +93,12 @@ def _sign(r: int, d: int) -> int:
 
 def _vocab_perm(con: duckdb.DuckDBPyConnection, r: int) -> dict[str, str]:
     """Deterministic per-replica permutation of the closed vocabulary
-    (identity for r=0). Rotation by a hash-derived stride coprime to
-    |V| — a fixed-point-free permutation for every r > 0."""
+    (identity for r=0): rotation by a hash-derived stride in
+    [1, n-1]. ANY such stride is fixed-point-free (i + s mod n == i
+    only when s ≡ 0 mod n), which is the property the replica
+    construction needs — full-cycle rotations are NOT required
+    (round-11 review: the previous coprimality loop neither ensured a
+    full cycle nor terminated for n=2)."""
     vocab = [
         v[0]
         for v in con.sql(
@@ -98,11 +107,9 @@ def _vocab_perm(con: duckdb.DuckDBPyConnection, r: int) -> dict[str, str]:
         ).fetchall()
     ]
     n = len(vocab)
-    if r == 0:
+    if r == 0 or n < 2:
         return {}
     stride = 1 + int(hashlib.md5(f"perm:{r}".encode()).hexdigest(), 16) % (n - 1)
-    while n % stride == 0 or stride == n:  # ensure full-cycle rotation
-        stride = stride % (n - 1) + 1
     return {vocab[i]: vocab[(i + stride) % n] for i in range(n)}
 
 
