@@ -546,25 +546,31 @@ def main() -> int:
     regressions = (
         gate_regressions(times, prior, drift) if gate_active else []
     )
-    # Full per-query map committed to the repo (the JSON line below
-    # must fit the driver's 2000-char tail — 82+ queries no longer do,
-    # which is exactly how round 6's line ended up with parsed=null in
-    # BENCH_r06.json).
-    Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
-        json.dumps(
-            {
-                "sf": sf,
-                "value": total,
-                "queries": times,
-                "regressions": regressions,
-                "drift_factor": drift,
-                "probe_times": probe_times,
-            },
-            indent=1,
-            sort_keys=True,
-        )
-        + "\n"
-    )
+    # Full per-query map (the JSON line below must fit the driver's
+    # 2000-char tail — 82+ queries no longer do, which is exactly how
+    # round 6's line ended up with parsed=null in BENCH_r06.json).
+    # Ledger split (round-11 verdict nit #4): every run writes the
+    # gitignored BENCH_LATEST.json, so a driver bench run leaves
+    # `git status` clean; the COMMITTED ledger BENCH_FULL.json is
+    # updated only when the builder intentionally refreshes it with
+    # BENCH_WRITE_LEDGER=1 — committed evidence is a deliberate act,
+    # not a side effect of every measurement session.
+    payload = json.dumps(
+        {
+            "sf": sf,
+            "value": total,
+            "queries": times,
+            "regressions": regressions,
+            "drift_factor": drift,
+            "probe_times": probe_times,
+        },
+        indent=1,
+        sort_keys=True,
+    ) + "\n"
+    root = Path(__file__).resolve().parent
+    root.joinpath("BENCH_LATEST.json").write_text(payload)
+    if os.environ.get("BENCH_WRITE_LEDGER"):
+        root.joinpath("BENCH_FULL.json").write_text(payload)
     top = dict(
         sorted(times.items(), key=lambda kv: -kv[1])[:40]
     )
@@ -576,9 +582,10 @@ def main() -> int:
                 "unit": "sec",
                 "n_queries": len(times),
                 # the 40 most expensive queries this run; the full
-                # per-query map is committed as BENCH_FULL.json
+                # per-query map of THIS run is BENCH_LATEST.json
+                # (gitignored); the committed ledger is BENCH_FULL.json
                 "queries": top,
-                "queries_full": "BENCH_FULL.json",
+                "queries_full": "BENCH_LATEST.json",
                 "regressions": regressions,
                 # session drift vs committed-round minima, measured on
                 # the pinned probe set (benchbase.PROBES); every time

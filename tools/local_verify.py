@@ -77,6 +77,28 @@ def table_key(tbl: pa.Table) -> tuple:
     return tuple(sorted_cols), tuple(types), body
 
 
+def sweep_min_times(sf_label: str) -> dict[str, float]:
+    """Per-query minimum wall time across every committed sweep artifact
+    at this scale label (``VERIFY_FULL_r*_{sf_label}.json``). Used by
+    the retest-on-flag pass below; empty dict when no artifact exists
+    for this sf (e.g. a dev run at a replica scale)."""
+    import json
+
+    out: dict[str, float] = {}
+    root = Path(__file__).resolve().parent.parent
+    for p in root.glob(f"VERIFY_FULL_r*_{sf_label}.json"):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for q, rec in (data.get("queries") or {}).items():
+            if isinstance(rec, dict) and rec.get("status") != "fail":
+                sec = float(rec.get("sec") or 0.0)
+                if sec > 0 and (q not in out or sec < out[q]):
+                    out[q] = sec
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as e
     from mi_inbound_pulsar_spark.session import get_spark
@@ -94,6 +116,17 @@ def main() -> int:
     ):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    # Retest-on-flag (round-11 verdict item #1a): sweep times are
+    # single-pass, and one loaded session can spike a kernel 5-30x its
+    # committed minimum (r11: 39.7 s captured for a 1.4 s kernel) —
+    # poisoning the committed artifact the scaling gate reads. Any
+    # query whose single pass exceeds its committed sweep minimum by
+    # the flag threshold gets exactly ONE re-run and the minimum is
+    # recorded, so one-shot scheduler/GC spikes die at the source for
+    # bounded extra cost (only flagged kernels re-run).
+    sf_label = os.path.basename(SF_DIR.rstrip("/"))
+    committed = sweep_min_times(sf_label)
+
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     results: dict[str, dict] = {}
@@ -109,7 +142,24 @@ def main() -> int:
             n_fail += 1
             continue
         dt = time.time() - t0
+        base = committed.get(name)
+        retested = False
+        if base is not None and dt > max(1.5 * base, base + 0.5):
+            t0 = time.time()
+            try:
+                stbl = fn(spark, SF_DIR).toArrow()
+                dt2 = time.time() - t0
+                print(
+                    f"  retest {name}: {dt:.1f}s -> {dt2:.1f}s "
+                    f"(committed min {base}s)"
+                )
+                dt = min(dt, dt2)
+                retested = True
+            except Exception:
+                pass  # keep the first (successful) pass's result
         results[name] = {"status": "pass", "rows": stbl.num_rows, "sec": round(dt, 1)}
+        if retested:
+            results[name]["retested"] = 1
         if name not in oracles:
             print(f"rows-only {name}: {stbl.num_rows} rows [{dt:.1f}s]")
             results[name]["status"] = "rows-only"

@@ -76,16 +76,32 @@ def load(round_no: int) -> dict[str, dict[str, float]]:
     return out
 
 
-def exponent(times: dict[str, float]) -> float | None:
-    """log10(t(0.1)/t(0.01)) — the last-decade growth exponent."""
-    t1, t2 = times.get("sf0.01"), times.get("sf0.1")
-    if not t1 or not t2 or t1 <= 0 or t2 <= 0:
-        return None
-    return math.log10(t2 / t1)
+def load_min() -> dict[str, dict[str, float]]:
+    """{query: {sf_label: min sec across EVERY committed round}}.
+
+    The round-11 lesson (VERDICT r11 item #1): a single sweep capture
+    in a loaded session carried one-shot scheduler/GC spikes (39.7 s
+    for a kernel whose committed minimum is 1.4 s), and a gate that
+    fits exponents on the LATEST artifact fails open on poisoned
+    evidence. Sweep times only ever drift UP under load, so the
+    per-round minimum is the closest committed estimate of the plan's
+    true cost — the same committed-min philosophy ``benchbase.py``
+    uses for the regression gate, applied to the scaling gate's own
+    input. One loaded capture can never redden (or green) the tree;
+    only a kernel that is slow in EVERY committed round flags.
+    """
+    out: dict[str, dict[str, float]] = {}
+    for rn in all_rounds():
+        for q, times in load(rn).items():
+            slot = out.setdefault(q, {})
+            for sf, sec in times.items():
+                if sec > 0 and (sf not in slot or sec < slot[sf]):
+                    slot[sf] = sec
+    return out
 
 
-def latest_round() -> int:
-    """Highest N with a complete VERIFY_FULL_rNN tri-scale artifact set."""
+def all_rounds() -> list[int]:
+    """Every N with a complete VERIFY_FULL_rNN tri-scale artifact set."""
     import re
 
     rounds: set[int] = set()
@@ -96,6 +112,20 @@ def latest_round() -> int:
             for sf in SFS
         ):
             rounds.add(int(m.group(1)))
+    return sorted(rounds)
+
+
+def exponent(times: dict[str, float]) -> float | None:
+    """log10(t(0.1)/t(0.01)) — the last-decade growth exponent."""
+    t1, t2 = times.get("sf0.01"), times.get("sf0.1")
+    if not t1 or not t2 or t1 <= 0 or t2 <= 0:
+        return None
+    return math.log10(t2 / t1)
+
+
+def latest_round() -> int:
+    """Highest N with a complete VERIFY_FULL_rNN tri-scale artifact set."""
+    rounds = all_rounds()
     if not rounds:
         raise SystemExit("no complete VERIFY_FULL_rNN tri-scale artifact set")
     return max(rounds)
@@ -103,9 +133,12 @@ def latest_round() -> int:
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    round_no = int(args[0]) if args else latest_round()
     show_all = "--all" in sys.argv
-    data = load(round_no)
+    if "--min" in sys.argv:
+        data = load_min()  # the gate's view: per-round minima
+    else:
+        round_no = int(args[0]) if args else latest_round()
+        data = load(round_no)
 
     rows = []
     for q in FLAGSHIPS if not show_all else sorted(data):
