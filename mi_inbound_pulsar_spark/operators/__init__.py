@@ -77,15 +77,76 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-11 ROTATION (final): the driver samples the FIRST 50 entries.
-    # Rounds 1-10 covered 444 distinct names (all green, zero overlap
-    # across ten disjoint rotations). This head is the ELEVENTH disjoint
-    # set: 50 of the 59 remaining never-driver-checked names in
-    # registration order (round-10 verdict item #1). The 9 overflow
-    # (q_tukey_hsd .. q_dunn_index, the registry tail) sit at slots
-    # 51-59 for round 12's window AND each carries a pure-Python
-    # second-scale property replay (tests/test_overflow_replays.py)
-    # so nothing ships driver-unchecked and replay-unchecked.
+    # ROUND-12 ROTATION. The driver samples the FIRST 50 entries of
+    # ``queries()``; rounds 1-11 covered 494 distinct names green across
+    # eleven disjoint windows. Selection POLICY (codified per round-11
+    # verdict item #7, mechanical and auditable):
+    #   1. never-driver-checked queries first (registration order) —
+    #      this round: the final 9, closing cumulative coverage at
+    #      503/503;
+    #   2. then queries whose implementation CHANGED in the current or
+    #      previous round (driver-hard re-confirmation beats local
+    #      evidence) — this round: the round-11 long-cents TPC-H
+    #      conversion (q01/q03/q05/q08/q17/q22), the double-literal
+    #      SQL-surface fix, the SAX decimal-moments fix, this round's
+    #      containment df-band change, and the round-11 float-parity
+    #      exact-statistic rewrites;
+    #   3. remaining slots re-verify OLDEST-GREEN first (the round-1
+    #      window: its queries have not seen the driver's oracle since
+    #      round 1, eleven rounds of code movement ago).
+    "q_tukey_hsd",
+    "q_games_howell",
+    "q_jonckheere_terpstra",
+    "q_friedman_test",
+    "q_page_trend_test",
+    "q_quade_test",
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_dunn_index",
+    # -- policy tier 2: changed in round 11/12 --
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q08_market_share",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "q_sql_surface",
+    "q_sax_symbolic",
+    "q_containment_neardup",
+    "q_periodogram",
+    "q_levene_test",
+    "q_sign_test",
+    "q_wilcoxon_signed_rank",
+    "q_krippendorff_alpha",
+    "q_mincer_zarnowitz",
+    # -- policy tier 3: oldest-green (round-1 window) re-verification --
+    "q_filter_predicates",
+    "q_join_left_outer",
+    "q_join_semi_anti",
+    "q_join_full_outer",
+    "q_join_cross",
+    "q_join_range_theta",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_having",
+    "q_sort_limit",
+    "q_subquery_scalar",
+    "q_join_right_outer",
+    "q_salted_skew_join",
+    "q_lateral_topk",
+    "q_recursive_calendar",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_by_flag",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_disjunctive_predicates",
+    "q07_volume_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    # -- prior rotations, kept for stable ordering past slot 50 --
     "q_bayesian_ab_exact",
     "q_beta_binomial_fit",
     "q_poisson_2sample_exact",
@@ -99,7 +160,6 @@ _PRIORITY = (
     "q_pacf_durbin_levinson",
     "q_holt_winters_fixed_season",
     "q_jarque_bera",
-    "q_mincer_zarnowitz",
     "q_diebold_mariano",
     "q_pettitt_test",
     "q_durbin_watson",
@@ -117,11 +177,8 @@ _PRIORITY = (
     "q_mood_scale_test",
     "q_lepage_test",
     "q_baumgartner_weiss",
-    "q_sign_test",
-    "q_wilcoxon_signed_rank",
     "q_fleiss_kappa",
     "q_icc_oneway",
-    "q_krippendorff_alpha",
     "q_gwet_ac1",
     "q_weighted_kappa",
     "q_hellinger_tv_distance",
@@ -136,17 +193,6 @@ _PRIORITY = (
     "q_mahalanobis_outliers",
     "q_hotelling_t2",
     "q_fisher_z_corr_diff",
-    # -- slots 51-59: round-12 window head (replay-tested this round) --
-    "q_tukey_hsd",
-    "q_games_howell",
-    "q_jonckheere_terpstra",
-    "q_friedman_test",
-    "q_page_trend_test",
-    "q_quade_test",
-    "q_calinski_harabasz",
-    "q_davies_bouldin",
-    "q_dunn_index",
-    # -- prior rotations' heads, kept for stable ordering past slot 59 --
     "q_granger_lag1",
     "q_breusch_pagan",
     "q_kruskal_wallis",
@@ -165,7 +211,6 @@ _PRIORITY = (
     "q_good_turing",
     "q_price_elasticity",
     "q_hurst_exponent",
-    "q_periodogram",
     "q_negbinomial_fit",
     "q_cronbach_alpha",
     "q_ipf_raking",
@@ -197,7 +242,6 @@ _PRIORITY = (
     "q_e_value_sensitivity",
     "q_weighted_logrank",
     "q_tost_equivalence",
-    # -- older rotations' heads --
     "q_ams_f2_moment",
     "q_bloom_decontaminate",
     "q_chapman_estimator",
@@ -210,7 +254,6 @@ _PRIORITY = (
     "q_holt_linear",
     "q_hyperloglog_portable",
     "q_kendalls_w",
-    "q_levene_test",
     "q_ljung_box",
     "q_logrank_test",
     "q_mcnemar_test",
