@@ -78,7 +78,10 @@ def committed_min_times(
       the per-query map lives under ``parsed.queries``; ``parsed`` is
       null when the JSON line outgrew the driver's 2000-char tail —
       the round-6 case — so those rounds contribute nothing, fine);
-    - ``BENCH_FULL.json``, the full headline map committed every run;
+    - ``BENCH_FULL.json``, the committed headline ledger (since round
+      12 refreshed only under ``BENCH_WRITE_LEDGER=1`` — every run's
+      map goes to the gitignored ``BENCH_LATEST.json`` instead, so a
+      driver bench run leaves the tree clean);
     - ``VERIFY_FULL_r*_sf0.1.json``, the tri-scale sweep's sf0.1 pass
       (single-pass ``sec`` per query, full registry).
 

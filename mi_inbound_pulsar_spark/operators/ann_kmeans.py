@@ -90,6 +90,16 @@ def train_spherical_kmeans(
                 acc_cnt += np.bincount(best, minlength=len(cents))
                 np.add.at(acc_sum, best, units)
             cells = np.nonzero(acc_cnt)[0]
+            if cells.size == 0:
+                # empty partition: yield NOTHING. An empty frame here
+                # is fatal, not merely wasteful — pandas infers the
+                # empty "vec_sum" list column as dtype float64 and
+                # Arrow cannot convert a float64 ndarray (even a
+                # 0-row one) to list<double>. Empty input partitions
+                # are routine at cluster scale (file-split alignment,
+                # AQE-coalesced shuffles); found by the round-12
+                # sf1.0 wide scaling run.
+                return
             yield pd.DataFrame(
                 {
                     "cell": cells.astype(np.int64),

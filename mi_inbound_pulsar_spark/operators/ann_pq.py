@@ -91,6 +91,11 @@ def train_pq_codebooks(
                     acc_cnt[j] += np.bincount(best, minlength=k_)
                     np.add.at(acc_sum[j], best, sub)
             js, ks = np.nonzero(acc_cnt)
+            if js.size == 0:
+                # empty partition: yield nothing — an empty frame's
+                # "vec_sum" column infers as float64 and Arrow cannot
+                # convert it to list<double> (see train_spherical_kmeans)
+                return
             yield pd.DataFrame(
                 {
                     "subspace": js.astype(np.int64),
@@ -419,6 +424,11 @@ def train_residual_codebooks(
                     acc_cnt[j] += np.bincount(bidx, minlength=k_)
                     np.add.at(acc_sum[j], bidx, sub)
             js, ks = np.nonzero(acc_cnt)
+            if js.size == 0:
+                # empty partition: yield nothing — an empty frame's
+                # "vec_sum" column infers as float64 and Arrow cannot
+                # convert it to list<double> (see train_spherical_kmeans)
+                return
             yield pd.DataFrame(
                 {
                     "subspace": js.astype(np.int64),

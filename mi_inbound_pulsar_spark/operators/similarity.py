@@ -1320,6 +1320,11 @@ def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def dequantize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                # an empty batch's list column would infer float64 and
+                # fail Arrow's list<double> conversion (see
+                # train_spherical_kmeans)
+                continue
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             q = np.clip(np.floor(m / s * 127 + 0.5), -127, 127)
             deq = q * s / 127

@@ -34,3 +34,26 @@ def test_kmeans_recall_beats_stride_centroids(spark):
     # observed 0.86 at sf0.001 / 0.90 at sf0.01 (stride centroids: 0.64);
     # gate with margin — the training path is what's under test.
     assert len(approx & exact) / len(exact) >= 0.75
+
+
+def test_training_survives_empty_partitions(spark):
+    """Empty input partitions are routine at cluster scale (file-split
+    alignment, AQE-coalesced shuffles, selective filters). The training
+    partials UDF used to yield an EMPTY frame from such a partition,
+    whose empty "vec_sum" list column pandas infers as dtype float64 —
+    and Arrow cannot convert a float64 ndarray to list<double>, killing
+    the whole job (found by the round-12 sf1.0 wide scaling run, where
+    the 10x embeddings table split into one full + one empty
+    partition). Pin: training over a frame with mostly-empty partitions
+    must produce the same centroids as the packed layout."""
+    from mi_inbound_pulsar_spark.operators.ann_pq import train_pq_codebooks
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    packed = train_spherical_kmeans(e, k=K_CELLS, n_iter=2)
+    # 200 hash partitions over ~600 rows -> many empty/near-empty tasks
+    sparse_frame = e.repartition(200)
+    sparse = train_spherical_kmeans(sparse_frame, k=K_CELLS, n_iter=2)
+    np.testing.assert_allclose(packed, sparse, atol=1e-9)
+    # same failure class in the PQ trainer
+    books = train_pq_codebooks(sparse_frame, n_iter=1)
+    assert books.shape[0] > 0

@@ -31,36 +31,76 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "tools"))
 
-from scaling_fit import FLAGSHIPS, exponent, latest_round, load  # noqa: E402
+from scaling_fit import (  # noqa: E402
+    FLAGSHIPS,
+    exponent,
+    latest_round,
+    load_min,
+)
 
 SMALL = "/root/testdata/sf0.1"
 BIG = str(ROOT / ".testdata_up" / "sf1")
+
+#: --wide selection threshold: every kernel whose committed-min sf0.1
+#: wall time is at least this many seconds joins the flagships in the
+#: measurement set (round-11 verdict item #5 — the recall gates
+#: re-cluster per scale and are exactly the kind of kernel whose
+#: exponent could hide a k-means-iteration term; a 62-kernel tail of
+#: >=2 s queries was invisible to the 17-flagship table).
+WIDE_MIN_SEC = 2.0
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     round_no = int(args[0]) if args and args[0].isdigit() else latest_round()
     only = set(args[1:]) if args and args[0].isdigit() else set(args)
+    wide = "--wide" in sys.argv
 
     import __spark_entry__ as e
     from mi_inbound_pulsar_spark.session import get_spark
 
     spark = get_spark("scale_decade2")
     qs = e.queries()
-    committed = load(round_no)
+    # e1 reference = per-round MINIMA across every committed tri-scale
+    # artifact set (not one round's capture — the r11 lesson)
+    committed = load_min()
 
     spark.read.parquet(os.path.join(SMALL, "nation.parquet")).count()
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
 
-    names = [q for q in FLAGSHIPS if not only or q in only]
+    pool = list(FLAGSHIPS)
+    if wide:
+        extras = sorted(
+            q
+            for q, t in committed.items()
+            if t.get("sf0.1", 0) >= WIDE_MIN_SEC and q not in pool and q in qs
+        )
+        pool += extras
+    names = [q for q in pool if not only or q in only]
     times: dict[str, dict[str, float]] = {q: {} for q in names}
+    errors: dict[str, str] = {}
     for pass_no in range(2):
         for q in names:
+            if q in errors:
+                continue
             for label, sf_dir in (("sf0.1", SMALL), ("sf1.0", BIG)):
                 t0 = time.time()
-                n = qs[q](spark, sf_dir).count()
+                try:
+                    n = qs[q](spark, sf_dir).count()
+                except Exception as exc:  # record and keep sweeping —
+                    # one broken kernel must not kill a 2-hour run
+                    # (the round-12 ivfpq empty-partition crash cost a
+                    # 37-measurement pass before this guard existed)
+                    errors[q] = f"{label}: {exc}"[:300]
+                    print(
+                        f"# ERROR {q}@{label}: {exc}"[:300],
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    spark.catalog.clearCache()
+                    break
                 el = round(time.time() - t0, 3)
                 if label not in times[q] or el < times[q][label]:
                     times[q][label] = el
@@ -83,7 +123,9 @@ def main() -> int:
         print(f"| `{q}` | {t1} | {t2} | {e2} | {e1} |")
 
     out = ROOT / f"SCALE_DECADE2_r{round_no}.json"
-    out.write_text(json.dumps({"rows": rows}, indent=1) + "\n")
+    out.write_text(json.dumps({"rows": rows, "errors": errors}, indent=1) + "\n")
+    if errors:
+        print(f"ERRORS ({len(errors)}): {errors}")
     print(f"\nwrote {out}")
     flags = [r for r in rows if r["e2"] is not None and r["e2"] > 1.2 and (r["sf1.0"] or 0) >= 5]
     if flags:
