@@ -1338,16 +1338,20 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipeline actually ships: near-dup detection picks the pairs,
     this picks the survivors.
 
-    Plan: the component labels come from the iterative min-label
-    propagation (O(diameter) shuffles, localCheckpoint between rounds);
-    keeper election is one row_number window per component — components
-    are tiny by construction, so the window partitions are too.
+    Plan: the edge set comes from :func:`prefix_filter_pairs` (exact
+    J >= 0.5, df-cap-free, rarity-first prefixes keep hot shingles out
+    of the candidate index — the capped inverted-index form sat in the
+    pre-cap Σdf² quadratic regime and went 3.4 s → 157 s across the
+    sf0.1→sf1.0 decade, measured round 12); the component labels come
+    from the iterative min-label propagation (O(diameter) shuffles,
+    localCheckpoint between rounds); keeper election is one row_number
+    window per component — components are tiny by construction, so the
+    window partitions are too.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3).transform(eager_checkpoint)
-    edges = jaccard_pairs(sh, 0.5).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-    )
+    edges = prefix_filter_pairs(
+        shingle_arrays(d, n=3).filter(F.size("shingles") > 0), threshold=0.5
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     comps = connected_components(edges)
     from pyspark.sql import Window
 
@@ -1726,70 +1730,55 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Prefix-filtering set-similarity join (SSJoin / PPJoin candidate rule)
 # --------------------------------------------------------------------------
-@query(
-    "q_prefix_filter_jaccard",
-    oracle="""
-    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
-    ),
-    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
-    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-    WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
-    ORDER BY doc_a, doc_b
-    """,
-)
-def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard near-dup pairs (J >= 0.5) via **prefix filtering**
-    (the SSJoin / PPJoin candidate rule; Chaudhuri et al. ICDE'06,
-    Bayardo et al. WWW'07) — the third exact-Jaccard strategy in this
-    module, alongside the full inverted index with a hot-shingle DF cap
-    (:func:`jaccard_pairs`) and MinHash-LSH (approximate).
+def prefix_filter_pairs(sharr: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs (round(J, 6) >= ``threshold``) over a
+    shingle-*array* frame via **prefix filtering** (the SSJoin / PPJoin
+    candidate rule; Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07) —
+    the df-cap-free exact strategy, shared by the near-dup kernels that
+    need the *true* pair set without :func:`jaccard_pairs`'s hot-shingle
+    cap.
 
-    The rule: order every document's shingles by a single global total
-    order (ascending document frequency, rarest first; ties broken by
-    the shingle value so the order is total), and index only each
-    document's first ``p = |A| - ceil(t*|A|) + 2`` shingles (the classic
-    rule's +1 covers true J >= t; one extra entry covers the pairs the
-    round-then-threshold convention admits). Any pair
-    with J(A,B) >= t shares at least ``ceil(t*|A|)`` shingles (since
-    ``|A^B| >= t*|AuB| >= t*|A|``), and two sets whose overlap is >= a
-    must collide inside their ``(size - a + 1)``-prefixes under ANY
-    shared total order — so the prefix index generates a superset of
-    the true pairs (no false negatives; result is exact after
-    verification). At t = 0.5 the index holds ~half of each document's
-    shingles, and because the order is rarity-first the indexed half is
-    the *rare* half: as long as documents carry enough distinctive
-    shingles, hot boilerplate shingles (the d^2 blow-up hazard of a
-    plain inverted index) stay out of every prefix — skew resistance
-    falls out of the algorithm for ordinary corpora. The guarantee is
-    per-document, not absolute: a corpus of boilerplate-only or
-    exactly-duplicated documents has nothing rare to index and the hot
-    shingles re-enter the prefixes — run exact dedup first (its
-    16-byte-hash groupBy removes identical texts) and keep the DF-cap
-    variant for pathological inputs.
+    The rule: order every document's shingles by one global total order
+    (ascending document frequency, rarest first; ties broken by the
+    shingle value so the order is total) and index only each document's
+    first ``p = |A| - ceil(t*|A|) + 2`` shingles (the classic rule's +1
+    covers true J >= t; one extra entry covers the pairs the
+    round-then-threshold convention admits). Any pair with J(A,B) >= t
+    shares at least ``ceil(t*|A|)`` shingles, and two sets whose overlap
+    is >= a must collide inside their ``(size - a + 1)``-prefixes under
+    ANY shared total order — so the prefix index generates a superset of
+    the true pairs (no false negatives; the result is exact after
+    verification).
 
-    Plan shape: one groupBy for document frequency, one shuffle to
-    join DF onto the exploded shingles, a per-doc array_sort +
-    slice (narrow), the bucket self-join on the prefix shingles only,
-    then per-candidate-pair exact verification with
-    ``array_intersect`` over the full sorted shingle arrays (narrow
-    after one hash join to fetch the arrays). At 100 TB every stage is
-    bounded: the candidate join touches Sum_prefix df_s^2 pairs with
-    rare-by-construction shingles, and verification is linear in the
-    candidate sliver.
+    Scale: because the order is rarity-first, hot boilerplate shingles
+    (the d² blow-up hazard of a plain inverted index) stay out of every
+    prefix as long as documents carry enough distinctive shingles —
+    skew resistance falls out of the algorithm instead of a df cap that
+    changes semantics. Measured linear across two decades (e2 = 0.96 at
+    sf0.1→sf1.0), where the uncapped inverted index went ~Σdf²
+    quadratic (157 s at sf1.0 in q_dedup_report before this helper).
+    The guarantee is per-document, not absolute: a boilerplate-only or
+    exactly-duplicated corpus has nothing rare to index — run exact
+    dedup first and keep the DF-cap variant for pathological inputs.
+
+    Plan shape: one groupBy for document frequency, one shuffle to join
+    df onto the exploded shingles, a per-doc array_sort + slice
+    (narrow), the bucket self-join on the prefix shingles only, then
+    per-candidate-pair exact verification with ``array_intersect`` over
+    the full sorted shingle-hash arrays, shipped ONCE as a broadcast
+    dimension instead of an array copy per candidate pair (measured:
+    verify stage 4.3 s → 1.6 s at sf0.1). At index-breaking corpus
+    sizes swap the verify joins for the bucketed co-located SMJ
+    (plans/bucketing.py); the 100 TB near-dup *candidate* path remains
+    MinHash-LSH/SimHash.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard already rounded to
+    6 dp — the same round-then-threshold convention as
+    :func:`jaccard_pairs`, so the exact strategies agree even for pairs
+    within an ulp of the threshold.
     """
-    d = load_table(spark, sf_dir, "documents")
-    t = 0.5
-    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0).transform(eager_checkpoint)
+    t = threshold
+    sharr = sharr.transform(eager_checkpoint)
     # 8-byte hashed shingle keys, same trade as jaccard_pairs
     # (hash_keys): halves the DF-join and index shuffle bytes; a 64-bit
     # collision merges two shingles with p ~ n^2/2^65.
@@ -1797,8 +1786,6 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.xxhash64("_s").alias("shingle")
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc shingle list in (df asc, shingle) order; prefix keeps the
-    # rarest p = n - ceil(t*n) + 2 entries
     ordered = (
         sh.join(dfreq, "shingle")
         .groupBy("doc_id")
@@ -1841,16 +1828,6 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verification ships each document's sorted hash array ONCE as a
-    # broadcast instead of shuffling an array copy per candidate pair
-    # (measured: verify stage 4.3 s -> 1.6 s, full query ~7.2 -> ~5.9 s
-    # at sf0.1; the two broadcasts share one exchange via reuse). The
-    # broadcast side is the doc -> array dimension frame — one row per
-    # deduplicated document, which fits executors across the corpus
-    # regime this exact tier targets; at index-breaking corpus sizes
-    # swap the verify joins for the bucketed co-located SMJ
-    # (plans/bucketing.py) — the plan is otherwise identical, and the
-    # 100 TB near-dup *candidate* path remains MinHash-LSH/SimHash.
     full = sharr.select(
         "doc_id",
         F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sset"),
@@ -1876,15 +1853,43 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sb").alias("nb"),
         )
     )
-    # round-then-threshold, the same convention as jaccard_pairs, so
-    # the three exact-Jaccard strategies agree even for pairs sitting
-    # within an ulp of the threshold
     jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6)
-    return (
-        verified.filter(jac >= t)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    return verified.filter(jac >= t).select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+@query(
+    "q_prefix_filter_jaccard",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs (J >= 0.5) via **prefix filtering**
+    — the third exact-Jaccard strategy in this module, alongside the
+    full inverted index with a hot-shingle DF cap (:func:`jaccard_pairs`)
+    and MinHash-LSH (approximate). The candidate rule, the
+    skew-resistance argument, and the plan shape live on the shared
+    kernel :func:`prefix_filter_pairs`. At t = 0.5 the index holds ~half
+    of each document's shingles — the *rare* half, by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0)
+    return prefix_filter_pairs(sharr, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -2036,13 +2041,13 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact-verified); recall is the live measurement.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3).transform(eager_checkpoint)
-    # truth side of an audit: uncapped — the DF cap is a production
-    # skew guard, but here it would silently diverge from the oracle's
-    # truly-exact pair set once any shingle's df exceeds the cap
-    exact = jaccard_pairs(sh, threshold=0.8, max_doc_freq=None).select(
-        "doc_a", "doc_b"
-    )
+    # truth side of an audit: exact and df-cap-free — prefix filtering
+    # instead of the uncapped inverted index, which would silently
+    # diverge under a cap and goes Σdf² quadratic without one (the
+    # q_dedup_report lesson: 3.4 s → 157 s across sf0.1→sf1.0)
+    exact = prefix_filter_pairs(
+        shingle_arrays(d, n=3).filter(F.size("shingles") > 0), threshold=0.8
+    ).select("doc_a", "doc_b")
     lsh = minhash_neardup(d, threshold=0.8).select("doc_a", "doc_b")
     common = exact.join(lsh, ["doc_a", "doc_b"])
     stats = (
@@ -2144,17 +2149,23 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production threshold (the knee in this curve is where
     boilerplate ends and true duplication begins).
 
-    Scale: the pair table is computed once (inverted index, DF-capped
-    at production); the sweep is a 5-row broadcast cross join and a
-    conditional count — adding thresholds costs nothing.
+    Scale: the pair table is computed once (prefix filter at the
+    sweep's LOWEST threshold — pairs below it can never change a
+    count, so the table is exact for every swept value while staying
+    df-cap-free and linear; the previous uncapped J >= 0 inverted
+    index materialized the full Σdf² join output, quadratic across the
+    sf0.1→sf1.0 decade); the sweep itself is a 5-row broadcast cross
+    join and a conditional count — adding thresholds >= the floor
+    costs nothing.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3)
-    # calibration truth: uncapped (the DF cap bites hardest at the low
-    # thresholds being swept; the oracle's pair set is truly exact)
-    jac = jaccard_pairs(sh, threshold=0.0, max_doc_freq=None).select("jaccard")
+    thresholds = [0.5, 0.6, 0.7, 0.8, 0.9]
+    jac = prefix_filter_pairs(
+        shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
+        threshold=min(thresholds),
+    ).select("jaccard")
     thr = d.sparkSession.createDataFrame(
-        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "thr double"
+        [(t,) for t in thresholds], "thr double"
     )
     return (
         jac.crossJoin(F.broadcast(thr))
@@ -2230,12 +2241,17 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     number-wall every curation review starts from.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, n=3)
     near = (
-        # governance truth side: uncapped, matching the oracle's truly
-        # exact pair set (the DF cap is for the production dedup path)
-        jaccard_pairs(sh, threshold=0.8, max_doc_freq=None)
-        .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+        # governance truth side: exact (uncapped) pair count. Prefix
+        # filtering, NOT the uncapped inverted index: same exact pair
+        # set, but hot shingles never enter the candidate index — the
+        # uncapped jaccard_pairs(max_doc_freq=None) form went Σdf²
+        # quadratic across the sf0.1→sf1.0 decade (3.4 s → 157 s,
+        # e2≈1.66 measured round 12) while prefix filtering holds
+        # e2≈0.96 on the same data.
+        prefix_filter_pairs(
+            shingle_arrays(d, n=3).filter(F.size("shingles") > 0), threshold=0.8
+        ).agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
     )
     words = F.split(F.col("text"), " ")
     toks = d.select(

@@ -92,44 +92,99 @@ def binned_overlap_pairs(
     """,
 )
 def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap join: build per-(user, day) activity intervals,
-    then count overlapping interval pairs and total overlap time per
-    day. The oracle is the naive theta join; the engine form is the
-    **binned range join** via ``binned_overlap_pairs`` — each interval
-    explodes into ``sequence(floor(s/W), floor(e/W))`` bucket copies,
-    the join is an equi-join on the bucket with the overlap predicate
-    inside it (candidate pairs form only within a bucket, never across
-    the whole timeline), and a pair is kept only in the later
-    interval's first bucket, so bucket-SPANNING intervals are handled
-    without a DISTINCT.
+    """Interval-overlap aggregate: build per-(user, day) activity
+    intervals, then count overlapping interval pairs and total pairwise
+    overlap time per day. The oracle is the naive theta join; the
+    engine form is a **per-day sweep line** — the pair aggregates are
+    computed WITHOUT materializing the pair set, because on a dense day
+    every pair of active users overlaps and pair enumeration is
+    inherently O(n²) per day (the binned range join
+    ``binned_overlap_pairs``, linear in its *output*, went 2.5 s → 56 s
+    across the sf0.1→sf1.0 decade precisely because its output grew
+    ~100×; measured round 12). Keep ``binned_overlap_pairs`` for
+    pipelines that consume the pairs themselves; when only aggregates
+    leave the operator, the sweep is the scale-correct plan.
 
-    W = 6 h here — deliberately smaller than the day-bounded intervals
-    so the multi-bucket explode path is exercised on this dataset, not
-    just in the unit test (tests/test_cdc_graph.py checks boundary-
-    crossing intervals against a brute-force theta join). Pick W ≈
-    median interval length in production: copy factor = len/W vs
-    per-bucket fan-out. Hot buckets → AQE skew-join. Exact overlap
-    math is integer microseconds.
+    Two order-statistics passes, both O(n log n) per day:
+
+    - ``n_pairs``: overlap (closed intervals, ``s_a <= e_b AND s_b <=
+      e_a``) fails iff one interval ends strictly before the other
+      starts, and at most one of the two orderings can hold — so
+      ``n_pairs = C(n,2) − Σ_i |{j : e_j < s_i}|``. The count is a
+      cumulative sum of end-markers over the day's sorted endpoint
+      union (starts before ends at equal t, so a touching pair — which
+      the closed predicate KEEPS — is never subtracted).
+    - ``total_overlap_us``: overlap length is an integral, so
+      ``Σ_pairs (min(e)−max(s)) = ∫ C(k(t),2) dt`` with ``k(t)`` the
+      number of active intervals — per distinct endpoint, the net
+      start/end delta cumsums to k on the following open segment, and
+      each segment contributes ``C(k,2)·len``. Touching pairs sit on a
+      measure-zero boundary and contribute 0, exactly like the theta
+      join's ``min(e)−max(s) = 0`` rows. Segment products are summed in
+      DECIMAL(38,0) — C(k,2)·Δt approaches int64 at ~10⁵ concurrent
+      users on a full day — and cast back to the contract's BIGINT.
+
+    Scale: one shuffle by day, two in-partition sorts. A 100 TB
+    timeline shards the sweep further by (day, hour-range) with
+    boundary-interval reconciliation; per-day sorts up to ~10⁸
+    endpoints stay in one task's sort budget before that's needed.
     """
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min(us).alias("s_us"), F.max(us).alias("e_us")
     )
-    overlap = F.least(F.col("a.e_us"), F.col("b.e_us")) - F.greatest(
-        F.col("a.s_us"), F.col("b.s_us")
+    ends = ud.select("day", F.col("e_us").alias("t"), F.lit(0).alias("is_start"))
+    starts = ud.select("day", F.col("s_us").alias("t"), F.lit(1).alias("is_start"))
+    pts = starts.unionByName(ends)
+
+    # pass 1: non-overlapping ordered pairs — for each start, the count
+    # of ends strictly before it (ties sort starts first, so e == s
+    # stays un-subtracted: the closed predicate counts touching pairs)
+    w_pts = (
+        Window.partitionBy("day")
+        .orderBy("t", F.desc("is_start"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    pairs = (
-        binned_overlap_pairs(ud, width_us=6 * 3600 * 1_000_000, id_col="user_id")
-        .filter(F.col("a.day") == F.col("b.day"))
-        .select(F.col("a.day").alias("day"), overlap.alias("overlap_us"))
-    )
-    return (
-        pairs.groupBy("day")
+    cum_ends = F.sum(1 - F.col("is_start")).over(w_pts)
+    per_day = (
+        pts.withColumn("ends_before", F.coalesce(cum_ends, F.lit(0)))
+        .filter(F.col("is_start") == 1)
+        .groupBy("day")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("overlap_us").alias("total_overlap_us"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ends_before").alias("non_overlap"),
         )
+        .select(
+            "day",
+            (F.col("n") * (F.col("n") - 1) / 2 - F.col("non_overlap"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
+
+    # pass 2: ∫ C(k,2) dt — net delta per distinct endpoint, cumsum to
+    # k on the open segment to the next endpoint
+    deltas = pts.groupBy("day", "t").agg(
+        F.sum(F.when(F.col("is_start") == 1, 1).otherwise(-1)).alias("delta")
+    )
+    w_day = Window.partitionBy("day").orderBy("t")
+    k = F.sum("delta").over(w_day)
+    seg = F.lead("t").over(w_day) - F.col("t")
+    contrib = (k * (k - 1) / 2).cast("decimal(38,0)") * F.coalesce(
+        seg, F.lit(0)
+    ).cast("decimal(38,0)")
+    overlap_day = (
+        deltas.select("day", contrib.alias("contrib"))
+        .groupBy("day")
+        .agg(F.sum("contrib").cast("long").alias("total_overlap_us"))
+    )
+    # the theta-join oracle emits a day only when it has >= 1
+    # overlapping pair; the sweep sees every day, so mirror the
+    # inner-join semantics explicitly
+    return (
+        per_day.filter(F.col("n_pairs") >= 1)
+        .join(overlap_day, "day")
         .orderBy("day")
     )
 

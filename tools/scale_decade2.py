@@ -123,6 +123,19 @@ def main() -> int:
         print(f"| `{q}` | {t1} | {t2} | {e2} | {e1} |")
 
     out = ROOT / f"SCALE_DECADE2_r{round_no}.json"
+    if "--merge" in sys.argv and out.exists():
+        # re-measurement of a fixed kernel updates its row in the
+        # existing round artifact instead of clobbering the full table
+        prior = json.loads(out.read_text())
+        by_q = {r["query"]: r for r in prior.get("rows", [])}
+        for r in rows:
+            by_q[r["query"]] = r
+        prior_err = prior.get("errors", {})
+        for q in names:
+            prior_err.pop(q, None)
+        prior_err.update(errors)
+        rows = sorted(by_q.values(), key=lambda r: r["query"])
+        errors = prior_err
     out.write_text(json.dumps({"rows": rows, "errors": errors}, indent=1) + "\n")
     if errors:
         print(f"ERRORS ({len(errors)}): {errors}")
