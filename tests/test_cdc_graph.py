@@ -114,7 +114,58 @@ def test_interval_overlap_matches_naive_theta_join(spark, sf_dir):
     assert got == expected
 
 
-def test_binned_overlap_handles_bucket_spanning_intervals(spark):
+def test_interval_overlap_sweep_line_edge_cases(spark, tmp_path):
+    """The sweep-line form's boundary semantics, pinned on synthetic
+    days the real testdata may never produce: a touching pair (e == s)
+    COUNTS as a pair with overlap 0 (the closed theta predicate keeps
+    it); a day whose only intervals are disjoint emits NO row (the
+    inner theta join's semantics); a single-interval day emits no row;
+    nested and chained overlaps aggregate exactly."""
+    base = 1_700_000_000_000_000  # epoch µs, day-aligned enough
+    day_us = 86_400_000_000
+    rows = []
+
+    def ev(day, user, s, e):
+        # two events bound the (user, day) interval [s, e]
+        for i, t in enumerate((s, e)):
+            rows.append((len(rows), base + day * day_us + t, user))
+
+    # day 0: touching pair — a ends exactly where b starts
+    ev(0, 1, 0, 1000)
+    ev(0, 2, 1000, 2000)
+    # day 1: two disjoint users -> NO output row
+    ev(1, 1, 0, 10)
+    ev(1, 2, 5000, 6000)
+    # day 2: single user -> no row
+    ev(2, 7, 0, 99)
+    # day 3: nested + chain: a=[0,100], b=[10,20] (nested), c=[90,150]
+    ev(3, 1, 0, 100)
+    ev(3, 2, 10, 20)
+    ev(3, 3, 90, 150)
+    df = spark.createDataFrame(
+        [(i, t, u, "x", 0.0, "{}") for (i, t, u) in rows],
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    (tmp_path / "d").mkdir()
+    df.write.parquet(str(tmp_path / "d" / "events.parquet"))
+    got = {
+        str(r.day): (r.n_pairs, r.total_overlap_us)
+        for r in q_interval_overlap_join(spark, str(tmp_path / "d")).collect()
+    }
+    days = sorted(got)
+    # day 0: one touching pair, zero overlap
+    assert got[days[0]] == (1, 0)
+    # days 1 and 2 emit nothing; day 3: (a,b) overlap 10, (a,c) overlap
+    # 10, (b,c) disjoint -> 2 pairs, 20 µs
+    assert len(days) == 2
+    assert got[days[1]] == (2, 20)
     """Intervals that cross bucket boundaries (even spanning many
     buckets) must pair exactly once — compared against a brute-force
     theta join over every pair."""
