@@ -301,10 +301,19 @@ def jaccard_pairs(
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
     ),
+    band AS (
+      SELECT least(1000, greatest(64, cast(ceil(0.001 * count(*)) AS bigint))) AS b
+      FROM documents
+    ),
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= (SELECT b FROM band)
+    ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (SELECT shingle FROM keep)
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -315,14 +324,26 @@ def jaccard_pairs(
     """,
 )
 def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-duplicate pairs (J ≥ 0.5)."""
+    """Word-3-gram Jaccard near-duplicate pairs (J ≥ 0.5) under the
+    production **stop-shingle df-band** — the banded inverted-index
+    strategy kernel (q_containment_neardup's band, same two tiers:
+    relative 0.1% boilerplate cut, absolute 1000 linearity guarantee,
+    mirrored in the oracle's ``band``/``keep`` CTEs; non-binding at
+    every driver scale — max df at sf0.1 is 25 < 64 — so committed
+    results are unchanged). Candidate generation runs through the
+    capped prefix-filter kernel (:func:`prefix_filter_pairs` with
+    ``max_doc_freq``), which reproduces the banded-index contract
+    bit-for-bit with linear candidate cost; the plain posting-list
+    join went Σdf² quadratic across the sf0.1→sf1.0 decade. The EXACT
+    (unbanded) tier of the same pair set is
+    :func:`q_prefix_filter_jaccard`."""
     d = load_table(spark, sf_dir, "documents")
-    # persist the compact array frame; the self-join's two sides explode
-    # from cache and the size column is a free F.size — no size shuffle
-    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
-    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
-    return jaccard_pairs(sh, 0.5, sizes=sizes).orderBy("doc_a", "doc_b")
+    n_docs = d.count()  # parquet metadata count — no scan
+    band = min(1000, max(64, -(-n_docs // 1000)))
+    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0)
+    return prefix_filter_pairs(sharr, 0.5, max_doc_freq=band).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @query(
@@ -1730,7 +1751,9 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Prefix-filtering set-similarity join (SSJoin / PPJoin candidate rule)
 # --------------------------------------------------------------------------
-def prefix_filter_pairs(sharr: DataFrame, threshold: float) -> DataFrame:
+def prefix_filter_pairs(
+    sharr: DataFrame, threshold: float, max_doc_freq: int | None = None
+) -> DataFrame:
     """Exact Jaccard pairs (round(J, 6) >= ``threshold``) over a
     shingle-*array* frame via **prefix filtering** (the SSJoin / PPJoin
     candidate rule; Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07) —
@@ -1772,6 +1795,19 @@ def prefix_filter_pairs(sharr: DataFrame, threshold: float) -> DataFrame:
     (plans/bucketing.py); the 100 TB near-dup *candidate* path remains
     MinHash-LSH/SimHash.
 
+    ``max_doc_freq`` reproduces :func:`jaccard_pairs`' capped-index
+    CONTRACT exactly, with linear candidate generation: shingles whose
+    document frequency exceeds the cap are dropped from both the prefix
+    index and the verification arrays, while document SIZES keep
+    counting every shingle — so J = |A_c∩B_c| / (|A|+|B|−|A_c∩B_c|),
+    bit-identical to the capped inverted index at every corpus scale.
+    The prefix bound survives capping: J >= t still forces a capped
+    overlap c >= ceil(t·|A|) (c <= |B| keeps |A∪B| >= |A|), so two
+    qualifying docs must collide within the first
+    ``|A_c| − ceil(t·|A|) + 2`` CAPPED shingles — clamped at 0, which
+    correctly un-indexes any document whose capped set is already too
+    small to ever reach the overlap floor.
+
     Returns (doc_a, doc_b, jaccard) with jaccard already rounded to
     6 dp — the same round-then-threshold convention as
     :func:`jaccard_pairs`, so the exact strategies agree even for pairs
@@ -1782,10 +1818,14 @@ def prefix_filter_pairs(sharr: DataFrame, threshold: float) -> DataFrame:
     # 8-byte hashed shingle keys, same trade as jaccard_pairs
     # (hash_keys): halves the DF-join and index shuffle bytes; a 64-bit
     # collision merges two shingles with p ~ n^2/2^65.
-    sh = sharr.select("doc_id", F.explode("shingles").alias("_s")).select(
-        "doc_id", F.xxhash64("_s").alias("shingle")
-    )
+    sh = sharr.select(
+        "doc_id", F.size("shingles").alias("n_full"), F.explode("shingles").alias("_s")
+    ).select("doc_id", "n_full", F.xxhash64("_s").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_doc_freq is not None:
+        # the capped universe: same hot-set anti-join as jaccard_pairs
+        hot = dfreq.filter(F.col("df") > max_doc_freq).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     ordered = (
         sh.join(dfreq, "shingle")
         .groupBy("doc_id")
@@ -1793,22 +1833,25 @@ def prefix_filter_pairs(sharr: DataFrame, threshold: float) -> DataFrame:
             F.array_sort(
                 F.collect_list(F.struct("df", "shingle"))
             ).alias("by_rarity"),
+            F.first("n_full").alias("n_full"),
         )
         .select(
             "doc_id",
-            # prefix length n - ceil(t*n) + 2: the +1 of the classic
-            # rule covers true J >= t; the extra +1 covers the pairs
-            # the round-then-threshold convention admits (true J in
+            # prefix length |capped| - ceil(t*n_full) + 2 (uncapped:
+            # the two coincide): the +1 of the classic rule covers
+            # true J >= t; the extra +1 covers the pairs the
+            # round-then-threshold convention admits (true J in
             # [t - 5e-7, t) -> overlap >= ceil(t*n) - 1 for n <= 2e5),
             # so candidate completeness matches the filter exactly
             F.transform(
                 F.slice(
                     "by_rarity",
                     1,
-                    (
+                    F.greatest(
+                        F.lit(0),
                         F.size("by_rarity")
-                        - F.ceil(F.size("by_rarity") * F.lit(t)).cast("int")
-                        + 2
+                        - F.ceil(F.col("n_full") * F.lit(t)).cast("int")
+                        + 2,
                     ),
                 ),
                 lambda s: s["shingle"],
@@ -1828,20 +1871,40 @@ def prefix_filter_pairs(sharr: DataFrame, threshold: float) -> DataFrame:
         )
         .distinct()
     )
-    full = sharr.select(
-        "doc_id",
-        F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sset"),
-    )
+    if max_doc_freq is None:
+        # narrow: the full arrays come straight off the shingle frame
+        full = sharr.select(
+            "doc_id",
+            F.array_sort(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("sset"),
+            F.size("shingles").alias("n_full"),
+        )
+    else:
+        # capped: intersections see only the capped universe; sizes
+        # keep counting every shingle (jaccard_pairs' exact contract)
+        full = sh.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list("shingle")).alias("sset"),
+            F.first("n_full").alias("n_full"),
+        )
     verified = (
         cand.join(
             F.broadcast(
-                full.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
+                full.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sset").alias("sa"),
+                    F.col("n_full").alias("na"),
+                )
             ),
             "doc_a",
         )
         .join(
             F.broadcast(
-                full.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
+                full.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sset").alias("sb"),
+                    F.col("n_full").alias("nb"),
+                )
             ),
             "doc_b",
         )
@@ -1849,8 +1912,8 @@ def prefix_filter_pairs(sharr: DataFrame, threshold: float) -> DataFrame:
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("sa", "sb")).alias("c"),
-            F.size("sa").alias("na"),
-            F.size("sb").alias("nb"),
+            "na",
+            "nb",
         )
     )
     jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6)

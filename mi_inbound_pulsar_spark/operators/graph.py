@@ -189,6 +189,31 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_edges(d: DataFrame) -> DataFrame:
+    """The shared near-dup graph edge list: word-3-gram Jaccard >= 0.5
+    under the production df<=1000 hot-shingle cap — the same CONTRACT
+    as ``jaccard_pairs(sh, 0.5)`` (capped intersections over uncapped
+    sizes; every consumer's oracle encodes the same exclusion), but
+    generated via the capped prefix-filter rule
+    (:func:`~mi_inbound_pulsar_spark.operators.dedup.prefix_filter_pairs`
+    with ``max_doc_freq``): bit-identical pairs at every corpus scale
+    (pinned in tests/test_round4_second.py with a binding cap), while
+    candidate generation indexes only each document's rarest prefix —
+    the plain capped posting-list join sat in the pre-cap Σdf²
+    quadratic regime on a closed-vocab corpus (q_cluster_keeper went
+    3.4 s → 157 s across sf0.1→sf1.0 before the switch, measured
+    round 12)."""
+    from mi_inbound_pulsar_spark.operators.dedup import (
+        prefix_filter_pairs,
+        shingle_arrays,
+    )
+
+    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0)
+    return prefix_filter_pairs(sharr, threshold=0.5, max_doc_freq=1000).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+
+
 @query(
     "q_triangle_count",
     oracle="""
@@ -250,22 +275,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the orientation bounds by O(sqrt(m)) (arboricity) — a
     celebrity node generates zero wedges instead of C(degree, 2)
     (skew-bound asserted in tests/test_cdc_graph.py). The edge list
-    itself comes from the inverted-index join with the hot-shingle DF
-    cap (``dedup.py``), so the graph build never goes all-pairs.
+    itself comes from the capped prefix-filter kernel
+    (:func:`_neardup_edges`), so the graph build never goes all-pairs
+    even on a closed-vocab corpus whose dfs sit under the cap.
     """
-    from mi_inbound_pulsar_spark.operators.dedup import shingle_arrays
-
     d = load_table(spark, sf_dir, "documents")
-    # persist the compact array frame; consumers explode from cache and
-    # sizes come free from F.size — no per-doc count shuffle
-    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
-    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
-    edges = (
-        jaccard_pairs(sh, 0.5, sizes=sizes)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .transform(eager_checkpoint)
-    )
+    edges = _neardup_edges(d).transform(eager_checkpoint)
     # one shared degree table: the orientation inside
     # oriented_triangle_count and the wedge aggregate below both read
     # it from cache instead of re-shuffling the edge list by node
@@ -1657,23 +1672,16 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle enumerates the same triangle SET via the symmetric closure
     (orientation changes enumeration order, never membership).
 
-    The graph uses the PRODUCTION capped index (``jaccard_pairs``
-    default ``max_doc_freq=1000``) and the oracle encodes the same
-    df≤1000 hot-shingle exclusion in its candidate CTE — the contract
-    is the capped graph at every corpus scale, not just corpora where
-    no shingle happens to exceed the cap.
+    The graph carries the PRODUCTION capped-index contract
+    (``max_doc_freq=1000``, the same df≤1000 hot-shingle exclusion the
+    oracle encodes in its candidate CTE — the contract is the capped
+    graph at every corpus scale, not just corpora where no shingle
+    happens to exceed the cap), generated via the capped prefix-filter
+    kernel (:func:`_neardup_edges`): identical pairs, linear candidate
+    generation.
     """
-    from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
-
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
-    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
-    edges = (
-        jaccard_pairs(sh, 0.5, sizes=sizes)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .transform(eager_checkpoint)
-    )
+    edges = _neardup_edges(d).transform(eager_checkpoint)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -1778,21 +1786,15 @@ def q_degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
     class) and the KS max is an exact aggregate of deterministic
     doubles, 6dp-rounded.
 
-    Scale: the edge list is the capped inverted-index join; degrees
-    are one rollup; everything after is bounded by |distinct degrees|.
-    The oracle encodes the same df≤1000 hot-shingle exclusion as the
-    production ``jaccard_pairs`` index, so the contract holds on
-    corpora with hot shingles too.
+    Scale: the edge list is the capped prefix-filter kernel
+    (:func:`_neardup_edges` — same capped contract, linear candidate
+    generation); degrees are one rollup; everything after is bounded
+    by |distinct degrees|. The oracle encodes the same df≤1000
+    hot-shingle exclusion as the production capped index, so the
+    contract holds on corpora with hot shingles too.
     """
-    from mi_inbound_pulsar_spark.operators.dedup import jaccard_pairs, shingle_arrays
-
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).transform(eager_checkpoint)
-    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
-    edges = jaccard_pairs(sh, 0.5, sizes=sizes).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    edges = _neardup_edges(d)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))

@@ -309,3 +309,30 @@ def test_bfs_levels_partition_and_connect(spark, sf_dir):
         assert hist[-1]["n_nodes"] == unreached
     else:
         assert -1 not in hist
+
+
+def test_capped_prefix_filter_equals_capped_inverted_index(spark, sf_dir):
+    # The max_doc_freq variant must reproduce jaccard_pairs' capped
+    # CONTRACT bit-for-bit — capped intersections over uncapped sizes —
+    # on real data with the production cap (non-binding here) AND with
+    # a deliberately tiny cap that bites, so the changed-J path is the
+    # thing compared, not just the exact path.
+    from mi_inbound_pulsar_spark.operators.dedup import (
+        prefix_filter_pairs,
+        shingle_arrays,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharr = shingle_arrays(docs, n=3).filter(F.size("shingles") > 0)
+    for cap in (1000, 3):
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in prefix_filter_pairs(sharr, 0.5, max_doc_freq=cap).collect()
+        }
+        truth = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in jaccard_pairs(shingles(docs), threshold=0.5, max_doc_freq=cap)
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+            .collect()
+        }
+        assert got == truth, f"cap={cap}: {len(got)} vs {len(truth)} pairs"
