@@ -119,6 +119,19 @@ _PRIORITY = (
     "q_wilcoxon_signed_rank",
     "q_krippendorff_alpha",
     "q_mincer_zarnowitz",
+    # round-12 scale fixes: prefix-filter consolidation (shared exact
+    # kernel + capped variant), the interval sweep-line rewrite, and
+    # the banded inverted-index strategy kernel
+    "q_prefix_filter_jaccard",
+    "q_cluster_keeper",
+    "q_dedup_report",
+    "q_interval_overlap_join",
+    "q_lsh_recall_audit",
+    "q_jaccard_threshold_sweep",
+    "q_ngram_jaccard_neardup",
+    "q_triangle_count",
+    "q_local_clustering",
+    "q_degree_powerlaw_mle",
     # -- policy tier 3: oldest-green (round-1 window) re-verification --
     "q_filter_predicates",
     "q_join_left_outer",
