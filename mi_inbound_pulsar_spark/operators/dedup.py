@@ -293,6 +293,48 @@ def jaccard_pairs(
     )
 
 
+#: Corpus-size cutover for :func:`jaccard_pairs_auto`. Below it the
+#: plain inverted index wins (the prefix filter's fixed stages — df
+#: join, per-doc rarity sort, candidate distinct, broadcast verify —
+#: dominate small corpora: measured 1.7 s vs 6.0 s at 5k docs); above
+#: it the posting-list join's Σdf² growth takes over (157 s vs ~12 s
+#: at 50k docs on the closed-vocab corpus). The crossover on any
+#: corpus is where Σdf² join rows outweigh ~4 extra stages; 20k docs
+#: sits between the two measured points and errs toward the strategy
+#: whose worst case is linear.
+JACCARD_STRATEGY_DOCS_CUTOVER = 20_000
+
+
+def jaccard_pairs_auto(
+    sharr: DataFrame,
+    threshold: float,
+    n_docs: int,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs with **cost-based strategy selection** — the
+    Catalyst-style physical choice applied to the set-similarity join.
+    Both strategies compute the IDENTICAL pair set under the identical
+    df-cap contract (pinned in tests/test_round4_second.py with a
+    binding cap), so the choice is purely physical:
+
+    - ``n_docs < JACCARD_STRATEGY_DOCS_CUTOVER``: the inverted-index
+      posting-list join (:func:`jaccard_pairs`) — fewest stages, wins
+      while Σdf² join rows stay small;
+    - otherwise: the prefix-filter candidate rule
+      (:func:`prefix_filter_pairs`) — linear in corpus size, wins once
+      dfs grow (measured 157 s → ~12 s at 50k docs, round 12).
+
+    ``n_docs`` comes from the caller's ``DataFrame.count()`` on the
+    source parquet — driver-side metadata, no scan. On a 100 TB corpus
+    the choice is always the prefix filter.
+    """
+    if n_docs < JACCARD_STRATEGY_DOCS_CUTOVER:
+        sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+        sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
+        return jaccard_pairs(sh, threshold, max_doc_freq=max_doc_freq, sizes=sizes)
+    return prefix_filter_pairs(sharr, threshold, max_doc_freq=max_doc_freq)
+
+
 @query(
     "q_ngram_jaccard_neardup",
     oracle="""
@@ -331,17 +373,17 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle's ``band``/``keep`` CTEs; non-binding at
     every driver scale — max df at sf0.1 is 25 < 64 — so committed
     results are unchanged). Candidate generation runs through the
-    capped prefix-filter kernel (:func:`prefix_filter_pairs` with
-    ``max_doc_freq``), which reproduces the banded-index contract
-    bit-for-bit with linear candidate cost; the plain posting-list
-    join went Σdf² quadratic across the sf0.1→sf1.0 decade. The EXACT
-    (unbanded) tier of the same pair set is
-    :func:`q_prefix_filter_jaccard`."""
+    cost-selected strategy (:func:`jaccard_pairs_auto` with the band
+    as ``max_doc_freq``) — both strategies reproduce the banded-index
+    contract bit-for-bit, and past the cutover the capped prefix
+    filter replaces the posting-list join that went Σdf² quadratic
+    across the sf0.1→sf1.0 decade. The EXACT (unbanded) tier of the
+    same pair set is :func:`q_prefix_filter_jaccard`."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # parquet metadata count — no scan
     band = min(1000, max(64, -(-n_docs // 1000)))
     sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0)
-    return prefix_filter_pairs(sharr, 0.5, max_doc_freq=band).orderBy(
+    return jaccard_pairs_auto(sharr, 0.5, n_docs, max_doc_freq=band).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -1359,19 +1401,22 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipeline actually ships: near-dup detection picks the pairs,
     this picks the survivors.
 
-    Plan: the edge set comes from :func:`prefix_filter_pairs` (exact
-    J >= 0.5, df-cap-free, rarity-first prefixes keep hot shingles out
-    of the candidate index — the capped inverted-index form sat in the
-    pre-cap Σdf² quadratic regime and went 3.4 s → 157 s across the
-    sf0.1→sf1.0 decade, measured round 12); the component labels come
+    Plan: the edge set comes from :func:`jaccard_pairs_auto` (exact
+    J >= 0.5, df-cap-free; cost-selected strategy — inverted index on
+    small corpora, rarity-first prefix filtering past the cutover,
+    where the posting-list form sat in the pre-cap Σdf² quadratic
+    regime and went 3.4 s → 157 s across the sf0.1→sf1.0 decade,
+    measured round 12); the component labels come
     from the iterative min-label propagation (O(diameter) shuffles,
     localCheckpoint between rounds); keeper election is one row_number
     window per component — components are tiny by construction, so the
     window partitions are too.
     """
     d = load_table(spark, sf_dir, "documents")
-    edges = prefix_filter_pairs(
-        shingle_arrays(d, n=3).filter(F.size("shingles") > 0), threshold=0.5
+    edges = jaccard_pairs_auto(
+        shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
+        threshold=0.5,
+        n_docs=d.count(),
     ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     comps = connected_components(edges)
     from pyspark.sql import Window
@@ -2104,12 +2149,15 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact-verified); recall is the live measurement.
     """
     d = load_table(spark, sf_dir, "documents")
-    # truth side of an audit: exact and df-cap-free — prefix filtering
-    # instead of the uncapped inverted index, which would silently
-    # diverge under a cap and goes Σdf² quadratic without one (the
-    # q_dedup_report lesson: 3.4 s → 157 s across sf0.1→sf1.0)
-    exact = prefix_filter_pairs(
-        shingle_arrays(d, n=3).filter(F.size("shingles") > 0), threshold=0.8
+    # truth side of an audit: exact and df-cap-free, via the
+    # cost-selected strategy — a cap would silently diverge from the
+    # oracle's truly-exact pair set, and the always-inverted-index
+    # form goes Σdf² quadratic past the cutover (the q_dedup_report
+    # lesson: 3.4 s → 157 s across sf0.1→sf1.0)
+    exact = jaccard_pairs_auto(
+        shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
+        threshold=0.8,
+        n_docs=d.count(),
     ).select("doc_a", "doc_b")
     lsh = minhash_neardup(d, threshold=0.8).select("doc_a", "doc_b")
     common = exact.join(lsh, ["doc_a", "doc_b"])
@@ -2212,20 +2260,20 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production threshold (the knee in this curve is where
     boilerplate ends and true duplication begins).
 
-    Scale: the pair table is computed once (prefix filter at the
-    sweep's LOWEST threshold — pairs below it can never change a
-    count, so the table is exact for every swept value while staying
-    df-cap-free and linear; the previous uncapped J >= 0 inverted
-    index materialized the full Σdf² join output, quadratic across the
-    sf0.1→sf1.0 decade); the sweep itself is a 5-row broadcast cross
-    join and a conditional count — adding thresholds >= the floor
-    costs nothing.
+    Scale: the pair table is computed once, at the sweep's LOWEST
+    threshold (pairs below it can never change a count, so the table
+    is exact for every swept value) via the cost-selected strategy —
+    the previous uncapped J >= 0 inverted index materialized the full
+    Σdf² join output, quadratic across the sf0.1→sf1.0 decade; the
+    sweep itself is a 5-row broadcast cross join and a conditional
+    count — adding thresholds >= the floor costs nothing.
     """
     d = load_table(spark, sf_dir, "documents")
     thresholds = [0.5, 0.6, 0.7, 0.8, 0.9]
-    jac = prefix_filter_pairs(
+    jac = jaccard_pairs_auto(
         shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
         threshold=min(thresholds),
+        n_docs=d.count(),
     ).select("jaccard")
     thr = d.sparkSession.createDataFrame(
         [(t,) for t in thresholds], "thr double"
@@ -2305,15 +2353,15 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     near = (
-        # governance truth side: exact (uncapped) pair count. Prefix
-        # filtering, NOT the uncapped inverted index: same exact pair
-        # set, but hot shingles never enter the candidate index — the
-        # uncapped jaccard_pairs(max_doc_freq=None) form went Σdf²
-        # quadratic across the sf0.1→sf1.0 decade (3.4 s → 157 s,
-        # e2≈1.66 measured round 12) while prefix filtering holds
-        # e2≈0.96 on the same data.
-        prefix_filter_pairs(
-            shingle_arrays(d, n=3).filter(F.size("shingles") > 0), threshold=0.8
+        # governance truth side: exact (uncapped) pair count, via the
+        # cost-selected strategy — the always-uncapped-inverted-index
+        # form went Σdf² quadratic across the sf0.1→sf1.0 decade
+        # (3.4 s → 157 s, e2≈1.66 measured round 12) while prefix
+        # filtering holds e2≈0.96 past the cutover on the same data.
+        jaccard_pairs_auto(
+            shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
+            threshold=0.8,
+            n_docs=d.count(),
         ).agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
     )
     words = F.split(F.col("text"), " ")

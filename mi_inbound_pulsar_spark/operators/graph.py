@@ -194,24 +194,24 @@ def _neardup_edges(d: DataFrame) -> DataFrame:
     under the production df<=1000 hot-shingle cap — the same CONTRACT
     as ``jaccard_pairs(sh, 0.5)`` (capped intersections over uncapped
     sizes; every consumer's oracle encodes the same exclusion), but
-    generated via the capped prefix-filter rule
-    (:func:`~mi_inbound_pulsar_spark.operators.dedup.prefix_filter_pairs`
-    with ``max_doc_freq``): bit-identical pairs at every corpus scale
-    (pinned in tests/test_round4_second.py with a binding cap), while
-    candidate generation indexes only each document's rarest prefix —
-    the plain capped posting-list join sat in the pre-cap Σdf²
-    quadratic regime on a closed-vocab corpus (q_cluster_keeper went
-    3.4 s → 157 s across sf0.1→sf1.0 before the switch, measured
-    round 12)."""
+    generated via the cost-selected strategy
+    (:func:`~mi_inbound_pulsar_spark.operators.dedup.jaccard_pairs_auto`
+    with ``max_doc_freq``): bit-identical pairs from either strategy
+    at every corpus scale (pinned in tests/test_round4_second.py with
+    a binding cap). Past the corpus-size cutover, candidates come from
+    each document's rarest prefix — the plain capped posting-list join
+    sat in the pre-cap Σdf² quadratic regime on a closed-vocab corpus
+    (q_cluster_keeper went 3.4 s → 157 s across sf0.1→sf1.0 before the
+    switch, measured round 12)."""
     from mi_inbound_pulsar_spark.operators.dedup import (
-        prefix_filter_pairs,
+        jaccard_pairs_auto,
         shingle_arrays,
     )
 
     sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0)
-    return prefix_filter_pairs(sharr, threshold=0.5, max_doc_freq=1000).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    return jaccard_pairs_auto(
+        sharr, threshold=0.5, n_docs=d.count(), max_doc_freq=1000
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
 
 
 @query(

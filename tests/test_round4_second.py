@@ -336,3 +336,29 @@ def test_capped_prefix_filter_equals_capped_inverted_index(spark, sf_dir):
             .collect()
         }
         assert got == truth, f"cap={cap}: {len(got)} vs {len(truth)} pairs"
+
+
+def test_jaccard_pairs_auto_strategies_agree(spark, sf_dir):
+    # The cost-based chooser is purely physical: forcing either side
+    # of the cutover must give the identical pair set and scores.
+    from mi_inbound_pulsar_spark.operators.dedup import (
+        jaccard_pairs_auto,
+        shingle_arrays,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharr = shingle_arrays(docs, n=3).filter(F.size("shingles") > 0)
+
+    def run(n_docs, cap):
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs_auto(
+                sharr, 0.5, n_docs=n_docs, max_doc_freq=cap
+            ).collect()
+        }
+
+    for cap in (None, 3):
+        inverted = run(1, cap)            # below cutover
+        prefix = run(10**9, cap)          # above cutover
+        assert inverted == prefix, f"cap={cap}"
+        assert inverted, "degenerate: no pairs at J >= 0.5 on testdata"
