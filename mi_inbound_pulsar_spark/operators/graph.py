@@ -134,9 +134,20 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min(us).alias("s_us"), F.max(us).alias("e_us")
     )
-    ends = ud.select("day", F.col("e_us").alias("t"), F.lit(0).alias("is_start"))
-    starts = ud.select("day", F.col("s_us").alias("t"), F.lit(1).alias("is_start"))
-    pts = starts.unionByName(ends)
+    # ONE interval aggregate, exploded to its two endpoints — a
+    # start/end UNION of separate selects makes Catalyst recompute the
+    # groupBy (and rescan events) once per branch per pass, 4 scans
+    # total; pts is additionally retain()-persisted below because both
+    # sweep passes read it inside one returned plan
+    pts = ud.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("t"), F.lit(1).alias("is_start")),
+                F.struct(F.col("e_us").alias("t"), F.lit(0).alias("is_start")),
+            )
+        ).alias("p"),
+    ).select("day", F.col("p.t").alias("t"), F.col("p.is_start").alias("is_start"))
 
     # pass 1: non-overlapping ordered pairs — for each start, the count
     # of ends strictly before it (ties sort starts first, so e == s
@@ -182,10 +193,11 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the theta-join oracle emits a day only when it has >= 1
     # overlapping pair; the sweep sees every day, so mirror the
     # inner-join semantics explicitly
-    return (
+    return retain(
         per_day.filter(F.col("n_pairs") >= 1)
         .join(overlap_day, "day")
-        .orderBy("day")
+        .orderBy("day"),
+        pts,
     )
 
 
