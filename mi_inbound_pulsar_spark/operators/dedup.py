@@ -2052,6 +2052,19 @@ def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float-sum order across terms differs between engines — the cosine
     is rounded to 6dp on both sides before the threshold, making the
     filter decision identical.
+
+    Known corpus artifact (round 12, via the wide second decade): on
+    the SYNTHETIC closed-vocabulary testdata the result is non-empty
+    at sf0.001/sf0.01 (266/292 pairs) but 0 rows at sf0.1+ — every
+    word's df grows linearly with corpus size, so no term stays under
+    the rare-term bound and candidate generation correctly finds no
+    discriminative evidence (both engines agree; the oracle is also
+    empty). This is the containment-kernel corpus class, not an
+    operator defect: a Heaps-law corpus grows its rare-term tail with
+    N, keeping df ≤ {TFIDF_MAX_DF} terms (and therefore signal) at
+    every scale. The absolute bound is the correct production shape —
+    a relative bound would index boilerplate on exactly the corpora
+    that need the protection.
     """
     d = load_table(spark, sf_dir, "documents")
     tok, keep = explode_computed(F.split(F.col("text"), " "), "tok")
