@@ -25,6 +25,7 @@ embedding-cosine near-dup.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -326,12 +327,27 @@ def jaccard_pairs_auto(
 
     ``n_docs`` comes from the caller's ``DataFrame.count()`` on the
     source parquet — driver-side metadata, no scan. On a 100 TB corpus
-    the choice is always the prefix filter.
+    the choice is always the prefix filter. The env override
+    ``JACCARD_STRATEGY_CUTOVER`` forces a strategy (0 = always prefix,
+    a huge value = always inverted) — the within-strategy measurement
+    knob the decade tooling uses; production leaves it unset.
     """
-    if n_docs < JACCARD_STRATEGY_DOCS_CUTOVER:
-        sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
-        sizes = sharr.select("doc_id", F.size("shingles").alias("n_shingles"))
-        return jaccard_pairs(sh, threshold, max_doc_freq=max_doc_freq, sizes=sizes)
+    cutover = int(
+        os.environ.get("JACCARD_STRATEGY_CUTOVER", JACCARD_STRATEGY_DOCS_CUTOVER)
+    )
+    if n_docs < cutover:
+        # materialize the EXPLODED postings (explode_outer + null
+        # filter per the shingles() pattern — a plain explode lets
+        # InferFiltersFromGenerate re-evaluate the collapsed shingle
+        # expression O(len²) per doc, and the self-join's two sides
+        # plus the size groupBy would each re-derive the un-cached
+        # frame: measured 2.8 s → 22.4 s at sf0.1 on q_cluster_keeper)
+        sh = (
+            sharr.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+            .filter(F.col("shingle").isNotNull())
+            .transform(eager_checkpoint)
+        )
+        return jaccard_pairs(sh, threshold, max_doc_freq=max_doc_freq)
     return prefix_filter_pairs(sharr, threshold, max_doc_freq=max_doc_freq)
 
 
@@ -382,7 +398,7 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # parquet metadata count — no scan
     band = min(1000, max(64, -(-n_docs // 1000)))
-    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0)
+    sharr = shingle_arrays(d, n=3)
     return jaccard_pairs_auto(sharr, 0.5, n_docs, max_doc_freq=band).orderBy(
         "doc_a", "doc_b"
     )
@@ -1414,7 +1430,7 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     edges = jaccard_pairs_auto(
-        shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
+        shingle_arrays(d, n=3),
         threshold=0.5,
         n_docs=d.count(),
     ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
@@ -1859,13 +1875,29 @@ def prefix_filter_pairs(
     within an ulp of the threshold.
     """
     t = threshold
-    sharr = sharr.transform(eager_checkpoint)
     # 8-byte hashed shingle keys, same trade as jaccard_pairs
     # (hash_keys): halves the DF-join and index shuffle bytes; a 64-bit
-    # collision merges two shingles with p ~ n^2/2^65.
-    sh = sharr.select(
-        "doc_id", F.size("shingles").alias("n_full"), F.explode("shingles").alias("_s")
-    ).select("doc_id", "n_full", F.xxhash64("_s").alias("shingle"))
+    # collision merges two shingles with p ~ n^2/2^65. The EXPLODED
+    # hashed postings are what gets checkpointed — not the array frame:
+    # localCheckpoint serializes nested string arrays ~6× slower than
+    # the equivalent (doc_id, long) rows (4.3 s vs 0.7 s at sf0.1,
+    # measured round 12), and every downstream consumer (dfreq, the
+    # rarity sort, the verify arrays) reads the postings anyway.
+    # explode_outer + null filter, NOT plain explode: see shingles() —
+    # InferFiltersFromGenerate re-evaluates the collapsed shingle
+    # expression under a non-outer Generate, O(len²) per document.
+    sh = (
+        sharr.select("doc_id", F.explode_outer("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select("doc_id", F.xxhash64("_s").alias("shingle"))
+        .transform(eager_checkpoint)
+    )
+    # full sizes BEFORE any capping (shingle_arrays is distinct per
+    # doc, so the posting count IS the set size) — computed from the
+    # cached postings instead of an F.size projection, which would
+    # re-build the whole shingle array per doc a second time under
+    # projection collapse
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_full"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
         # the capped universe: same hot-set anti-join as jaccard_pairs
@@ -1878,8 +1910,8 @@ def prefix_filter_pairs(
             F.array_sort(
                 F.collect_list(F.struct("df", "shingle"))
             ).alias("by_rarity"),
-            F.first("n_full").alias("n_full"),
         )
+        .join(sizes, "doc_id")
         .select(
             "doc_id",
             # prefix length |capped| - ceil(t*n_full) + 2 (uncapped:
@@ -1916,22 +1948,16 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    if max_doc_freq is None:
-        # narrow: the full arrays come straight off the shingle frame
-        full = sharr.select(
-            "doc_id",
-            F.array_sort(
-                F.transform("shingles", lambda s: F.xxhash64(s))
-            ).alias("sset"),
-            F.size("shingles").alias("n_full"),
-        )
-    else:
-        # capped: intersections see only the capped universe; sizes
-        # keep counting every shingle (jaccard_pairs' exact contract)
-        full = sh.groupBy("doc_id").agg(
-            F.array_sort(F.collect_list("shingle")).alias("sset"),
-            F.first("n_full").alias("n_full"),
-        )
+    # verify arrays from the checkpointed postings (one groupBy over
+    # cached narrow rows): in the capped branch ``sh`` is already
+    # anti-joined, so intersections see only the capped universe while
+    # n_full keeps counting every shingle — jaccard_pairs' exact
+    # capped contract
+    full = (
+        sh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("shingle")).alias("sset"))
+        .join(sizes, "doc_id")
+    )
     verified = (
         cand.join(
             F.broadcast(
@@ -1996,7 +2022,7 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each document's shingles — the *rare* half, by construction.
     """
     d = load_table(spark, sf_dir, "documents")
-    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0)
+    sharr = shingle_arrays(d, n=3)
     return prefix_filter_pairs(sharr, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
@@ -2168,7 +2194,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form goes Σdf² quadratic past the cutover (the q_dedup_report
     # lesson: 3.4 s → 157 s across sf0.1→sf1.0)
     exact = jaccard_pairs_auto(
-        shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
+        shingle_arrays(d, n=3),
         threshold=0.8,
         n_docs=d.count(),
     ).select("doc_a", "doc_b")
@@ -2284,7 +2310,7 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     thresholds = [0.5, 0.6, 0.7, 0.8, 0.9]
     jac = jaccard_pairs_auto(
-        shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
+        shingle_arrays(d, n=3),
         threshold=min(thresholds),
         n_docs=d.count(),
     ).select("jaccard")
@@ -2372,7 +2398,7 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (3.4 s → 157 s, e2≈1.66 measured round 12) while prefix
         # filtering holds e2≈0.96 past the cutover on the same data.
         jaccard_pairs_auto(
-            shingle_arrays(d, n=3).filter(F.size("shingles") > 0),
+            shingle_arrays(d, n=3),
             threshold=0.8,
             n_docs=d.count(),
         ).agg(F.count(F.lit(1)).alias("n_neardup_pairs"))

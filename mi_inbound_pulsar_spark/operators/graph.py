@@ -220,7 +220,7 @@ def _neardup_edges(d: DataFrame) -> DataFrame:
         shingle_arrays,
     )
 
-    sharr = shingle_arrays(d, n=3).filter(F.size("shingles") > 0)
+    sharr = shingle_arrays(d, n=3)
     return jaccard_pairs_auto(
         sharr, threshold=0.5, n_docs=d.count(), max_doc_freq=1000
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
