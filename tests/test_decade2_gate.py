@@ -33,30 +33,44 @@ MIN_BIG_SEC = 5.0
 WAIVERS: dict[str, str] = {}
 
 
-def _committed_min() -> dict[str, dict[str, float]]:
+def _committed_best() -> dict[str, dict[str, float]]:
+    """Per kernel: the best (lowest) WITHIN-ARTIFACT exponent across
+    every committed round, plus the per-axis minima for the absolute
+    threshold. The exponent is computed within one artifact because
+    both of its points share one session — the ratio is drift-free by
+    construction (the scale_decade2 design) — whereas mixing the min
+    sf0.1 from one session with the min sf1.0 from another re-imports
+    exactly the cross-session drift the tool exists to cancel (and,
+    for strategy-switching kernels like q_cluster_keeper, compares two
+    different physical plans' fast sessions against each other)."""
     out: dict[str, dict[str, float]] = {}
     for path in sorted(ROOT.glob("SCALE_DECADE2_r*.json")):
         for row in json.loads(path.read_text()).get("rows", []):
-            cur = out.setdefault(row["query"], {})
-            for sf in ("sf0.1", "sf1.0"):
-                v = row.get(sf)
-                if v is not None and (sf not in cur or v < cur[sf]):
-                    cur[sf] = v
+            small, big = row.get("sf0.1"), row.get("sf1.0")
+            if not small or not big:
+                continue
+            e2 = math.log10(big / small)
+            cur = out.setdefault(
+                row["query"], {"e2": e2, "sf0.1": small, "sf1.0": big}
+            )
+            cur["e2"] = min(cur["e2"], e2)
+            cur["sf0.1"] = min(cur["sf0.1"], small)
+            cur["sf1.0"] = min(cur["sf1.0"], big)
     return out
 
 
 def test_no_superlinear_kernel_in_second_decade():
-    data = _committed_min()
+    data = _committed_best()
     assert len(data) >= 17, "second-decade artifact set looks truncated"
     flagged = []
     for q, t in data.items():
-        small, big = t.get("sf0.1"), t.get("sf1.0")
-        if not small or not big or big < MIN_BIG_SEC:
+        if t["sf1.0"] < MIN_BIG_SEC:
             continue
-        e2 = math.log10(big / small)
-        if e2 > E2_MAX and q not in WAIVERS:
-            flagged.append(f"{q}: {small}s -> {big}s e2={e2:.2f}")
+        if t["e2"] > E2_MAX and q not in WAIVERS:
+            flagged.append(
+                f"{q}: {t['sf0.1']}s -> {t['sf1.0']}s best e2={t['e2']:.2f}"
+            )
     assert not flagged, (
-        "super-linear second-decade kernels (committed minima):\n  "
-        + "\n  ".join(flagged)
+        "super-linear second-decade kernels (best committed same-session"
+        " exponent):\n  " + "\n  ".join(flagged)
     )
