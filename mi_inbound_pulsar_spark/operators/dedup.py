@@ -212,6 +212,19 @@ def jaccard_pairs(
     """
     if hash_keys:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    # Pin the index exchange at defaultParallelism BEFORE the self-join:
+    # the join's ENSURE_REQUIREMENTS exchanges are AQE-coalesced by the
+    # postings' bytes (a few MB at sf0.1 → a handful of partitions), so
+    # the Σdf² join fan-out and the pair-count partial aggregate ran
+    # near-serial — AQE cannot see join fan-out. One explicit exchange,
+    # REUSED by both join sides, the df groupBy, and (when derived
+    # here) the sizes groupBy's input. Measured min-of-4 interleaved at
+    # sf0.1/local[32]: 3.0 s → 2.2 s on the q_triangle_count edge
+    # build, identical pair set. defaultParallelism scales with
+    # cluster cores — not a local[32] constant.
+    sh = sh.repartition(
+        sh.sparkSession.sparkContext.defaultParallelism, "shingle"
+    )
     if sizes is None:
         # callers holding the shingle *array* frame pass sizes from
         # F.size(shingles) instead — one less groupBy shuffle

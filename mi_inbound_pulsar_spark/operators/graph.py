@@ -557,6 +557,19 @@ def part_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB with celebrity items, pre-thin with an approximate
     frequency sketch (q_countmin_sketch) before the exact aggregate;
     at the shipped DF cap the retained lists are <= 40 entries.
+
+    Fan-out parallelism (round 12): the aggregate's exchange is PINNED
+    at ``defaultParallelism`` via an explicit ``repartition(P, part)``
+    that the groupBy then reuses (same single exchange, different
+    partition-count authority). Left to ENSURE_REQUIREMENTS, AQE
+    coalesces the exchange by the posting lists' BYTES (~6 MB at
+    sf0.1 → a handful of partitions), and every downstream
+    double-explode pair enumeration — 8.4M generated rows at sf0.1 —
+    plus its partial pair-count aggregate inherits that near-serial
+    partitioning. AQE cannot see generator fan-out. Measured on the
+    full pair kernel at sf0.1/local[32]: 5.3 s → 2.4 s min-of-4
+    interleaved. ``defaultParallelism`` scales with cluster cores, so
+    the pin is scale-adaptive, not a local[32] constant.
     """
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
@@ -566,6 +579,7 @@ def part_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(li, "ok")
+        .repartition(spark.sparkContext.defaultParallelism, "part")
         .groupBy("part")
         .agg(F.array_sort(F.collect_set("cust")).alias("custs"))
         .filter(F.size("custs") <= COPURCHASE_MAX_DF)
