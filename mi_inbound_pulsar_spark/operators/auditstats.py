@@ -1557,20 +1557,39 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
     )
-    arm_exprs = [
-        F.struct(F.lit(0).alias("perm"), (F.col("user_id") % 2).cast("long").alias("arm"))
-    ]
-    for i in range(1, PERM_B + 1):
-        md5 = "md5(concat('perm" + str(i) + ":', CAST(user_id AS STRING)))"
-        arm_exprs.append(
-            F.struct(
-                F.lit(i).alias("perm"),
-                (F.expr(_hexval_sql(md5, 1)) % 2).cast("long").alias("arm"),
-            )
-        )
+    # Two round-12 rewrites of the amplification stage, same results:
+    #
+    # 1. ONE parameterized draw expression over an exploded perm
+    #    sequence, instead of a 201-element array of per-permutation
+    #    structs whose construction parsed 200 separate F.expr SQL
+    #    snippets through py4j — 3.5-5 s of DRIVER time per call
+    #    (measured: plan build 4.98 s, execute 3.05 s) for a plan
+    #    Catalyst then had to analyze 201 branches of. The md5 input
+    #    string is unchanged ('perm{i}:{user}'), so the permutation
+    #    family — and the oracle hash — is bit-identical.
+    # 2. Fan-out pin: per_user is a few-hundred-KB aggregate output,
+    #    so AQE coalesces its exchange to ~1 partition and the
+    #    ×(PERM_B+1) explode plus the md5 draws ran near-serial.
+    #    Round-robin repartition to defaultParallelism (cheap:
+    #    user-domain rows) parallelizes the amplification.
+    per_user = per_user.repartition(spark.sparkContext.defaultParallelism)
+    draw = F.expr(
+        "(instr('0123456789abcdef', substring(md5(concat("
+        "'perm', CAST(perm AS STRING), ':', CAST(user_id AS STRING)"
+        ")), 1, 1)) - 1) % 2"
+    )
     assigned = per_user.select(
-        "cents", F.explode(F.array(*arm_exprs)).alias("a")
-    ).select("cents", F.col("a.perm").alias("perm"), F.col("a.arm").alias("arm"))
+        "user_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B))).alias("perm"),
+    ).select(
+        "cents",
+        "perm",
+        F.when(F.col("perm") == 0, F.col("user_id") % 2)
+        .otherwise(draw)
+        .cast("long")
+        .alias("arm"),
+    )
     diffs = assigned.groupBy("perm").agg(
         (
             F.avg(F.when(F.col("arm") == 0, F.col("cents")))

@@ -39,6 +39,24 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split floor (round 12): Spark sizes file splits as
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/cores)),
+        # so openCostInBytes FLOORS the split size whenever the input
+        # is small relative to the core count. The 4 MB default is a
+        # spinning-disk-era estimate of per-file open cost; with it, a
+        # 10.8 MB parquet table scans as ≤3 tasks and every
+        # scan-adjacent stage runs near-serial regardless of cores.
+        # 128 KB reflects measured open overhead on page-cached zstd
+        # parquet and lets the bytes/cores term govern (a 10.8 MB scan
+        # splits ~32 ways on 32 cores, a 100 TB scan is unaffected —
+        # bytes/cores dominates the floor there). Interleaved 28-query
+        # A/B at sf0.1: 59.5 s → 54.1 s total-of-mins. Env-overridable
+        # for deployments where file-open cost is genuinely high
+        # (cold object stores, many tiny files).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "131072"),
+        )
         # plans/iterate.eager_checkpoint falls back to RELIABLE
         # checkpoints on cluster masters / under dynamic allocation;
         # without this, those checkpoint files are never deleted and a
