@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from mi_inbound_pulsar_spark.functions.arrays import explode_computed
 from mi_inbound_pulsar_spark.operators import query
 from mi_inbound_pulsar_spark.sources.tables import load_table
-from ..plans.iterate import eager_checkpoint
+from ..plans.iterate import eager_checkpoint, retain
 
 MINHASH_K = 32
 LSH_BANDS = 8
@@ -2424,6 +2424,9 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when(
         F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
     ).otherwise(F.array().cast("array<int>"))
+    # scoped persist (round 12): the ~250k-row span explode + portable
+    # token hash feeds BOTH the df rollup and the dup-doc count join —
+    # unpersisted it was recomputed from the scan for each consumer
     spans = toks.select("doc_id", "w", F.explode(starts).alias("i")).select(
         "doc_id",
         portable_token_hash(F.array_join(F.slice("w", F.col("i") + 1, k), " ")).alias(
@@ -2447,4 +2450,5 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_dup_docs"
         ),
     )
-    return base.crossJoin(F.broadcast(near)).crossJoin(F.broadcast(spandocs))
+    out = base.crossJoin(F.broadcast(near)).crossJoin(F.broadcast(spandocs))
+    return retain(out, spans)

@@ -656,6 +656,9 @@ def knn_self_join(e: DataFrame, k: int = MUTUAL_KNN_K, n_blocks: int = KNN_BLOCK
         "bi", "bj", F.col("vec_id").alias("id_r"), F.col("embedding").alias("emb_r")
     )
     take = k + 8  # tie margin; global row_number resolves exactly
+    # ranking sentinel for self-pairs — strictly above every real
+    # composite key (max real key < 2e6 * 2^33 + 2^33 < 2^55)
+    _SENTINEL = np.int64(1) << 62
 
     def score(key, lpdf, rpdf):
         bi, bj = key
@@ -682,30 +685,47 @@ def knn_self_join(e: DataFrame, k: int = MUTUAL_KNN_K, n_blocks: int = KNN_BLOCK
             directions.append((ids_r, ids_l, sims.T))
         frames = []
         for q_ids, c_ids, S in directions:
-            Sr = np.round(S, 6)  # rank on the rounded value, like the global window
-            for qi in range(len(q_ids)):
-                row = S[qi]
-                row_r = Sr[qi]
-                mask = c_ids != q_ids[qi]
-                cand = np.nonzero(mask)[0]
-                if len(cand) == 0:
-                    continue
-                # lexsort: primary -rounded_sim, secondary neighbor_id —
-                # the same (sim DESC, neighbor_id ASC) order as the
-                # global row_number and the oracle, so per-block
-                # truncation never drops the tied candidate the global
-                # rank would pick.
-                order = np.lexsort((c_ids[cand], -row_r[cand]))
-                part = cand[order[:take]]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": np.full(len(part), q_ids[qi], np.int64),
-                            "neighbor_id": c_ids[part],
-                            "sim": row[part],
-                        }
-                    )
+            # Whole-block vectorized partial top-k (round 12; guide §4.2
+            # — the previous per-row Python loop ran one lexsort AND
+            # built one pandas frame PER QUERY ROW, ~18k tiny frames per
+            # call at sf0.1; measured 2.3 s → 1.3 s, identical edges).
+            # The (rounded-sim DESC, neighbor_id ASC) order — the same
+            # order as the global row_number and the oracle — packs into
+            # ONE int64 composite key: the 6dp-rounded sim is an exact
+            # integer in [-1e6, 1e6] after ×1e6, so
+            # (1_000_001 - sim_int) << 33 | neighbor_id is
+            # order-isomorphic to the lexicographic rank for ids < 2^33.
+            sr = np.rint(np.round(S, 6) * 1e6).astype(np.int64)
+            comp = (np.int64(1_000_001) - sr) * (np.int64(1) << 33) + c_ids[
+                None, :
+            ]
+            comp = np.where(
+                c_ids[None, :] == q_ids[:, None], _SENTINEL, comp
+            )
+            width = comp.shape[1]
+            t_eff = min(take, width)
+            if t_eff == 0:
+                continue
+            if t_eff < width:
+                part = np.argpartition(comp, t_eff - 1, axis=1)[:, :t_eff]
+            else:
+                part = np.broadcast_to(np.arange(width), comp.shape).copy()
+            sub = np.take_along_axis(comp, part, axis=1)
+            order = np.argsort(sub, axis=1, kind="stable")
+            idx = np.take_along_axis(part, order, axis=1)
+            subsorted = np.take_along_axis(sub, order, axis=1)
+            keep = (subsorted < _SENTINEL).reshape(-1)
+            rows = np.repeat(np.arange(len(q_ids)), t_eff)[keep]
+            cols = idx.reshape(-1)[keep]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": q_ids[rows],
+                        "neighbor_id": c_ids[cols],
+                        "sim": S[rows, cols],
+                    }
                 )
+            )
         if not frames:
             return empty
         return pd.concat(frames, ignore_index=True)

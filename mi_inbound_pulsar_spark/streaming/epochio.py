@@ -42,3 +42,19 @@ def write_all(
         ]
         for f in futures:
             f.result()
+
+
+def fill_all(frames: list[DataFrame]) -> None:
+    """Fill several persisted frames' caches as CONCURRENT count jobs
+    (round 12). The cache fills that precede :func:`write_all` were
+    submitted sequentially — at replay batch sizes each fill is mostly
+    fixed job overhead, so concurrency buys ~max(job) instead of
+    Σ(job), the same argument as the write side. Safe for the same
+    reason: the frames are independent by construction (each is
+    persisted; a count only populates its own cache entry)."""
+    if not frames:
+        return
+    with ThreadPoolExecutor(max_workers=len(frames)) as ex:
+        futures = [ex.submit(df.count) for df in frames]
+        for f in futures:
+            f.result()

@@ -40,7 +40,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mi_inbound_pulsar_spark.streaming.epochio import write_all
+from mi_inbound_pulsar_spark.streaming.epochio import fill_all, write_all
 
 K_ANON = 5
 L_DIVERSE = 3
@@ -192,9 +192,9 @@ class StreamingPrivacyPipeline:
         # 4. idempotent epoch writes (concurrent jobs — all three
         # families derive from the persisted stats/candidates frames;
         # fill both caches once first so the racing jobs don't each
-        # recompute the redaction pipeline), then the commit marker
-        stats.count()
-        candidates.count()
+        # recompute the redaction pipeline — the fills themselves are
+        # concurrent jobs too, epochio.fill_all), then the commit marker
+        fill_all([stats, candidates])
         self._write_all(
             [
                 (stats, os.path.join(self.state_dir, "stats"), qi[0]),
