@@ -1960,6 +1960,19 @@ def prefix_filter_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # fan-out pin (round 12): the candidate table is two longs per
+        # row — AQE coalesces the distinct's exchange to ~1 partition —
+        # but each row's VERIFY below is an array_intersect over full
+        # shingle arrays, so CPU per byte is enormous and the verify
+        # stage ran near-serial. Round-robin to defaultParallelism
+        # (tiny shuffle, row-local verify unaffected). Pinning the
+        # prefix-index exchange instead was A/B'd and REJECTED: the
+        # extra exchange cost more than the join fan-out saved
+        # (2.8 s → 3.7 s); this pin alone measured 2.8 s → 2.3 s
+        # min-of-3 interleaved on the full kernel.
+        .repartition(
+            sharr.sparkSession.sparkContext.defaultParallelism
+        )
     )
     # verify arrays from the checkpointed postings (one groupBy over
     # cached narrow rows): in the capped branch ``sh`` is already
