@@ -54,18 +54,92 @@ from pathlib import Path
 #: Do NOT add queries whose implementation changed in the current
 #: round — a real speedup/slowdown in a probe biases the factor
 #: (median limits the damage, but keep the set frozen).
+#:
+#: Freshness is now ENFORCED, not aspirational (round-12 verdict item
+#: #5: two round-12-changed queries sat in this set and skewed the
+#: factor): ``PROBE_FREEZE.json`` pins the sha256 of every probe's
+#: TRANSITIVE source closure (the query function plus every repo-local
+#: helper it reaches — ``probe_source_digest``), and
+#: ``tests/test_bench_gate.py`` fails when any probe's closure drifts
+#: from the freeze. Changing a probe's kernel therefore forces a
+#: deliberate probe swap + freeze regeneration
+#: (``python tools/gen_probe_freeze.py``) in the same commit.
+#: Round-13 rotation under that rule: ``q_triangle_count`` (round-12
+#: dedup-pin blast radius; measured 5.7x its committed min while the
+#: median probe sat at 1.76x this session) and
+#: ``q_interval_overlap_join`` (round-12 one-scan rewrite) are
+#: replaced by ``q_gwet_ac1`` (agreement window shape, frozen since
+#: round 11) and ``q_kmv_distinct_sketch`` (portable-sketch explode
+#: shape, frozen since round 9).
 PROBES = (
     "q05_regional_revenue",
     "q09_product_profit",
     "q_session_window",
-    "q_triangle_count",
+    "q_gwet_ac1",
     "q_bm25_search",
     "q_funnel_stages",
     "q_scd2_dimension",
-    "q_interval_overlap_join",
+    "q_kmv_distinct_sketch",
     "q_cosine_topk",
     "q_simhash_signatures",
 )
+
+
+def probe_source_closure(fn) -> dict[str, str]:
+    """The TRANSITIVE repo-local source closure of a query function:
+    ``{qualname: source}`` for the function itself plus, recursively,
+    every ``mi_inbound_pulsar_spark`` function/class it references —
+    via module globals OR via ``from mi_inbound_pulsar_spark... import``
+    statements inside the body (the local-import idiom the operator
+    modules use). A probe whose *helper kernel* changes (the round-12
+    ``jaccard_pairs`` pin reached ``q_triangle_count`` through two
+    helper hops) closes over the changed source even though the query
+    function's own text is untouched."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+
+    seen: dict[str, str] = {}
+
+    def visit(obj) -> None:
+        try:
+            qual = f"{obj.__module__}.{obj.__qualname__}"
+            src = inspect.getsource(obj)
+        except (TypeError, OSError, AttributeError):
+            return
+        if not obj.__module__.startswith("mi_inbound_pulsar_spark") or qual in seen:
+            return
+        seen[qual] = src
+        tree = ast.parse(textwrap.dedent(src))
+        names: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name):
+                names.add(node.id)
+            elif isinstance(node, ast.ImportFrom) and node.module and (
+                node.module.startswith("mi_inbound_pulsar_spark")
+            ):
+                mod = importlib.import_module(node.module)
+                for alias in node.names:
+                    visit(getattr(mod, alias.name, None))
+        g = getattr(obj, "__globals__", None)
+        if g is None:  # a class: resolve names via its module
+            g = vars(importlib.import_module(obj.__module__))
+        for name in names:
+            visit(g.get(name))
+
+    visit(fn)
+    return seen
+
+
+def probe_source_digest(fn) -> str:
+    """sha256 over :func:`probe_source_closure` — the freeze key the
+    probe-freshness gate pins in ``PROBE_FREEZE.json``."""
+    import hashlib
+
+    closure = probe_source_closure(fn)
+    blob = "\n".join(closure[q] for q in sorted(closure))
+    return hashlib.sha256(blob.encode()).hexdigest()
 
 
 def committed_min_times(

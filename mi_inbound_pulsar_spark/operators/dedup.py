@@ -178,6 +178,7 @@ def jaccard_pairs(
     hash_keys: bool = True,
     sizes: DataFrame | None = None,
     pack_pair_keys: bool | None = None,
+    pin_parallelism: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over a (doc_id, shingle) frame via inverted-index
     self-join: |A∩B| from the shingle join, sizes joined in, J computed.
@@ -222,9 +223,20 @@ def jaccard_pairs(
     # sf0.1/local[32]: 3.0 s → 2.2 s on the q_triangle_count edge
     # build, identical pair set. defaultParallelism scales with
     # cluster cores — not a local[32] constant.
-    sh = sh.repartition(
-        sh.sparkSession.sparkContext.defaultParallelism, "shingle"
-    )
+    #
+    # ``pin_parallelism=False`` (round 13): the LSH VERIFIERS call this
+    # kernel on the candidate-doc sliver — a few tens of thousands of
+    # postings by construction, where the pin's extra exchange plus 32
+    # near-empty tasks per stage cost more than the fan-out they
+    # spread (q_minhash_lsh_neardup measured 3.92 s → 2.67 s min-of-3
+    # interleaved with the pin dropped; the r11-parity A/B had flagged
+    # the pin as this query's only real regression, 1.22×). Corpus-
+    # scale posting callers (jaccard_pairs_auto below the cutover)
+    # keep the pin — there the fan-out is the measured bottleneck.
+    if pin_parallelism:
+        sh = sh.repartition(
+            sh.sparkSession.sparkContext.defaultParallelism, "shingle"
+        )
     if sizes is None:
         # callers holding the shingle *array* frame pass sizes from
         # F.size(shingles) instead — one less groupBy shuffle
@@ -640,7 +652,7 @@ def minhash_neardup(
         .distinct()
     )
     sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").transform(eager_checkpoint)
-    verified = jaccard_pairs(sh_cand, threshold)
+    verified = jaccard_pairs(sh_cand, threshold, pin_parallelism=False)
     return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
@@ -1566,7 +1578,9 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").transform(eager_checkpoint)
-    verified = cands.join(jaccard_pairs(sh_cand, 0.8), ["doc_a", "doc_b"])
+    verified = cands.join(
+        jaccard_pairs(sh_cand, 0.8, pin_parallelism=False), ["doc_a", "doc_b"]
+    )
     delta_matches = (
         verified.filter(F.col("doc_a") % 10 == 0)
         .select(F.col("doc_a").alias("doc_id"), "jaccard")

@@ -2406,65 +2406,90 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_basket_lift``'s partkey pairs go sparse at sf0.1 while these
     rules stay populated.
 
-    Scale: baskets collapse to distinct (order, brand) once (part dim
-    broadcast); pair counts are a basket-keyed self-join (fan-out
-    bounded by per-basket brand count); the triple extension joins the
-    FREQUENT-pair list back to baskets, so its fan-out is
+    Scale: baskets collapse to per-order sorted brand arrays in ONE
+    collect_set aggregate (part dim broadcast); pair counts are a
+    narrow C(k,2) array-combination explode of the cached basket frame
+    (fan-out bounded by per-basket brand count — the same bound the
+    old basket-keyed self-join had, minus its shuffle); the triple
+    extension broadcast-joins the FREQUENT-pair list to the exploded
+    pairs and extends with an array filter, so its fan-out is
     |frequent pairs| × basket size, not brands³. Top-k by lift is a
     sort over the ≤C(25,3) rule table.
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    # scoped persist (round 12): the distinct basket frame feeds SIX
-    # plan branches below (n, brand, both pair sides, three triple
-    # sides) — unpersisted, each branch re-ran the lineitem⋈part join
-    # + distinct from the scan. retain() ties the cache entry to the
-    # returned frame (plans/iterate.py), the round-9-leak-safe persist.
-    # Measured min-of-3 interleaved at sf0.1/local[32]: 6.4 s → 2.3 s.
-    items = (
+    # Basket posting lists (round 13, the copurchase_pairs pattern):
+    # ONE collect_set aggregate replaces the old distinct + basket-
+    # keyed self-join + three-way triple join. Each basket collapses
+    # to its sorted distinct-brand array in a single exchange
+    # (collect_set dedups, so the separate distinct shuffle is gone);
+    # pairs and a-priori triple extensions are then *narrow* array-
+    # combination explodes over the cached basket frame — no join ever
+    # touches a basket-keyed shuffle again. Fan-out parallelism pinned
+    # at defaultParallelism before the aggregate (the round-12 posting-
+    # list rule: AQE coalesces the exchange by the basket frame's
+    # bytes and cannot see the C(k,2)-per-row explode behind it).
+    # Scale: the explode fan-out is Σ C(brands-per-basket, 2), bounded
+    # by basket size — the same bound the old self-join had — and the
+    # triple extension only fans out for baskets holding a FREQUENT
+    # pair (broadcast hash join on the ≤C(25,2) frequent-pair list).
+    baskets = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    brand = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_c"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("p1"), F.col("b.p_brand").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    brand = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_c"))
     )
+    # ordered brand pairs per basket: C(k,2) structs from the sorted
+    # array — identical multiset to the old (a.brand < b.brand)
+    # self-join because brands are distinct within a basket
+    br = F.col("brands")
+    k = F.size(br)
+    pair_structs = F.when(
+        k >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), k - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, k - 1),
+                    lambda j: F.struct(
+                        F.get(br, i).alias("p1"), F.get(br, j).alias("p2")
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<p1:string,p2:string>>"))
+    bp = baskets.select(F.explode(pair_structs).alias("pp"), "brands").select(
+        F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2"), "brands"
+    )
+    pairs = bp.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_ab"))
     freq_pairs = pairs.crossJoin(F.broadcast(n)).filter(
         F.col("n_ab") >= RULES_MIN_SUPPORT * F.col("n_orders")
     )
-    ia, ib, ic = items.alias("ia"), items.alias("ib"), items.alias("ic")
+    # a-priori triple extension: baskets containing a frequent pair
+    # (p1, p2) extend by every basket brand p3 > p2 — the same rows as
+    # the old ia⋈ib⋈ic per-basket enumeration (brands are distinct per
+    # basket, so each (basket, fp, p3) contributed exactly one row)
     triples = (
-        F.broadcast(freq_pairs.alias("fp"))
-        .join(ia, F.col("ia.p_brand") == F.col("fp.p1"))
-        .join(
-            ib,
-            (F.col("ib.l_orderkey") == F.col("ia.l_orderkey"))
-            & (F.col("ib.p_brand") == F.col("fp.p2")),
+        bp.join(
+            F.broadcast(freq_pairs.select("p1", "p2", "n_ab")), ["p1", "p2"]
         )
-        .join(
-            ic,
-            (F.col("ic.l_orderkey") == F.col("ia.l_orderkey"))
-            & (F.col("ic.p_brand") > F.col("fp.p2")),
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            F.explode(
+                F.filter("brands", lambda x: x > F.col("p2"))
+            ).alias("p3"),
         )
-        .groupBy(
-            F.col("fp.p1").alias("p1"),
-            F.col("fp.p2").alias("p2"),
-            F.col("ic.p_brand").alias("p3"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_abc"), F.max("fp.n_ab").alias("n_ab")
-        )
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("n_abc"), F.max("n_ab").alias("n_ab"))
     )
     rules = (
         triples.crossJoin(F.broadcast(n))
@@ -2515,7 +2540,9 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lift_raw", 6).alias("lift"),
         )
     )
-    return retain(out, items)
+    # the basket frame feeds four plan branches (n, brand counts, the
+    # pair explode, the triple explode) — leak-safe scoped persist
+    return retain(out, baskets)
 
 
 # --------------------------------------------------------------------------

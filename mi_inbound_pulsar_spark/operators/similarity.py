@@ -695,6 +695,19 @@ def knn_self_join(e: DataFrame, k: int = MUTUAL_KNN_K, n_blocks: int = KNN_BLOCK
             # integer in [-1e6, 1e6] after ×1e6, so
             # (1_000_001 - sim_int) << 33 | neighbor_id is
             # order-isomorphic to the lexicographic rank for ids < 2^33.
+            # id-domain guard (round 13): the packing below is order-
+            # isomorphic ONLY for ids in [0, 2^33) — an id outside the
+            # domain would silently corrupt ranking across adjacent
+            # sim buckets, so fail loudly instead (the lexsort
+            # fallback for wider ids is a feature change; at the
+            # shipped id domains this never trips)
+            if len(c_ids) and (
+                c_ids.min() < 0 or c_ids.max() >= (np.int64(1) << 33)
+            ):
+                raise ValueError(
+                    "knn_self_join: vec_id outside [0, 2^33) — the int64 "
+                    "composite ranking key cannot represent this id domain"
+                )
             sr = np.rint(np.round(S, 6) * 1e6).astype(np.int64)
             comp = (np.int64(1_000_001) - sr) * (np.int64(1) << 33) + c_ids[
                 None, :

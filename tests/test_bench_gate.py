@@ -162,3 +162,43 @@ def test_sources_split_keeps_methodologies_apart(tmp_path: Path):
     assert committed_min_times(tmp_path, sources="bench") == {"q_wide": 0.35}
     assert committed_min_times(tmp_path, sources="sweep") == {"q_wide": 5.3}
     assert committed_min_times(tmp_path, sources="all") == {"q_wide": 0.35}
+
+
+# -- probe freshness (round-12 verdict item #5) ---------------------------
+
+
+def test_probe_freeze_matches_current_sources():
+    """Every probe's transitive source closure must digest to the
+    committed PROBE_FREEZE.json value — a probe whose kernel changed
+    this round fails here and must be rotated out (and the freeze
+    regenerated via tools/gen_probe_freeze.py) in the same commit."""
+    import __spark_entry__ as e
+    from mi_inbound_pulsar_spark.benchbase import probe_source_digest
+
+    freeze = json.loads(
+        (Path(__file__).resolve().parent.parent / "PROBE_FREEZE.json").read_text()
+    )
+    assert set(freeze) == set(PROBES)
+    qs = e.queries()
+    stale = {
+        q: (probe_source_digest(qs[q]), freeze[q])
+        for q in PROBES
+        if probe_source_digest(qs[q]) != freeze[q]
+    }
+    assert not stale, f"probe kernels changed since freeze: {sorted(stale)}"
+
+
+def test_probe_closure_is_transitive():
+    """The closure must reach helper kernels through multiple hops —
+    the exact blind spot that let the round-12 jaccard_pairs pin skew
+    q_triangle_count's probe ratio: the triangle query's own text never
+    changed, only a helper two imports deep."""
+    import __spark_entry__ as e
+    from mi_inbound_pulsar_spark.benchbase import probe_source_closure
+
+    closure = probe_source_closure(e.queries()["q_triangle_count"])
+    quals = set(closure)
+    assert "mi_inbound_pulsar_spark.operators.graph.q_triangle_count" in quals
+    # two helper hops: q_triangle_count -> _neardup_edges ->
+    # jaccard_pairs_auto -> jaccard_pairs
+    assert "mi_inbound_pulsar_spark.operators.dedup.jaccard_pairs" in quals
