@@ -805,11 +805,19 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared size gate: cheap cached customer-count bound, plain
     # hash join above it (AQE still free to convert on actual size)
     node_bound = table_row_bound(spark, sf_dir, "customer")
-    for _ in range(KCORE_ROUNDS):
-        # the removed set and its complement are FILTERS of the same
-        # tiny checkpointed degree frame — no anti-join needed, and the
-        # only touch of the big edge list is the one narrow broadcast-
-        # join scan computing per-neighbor removal counts
+    # Multi-round fusion (round 13, guide §2.6/§5): TWO peel rounds per
+    # materialization. Each round's algebra is unchanged (filter the
+    # tiny degree frame, one narrow broadcast-join scan of the fixed
+    # edge list, degree rebuild), but only every second round pays the
+    # checkpoint+count job pair — the loop's cost at replay scale was
+    # ~0.55 s/round of per-round fixed job cost on a ~10k-row frame,
+    # not compute. The fused plan is two rounds deep (bounded; no
+    # compounding — stats_reset_checkpoint still cuts lineage at every
+    # materialization). The fixpoint early-exit now tests every 2
+    # rounds: degree-frame size is monotone non-increasing, so "no
+    # node count change across a fused pair" still implies both rounds
+    # removed nothing — the same provably-no-op tail as before.
+    def peel_once(deg):
         removed_m = deg.filter(F.col("d") < KCORE_K).selectExpr("n AS m")
         delta = (
             und.join(
@@ -818,11 +826,20 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("dd"))
         )
-        deg = stats_reset_checkpoint(
+        return (
             deg.filter(F.col("d") >= KCORE_K)
             .join(adaptive_broadcast(delta, count_hint=node_bound), "n", "left")
             .select("n", (F.col("d") - F.coalesce("dd", F.lit(0))).alias("d"))
         )
+
+    rounds_left = KCORE_ROUNDS
+    while rounds_left > 0:
+        fused = min(2, rounds_left)
+        step = deg
+        for _ in range(fused):
+            step = peel_once(step)
+        deg = stats_reset_checkpoint(step)
+        rounds_left -= fused
         n_new = deg.count()
         if n_new == n_prev:
             break  # nothing was removed: fixpoint, later rounds are no-ops

@@ -112,24 +112,31 @@ class ComposedGatesPipeline:
         return self.privacy.read_output(spark)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # 1+2. redact + park-and-release (writes stats/pending/released
-        # v<epoch>, no marker)
-        self.privacy(batch_df, epoch_id)
-        # 3. this epoch's releases — read straight from the epoch dir
-        # (not read_output: the epoch is deliberately uncommitted here)
-        released = spark.read.parquet(
-            os.path.join(self.state_dir, "released", f"v{epoch_id}")
-        )
-        # 4. curation over the released records only (writes hashes/
-        # shingles/offsets/out v<epoch>, no marker)
-        self.curation(
-            released.select(
-                released[self.id_col].alias("doc_id"),
-                released[self.source_col].alias("source"),
-                released[self.text_col].alias("text"),
-            ),
-            epoch_id,
-        )
+        # 1+2. redact + park-and-release: the privacy families
+        # (stats/pending/released v<epoch>) are SUBMITTED as concurrent
+        # jobs and drain while curation computes (round 13, guide §2.6
+        # — overlap independent jobs; the epoch's wall time drops by a
+        # full job wave). Curation consumes the released FRAME — it
+        # derives from the privacy gate's persisted candidates cache,
+        # so it computes exactly the rows the concurrent released-dir
+        # write lands (the dir itself remains the committed-state
+        # artifact read_released serves).
+        released, wait_privacy = self.privacy._run(batch_df, epoch_id)
+        try:
+            # 3+4. curation over the released records only (writes
+            # hashes/shingles/offsets/out v<epoch>, no marker)
+            self.curation(
+                released.select(
+                    released[self.id_col].alias("doc_id"),
+                    released[self.source_col].alias("source"),
+                    released[self.text_col].alias("text"),
+                ),
+                epoch_id,
+            )
+        finally:
+            # privacy's writes quiesce before any failure propagates:
+            # a torn epoch leaves a settled (arbitrary) subset of
+            # v<epoch> dirs and NO marker — the seam matrix's contract
+            wait_privacy()
         # 5. the composed epoch's single commit marker
         self.privacy._finalize(epoch_id)

@@ -95,7 +95,14 @@ class StreamingCurationPipeline:
     def _write(self, df: DataFrame, root: str, epoch_id: int, key: str) -> None:
         path = os.path.join(root, f"v{epoch_id}")
         shutil.rmtree(path, ignore_errors=True)  # replayed epoch: rewrite
-        df.repartition(self.num_partitions, key).write.mode("overwrite").parquet(path)
+        # keyed exchange WITHOUT a pinned partition count (round 13):
+        # AQE coalesces the write to the family's actual bytes — one
+        # file per tiny replay epoch instead of num_partitions near-
+        # empty tasks+files, while a corpus-scale epoch still fans out
+        # to shuffle.partitions (scale-adaptive, guide §6/§2).
+        # num_partitions stays as the explicit override for layouts
+        # that must shard deterministically.
+        df.repartition(F.col(key)).write.mode("overwrite").parquet(path)
 
     # concurrent epoch-family writes; one shared implementation so the
     # crash-seam contract cannot diverge between pipelines (epochio.py)

@@ -35,13 +35,37 @@ def write_all(
     Bound as a method on the pipeline classes (``_write_all = write_all``);
     ``pipeline`` supplies the idempotent per-family ``_write``.
     """
-    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
-        futures = [
-            ex.submit(pipeline._write, df, root, epoch_id, key)
-            for df, root, key in writes
-        ]
+    submit_writes(pipeline, writes, epoch_id)()
+
+
+def submit_writes(pipeline, writes, epoch_id: int):
+    """Deferred form of :func:`write_all` (round 13): SUBMIT the
+    epoch's family writes as concurrent jobs and return a ``wait``
+    callable. The composed pipeline uses this to overlap the privacy
+    gate's writes with curation's compute — a full job wave removed
+    per epoch. ``wait()`` quiesces EVERY write before raising the
+    first failure (the old ``with ThreadPoolExecutor`` semantics), so
+    a torn epoch still leaves a settled — if arbitrary — subset of
+    ``v<epoch>`` dirs, and the caller's single commit marker only
+    lands after ``wait()`` returns cleanly."""
+    ex = ThreadPoolExecutor(max_workers=len(writes))
+    futures = [
+        ex.submit(pipeline._write, df, root, epoch_id, key)
+        for df, root, key in writes
+    ]
+
+    def wait() -> None:
+        errs = []
         for f in futures:
-            f.result()
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        ex.shutdown()
+        if errs:
+            raise errs[0]
+
+    return wait
 
 
 def fill_all(frames: list[DataFrame]) -> None:

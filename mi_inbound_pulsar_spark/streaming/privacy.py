@@ -40,7 +40,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mi_inbound_pulsar_spark.streaming.epochio import fill_all, write_all
+from mi_inbound_pulsar_spark.streaming.epochio import submit_writes, write_all
 
 K_ANON = 5
 L_DIVERSE = 3
@@ -95,7 +95,8 @@ class StreamingPrivacyPipeline:
     def _write(self, df: DataFrame, root: str, epoch_id: int, key: str) -> None:
         path = os.path.join(root, f"v{epoch_id}")
         shutil.rmtree(path, ignore_errors=True)  # replayed epoch: rewrite
-        df.repartition(self.num_partitions, key).write.mode("overwrite").parquet(path)
+        # AQE-coalescible keyed exchange — see curation._write (round 13)
+        df.repartition(F.col(key)).write.mode("overwrite").parquet(path)
 
     # concurrent epoch-family writes; one shared implementation so the
     # crash-seam contract cannot diverge between pipelines (epochio.py;
@@ -135,6 +136,22 @@ class StreamingPrivacyPipeline:
 
     # -- the foreachBatch body ----------------------------------------------
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        _released, wait = self._run(batch_df, epoch_id)
+        wait()
+        if self.autocommit:
+            self._finalize(epoch_id)
+
+    def _run(self, batch_df: DataFrame, epoch_id: int):
+        """Compute the epoch, SUBMIT its three family writes as
+        concurrent jobs WITHOUT waiting, and return
+        ``(released_frame, wait)`` — the deferred form a composing
+        caller (streaming/composed.py) uses to overlap these writes
+        with the next gate's compute. ``wait()`` joins every write
+        (raising the first failure only after all have settled) and
+        releases the epoch's caches; the caller owns the commit
+        marker. The released frame derives from the PERSISTED
+        candidates cache, so a consumer reading it computes the same
+        rows the concurrent ``released`` dir write lands."""
         spark = batch_df.sparkSession
         committed = [e for e in self._committed_epochs() if e < epoch_id]
         qi = self.qi_cols
@@ -190,12 +207,17 @@ class StreamingPrivacyPipeline:
         still_pending = candidates.join(F.broadcast(safe), qi, "left_anti")
 
         # 4. idempotent epoch writes (concurrent jobs — all three
-        # families derive from the persisted stats/candidates frames;
-        # fill both caches once first so the racing jobs don't each
-        # recompute the redaction pipeline — the fills themselves are
-        # concurrent jobs too, epochio.fill_all), then the commit marker
-        fill_all([stats, candidates])
-        self._write_all(
+        # families derive from the persisted stats/candidates frames),
+        # then the commit marker. The separate cache-fill wave before
+        # the writes (fill_all, rounds 11-12) is gone (round 13): at
+        # replay batch sizes a job WAVE is mostly fixed scheduling
+        # cost, so one wave of slightly-fatter jobs (the racing writes
+        # fill the persisted frames' caches themselves; a concurrently
+        # computed partition is deduped at BlockManager put, only the
+        # tiny upstream compute is duplicated) beats two waves —
+        # measured on the full replay, min-of-3 interleaved.
+        wait_writes = submit_writes(
+            self,
             [
                 (stats, os.path.join(self.state_dir, "stats"), qi[0]),
                 (
@@ -207,7 +229,12 @@ class StreamingPrivacyPipeline:
             ],
             epoch_id,
         )
-        candidates.unpersist()
-        stats.unpersist()
-        if self.autocommit:
-            self._finalize(epoch_id)
+
+        def wait() -> None:
+            try:
+                wait_writes()
+            finally:
+                candidates.unpersist()
+                stats.unpersist()
+
+        return released, wait
