@@ -77,23 +77,71 @@ def _load_all() -> None:
 # rather than whole families back-to-back. Queries not listed here follow in
 # registration order.
 _PRIORITY = (
-    # ROUND-12 ROTATION. The driver samples the FIRST 50 entries of
-    # ``queries()``; rounds 1-11 covered 494 distinct names green across
-    # eleven disjoint windows. Selection POLICY (codified per round-11
-    # verdict item #7, mechanical and auditable):
-    #   1. never-driver-checked queries first (registration order) —
-    #      this round: the final 9, closing cumulative coverage at
-    #      503/503;
-    #   2. then queries whose implementation CHANGED in the current or
-    #      previous round (driver-hard re-confirmation beats local
-    #      evidence) — this round: the round-11 long-cents TPC-H
-    #      conversion (q01/q03/q05/q08/q17/q22), the double-literal
-    #      SQL-surface fix, the SAX decimal-moments fix, this round's
-    #      containment df-band change, and the round-11 float-parity
-    #      exact-statistic rewrites;
-    #   3. remaining slots re-verify OLDEST-GREEN first (the round-1
-    #      window: its queries have not seen the driver's oracle since
-    #      round 1, eleven rounds of code movement ago).
+    # ROUND-13 ROTATION. The driver samples the FIRST 50 entries of
+    # ``queries()``; cumulative driver-hard coverage closed at 503/503
+    # in round 12, so tier 1 (never-checked) is empty. Same mechanical
+    # policy as round 12:
+    #   1. queries whose implementation (or a helper kernel) CHANGED
+    #      this round — the association-rules basket rewrite, the LSH
+    #      verifiers under the jaccard_pairs pin opt-out, the k-core
+    #      round fusion, the three replay queries under the new epoch
+    #      write protocol, and the five knn_self_join consumers (the
+    #      id-domain guard lives inside their cogroup UDF);
+    #   2. remaining slots re-verify OLDEST-GREEN first: the round-2
+    #      window's names (their last driver check), in that window's
+    #      order, minus names already in tier 1 or re-verified in the
+    #      round-12 window.
+    "q_association_rules",
+    "q_minhash_lsh_neardup",
+    "q_dedup_incremental_lsh",
+    "q_kcore_peel",
+    "q_streaming_composed_replay",
+    "q_streaming_privacy_replay",
+    "q_streaming_curation_replay",
+    "q_mutual_knn",
+    "q_knn_classification",
+    "q_hard_negative_mining",
+    "q_core_distance",
+    "q_local_outlier_factor",
+    "q09_product_profit",
+    "q12_priority_by_flag",
+    "q_agg_conditional",
+    "q_window_analytic",
+    "q_window_time_range",
+    "q_topk_per_group",
+    "q_intersect_all",
+    "q_unpivot",
+    "q_pivot",
+    "q_array_higher_order",
+    "q_json_extract",
+    "q_funnel_stages",
+    "q_scd2_dimension",
+    "q_salted_exact_distinct",
+    "q_window_tumbling",
+    "q_session_window",
+    "q_ewma_smoothing",
+    "q_zscore_per_group",
+    "q_asof_join",
+    "q_msg_metadata_projection",
+    "q_topic_pattern_subscribe",
+    "q_read_compacted",
+    "q_chunk_reassembly",
+    "q_dlq_split",
+    "q_retry_pipeline_audit",
+    "q_dedup_exact",
+    "q_embedding_neardup_lsh",
+    "q_ann_ivf_topk",
+    "q_ann_pq_recall",
+    "q_token_count",
+    "q_corpus_filter_pipeline",
+    "q_bm25_search",
+    "q_fuzzy_match",
+    "q_multimodal_decode",
+    "q_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_hash_split",
+    "q_doc_chunking",
+    # -- ROUND-12 ROTATION (kept below slot 50 for stable ordering) --
     "q_tukey_hsd",
     "q_games_howell",
     "q_jonckheere_terpstra",
