@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.adaptive import fanout_partitions
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
 from ..plans.iterate import eager_checkpoint
@@ -1572,7 +1573,7 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    ×(PERM_B+1) explode plus the md5 draws ran near-serial.
     #    Round-robin repartition to defaultParallelism (cheap:
     #    user-domain rows) parallelizes the amplification.
-    per_user = per_user.repartition(spark.sparkContext.defaultParallelism)
+    per_user = per_user.repartition(fanout_partitions(spark))
     draw = F.expr(
         "(instr('0123456789abcdef', substring(md5(concat("
         "'perm', CAST(perm AS STRING), ':', CAST(user_id AS STRING)"

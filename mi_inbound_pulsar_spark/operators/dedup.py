@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.functions.arrays import explode_computed
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.adaptive import fanout_partitions
 from mi_inbound_pulsar_spark.sources.tables import load_table
 from ..plans.iterate import eager_checkpoint, retain
 
@@ -234,9 +235,7 @@ def jaccard_pairs(
     # scale posting callers (jaccard_pairs_auto below the cutover)
     # keep the pin — there the fan-out is the measured bottleneck.
     if pin_parallelism:
-        sh = sh.repartition(
-            sh.sparkSession.sparkContext.defaultParallelism, "shingle"
-        )
+        sh = sh.repartition(fanout_partitions(sh.sparkSession), "shingle")
     if sizes is None:
         # callers holding the shingle *array* frame pass sizes from
         # F.size(shingles) instead — one less groupBy shuffle
@@ -1984,9 +1983,7 @@ def prefix_filter_pairs(
         # extra exchange cost more than the join fan-out saved
         # (2.8 s → 3.7 s); this pin alone measured 2.8 s → 2.3 s
         # min-of-3 interleaved on the full kernel.
-        .repartition(
-            sharr.sparkSession.sparkContext.defaultParallelism
-        )
+        .repartition(fanout_partitions(sharr.sparkSession))
     )
     # verify arrays from the checkpointed postings (one groupBy over
     # cached narrow rows): in the capped branch ``sh`` is already

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mi_inbound_pulsar_spark.operators import query
+from mi_inbound_pulsar_spark.plans.adaptive import fanout_partitions
 from mi_inbound_pulsar_spark.plans.iterate import eager_checkpoint, retain
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
 from mi_inbound_pulsar_spark.sources.tables import load_table
@@ -2436,7 +2437,7 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .repartition(fanout_partitions(spark), "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )

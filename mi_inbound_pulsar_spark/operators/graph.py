@@ -21,6 +21,7 @@ from mi_inbound_pulsar_spark.plans.iterate import eager_checkpoint, retain, stat
 from mi_inbound_pulsar_spark.plans.adaptive import (
     ADAPTIVE_BROADCAST_MAX_ROWS,
     adaptive_broadcast,
+    fanout_partitions,
     table_row_bound,
 )
 from mi_inbound_pulsar_spark.plans.ranking import bounded_window_input
@@ -579,7 +580,7 @@ def part_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(li, "ok")
-        .repartition(spark.sparkContext.defaultParallelism, "part")
+        .repartition(fanout_partitions(spark), "part")
         .groupBy("part")
         .agg(F.array_sort(F.collect_set("cust")).alias("custs"))
         .filter(F.size("custs") <= COPURCHASE_MAX_DF)

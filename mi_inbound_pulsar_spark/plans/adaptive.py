@@ -36,6 +36,28 @@ from pyspark.sql import functions as F
 # on the executor, comfortably inside a 1-2 GB broadcast budget.
 ADAPTIVE_BROADCAST_MAX_ROWS = 5_000_000
 
+
+def fanout_partitions(spark: SparkSession) -> int:
+    """Partition width for the explicit fan-out pins (the round-12
+    posting-list exchanges, the round-13 basket aggregate): AQE sizes a
+    shuffle by its OUTPUT bytes and cannot see a downstream
+    generator/join fan-out, so those exchanges pin an explicit width.
+
+    Default: ``defaultParallelism`` (total cluster cores) — scale-
+    adaptive on any statically-allocated cluster. Caveat (round-12
+    ADVICE): under **dynamic allocation** ``defaultParallelism`` is
+    read at plan-build time and a cold cluster can report far fewer
+    cores than it will eventually hold, freezing the fan-out stages
+    narrow. Such deployments set ``SPARK_GRAFT_FANOUT_PARTITIONS`` to
+    the intended steady-state core count (the same env-override
+    pattern as ``SPARK_GRAFT_OPEN_COST_BYTES``)."""
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_FANOUT_PARTITIONS")
+    if override:
+        return int(override)
+    return spark.sparkContext.defaultParallelism
+
 _ROW_COUNT_CACHE: dict[str, int] = {}
 
 
