@@ -222,27 +222,37 @@ class StreamingCurationPipeline:
                 ),
             )
         )
-        self._write_all(
-            [
-                (
-                    survivors.select("text_md5", "doc_id"),
-                    os.path.join(self.state_dir, "hashes"),
-                    "text_md5",
-                ),
+        writes = [
+            (
+                survivors.select("text_md5", "doc_id"),
+                os.path.join(self.state_dir, "hashes"),
+                "text_md5",
+            ),
+            (packed, self.out_dir, "source"),
+            (
+                new_offsets,
+                os.path.join(self.state_dir, "offsets"),
+                "source",
+            ),
+        ]
+        # the shingle inverted index is state FOR the near-dup probe
+        # (2c) — when the probe is disabled nothing ever reads it, and
+        # the per-epoch explode+hash+write of every survivor's 3-grams
+        # was the epoch's fattest job (round 13; the three replay
+        # queries and the composed pipeline all run with
+        # neardup_threshold=None). A deployment enabling the probe
+        # mid-stream must backfill the index for pre-enable epochs
+        # either way, so the gate loses nothing.
+        if self.neardup_threshold is not None:
+            writes.insert(
+                1,
                 (
                     self._hashed_shingles(survivors.select("doc_id", "text")),
                     os.path.join(self.state_dir, "shingles"),
                     "shingle",
                 ),
-                (packed, self.out_dir, "source"),
-                (
-                    new_offsets,
-                    os.path.join(self.state_dir, "offsets"),
-                    "source",
-                ),
-            ],
-            epoch_id,
-        )
+            )
+        self._write_all(writes, epoch_id)
         survivors.unpersist()
         if self.autocommit:
             self._finalize(epoch_id)

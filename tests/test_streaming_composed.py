@@ -283,7 +283,9 @@ def test_same_epoch_torn_twice_replays_cleanly(spark):
 
     pipe(b1, 1)  # third attempt: clean end-to-end rewrite of v1
     assert pipe._committed_epochs() == [0, 1]
-    for fam in ("stats", "pending", "released", "hashes", "shingles", "offsets"):
+    # no "shingles": the composed config runs with the near-dup probe
+    # disabled, and since round 13 the unread shingle index is not written
+    for fam in ("stats", "pending", "released", "hashes", "offsets"):
         assert os.path.isdir(os.path.join(pipe.state_dir, fam, "v1")), fam
     got = sorted(
         (r["doc_id"], r["stream_offset"]) for r in pipe.read_output(spark).collect()
@@ -293,8 +295,8 @@ def test_same_epoch_torn_twice_replays_cleanly(spark):
 
 def test_crash_inside_curation_families_replays_cleanly(spark):
     """The FOURTH seam: privacy fully lands and curation dies MID-WAY
-    through its own families — shingles/v1 is on disk, its concurrent
-    siblings (hashes, packed output, offsets) may or may not be. No
+    through its own families — hashes/v1 is on disk, its concurrent
+    siblings (packed output, offsets) may or may not be. No
     marker, so the replay must rewrite the half-landed dedup index
     from the epoch-0 snapshot; an append-style index write would
     double-insert epoch 1's survivors and the replay's dedup would
@@ -320,7 +322,7 @@ def test_crash_inside_curation_families_replays_cleanly(spark):
 
     def torn_write(df, root, epoch_id, key):
         real_write(df, root, epoch_id, key)
-        if os.path.basename(root) == "shingles" and epoch_id == 1:
+        if os.path.basename(root) == "hashes" and epoch_id == 1:
             raise RuntimeError("injected crash inside curation")
 
     cur._write = torn_write
@@ -332,7 +334,7 @@ def test_crash_inside_curation_families_replays_cleanly(spark):
     # landed; curation's concurrent siblings may or may not have. No
     # marker either way — readers blind to the whole epoch.
     assert os.path.isdir(os.path.join(pipe.state_dir, "released", "v1"))
-    assert os.path.isdir(os.path.join(pipe.state_dir, "shingles", "v1"))
+    assert os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
     assert pipe._committed_epochs() == [0]
 
     pipe(b1, 1)  # replay rewrites every v1 family

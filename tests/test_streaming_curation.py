@@ -135,7 +135,7 @@ def test_streaming_curation_replay_is_idempotent(spark):
 
 def test_crash_between_state_writes_replays_cleanly(spark):
     """Torn-epoch injection for the curation state family: kill after
-    the hashes+shingles deltas land but before the packed output and
+    the hashes delta lands but before the packed output and
     offsets snapshot (no commit marker). Readers must not see the torn
     epoch — in particular the NEXT replay must not treat the torn
     hashes/v1 as committed index (which would dedup epoch 1's own
@@ -167,7 +167,7 @@ def test_crash_between_state_writes_replays_cleanly(spark):
 
     def torn_write(df, root, epoch_id, key):
         orig_write(df, root, epoch_id, key)
-        if os.path.basename(root) == "shingles" and epoch_id == 1:
+        if os.path.basename(root) == "hashes" and epoch_id == 1:
             raise RuntimeError("injected crash mid-epoch")
 
     pipe._write = torn_write
@@ -175,10 +175,10 @@ def test_crash_between_state_writes_replays_cleanly(spark):
         pipe(frame(40, 80), 1)
     pipe._write = orig_write
 
-    # shingles/v1 landed; its concurrent sibling families may or may
+    # hashes/v1 landed; its concurrent sibling families may or may
     # not have (intra-epoch writes are unordered since round 11) — no
     # marker landed, which is all the contract promises
-    assert os.path.isdir(os.path.join(pipe.state_dir, "shingles", "v1"))
+    assert os.path.isdir(os.path.join(pipe.state_dir, "hashes", "v1"))
     assert pipe._committed_epochs() == [0]
 
     pipe(frame(40, 80), 1)  # restart replay
